@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md).
+  *
+  * One parquet file per table under the scale-factor directory. Reads go
+  * through Spark's vectorized parquet reader; Catalyst pushes filters and
+  * prunes columns at the scan, so callers should express queries
+  * declaratively and never pre-materialize.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read the raw nanos as long and truncate to
+      // microseconds — the same ns→µs truncation DuckDB applies, so the
+      // oracle sees identical instants.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+}
+
+/** Numeric helpers shared by every query: engine-agnostic rounding.
+  *
+  * Spark's `round()` on doubles goes through the value's shortest decimal
+  * string (`BigDecimal.valueOf`) while DuckDB rounds the binary value — the
+  * two disagree on values like 152741.235. `floor(x·10^d + 0.5)/10^d`
+  * performs the same IEEE ops in both engines, so identical inputs give
+  * identical outputs. Use [[Num.sql]] to emit the matching oracle fragment.
+  */
+object Num {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit}
+
+  def r(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** The identical formula as DuckDB SQL text. */
+  def sql(expr: String, d: Int): String = {
+    val p = "1" + ("0" * d)
+    s"floor(($expr) * $p.0 + 0.5) / $p.0"
+  }
+}
+
+/** One verifiable operator: a DataFrame query over the tables in `dir`,
+  * plus — when SQL-expressible — an equivalent DuckDB SQL oracle run by the
+  * driver on the same parquet files (registered under their table names).
+  *
+  * Contract notes (driver compare):
+  *   - column NAMES must match between the Spark result and the oracle;
+  *   - double-typed aggregates are rounded on BOTH sides so that
+  *     summation-order differences between engines cannot flip a hash;
+  *   - results must be deterministic as a SET (total tie-breaks on any
+  *     top-k / limit).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Query with a DuckDB oracle. */
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+
+  /** Non-SQL-expressible query (driver records a rows-only check). */
+  def noOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

@@ -1,0 +1,495 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator suite (SURVEY.md §2B): projection, filter, every join
+  * flavor, hash/sort aggregation, distinct, rollup/cube, windows, sort/top-k,
+  * and set operations — all expressed declaratively on DataFrames so Catalyst
+  * plans them (pushdown, pruning, broadcast selection, AQE) and Tungsten
+  * executes them under whole-stage codegen.
+  *
+  * Scale notes (100 TB design):
+  *   - fact⋈dim joins broadcast the dim side explicitly (`broadcast(part)`);
+  *   - fact⋈fact equi-joins rely on sort-merge + AQE (skew split / coalesce);
+  *   - theta joins keep the broadcastable side small by construction;
+  *   - every aggregate is a partial (map-side) + final HashAggregate — no
+  *     driver-side collection anywhere.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Aggregation — hash, partial+final (TPC-H Q1 shape).
+    QueryDef(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ------------------------------------------------------------------
+    // Filter: comparison, BETWEEN, IN, LIKE, IS NULL, boolean combos.
+    // All of these reach the parquet scan as PushedFilters.
+    QueryDef(
+      "q_filter_pred",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_quantity IN (10, 20, 30, 40, 50)
+        |  AND l_returnflag LIKE 'N%'
+        |  AND l_discount IS NOT NULL
+        |  AND NOT (l_tax > 0.07)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        .filter(col("l_quantity").isin(10, 20, 30, 40, 50))
+        .filter(col("l_returnflag").like("N%"))
+        .filter(col("l_discount").isNotNull)
+        .filter(!(col("l_tax") > 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // ------------------------------------------------------------------
+    // Projection + cast + expression arithmetic (reference's toParquet,
+    // generalized — convertor/struct.go:20-28).
+    QueryDef(
+      "q_project_cast",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  l_returnflag || '/' || l_linestatus AS flag_status
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 2).as("charge"),
+        floor(col("l_quantity")).as("qty_floor"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"))
+    },
+
+    // ------------------------------------------------------------------
+    // Broadcast hash join: fact (lineitem) ⋈ small dim (part). At 100 TB the
+    // dim side stays broadcastable; revenue per brand aggregates map-side.
+    QueryDef(
+      "q_join_bhj",
+      """SELECT p.p_brand,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sort-merge join: fact ⋈ fact (lineitem ⋈ orders) — both sides shuffle
+    // on the join key; MERGE hint pins the strategy AQE would pick at scale.
+    QueryDef(
+      "q_join_smj",
+      """SELECT o.o_orderpriority,
+        |  round(sum(l.l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ------------------------------------------------------------------
+    // Left-semi join (EXISTS): customers that placed a finished order.
+    QueryDef(
+      "q_join_semi",
+      """SELECT c.c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ------------------------------------------------------------------
+    // Left-anti join (NOT EXISTS): customers with no high-value order.
+    QueryDef(
+      "q_join_anti",
+      """SELECT c.c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ------------------------------------------------------------------
+    // Left-outer join: order counts per segment keeping order-less customers.
+    QueryDef(
+      "q_join_outer",
+      """SELECT c.c_mktsegment,
+        |  count(o.o_orderkey) AS n_orders,
+        |  count(*) AS n_rows,
+        |  round(sum(coalesce(o.o_totalprice, 0.0)), 2) AS total_price
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_price"))
+    },
+
+    // ------------------------------------------------------------------
+    // Full-outer join: nations vs customer nation-usage (exercises the
+    // null-fill path on both sides of a shuffled outer join).
+    QueryDef(
+      "q_join_full",
+      """WITH cn AS (SELECT c_nationkey, count(*) AS n_cust
+        |            FROM customer GROUP BY c_nationkey)
+        |SELECT n.n_name, coalesce(cn.n_cust, 0) AS n_cust
+        |FROM nation n FULL OUTER JOIN cn ON n.n_nationkey = cn.c_nationkey""".stripMargin) { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val cn = t(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust0"))
+      n.join(cn, n("n_nationkey") === cn("c_nationkey"), "full_outer")
+        .select(col("n_name"), coalesce(col("n_cust0"), lit(0L)).as("n_cust"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theta (non-equi) join → BroadcastNestedLoopJoin: supplier vs customer
+    // balances across different nations. The broadcast side (supplier) is
+    // the small one by construction — at 100 TB this stays a BNLJ with a
+    // bounded broadcast, never a full cross shuffle.
+    QueryDef(
+      "q_join_theta",
+      """SELECT s.s_suppkey,
+        |  count(*) AS n_richer,
+        |  round(avg(c.c_acctbal), 2) AS avg_cust_bal
+        |FROM supplier s JOIN customer c
+        |  ON s.s_acctbal > c.c_acctbal AND s.s_nationkey <> c.c_nationkey
+        |GROUP BY s.s_suppkey""".stripMargin) { (s, dir) =>
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(sup),
+          sup("s_acctbal") > c("c_acctbal") &&
+          sup("s_nationkey") =!= c("c_nationkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(
+          count(lit(1)).as("n_richer"),
+          round(avg(col("c_acctbal")), 2).as("avg_cust_bal"))
+    },
+
+    // ------------------------------------------------------------------
+    // Range/interval join: purchases within 10 minutes after a click by the
+    // same user. Equi on user_id bounds the pair space; the ts range is a
+    // post-join predicate — at scale this stays a shuffled equi-join keyed
+    // by user, never a cross product.
+    QueryDef(
+      "q_join_range",
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  min(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |GROUP BY c.user_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          min(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("min_gap_us"))
+    },
+
+    // ------------------------------------------------------------------
+    // As-of join: for each purchase, the most recent prior click by the same
+    // user within 1 day. Composed Spark-first: bounded range join + ranking
+    // window (the bound keeps the candidate set finite at 100 TB; a custom
+    // SparkStrategy is only needed when no bound exists).
+    QueryDef(
+      "q_join_asof",
+      """WITH cand AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM events p JOIN events c
+        |    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |   AND c.event_type = 'click' AND c.ts <= p.ts
+        |   AND c.ts > p.ts - INTERVAL 1 DAY)
+        |SELECT purchase_id, click_id, gap_us FROM cand WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 1 DAY"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("click_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    },
+
+    // ------------------------------------------------------------------
+    // Distinct aggregation (exact).
+    QueryDef(
+      "q_agg_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sort-based aggregation path: collect_list forces ObjectHashAggregate /
+    // SortAggregate (non-mutable buffer). Canonicalized to a string so the
+    // oracle compares order-independently.
+    QueryDef(
+      "q_agg_sort",
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
+    // Rollup.
+    QueryDef(
+      "q_agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cube.
+    QueryDef(
+      "q_agg_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
+    // Statistical aggregates.
+    QueryDef(
+      "q_agg_stats",
+      """SELECT l_linestatus,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+    },
+
+    // ------------------------------------------------------------------
+    // Ranking windows: top-3 orders per customer (row_number/rank/dense_rank)
+    // with a total tie-break so the result is deterministic.
+    QueryDef(
+      "q_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 3)
+    },
+
+    // ------------------------------------------------------------------
+    // Analytic windows with frames: running total, lag/lead, 3-row moving avg.
+    QueryDef(
+      "q_window_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2).as("ma3"))
+    },
+
+    // ------------------------------------------------------------------
+    // RANGE-framed window: 7-day trailing sum over events per type, ordered
+    // by epoch seconds (numeric range frame — identical semantics both
+    // engines, peers included).
+    QueryDef(
+      "q_window_range",
+      """SELECT event_id, event_type,
+        |  round(sum("value") OVER (PARTITION BY event_type
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        round(sum(col("value")).over(w), 2).as("trailing_7d"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sort + limit → TakeOrderedAndProject (a real distributed top-k: each
+    // partition keeps k, only k·P rows reach the driver-side merge).
+    QueryDef(
+      "q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ------------------------------------------------------------------
+    // Set ops. UNION dedups (Spark union+distinct ≡ SQL UNION).
+    QueryDef(
+      "q_set_union",
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct()
+    },
+
+    QueryDef(
+      "q_set_intersect",
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.intersect(b)
+    },
+
+    QueryDef(
+      "q_set_except",
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.except(b)
+    }
+  )
+}

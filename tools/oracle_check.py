@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only harness that mimics the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <outDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+Not part of the library — the engine itself has no Python dependency.
+Compares each <outDir>/<name> parquet against the oracle SQL in
+<outDir>/oracle_sql.json run over the sfDir tables, order-insensitively.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+            exp = con.execute(sql)
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            fails += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"FAIL {name}: cols spark={sorted(gcols)} duck={sorted(ecols)}")
+            fails += 1
+            continue
+        gk, ek = rows_key(gcols, grows), rows_key(ecols, erows)
+        if gk != ek:
+            diff = [(a, b) for a, b in zip(gk, ek) if a != b][:3]
+            extra = abs(len(gk) - len(ek))
+            print(f"FAIL {name}: rows spark={len(gk)} duck={len(ek)} "
+                  f"firstdiff={diff} lendiff={extra}")
+            fails += 1
+        else:
+            print(f"OK   {name}: {len(gk)} rows")
+    print(f"\n{len(oracles) - fails}/{len(oracles)} queries match")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
