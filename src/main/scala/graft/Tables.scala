@@ -19,8 +19,13 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read the raw nanos as long and truncate to
       // microseconds — the same ns→µs truncation DuckDB applies, so the
-      // oracle sees identical instants.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // oracle sees identical instants. Requires
+      // spark.sql.legacy.parquet.nanosAsLong=true, set at session build
+      // time (build.sbt javaOptions / the Verify & Bench builders) so the
+      // loader has no session-mutating side effects.
+      require(
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build time")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

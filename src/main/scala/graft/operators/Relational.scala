@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,14 +29,14 @@ object Relational {
     // Aggregation — hash, partial+final (TPC-H Q1 shape).
     QueryDef(
       "q1_agg",
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Num.sql("sum(l_quantity)", 2)} AS sum_qty,
+        |  ${Num.sql("sum(l_extendedprice)", 2)} AS sum_base_price,
+        |  ${Num.sql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc_price,
+        |  ${Num.sql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))", 2)} AS sum_charge,
+        |  ${Num.sql("avg(l_quantity)", 2)} AS avg_qty,
+        |  ${Num.sql("avg(l_extendedprice)", 2)} AS avg_price,
+        |  ${Num.sql("avg(l_discount)", 4)} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,15 +45,15 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
+          Num.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Num.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          Num.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          Num.r(avg(col("l_quantity")), 2).as("avg_qty"),
+          Num.r(avg(col("l_extendedprice")), 2).as("avg_price"),
+          Num.r(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
 
@@ -85,14 +85,14 @@ object Relational {
     // generalized — convertor/struct.go:20-28).
     QueryDef(
       "q_project_cast",
-      """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+      s"""SELECT l_orderkey, l_linenumber,
+        |  ${Num.sql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS charge,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
         |  l_returnflag || '/' || l_linestatus AS flag_status
         |FROM lineitem""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Num.r(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * (lit(1.0) + col("l_tax")), 2).as("charge"),
         floor(col("l_quantity")).as("qty_floor"),
         concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"))
@@ -103,8 +103,8 @@ object Relational {
     // dim side stays broadcastable; revenue per brand aggregates map-side.
     QueryDef(
       "q_join_bhj",
-      """SELECT p.p_brand,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+      s"""SELECT p.p_brand,
+        |  ${Num.sql("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand""".stripMargin) { (s, dir) =>
@@ -113,7 +113,7 @@ object Relational {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          Num.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"),
           count(lit(1)).as("n_items"))
     },
@@ -123,8 +123,8 @@ object Relational {
     // on the join key; MERGE hint pins the strategy AQE would pick at scale.
     QueryDef(
       "q_join_smj",
-      """SELECT o.o_orderpriority,
-        |  round(sum(l.l_extendedprice), 2) AS sum_price,
+      s"""SELECT o.o_orderpriority,
+        |  ${Num.sql("sum(l.l_extendedprice)", 2)} AS sum_price,
         |  count(*) AS n_items
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderpriority""".stripMargin) { (s, dir) =>
@@ -133,7 +133,7 @@ object Relational {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          Num.r(sum(col("l_extendedprice")), 2).as("sum_price"),
           count(lit(1)).as("n_items"))
     },
 
@@ -174,10 +174,10 @@ object Relational {
     // Left-outer join: order counts per segment keeping order-less customers.
     QueryDef(
       "q_join_outer",
-      """SELECT c.c_mktsegment,
+      s"""SELECT c.c_mktsegment,
         |  count(o.o_orderkey) AS n_orders,
         |  count(*) AS n_rows,
-        |  round(sum(coalesce(o.o_totalprice, 0.0)), 2) AS total_price
+        |  ${Num.sql("sum(coalesce(o.o_totalprice, 0.0))", 2)} AS total_price
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -187,7 +187,7 @@ object Relational {
         .agg(
           count(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_rows"),
-          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_price"))
+          Num.r(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_price"))
     },
 
     // ------------------------------------------------------------------
@@ -213,9 +213,9 @@ object Relational {
     // bounded broadcast, never a full cross shuffle.
     QueryDef(
       "q_join_theta",
-      """SELECT s.s_suppkey,
+      s"""SELECT s.s_suppkey,
         |  count(*) AS n_richer,
-        |  round(avg(c.c_acctbal), 2) AS avg_cust_bal
+        |  ${Num.sql("avg(c.c_acctbal)", 2)} AS avg_cust_bal
         |FROM supplier s JOIN customer c
         |  ON s.s_acctbal > c.c_acctbal AND s.s_nationkey <> c.c_nationkey
         |GROUP BY s.s_suppkey""".stripMargin) { (s, dir) =>
@@ -227,7 +227,7 @@ object Relational {
         .groupBy(col("s_suppkey"))
         .agg(
           count(lit(1)).as("n_richer"),
-          round(avg(col("c_acctbal")), 2).as("avg_cust_bal"))
+          Num.r(avg(col("c_acctbal")), 2).as("avg_cust_bal"))
     },
 
     // ------------------------------------------------------------------
@@ -318,7 +318,8 @@ object Relational {
     QueryDef(
       "q_agg_sort",
       """SELECT o_orderpriority,
-        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)
+        |    FILTER (o_orderstatus IS NOT NULL)), ',') AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
@@ -332,45 +333,45 @@ object Relational {
     // Rollup.
     QueryDef(
       "q_agg_rollup",
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Num.sql("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(Num.r(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
     },
 
     // ------------------------------------------------------------------
     // Cube.
     QueryDef(
       "q_agg_cube",
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Num.sql("sum(l_extendedprice)", 2)} AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .agg(Num.r(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
     },
 
     // ------------------------------------------------------------------
     // Statistical aggregates.
     QueryDef(
       "q_agg_stats",
-      """SELECT l_linestatus,
-        |  round(min(l_extendedprice), 2) AS min_price,
-        |  round(max(l_extendedprice), 2) AS max_price,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
-        |  round(var_samp(l_discount), 6) AS var_disc
+      s"""SELECT l_linestatus,
+        |  ${Num.sql("min(l_extendedprice)", 2)} AS min_price,
+        |  ${Num.sql("max(l_extendedprice)", 2)} AS max_price,
+        |  ${Num.sql("avg(l_extendedprice)", 2)} AS avg_price,
+        |  ${Num.sql("stddev_samp(l_extendedprice)", 2)} AS sd_price,
+        |  ${Num.sql("var_samp(l_discount)", 6)} AS var_disc
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(
-          round(min(col("l_extendedprice")), 2).as("min_price"),
-          round(max(col("l_extendedprice")), 2).as("max_price"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-          round(var_samp(col("l_discount")), 6).as("var_disc"))
+          Num.r(min(col("l_extendedprice")), 2).as("min_price"),
+          Num.r(max(col("l_extendedprice")), 2).as("max_price"),
+          Num.r(avg(col("l_extendedprice")), 2).as("avg_price"),
+          Num.r(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          Num.r(var_samp(col("l_discount")), 6).as("var_disc"))
     },
 
     // ------------------------------------------------------------------
@@ -401,25 +402,20 @@ object Relational {
     // Analytic windows with frames: running total, lag/lead, 3-row moving avg.
     QueryDef(
       "q_window_frame",
-      """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
-        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+      s"""SELECT o_custkey, o_orderkey,
+        |  ${Num.sql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total,
+        |  ${Num.sql("lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)", 2)} AS prev_price,
+        |  ${Num.sql("avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)} AS ma3
         |FROM orders""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice"))
+        Num.r(sum(col("o_totalprice"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("running_total"),
-        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
-        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2).as("ma3"))
+        Num.r(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        Num.r(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2).as("ma3"))
     },
 
     // ------------------------------------------------------------------
@@ -428,17 +424,15 @@ object Relational {
     // engines, peers included).
     QueryDef(
       "q_window_range",
-      """SELECT event_id, event_type,
-        |  round(sum("value") OVER (PARTITION BY event_type
-        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+      s"""SELECT event_id, event_type,
+        |  ${Num.sql("sum(\"value\") OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)", 2)} AS trailing_7d
         |FROM events""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("event_type"))
         .orderBy(unix_timestamp(col("ts")))
         .rangeBetween(-604800L, 0L)
       t(s, dir, "events").select(
         col("event_id"), col("event_type"),
-        round(sum(col("value")).over(w), 2).as("trailing_7d"))
+        Num.r(sum(col("value")).over(w), 2).as("trailing_7d"))
     },
 
     // ------------------------------------------------------------------
