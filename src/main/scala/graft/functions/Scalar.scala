@@ -1,0 +1,207 @@
+package graft.functions
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField, StructType}
+
+/** Scalar function families (SURVEY.md §2B: string, date/time, math, array,
+  * map, JSON). The reference's only scalar work is a URL-unescape and an
+  * int→int32 cast (convertor/convertor.go:117-121, convertor/struct.go:25);
+  * this module generalizes to the full families a query engine needs.
+  *
+  * Every query is a single narrow projection over one table, so Catalyst
+  * prunes the scan to exactly the referenced columns and the whole pipeline
+  * stays inside one WholeStageCodegen stage — the shape that scales to
+  * 100 TB (no shuffle, no state; pure map).
+  *
+  * Oracle parity notes (Spark ↔ DuckDB):
+  *   - dayofweek disagrees between engines; `weekday(ts)+1` (Spark) ≡
+  *     `isodow(ts)` (DuckDB, Monday=1) is used instead;
+  *   - date_trunc returns TIMESTAMP in Spark, DATE in DuckDB → both sides
+  *     cast to DATE;
+  *   - transcendental funcs (ln/log10/sqrt) round through [[Num]] because
+  *     libm results may differ in the last ulp;
+  *   - float array sums promote to double BEFORE summing on both sides so
+  *     the sequential IEEE fold is identical.
+  */
+object Scalar {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // String functions over part: case, substring, concat, split,
+    // regexp extract/replace, pad/trim, levenshtein, translate, position.
+    QueryDef(
+      "q_str_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_up,
+        |  lower(p_type) AS type_lo,
+        |  substr(p_name, 1, 4) AS name4,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  regexp_extract(p_brand, '([A-Za-z]+)#(\d+)', 2) AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  length(p_name) AS name_len,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  reverse(p_type) AS type_rev,
+        |  levenshtein(p_brand, p_type) AS lev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  instr(p_name, 'e') AS first_e
+        |FROM part""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 1, 4).as("name4"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([A-Za-z]+)#(\\d+)", 2).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_partkey").cast(StringType), 8, "0").as("key_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        instr(col("p_name"), "e").as("first_e"))
+    },
+
+    // ------------------------------------------------------------------
+    // Date/time functions over orders.
+    QueryDef(
+      "q_date_funcs",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  isodow(o_orderdate) AS dow_iso,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        (weekday(col("o_orderdate")) + 1).as("dow_iso"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    },
+
+    // ------------------------------------------------------------------
+    // Math functions over lineitem. Exact ops (abs/ceil/floor/mod/sign/
+    // greatest/least/pow-by-2) compare raw; libm ops (sqrt/ln/log10) round
+    // through Num.
+    QueryDef(
+      "q_math_funcs",
+      s"""SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  l_orderkey % 7 AS key_mod,
+        |  CAST(sign(l_tax - 0.04) AS INTEGER) AS tax_sign,
+        |  greatest(l_tax, l_discount) AS g,
+        |  least(l_tax, l_discount) AS l,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  ${Num.sql("sqrt(l_extendedprice)", 6)} AS sqrt_price,
+        |  ${Num.sql("ln(l_extendedprice)", 6)} AS ln_price,
+        |  ${Num.sql("log10(l_extendedprice)", 6)} AS log10_price
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        signum(col("l_tax") - 0.04).cast("int").as("tax_sign"),
+        greatest(col("l_tax"), col("l_discount")).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        Num.r(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        Num.r(log(col("l_extendedprice")), 6).as("ln_price"),
+        Num.r(log10(col("l_extendedprice")), 6).as("log10_price"))
+    },
+
+    // ------------------------------------------------------------------
+    // Array functions over embeddings (array<float>, the multimodal /
+    // vector column). Exact element ops compare raw; the double-promoted
+    // sequential fold (sum of squares) rounds through Num.
+    QueryDef(
+      "q_array_funcs",
+      s"""SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  embedding[1] AS first_elem,
+        |  list_max(embedding) AS mx,
+        |  list_min(embedding) AS mn,
+        |  list_slice(embedding, 1, 3) AS head3,
+        |  list_reverse(embedding)[1] AS last_elem,
+        |  list_contains(embedding, 0.0::FLOAT) AS has_zero,
+        |  ${Num.sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6)} AS sumsq
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_elem"),
+        array_max(col("embedding")).as("mx"),
+        array_min(col("embedding")).as("mn"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        element_at(reverse(col("embedding")), 1).as("last_elem"),
+        array_contains(col("embedding"), 0.0f).as("has_zero"),
+        Num.r(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("sumsq"))
+    },
+
+    // ------------------------------------------------------------------
+    // Map functions: parse events.props into map<string,int>, then
+    // keys/values/element_at/size. Oracle goes through DuckDB's JSON
+    // functions (same observable results).
+    QueryDef(
+      "q_map_funcs",
+      """SELECT event_id,
+        |  json_keys(props) AS ks,
+        |  CAST(props->>'k' AS INTEGER) AS k_val,
+        |  len(json_keys(props)) AS n_keys,
+        |  CAST(props->>'k' AS INTEGER) IS NOT NULL AS has_k
+        |FROM events""".stripMargin) { (s, dir) =>
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      t(s, dir, "events").select(
+        col("event_id"),
+        map_keys(m).as("ks"),
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"),
+        element_at(m, "k").isNotNull.as("has_k"))
+    },
+
+    // ------------------------------------------------------------------
+    // JSON functions: path extraction (string + typed), struct parse, and
+    // a canonical re-serialization round-trip.
+    QueryDef(
+      "q_json_funcs",
+      """SELECT event_id,
+        |  props->>'k' AS k_str,
+        |  CAST(props->>'k' AS INTEGER) AS k_int,
+        |  '{"k":' || (props->>'k') || '}' AS rt,
+        |  props->>'missing' IS NULL AS no_such_path
+        |FROM events""".stripMargin) { (s, dir) =>
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), schema).getField("k").as("k_int"),
+        to_json(from_json(col("props"), schema)).as("rt"),
+        get_json_object(col("props"), "$.missing").isNull.as("no_such_path"))
+    }
+  )
+}
