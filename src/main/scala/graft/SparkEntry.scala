@@ -15,7 +15,9 @@ object SparkEntry {
   /** All implemented operators, grouped by module. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
-      functions.Scalar.defs
+      operators.Dedup.defs ++
+      functions.Scalar.defs ++
+      functions.TextAnalysis.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape — the canonical partial+final hash aggregation. */

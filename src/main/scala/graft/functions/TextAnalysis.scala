@@ -1,0 +1,170 @@
+package graft.functions
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-pipeline data curation (SURVEY.md §2B
+  * north star): token counting, quality scoring, language-ID heuristic and
+  * document fingerprinting over the `documents` table.
+  *
+  * All four queries are shuffle-free narrow projections (the scan prunes to
+  * `doc_id, text[, lang]`), so they scale linearly with input size — the
+  * shape that matters when scoring 100 TB of crawl text. Hashes are
+  * md5-derived so the DuckDB oracle reproduces them bit-for-bit (Spark
+  * xxhash64/hash are engine-specific; md5 is standard everywhere).
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** First 8 md5 hex chars as an unsigned 32-bit value in a long —
+    * identical in DuckDB as CAST('0x'||substr(md5(e),1,8) AS BIGINT). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** First 15 md5 hex chars = 60 bits in a long (16 would overflow the
+    * sign bit). DuckDB: CAST('0x'||substr(md5(e),1,15) AS BIGINT). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB fragment equivalent of [[h32]]. */
+  def h32sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** DuckDB fragment equivalent of [[h60]]. */
+  def h60sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private val stopwords = Seq("a", "the", "and", "of", "in")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    // tokens, char count. The regex pass approximates subword pre-token
+    // splitting (letters / digits / other runs).
+    QueryDef(
+      "q_text_tokens",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  length(text) AS n_chars_measured
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("n_chars_measured"))
+    },
+
+    // ------------------------------------------------------------------
+    // Quality scoring: stopword ratio, punctuation ratio, mean token
+    // length, and a composite score — the filters a pre-training pipeline
+    // applies before anything expensive touches the text.
+    QueryDef(
+      "q_text_quality",
+      s"""SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  ${Num.sql(s"len(list_filter(string_split(text, ' '), w -> list_contains($stopSqlList, w))) * 1.0 / len(string_split(text, ' '))", 4)} AS stop_ratio,
+        |  ${Num.sql("len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text)", 4)} AS punct_ratio,
+        |  ${Num.sql("(length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' '))", 4)} AS mean_tok_len,
+        |  ${Num.sql(s"(1.0 - len(list_filter(string_split(text, ' '), w -> list_contains($stopSqlList, w))) * 1.0 / len(string_split(text, ' '))) * least(1.0, len(string_split(text, ' ')) / 50.0)", 4)} AS quality
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stopArr = array(stopwords.map(lit): _*)
+      val nStop = size(filter(toks, w => array_contains(stopArr, w))).cast("double")
+      val stopRatio = nStop / nTok
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        Num.r(stopRatio, 4).as("stop_ratio"),
+        Num.r(size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        Num.r((length(col("text")) - size(toks) + 1).cast("double") / nTok, 4)
+          .as("mean_tok_len"),
+        Num.r((lit(1.0) - stopRatio) * least(lit(1.0), nTok / 50.0), 4)
+          .as("quality"))
+    },
+
+    // ------------------------------------------------------------------
+    // Language-ID heuristic: score each candidate language by marker-token
+    // hits; deterministic priority order breaks ties. (The synthetic corpus
+    // shares one vocabulary across langs, so the value of this query is the
+    // operator mechanics + oracle parity, not classifier accuracy.)
+    QueryDef(
+      "q_text_langid",
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN en_s >= de_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+        |    WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |    WHEN fr_s > 0 THEN 'fr'
+        |    ELSE 'unknown'
+        |  END AS predicted,
+        |  en_s, de_s, fr_s
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['the', 'a', 'and'], w))) AS en_s,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['der', 'und', 'das'], w))) AS de_s,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['le', 'et', 'la'], w))) AS fr_s
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      def score(markers: Seq[String]): Column =
+        size(filter(toks, w => array_contains(array(markers.map(lit): _*), w)))
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        score(Seq("the", "a", "and")).as("en_s"),
+        score(Seq("der", "und", "das")).as("de_s"),
+        score(Seq("le", "et", "la")).as("fr_s"))
+      scored.select(
+        col("doc_id"), col("lang"),
+        when(col("en_s") >= col("de_s") && col("en_s") >= col("fr_s")
+          && col("en_s") > 0, "en")
+          .when(col("de_s") >= col("fr_s") && col("de_s") > 0, "de")
+          .when(col("fr_s") > 0, "fr")
+          .otherwise("unknown").as("predicted"),
+        col("en_s"), col("de_s"), col("fr_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting: whole-doc 60-bit fingerprint, a rolling
+    // (polynomial) hash over token hashes, and a winnowing-style minimum
+    // shingle hash — the primitives under near-dup detection and content-
+    // defined chunking.
+    QueryDef(
+      "q_text_fingerprint",
+      s"""WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ${h60sql("text")} AS fp60,
+        |  list_reduce(list_transform(w, t -> ${h32sql("t")}),
+        |              (a, b) -> (a * 31 + b) % 999999999999989) AS roll_hash,
+        |  list_min(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> ${h32sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")})) AS win_min
+        |FROM d WHERE len(w) >= 3""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val M = 999999999999989L
+      t(s, dir, "documents")
+        .filter(size(toks) >= 3)
+        .select(
+          col("doc_id"),
+          h60(col("text")).as("fp60"),
+          aggregate(
+            transform(toks, w => h32(w)),
+            lit(0L),
+            (acc, x) => (acc * 31 + x) % M).as("roll_hash"),
+          array_min(transform(
+            sequence(lit(1), size(toks) - 2),
+            i => h32(concat_ws(" ",
+              element_at(toks, i), element_at(toks, i + 1),
+              element_at(toks, i + 2))))).as("win_min"))
+    }
+  )
+}

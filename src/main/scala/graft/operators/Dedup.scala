@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Num, QueryDef, Tables}
+import graft.functions.TextAnalysis.{h32, h32sql, h60, h60sql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for LLM training-data curation (SURVEY.md §2B north
+  * star): exact, n-gram Jaccard, MinHash-LSH, SimHash, and embedding-cosine
+  * near-dup — over `documents` / `embeddings`.
+  *
+  * 100 TB design notes:
+  *   - exact dedup is one hash-partitioned aggregation on md5(text) — the
+  *     canonical map-side-combinable shape;
+  *   - Jaccard / MinHash / SimHash never do an all-pairs join: candidates
+  *     come from an equi-join on shingle / LSH-band / simhash-chunk keys,
+  *     so the shuffle is keyed and bounded. Hot keys (stop-shingles) would
+  *     be dropped by a document-frequency cap at scale;
+  *   - the LSH parameters are chosen so candidate recall is *provably* 1.0
+  *     for the emitted threshold (pigeonhole: fewer mismatching positions
+  *     than bands/chunks forces at least one exact band/chunk match), which
+  *     is what makes the DuckDB all-pairs oracle an exact check — the
+  *     banded plan and the quadratic plan must produce identical output;
+  *   - all hashes are md5-derived (portable) — see TextAnalysis.h32/h60.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Distinct 3-word shingles per doc: (doc_id, shingle). Docs shorter
+    * than 3 tokens are excluded (both engines). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))).as("shingle"))
+  }
+
+  /** The same relation as DuckDB SQL (CTE body). */
+  private val shinglesSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  private val minhashSeeds = 0 until 16 // 8 bands × 2 rows
+  private val minhashBands = 8
+  private val agreeThreshold = 10 // > 16 - 8 ⇒ banded recall is exactly 1
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup: hash-group on md5(text), keep the smallest doc_id as
+    // canonical. One shuffle, map-side combinable, no skew (md5 keys).
+    QueryDef(
+      "q_dedup_exact",
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+        |  min(n_chars) AS n_chars
+        |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(
+          min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("n_chars")).as("n_chars"))
+        .select(col("canonical_id"), col("n_copies"), col("n_chars"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact n-gram Jaccard near-dup: candidates share ≥1 shingle (any pair
+    // with J ≥ 0.8 must), exact J computed from shared/total counts.
+    QueryDef(
+      "q_dedup_ngram",
+      s"""WITH $shinglesSql,
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ${Num.sql("p.shared * 1.0 / (ca.n + cb.n - p.shared)", 6)} AS jaccard
+        |FROM pairs p
+        |JOIN cnt ca ON p.id_a = ca.doc_id
+        |JOIN cnt cb ON p.id_b = cb.doc_id
+        |WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingle").as("shingle_b"))
+      val pairs = a.join(b,
+          col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      val jac = col("shared") * lit(1.0) /
+        (col("na") + col("nb") - col("shared"))
+      pairs
+        .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
+          col("id_a") === col("id_a2"))
+        .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
+          col("id_b") === col("id_b2"))
+        .filter(jac >= 0.8)
+        .select(col("id_a"), col("id_b"), Num.r(jac, 6).as("jaccard"))
+    },
+
+    // ------------------------------------------------------------------
+    // MinHash-LSH near-dup: 16 md5-derived minhashes per doc, 8 bands × 2
+    // rows; candidates share a band; emit pairs agreeing on ≥ 10/16
+    // positions. agree ≥ 10 ⇒ ≤ 6 mismatches < 8 bands ⇒ some band matches
+    // ⇒ the banded join finds every qualifying pair (recall exactly 1), so
+    // the all-pairs oracle is an equality check, not an approximation.
+    QueryDef(
+      "q_dedup_minhash",
+      s"""WITH $shinglesSql,
+        |mh AS (
+        |  SELECT doc_id, seed,
+        |    min(${h32sql("seed || ':' || shingle")}) AS h
+        |  FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k])) AS agree
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k])) >= 10""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sig = sh.groupBy(col("doc_id")).agg(
+        array(minhashSeeds.map(seed =>
+          min(h32(concat(lit(s"$seed:"), col("shingle"))))): _*).as("sig"))
+      // LSH bands: (band index, band key) per doc; a shared band ⇒ candidate.
+      val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until minhashBands).map(b => concat_ws("_",
+          element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      val left = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("band_key"))
+      val right = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("band").as("band_b"), col("band_key").as("band_key_b"))
+      val agree = aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+      left.join(right,
+          col("band") === col("band_b") && col("band_key") === col("band_key_b")
+            && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), agree.as("agree"))
+        .filter(col("agree") >= agreeThreshold)
+    },
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup: 60-bit md5-derived simhash over all token
+    // occurrences; pairs at hamming distance ≤ 3 found via 4×15-bit chunk
+    // banding (≤ 3 flipped bits < 4 chunks ⇒ some chunk equal ⇒ recall 1).
+    QueryDef(
+      "q_dedup_simhash",
+      s"""WITH tok AS (
+        |  SELECT doc_id, ${h60sql("t")} AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |         THEN 1::BIGINT << j ELSE 0 END AS bitval
+        |  FROM tok, (SELECT unnest(range(0, 60)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh2 AS (SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), h60(col("tok")).as("h"))
+      val aggCols = (0 until 60).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1)
+          .otherwise(-1)).as(s"b$j"))
+      val bitSums = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+      val simhash = (0 until 60).map(j =>
+        when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
+      // 4 × 15-bit chunk banding.
+      val chunked = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), 15 * c).bitwiseAND(lit(0x7fffL))): _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_key")
+      val l = chunked.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+        col("chunk"), col("chunk_key"))
+      val r = chunked.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"),
+        col("chunk").as("chunk_b"), col("chunk_key").as("chunk_key_b"))
+      l.join(r, col("chunk") === col("chunk_b")
+          && col("chunk_key") === col("chunk_key_b")
+          && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .filter(col("hamming") <= 3)
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup: brute-force verified pairs at this scale
+    // (the oracle-checkable ground truth); the 100 TB path is the IVF
+    // variant in Similarity.scala, which prunes with the same deterministic
+    // centroids. Norms are computed once per vector BEFORE the join.
+    QueryDef(
+      "q_dedup_embed",
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+        |      / sqrt(a.n2 * b.n2) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ${Num.sql("c", 6)} AS cos
+        |FROM p WHERE c >= 0.4""".stripMargin) { (s, dir) =>
+      val withNorm = t(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("n2"))
+      val a = withNorm.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("n2").as("n2_a"))
+      val b = withNorm.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("n2").as("n2_b"))
+      val dot = aggregate(
+        zip_with(col("emb_a"), col("emb_b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val cos = dot / sqrt(col("n2_a") * col("n2_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(cos >= 0.4)
+        .select(col("id_a"), col("id_b"), Num.r(cos, 6).as("cos"))
+    }
+  )
+}
