@@ -16,6 +16,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Dedup.defs ++
+      operators.Similarity.defs ++
       functions.Scalar.defs ++
       functions.TextAnalysis.defs
 

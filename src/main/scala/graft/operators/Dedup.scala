@@ -224,23 +224,18 @@ object Dedup {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ${Num.sql("c", 6)} AS cos
         |FROM p WHERE c >= 0.4""".stripMargin) { (s, dir) =>
-      val withNorm = t(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        aggregate(
-          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x).as("n2"))
-      val a = withNorm.select(col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"), col("n2").as("n2_a"))
-      val b = withNorm.select(col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"), col("n2").as("n2_b"))
-      val dot = aggregate(
-        zip_with(col("emb_a"), col("emb_b"),
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val cos = dot / sqrt(col("n2_a") * col("n2_b"))
+      // The codegen'd CosineSimilarity expression folds dot/norms in the
+      // same left-to-right element order as the oracle's list_sum, so the
+      // results are bitwise identical — but it runs inside whole-stage
+      // codegen instead of the interpreted higher-order-function path.
+      graft.functions.CosineSimilarity.register(s)
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .filter(cos >= 0.4)
-        .select(col("id_a"), col("id_b"), Num.r(cos, 6).as("cos"))
+        .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), Num.r(col("cos"), 6).as("cos"))
     }
   )
 }
