@@ -17,8 +17,12 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Convert.defs ++
+      operators.Multimodal.defs ++
+      streaming.Streaming.defs ++
       functions.Scalar.defs ++
-      functions.TextAnalysis.defs
+      functions.TextAnalysis.defs ++
+      functions.Approx.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape — the canonical partial+final hash aggregation. */

@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Approximate distinct counting (SURVEY.md §2B): the custom [[HllSketch]]
+  * UDAF and Spark's built-in HLL++ (`approx_count_distinct`), both
+  * cross-checked against the exact distinct count.
+  *
+  * The oracle trick: sketch internals are engine-specific, so the query
+  * emits per-group BOOLEAN accuracy verdicts (|approx − exact| ≤ tol·exact)
+  * alongside the exact count; the DuckDB oracle then asserts `true` per
+  * group. That turns an "unverifiable" approximate operator into a hard
+  * hash-compared check of its accuracy contract.
+  */
+object Approx {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_agg_approx",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_exact,
+        |  true AS hll_ok,
+        |  true AS builtin_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      HllSketch.register(s)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_exact"),
+          expr("graft_hll(l_partkey)").as("hll"),
+          approx_count_distinct(col("l_partkey")).as("adc"))
+        .select(
+          col("l_returnflag"), col("nd_exact"),
+          (abs(col("hll") - col("nd_exact")) <= col("nd_exact") * 0.05)
+            .as("hll_ok"),
+          (abs(col("adc") - col("nd_exact")) <= col("nd_exact") * 0.10)
+            .as("builtin_ok"))
+    }
+  )
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming layer (SURVEY.md §2A #1/#6/#7 + §2B streaming rows).
+  *
+  * The reference IS a streaming pipeline: SQS long-poll → S3 JSON → Parquet
+  * → ack (`convertor/convertor.go:79-164`). Structured Streaming replaces
+  * each piece: the file source's listing replaces the S3→SQS notification,
+  * the checkpoint offset log replaces the SQS cursor, and the idempotent
+  * per-batch overwrite replaces the delete-after-write ack — upgrading the
+  * reference's at-least-once to effective exactly-once.
+  *
+  * Event-time semantics (tumbling/sliding/session windows) are expressed
+  * with the SAME functions batch queries use, so the window queries below
+  * run under the DuckDB oracle in batch mode while the streaming-specific
+  * behavior (watermarks, late-data drop, stateful dedup, incremental file
+  * discovery) is exercised in StreamingSpec via MemoryStream.
+  */
+object Streaming {
+
+  /** The reference service, Spark-native: watch `inDir` for new JSON
+    * files, convert each micro-batch to Parquet under `outDir`.
+    * `maxFilesPerTrigger` ≈ the SQS receive batch of ≤10 messages
+    * (`convertor/convertor.go:52`); the checkpoint replaces the
+    * visibility-timeout redelivery loop (`convertor.go:48`). */
+  def jsonToParquetStream(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      schema: StructType = graft.operators.Convert.personSchema,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val in = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+    graft.operators.Convert.toParquet(in)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Tumbling 1-hour event-time windows. Same window() the streaming
+    // query uses; epoch-aligned on both engines.
+    QueryDef(
+      "q_stream_tumbling",
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  count(*) AS n, ${Num.sql("sum(\"value\")", 2)} AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.r(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sliding windows: 1 hour every 30 minutes — each event lands in the
+    // two windows whose start is its 30-min bucket and that bucket − 30 min.
+    QueryDef(
+      "q_stream_sliding",
+      s"""WITH x AS (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '30 minutes', ts),
+        |      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        |    ]) AS ws,
+        |    event_type, "value"
+        |  FROM events)
+        |SELECT ws, event_type, count(*) AS n,
+        |  ${Num.sql("sum(\"value\")", 2)} AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.r(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Session windows: 10-minute inactivity gap per user. The oracle is
+    // the classic gaps-and-islands rewrite — a lag + cumulative-flag
+    // window — which must agree with session_window() exactly.
+    QueryDef(
+      "q_stream_session",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, "value",
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '10 minutes'
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, "value",
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      ev(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+    }
+  )
+}
