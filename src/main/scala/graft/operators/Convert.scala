@@ -26,11 +26,14 @@ object Convert {
   /** The reference's output projection+cast `toParquet`
     * (`convertor/struct.go:20-28`): field-by-field copy, age narrowed to
     * int8 (logical INT_8 on INT32 physical — Spark ByteType writes the
-    * same annotation). */
+    * same annotation). Go silently wraps out-of-range values
+    * (`int32(p.Age)`); under ANSI SQL that's an error, so we use
+    * try_cast — out-of-range age becomes NULL instead of corrupting the
+    * value or failing the batch. */
   def toParquet(df: DataFrame): DataFrame =
     df.select(
       col("ID"), col("name"), col("nationality"),
-      col("age").cast(ByteType).as("age"))
+      expr("try_cast(age AS TINYINT)").as("age"))
 
   /** JSON → Parquet with the reference writer's exact knobs
     * (`convertor/convertor.go:180-182`): 16 MiB row groups, SNAPPY,

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.Convert
+import org.apache.spark.sql.types.ByteType
+
+/** Reference-faithful JSON→Parquet conversion (SURVEY §2A #4-6):
+  * multi-line person objects, permissive corrupt-record handling,
+  * int→int8 narrowing, snappy parquet output. */
+class ConvertSpec extends SparkSpec {
+
+  private def writePerson(dir: String, name: String, json: String): Unit =
+    Files.writeString(Paths.get(dir, name), json)
+
+  test("person JSON round-trips through parquet with the reference schema") {
+    val in = tmpDir("convert_in")
+    val out = tmpDir("convert_out") + "/person.parquet"
+    // same shape as the reference's sample inputs (multi-line objects)
+    writePerson(in, "p1.json",
+      """{
+        |  "ID": "9001",
+        |  "name": "Ada",
+        |  "nationality": "UK",
+        |  "age": 36
+        |}""".stripMargin)
+    writePerson(in, "p2.json",
+      """{ "ID": "9002", "name": "Grace", "nationality": "US", "age": 85 }""")
+    // missing field → null (richer than Go's zero-value but explicit)
+    writePerson(in, "p3.json",
+      """{ "ID": "9003", "name": "NoAge", "nationality": "FR" }""")
+    // malformed → dropped like the reference's log-and-skip
+    writePerson(in, "p4.json", """{ "ID": oops not json""")
+
+    Convert.jsonToParquet(spark, in, out)
+
+    val back = spark.read.parquet(out)
+    assert(back.schema("age").dataType == ByteType)
+    val rows = back.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Byte]))).sortBy(_._1)
+    assert(rows.length == 3) // corrupt record dropped
+    assert(rows(0) == ("9001", "Ada", "UK", Some(36.toByte)))
+    assert(rows(1) == ("9002", "Grace", "US", Some(85.toByte)))
+    assert(rows(2) == ("9003", "NoAge", "FR", None))
+  }
+
+  test("output parquet is snappy-compressed") {
+    val in = tmpDir("convert_in2")
+    val out = tmpDir("convert_out2") + "/p.parquet"
+    writePerson(in, "p.json",
+      """{ "ID": "1", "name": "X", "nationality": "CM", "age": 22 }""")
+    Convert.jsonToParquet(spark, in, out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".snappy.parquet")), files.mkString(","))
+  }
+
+  test("idempotent overwrite: re-running the conversion is safe") {
+    val in = tmpDir("convert_in3")
+    val out = tmpDir("convert_out3") + "/p.parquet"
+    writePerson(in, "p.json",
+      """{ "ID": "1", "name": "X", "nationality": "CM", "age": 22 }""")
+    Convert.jsonToParquet(spark, in, out)
+    Convert.jsonToParquet(spark, in, out) // at-least-once redelivery
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("age outside int8 range narrows with explicit cast semantics") {
+    val in = tmpDir("convert_in4")
+    val out = tmpDir("convert_out4") + "/p.parquet"
+    writePerson(in, "p.json",
+      """{ "ID": "1", "name": "Big", "nationality": "CM", "age": 300 }""")
+    Convert.jsonToParquet(spark, in, out)
+    val v = spark.read.parquet(out).collect()(0).get(3)
+    // Spark ANSI-off cast wraps like Go's int32→int8 truncation
+    assert(v == (300.toByte) || v == null)
+  }
+}

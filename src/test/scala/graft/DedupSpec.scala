@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup/text operator properties beyond the oracle: idempotence,
+  * partition-complement identities, cross-operator agreement on the
+  * planted near-duplicates. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is idempotent") {
+    val docs = Tables(spark, sfDir, "documents")
+    val once = docs.dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() == twice.count())
+  }
+
+  test("filter(p) and filter(!p) partition the input") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val p = col("l_quantity") > 25
+    val n = li.count()
+    assert(li.filter(p).count() + li.filter(!p || p.isNull).count() == n)
+  }
+
+  test("minhash agreement is high exactly on high-Jaccard pairs") {
+    // every exact-Jaccard ≥0.8 pair must be found by MinHash-LSH at the
+    // 10/16 agreement threshold (recall-1 parameterization), on sf0.001
+    val ngram = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val minhash = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val missed = ngram.exceptAll(minhash).count()
+    assert(missed == 0, s"$missed high-Jaccard pairs missed by MinHash-LSH")
+  }
+
+  test("simhash pairs are symmetric-free and ordered") {
+    val sh = SparkEntry.queries("q_dedup_simhash")(spark, sfDir).collect()
+    sh.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered id_a < id_b")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 3)
+    }
+  }
+
+  test("union of complements reconstructs set ops") {
+    val c = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k")).distinct()
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+    val inter = c.intersect(o).count()
+    val exceptN = c.except(o).count()
+    assert(inter + exceptN == c.count())
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions: the physical plans must be the ones a 100 TB
+  * deployment needs — broadcast where intended, filters pushed to the
+  * parquet scan, distributed top-k, codegen on the hot paths. A query
+  * that silently regresses to a worse plan fails here even though its
+  * results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_join_bhj broadcasts the dim side") {
+    assert(plan("q_join_bhj").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_smj is a sort-merge join") {
+    assert(plan("q_join_smj").contains("SortMergeJoin"))
+  }
+
+  test("q_join_semi and q_join_anti use semi/anti joins, not materialized joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    // at least the IS NOT NULL + comparison filters must reach the scan
+    assert(p.contains("IsNotNull"), p)
+  }
+
+  test("scans prune columns: q_project_cast reads only what it projects") {
+    val p = plan("q_project_cast")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_shipdate"),
+      "projection query must not read unreferenced columns: " + p)
+  }
+
+  test("q1_agg is a partial+final hash aggregation") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_topk compiles to distributed top-k (TakeOrderedAndProject)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("hot paths run under whole-stage codegen") {
+    // AQE hides codegen subtrees until execution; the codegen explain mode
+    // compiles the stages regardless.
+    for (q <- Seq("q1_agg", "q_project_cast", "q_filter_pred", "q_dedup_embed")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(codegen.contains("WholeStageCodegen"), s"$q lost codegen")
+    }
+  }
+
+  test("q_knn_brute broadcasts the query side, not the vector table") {
+    val p = plan("q_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_knn_lsh joins buckets as an equi-join (hash-joinable key)") {
+    val p = plan("q_knn_lsh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming semantics the batch oracle can't check: incremental file
+  * discovery, watermark-driven late-data drop, stateful dedup —
+  * exercised with MemoryStream / the real file source. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("file-stream JSON→Parquet service converts incrementally (the reference pipeline)") {
+    val in = tmpDir("stream_in")
+    val out = tmpDir("stream_out")
+    val ckpt = tmpDir("stream_ckpt")
+    Files.writeString(Paths.get(in, "a.json"),
+      """{ "ID": "1", "name": "A", "nationality": "CM", "age": 22 }""")
+    val q = Streaming.jsonToParquetStream(spark, in, out, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 1)
+      // second "SQS message": a new file appears; only it is processed
+      Files.writeString(Paths.get(in, "b.json"),
+        """{ "ID": "2", "name": "B", "nationality": "US", "age": 30 }""")
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 2)
+      assert(rows.select("age").collect().map(_.getByte(0)).sorted
+        .sameElements(Array(22.toByte, 30.toByte)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late events from windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum(col("v")).as("total"))
+      .select(col("window.start").as("ws"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+      // advance event time far enough to close + emit the first window
+      mem.addData((ts("2024-01-01 01:00:00"), 10L))
+      q.processAllAvailable()
+      // this event is now far behind the watermark → must be dropped
+      mem.addData((ts("2024-01-01 00:02:00"), 100L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 02:00:00"), 20L))
+      q.processAllAvailable()
+      val emitted = spark.table("wm_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(emitted("2024-01-01 00:00:00.0") == 3L,
+        s"late +100 must not count: $emitted")
+    } finally q.stop()
+  }
+
+  test("stateful streaming dedup by event id within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:01:00"), 2L))
+      q.processAllAvailable()
+      // redelivery of id=1 (the SQS at-least-once case) → suppressed
+      mem.addData((ts("2024-01-01 00:02:00"), 1L), (ts("2024-01-01 00:03:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("batch session_window agrees with the gaps-and-islands rewrite") {
+    // the q_stream_session oracle identity, checked in-process as well
+    val got = SparkEntry.queries("q_stream_session")(spark, sfDir)
+    val events = Tables(spark, sfDir, "events")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flagged = events.withColumn("prev",
+        lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 600, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val want = flagged.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+}
