@@ -140,31 +140,39 @@ object TextAnalysis {
       "q_text_fingerprint",
       s"""WITH d AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS w
-        |  FROM documents)
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, text, w,
+        |    list_transform(w, t -> ${h32sql("t")}) AS hs
+        |  FROM d WHERE len(w) >= 3)
         |SELECT doc_id,
         |  ${h60sql("text")} AS fp60,
-        |  list_reduce(list_transform(w, t -> ${h32sql("t")}),
-        |              (a, b) -> (a * 31 + b) % 999999999999989) AS roll_hash,
+        |  list_reduce(hs, (a, b) -> (a * 31 + b) % 999999999999989) AS roll_hash,
         |  list_min(list_transform(
-        |    range(1, greatest(len(w) - 1, 1)),
-        |    i -> ${h32sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")})) AS win_min
-        |FROM d WHERE len(w) >= 3""".stripMargin) { (s, dir) =>
+        |    range(1, len(w) - 1),
+        |    i -> ((hs[i] * 31 + hs[i+1]) * 31 + hs[i+2]) % 999999999999989))
+        |    AS win_min
+        |FROM h""".stripMargin) { (s, dir) =>
+      // Tokens are hashed ONCE (materialized array column); the rolling
+      // hash folds over it and the winnowing shingle hash composes three
+      // token hashes arithmetically — no second digest pass.
       val toks = split(col("text"), " ")
       val M = 999999999999989L
       t(s, dir, "documents")
         .filter(size(toks) >= 3)
+        .select(col("doc_id"), col("text"), toks.as("w"),
+          transform(toks, w => h32(w)).as("hs"))
         .select(
           col("doc_id"),
           h60(col("text")).as("fp60"),
           aggregate(
-            transform(toks, w => h32(w)),
-            lit(0L),
+            col("hs"), lit(0L),
             (acc, x) => (acc * 31 + x) % M).as("roll_hash"),
           array_min(transform(
-            sequence(lit(1), size(toks) - 2),
-            i => h32(concat_ws(" ",
-              element_at(toks, i), element_at(toks, i + 1),
-              element_at(toks, i + 2))))).as("win_min"))
+            sequence(lit(1), size(col("w")) - 2),
+            i => ((element_at(col("hs"), i) * 31
+              + element_at(col("hs"), i + 1)) * 31
+              + element_at(col("hs"), i + 2)) % M)).as("win_min"))
     }
   )
 }

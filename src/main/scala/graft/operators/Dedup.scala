@@ -75,14 +75,18 @@ object Dedup {
 
     // ------------------------------------------------------------------
     // Exact n-gram Jaccard near-dup: candidates share ≥1 shingle (any pair
-    // with J ≥ 0.8 must), exact J computed from shared/total counts.
+    // with J ≥ 0.8 must), exact J computed from shared/total counts. The
+    // join key is the 60-bit md5 of the shingle, not the string — an 8-byte
+    // shuffle key instead of ~25 bytes, and both engines hash identically
+    // so any (≈2⁻⁶⁰) collision is deterministic on both sides.
     QueryDef(
       "q_dedup_ngram",
       s"""WITH $shinglesSql,
-        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |  ${Num.sql("p.shared * 1.0 / (ca.n + cb.n - p.shared)", 6)} AS jaccard
@@ -90,12 +94,17 @@ object Dedup {
         |JOIN cnt ca ON p.id_a = ca.doc_id
         |JOIN cnt cb ON p.id_b = cb.doc_id
         |WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8""".stripMargin) { (s, dir) =>
-      val sh = shingles(s, dir)
+      // The hashed shingle relation feeds three plan branches (doc counts
+      // + both self-join sides); cache it so the explode+md5 work runs
+      // once. ~16 B/row — at 100 TB this would be a checkpoint to a
+      // bucketed table instead.
+      val sh = shingles(s, dir).select(col("doc_id"), h60(col("shingle")).as("sid"))
+        .cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("id_b"), col("shingle").as("shingle_b"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sid"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b"))
       val pairs = a.join(b,
-          col("shingle") === col("shingle_b") && col("id_a") < col("id_b"))
+          col("sid") === col("sid_b") && col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("shared"))
       val jac = col("shared") * lit(1.0) /
@@ -118,20 +127,35 @@ object Dedup {
     QueryDef(
       "q_dedup_minhash",
       s"""WITH $shinglesSql,
+        |shm AS (
+        |  SELECT doc_id,
+        |    md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1,
+        |    md5('2:' || shingle) AS m2, md5('3:' || shingle) AS m3
+        |  FROM sh),
         |mh AS (
         |  SELECT doc_id, seed,
-        |    min(${h32sql("seed || ':' || shingle")}) AS h
-        |  FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+        |    min(CAST('0x' || substr(
+        |      CASE seed // 4 WHEN 0 THEN m0 WHEN 1 THEN m1
+        |                     WHEN 2 THEN m2 ELSE m3 END,
+        |      (seed % 4) * 8 + 1, 8) AS BIGINT)) AS h
+        |  FROM shm, (SELECT unnest(range(0, 16)) AS seed)
         |  GROUP BY doc_id, seed),
         |sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k])) AS agree
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k])) >= 10""".stripMargin) { (s, dir) =>
-      val sh = shingles(s, dir)
+      // One md5 yields four 32-bit hash functions (32 hex chars = 4×8):
+      // 4 digests per shingle instead of 16.
+      val sh = shingles(s, dir).select(col("doc_id") +:
+        (0 until 4).map(g =>
+          md5(concat(lit(s"$g:"), col("shingle")).cast("binary")).as(s"m$g")): _*)
+      // sig feeds both sides of the band join — cache (5k rows × 16 longs).
       val sig = sh.groupBy(col("doc_id")).agg(
-        array(minhashSeeds.map(seed =>
-          min(h32(concat(lit(s"$seed:"), col("shingle"))))): _*).as("sig"))
+        array(minhashSeeds.map { seed =>
+          val m = col(s"m${seed / 4}")
+          min(conv(substring(m, (seed % 4) * 8 + 1, 8), 16, 10).cast("long"))
+        }: _*).as("sig")).cache()
       // LSH bands: (band index, band key) per doc; a shared band ⇒ candidate.
       val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until minhashBands).map(b => concat_ws("_",
@@ -185,7 +209,8 @@ object Dedup {
       val simhash = (0 until 60).map(j =>
         when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
-      val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
+      // feeds both chunk-join sides — cache (one long per doc).
+      val sigs = bitSums.select(col("doc_id"), simhash.as("simhash")).cache()
       // 4 × 15-bit chunk banding.
       val chunked = sigs.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>

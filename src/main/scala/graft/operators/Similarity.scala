@@ -128,6 +128,7 @@ object Similarity {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           bucketCol(col("embedding")).as("bucket"))
+        .cache() // bucket fold feeds both join sides
       val q = e.filter(col("vec_id") < 10).select(
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
