@@ -15,10 +15,12 @@ object SparkEntry {
   /** All implemented operators, grouped by module. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Analytics.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Convert.defs ++
       operators.Multimodal.defs ++
+      sources.Sources.defs ++
       streaming.Streaming.defs ++
       functions.Scalar.defs ++
       functions.TextAnalysis.defs ++

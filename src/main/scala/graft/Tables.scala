@@ -51,10 +51,12 @@ object Num {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
-  /** The identical formula as DuckDB SQL text. */
+  /** The identical formula as SQL text. Exponent-notation literals
+    * (`10000e0`) parse as DOUBLE in both DuckDB and Spark SQL — a plain
+    * `10000.0` would be DECIMAL in Spark SQL and poison the division. */
   def sql(expr: String, d: Int): String = {
     val p = "1" + ("0" * d)
-    s"floor(($expr) * $p.0 + 0.5) / $p.0"
+    s"floor(($expr) * ${p}e0 + 0.5) / ${p}e0"
   }
 }
 

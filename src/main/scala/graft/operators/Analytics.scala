@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic SQL surface beyond the round-1 suite (SURVEY.md §2B):
+  * explicit GROUPING SETS, pivot, distribution window functions
+  * (ntile / percent_rank / cume_dist), explicit null ordering, and
+  * statistical aggregates (corr / covariance / exact percentiles) —
+  * plus the scalable unbounded as-of join.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Unbounded as-of join via union + last-observation window — the
+    // 100 TB shape. Unlike the bounded q_join_asof (range join + rank,
+    // candidates ∝ events-per-day), this sorts each user's merged event
+    // stream once and carries the latest click forward: one shuffle on
+    // user_id, O(n) per partition, no candidate explosion, no bound
+    // parameter.
+    QueryDef(
+      "q_join_asof2",
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS kind, event_id FROM events
+        |  WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS kind, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, kind, event_id,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |      OVER win AS click_id,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER win AS click_ts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, click_id,
+        |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM w WHERE kind = 1 AND click_id IS NOT NULL""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true)
+            .over(win))
+        .withColumn("click_ts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true)
+            .over(win))
+        .filter(col("kind") === 1 && col("click_id").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    },
+
+    // ------------------------------------------------------------------
+    // Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal combos.
+    QueryDef(
+      "q_agg_groupsets",
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Num.sql("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${Num.sql("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+           |FROM graft_li
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           |                        (l_linestatus), ())""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Pivot: one revenue column per order status. The oracle is the
+    // portable SUM(CASE ...) rewrite — what pivot compiles to.
+    QueryDef(
+      "q_pivot",
+      s"""SELECT o_orderpriority,
+        |  ${Num.sql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)} AS F,
+        |  ${Num.sql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)} AS O,
+        |  ${Num.sql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)} AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(Num.r(sum(col("o_totalprice")), 2))
+    },
+
+    // ------------------------------------------------------------------
+    // Distribution window functions over a total order (tie-broken by key
+    // so ntile assignment is deterministic in both engines).
+    QueryDef(
+      "q_window_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    },
+
+    // ------------------------------------------------------------------
+    // Explicit null ordering: NULLS FIRST under DESC (both engines default
+    // differently, so the modifier is load-bearing).
+    QueryDef(
+      "q_sort_nulls",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np,
+        |  o_totalprice
+        |FROM orders
+        |ORDER BY nullif(o_orderstatus, 'P') DESC NULLS FIRST,
+        |  o_orderkey ASC
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+          col("o_totalprice"))
+        .orderBy(col("status_np").desc_nulls_first, col("o_orderkey").asc)
+        .limit(50)
+    },
+
+    // ------------------------------------------------------------------
+    // Statistical aggregates: correlation, covariance, exact interpolated
+    // percentiles (Spark percentile ≡ DuckDB quantile_cont).
+    QueryDef(
+      "q_agg_corr",
+      s"""SELECT l_linestatus,
+        |  ${Num.sql("corr(l_quantity, l_extendedprice)", 6)} AS corr_qp,
+        |  ${Num.sql("covar_samp(l_quantity, l_extendedprice)", 4)} AS cov_s,
+        |  ${Num.sql("covar_pop(l_quantity, l_extendedprice)", 4)} AS cov_p,
+        |  ${Num.sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+        |  ${Num.sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          Num.r(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          Num.r(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          Num.r(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"),
+          Num.r(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          Num.r(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+    }
+  )
+}

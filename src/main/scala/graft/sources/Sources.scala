@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.QueryDef
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink coverage beyond JSON↔Parquet (SURVEY.md §2B scans/sinks):
+  * CSV round-trip and hive-style partitioned parquet layout.
+  *
+  * Partitioned layout is the load-bearing piece at 100 TB: a filter on
+  * the partition column becomes directory pruning (`PartitionFilters` in
+  * the scan, asserted in PlanSpec) — the difference between reading 2
+  * directories and reading all of them.
+  */
+object Sources {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // CSV sink → CSV source with explicit schema. Doubles survive the
+    // text round-trip (shortest-repr write, exact parse).
+    QueryDef(
+      "q_csv_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin) { (s, dir) =>
+      val tmp = "/tmp/graft_roundtrip_csv"
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      graft.Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite).option("header", true).csv(tmp)
+      s.read.schema(schema).option("header", true).csv(tmp)
+    },
+
+    // ------------------------------------------------------------------
+    // Partitioned parquet: write documents partitioned by lang, read back
+    // with a partition filter — the scan prunes to the two lang
+    // directories before touching data.
+    QueryDef(
+      "q_parquet_partitioned",
+      s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val tmp = "/tmp/graft_partitioned_docs"
+      graft.Tables(s, dir, "documents")
+        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }
+  )
+}
