@@ -140,6 +140,29 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Salted two-stage aggregation — the skew-mitigation pattern. events
+    // has only 5 event_type values, so a naive groupBy concentrates all
+    // 100 TB of a hot key on one reducer; salting fans each key across 16
+    // partial groups, then a cheap second stage (≤ 16·|keys| rows)
+    // produces the identical result. avg is re-derived from sum/count —
+    // avg of partial avgs would be wrong.
+    QueryDef(
+      "q_agg_salted",
+      s"""SELECT event_type, count(*) AS n,
+        |  ${Num.sql("sum(\"value\")", 2)} AS sum_value,
+        |  ${Num.sql("sum(\"value\") / count(*)", 4)} AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val partial = t(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      partial
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          Num.r(sum(col("psum")), 2).as("sum_value"),
+          Num.r(sum(col("psum")) / sum(col("pn")), 4).as("avg_value"))
+    },
+
+    // ------------------------------------------------------------------
     // Statistical aggregates: correlation, covariance, exact interpolated
     // percentiles (Spark percentile ≡ DuckDB quantile_cont).
     QueryDef(

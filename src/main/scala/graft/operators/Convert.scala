@@ -1,9 +1,18 @@
 package graft.operators
 
 import graft.QueryDef
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** The reference's fixed record type (`convertor/struct.go:4-9`) as a
+  * typed Dataset row. `age` is Option — missing JSON fields become None
+  * instead of Go's silent zero value. */
+final case class Person(
+    ID: String,
+    name: String,
+    nationality: String,
+    age: Option[Byte])
 
 /** The reference's entire compute surface, Spark-native: JSON in, Parquet
   * out (reference: `convertor/convertor.go:135-153` download→decode→write;
@@ -70,6 +79,39 @@ object Convert {
       .option("parquet.enable.dictionary", true)
       .parquet(out)
   }
+
+  /** Typed path: the same source as a `Dataset[Person]` — compile-time
+    * field access where the schema is fixed, at zero runtime cost (the
+    * encoder maps straight onto the columnar rows). */
+  def typedPersons(spark: SparkSession, in: String): Dataset[Person] = {
+    import spark.implicits._
+    spark.read.schema(personSchema).option("multiLine", true).json(in)
+      .select(col("ID"), col("name"), col("nationality"),
+        expr("try_cast(age AS TINYINT)").as("age"))
+      .as[Person]
+  }
+
+  /** S3 event-notification schema: what the reference's SQS message body
+    * carries (`convertor/convertor.go:35-44`). */
+  val s3EventSchema: StructType = StructType(Seq(
+    StructField("Records", ArrayType(StructType(Seq(
+      StructField("s3", StructType(Seq(
+        StructField("object", StructType(Seq(
+          StructField("key", StringType),
+          StructField("size", LongType)))))))))))))
+
+  /** Parse a column of S3 ObjectCreated event-notification JSON into one
+    * row per referenced object, with the key URL-unescaped
+    * (`convertor/convertor.go:110-121`). `explode` fixes the reference's
+    * first-record-only bug (`Records[0]` at `convertor.go:117` silently
+    * drops multi-record events). */
+  def parseS3Events(events: DataFrame, bodyCol: String = "body"): DataFrame =
+    events
+      .select(explode(from_json(col(bodyCol), s3EventSchema)("Records"))
+        .as("rec"))
+      .select(
+        url_decode(col("rec.s3.object.key")).as("key"),
+        col("rec.s3.object.size").as("size"))
 
   /** End-to-end source/sink check runnable under the driver's oracle:
     * parquet → JSON (sink) → JSON (source, explicit schema) → projection,

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.operators.Convert
+import graft.operators.{Convert, Person}
 import org.apache.spark.sql.types.ByteType
 
 /** Reference-faithful JSON→Parquet conversion (SURVEY §2A #4-6):
@@ -63,6 +63,30 @@ class ConvertSpec extends SparkSpec {
     Convert.jsonToParquet(spark, in, out)
     Convert.jsonToParquet(spark, in, out) // at-least-once redelivery
     assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("S3 event notifications parse to one row per record, key unescaped") {
+    import spark.implicits._
+    // two records in one event — the reference's Records[0] bug would
+    // drop the second; explode keeps it
+    val body =
+      """{"Records":[
+        |  {"s3":{"object":{"key":"in%2Fperson%202.json","size":123}}},
+        |  {"s3":{"object":{"key":"in%2Fperson3.json","size":456}}}
+        |]}""".stripMargin
+    val parsed = Convert.parseS3Events(Seq(body).toDF("body"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(parsed.sameElements(Array(
+      ("in/person 2.json", 123L), ("in/person3.json", 456L))))
+  }
+
+  test("typed Dataset[Person] path reads with compile-time fields") {
+    val in = tmpDir("convert_typed")
+    writePerson(in, "p.json",
+      """{ "ID": "7", "name": "Tycho", "nationality": "DK", "age": 54 }""")
+    val ds = Convert.typedPersons(spark, in)
+    val p = ds.filter(_.age.exists(_ > 50)).collect()
+    assert(p.length == 1 && p(0) == Person("7", "Tycho", "DK", Some(54.toByte)))
   }
 
   test("age outside int8 range narrows with explicit cast semantics") {

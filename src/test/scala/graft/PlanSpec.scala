@@ -73,4 +73,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q_parquet_partitioned prunes partitions at the scan") {
+    val p = plan("q_parquet_partitioned")
+    assert(p.contains("PartitionFilters: [") && p.contains("lang"), p)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
+    val joined = spark.table("graft_li_bucketed")
+      .join(spark.table("graft_o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    // bucketing co-locates both sides: the sort-merge join must not
+    // re-shuffle either input
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(joined.count() > 0)
+  }
 }

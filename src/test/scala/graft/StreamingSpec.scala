@@ -86,6 +86,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState maintains custom per-key state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)] // (user_id, value)
+    // custom state: running count + running sum per user, emitted on
+    // every update — the shape of a per-entity online aggregate
+    val updated = mem.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val n = n0 + batch.size
+          val s = s0 + batch.map(_._2).sum
+          state.update((n, s))
+          Iterator((user, n, s))
+      }.toDF("user_id", "n", "total")
+    val q = updated.writeStream.format("memory").queryName("fmgws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 2.0))
+      q.processAllAvailable()
+      val byUser = spark.table("fmgws_test")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(byUser(1L) == ((3L, 17.0))) // state carried across batches
+      assert(byUser(2L) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the gaps-and-islands rewrite") {
     // the q_stream_session oracle identity, checked in-process as well
     val got = SparkEntry.queries("q_stream_session")(spark, sfDir)
