@@ -71,6 +71,10 @@ object Similarity {
 
     // ------------------------------------------------------------------
     // Exact brute-force top-5 cosine neighbors for the first 10 vectors.
+    // Scored candidates are reduced by the map-side-combinable TopK
+    // aggregate, NOT a ranking window: a window would shuffle every
+    // scored row to the query's reducer (O(|queries|·N)), while TopK
+    // forwards ≤ k pairs per query per partition (O(|queries|·k·P)).
     QueryDef(
       "q_knn_brute",
       s"""WITH e AS (
@@ -89,18 +93,19 @@ object Similarity {
         |SELECT query_id, neighbor_id, rnk, ${Num.sql("c", 6)} AS cos
         |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
       CosineSimilarity.register(s)
+      graft.functions.TopK.register(s)
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       val n = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
       n.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          Num.r(col("cos"), 6).as("cos"))
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"),
+          Num.r(col("col.score"), 6).as("cos"))
     },
 
     // ------------------------------------------------------------------

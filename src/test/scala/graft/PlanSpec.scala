@@ -85,6 +85,19 @@ class PlanSpec extends SparkSpec {
       .select(col("l_orderkey"), col("l_extendedprice"))
     val o = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear both
+    for (t <- Seq("graft_li_bucketed", "graft_o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")
