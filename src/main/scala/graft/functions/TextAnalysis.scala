@@ -159,6 +159,7 @@ object TextAnalysis {
       val toks = split(col("text"), " ")
       val M = 999999999999989L
       t(s, dir, "documents")
+        .repartition(col("doc_id")) // parallelize the hash fan-out
         .filter(size(toks) >= 3)
         .select(col("doc_id"), col("text"), toks.as("w"),
           transform(toks, w => h32(w)).as("hs"))

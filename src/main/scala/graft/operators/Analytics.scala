@@ -140,6 +140,89 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Trailing 7-day sum via TWO RUNNING SUMS instead of a sliding RANGE
+    // frame — same semantics as q_window_range, scalable plan. A sliding
+    // frame re-aggregates its buffer per row (O(n·frame)); this computes
+    // cum(t) with an O(n) running frame, looks up cum just below t−7d with
+    // the union + last-observation trick (same as the as-of join), and
+    // subtracts. trailing(t) = cum_≤(t) − cum_≤(t−7d−1s) on integer-second
+    // keys, peers included — exactly the RANGE frame's semantics.
+    QueryDef(
+      "q_window_range2",
+      s"""SELECT event_id, event_type,
+        |  ${Num.sql("sum(\"value\") OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)", 2)} AS trailing_7d
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      // per-(type, sec) sums, then O(n) running cumulative sum
+      val perSec = ev.groupBy(col("event_type"), col("sec"))
+        .agg(sum(col("value")).as("ssum"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perSec.withColumn("cum", sum(col("ssum")).over(wRun))
+        .select(col("event_type"), col("sec"), col("cum"))
+        .cache() // feeds the union AND the final join
+      // boundary lookup: cum at the largest sec' ≤ sec − 604801
+      val marks = cum.select(col("event_type"),
+        (col("sec") - 604801L).as("key"), lit(1).as("kind"),
+        col("sec").as("orig_sec"), lit(null).cast("double").as("cumv"))
+      val points = cum.select(col("event_type"),
+        col("sec").as("key"), lit(0).as("kind"),
+        lit(null).cast("long").as("orig_sec"), col("cum").as("cumv"))
+      val wSeek = Window.partitionBy(col("event_type"))
+        .orderBy(col("key"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundary = points.unionByName(marks)
+        .withColumn("cum_before",
+          last(col("cumv"), ignoreNulls = true).over(wSeek))
+        .filter(col("kind") === 1)
+        .select(col("event_type"), col("orig_sec").as("sec"),
+          coalesce(col("cum_before"), lit(0.0)).as("cum_before"))
+      val trailing = cum.join(boundary, Seq("event_type", "sec"))
+        .select(col("event_type"), col("sec"),
+          (col("cum") - col("cum_before")).as("trailing"))
+      ev.join(trailing, Seq("event_type", "sec"))
+        .select(col("event_id"), col("event_type"),
+          Num.r(col("trailing"), 2).as("trailing_7d"))
+    },
+
+    // ------------------------------------------------------------------
+    // Uncorrelated scalar subquery: Catalyst evaluates it once and folds
+    // it in as a literal (no per-row re-execution).
+    QueryDef(
+      "q_subquery_scalar",
+      s"""SELECT o_orderkey,
+        |  ${Num.sql("o_totalprice / (SELECT avg(o_totalprice) FROM orders)", 6)}
+        |    AS price_ratio
+        |FROM orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        s"""SELECT o_orderkey,
+           |  ${Num.sql("o_totalprice / (SELECT avg(o_totalprice) FROM graft_orders)", 6)}
+           |    AS price_ratio
+           |FROM graft_orders""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery: Catalyst de-correlates it into an
+    // aggregate + outer join rather than re-running per row.
+    QueryDef(
+      "q_subquery_corr",
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders
+        |FROM customer c""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM graft_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM graft_customer c""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // Salted two-stage aggregation — the skew-mitigation pattern. events
     // has only 5 event_type values, so a naive groupBy concentrates all
     // 100 TB of a hot key on one reducer; salting fans each key across 16

@@ -29,10 +29,15 @@ object Dedup {
     Tables(s, dir, n)
 
   /** Distinct 3-word shingles per doc: (doc_id, shingle). Docs shorter
-    * than 3 tokens are excluded (both engines). */
+    * than 3 tokens are excluded (both engines). The input is rebalanced
+    * first: the testdata tables are single-row-group files, so without it
+    * the whole explode+hash fan-out would run inside a one-partition scan
+    * stage — the classic small-input/heavy-compute shape where an early
+    * repartition buys full parallelism for a trivial shuffle. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     t(s, dir, "documents")
+      .repartition(col("doc_id"))
       .filter(size(toks) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(toks) - 2),
@@ -200,6 +205,7 @@ object Dedup {
         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
       val toks = t(s, dir, "documents")
+        .repartition(col("doc_id")) // parallelize the hash fan-out
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), h60(col("tok")).as("h"))
       val aggCols = (0 until 60).map(j =>
@@ -254,7 +260,8 @@ object Dedup {
       // results are bitwise identical — but it runs inside whole-stage
       // codegen instead of the interpreted higher-order-function path.
       graft.functions.CosineSimilarity.register(s)
-      val e = t(s, dir, "embeddings")
+      // rebalance the streamed side so pair scoring uses every core
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, col("id_a") < col("id_b"))

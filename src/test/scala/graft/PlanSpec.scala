@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_window_range2 (two running sums) equals q_window_range (sliding frame)") {
+    val a = SparkEntry.queries("q_window_range")(spark, sfDir)
+    val b = SparkEntry.queries("q_window_range2")(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("q_parquet_partitioned prunes partitions at the scan") {
     val p = plan("q_parquet_partitioned")
     assert(p.contains("PartitionFilters: [") && p.contains("lang"), p)
