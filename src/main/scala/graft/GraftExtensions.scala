@@ -15,6 +15,14 @@ import graft.functions.{CosineSimilarity, HllSketch}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(plans.RebalanceBeforeGenerate)
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[functions.TopK].getName, "graft_topk"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "graft_topk takes (score, id, k)")
+        functions.TopK(exprs(0), exprs(1), exprs(2))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

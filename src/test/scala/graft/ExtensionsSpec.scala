@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** GraftExtensions end-to-end: a session built with
+  * spark.sql.extensions=graft.GraftExtensions gets the custom functions
+  * and the rebalance-before-explode optimizer rule. */
+class ExtensionsSpec extends SparkSpec {
+
+  private def withExtSession(f: SparkSession => Unit): Unit = {
+    val base = spark // force base session/context creation
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf read at SparkContext
+    // creation; on a shared test context we apply the same class via
+    // the builder hook instead.
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(ext)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("functions resolve without manual registration") {
+    withExtSession { ext =>
+      // self-cosine ≈ 1 (exact up to sqrt rounding)
+      ext.read.parquet(s"$sfDir/embeddings.parquet").limit(3)
+        .select(expr("graft_cosine(embedding, embedding)").as("c"))
+        .collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+      val topk = ext.read.parquet(s"$sfDir/orders.parquet")
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("t"))
+        .select(explode(col("t"))).count()
+      assert(topk == 3)
+      val hll = ext.read.parquet(s"$sfDir/orders.parquet")
+        .agg(expr("graft_hll(o_orderkey)").as("h")).collect()(0).getLong(0)
+      assert(hll > 0)
+    }
+  }
+
+  test("rebalance rule fans out explode over a small scan, same results") {
+    withExtSession { ext =>
+      val df = ext.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Repartition"), s"rule did not fire:\n$opt")
+      // semantics unchanged vs the base session (no extensions)
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      assert(df.count() == base.count())
+      // and the fan-out actually runs at shuffle parallelism
+      assert(df.rdd.getNumPartitions == 4, df.rdd.getNumPartitions.toString)
+    }
+  }
+
+  test("rule is disabled by threshold 0") {
+    withExtSession { ext =>
+      ext.conf.set("graft.rebalanceGenerate.threshold", "0")
+      val df = ext.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Repartition"))
+      ext.conf.unset("graft.rebalanceGenerate.threshold")
+    }
+  }
+}
