@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog distinct-count sketch as a TypedImperativeAggregate — the
   * UDAF extension surface (SURVEY.md §4). 2^12 = 4096 byte registers
-  * (σ ≈ 1.04/√m ≈ 1.6%), classic Flajolet et al. estimator with
-  * linear-counting small-range correction.
+  * (σ ≈ 1.04/√m ≈ 1.6%), the estimator of Flajolet, Fusy, Gandouet &
+  * Meunier, "HyperLogLog: the analysis of a near-optimal cardinality
+  * estimation algorithm" (AofA 2007), with the linear-counting
+  * small-range correction (Whang et al. 1990).
   *
   * The buffer is the raw register array, so partial aggregation ships
   * 4 KiB per group per partition and merge is an elementwise max — the

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * shape that matters when scoring 100 TB of crawl text. Hashes are
   * md5-derived so the DuckDB oracle reproduces them bit-for-bit (Spark
   * xxhash64/hash are engine-specific; md5 is standard everywhere).
+  *
+  * The winnowing minimum-shingle fingerprint follows Schleimer, Wilkerson
+  * & Aiken, "Winnowing: local algorithms for document fingerprinting"
+  * (SIGMOD 2003); the rolling polynomial hash is Karp–Rabin (1987).
   */
 object TextAnalysis {
 

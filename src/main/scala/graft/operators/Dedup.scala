@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * star): exact, n-gram Jaccard, MinHash-LSH, SimHash, and embedding-cosine
   * near-dup — over `documents` / `embeddings`.
   *
+  * Algorithms per the published literature: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * banded LSH (Indyk & Motwani 1998; the banding analysis as popularized
+  * in Mining of Massive Datasets ch. 3); SimHash random-hyperplane
+  * fingerprints (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002) with the chunked hamming lookup of
+  * Manku et al., "Detecting near-duplicates for web crawling", WWW 2007.
+  *
   * 100 TB design notes:
   *   - exact dedup is one hash-partitioned aggregation on md5(text) — the
   *     canonical map-side-combinable shape;
