@@ -48,6 +48,49 @@ object Streaming {
       .start()
   }
 
+  /** The reference's FULL control flow: a stream of S3-event-notification
+    * bodies (the SQS messages), each naming object keys to convert — not
+    * just a watched directory. Notification JSON files land in
+    * `notifyDir`; each micro-batch parses them (`Convert.parseS3Events`,
+    * multi-record safe), resolves keys against `objectRoot` (the S3
+    * bucket stand-in), reads the named JSON objects, and writes one
+    * parquet per key under `outDir` — the reference's deterministic
+    * `<key>.parquet` idempotent output (`convertor/convertor.go:171`).
+    *
+    * The per-batch key loop is control-plane work (like the reference's
+    * per-message worker, `convertor.go:109-166`); the data plane — read,
+    * project, write — is distributed Spark per key. Failed keys are
+    * skipped like the reference's log-and-continue; the checkpoint
+    * replaces the SQS redelivery loop. */
+  def notificationDrivenStream(
+      spark: SparkSession,
+      notifyDir: String,
+      objectRoot: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val bodies = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("wholetext", true)
+      .text(notifyDir)
+    bodies.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keys = graft.operators.Convert
+          .parseS3Events(batch, "value")
+          .select("key").collect().map(_.getString(0))
+        keys.foreach { key =>
+          try graft.operators.Convert.jsonToParquet(
+            batch.sparkSession, s"$objectRoot/$key", s"$outDir/$key.parquet")
+          catch { case e: Exception =>
+            System.err.println(s"[graft] skip $key: ${e.getMessage}")
+          }
+        }
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 

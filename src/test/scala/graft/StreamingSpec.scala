@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("notification-driven stream converts the objects each event names") {
+    val notify = tmpDir("notify_in")
+    val objects = tmpDir("objects")
+    val out = tmpDir("notify_out")
+    val ckpt = tmpDir("notify_ckpt")
+    Files.writeString(Paths.get(objects, "p1.json"),
+      """{ "ID": "1", "name": "A", "nationality": "CM", "age": 20 }""")
+    Files.writeString(Paths.get(objects, "p 2.json"),
+      """{ "ID": "2", "name": "B", "nationality": "US", "age": 30 }""")
+    // one notification naming BOTH objects (second key URL-escaped)
+    Files.writeString(Paths.get(notify, "n1.json"),
+      """{"Records":[
+        |  {"s3":{"object":{"key":"p1.json","size":1}}},
+        |  {"s3":{"object":{"key":"p%202.json","size":1}}}
+        |]}""".stripMargin)
+    val q = Streaming.notificationDrivenStream(spark, notify, objects, out, ckpt)
+    try {
+      q.processAllAvailable()
+      val a = spark.read.parquet(s"$out/p1.json.parquet")
+      val b = spark.read.parquet(s"$out/p 2.json.parquet")
+      assert(a.count() == 1 && b.count() == 1)
+      assert(b.select("name").collect()(0).getString(0) == "B")
+    } finally q.stop()
+  }
+
   test("watermark drops late events from windowed aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
