@@ -188,6 +188,24 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Stratified sampling (sampleBy): per-stratum Bernoulli sampling with
+    // a fixed seed. Engine RNGs differ, so there is no cross-engine
+    // oracle (driver records a rows-only check); determinism WITHIN the
+    // engine is what matters for reproducible pipeline runs, and the
+    // sampled fractions are verdict-checked per stratum instead.
+    QueryDef.noOracle("q_sample_stratified") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val fractions = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2,
+        "es" -> 0.2, "zh" -> 0.2)
+      val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+      val base = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .join(base, "lang")
+        .select(col("lang"), col("n_sampled"), col("n_total"))
+        .orderBy(col("lang"))
+    },
+
+    // ------------------------------------------------------------------
     // Uncorrelated scalar subquery: Catalyst evaluates it once and folds
     // it in as a literal (no per-row re-execution).
     QueryDef(
@@ -243,6 +261,46 @@ object Analytics {
         .agg(sum(col("pn")).as("n"),
           Num.r(sum(col("psum")), 2).as("sum_value"),
           Num.r(sum(col("psum")) / sum(col("pn")), 4).as("avg_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact interpolated percentiles via DISTRIBUTED SORT + rank
+    // selection, not the hash-of-counts aggregate: Spark's percentile()
+    // buffers every distinct value per group (unbounded state — the
+    // failure mode SCALING.md flags), while this plan sorts within key
+    // partitions, selects the two bracketing ranks, and interpolates.
+    // Memory per task is O(1); the sort is the same machinery any 100 TB
+    // orderBy uses. Same result as quantile_cont.
+    QueryDef(
+      "q_percentile_sort",
+      s"""SELECT l_linestatus,
+        |  ${Num.sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+        |  ${Num.sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_linestatus"), col("l_extendedprice"))
+      val n = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_linestatus"))
+        .orderBy(col("l_extendedprice"))
+      val ranked = li
+        .withColumn("idx", row_number().over(w) - 1)
+        .join(broadcast(n), "l_linestatus")
+      def pct(p: Double, name: String) = {
+        // target rank t = (n−1)·p; interpolate rows ⌊t⌋ and ⌈t⌉
+        val target = (col("n") - 1) * lit(p)
+        val isLo = col("idx") === floor(target)
+        val isHi = col("idx") === ceil(target)
+        val frac = target - floor(target)
+        ranked
+          .filter(isLo || isHi)
+          .groupBy(col("l_linestatus"))
+          .agg(Num.r(
+            min(when(isLo, col("l_extendedprice"))) +
+              (max(when(isHi, col("l_extendedprice"))) -
+                min(when(isLo, col("l_extendedprice")))) *
+              first(frac), 4).as(name))
+      }
+      pct(0.5, "p50").join(pct(0.9, "p90"), "l_linestatus")
     },
 
     // ------------------------------------------------------------------

@@ -55,6 +55,17 @@ class ConvertSpec extends SparkSpec {
     assert(files.exists(_.endsWith(".snappy.parquet")), files.mkString(","))
   }
 
+  test("parquet round-trips under zstd and gzip codecs too") {
+    for ((codec, ext) <- Seq("zstd" -> ".zstd.", "gzip" -> ".gz.")) {
+      val out = tmpDir(s"codec_$codec") + "/t.parquet"
+      Tables(spark, sfDir, "nation")
+        .write.option("compression", codec).parquet(out)
+      val files = new java.io.File(out).listFiles().map(_.getName)
+      assert(files.exists(_.contains(ext)), files.mkString(","))
+      assert(spark.read.parquet(out).count() == 25)
+    }
+  }
+
   test("idempotent overwrite: re-running the conversion is safe") {
     val in = tmpDir("convert_in3")
     val out = tmpDir("convert_out3") + "/p.parquet"
