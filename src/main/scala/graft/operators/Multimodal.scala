@@ -84,6 +84,24 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
+    // "Resize" stub: a bounded byte-range of the payload stands in for a
+    // thumbnail (real codecs would decode-and-scale; the byte-slice keeps
+    // the plumbing — bounded output size per asset, checksummed — real).
+    // The corpus is ASCII so the char slice is the byte slice on both
+    // engines.
+    QueryDef(
+      "q_multimodal_resize",
+      """SELECT doc_id,
+        |  least(octet_length(encode(text)), 64) AS thumb_bytes,
+        |  md5(substr(text, 1, 64)) AS thumb_checksum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        least(length(col("text").cast("binary")), lit(64)).as("thumb_bytes"),
+        md5(substring(col("text"), 1, 64).cast("binary")).as("thumb_checksum"))
+    },
+
+    // ------------------------------------------------------------------
     // Frame sampling: one row per sampled frame at 0.5 fps over a fake
     // duration derived from the payload size — explode(sequence) bounds
     // output rows per asset, the pattern for video → frame tables.

@@ -45,6 +45,38 @@ class ConvertSpec extends SparkSpec {
     assert(rows(2) == ("9003", "NoAge", "FR", None))
   }
 
+  test("round-trips arbitrary unicode person records (seeded fuzz)") {
+    val rnd = new scala.util.Random(7)
+    // BMP-only pool: char-level sampling would split surrogate pairs
+    val pool = "abcXYZ0189 éüñ中文№\\\"\n\t"
+    def randStr(): String =
+      (0 until (1 + rnd.nextInt(12))).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val in = tmpDir("convert_fuzz")
+    val cases = (0 until 40).map { i =>
+      val p = Person(randStr(), randStr(), randStr(),
+        Some((rnd.nextInt(256) - 128).toByte))
+      // JSON-encode with full escaping
+      def js(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      Files.writeString(Paths.get(in, s"p$i.json"),
+        s"""{ "ID": ${js(p.ID)}, "name": ${js(p.name)},
+           |  "nationality": ${js(p.nationality)}, "age": ${p.age.get} }""".stripMargin)
+      p
+    }
+    val out = tmpDir("convert_fuzz_out") + "/p.parquet"
+    Convert.jsonToParquet(spark, in, out)
+    val got = spark.read.parquet(out).collect().map(r =>
+      Person(r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Byte]))).toSet
+    assert(got == cases.toSet, s"missing=${cases.toSet -- got} extra=${got -- cases.toSet}")
+  }
+
   test("output parquet is snappy-compressed") {
     val in = tmpDir("convert_in2")
     val out = tmpDir("convert_out2") + "/p.parquet"

@@ -111,6 +111,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tumbling-window aggregation equals the batch window()") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:05:00"), "a", 1.0), (ts("2024-01-01 00:40:00"), "a", 2.0),
+      (ts("2024-01-01 00:59:00"), "b", 3.0), (ts("2024-01-01 01:10:00"), "a", 4.0),
+      (ts("2024-01-01 02:00:00"), "b", 5.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "k", "v")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(sum(col("v")).as("total"))
+      .select(col("window.start").as("ws"), col("k"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("tumble_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("tumble_eq")
+      val batch = rows.toDF("ts", "k", "v")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(sum(col("v")).as("total"))
+        .select(col("window.start").as("ws"), col("k"), col("total"))
+      assert(streaming.exceptAll(batch).count() == 0
+        && batch.exceptAll(streaming).count() == 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState maintains custom per-key state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
