@@ -188,6 +188,42 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Bag-semantics set op: UNION ALL keeps duplicates (zero shuffle —
+    // pure concatenation of inputs).
+    QueryDef(
+      "q_set_union_all",
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.union(b)
+    },
+
+    // ------------------------------------------------------------------
+    // Histogram: fixed-width bucketing by pure arithmetic (identical in
+    // both engines), the building block for distribution profiling at
+    // scale — one shuffle on the bucket id.
+    QueryDef(
+      "q_histogram",
+      s"""SELECT CAST(least(floor((l_extendedprice - 900e0) / 5000e0), 19) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  ${Num.sql("min(l_extendedprice)", 2)} AS lo,
+        |  ${Num.sql("max(l_extendedprice)", 2)} AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val bucket = least(floor((col("l_extendedprice") - lit(900e0)) / lit(5000e0)),
+        lit(19L)).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Num.r(min(col("l_extendedprice")), 2).as("lo"),
+          Num.r(max(col("l_extendedprice")), 2).as("hi"))
+    },
+
+    // ------------------------------------------------------------------
     // Stratified sampling (sampleBy): per-stratum Bernoulli sampling with
     // a fixed seed. Engine RNGs differ, so there is no cross-engine
     // oracle (driver records a rows-only check); determinism WITHIN the
