@@ -173,6 +173,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases join prior clicks within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)] // ts, user, click_id
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "1 hour")
+    val joined = p.join(c,
+      expr("""c_user = p_user AND c_ts <= p_ts
+             |AND c_ts >= p_ts - INTERVAL 10 MINUTES""".stripMargin))
+      .select(col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L, 100L),
+        (ts("2024-01-01 00:30:00"), 1L, 101L))
+      purchases.addData((ts("2024-01-01 00:35:00"), 1L, 900L)) // joins 101 only
+      q.processAllAvailable()
+      // advance both watermarks to flush state
+      clicks.addData((ts("2024-01-01 03:00:00"), 9L, 999L))
+      purchases.addData((ts("2024-01-01 03:00:00"), 9L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((900L, 101L)), got.toString)
+      assert(!got.contains((900L, 100L)), "click outside the 10-min bound joined")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups redeliveries, then forgets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dedup = mem.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("ddww_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      // redelivery within the watermark window → suppressed
+      mem.addData((ts("2024-01-01 00:01:00"), 1L))
+      q.processAllAvailable()
+      // push the watermark far past the first id=1 state, then redeliver:
+      // state was dropped, so the "duplicate" legitimately reappears
+      mem.addData((ts("2024-01-01 05:00:00"), 2L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 05:01:00"), 1L))
+      q.processAllAvailable()
+      val n1 = spark.table("ddww_test").filter(col("id") === 1).count()
+      assert(n1 == 2, s"expected suppressed-then-forgotten, got $n1 rows for id=1")
+    } finally q.stop()
+  }
+
   test("batch session_window agrees with the gaps-and-islands rewrite") {
     // the q_stream_session oracle identity, checked in-process as well
     val got = SparkEntry.queries("q_stream_session")(spark, sfDir)
