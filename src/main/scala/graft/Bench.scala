@@ -22,6 +22,9 @@ object Bench {
     // queries, and the steady-state time is the honest number.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
+      // each invocation caches fresh self-join intermediates; clear so
+      // dead blocks from prior runs can't pollute the timing
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

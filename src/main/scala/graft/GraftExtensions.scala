@@ -16,26 +16,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(plans.RebalanceBeforeGenerate)
+    // builders are shared with each companion's register() so the two
+    // registration surfaces cannot drift
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[functions.TopK].getName, "graft_topk"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 3, "graft_topk takes (score, id, k)")
-        functions.TopK(exprs(0), exprs(1), exprs(2))
-      }))
+      functions.TopK.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSimilarity(exprs.head, exprs(1))
-      }))
+      CosineSimilarity.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 1, "graft_hll takes exactly 1 argument")
-        HllSketch(exprs.head)
-      }))
+      HllSketch.builder))
   }
 }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(zip_with(a,b,(x,y)=>x*y),0d,_+_) / sqrt(...)` composition and
   * to the DuckDB oracle's `list_sum(list_transform(...)) / sqrt(...)`.
   *
-  * Null handling: a null array yields null (BinaryExpression default);
-  * null *elements* are not expected in embedding data and read as 0.
+  * Null handling: a null array yields null (BinaryExpression default),
+  * and so does a DIMENSION MISMATCH — a cosine over the common prefix of
+  * differently-sized vectors would be a plausible-looking wrong answer.
+  * Null *elements* are not expected in embedding data and read as 0.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +45,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch has no meaningful cosine — return null rather
+    // than a plausible-looking score over the common prefix
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -69,16 +74,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y;
-         |  $na += $x * $x;
-         |  $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 
@@ -88,14 +97,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** Single function builder shared by [[register]] and GraftExtensions
+    * so the two registration surfaces cannot drift. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "graft_cosine takes exactly 2 arguments")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
   /** Registers `graft_cosine(a, b)` in the session's function registry so
     * queries can call it via `expr("graft_cosine(...)")`. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSimilarity(exprs.head, exprs(1))
-      },
-      "built-in")
+      "graft_cosine", builder, "built-in")
 }

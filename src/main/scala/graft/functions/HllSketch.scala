@@ -43,13 +43,27 @@ case class HllSketch(
     z ^ (z >>> 31)
   }
 
+  /** FNV-1a 64 over the raw bytes — full 64-bit entropy for strings
+    * (a 32-bit hashCode pre-hash would cap the sketch at ~2^32 and bias
+    * large cardinalities low), then the splitmix finalizer. */
+  private def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+
   private def hashOf(v: Any): Long = v match {
     case l: Long => mix(l)
     case i: Int => mix(i.toLong)
-    case s: UTF8String => mix(s.hashCode.toLong)
+    case s: UTF8String => hashBytes(s.getBytes)
     case d: Double => mix(java.lang.Double.doubleToLongBits(d))
     case f: Float => mix(java.lang.Float.floatToIntBits(f).toLong)
-    case other => mix(other.hashCode.toLong)
+    case other => hashBytes(other.toString.getBytes("UTF-8"))
   }
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
@@ -106,13 +120,14 @@ case class HllSketch(
 }
 
 object HllSketch {
+  /** Single function builder shared by [[register]] and GraftExtensions. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_hll takes exactly 1 argument")
+    HllSketch(exprs.head)
+  }
+
   /** Registers `graft_hll(col)` in the session function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hll",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 1, "graft_hll takes exactly 1 argument")
-        HllSketch(exprs.head)
-      },
-      "built-in")
+      "graft_hll", builder, "built-in")
 }

@@ -40,6 +40,21 @@ case class TopK(
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (score.dataType != DoubleType)
+      TypeCheckFailure(s"graft_topk score must be DOUBLE, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckFailure(s"graft_topk id must be BIGINT, got ${id.dataType.sql}")
+    else if (!kExpr.foldable ||
+        !(kExpr.dataType == IntegerType || kExpr.dataType == LongType))
+      TypeCheckFailure("graft_topk k must be an integer literal")
+    else if (k < 1)
+      TypeCheckFailure(s"graft_topk k must be >= 1, got $k")
+    else TypeCheckSuccess
+  }
+
   type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
 
   override def createAggregationBuffer(): Buf =
@@ -114,13 +129,14 @@ case class TopK(
 }
 
 object TopK {
+  /** Single function builder shared by [[register]] and GraftExtensions. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, "graft_topk takes (score, id, k)")
+    TopK(exprs(0), exprs(1), exprs(2))
+  }
+
   /** Registers `graft_topk(score, id, k)` in the session registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_topk",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 3, "graft_topk takes (score, id, k)")
-        TopK(exprs(0), exprs(1), exprs(2))
-      },
-      "built-in")
+      "graft_topk", builder, "built-in")
 }

@@ -121,7 +121,9 @@ object Convert {
     QueryDef(
       "q_convert_roundtrip",
       """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin) { (s, dir) =>
-      val tmp = s"/tmp/graft_roundtrip_json"
+      // scratch path keyed by input dir: concurrent sessions on different
+      // scale factors must not overwrite each other's round-trip data
+      val tmp = s"/tmp/graft_roundtrip_json_${dir.hashCode.toHexString}"
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("text", StringType),

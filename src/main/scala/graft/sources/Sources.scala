@@ -23,7 +23,8 @@ object Sources {
     QueryDef(
       "q_csv_roundtrip",
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin) { (s, dir) =>
-      val tmp = "/tmp/graft_roundtrip_csv"
+      // keyed by input dir — concurrent sessions must not collide
+      val tmp = s"/tmp/graft_roundtrip_csv_${dir.hashCode.toHexString}"
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType),
         StructField("o_orderstatus", StringType),
@@ -43,7 +44,7 @@ object Sources {
       s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang""".stripMargin) { (s, dir) =>
-      val tmp = "/tmp/graft_partitioned_docs"
+      val tmp = s"/tmp/graft_partitioned_docs_${dir.hashCode.toHexString}"
       graft.Tables(s, dir, "documents")
         .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp)

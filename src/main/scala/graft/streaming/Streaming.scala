@@ -38,6 +38,9 @@ object Streaming {
     val in = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // the reference's inputs are one multi-line object per file
+      // (sample_json/*.json) — same whole-file parse as the batch path
+      .option("multiLine", true)
       .json(inDir)
     graft.operators.Convert.toParquet(in)
       .writeStream
@@ -79,13 +82,24 @@ object Streaming {
         val keys = graft.operators.Convert
           .parseS3Events(batch, "value")
           .select("key").collect().map(_.getString(0))
-        keys.foreach { key =>
-          try graft.operators.Convert.jsonToParquet(
-            batch.sparkSession, s"$objectRoot/$key", s"$outDir/$key.parquet")
-          catch { case e: Exception =>
-            System.err.println(s"[graft] skip $key: ${e.getMessage}")
+        // Attempt every key, then FAIL the batch if any failed: the
+        // checkpoint must not advance past unconverted objects, or a
+        // transient error becomes silent data loss. Failing the batch
+        // makes Spark re-run it — the redelivery the reference gets from
+        // not acking the message (convertor.go:156-164); the idempotent
+        // <key>.parquet overwrite makes the retry safe.
+        val failed = keys.flatMap { key =>
+          try {
+            graft.operators.Convert.jsonToParquet(
+              batch.sparkSession, s"$objectRoot/$key", s"$outDir/$key.parquet")
+            None
+          } catch { case e: Exception =>
+            System.err.println(s"[graft] failed $key: ${e.getMessage}")
+            Some(key)
           }
         }
+        if (failed.nonEmpty) throw new RuntimeException(
+          s"batch left ${failed.length} unconverted keys: ${failed.mkString(",")}")
       }
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()

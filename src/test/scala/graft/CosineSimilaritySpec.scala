@@ -59,6 +59,13 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(df.select(expr("graft_cosine(a, b)")).collect()(0).isNullAt(0))
   }
 
+  test("dimension mismatch yields null, not a prefix cosine") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(expr("graft_cosine(a, b)")).collect()(0).isNullAt(0))
+  }
+
   test("rejects non-float-array inputs at analysis time") {
     CosineSimilarity.register(spark)
     import spark.implicits._

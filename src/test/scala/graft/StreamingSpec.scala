@@ -240,7 +240,7 @@ class StreamingSpec extends SparkSpec {
         lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev").isNull ||
-          col("ts").cast("long") - col("prev").cast("long") > 600, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 600L * 1000000, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_session"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -36,6 +36,19 @@ class TopKSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("rejects bad input types and k < 1 at analysis time") {
+    TopK.register(spark)
+    import spark.implicits._
+    val df = Seq((1.0, 5L)).toDF("s", "i")
+    intercept[Exception] {
+      df.agg(expr("graft_topk(s, i, 0)")).collect()
+    }
+    val intIds = Seq((1.0, 5)).toDF("s", "i")
+    intercept[Exception] {
+      intIds.agg(expr("graft_topk(s, i, 2)")).collect()
+    }
+  }
+
   test("tie-break prefers the smaller id") {
     TopK.register(spark)
     import spark.implicits._
