@@ -138,6 +138,25 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Shuffled hash join: both sides shuffle on the key but the smaller
+    // side builds an in-memory hash table instead of sorting — wins over
+    // SMJ when one side is much smaller but too big to broadcast.
+    QueryDef(
+      "q_join_shj",
+      s"""SELECT n.n_name,
+        |  count(*) AS n_customers,
+        |  ${Num.sql("sum(c.c_acctbal)", 2)} AS total_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation").hint("shuffle_hash")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Num.r(sum(col("c_acctbal")), 2).as("total_bal"))
+    },
+
+    // ------------------------------------------------------------------
     // Left-semi join (EXISTS): customers that placed a finished order.
     QueryDef(
       "q_join_semi",

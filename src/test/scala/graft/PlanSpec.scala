@@ -24,6 +24,38 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
 
+  test("q_join_shj is a shuffled hash join") {
+    assert(plan("q_join_shj").contains("ShuffledHashJoin"))
+  }
+
+  test("range-partitioned writes cluster data (file-level min/max narrow)") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_range_clustered"
+    Tables(spark, sfDir, "orders")
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(out)
+    // each file should cover a narrow, mostly disjoint date range —
+    // the clustering that lets min/max stats skip row groups at scale
+    val perFile = spark.read.parquet(out)
+      .select(col("o_orderdate"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+    assert(perFile.length == 4)
+    // o_orderdate is TIMESTAMP_NTZ → LocalDateTime in rows
+    val spans = perFile.map { r =>
+      def epoch(i: Int) = r.getAs[java.time.LocalDateTime](i)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      (epoch(1), epoch(2))
+    }.sortBy(_._1)
+    // disjointness: each file's max <= next file's min (range partitioner)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("q_join_semi and q_join_anti use semi/anti joins, not materialized joins") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
