@@ -56,6 +56,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // one hot key holding 95% of rows — the 100 TB skew shape in miniature
+    val skewed = s2.range(200000).toDF("id")
+      .select(when(col("id") < 190000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = s2.range(1000).toDF("k")
+      .select(col("k"), concat(lit("v"), col("k")).as("v"))
+    val joined = skewed.join(dim, "k")
+    // collect() executes THIS DataFrame's query execution, so its
+    // adaptive plan is finalized (count() would plan a separate query)
+    // — only the hot key (k=0) hits the dim; ids >= 190000 have no match
+    assert(joined.collect().length == 190000)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n$finalPlan")
+  }
+
   test("q_join_semi and q_join_anti use semi/anti joins, not materialized joins") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))

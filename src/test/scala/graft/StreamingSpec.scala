@@ -173,6 +173,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val mem = MemoryStream[(Long, Int)] // (event, nationkey)
+    val enriched = mem.toDF().toDF("ev", "nk")
+      .join(dim, col("nk") === col("n_nationkey"))
+      .select(col("ev"), col("n_name"))
+    val q = enriched.writeStream.format("memory").queryName("ss_dim")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 0), (2L, 3), (3L, 999)) // 999 has no dim row
+      q.processAllAvailable()
+      val got = spark.table("ss_dim").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.size == 2 && got.map(_._1) == Set(1L, 2L), got.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream join: purchases join prior clicks within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
