@@ -136,6 +136,57 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Document chunking: overlapping token windows (size 50, stride 25) —
+    // how long documents become training samples. explode(sequence) bounds
+    // chunks per doc; the chunk text is re-joined from the token slice.
+    QueryDef(
+      "q_text_chunk",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, ((greatest(len(w) - 50, 0) + 24) // 25) + 1))
+        |      AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(w[chunk_idx * 25 + 1 : chunk_idx * 25 + 50], ' ')
+        |    AS chunk_text,
+        |  least(len(w) - chunk_idx * 25, 50) AS n_tokens
+        |FROM c""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0),
+            (greatest(size(col("w")) - 50, lit(0)) + 24)
+              .divide(25).cast("int"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("w"), col("chunk_idx") * 25 + 1, lit(50)), " ")
+            .as("chunk_text"),
+          least(size(col("w")) - col("chunk_idx") * 25, lit(50)).as("n_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    // Higher-order array functions over embeddings: filter/exists/forall
+    // and a comparator sort.
+    QueryDef(
+      "q_array_hof",
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        |  len(list_filter(embedding, x -> x < 0)) > 0 AS any_neg,
+        |  len(list_filter(embedding, x -> abs(x) <= 1)) = len(embedding)
+        |    AS all_unit,
+        |  list_sort(list_slice(embedding, 1, 4), 'DESC') AS top_head
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        exists(col("embedding"), x => x < 0).as("any_neg"),
+        forall(col("embedding"), x => abs(x) <= 1).as("all_unit"),
+        reverse(array_sort(slice(col("embedding"), 1, 4))).as("top_head"))
+    },
+
+    // ------------------------------------------------------------------
     // Document fingerprinting: whole-doc 60-bit fingerprint, a rolling
     // (polynomial) hash over token hashes, and a winnowing-style minimum
     // shingle hash — the primitives under near-dup detection and content-
