@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-pipeline data curation (SURVEY.md §2B
@@ -164,6 +165,49 @@ object TextAnalysis {
           array_join(slice(col("w"), col("chunk_idx") * 25 + 1, lit(50)), " ")
             .as("chunk_text"),
           least(size(col("w")) - col("chunk_idx") * 25, lit(50)).as("n_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    // TF-IDF: term frequency per doc × inverse document frequency (global
+    // df over ALL docs), top-3 terms per selected doc. tf and df are two
+    // map-side-combinable aggregations; idf joins back on term (a
+    // broadcastable vocabulary at any corpus size — vocab grows far
+    // slower than the corpus).
+    QueryDef(
+      "q_text_tfidf",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1e0 / df.df) AS x
+        |  FROM tf CROSS JOIN n JOIN df ON tf.term = df.term
+        |  WHERE tf.doc_id < 50),
+        |r AS (
+        |  SELECT doc_id, term, x,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY x DESC, term) AS rnk
+        |  FROM s)
+        |SELECT doc_id, term, rnk, ${Num.sql("x", 6)} AS tfidf
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val terms = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("x").desc, col("term"))
+      tf.filter(col("doc_id") < 50)
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("x",
+          col("tf") * log(col("n") * lit(1e0) / col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("rnk"),
+          Num.r(col("x"), 6).as("tfidf"))
     },
 
     // ------------------------------------------------------------------
