@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, HllSketch}
+import graft.functions.{CosineSimilarity, HllSketch, Shingles}
 
 /** Production wiring for the engine's custom functions: users add
   * `spark.sql.extensions=graft.GraftExtensions` to their session config
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       HllSketch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      Shingles.builder))
   }
 }

@@ -193,8 +193,10 @@ object TextAnalysis {
       val docs = t(s, dir, "documents")
       val terms = docs.repartition(col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // tf feeds both df and the scored join — cache so the explode +
+      // first shuffle run once
       val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")).cache()
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
