@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,12 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Shingles(child: Expression, nExpr: Expression)
     extends Generator with CodegenFallback {
 
-  private lazy val n: Int = nExpr.eval(InternalRow.empty) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"graft_shingles n must be an integer literal, got $other")
-  }
+  /** Foldable n as a Long, null-safe; range-checked in
+    * [[checkInputDataTypes]] before [[n]] is used. */
+  private lazy val nRaw: Option[Long] =
+    Option(nExpr.eval(InternalRow.empty)).map {
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+
+  private lazy val n: Int = nRaw.get.toInt
 
   override def children: Seq[Expression] = Seq(child, nExpr)
 
@@ -39,8 +41,12 @@ case class Shingles(child: Expression, nExpr: Expression)
     else if (!nExpr.foldable ||
         !(nExpr.dataType == IntegerType || nExpr.dataType == LongType))
       TypeCheckFailure("graft_shingles n must be an integer literal")
-    else if (n < 1) TypeCheckFailure(s"graft_shingles n must be >= 1, got $n")
-    else TypeCheckSuccess
+    else nRaw match {
+      case None => TypeCheckFailure("graft_shingles n must not be null")
+      case Some(v) if v < 1 || v > Int.MaxValue =>
+        TypeCheckFailure(s"graft_shingles n must be in [1, 2^31), got $v")
+      case _ => TypeCheckSuccess
+    }
   }
 
   override def elementSchema: StructType =
@@ -50,7 +56,10 @@ case class Shingles(child: Expression, nExpr: Expression)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val words = v.asInstanceOf[UTF8String].toString.split(' ')
+      // limit -1 keeps trailing empty tokens — the same semantics as
+      // Spark's split(text, " "), so the generated relation matches the
+      // declarative derivation exactly (limit 0 would drop them)
+      val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (words.length < n) Nil
       else (0 to words.length - n).iterator.map { i =>
         InternalRow(UTF8String.fromString(

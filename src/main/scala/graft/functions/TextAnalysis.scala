@@ -224,11 +224,15 @@ object TextAnalysis {
         |    AS all_unit,
         |  list_sort(list_slice(embedding, 1, 4), 'DESC') AS top_head
         |FROM embeddings""".stripMargin) { (s, dir) =>
+      // exists/forall are three-valued (NULL with null elements); the
+      // coalesce to false matches the oracle's two-valued list_filter
+      // formulation on any input, null elements included
       t(s, dir, "embeddings").select(
         col("vec_id"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-        exists(col("embedding"), x => x < 0).as("any_neg"),
-        forall(col("embedding"), x => abs(x) <= 1).as("all_unit"),
+        coalesce(exists(col("embedding"), x => x < 0), lit(false)).as("any_neg"),
+        coalesce(forall(col("embedding"), x => abs(x) <= 1), lit(false))
+          .as("all_unit"),
         reverse(array_sort(slice(col("embedding"), 1, 4))).as("top_head"))
     },
 

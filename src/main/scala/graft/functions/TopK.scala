@@ -31,12 +31,15 @@ case class TopK(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Double, Long)]] {
 
-  private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"graft_topk k must be an integer literal, got $other")
-  }
+  /** Foldable k as a Long, null-safe; range-checked in
+    * [[checkInputDataTypes]] before [[k]] is used. */
+  private lazy val kRaw: Option[Long] =
+    Option(kExpr.eval(InternalRow.empty)).map {
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+
+  private lazy val k: Int = kRaw.get.toInt
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
 
@@ -50,9 +53,12 @@ case class TopK(
     else if (!kExpr.foldable ||
         !(kExpr.dataType == IntegerType || kExpr.dataType == LongType))
       TypeCheckFailure("graft_topk k must be an integer literal")
-    else if (k < 1)
-      TypeCheckFailure(s"graft_topk k must be >= 1, got $k")
-    else TypeCheckSuccess
+    else kRaw match {
+      case None => TypeCheckFailure("graft_topk k must not be null")
+      case Some(v) if v < 1 || v > Int.MaxValue =>
+        TypeCheckFailure(s"graft_topk k must be in [1, 2^31), got $v")
+      case _ => TypeCheckSuccess
+    }
   }
 
   type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]

@@ -42,6 +42,9 @@ class ExtensionsSpec extends SparkSpec {
       val hll = ext.read.parquet(s"$sfDir/orders.parquet")
         .agg(expr("graft_hll(o_orderkey)").as("h")).collect()(0).getLong(0)
       assert(hll > 0)
+      val shingles = ext.read.parquet(s"$sfDir/documents.parquet").limit(5)
+        .select(expr("graft_shingles(text, 3)")).count()
+      assert(shingles > 0)
     }
   }
 

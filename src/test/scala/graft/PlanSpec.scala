@@ -30,7 +30,7 @@ class PlanSpec extends SparkSpec {
 
   test("range-partitioned writes cluster data (file-level min/max narrow)") {
     import org.apache.spark.sql.functions._
-    val out = "/tmp/graft_range_clustered"
+    val out = tmpDir("graft_range_clustered")
     Tables(spark, sfDir, "orders")
       .repartitionByRange(4, col("o_orderdate"))
       .sortWithinPartitions(col("o_orderdate"))
