@@ -318,25 +318,22 @@ object Analytics {
       val n = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("l_linestatus"))
         .orderBy(col("l_extendedprice"))
-      val ranked = li
-        .withColumn("idx", row_number().over(w) - 1)
-        .join(broadcast(n), "l_linestatus")
-      def pct(p: Double, name: String) = {
-        // target rank t = (n−1)·p; interpolate rows ⌊t⌋ and ⌈t⌉
-        val target = (col("n") - 1) * lit(p)
-        val isLo = col("idx") === floor(target)
-        val isHi = col("idx") === ceil(target)
-        val frac = target - floor(target)
-        ranked
-          .filter(isLo || isHi)
-          .groupBy(col("l_linestatus"))
-          .agg(Num.r(
-            min(when(isLo, col("l_extendedprice"))) +
-              (max(when(isHi, col("l_extendedprice"))) -
-                min(when(isLo, col("l_extendedprice")))) *
-              first(frac), 4).as(name))
+      // ONE sort/window pass serves both percentiles: keep only the ≤4
+      // bracketing rows per group, then interpolate each percentile from
+      // conditional aggregates. target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉.
+      def target(p: Double) = (col("n") - 1) * lit(p)
+      def isLo(p: Double) = col("idx") === floor(target(p))
+      def isHi(p: Double) = col("idx") === ceil(target(p))
+      def interp(p: Double) = {
+        val lo = min(when(isLo(p), col("l_extendedprice")))
+        val hi = max(when(isHi(p), col("l_extendedprice")))
+        Num.r(lo + (hi - lo) * first(target(p) - floor(target(p))), 4)
       }
-      pct(0.5, "p50").join(pct(0.9, "p90"), "l_linestatus")
+      li.withColumn("idx", row_number().over(w) - 1)
+        .join(broadcast(n), "l_linestatus")
+        .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
+        .groupBy(col("l_linestatus"))
+        .agg(interp(0.5).as("p50"), interp(0.9).as("p90"))
     },
 
     // ------------------------------------------------------------------
