@@ -188,6 +188,49 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Bag-semantics INTERSECT ALL / EXCEPT ALL: multiplicity-aware set
+    // ops (Catalyst rewrites them to counted joins).
+    QueryDef(
+      "q_set_bag_ops",
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+        |SELECT 'intersect_all' AS op, count(*) AS n
+        |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except_all' AS op, count(*) AS n
+        |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("k"))
+      val ia = a.intersectAll(b).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("n"))
+      val ea = a.exceptAll(b).agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("n"))
+      ia.unionByName(ea)
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated LATERAL join: top-2 customers by balance per nation —
+    // the "top-N per group as a join" formulation (Catalyst plans the
+    // correlated subquery as a lateral join).
+    QueryDef(
+      "q_join_lateral",
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM graft_nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // Bag-semantics set op: UNION ALL keeps duplicates (zero shuffle —
     // pure concatenation of inputs).
     QueryDef(
