@@ -31,10 +31,8 @@ class PlanSpec extends SparkSpec {
   test("range-partitioned writes cluster data (file-level min/max narrow)") {
     import org.apache.spark.sql.functions._
     val out = tmpDir("graft_range_clustered")
-    Tables(spark, sfDir, "orders")
-      .repartitionByRange(4, col("o_orderdate"))
-      .sortWithinPartitions(col("o_orderdate"))
-      .write.mode("overwrite").parquet(out)
+    graft.sources.Layout.writeClustered(
+      Tables(spark, sfDir, "orders"), out, "o_orderdate", files = 4)
     // each file should cover a narrow, mostly disjoint date range —
     // the clustering that lets min/max stats skip row groups at scale
     val perFile = spark.read.parquet(out)
@@ -162,10 +160,10 @@ class PlanSpec extends SparkSpec {
         rm(dir)
       }
     }
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
+    graft.sources.Layout.writeBucketed(li, "graft_li_bucketed",
+      "l_orderkey", buckets = 8)
+    graft.sources.Layout.writeBucketed(o, "graft_o_bucketed",
+      "o_orderkey", buckets = 8)
     val joined = spark.table("graft_li_bucketed")
       .join(spark.table("graft_o_bucketed"),
         col("l_orderkey") === col("o_orderkey"))
