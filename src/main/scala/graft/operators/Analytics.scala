@@ -121,6 +121,49 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Window value functions over the full-partition frame: first, last
+    // and nth order value per customer.
+    QueryDef(
+      "q_window_nth",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // ANSI-safe arithmetic: under ANSI mode (Spark 4 default) overflow
+    // and division by zero ERROR; the try_* family returns NULL instead —
+    // the behavior a pipeline that must not die on one bad row needs.
+    // DuckDB returns NULL for float/0 natively, so the oracle aligns.
+    QueryDef(
+      "q_try_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0 THEN NULL
+        |       ELSE l_extendedprice / nullif(l_discount, 0) END AS safe_div,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+        |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"),
+          nullif(col("l_discount"), lit(0))).as("safe_div"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+        expr("try_cast(cast(l_orderkey AS STRING) AS BIGINT)").as("good_cast"))
+    },
+
+    // ------------------------------------------------------------------
     // Explicit null ordering: NULLS FIRST under DESC (both engines default
     // differently, so the modifier is load-bearing).
     QueryDef(
