@@ -24,10 +24,14 @@ object Layout {
   /** Hive-style partition layout: one directory per `partitionCol`
     * value; equality/IN filters on it become directory pruning
     * (`PartitionFilters` at the scan). Use for low-cardinality columns
-    * (date, lang, source) — high-cardinality keys belong in bucketing. */
+    * (date, lang, source) — high-cardinality keys belong in bucketing.
+    * The pre-write repartition co-locates each value in one task:
+    * without it every task opens a writer per value it holds, and
+    * 10k tasks × 365 dates is a 3.65M-small-files explosion. */
   def writePartitioned(
       df: DataFrame, path: String, partitionCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    df.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
   /** Bucketed + sorted managed table: joins and aggregations on
     * `bucketCol` between tables bucketed the same way need NO exchange —

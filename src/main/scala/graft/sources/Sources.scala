@@ -45,8 +45,7 @@ object Sources {
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang""".stripMargin) { (s, dir) =>
       val tmp = s"/tmp/graft_partitioned_docs_${dir.hashCode.toHexString}"
-      graft.Tables(s, dir, "documents")
-        .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(tmp)
+      Layout.writePartitioned(graft.Tables(s, dir, "documents"), tmp, "lang")
       s.read.parquet(tmp)
         .filter(col("lang").isin("en", "de"))
         .groupBy(col("lang"))
