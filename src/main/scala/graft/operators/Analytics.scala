@@ -121,6 +121,26 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Argmax/argmin aggregates: the value of one column at another's
+    // extremum. Keyed on the UNIQUE o_orderkey so ties cannot make the
+    // result engine-dependent.
+    QueryDef(
+      "q_agg_argmax",
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderstatus, o_orderkey) AS status_of_latest,
+        |  arg_min(o_orderstatus, o_orderkey) AS status_of_first,
+        |  max(o_orderkey) AS max_key, min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("status_of_latest"),
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("status_of_first"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderkey")).as("min_key"))
+    },
+
+    // ------------------------------------------------------------------
     // Window value functions over the full-partition frame: first, last
     // and nth order value per customer.
     QueryDef(
