@@ -35,13 +35,19 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // min-of-3: single runs on this VM show multi-second host-steal/GC
+    // spikes on random queries; three samples make the min robust to a
+    // spike landing on any one of them.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOne(fn), timeOne(fn))
+      name -> Seq.fill(3)(timeOne(fn)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // values rounded to ms so the single JSON line stays short — the
+    // driver tail-captures stdout and must see the whole map
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -136,7 +136,11 @@ object Scalar {
     // ------------------------------------------------------------------
     // Array functions over embeddings (array<float>, the multimodal /
     // vector column). Exact element ops compare raw; the double-promoted
-    // sequential fold (sum of squares) rounds through Num.
+    // sequential fold (sum of squares) rounds through Num. Array-typed
+    // output is serialized to a string (the driver's compare cannot sort
+    // array columns): each element scaled to an integer via the Num
+    // formula — float→string formatting differs between engines, but
+    // BIGINT→string does not.
     QueryDef(
       "q_array_funcs",
       s"""SELECT vec_id,
@@ -144,7 +148,9 @@ object Scalar {
         |  embedding[1] AS first_elem,
         |  list_max(embedding) AS mx,
         |  list_min(embedding) AS mn,
-        |  list_slice(embedding, 1, 3) AS head3,
+        |  array_to_string(list_transform(list_slice(embedding, 1, 3),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000e0 + 0.5) AS BIGINT)
+        |         AS VARCHAR)), ',') AS head3,
         |  list_reverse(embedding)[1] AS last_elem,
         |  list_contains(embedding, 0.0::FLOAT) AS has_zero,
         |  ${Num.sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6)} AS sumsq
@@ -155,7 +161,9 @@ object Scalar {
         element_at(col("embedding"), 1).as("first_elem"),
         array_max(col("embedding")).as("mx"),
         array_min(col("embedding")).as("mn"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("string")),
+          ",").as("head3"),
         element_at(reverse(col("embedding")), 1).as("last_elem"),
         array_contains(col("embedding"), 0.0f).as("has_zero"),
         Num.r(aggregate(
@@ -166,11 +174,13 @@ object Scalar {
     // ------------------------------------------------------------------
     // Map functions: parse events.props into map<string,int>, then
     // keys/values/element_at/size. Oracle goes through DuckDB's JSON
-    // functions (same observable results).
+    // functions (same observable results). The key list is sorted and
+    // joined to a string: the driver's compare cannot sort array-typed
+    // output, and sorting makes the value independent of JSON key order.
     QueryDef(
       "q_map_funcs",
       """SELECT event_id,
-        |  json_keys(props) AS ks,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
         |  CAST(props->>'k' AS INTEGER) AS k_val,
         |  len(json_keys(props)) AS n_keys,
         |  CAST(props->>'k' AS INTEGER) IS NOT NULL AS has_k
@@ -178,7 +188,7 @@ object Scalar {
       val m = from_json(col("props"), MapType(StringType, IntegerType))
       t(s, dir, "events").select(
         col("event_id"),
-        map_keys(m).as("ks"),
+        array_join(array_sort(map_keys(m)), ",").as("ks"),
         element_at(m, "k").as("k_val"),
         size(map_keys(m)).as("n_keys"),
         element_at(m, "k").isNotNull.as("has_k"))

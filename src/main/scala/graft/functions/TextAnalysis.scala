@@ -214,7 +214,9 @@ object TextAnalysis {
 
     // ------------------------------------------------------------------
     // Higher-order array functions over embeddings: filter/exists/forall
-    // and a comparator sort.
+    // and a comparator sort. The sorted head is serialized to a string of
+    // Num-scaled integers (the driver's compare cannot sort array-typed
+    // output; float→string formatting differs between engines).
     QueryDef(
       "q_array_hof",
       """SELECT vec_id,
@@ -222,7 +224,10 @@ object TextAnalysis {
         |  len(list_filter(embedding, x -> x < 0)) > 0 AS any_neg,
         |  len(list_filter(embedding, x -> abs(x) <= 1)) = len(embedding)
         |    AS all_unit,
-        |  list_sort(list_slice(embedding, 1, 4), 'DESC') AS top_head
+        |  array_to_string(list_transform(
+        |    list_sort(list_slice(embedding, 1, 4), 'DESC'),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000e0 + 0.5) AS BIGINT)
+        |         AS VARCHAR)), ',') AS top_head
         |FROM embeddings""".stripMargin) { (s, dir) =>
       // exists/forall are three-valued (NULL with null elements); the
       // coalesce to false matches the oracle's two-valued list_filter
@@ -233,7 +238,9 @@ object TextAnalysis {
         coalesce(exists(col("embedding"), x => x < 0), lit(false)).as("any_neg"),
         coalesce(forall(col("embedding"), x => abs(x) <= 1), lit(false))
           .as("all_unit"),
-        reverse(array_sort(slice(col("embedding"), 1, 4))).as("top_head"))
+        array_join(transform(reverse(array_sort(slice(col("embedding"), 1, 4))),
+          x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("string")),
+          ",").as("top_head"))
     },
 
     // ------------------------------------------------------------------

@@ -16,6 +16,34 @@ object Analytics {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Exact interpolated p50/p90 of l_extendedprice per l_linestatus via
+    * DISTRIBUTED SORT + rank selection — O(1) memory per task, unlike
+    * Spark's percentile() which buffers every value per group (unbounded
+    * state, the failure mode SCALING.md flags). One sort/window pass
+    * serves both percentiles: keep only the ≤4 bracketing rows per group,
+    * then interpolate each percentile from conditional aggregates.
+    * Target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉. Shared by q_percentile_sort
+    * and q_agg_corr. */
+  private def pricePercentiles(li: DataFrame): DataFrame = {
+    val vals = li.select(col("l_linestatus"), col("l_extendedprice"))
+    val n = vals.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_linestatus"))
+      .orderBy(col("l_extendedprice"))
+    def target(p: Double) = (col("n") - 1) * lit(p)
+    def isLo(p: Double) = col("idx") === floor(target(p))
+    def isHi(p: Double) = col("idx") === ceil(target(p))
+    def interp(p: Double) = {
+      val lo = min(when(isLo(p), col("l_extendedprice")))
+      val hi = max(when(isHi(p), col("l_extendedprice")))
+      Num.r(lo + (hi - lo) * first(target(p) - floor(target(p))), 4)
+    }
+    vals.withColumn("idx", row_number().over(w) - 1)
+      .join(broadcast(n), "l_linestatus")
+      .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
+      .groupBy(col("l_linestatus"))
+      .agg(interp(0.5).as("p50"), interp(0.9).as("p90"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -331,20 +359,35 @@ object Analytics {
 
     // ------------------------------------------------------------------
     // Stratified sampling (sampleBy): per-stratum Bernoulli sampling with
-    // a fixed seed. Engine RNGs differ, so there is no cross-engine
-    // oracle (driver records a rows-only check); determinism WITHIN the
-    // engine is what matters for reproducible pipeline runs, and the
-    // sampled fractions are verdict-checked per stratum instead.
-    QueryDef.noOracle("q_sample_stratified") { (s, dir) =>
+    // a fixed seed. Engine RNGs differ, so the sampled ROWS have no
+    // cross-engine oracle; instead the query emits a verdict (the Approx
+    // pattern): per stratum, is the sampled fraction within a 4σ binomial
+    // bound of the requested fraction? Any healthy RNG passes; a broken
+    // sampler (wrong stratum routing, wrong fraction) fails. n_total is
+    // deterministic and hash-checked exactly.
+    QueryDef(
+      "q_sample_stratified",
+      """SELECT lang, count(*) AS n_total, true AS frac_ok
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val fractions = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2,
         "es" -> 0.2, "zh" -> 0.2)
       val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
       val base = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
-      sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-        .join(base, "lang")
-        .select(col("lang"), col("n_sampled"), col("n_total"))
-        .orderBy(col("lang"))
+      val p = fractions.foldLeft(lit(null).cast("double")) {
+        case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      // left join from totals so a stratum sampled to zero still emits a
+      // row (with frac_ok=false) instead of silently disappearing
+      base.join(
+          sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled")),
+          Seq("lang"), "left")
+        .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+        .withColumn("p", p)
+        .select(col("lang"), col("n_total"),
+          (abs(col("n_sampled") / col("n_total") - col("p")) <=
+            lit(4.0) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n_total")))
+            .as("frac_ok"))
     },
 
     // ------------------------------------------------------------------
@@ -406,45 +449,24 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
-    // Exact interpolated percentiles via DISTRIBUTED SORT + rank
-    // selection, not the hash-of-counts aggregate: Spark's percentile()
-    // buffers every distinct value per group (unbounded state — the
-    // failure mode SCALING.md flags), while this plan sorts within key
-    // partitions, selects the two bracketing ranks, and interpolates.
-    // Memory per task is O(1); the sort is the same machinery any 100 TB
-    // orderBy uses. Same result as quantile_cont.
+    // Exact interpolated percentiles via distributed sort + rank
+    // selection — see [[pricePercentiles]]. The sort is the same
+    // machinery any 100 TB orderBy uses. Same result as quantile_cont.
     QueryDef(
       "q_percentile_sort",
       s"""SELECT l_linestatus,
         |  ${Num.sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
         |  ${Num.sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_linestatus"), col("l_extendedprice"))
-      val n = li.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("l_linestatus"))
-        .orderBy(col("l_extendedprice"))
-      // ONE sort/window pass serves both percentiles: keep only the ≤4
-      // bracketing rows per group, then interpolate each percentile from
-      // conditional aggregates. target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉.
-      def target(p: Double) = (col("n") - 1) * lit(p)
-      def isLo(p: Double) = col("idx") === floor(target(p))
-      def isHi(p: Double) = col("idx") === ceil(target(p))
-      def interp(p: Double) = {
-        val lo = min(when(isLo(p), col("l_extendedprice")))
-        val hi = max(when(isHi(p), col("l_extendedprice")))
-        Num.r(lo + (hi - lo) * first(target(p) - floor(target(p))), 4)
-      }
-      li.withColumn("idx", row_number().over(w) - 1)
-        .join(broadcast(n), "l_linestatus")
-        .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
-        .groupBy(col("l_linestatus"))
-        .agg(interp(0.5).as("p50"), interp(0.9).as("p90"))
+      pricePercentiles(t(s, dir, "lineitem"))
     },
 
     // ------------------------------------------------------------------
-    // Statistical aggregates: correlation, covariance, exact interpolated
-    // percentiles (Spark percentile ≡ DuckDB quantile_cont).
+    // Statistical aggregates: correlation and covariance stay in the
+    // bounded-state hash aggregate (Welford-style merge, O(1) per group);
+    // the exact percentiles come from the sort-based [[pricePercentiles]]
+    // plan and join back on the 2-row group key — NOT Spark's
+    // percentile(), which buffers every value per group.
     QueryDef(
       "q_agg_corr",
       s"""SELECT l_linestatus,
@@ -454,14 +476,16 @@ object Analytics {
         |  ${Num.sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
         |  ${Num.sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+      val stats = li
         .groupBy(col("l_linestatus"))
         .agg(
           Num.r(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
           Num.r(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
-          Num.r(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"),
-          Num.r(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          Num.r(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+          Num.r(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"))
+      stats.join(broadcast(pricePercentiles(li)), "l_linestatus")
+        .select(col("l_linestatus"), col("corr_qp"), col("cov_s"),
+          col("cov_p"), col("p50"), col("p90"))
     }
   )
 }

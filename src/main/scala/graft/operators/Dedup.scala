@@ -41,10 +41,20 @@ object Dedup {
     * first: the testdata tables are single-row-group files, so without it
     * the whole explode+hash fan-out would run inside a one-partition scan
     * stage — the classic small-input/heavy-compute shape where an early
-    * repartition buys full parallelism for a trivial shuffle. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    * repartition buys full parallelism for a trivial shuffle.
+    *
+    * `dfCap` is the hot-key mitigation SCALING.md names: a shingle
+    * appearing in more than `dfCap` documents is boilerplate (licenses,
+    * headers, templates) — it blows the candidate self-join up
+    * quadratically (df² pairs per hot shingle) while carrying ~no
+    * near-dup signal. The over-cap list is tiny by construction, so it
+    * broadcasts and the big relation is pruned by a broadcast anti-join
+    * without reshuffling. Default: no cap (exact semantics, what the
+    * oracle-checked queries use on the curated testdata). */
+  private[graft] def shinglesOf(
+      docs: DataFrame, dfCap: Int = Int.MaxValue): DataFrame = {
     val toks = split(col("text"), " ")
-    t(s, dir, "documents")
+    val base = docs
       .repartition(col("doc_id"))
       .filter(size(toks) >= 3)
       .select(col("doc_id"), explode(array_distinct(transform(
@@ -52,7 +62,21 @@ object Dedup {
         i => concat_ws(" ",
           element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))))).as("shingle"))
+    if (dfCap == Int.MaxValue) base
+    else {
+      // shingles are distinct per doc, so count(*) per shingle IS the
+      // document frequency
+      val hot = base.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col("shingle"))
+      base.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .select(col("doc_id"), col("shingle"))
+    }
   }
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(t(s, dir, "documents"))
 
   /** The same relation as DuckDB SQL (CTE body). */
   private val shinglesSql: String =
@@ -216,10 +240,16 @@ object Dedup {
         .repartition(col("doc_id")) // parallelize the hash fan-out
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), h60(col("tok")).as("h"))
+      // Collapse duplicate tokens FIRST (map-side-combinable count on
+      // (doc_id, h)), then run the 60-way conditional-sum fan-out over
+      // DISTINCT tokens weighted by cnt: the expensive 60 aggregates
+      // evaluate once per distinct token instead of once per occurrence.
+      val tokCnt = toks.groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
       val aggCols = (0 until 60).map(j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1)
-          .otherwise(-1)).as(s"b$j"))
-      val bitSums = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"b$j"))
+      val bitSums = tokCnt.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
       val simhash = (0 until 60).map(j =>
         when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
@@ -245,9 +275,10 @@ object Dedup {
 
     // ------------------------------------------------------------------
     // Embedding-cosine near-dup: brute-force verified pairs at this scale
-    // (the oracle-checkable ground truth); the 100 TB path is the IVF
-    // variant in Similarity.scala, which prunes with the same deterministic
-    // centroids. Norms are computed once per vector BEFORE the join.
+    // (the oracle-checkable ground truth); the 100 TB path is
+    // q_dedup_embed_lsh below, which restricts candidates to a sign-LSH
+    // bucket (Similarity.bucketCol) and replaces the cross join with a
+    // keyed equi-join. Norms are computed once per vector BEFORE the join.
     QueryDef(
       "q_dedup_embed",
       s"""WITH e AS (
@@ -273,6 +304,49 @@ object Dedup {
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), Num.r(col("cos"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed embedding near-dup — the 100 TB shape. Each vector is
+    // assigned a sign-LSH bucket (Similarity.bucketCol, deterministic
+    // md5-derived hyperplanes, same literals baked into the oracle), and
+    // pairs are scored only WITHIN a bucket: the all-pairs cross join of
+    // q_dedup_embed becomes a keyed equi-join on the bucket id, shrinking
+    // candidates ~2^bits× while keeping the plan shuffle-keyed. The
+    // oracle expresses the SAME bucketed semantics, so the check is
+    // exact, not approximate; q_dedup_embed remains the recall baseline.
+    // PlanSpec asserts this plan contains no cartesian/nested-loop join.
+    QueryDef(
+      "q_dedup_embed_lsh",
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    ${Similarity.bucketSql("embedding")} AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+        |      / sqrt(a.n2 * b.n2) AS c
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ${Num.sql("c", 6)} AS cos
+        |FROM p WHERE c >= 0.4""".stripMargin) { (s, dir) =>
+      graft.functions.CosineSimilarity.register(s)
+      // bucket fold feeds both join sides — cache (id, 64 floats, 1 int)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          Similarity.bucketCol(col("embedding")).as("bucket"))
+        .cache()
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("bucket"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
         .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), Num.r(col("cos"), 6).as("cos"))

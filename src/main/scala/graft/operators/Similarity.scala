@@ -42,8 +42,9 @@ object Similarity {
     }
   }
 
-  /** Spark: LSH bucket id (0..2^Planes-1) for an embedding column. */
-  private def bucketCol(emb: Column): Column =
+  /** Spark: LSH bucket id (0..2^Planes-1) for an embedding column.
+    * Shared with [[Dedup]]'s bucketed embedding near-dup. */
+  private[operators] def bucketCol(emb: Column): Column =
     (0 until Planes).map { h =>
       val sgn = array(signs(h).map(lit): _*)
       val proj = aggregate(
@@ -53,7 +54,7 @@ object Similarity {
     }.reduce(_ + _)
 
   /** DuckDB: the same bucket id as a SQL fragment over column `e`. */
-  private def bucketSql(e: String): String =
+  private[operators] def bucketSql(e: String): String =
     (0 until Planes).map { h =>
       val lits = signs(h).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]")

@@ -41,7 +41,7 @@ object Sources {
     // directories before touching data.
     QueryDef(
       "q_parquet_partitioned",
-      s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
+      s"""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang""".stripMargin) { (s, dir) =>
       val tmp = s"/tmp/graft_partitioned_docs_${dir.hashCode.toHexString}"

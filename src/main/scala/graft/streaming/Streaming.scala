@@ -88,16 +88,30 @@ object Streaming {
         // makes Spark re-run it — the redelivery the reference gets from
         // not acking the message (convertor.go:156-164); the idempotent
         // <key>.parquet overwrite makes the retry safe.
-        val failed = keys.flatMap { key =>
-          try {
-            graft.operators.Convert.jsonToParquet(
-              batch.sparkSession, s"$objectRoot/$key", s"$outDir/$key.parquet")
-            None
-          } catch { case e: Exception =>
-            System.err.println(s"[graft] failed $key: ${e.getMessage}")
-            Some(key)
-          }
-        }
+        //
+        // Keys convert CONCURRENTLY: each conversion is only a
+        // driver-side job submission (the executors do the data plane),
+        // so a batch naming many keys must not serialize on one thread —
+        // the scheduler interleaves the per-key jobs across the cluster,
+        // mirroring the reference's per-message worker fan-out
+        // (convertor.go:109).
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val failed = Await.result(
+          Future.traverse(keys.toSeq) { key =>
+            Future {
+              try {
+                graft.operators.Convert.jsonToParquet(
+                  batch.sparkSession, s"$objectRoot/$key",
+                  s"$outDir/$key.parquet")
+                None
+              } catch { case e: Exception =>
+                System.err.println(s"[graft] failed $key: ${e.getMessage}")
+                Some(key)
+              }
+            }
+          }, Duration.Inf).flatten
         if (failed.nonEmpty) throw new RuntimeException(
           s"batch left ${failed.length} unconverted keys: ${failed.mkString(",")}")
       }

@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_dedup_embed_lsh joins buckets as an equi-join — no cross join") {
+    val p = plan("q_dedup_embed_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucketed embedding dedup must not degenerate to an all-pairs join: " + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_dedup_embed_lsh pairs are a subset of brute-force q_dedup_embed") {
+    val brute = SparkEntry.queries("q_dedup_embed")(spark, sfDir)
+    val lsh = SparkEntry.queries("q_dedup_embed_lsh")(spark, sfDir)
+    assert(lsh.exceptAll(brute).count() == 0,
+      "bucketed dedup emitted a pair brute force did not")
+    assert(lsh.count() > 0)
+  }
+
   test("q_window_range2 (two running sums) equals q_window_range (sliding frame)") {
     val a = SparkEntry.queries("q_window_range")(spark, sfDir)
     val b = SparkEntry.queries("q_window_range2")(spark, sfDir)

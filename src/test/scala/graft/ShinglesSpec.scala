@@ -32,6 +32,37 @@ class ShinglesSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getString(0) == "a b c")
   }
 
+  test("df cap: a loose cap is the identity on the testdata") {
+    val docs = Tables(spark, sfDir, "documents").limit(200)
+    val plain = graft.operators.Dedup.shinglesOf(docs)
+    val capped = graft.operators.Dedup.shinglesOf(docs, dfCap = 1000)
+    assert(capped.exceptAll(plain).count() == 0
+      && plain.exceptAll(capped).count() == 0)
+  }
+
+  test("df cap bounds the candidate join on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // every doc shares the same license header (one hot shingle with
+    // df = n) plus a unique tail — the adversarial input where the
+    // uncapped candidate self-join is quadratic
+    val n = 60
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"standard license header text unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    def candidates(sh: org.apache.spark.sql.DataFrame): Long = {
+      val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingle").as("sh_b"))
+      a.join(b, col("shingle") === col("sh_b") && col("id_a") < col("id_b"))
+        .count()
+    }
+    val uncapped = candidates(graft.operators.Dedup.shinglesOf(docs))
+    val capped = candidates(graft.operators.Dedup.shinglesOf(docs, dfCap = 5))
+    // the shared header shingles each contribute n·(n−1)/2 pairs uncapped
+    assert(uncapped >= n.toLong * (n - 1) / 2, s"uncapped=$uncapped")
+    // with the cap, only the (distinct) unique tails remain → no pairs
+    assert(capped == 0, s"capped=$capped")
+  }
+
   test("rejects non-string input and n < 1 at analysis time") {
     Shingles.register(spark)
     import spark.implicits._

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("notification batch naming many keys converts them all (concurrent key loop)") {
+    val notify = tmpDir("notify_many_in")
+    val objects = tmpDir("objects_many")
+    val out = tmpDir("notify_many_out")
+    val ckpt = tmpDir("notify_many_ckpt")
+    val n = 8
+    for (i <- 0 until n)
+      Files.writeString(Paths.get(objects, s"obj$i.json"),
+        s"""{ "ID": "$i", "name": "N$i", "nationality": "US", "age": ${20 + i} }""")
+    val records = (0 until n)
+      .map(i => s"""{"s3":{"object":{"key":"obj$i.json","size":1}}}""")
+      .mkString("""{"Records":[""", ",", "]}")
+    Files.writeString(Paths.get(notify, "n1.json"), records)
+    val q = Streaming.notificationDrivenStream(spark, notify, objects, out, ckpt)
+    try {
+      q.processAllAvailable()
+      for (i <- 0 until n) {
+        val df = spark.read.parquet(s"$out/obj$i.json.parquet")
+        assert(df.count() == 1)
+        assert(df.select("name").collect()(0).getString(0) == s"N$i")
+      }
+    } finally q.stop()
+  }
+
   test("watermark drops late events from windowed aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
