@@ -16,15 +16,17 @@ object Analytics {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Exact interpolated p50/p90 of l_extendedprice per l_linestatus via
-    * DISTRIBUTED SORT + rank selection — O(1) memory per task, unlike
+  /** Exact interpolated percentiles of l_extendedprice per l_linestatus
+    * via DISTRIBUTED SORT + rank selection — O(1) memory per task, unlike
     * Spark's percentile() which buffers every value per group (unbounded
     * state, the failure mode SCALING.md flags). One sort/window pass
-    * serves both percentiles: keep only the ≤4 bracketing rows per group,
-    * then interpolate each percentile from conditional aggregates.
-    * Target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉. Shared by q_percentile_sort
-    * and q_agg_corr. */
-  private def pricePercentiles(li: DataFrame): DataFrame = {
+    * serves every requested percentile: keep only the bracketing rows
+    * per group, then interpolate each percentile from conditional
+    * aggregates. Target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉. Shared by
+    * q_percentile_sort, q_agg_corr, and q_agg_approx_pct. */
+  private def pricePercentiles(
+      li: DataFrame,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
     val vals = li.select(col("l_linestatus"), col("l_extendedprice"))
     val n = vals.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("l_linestatus"))
@@ -39,9 +41,11 @@ object Analytics {
     }
     vals.withColumn("idx", row_number().over(w) - 1)
       .join(broadcast(n), "l_linestatus")
-      .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
+      .filter(ps.map { case (_, p) => isLo(p) || isHi(p) }.reduce(_ || _))
       .groupBy(col("l_linestatus"))
-      .agg(interp(0.5).as("p50"), interp(0.9).as("p90"))
+      .agg(
+        interp(ps.head._2).as(ps.head._1),
+        ps.tail.map { case (name, p) => interp(p).as(name) }: _*)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -496,6 +500,32 @@ object Analytics {
       stats.join(broadcast(pricePercentiles(li)), "l_linestatus")
         .select(col("l_linestatus"), col("corr_qp"), col("cov_s"),
           col("cov_p"), col("p50"), col("p90"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bounded-sketch percentiles: approx_percentile ships a fixed-size
+    // quantile summary per group (the production percentile at 100 TB —
+    // SCALING.md's designated replacement for any value-buffering
+    // aggregate). Sketches are engine-specific, so the check is a
+    // verdict (the Approx pattern): the sketch value must land between
+    // the EXACT p±2% percentiles from the sort-based plan. accuracy=10⁴
+    // bounds rank error to n/10⁴ ≪ 2%·n, so a healthy sketch always
+    // passes and a broken one (wrong group routing, wrong percentile)
+    // fails.
+    QueryDef(
+      "q_agg_approx_pct",
+      """SELECT l_linestatus, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_linestatus")).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"))
+      val bounds = pricePercentiles(li, Seq(
+        "lo50" -> 0.48, "hi50" -> 0.52, "lo90" -> 0.88, "hi90" -> 0.92))
+      approx.join(broadcast(bounds), "l_linestatus")
+        .select(col("l_linestatus"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"))
     }
   )
 }

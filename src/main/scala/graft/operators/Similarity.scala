@@ -11,18 +11,23 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2B north star).
   *
-  * Two plans for the same problem:
+  * Three plans for the same problem:
   *   - q_knn_brute — exact top-k: broadcast the (small) query set against
   *     the full vector table, score with the codegen'd [[CosineSimilarity]]
   *     expression, keep top-k per query with a ranking window. At 100 TB
   *     the vector side streams through scan→score→partial-topk with no
   *     shuffle of the big side (only k·P ranked rows move).
-  *   - q_knn_lsh — the scale path: a 4-bit random-hyperplane (sign-LSH)
-  *     bucket computed per vector from plan-time constant ±1 hyperplanes
-  *     (md5-derived, so the DuckDB oracle bakes in the same literals);
-  *     neighbors are only scored within the query's bucket, turning the
-  *     cross join into a keyed equi-join — the candidate set shrinks
-  *     ~2^bits× while staying fully deterministic and oracle-checkable.
+  *   - q_knn_lsh — data-independent pruning: a 4-bit random-hyperplane
+  *     (sign-LSH) bucket computed per vector from plan-time constant ±1
+  *     hyperplanes (md5-derived, so the DuckDB oracle bakes in the same
+  *     literals); neighbors are only scored within the query's bucket,
+  *     turning the cross join into a keyed equi-join — the candidate set
+  *     shrinks ~2^bits× while staying fully deterministic.
+  *   - q_knn_ivf — data-dependent pruning (inverted-file index, the
+  *     Faiss-style coarse quantizer): every vector is assigned to its
+  *     nearest of K centroid cells; a query probes only its nProbe
+  *     nearest cells. Unlike LSH buckets, cells adapt to the data
+  *     distribution, so candidate counts stay balanced under clustering.
   */
 object Similarity {
 
@@ -31,6 +36,8 @@ object Similarity {
 
   private val Dim = 64
   private val Planes = 4
+  private val IvfK = 8      // coarse centroid cells
+  private val IvfProbes = 2 // cells probed per query
 
   /** Deterministic ±1 hyperplane signs: parity of the first md5 byte of
     * "h:j". Plan-time constants on both engines. */
@@ -145,6 +152,90 @@ object Similarity {
       n.join(broadcast(q),
           col("q_bucket") === col("bucket") &&
           col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          Num.r(col("cos"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // IVF (inverted-file) top-3: K deterministic centroids (the first K
+    // vectors — a stand-in for k-means output, which would be a separate
+    // offline job at scale), every vector assigned to its nearest cell,
+    // queries probing their 2 nearest cells. The 100 TB shape: the
+    // assignment is an N×K broadcast nested-loop whose big side never
+    // shuffles its payload — only (vec_id → cell) leaves the map-side-
+    // combinable argmax — and the candidate join is a keyed equi-join on
+    // the cell id. The oracle expresses the same IVF semantics (same
+    // centroids, same probe count), so the check is exact. Comparisons
+    // agree cross-engine because graft_cosine folds elements in the same
+    // left-to-right order as the oracle's list_sum.
+    QueryDef(
+      "q_knn_ivf",
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2
+        |      FROM e WHERE vec_id < $IvfK),
+        |score AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+        |      / sqrt(e.n2 * c.cn2) AS cs
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM score) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM score WHERE vec_id < 10) WHERE r <= $IvfProbes),
+        |s AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, $cosSql AS cc
+        |  FROM probe p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e n ON n.vec_id = a.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cc,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cc DESC, neighbor_id ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      // feeds assignment, the query side, and the candidate side
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).cache()
+      val cents = e.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cs", expr("graft_cosine(embedding, cemb)"))
+      // argmax via max_by on (score, -cid): deterministic tie-break,
+      // map-side combinable — N rows of (vec_id, cell) shuffle, never
+      // the embeddings
+      val assign = scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val probes = scored.filter(col("vec_id") < 10)
+        .withColumn("r", row_number().over(wProbe))
+        .filter(col("r") <= IvfProbes)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cid").as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      e.join(assign, "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftrightunsigned}
 
 /** Storage-layout utilities — the write-side half of scan performance.
   * At 100 TB the layout decides what a query READS: clustering gives
@@ -32,6 +32,51 @@ object Layout {
       df: DataFrame, path: String, partitionCol: String): Unit =
     df.repartition(col(partitionCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** Interleave the low `bits` bits of two non-negative long columns
+    * into a Z-value (Morton code): bit i of x lands at position 2i, bit
+    * i of y at 2i+1, so nearby (x, y) points get nearby Z-values. Pure
+    * bit arithmetic — stays inside whole-stage codegen. */
+  private[graft] def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    (0 until bits).map { i =>
+      val xi = shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+      val yi = shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xi.bitwiseOR(yi)
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order-cluster `df` on TWO columns: range-partition + sort by the
+    * Morton code, so each file covers a small RECTANGLE of the
+    * (colX, colY) space instead of a narrow span of one column — parquet
+    * min/max statistics then skip row groups for selective predicates on
+    * EITHER column, the property single-column clustering can't give.
+    *
+    * Each column is first rescaled to a fixed `bits`-wide integer over
+    * its own [min, max]: without this, a column whose natural range is
+    * narrower than the other's contributes only low-order interleave
+    * bits and never influences the file split (only the curve's high
+    * bits do) — the same per-column range normalization Delta/Iceberg
+    * Z-ordering applies. The min/max pre-pass is one map-combinable
+    * aggregate over the two columns (at 100 TB: read from table stats
+    * instead). The multi-dimensional analogue of [[writeClustered]],
+    * built from plain Spark primitives. */
+  def writeZOrdered(
+      df: DataFrame, path: String, colX: String, colY: String,
+      files: Int = 32, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val Array(xLo, xHi, yLo, yHi) = df
+      .agg(min(col(colX)), max(col(colX)), min(col(colY)), max(col(colY)))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    val top = (1L << bits) - 1
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      ((c - lit(lo)).cast("double") * lit(top) /
+        lit(math.max(hi - lo, 1L))).cast("long")
+    df.withColumn("__z", zValue(
+        scaled(col(colX), xLo, xHi), scaled(col(colY), yLo, yHi), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Bucketed + sorted managed table: joins and aggregations on
     * `bucketCol` between tables bucketed the same way need NO exchange —

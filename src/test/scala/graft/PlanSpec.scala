@@ -146,6 +146,63 @@ class PlanSpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("q_knn_ivf candidates come from a keyed cell join, not a cross join") {
+    val p = plan("q_knn_ivf")
+    // the ONLY nested-loop allowed is the N×K centroid-assignment
+    // broadcast; the candidate probe join must be a hash equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_knn_ivf cells partition the vectors (every vector in exactly one cell)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cs", expr("graft_cosine(embedding, cemb)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+    assert(assign.count() == e.count())
+    assert(assign.select(col("cell")).distinct().count() <= 8)
+    // a centroid's own nearest centroid is itself (cos = 1)
+    val self = assign.filter(col("vec_id") < 8)
+      .filter(col("vec_id") === col("cell")).count()
+    assert(self == 8, "each centroid must be assigned to its own cell")
+  }
+
+  test("z-ordered writes give file-level min/max narrowing on BOTH columns") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("graft_zorder")
+    val files = 16
+    graft.sources.Layout.writeZOrdered(
+      Tables(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice")),
+      out, "l_partkey", "l_suppkey", files = files)
+    val perFile = spark.read.parquet(out)
+      .select(col("l_partkey"), col("l_suppkey"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      .collect()
+    assert(perFile.length == files)
+    val pGlobal = perFile.map(_.getAs[Long]("phi")).max -
+      perFile.map(_.getAs[Long]("plo")).min
+    val sGlobal = perFile.map(_.getAs[Long]("shi")).max -
+      perFile.map(_.getAs[Long]("slo")).min
+    def avgSpan(lo: String, hi: String): Double =
+      perFile.map(r => (r.getAs[Long](hi) - r.getAs[Long](lo)).toDouble)
+        .sum / perFile.length
+    // single-column clustering makes ONE of these narrow and leaves the
+    // other at ~full range; the Z-curve keeps BOTH below ~60% of global
+    assert(avgSpan("plo", "phi") < 0.6 * pGlobal,
+      s"partkey spans not narrowed: ${avgSpan("plo", "phi")} vs $pGlobal")
+    assert(avgSpan("slo", "shi") < 0.6 * sGlobal,
+      s"suppkey spans not narrowed: ${avgSpan("slo", "shi")} vs $sGlobal")
+  }
+
   test("q_window_range2 (two running sums) equals q_window_range (sliding frame)") {
     val a = SparkEntry.queries("q_window_range")(spark, sfDir)
     val b = SparkEntry.queries("q_window_range2")(spark, sfDir)
