@@ -244,6 +244,55 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Repetition signals (the Gopher-style quality filters): most-common-
+    // token fraction, distinct-token ratio, and most-common-bigram
+    // fraction — the signals that catch degenerate/boilerplate documents
+    // a length filter misses. Two map-side-combinable aggregations per
+    // granularity (token, bigram), keyed on doc_id: shuffle rows ∝
+    // distinct terms, never the corpus.
+    QueryDef(
+      "q_text_repetition",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |         count(*) AS n_distinct, max(c) AS top_c
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS b
+        |       FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg, max(c) AS top_bc
+        |       FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n_tok, n_distinct,
+        |  ${Num.sql("top_c * 1.0 / n_tok", 6)} AS top_tok_frac,
+        |  ${Num.sql("n_distinct * 1.0 / n_tok", 6)} AS distinct_frac,
+        |  ${Num.sql("top_bc * 1.0 / n_bg", 6)} AS top_bigram_frac
+        |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .repartition(col("doc_id")) // parallelize the explode fan-out
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tc = d.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val ts = tc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      val bc = d.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ",
+            element_at(col("w"), i), element_at(col("w"), i + 1)))).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val bs = bc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bg"), max(col("c")).as("top_bc"))
+      ts.join(bs, "doc_id").select(
+        col("doc_id"), col("n_tok"), col("n_distinct"),
+        Num.r(col("top_c") * lit(1.0) / col("n_tok"), 6).as("top_tok_frac"),
+        Num.r(col("n_distinct") * lit(1.0) / col("n_tok"), 6).as("distinct_frac"),
+        Num.r(col("top_bc") * lit(1.0) / col("n_bg"), 6).as("top_bigram_frac"))
+    },
+
+    // ------------------------------------------------------------------
     // Document fingerprinting: whole-doc 60-bit fingerprint, a rolling
     // (polynomial) hash over token hashes, and a winnowing-style minimum
     // shingle hash — the primitives under near-dup detection and content-

@@ -350,6 +350,47 @@ object Dedup {
         .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), Num.r(col("cos"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // Benchmark decontamination — the cross-corpus overlap check every
+    // training-data pipeline runs before a model ships: what fraction of
+    // each corpus document's 3-gram shingles also appears in a held-out
+    // benchmark set (here: docs 0..19 stand in for an eval suite)?
+    // The 100 TB shape: the benchmark's distinct shingle hashes are
+    // SMALL by definition (eval suites are thousands of documents, not
+    // billions), so they broadcast; the corpus side streams through a
+    // broadcast hash join keyed on the 60-bit shingle hash and reduces
+    // to two counts per doc — no corpus-side self-join anywhere.
+    QueryDef(
+      "q_text_decontam",
+      s"""WITH $shinglesSql,
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |bench AS (SELECT DISTINCT sid FROM shh WHERE doc_id < 20),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM shh
+        |        WHERE doc_id >= 20 GROUP BY 1),
+        |hit AS (SELECT s.doc_id, count(*) AS n_hit
+        |        FROM shh s JOIN bench b ON s.sid = b.sid
+        |        WHERE s.doc_id >= 20 GROUP BY 1)
+        |SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+        |  ${Num.sql("coalesce(h.n_hit, 0) * 1.0 / t.n_sh", 6)} AS overlap_frac,
+        |  coalesce(h.n_hit, 0) * 1.0 / t.n_sh >= 0.5 AS contaminated
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid"))
+        .cache() // feeds the benchmark set, totals, and the hit join
+      val bench = sh.filter(col("doc_id") < 20).select(col("sid")).distinct()
+      val tot = sh.filter(col("doc_id") >= 20)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hit = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), "sid")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val frac = col("n_hit") * lit(1.0) / col("n_sh")
+      tot.join(hit, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          Num.r(frac, 6).as("overlap_frac"),
+          (frac >= 0.5).as("contaminated"))
     }
   )
 }

@@ -203,6 +203,27 @@ class PlanSpec extends SparkSpec {
       s"suppkey spans not narrowed: ${avgSpan("slo", "shi")} vs $sGlobal")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    // force a shuffle join (bloom filters don't apply to broadcasts —
+    // broadcast pruning already has DPP) and let any scan size qualify
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables(s2, sfDir, "lineitem")
+    val o = Tables(s2, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // the optimizer injects might_contain(bloom built from the selective
+    // side) under the big side's scan — rows with no join partner are
+    // dropped before the shuffle
+    val p = j.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"),
+      "runtime bloom filter was not injected:\n" + p)
+  }
+
   test("q_window_range2 (two running sums) equals q_window_range (sliding frame)") {
     val a = SparkEntry.queries("q_window_range")(spark, sfDir)
     val b = SparkEntry.queries("q_window_range2")(spark, sfDir)
