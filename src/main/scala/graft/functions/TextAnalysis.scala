@@ -293,6 +293,70 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Sequence packing: assign documents to fixed-capacity training bins
+    // (512 tokens) by their start offset in a per-language concatenated
+    // stream — the step that turns a curated corpus into training
+    // sequences. The running sum partitions by lang (the shard key), so
+    // the cumulative window parallelizes across shards instead of
+    // serializing on one global order; at 100 TB the shard key would be
+    // (lang, shard_id) with the same plan.
+    QueryDef(
+      "q_text_pack",
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |      AS start_off
+        |  FROM d)
+        |SELECT doc_id, lang, n_tok,
+        |  start_off // 512 AS bin,
+        |  start_off % 512 AS bin_off
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("start_off div 512").as("bin"),
+          (col("start_off") % 512).as("bin_off"))
+    },
+
+    // ------------------------------------------------------------------
+    // The curation funnel end-to-end: quality gate → exact dedup (keep
+    // the smallest doc_id per content hash) → language selection — the
+    // composition a real corpus build runs, as ONE declarative plan.
+    // Shapes: the quality gate is a pushed filter, dedup is one
+    // map-combinable aggregation on md5(text) + a semi join on the
+    // keeper ids; nothing here is more than a keyed shuffle.
+    QueryDef(
+      "q_curate_corpus",
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  len(string_split(d.text, ' ')) AS n_tok
+        |FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |WHERE d.lang IN ('en', 'de')
+        |  AND d.n_chars >= 50
+        |  AND len(string_split(d.text, ' ')) >= 10""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val keepers = docs
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs
+        .filter(col("lang").isin("en", "de") && col("n_chars") >= 50)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tok") >= 10)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tok"))
+    },
+
+    // ------------------------------------------------------------------
     // Document fingerprinting: whole-doc 60-bit fingerprint, a rolling
     // (polynomial) hash over token hashes, and a winnowing-style minimum
     // shingle hash — the primitives under near-dup detection and content-

@@ -508,18 +508,19 @@ object Analytics {
     // SCALING.md's designated replacement for any value-buffering
     // aggregate). Sketches are engine-specific, so the check is a
     // verdict (the Approx pattern): the sketch value must land between
-    // the EXACT p±2% percentiles from the sort-based plan. accuracy=10⁴
-    // bounds rank error to n/10⁴ ≪ 2%·n, so a healthy sketch always
-    // passes and a broken one (wrong group routing, wrong percentile)
-    // fails.
+    // the EXACT p±2% percentiles from the sort-based plan. accuracy=2000
+    // bounds rank error to n/2000 = 0.05%·n ≪ 2%·n, so a healthy sketch
+    // always passes and a broken one (wrong group routing, wrong
+    // percentile) fails; sketch cost scales with accuracy, and 2000 is
+    // a 40× margin already.
     QueryDef(
       "q_agg_approx_pct",
       """SELECT l_linestatus, true AS p50_ok, true AS p90_ok
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val approx = li.groupBy(col("l_linestatus")).agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("a90"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(2000)).as("a90"))
       val bounds = pricePercentiles(li, Seq(
         "lo50" -> 0.48, "hi50" -> 0.52, "lo90" -> 0.88, "hi90" -> 0.92))
       approx.join(broadcast(bounds), "l_linestatus")
