@@ -78,6 +78,21 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Compact a parquet directory's many small files into files of
+    * ~`targetBytes` each, preserving content. Small files are the silent
+    * scan killer at 100 TB — a 10k-file directory costs 10k opens,
+    * footer reads, and scheduler tasks for what 80 files could serve;
+    * streaming sinks and over-parallel writes produce exactly that.
+    * Sizing uses the actual on-disk bytes, so the output file count
+    * tracks data volume, not the input's partitioning accident.
+    * Writes to `dest` (parquet cannot overwrite a path it is reading). */
+  def compact(
+      df: DataFrame, srcBytes: Long, dest: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val files = math.max(1L, (srcBytes + targetBytes - 1) / targetBytes).toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(dest)
+  }
+
   /** Bucketed + sorted managed table: joins and aggregations on
     * `bucketCol` between tables bucketed the same way need NO exchange —
     * the steady-state layout for repeatedly-joined fact tables. */

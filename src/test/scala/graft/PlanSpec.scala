@@ -235,6 +235,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [") && p.contains("lang"), p)
   }
 
+  test("compaction collapses a small-files directory without changing content") {
+    import org.apache.spark.sql.functions._
+    val srcDir = tmpDir("graft_smallfiles")
+    val dstDir = tmpDir("graft_compacted")
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    orders.repartition(50).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(srcDir)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val src = parquetFiles(srcDir)
+    assert(src.length == 50)
+    val srcBytes = src.map(_.length).sum
+    // target sized to ask for ~4 output files
+    graft.sources.Layout.compact(
+      spark.read.parquet(srcDir), srcBytes, dstDir,
+      targetBytes = math.max(1L, srcBytes / 4))
+    val dst = parquetFiles(dstDir)
+    assert(dst.length <= 5, s"still ${dst.length} files")
+    val a = spark.read.parquet(srcDir)
+    val b = spark.read.parquet(dstDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("salted join spreads a hot key and matches the plain join") {
+    import org.apache.spark.sql.functions._
+    // one hot key dominates the fact side; the dim is too big to
+    // broadcast in this scenario, so a plain equi-join lands 95% of rows
+    // on one reducer. Salting: fact gets a random-ish salt from a
+    // high-cardinality column; the dim is replicated across all salts —
+    // each hot key now occupies SALT reducers. Same result set.
+    val SALT = 8
+    val fact = spark.range(100000).toDF("id")
+      .select(when(col("id") < 95000, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(100).toDF("k")
+      .select(col("k"), concat(lit("v"), col("k")).as("v"))
+    val plain = fact.join(dim.hint("merge"), "k")
+      .select(col("k"), col("payload"), col("v"))
+    val saltedFact = fact.withColumn("salt", pmod(col("payload"), lit(SALT)))
+    val saltedDim = dim.select(col("k"), col("v"),
+      explode(sequence(lit(0L), lit((SALT - 1).toLong))).as("salt"))
+    val salted = saltedFact.join(saltedDim.hint("merge"), Seq("k", "salt"))
+      .select(col("k"), col("payload"), col("v"))
+    assert(salted.exceptAll(plain).count() == 0
+      && plain.exceptAll(salted).count() == 0)
+    // the salted join's shuffle key includes the salt
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("salt"), p)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.functions._
     val li = Tables(spark, sfDir, "lineitem")
