@@ -503,6 +503,37 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Exact DECIMAL arithmetic — money semantics: doubles accumulate
+    // rounding error that varies with summation ORDER (why every double
+    // aggregate here rounds through Num), while DECIMAL sums are exact
+    // in any order — no rounding bridge needed. Fixed-point aggregation
+    // is also Tungsten's fast path (long-backed Decimal for precision
+    // ≤ 18). The final values present as DOUBLE only for the compare
+    // harness (decimal→double is correctly rounded in both engines, so
+    // the exact decimal result maps to the identical double; pandas-side
+    // DECIMAL handling differs between the two fetch paths).
+    QueryDef(
+      "q_agg_decimal",
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_exact,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |    AS disc_exact,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS min_exact
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(price).cast("double").as("sum_exact"),
+          sum(price * disc).cast("double").as("disc_exact"),
+          min(price).cast("double").as("min_exact"))
+    },
+
+    // ------------------------------------------------------------------
     // Bounded-sketch percentiles: approx_percentile ships a fixed-size
     // quantile summary per group (the production percentile at 100 TB —
     // SCALING.md's designated replacement for any value-buffering
