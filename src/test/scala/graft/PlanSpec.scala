@@ -286,6 +286,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("salt"), p)
   }
 
+  test("no query falls back to an unintended cross/nested-loop join") {
+    // the whole-suite guard: any future query (or Spark upgrade) that
+    // silently degenerates to an all-pairs plan fails here, not at 100 TB
+    val intentional = Set(
+      "q_knn_brute", // broadcast query set × vector table: exact baseline
+      "q_knn_ivf", // N×K centroid assignment (K = 8, broadcast)
+      "q_join_theta", // a theta join IS a nested loop by definition
+      "q_join_range", // non-equi interval join
+      "q_join_asof", // bounded range join + rank (asof2 is the O(n) path)
+      "q_dedup_embed", // all-pairs ground truth (embed_lsh is the scale path)
+      "q_text_tfidf", // crossJoin(broadcast(single-row corpus count))
+      "q_subquery_scalar") // scalar subquery = 1-row broadcast join
+    for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name planned an unintended non-equi join:\n$p")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.functions._
     val li = Tables(spark, sfDir, "lineitem")
