@@ -34,7 +34,8 @@ object Streaming {
       outDir: String,
       checkpointDir: String,
       schema: StructType = graft.operators.Convert.personSchema,
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10,
+      backfill: Boolean = false): StreamingQuery = {
     val in = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -47,7 +48,13 @@ object Streaming {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      // backfill = Trigger.AvailableNow: drain everything the source has
+      // (still rate-limited into maxFilesPerTrigger-sized batches, still
+      // checkpointed) then STOP — the reprocess-the-backlog mode. A
+      // 100 TB catch-up runs exactly this, then flips to the continuous
+      // trigger on the same checkpoint.
+      .trigger(if (backfill) Trigger.AvailableNow()
+               else Trigger.ProcessingTime("1 second"))
       .start()
   }
 

@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow backfill drains the backlog in rate-limited batches, then stops") {
+    val in = tmpDir("backfill_in")
+    val out = tmpDir("backfill_out")
+    val ckpt = tmpDir("backfill_ckpt")
+    // 7 files with maxFilesPerTrigger=2 → the backlog must take several
+    // micro-batches, all under one AvailableNow run
+    for (i <- 0 until 7)
+      Files.writeString(Paths.get(in, s"p$i.json"),
+        s"""{ "ID": "$i", "name": "P$i", "nationality": "US", "age": ${20 + i} }""")
+    val q = Streaming.jsonToParquetStream(spark, in, out, ckpt,
+      maxFilesPerTrigger = 2, backfill = true)
+    q.awaitTermination() // AvailableNow terminates by itself when drained
+    assert(spark.read.parquet(out).count() == 7)
+    // a later file is NOT picked up — the backfill run is done
+    Files.writeString(Paths.get(in, "late.json"),
+      """{ "ID": "9", "name": "L", "nationality": "US", "age": 40 }""")
+    assert(!q.isActive)
+    // restarting from the same checkpoint processes ONLY the new file
+    val q2 = Streaming.jsonToParquetStream(spark, in, out, ckpt,
+      maxFilesPerTrigger = 2, backfill = true)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 8)
+  }
+
   test("notification batch naming many keys converts them all (concurrent key loop)") {
     val notify = tmpDir("notify_many_in")
     val objects = tmpDir("objects_many")
