@@ -353,6 +353,99 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Near-dup CLUSTERS — the step after pairwise detection that real
+    // dedup needs: pairs only say "a resembles b"; keeping one copy per
+    // GROUP requires the connected components of the resemblance graph.
+    // Spark side: iterative min-label propagation over the (tiny,
+    // pair-derived) edge list — each round, every node takes the min
+    // label among itself and its neighbors; converged when no label
+    // changes. Rounds ∝ graph diameter (near-dup clusters are shallow);
+    // at 100 TB the same primitive runs as the large-star/small-star
+    // algorithm (Kiveris et al., "Connected components in MapReduce and
+    // beyond", SoCC 2014) — still a per-round keyed shuffle, never an
+    // all-pairs closure. The DuckDB oracle computes the same components
+    // by recursive-CTE transitive closure (fine at oracle scale, "don't
+    // ever do this at 100 TB" — which is the point of the Spark plan).
+    // component = min doc_id reachable, so output is deterministic.
+    QueryDef(
+      "q_dedup_components",
+      s"""WITH $shinglesSql,
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand p
+        |  JOIN cnt ca ON p.id_a = ca.doc_id
+        |  JOIN cnt cb ON p.id_b = cb.doc_id
+        |  WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |r AS (
+        |  WITH RECURSIVE reach(a, b) AS (
+        |    SELECT a, b FROM e
+        |    UNION
+        |    SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+        |  SELECT * FROM reach)
+        |SELECT a AS doc_id, min(b) AS component,
+        |  count(DISTINCT b) AS cluster_size
+        |FROM r GROUP BY a""".stripMargin) { (s, dir) =>
+      // (in the closure every edge-bearing node reaches ITSELF via any
+      // a→b→a path, so min(b) covers the self label and count(DISTINCT b)
+      // is exactly the component size)
+      // reuse the verified pair plan: shingle equi-join candidates +
+      // exact Jaccard filter (same derivation as q_dedup_ngram)
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = sh.select(col("doc_id").as("id_a"), col("sid"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b")),
+          col("sid") === col("sid_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      val pairs = cand
+        .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
+          col("id_a") === col("id_a2"))
+        .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
+          col("id_b") === col("id_b2"))
+        .filter(col("shared") * lit(1.0) /
+          (col("na") + col("nb") - col("shared")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+        .cache() // edge list drives every propagation round
+      val edges = pairs
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      var labels = pairs.select(col("id_a").as("node"))
+        .unionByName(pairs.select(col("id_b").as("node")))
+        .distinct()
+        .withColumn("label", col("node"))
+        .cache()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val next = labels
+          .join(edges, col("node") === col("id_a"), "left")
+          .join(labels.select(col("node").as("nb_node"),
+            col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
+          .groupBy(col("node"))
+          .agg(least(min(col("label")), coalesce(min(col("nb_label")),
+            min(col("label")))).as("label"))
+          .cache()
+        converged = next.join(labels.select(col("node").as("n2"),
+            col("label").as("old")), col("node") === col("n2"))
+          .filter(col("label") =!= col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      // cluster_size from the final labels; singletons never entered the
+      // pair graph, matching the oracle's edge-derived node set
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      labels.join(broadcast(sizes), "label")
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          col("sz").as("cluster_size"))
+    },
+
+    // ------------------------------------------------------------------
     // Benchmark decontamination — the cross-corpus overlap check every
     // training-data pipeline runs before a model ships: what fraction of
     // each corpus document's 3-gram shingles also appears in a held-out
