@@ -503,6 +503,36 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Unpivot (melt) + per-column profiling: stack() turns columns into
+    // rows — the missing inverse of pivot — and one aggregation over the
+    // melted relation yields the null/distinct profile of every column
+    // in a single pass. The profiling shape matters at 100 TB: one scan
+    // for the whole profile instead of one scan per column.
+    QueryDef(
+      "q_unpivot_profile",
+      """SELECT 'o_orderstatus' AS col_name,
+        |  count(*) - count(o_orderstatus) AS n_null,
+        |  count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*) - count(o_custkey),
+        |  count(DISTINCT CAST(o_custkey AS VARCHAR)) FROM orders""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(expr(
+          """stack(3,
+            |  'o_orderstatus', o_orderstatus,
+            |  'o_orderpriority', o_orderpriority,
+            |  'o_custkey', cast(o_custkey AS string))
+            |AS (col_name, val)""".stripMargin))
+        .groupBy(col("col_name"))
+        .agg(
+          (count(lit(1)) - count(col("val"))).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"))
+    },
+
+    // ------------------------------------------------------------------
     // Exact DECIMAL arithmetic — money semantics: doubles accumulate
     // rounding error that varies with summation ORDER (why every double
     // aggregate here rounds through Num), while DECIMAL sums are exact
