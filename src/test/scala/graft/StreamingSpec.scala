@@ -109,6 +109,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch keyed upsert: inserts, updates, and idempotent replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("upsert_table") + "/t" // path must not pre-exist
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = mem.toDF().toDF("id", "name", "age")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming.upsertBatch(b, table, "id")
+      }
+      .option("checkpointLocation", tmpDir("upsert_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "a", 20), (2L, "b", 30))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).count() == 2)
+      // update key 2, insert key 3
+      mem.addData((2L, "b2", 31), (3L, "c", 40))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(rows.size == 3)
+      assert(rows(2L) == ("b2", 31), s"key 2 not updated: $rows")
+      // replaying the same logical rows changes nothing (idempotence)
+      mem.addData((2L, "b2", 31), (3L, "c", 40))
+      q.processAllAvailable()
+      val again = spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+      assert(again == rows)
+    } finally q.stop()
+  }
+
   test("watermark drops late events from windowed aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
