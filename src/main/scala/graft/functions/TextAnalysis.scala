@@ -312,9 +312,11 @@ object TextAnalysis {
         |      AS start_off
         |  FROM d)
         |SELECT doc_id, lang, n_tok,
-        |  start_off // 512 AS bin,
-        |  start_off % 512 AS bin_off
+        |  CAST(start_off // 512 AS BIGINT) AS bin,
+        |  CAST(start_off % 512 AS BIGINT) AS bin_off
         |FROM c""".stripMargin) { (s, dir) =>
+      // (the windowed sum is HUGEINT in DuckDB → cast its derivatives,
+      // or the driver's pandas fetch turns them into float64)
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "documents")

@@ -63,9 +63,15 @@ object Layout {
       df: DataFrame, path: String, colX: String, colY: String,
       files: Int = 32, bits: Int = 16): Unit = {
     import org.apache.spark.sql.functions.{max, min}
-    val Array(xLo, xHi, yLo, yHi) = df
+    val bounds = df
       .agg(min(col(colX)), max(col(colX)), min(col(colY)), max(col(colY)))
-      .collect()(0).toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+      .collect()(0)
+    if (bounds.isNullAt(0)) { // empty input: min/max are NULL
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val Array(xLo, xHi, yLo, yHi) =
+      bounds.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
     val top = (1L << bits) - 1
     def scaled(c: Column, lo: Long, hi: Long): Column =
       ((c - lit(lo)).cast("double") * lit(top) /

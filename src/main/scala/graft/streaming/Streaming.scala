@@ -86,9 +86,12 @@ object Streaming {
     bodies.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // distinct: at-least-once event delivery can name the same key
+        // twice in one batch; converting it concurrently twice would
+        // race two write jobs on the same output path
         val keys = graft.operators.Convert
           .parseS3Events(batch, "value")
-          .select("key").collect().map(_.getString(0))
+          .select("key").distinct().collect().map(_.getString(0))
         // Attempt every key, then FAIL the batch if any failed: the
         // checkpoint must not advance past unconverted objects, or a
         // transient error becomes silent data loss. Failing the batch
@@ -156,9 +159,17 @@ object Streaming {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    if (dir.exists()) rm(dir)
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(tablePath))
+    // Swap order matters for the redelivery contract: the OLD table is
+    // moved ASIDE (not deleted) before the new one moves in, so a crash
+    // at any point leaves either the old or the new table in place —
+    // never a window where the table is gone and a replayed batch would
+    // silently rebuild from empty.
+    import java.nio.file.{Files, Paths}
+    val aside = tablePath + ".old"
+    rm(new java.io.File(aside))
+    if (dir.exists()) Files.move(Paths.get(tablePath), Paths.get(aside))
+    Files.move(Paths.get(tmp), Paths.get(tablePath))
+    rm(new java.io.File(aside))
   }
 
   private def ev(s: SparkSession, dir: String): DataFrame =
