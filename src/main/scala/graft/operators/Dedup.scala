@@ -78,6 +78,65 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(t(s, dir, "documents"))
 
+  /** Connected components of an undirected pair graph: (node, component,
+    * cluster_size) with component = min node id in the component — the
+    * pairs→clusters step keep-one-per-group dedup needs.
+    *
+    * Iterative min-label propagation with pointer jumping: each round,
+    * every node takes the min label over itself and its neighbors (one
+    * hop), then label := label's label (halves the remaining distance),
+    * so convergence is O(log diameter) rounds, not O(diameter); at
+    * 100 TB the same primitive is large-star/small-star (Kiveris et
+    * al., "Connected components in MapReduce and beyond", SoCC 2014) —
+    * always a per-round keyed shuffle, never an all-pairs closure.
+    *
+    * Two lessons this loop encodes (measured, see the bench history):
+    * lineage MUST be truncated each round with eager localCheckpoint
+    * (lazy self-referencing plans make Catalyst re-optimize an
+    * exponentially deepening tree — 13s of pure planning by round 2),
+    * and the iterative stage re-sizes partitioning to the EDGE LIST,
+    * which is orders smaller than the corpus (dup clusters are sparse).
+    * At cluster scale the loop would use a reliable checkpoint directory
+    * (localCheckpoint is executor-local, not fault-tolerant). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(8, col("id_a"))
+      .cache() // drives every propagation round
+    var labels = edges.select(col("id_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val hop = labels
+        .join(edges, col("node") === col("id_a"), "left")
+        .join(labels.select(col("node").as("nb_node"),
+          col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("old"),
+          least(min(col("label")), coalesce(min(col("nb_label")),
+            min(col("label")))).as("label"))
+      val next = hop
+        .join(hop.select(col("node").as("l_node"), col("label").as("l_label")),
+          col("label") === col("l_node"), "left")
+        .select(col("node"), col("old"),
+          least(col("label"), coalesce(col("l_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("old")).count() == 0
+      labels = next.drop("old")
+      rounds += 1
+    }
+    // singletons never enter the pair graph, so every node here has ≥1
+    // edge; sizes come from the final labels
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("node"), col("label").as("component"),
+        col("sz").as("cluster_size"))
+  }
+
   /** The same relation as DuckDB SQL (CTE body). */
   private val shinglesSql: String =
     """sh AS (
@@ -355,18 +414,13 @@ object Dedup {
     // ------------------------------------------------------------------
     // Near-dup CLUSTERS — the step after pairwise detection that real
     // dedup needs: pairs only say "a resembles b"; keeping one copy per
-    // GROUP requires the connected components of the resemblance graph.
-    // Spark side: iterative min-label propagation over the (tiny,
-    // pair-derived) edge list — each round, every node takes the min
-    // label among itself and its neighbors; converged when no label
-    // changes. Rounds ∝ graph diameter (near-dup clusters are shallow);
-    // at 100 TB the same primitive runs as the large-star/small-star
-    // algorithm (Kiveris et al., "Connected components in MapReduce and
-    // beyond", SoCC 2014) — still a per-round keyed shuffle, never an
-    // all-pairs closure. The DuckDB oracle computes the same components
-    // by recursive-CTE transitive closure (fine at oracle scale, "don't
-    // ever do this at 100 TB" — which is the point of the Spark plan).
-    // component = min doc_id reachable, so output is deterministic.
+    // GROUP requires the connected components of the resemblance graph —
+    // see [[connectedComponents]] (min-label propagation + pointer
+    // jumping; DedupSpec pins it on synthetic chain/triangle graphs).
+    // The DuckDB oracle computes the same components by recursive-CTE
+    // transitive closure (fine at oracle scale, "don't ever do this at
+    // 100 TB" — which is the point of the Spark plan). component = min
+    // doc_id reachable, so output is deterministic.
     QueryDef(
       "q_dedup_components",
       s"""WITH $shinglesSql,
@@ -413,58 +467,8 @@ object Dedup {
           (col("na") + col("nb") - col("shared")) >= 0.8)
         .select(col("id_a"), col("id_b"))
         .cache() // feeds both directions of the edge union
-      // The pair graph is orders of magnitude smaller than the corpus
-      // (dup clusters are sparse), so the iterative stage re-sizes its
-      // partitioning to the EDGE LIST, not the corpus — at 100 TB the
-      // same rule applies (pairs ~ billions where documents ~ trillions,
-      // and AQE would coalesce similarly); keeping the corpus's
-      // partition count here would make every round overhead-bound.
-      val edges = pairs
-        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .repartition(8, col("id_a"))
-        .cache() // drives every propagation round
-      // Iterative DataFrames MUST truncate lineage each round: a label
-      // relation that references the previous round's (lazy) plan makes
-      // Catalyst re-optimize an exponentially deepening self-referencing
-      // tree — measured 13s of pure planning by round 2. localCheckpoint
-      // (eager) materializes the round and restarts the plan from the
-      // stored blocks, keeping every round's plan flat. At 100 TB the
-      // same loop uses a reliable checkpoint directory instead
-      // (localCheckpoint is executor-local and not fault-tolerant).
-      var labels = edges.select(col("id_a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        // one round = neighbor-min (labels travel one hop) + pointer
-        // jump (label := label's label — halves remaining distance), so
-        // convergence is O(log diameter) rounds, not O(diameter).
-        val hop = labels
-          .join(edges, col("node") === col("id_a"), "left")
-          .join(labels.select(col("node").as("nb_node"),
-            col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
-          .groupBy(col("node"))
-          .agg(min(col("label")).as("old"),
-            least(min(col("label")), coalesce(min(col("nb_label")),
-              min(col("label")))).as("label"))
-        val next = hop
-          .join(hop.select(col("node").as("l_node"), col("label").as("l_label")),
-            col("label") === col("l_node"), "left")
-          .select(col("node"), col("old"),
-            least(col("label"), coalesce(col("l_label"), col("label")))
-              .as("label"))
-          .localCheckpoint()
-        converged = next.filter(col("label") =!= col("old")).count() == 0
-        labels = next.drop("old")
-        rounds += 1
-      }
-      // cluster_size from the final labels; singletons never entered the
-      // pair graph, matching the oracle's edge-derived node set
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
-      labels.join(broadcast(sizes), "label")
-        .select(col("node").as("doc_id"), col("label").as("component"),
-          col("sz").as("cluster_size"))
+      connectedComponents(pairs)
+        .withColumnRenamed("node", "doc_id")
     },
 
     // ------------------------------------------------------------------

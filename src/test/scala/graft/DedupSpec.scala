@@ -21,6 +21,23 @@ class DedupSpec extends SparkSpec {
     assert(li.filter(p).count() + li.filter(!p || p.isNull).count() == n)
   }
 
+  test("connected components: chain, triangle, and isolated pair") {
+    import spark.implicits._
+    // a 40-node chain exercises the pointer jumping (diameter 39 must
+    // converge well inside the 20-round cap), plus a triangle and a
+    // disjoint 2-node component
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val triangle = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ triangle ++ pair).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cc.size == 40 + 3 + 2)
+    for (i <- 0L until 40L) assert(cc(i) == (0L, 40L), s"chain node $i: ${cc(i)}")
+    for (i <- Seq(100L, 101L, 102L)) assert(cc(i) == (100L, 3L))
+    for (i <- Seq(200L, 201L)) assert(cc(i) == (200L, 2L))
+  }
+
   test("minhash agreement is high exactly on high-Jaccard pairs") {
     // every exact-Jaccard ≥0.8 pair must be found by MinHash-LSH at the
     // 10/16 agreement threshold (recall-1 parameterization), on sf0.001
