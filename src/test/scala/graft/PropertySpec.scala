@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized (fixed-seed) properties for the custom primitives — the
+  * cases hand-written examples miss: dense random inputs, ties, and
+  * boundary bit patterns. */
+class PropertySpec extends SparkSpec {
+
+  test("zValue interleave is invertible on random 21-bit points") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val pts = Seq.fill(5000)((rnd.nextLong(1L << 21), rnd.nextLong(1L << 21)))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.Layout.zValue(col("x"), col("y")).as("z"))
+      .collect()
+    def unX(z: Long) = (0 until 21).map(i => ((z >>> (2 * i)) & 1L) << i).sum
+    def unY(z: Long) = (0 until 21).map(i => ((z >>> (2 * i + 1)) & 1L) << i).sum
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(unX(z) == x && unY(z) == y, s"($x,$y) -> $z")
+    }
+  }
+
+  test("zValue orders nearby points nearby (locality smoke)") {
+    import spark.implicits._
+    // the z-curve's defining property in miniature: sorting a grid by
+    // zValue puts each quadrant's points in one contiguous run
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val sorted = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.Layout.zValue(col("x"), col("y")).as("z"))
+      .orderBy(col("z")).collect()
+    val firstQuarter = sorted.take(256).map(r => (r.getLong(0), r.getLong(1)))
+    assert(firstQuarter.forall { case (x, y) => x < 16 && y < 16 },
+      "first z-quarter of a 32x32 grid must be exactly the (0..15,0..15) quadrant")
+  }
+
+  test("graft_topk equals sort-take-k on random scores, ties included") {
+    import spark.implicits._
+    graft.functions.TopK.register(spark)
+    val rnd = new Random(7)
+    // coarse scores force ties so the id tie-break is exercised
+    val rows = Seq.fill(500)(
+      (rnd.nextInt(3).toLong, rnd.nextInt(20).toDouble, rnd.nextLong(1000)))
+    val df = rows.toDF("g", "score", "id").cache()
+    val got = df.groupBy(col("g"))
+      .agg(expr("graft_topk(score, id, 5)").as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val naive = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val top = rs.map(r => (r._2, r._3))
+        .sortBy { case (s, i) => (-s, i) }.take(5)
+      top.zipWithIndex.map { case ((s, i), pos) => (g, pos, s, i) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == naive, s"got=${got.toSeq}\nnaive=$naive")
+  }
+}
