@@ -24,15 +24,19 @@ object TextAnalysis {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  import org.apache.spark.sql.GraftBridge
+
   /** First 8 md5 hex chars as an unsigned 32-bit value in a long —
     * identical in DuckDB as CAST('0x'||substr(md5(e),1,8) AS BIGINT). */
   def h32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    GraftBridge.column(Md5Prefix(GraftBridge.expression(c), 32))
 
   /** First 15 md5 hex chars = 60 bits in a long (16 would overflow the
-    * sign bit). DuckDB: CAST('0x'||substr(md5(e),1,15) AS BIGINT). */
+    * sign bit). DuckDB: CAST('0x'||substr(md5(e),1,15) AS BIGINT).
+    * Computed by the native [[Md5Prefix]] expression (byte path, no hex
+    * round-trip); HashSpec pins equality with the declarative formula. */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    GraftBridge.column(Md5Prefix(GraftBridge.expression(c), 60))
 
   /** DuckDB fragment equivalent of [[h32]]. */
   def h32sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
