@@ -116,14 +116,14 @@ object Dedup {
           col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
         .groupBy(col("node"))
         .agg(min(col("label")).as("old"),
-          least(min(col("label")), coalesce(min(col("nb_label")),
-            min(col("label")))).as("label"))
+          // least() skips nulls, so nodes whose left joins matched
+          // nothing keep their own label
+          least(min(col("label")), min(col("nb_label"))).as("label"))
       val next = hop
         .join(hop.select(col("node").as("l_node"), col("label").as("l_label")),
           col("label") === col("l_node"), "left")
         .select(col("node"), col("old"),
-          least(col("label"), coalesce(col("l_label"), col("label")))
-            .as("label"))
+          least(col("label"), col("l_label")).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old")).count() == 0
       labels = next.drop("old")

@@ -14,12 +14,15 @@ class HashSpec extends SparkSpec {
   test("Md5Prefix equals the declarative md5-hex formula on real tokens") {
     val toks = Tables(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("t"))
-    val mism = toks.select(
+    // null-safe inequality: a native-null vs declarative-value divergence
+    // must surface as a mismatch, not vanish into three-valued logic
+    val bad = toks.select(
         h60(col("t")).as("native60"), declarative(col("t"), 15).as("decl60"),
         h32(col("t")).as("native32"), declarative(col("t"), 8).as("decl32"))
-      .filter(col("native60") =!= col("decl60")
-        || col("native32") =!= col("decl32"))
-    assert(mism.isEmpty, mism.take(3).mkString(","))
+      .filter(!(col("native60") <=> col("decl60"))
+        || !(col("native32") <=> col("decl32")))
+      .take(3)
+    assert(bad.isEmpty, bad.mkString(","))
   }
 
   test("Md5Prefix handles empty, unicode, and null input") {
@@ -41,6 +44,9 @@ class HashSpec extends SparkSpec {
       .select(h60(col("text")).as("h"))
     val codegen = df.queryExecution.explainString(
       org.apache.spark.sql.execution.CodegenMode)
-    assert(codegen.contains("WholeStageCodegen"))
+    // pin the GENERATED CALL, not just the presence of a codegen stage —
+    // a fallback-to-interpreted regression would still print a
+    // WholeStageCodegen subtree
+    assert(codegen.contains("graft.functions.Md5Prefix.hash"), codegen)
   }
 }
