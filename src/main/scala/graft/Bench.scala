@@ -38,7 +38,9 @@ object Bench {
     // min-of-3: single runs on this VM show multi-second host-steal/GC
     // spikes on random queries; three samples make the min robust to a
     // spike landing on any one of them.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted Seq (a Map would re-hash the order away) so the
+    // emitted per-query map diffs cleanly across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> Seq.fill(3)(timeOne(fn)).min
     }
     // values rounded to ms so the single JSON line stays short — the
@@ -46,7 +48,7 @@ object Bench {
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
