@@ -49,7 +49,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver tail-captures stdout; r2 and r3 both had the line's
+    // LEADING fields clipped by the capture window. Defense in depth:
+    // persist the line to a file next to the build, and print it twice
+    // so at least one full copy lands inside any window that covers the
+    // per-query map.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -206,8 +206,11 @@ object Analytics {
     // dirty values, exactly the data try_cast exists for). The cheap
     // regex guard below short-circuits obviously-invalid strings to NULL
     // so the exception path stays cold; rows passing the guard still go
-    // through try_cast (which handles overflow). Identical semantics,
-    // exception-free hot path.
+    // through try_cast (which handles overflow). The guard's framing
+    // class is [\x00-\x20] — the full control-char-and-space range
+    // Spark's string→number cast trims — so every string try_cast would
+    // accept passes the guard (ADVICE r3: a bare \s guard rejects
+    // NUL/- framing that the cast trims).
     QueryDef(
       "q_try_funcs",
       """SELECT l_orderkey, l_linenumber,
@@ -220,7 +223,8 @@ object Analytics {
         col("l_orderkey"), col("l_linenumber"),
         try_divide(col("l_extendedprice"),
           nullif(col("l_discount"), lit(0))).as("safe_div"),
-        when(regexp_like(col("l_returnflag"), lit("^\\s*[+-]?\\d+\\s*$")),
+        when(regexp_like(col("l_returnflag"),
+            lit("^[\\x00-\\x20]*[+-]?\\d+[\\x00-\\x20]*$")),
           expr("try_cast(l_returnflag AS INT)")).as("bad_cast"),
         expr("try_cast(cast(l_orderkey AS STRING) AS BIGINT)").as("good_cast"))
     },
@@ -388,7 +392,11 @@ object Analytics {
         "es" -> 0.2, "zh" -> 0.2)
       val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
       val base = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
-      val p = fractions.foldLeft(lit(null).cast("double")) {
+      // fold accumulator is 0.0, not NULL: sampleBy treats strata absent
+      // from the fractions map as fraction 0, so a new testdata language
+      // yields n_sampled = 0 and a clean frac_ok = true — not a NULL
+      // verdict that hash-mismatches the oracle confusingly (ADVICE r3)
+      val p = fractions.foldLeft(lit(0.0)) {
         case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
       }
       // left join from totals so a stratum sampled to zero still emits a

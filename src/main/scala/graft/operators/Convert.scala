@@ -80,6 +80,52 @@ object Convert {
       .parquet(out)
   }
 
+  /** Schema-INFERENCE mode — the second source mode SURVEY §1 promises:
+    * point the converter at JSON of UNKNOWN shape and let Spark derive
+    * the schema from the data, instead of the reference's hard-coded
+    * struct (`convertor/struct.go:4-9`), which silently drops every
+    * field it doesn't name. Inference costs one extra pass over the
+    * input up front — acceptable for a converter that reads the data
+    * anyway; at 100 TB you'd infer from a sample
+    * (`samplingRatio`/`spark.read.limit`) and pin the result as an
+    * explicit schema. Rows that parse but only as corrupt records are
+    * dropped per-row, same contract as the explicit-schema path.
+    * Returns the inferred schema so callers can pin it. */
+  def jsonToParquetInferred(
+      spark: SparkSession,
+      in: String,
+      out: String,
+      multiLine: Boolean = true): StructType = {
+    val df = spark.read
+      .option("multiLine", multiLine)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(in)
+    // inference only materializes _corrupt_record if some input didn't
+    // parse; drop those rows when the column exists
+    val clean =
+      if (df.columns.contains("_corrupt_record"))
+        df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      else df
+    clean.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .option("parquet.block.size", 16 * 1024 * 1024)
+      .option("parquet.enable.dictionary", true)
+      .parquet(out)
+    clean.schema
+  }
+
+  /** Schema-EVOLUTION read — the drift case a long-running converter
+    * service hits: the input schema gains a field, and the sink must
+    * keep reading old and new parquet together. `mergeSchema` unions
+    * the per-file schemas (absent fields read as NULL); the reference
+    * would silently drop the new field (`convertor/convertor.go:138`
+    * decodes into the fixed struct). Schema merging is a footer-only
+    * operation — at 100 TB, file contents are not re-read. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(path)
+
   /** Typed path: the same source as a `Dataset[Person]` — compile-time
     * field access where the schema is fixed, at zero runtime cost (the
     * encoder maps straight onto the columnar rows). */

@@ -91,50 +91,84 @@ object Dedup {
     * always a per-round keyed shuffle, never an all-pairs closure.
     *
     * Two lessons this loop encodes (measured, see the bench history):
-    * lineage MUST be truncated each round with eager localCheckpoint
+    * lineage MUST be truncated each round with an eager checkpoint
     * (lazy self-referencing plans make Catalyst re-optimize an
     * exponentially deepening tree — 13s of pure planning by round 2),
     * and the iterative stage re-sizes partitioning to the EDGE LIST,
     * which is orders smaller than the corpus (dup clusters are sparse).
-    * At cluster scale the loop would use a reliable checkpoint directory
-    * (localCheckpoint is executor-local, not fault-tolerant). */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    * The shuffle-partition count inside the loop is derived from the
+    * observed edge count (one partition per ~50k edges, capped at the
+    * session default) — the r3 bench showed the loop's cost is per-round
+    * FIXED JOB OVERHEAD, so a 47-node graph must not pay 32-task stages
+    * six rounds in a row.
+    *
+    * `checkpointDir`: when set, rounds checkpoint to that (reliable)
+    * directory — the cluster-reality mode, survives executor loss; when
+    * None, eager localCheckpoint (executor-local, fine on local[n] and
+    * in the bench). */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Materializes the caller's pair plan once; the count sizes the
+    // loop's parallelism to the working set (edges = 2·pairs).
+    val nEdges = 2L * pairs.count()
+    val defaultSP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(defaultSP.toLong, nEdges / 50000L + 1)).toInt
     val edges = pairs
       .select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .repartition(8, col("id_a"))
+      .repartition(parts, col("id_a"))
       .cache() // drives every propagation round
-    var labels = edges.select(col("id_a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val hop = labels
-        .join(edges, col("node") === col("id_a"), "left")
-        .join(labels.select(col("node").as("nb_node"),
-          col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("old"),
-          // least() skips nulls, so nodes whose left joins matched
-          // nothing keep their own label
-          least(min(col("label")), min(col("nb_label"))).as("label"))
-      val next = hop
-        .join(hop.select(col("node").as("l_node"), col("label").as("l_label")),
-          col("label") === col("l_node"), "left")
-        .select(col("node"), col("old"),
-          least(col("label"), col("l_label")).as("label"))
-        .localCheckpoint()
-      converged = next.filter(col("label") =!= col("old")).count() == 0
-      labels = next.drop("old")
-      rounds += 1
-    }
-    // singletons never enter the pair graph, so every node here has ≥1
-    // edge; sizes come from the final labels
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
-    labels.join(broadcast(sizes), "label")
-      .select(col("node"), col("label").as("component"),
-        col("sz").as("cluster_size"))
+    // Every shuffle inside the loop (the two joins + groupBy per round)
+    // should match the loop's working-set size too, not the session-wide
+    // default sized for the corpus; restore the session conf on exit.
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var labels = cp(edges.select(col("id_a").as("node")).distinct()
+        .withColumn("label", col("node")))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val hop = labels
+          .join(edges, col("node") === col("id_a"), "left")
+          .join(labels.select(col("node").as("nb_node"),
+            col("label").as("nb_label")), col("id_b") === col("nb_node"), "left")
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("old"),
+            // least() skips nulls, so nodes whose left joins matched
+            // nothing keep their own label
+            least(min(col("label")), min(col("nb_label"))).as("label"))
+        val next = cp(hop
+          .join(hop.select(col("node").as("l_node"), col("label").as("l_label")),
+            col("label") === col("l_node"), "left")
+          .select(col("node"), col("old"),
+            least(col("label"), col("l_label")).as("label")))
+        // the checkpoint above already materialized `next`; this runs on
+        // the checkpointed blocks (parts tasks, no recompute) and stops
+        // at the first changed row
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        labels = next.drop("old")
+        rounds += 1
+      }
+      // min-label + pointer jumping converges in O(log diameter); hitting
+      // the cap means the graph (or the loop) is broken — wrong labels
+      // must not be returned silently (ADVICE r3).
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $rounds rounds " +
+          s"($nEdges edges) — pointer jumping should need O(log d) rounds")
+      // singletons never enter the pair graph, so every node here has ≥1
+      // edge; sizes come from the final labels
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      val out = labels.join(broadcast(sizes), "label")
+        .select(col("node"), col("label").as("component"),
+          col("sz").as("cluster_size"))
+      // labels is checkpointed — the result no longer needs the edge cache
+      edges.unpersist()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultSP.toString)
   }
 
   /** The same relation as DuckDB SQL (CTE body). */
@@ -253,24 +287,33 @@ object Dedup {
           min(conv(substring(m, (seed % 4) * 8 + 1, 8), 16, 10).cast("long"))
         }: _*).as("sig")).cache()
       // LSH bands: (band index, band key) per doc; a shared band ⇒ candidate.
-      val banded = sig.select(col("doc_id"), col("sig"),
+      // The band join and the (id_a, id_b) dedup that follows it carry
+      // ONLY the two 8-byte ids — a pair sharing k bands reaches the
+      // dedup exchange k times, so every extra byte on these rows is
+      // multiplied by the collision factor (the r3 bench measured 2×
+      // when the two 16-long signatures rode along). Signatures are
+      // joined back AFTER the dedup, once per surviving pair.
+      val banded = sig.select(col("doc_id"),
         posexplode(array((0 until minhashBands).map(b => concat_ws("_",
           element_at(col("sig"), 2 * b + 1),
           element_at(col("sig"), 2 * b + 2))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      val left = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      val left = banded.select(col("doc_id").as("id_a"),
         col("band"), col("band_key"))
-      val right = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      val right = banded.select(col("doc_id").as("id_b"),
         col("band").as("band_b"), col("band_key").as("band_key_b"))
+      val cand = left.join(right,
+          col("band") === col("band_b") && col("band_key") === col("band_key_b")
+            && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
       val agree = aggregate(
         zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x)
-      left.join(right,
-          col("band") === col("band_b") && col("band_key") === col("band_key_b")
-            && col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-        .dropDuplicates("id_a", "id_b")
+      cand
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .select(col("id_a"), col("id_b"), agree.as("agree"))
         .filter(col("agree") >= agreeThreshold)
     },
@@ -467,8 +510,14 @@ object Dedup {
           (col("na") + col("nb") - col("shared")) >= 0.8)
         .select(col("id_a"), col("id_b"))
         .cache() // feeds both directions of the edge union
-      connectedComponents(pairs)
-        .withColumnRenamed("node", "doc_id")
+      val cc = connectedComponents(pairs)
+      // labels are checkpointed inside connectedComponents, so the
+      // result no longer depends on these intermediates (ADVICE r3:
+      // leaking them accumulates cached self-join inputs across a
+      // full-suite run)
+      pairs.unpersist()
+      sh.unpersist()
+      cc.withColumnRenamed("node", "doc_id")
     },
 
     // ------------------------------------------------------------------

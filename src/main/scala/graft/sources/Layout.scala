@@ -70,12 +70,23 @@ object Layout {
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
-    val Array(xLo, xHi, yLo, yHi) =
-      bounds.toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    // Bounds and scaling run in DOUBLE space (ADVICE r3): longValue on a
+    // double column silently truncates — a sub-1.0 value range collapses
+    // every row to one Z-cell. Date/timestamp columns are out of scope
+    // here by contract: cast them to an epoch number before clustering.
+    val Array(xLo, xHi, yLo, yHi) = bounds.toSeq.map {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        "writeZOrdered requires NUMERIC cluster columns (cast date/" +
+          s"timestamp to an epoch number first); got ${other.getClass.getName}")
+    }.toArray
     val top = (1L << bits) - 1
-    def scaled(c: Column, lo: Long, hi: Long): Column =
-      ((c - lit(lo)).cast("double") * lit(top) /
-        lit(math.max(hi - lo, 1L))).cast("long")
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L) // degenerate single-value range
+      else org.apache.spark.sql.functions.least(
+        ((c.cast("double") - lit(lo)) * lit(top.toDouble) / lit(hi - lo))
+          .cast("long"),
+        lit(top)) // clamp the hi endpoint against float round-up
     df.withColumn("__z", zValue(
         scaled(col(colX), xLo, xHi), scaled(col(colY), yLo, yHi), bits))
       .repartitionByRange(files, col("__z"))

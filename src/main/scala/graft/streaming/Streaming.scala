@@ -142,6 +142,19 @@ object Streaming {
   def upsertBatch(batch: DataFrame, tablePath: String, key: String): Unit = {
     val s = batch.sparkSession
     val dir = new java.io.File(tablePath)
+    // Crash recovery FIRST (ADVICE r3): a crash between the two moves in
+    // the swap below leaves the table ABSENT with the only surviving copy
+    // at `.old`. Restore it before merging — otherwise this replayed
+    // batch would read an empty table and silently rebuild from the batch
+    // alone, exactly the data-loss mode the swap ordering exists to
+    // prevent. (A `.old` alongside a PRESENT table is a leftover from a
+    // crash after the second move — stale, dropped inside the swap.)
+    locally {
+      import java.nio.file.{Files, Paths}
+      val aside = new java.io.File(tablePath + ".old")
+      if (!dir.exists() && aside.exists())
+        Files.move(Paths.get(aside.getPath), Paths.get(tablePath))
+    }
     val existing =
       if (dir.exists()) s.read.parquet(tablePath)
       else s.createDataFrame(
@@ -160,14 +173,17 @@ object Streaming {
       f.delete()
     }
     // Swap order matters for the redelivery contract: the OLD table is
-    // moved ASIDE (not deleted) before the new one moves in, so a crash
-    // at any point leaves either the old or the new table in place —
-    // never a window where the table is gone and a replayed batch would
-    // silently rebuild from empty.
+    // moved ASIDE (not deleted) before the new one moves in, so at every
+    // instant a full copy of the pre- or post-merge table exists on disk;
+    // the entry-point recovery above closes the one window (between the
+    // two moves) where that copy lives at `.old` rather than the table
+    // path. The stale `.old` is only removed while the table is PRESENT.
     import java.nio.file.{Files, Paths}
     val aside = tablePath + ".old"
-    rm(new java.io.File(aside))
-    if (dir.exists()) Files.move(Paths.get(tablePath), Paths.get(aside))
+    if (dir.exists()) {
+      rm(new java.io.File(aside))
+      Files.move(Paths.get(tablePath), Paths.get(aside))
+    }
     Files.move(Paths.get(tmp), Paths.get(tablePath))
     rm(new java.io.File(aside))
   }

@@ -108,6 +108,75 @@ class ConvertSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("schema-inference mode converts unknown JSON without a StructType") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val in = tmpDir("convert_infer")
+    val out = tmpDir("convert_infer_out") + "/p.parquet"
+    // a shape the fixed personSchema does NOT know (extra field, no age)
+    writePerson(in, "p1.json",
+      """{ "ID": "1", "name": "Ada", "nationality": "UK", "age": 36,
+        |  "email": "ada@example.org" }""".stripMargin)
+    writePerson(in, "p2.json",
+      """{ "ID": "2", "name": "Grace", "nationality": "US", "age": 85,
+        |  "email": "grace@example.org" }""".stripMargin)
+    val inferred = Convert.jsonToParquetInferred(spark, in, out)
+    // inference found every field the data carries — including the one
+    // the reference's hard-coded struct would silently drop
+    assert(inferred.fieldNames.toSet ==
+      Set("ID", "name", "nationality", "age", "email"))
+    assert(inferred("age").dataType == LongType) // JSON integer infers long
+    assert(inferred("email").dataType == StringType)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.where("email = 'ada@example.org' AND age = 36").count() == 1)
+  }
+
+  test("schema-inference mode still drops corrupt records per-row") {
+    val in = tmpDir("convert_infer2")
+    val out = tmpDir("convert_infer2_out") + "/p.parquet"
+    writePerson(in, "good.json", """{ "ID": "1", "name": "X" }""")
+    writePerson(in, "bad.json", """{ "ID": oops not json""")
+    Convert.jsonToParquetInferred(spark, in, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1)
+    assert(!back.columns.contains("_corrupt_record"))
+  }
+
+  test("mergeSchema reads evolved parquet: old files gain NULL new columns") {
+    import org.apache.spark.sql.types.ByteType
+    val table = tmpDir("convert_evolve") + "/person"
+    val inV1 = tmpDir("convert_evolve_v1")
+    val inV2 = tmpDir("convert_evolve_v2")
+    // v1 of the service wrote the 4-column reference schema…
+    writePerson(inV1, "p.json",
+      """{ "ID": "1", "name": "Ada", "nationality": "UK", "age": 36 }""")
+    Convert.jsonToParquet(spark, inV1, s"$table/d=1")
+    // …then the input drifted: `age` disappears and a new `email` field
+    // appears (the case the reference's fixed struct silently drops,
+    // convertor/convertor.go:138); inference picks the new shape up.
+    // (mergeSchema unions NEW columns; a same-name TYPE conflict is a
+    // hard error by design — evolution means adding fields, not
+    // repurposing them.)
+    writePerson(inV2, "p.json",
+      """{ "ID": "2", "name": "Grace", "nationality": "US",
+        |  "email": "grace@example.org" }""".stripMargin)
+    Convert.jsonToParquetInferred(spark, inV2, s"$table/d=2")
+    val merged = Convert.readEvolved(spark, table)
+    // union of the per-file schemas: all 5 data columns + partition col
+    assert(merged.columns.toSet ==
+      Set("ID", "name", "nationality", "age", "email", "d"))
+    val byId = merged.collect()
+      .map(r => r.getAs[String]("ID") ->
+        (Option(r.getAs[String]("email")), Option(r.get(merged.columns.indexOf("age"))))).toMap
+    assert(byId("1")._1.isEmpty && byId("1")._2.contains(36.toByte))
+    assert(byId("2")._1.contains("grace@example.org") && byId("2")._2.isEmpty)
+    // and the downstream converter projection still runs on the merged
+    // view — absent fields are NULL, not schema errors
+    val projected = Convert.toParquet(merged)
+    assert(projected.schema("age").dataType == ByteType)
+    assert(projected.count() == 2)
+  }
+
   test("S3 event notifications parse to one row per record, key unescaped") {
     import spark.implicits._
     // two records in one event — the reference's Records[0] bug would

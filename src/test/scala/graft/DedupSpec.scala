@@ -38,6 +38,23 @@ class DedupSpec extends SparkSpec {
     for (i <- Seq(200L, 201L)) assert(cc(i) == (200L, 2L))
   }
 
+  test("connected components: reliable checkpoint dir path (cluster mode)") {
+    import spark.implicits._
+    // same graph semantics through df.checkpoint() against a real
+    // checkpoint directory — the fault-tolerant mode a cluster run uses
+    // instead of executor-local localCheckpoint
+    val ckpt = tmpDir("cc_ckpt")
+    val pairs = (Seq((0L, 1L), (1L, 2L), (2L, 3L)) ++ Seq((10L, 11L)))
+      .toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup
+      .connectedComponents(pairs, checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0L to 3L) assert(cc(i) == (0L, 4L), s"node $i: ${cc(i)}")
+    for (i <- Seq(10L, 11L)) assert(cc(i) == (10L, 2L))
+    // the reliable checkpoint actually wrote to the directory
+    assert(new java.io.File(ckpt).listFiles().nonEmpty)
+  }
+
   test("minhash agreement is high exactly on high-Jaccard pairs") {
     // every exact-Jaccard ≥0.8 pair must be found by MinHash-LSH at the
     // 10/16 agreement threshold (recall-1 parameterization), on sf0.001

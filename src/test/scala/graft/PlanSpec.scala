@@ -224,8 +224,18 @@ class PlanSpec extends SparkSpec {
       "runtime bloom filter was not injected:\n" + p)
   }
 
-  test("q_window_range2 (two running sums) equals q_window_range (sliding frame)") {
-    val a = SparkEntry.queries("q_window_range")(spark, sfDir)
+  test("q_window_range2 (two running sums) equals a sliding RANGE frame, full table") {
+    // the benched q_window_range pins RANGE semantics on a one-event-type
+    // slice (the sliding frame is O(n·frame)); the FULL-TABLE equivalence
+    // against the O(n) two-running-sums plan is pinned here instead
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-604800L, 0L)
+    val a = Tables(spark, sfDir, "events").select(
+      col("event_id"), col("event_type"),
+      Num.r(sum(col("value")).over(w), 2).as("trailing_7d"))
     val b = SparkEntry.queries("q_window_range2")(spark, sfDir)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }

@@ -141,6 +141,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert recovers a table stranded at .old by a mid-swap crash") {
+    import spark.implicits._
+    import java.nio.file.{Files => NF, Paths => NP}
+    val table = tmpDir("upsert_crash") + "/t"
+    // batch 1 creates the table
+    Streaming.upsertBatch(
+      Seq((1L, "a", 20), (2L, "b", 30)).toDF("id", "name", "age"), table, "id")
+    // simulate the crash window between the swap's two moves: the table
+    // directory has been moved aside, the new table never moved in
+    NF.move(NP.get(table), NP.get(table + ".old"))
+    assert(!NF.exists(NP.get(table)) && NF.exists(NP.get(table + ".old")))
+    // the replayed batch must merge against the RECOVERED table, not
+    // rebuild from the batch alone (the ADVICE r3 data-loss mode)
+    Streaming.upsertBatch(
+      Seq((3L, "c", 40)).toDF("id", "name", "age"), table, "id")
+    val rows = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows == Map(1L -> ("a", 20), 2L -> ("b", 30), 3L -> ("c", 40)),
+      s"pre-crash keys lost: $rows")
+    assert(!NF.exists(NP.get(table + ".old")), "stale .old not cleaned up")
+  }
+
   test("watermark drops late events from windowed aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
