@@ -63,6 +63,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rule does NOT fire when the input's size stats exceed the threshold") {
+    withExtSession { ext =>
+      // documents at this sf reports well over 1 KiB of stats bytes, so
+      // under a 1 KiB threshold the input no longer counts as "small
+      // enough that the shuffle is free" — the rule must stand down
+      // (the fires-below-threshold direction is the test above)
+      ext.conf.set("graft.rebalanceGenerate.threshold", "1024")
+      val df = ext.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Repartition"),
+        df.queryExecution.optimizedPlan.toString)
+      ext.conf.unset("graft.rebalanceGenerate.threshold")
+    }
+  }
+
+  test("rule does not stack a second shuffle on an already-repartitioned input") {
+    withExtSession { ext =>
+      val df = ext.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(4)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      val n = "Repartition".r.findAllIn(opt).length
+      assert(n == 1, s"expected exactly the user's repartition, got $n:\n$opt")
+    }
+  }
+
   test("rule is disabled by threshold 0") {
     withExtSession { ext =>
       ext.conf.set("graft.rebalanceGenerate.threshold", "0")
