@@ -181,6 +181,26 @@ object Convert {
       s.read.schema(docSchema).json(tmp)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
+    },
+
+    // Same round-trip through the INFERENCE mode: JSON sink →
+    // jsonToParquetInferred (no StructType anywhere) → parquet →
+    // projection. Inference must recover the numeric/string kinds the
+    // explicit-schema path declares, or the oracle's schema/hash compare
+    // fails — the end-to-end check that the second source mode SURVEY §1
+    // promises actually produces driver-grade output.
+    QueryDef(
+      "q_convert_inferred",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin) { (s, dir) =>
+      val tmpJ = s"/tmp/graft_infer_json_${dir.hashCode.toHexString}"
+      val tmpP = s"/tmp/graft_infer_parquet_${dir.hashCode.toHexString}"
+      graft.Tables(s, dir, "documents")
+        .write.mode(SaveMode.Overwrite).json(tmpJ)
+      // the JSON sink writes json-lines, not whole-file objects
+      jsonToParquetInferred(s, tmpJ, tmpP, multiLine = false)
+      s.read.parquet(tmpP)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
     }
   )
 }
