@@ -38,6 +38,47 @@ class PropertySpec extends SparkSpec {
       "first z-quarter of a 32x32 grid must be exactly the (0..15,0..15) quadrant")
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    // arbitrary topologies (many small components, a few giants, dense
+    // overlap) — the failure modes the hand-written chain/triangle
+    // graphs can't surface. Oracle: classic driver-side union-find.
+    val rnd = new Random(11)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40 // node universe grows per trial
+      val edges = Seq.fill(n)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val comps = nodes.groupBy(find) // min-root ⇒ component = min node id
+      val expected = nodes.map(v =>
+        v -> (find(v), comps(find(v)).size.toLong)).toMap
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expected,
+        s"trial $trial: diff=${(got.toSet diff expected.toSet).take(5)}")
+    }
+  }
+
+  test("connectedComponents restores the session shuffle-partition conf") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.operators.Dedup
+      .connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b")).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("graft_topk equals sort-take-k on random scores, ties included") {
     import spark.implicits._
     graft.functions.TopK.register(spark)
