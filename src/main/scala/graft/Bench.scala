@@ -6,7 +6,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // local-iteration overrides (the driver sets neither): bench a subset
     // of queries, or measure a different window-buffer threshold
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on typos: a misspelled name would silently bench an
+    // empty set and "confirm" a fix against a 0-query run
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+    }
     val winBuf = sys.env.getOrElse("SPARK_GRAFT_WINBUF", "4096")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,15 +75,20 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver tail-captures stdout; r2 and r3 both had the line's
     // LEADING fields clipped by the capture window. Defense in depth:
-    // persist the line to a file next to the build, and print it twice
-    // so at least one full copy lands inside any window that covers the
-    // per-query map.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // print the line twice so a full copy lands inside any window that
+    // covers the per-query map, and ALSO persist it to a file — but
+    // stdout first and the file write guarded, so a write failure (full
+    // disk, unwritable cwd) can never destroy the primary channel after
+    // minutes of completed queries.
     println(line)
     println(line)
     System.out.flush()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -71,14 +71,19 @@ object Convert {
       .json(in)
       .filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
-    toParquet(df)
-      .write
+    writeRefParquet(toParquet(df), out)
+  }
+
+  /** The reference writer's exact knobs (`convertor/convertor.go:180-182`)
+    * in ONE place, shared by both source modes — the sink contract must
+    * not drift between the explicit-schema and inference paths. */
+  private def writeRefParquet(df: DataFrame, out: String): Unit =
+    df.write
       .mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .option("parquet.block.size", 16 * 1024 * 1024)
       .option("parquet.enable.dictionary", true)
       .parquet(out)
-  }
 
   /** Schema-INFERENCE mode — the second source mode SURVEY §1 promises:
     * point the converter at JSON of UNKNOWN shape and let Spark derive
@@ -107,12 +112,7 @@ object Convert {
       if (df.columns.contains("_corrupt_record"))
         df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       else df
-    clean.write
-      .mode(SaveMode.Overwrite)
-      .option("compression", "snappy")
-      .option("parquet.block.size", 16 * 1024 * 1024)
-      .option("parquet.enable.dictionary", true)
-      .parquet(out)
+    writeRefParquet(clean, out)
     clean.schema
   }
 

@@ -96,11 +96,15 @@ object Dedup {
     * exponentially deepening tree — 13s of pure planning by round 2),
     * and the iterative stage re-sizes partitioning to the EDGE LIST,
     * which is orders smaller than the corpus (dup clusters are sparse).
-    * The shuffle-partition count inside the loop is derived from the
-    * observed edge count (one partition per ~50k edges, capped at the
-    * session default) — the r3 bench showed the loop's cost is per-round
-    * FIXED JOB OVERHEAD, so a 47-node graph must not pay 32-task stages
-    * six rounds in a row.
+    * The edge list's partition count is derived from the observed edge
+    * count (one partition per ~50k edges, capped at the session
+    * default) — the r3 bench showed the loop's cost is per-round FIXED
+    * JOB OVERHEAD, so a 47-node graph must not pay 32-task stages six
+    * rounds in a row. The loop's interior shuffles are left to AQE
+    * coalescing rather than a session-global shuffle-partition
+    * override: mutating the session conf would silently resize every
+    * CONCURRENT query's shuffles (measured cost of leaving it alone:
+    * ~0.3s on the sf0.1 bench — cheap insurance).
     *
     * `checkpointDir`: when set, rounds checkpoint to that (reliable)
     * directory — the cluster-reality mode, survives executor loss; when
@@ -122,10 +126,6 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(parts, col("id_a"))
       .cache() // drives every propagation round
-    // Every shuffle inside the loop (the two joins + groupBy per round)
-    // should match the loop's working-set size too, not the session-wide
-    // default sized for the corpus; restore the session conf on exit.
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       var labels = cp(edges.select(col("id_a").as("node")).distinct()
         .withColumn("label", col("node")))
@@ -162,13 +162,13 @@ object Dedup {
       // singletons never enter the pair graph, so every node here has ≥1
       // edge; sizes come from the final labels
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
-      val out = labels.join(broadcast(sizes), "label")
+      labels.join(broadcast(sizes), "label")
         .select(col("node"), col("label").as("component"),
           col("sz").as("cluster_size"))
-      // labels is checkpointed — the result no longer needs the edge cache
-      edges.unpersist()
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultSP.toString)
+      // labels is checkpointed, so the result never re-reads the edge
+      // cache; unpersisting in finally also covers the non-convergence
+      // throw (a leaked cache would otherwise outlive the failure)
+    } finally edges.unpersist()
   }
 
   /** The same relation as DuckDB SQL (CTE body). */

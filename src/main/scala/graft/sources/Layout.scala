@@ -66,7 +66,10 @@ object Layout {
     val bounds = df
       .agg(min(col(colX)), max(col(colX)), min(col(colY)), max(col(colY)))
       .collect()(0)
-    if (bounds.isNullAt(0)) { // empty input: min/max are NULL
+    // empty input OR an entirely-NULL cluster column: no usable range on
+    // some axis, so there is nothing to cluster by — write unclustered
+    // rather than NPE in the bounds conversion below
+    if ((0 to 3).exists(bounds.isNullAt)) {
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
