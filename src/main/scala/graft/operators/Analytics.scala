@@ -19,17 +19,52 @@ object Analytics {
   /** Exact interpolated percentiles of l_extendedprice per l_linestatus
     * via DISTRIBUTED SORT + rank selection — O(1) memory per task, unlike
     * Spark's percentile() which buffers every value per group (unbounded
-    * state, the failure mode SCALING.md flags). One sort/window pass
-    * serves every requested percentile: keep only the bracketing rows
-    * per group, then interpolate each percentile from conditional
-    * aggregates. Target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉. Shared by
-    * q_percentile_sort, q_agg_corr, and q_agg_approx_pct. */
+    * state, the failure mode SCALING.md flags).
+    *
+    * The rank itself is computed the 100 TB way: a bare
+    * `row_number() OVER (PARTITION BY group ORDER BY value)` sorts each
+    * GROUP in one task — with a 2-value group key that is a parallelism
+    * ceiling of 2 forever, no matter the cluster. Instead each row gets
+    * a CHUNK id by pure arithmetic (its value's position in the group's
+    * broadcast [min, max] span), the heavy sort runs per (group, chunk)
+    * — groups × chunks-way parallel — and per-(group, chunk) row counts
+    * (a tiny relation) turn the chunk-local row_number into the global
+    * per-group rank via prefix offsets. Arithmetic bucketing instead of
+    * `repartitionByRange` is deliberate: the range partitioner runs a
+    * sampling job per evaluation (nondeterministic chunk ids across the
+    * two plan branches without a cache barrier); the bucket formula is
+    * deterministic, costs one map-combinable min/max pre-aggregate, and
+    * keeps chunk order = value order, ties in one chunk. A pathological
+    * value distribution can skew buckets (sampled ranges would not) —
+    * at 100 TB that is the usual salting/AQE-skew territory.
+    *
+    * One pass serves every requested percentile: keep only the
+    * bracketing rows per group, then interpolate each percentile from
+    * conditional aggregates. Target rank t = (n−1)·p; rows ⌊t⌋, ⌈t⌉.
+    * Shared by q_percentile_sort, q_agg_corr, and q_agg_approx_pct. */
   private def pricePercentiles(
       li: DataFrame,
       ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
     val vals = li.select(col("l_linestatus"), col("l_extendedprice"))
-    val n = vals.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("l_linestatus"))
+    val parts = vals.sparkSession.sessionState.conf.numShufflePartitions
+    // one map-combinable pass: group sizes + value bounds, broadcast
+    val n = vals.groupBy(col("l_linestatus")).agg(
+      count(lit(1)).as("n"),
+      min(col("l_extendedprice")).as("vmin"),
+      max(col("l_extendedprice")).as("vmax"))
+    val chunkOf = when(col("vmax") > col("vmin"),
+      least(floor((col("l_extendedprice") - col("vmin")) * parts /
+        (col("vmax") - col("vmin"))), lit(parts - 1L)))
+      .otherwise(lit(0L))
+    val bucketed = vals.join(broadcast(n), "l_linestatus")
+      .withColumn("chunk", chunkOf)
+    val wOff = Window.partitionBy(col("l_linestatus")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col("l_linestatus"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_n"))
+      .withColumn("offset", sum(col("chunk_n")).over(wOff) - col("chunk_n"))
+      .select(col("l_linestatus"), col("chunk"), col("offset"))
+    val wLocal = Window.partitionBy(col("l_linestatus"), col("chunk"))
       .orderBy(col("l_extendedprice"))
     def target(p: Double) = (col("n") - 1) * lit(p)
     def isLo(p: Double) = col("idx") === floor(target(p))
@@ -39,8 +74,10 @@ object Analytics {
       val hi = max(when(isHi(p), col("l_extendedprice")))
       Num.r(lo + (hi - lo) * first(target(p) - floor(target(p))), 4)
     }
-    vals.withColumn("idx", row_number().over(w) - 1)
-      .join(broadcast(n), "l_linestatus")
+    bucketed
+      .withColumn("lidx", row_number().over(wLocal) - 1)
+      .join(broadcast(offsets), Seq("l_linestatus", "chunk"))
+      .withColumn("idx", col("lidx") + col("offset"))
       .filter(ps.map { case (_, p) => isLo(p) || isHi(p) }.reduce(_ || _))
       .groupBy(col("l_linestatus"))
       .agg(
