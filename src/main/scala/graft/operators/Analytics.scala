@@ -190,6 +190,74 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // The distribution functions WITHOUT the per-group single-task
+    // ceiling — q_window_ntile's scale twin (the range2-to-range
+    // pattern). ntile/percent_rank/cume_dist are pure functions of
+    // (global 0-based rank, group size) once the ORDER BY is a total
+    // order (o_orderkey tie-break), and the global rank comes from the
+    // same chunked machinery as [[pricePercentiles]]: arithmetic
+    // chunking on broadcast per-group value bounds, a per-(group,
+    // chunk) row_number, and tiny prefix offsets — parallelism =
+    // groups × chunks instead of one task per group (orders has FIVE
+    // o_orderpriority values: the native window plan caps at 5 tasks
+    // forever). PlanSpec pins result equivalence with q_window_ntile.
+    QueryDef(
+      "q_window_ntile2",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val parts = s.sessionState.conf.numShufflePartitions
+      val n = o.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("vmin"),
+        max(col("o_totalprice")).as("vmax"))
+      val chunkOf = when(col("vmax") > col("vmin"),
+        least(floor((col("o_totalprice") - col("vmin")) * parts /
+          (col("vmax") - col("vmin"))), lit(parts - 1L)))
+        .otherwise(lit(0L))
+      val b = o.join(broadcast(n), "o_orderpriority")
+        .withColumn("chunk", chunkOf)
+      val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = b.groupBy(col("o_orderpriority"), col("chunk"))
+        .agg(count(lit(1)).as("cn"))
+        .withColumn("offset", sum(col("cn")).over(wOff) - col("cn"))
+        .select(col("o_orderpriority"), col("chunk"), col("offset"))
+      // ties on o_totalprice share a chunk (chunking ignores the
+      // tie-break), so ordering by (price, orderkey) within the chunk
+      // preserves the global total order
+      val wLocal = Window.partitionBy(col("o_orderpriority"), col("chunk"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      b.withColumn("lidx", row_number().over(wLocal) - 1)
+        .join(broadcast(offsets), Seq("o_orderpriority", "chunk"))
+        .withColumn("idx", col("lidx") + col("offset"))
+        // ANSI/Spark/DuckDB ntile: the first n % k buckets take
+        // ceil(n/k) rows; DIV keeps the arithmetic in exact integers
+        // (double division + floor can mis-round at 2^50-scale ranks).
+        // The ELSE's DIV by a zero bs is unreachable: bs = 0 means
+        // n < 4, and then every idx < rem = n takes the THEN branch.
+        .withColumn("quartile", expr(
+          """CAST(CASE WHEN idx < (n % 4) * (n DIV 4 + 1)
+            |          THEN idx DIV (n DIV 4 + 1)
+            |          ELSE n % 4 + (idx - (n % 4) * (n DIV 4 + 1)) DIV (n DIV 4)
+            |     END + 1 AS INT)""".stripMargin))
+        // total order ⇒ rank = idx+1 and #peers-at-or-below = idx+1,
+        // so both distributions are the same long-over-long divisions
+        // the native functions perform — bitwise-equal doubles
+        .withColumn("pr", when(col("n") === 1, lit(0.0))
+          .otherwise(col("idx").cast("double") / (col("n") - 1)))
+        .withColumn("cd", (col("idx") + 1).cast("double") / col("n"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("quartile"), col("pr"), col("cd"))
+    },
+
+    // ------------------------------------------------------------------
     // Argmax/argmin aggregates: the value of one column at another's
     // extremum. Keyed on the UNIQUE o_orderkey so ties cannot make the
     // result engine-dependent.

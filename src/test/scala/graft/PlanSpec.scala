@@ -240,6 +240,12 @@ class PlanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("q_window_ntile2 (chunked ranks) equals q_window_ntile (native window)") {
+    val a = SparkEntry.queries("q_window_ntile")(spark, sfDir)
+    val b = SparkEntry.queries("q_window_ntile2")(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("q_agg_approx keeps exact and sketch aggregation Expand-free") {
     // mixing countDistinct with the imperative sketch aggregates in one
     // groupBy re-plans as Expand (2x rows) through ObjectHashAggregate —
