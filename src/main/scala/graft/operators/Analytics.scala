@@ -16,27 +16,75 @@ object Analytics {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Global 0-based rank of every row within its `groupCol` group under
+    * `(valueCol, tieCols…) ASC NULLS FIRST` — Spark's default window
+    * order — WITHOUT the per-group single-task sort a bare
+    * `row_number() OVER (PARTITION BY group ORDER BY …)` costs (a
+    * low-cardinality group key caps that plan at #groups tasks forever,
+    * no matter the cluster).
+    *
+    * Each row gets a CHUNK by pure arithmetic — its value's position in
+    * the group's broadcast [min, max] span (NULL values take chunk −1:
+    * ranked first, like the native window) — the heavy sort runs per
+    * (group, chunk) in parallel, and tiny per-(group, chunk) counts
+    * turn the chunk-local row_number into the global rank via prefix
+    * offsets. Arithmetic bucketing instead of `repartitionByRange` is
+    * deliberate: the range partitioner runs a sampling job per
+    * evaluation (nondeterministic chunk ids across plan branches
+    * without a cache barrier); the bucket formula is deterministic,
+    * costs one map-combinable min/max pre-aggregate, and keeps chunk
+    * order = value order with ties in one chunk. A pathological value
+    * distribution can skew chunks — at 100 TB that is the usual
+    * salting/AQE-skew territory. Group-key joins are null-safe, so a
+    * NULL group ranks like any other (window semantics).
+    *
+    * Returns the input columns plus `idx` (global 0-based rank; ties
+    * beyond the given tie-break are chunk-locally arbitrary, same as
+    * the native window) and `n` (group size). */
+  private[graft] def chunkedRank(
+      df: DataFrame, groupCol: String, valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      min(col(valueCol)).as("__vmin"), // min/max ignore NULLs
+      max(col(valueCol)).as("__vmax"))
+      .withColumnRenamed(groupCol, "__g")
+    val chunkOf = when(col(valueCol).isNull, lit(-1L))
+      .otherwise(when(col("__vmax") > col("__vmin"),
+        least(floor((col(valueCol) - col("__vmin")) * parts /
+          (col("__vmax") - col("__vmin"))), lit(parts - 1L)))
+        .otherwise(lit(0L)))
+    val bucketed = df
+      .join(broadcast(bounds), col(groupCol) <=> col("__g"))
+      .withColumn("__chunk", chunkOf)
+      .drop("__g", "__vmin", "__vmax")
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bucketed.groupBy(col(groupCol), col("__chunk"))
+      .agg(count(lit(1)).as("__cn"))
+      .withColumn("__offset", sum(col("__cn")).over(wOff) - col("__cn"))
+      .select(col(groupCol).as("__og"), col("__chunk").as("__ochunk"),
+        col("__offset"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col(valueCol).asc_nulls_first +:
+        tieCols.map(col(_).asc_nulls_first): _*)
+    bucketed
+      .withColumn("__lidx", row_number().over(wLocal) - 1)
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__og") && col("__chunk") === col("__ochunk"))
+      .withColumn("idx", col("__lidx") + col("__offset"))
+      .drop("__og", "__ochunk", "__chunk", "__lidx", "__offset", "__cn")
+  }
+
   /** Exact interpolated percentiles of l_extendedprice per l_linestatus
     * via DISTRIBUTED SORT + rank selection — O(1) memory per task, unlike
     * Spark's percentile() which buffers every value per group (unbounded
     * state, the failure mode SCALING.md flags).
     *
-    * The rank itself is computed the 100 TB way: a bare
-    * `row_number() OVER (PARTITION BY group ORDER BY value)` sorts each
-    * GROUP in one task — with a 2-value group key that is a parallelism
-    * ceiling of 2 forever, no matter the cluster. Instead each row gets
-    * a CHUNK id by pure arithmetic (its value's position in the group's
-    * broadcast [min, max] span), the heavy sort runs per (group, chunk)
-    * — groups × chunks-way parallel — and per-(group, chunk) row counts
-    * (a tiny relation) turn the chunk-local row_number into the global
-    * per-group rank via prefix offsets. Arithmetic bucketing instead of
-    * `repartitionByRange` is deliberate: the range partitioner runs a
-    * sampling job per evaluation (nondeterministic chunk ids across the
-    * two plan branches without a cache barrier); the bucket formula is
-    * deterministic, costs one map-combinable min/max pre-aggregate, and
-    * keeps chunk order = value order, ties in one chunk. A pathological
-    * value distribution can skew buckets (sampled ranges would not) —
-    * at 100 TB that is the usual salting/AQE-skew territory.
+    * The rank comes from [[chunkedRank]] — groups × chunks-way
+    * parallel, never one task per group (the window-only plan's
+    * ceiling with a 2-value group key).
     *
     * One pass serves every requested percentile: keep only the
     * bracketing rows per group, then interpolate each percentile from
@@ -46,26 +94,6 @@ object Analytics {
       li: DataFrame,
       ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
     val vals = li.select(col("l_linestatus"), col("l_extendedprice"))
-    val parts = vals.sparkSession.sessionState.conf.numShufflePartitions
-    // one map-combinable pass: group sizes + value bounds, broadcast
-    val n = vals.groupBy(col("l_linestatus")).agg(
-      count(lit(1)).as("n"),
-      min(col("l_extendedprice")).as("vmin"),
-      max(col("l_extendedprice")).as("vmax"))
-    val chunkOf = when(col("vmax") > col("vmin"),
-      least(floor((col("l_extendedprice") - col("vmin")) * parts /
-        (col("vmax") - col("vmin"))), lit(parts - 1L)))
-      .otherwise(lit(0L))
-    val bucketed = vals.join(broadcast(n), "l_linestatus")
-      .withColumn("chunk", chunkOf)
-    val wOff = Window.partitionBy(col("l_linestatus")).orderBy(col("chunk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = bucketed.groupBy(col("l_linestatus"), col("chunk"))
-      .agg(count(lit(1)).as("chunk_n"))
-      .withColumn("offset", sum(col("chunk_n")).over(wOff) - col("chunk_n"))
-      .select(col("l_linestatus"), col("chunk"), col("offset"))
-    val wLocal = Window.partitionBy(col("l_linestatus"), col("chunk"))
-      .orderBy(col("l_extendedprice"))
     def target(p: Double) = (col("n") - 1) * lit(p)
     def isLo(p: Double) = col("idx") === floor(target(p))
     def isHi(p: Double) = col("idx") === ceil(target(p))
@@ -74,10 +102,7 @@ object Analytics {
       val hi = max(when(isHi(p), col("l_extendedprice")))
       Num.r(lo + (hi - lo) * first(target(p) - floor(target(p))), 4)
     }
-    bucketed
-      .withColumn("lidx", row_number().over(wLocal) - 1)
-      .join(broadcast(offsets), Seq("l_linestatus", "chunk"))
-      .withColumn("idx", col("lidx") + col("offset"))
+    chunkedRank(vals, "l_linestatus", "l_extendedprice")
       .filter(ps.map { case (_, p) => isLo(p) || isHi(p) }.reduce(_ || _))
       .groupBy(col("l_linestatus"))
       .agg(
@@ -194,13 +219,11 @@ object Analytics {
     // ceiling — q_window_ntile's scale twin (the range2-to-range
     // pattern). ntile/percent_rank/cume_dist are pure functions of
     // (global 0-based rank, group size) once the ORDER BY is a total
-    // order (o_orderkey tie-break), and the global rank comes from the
-    // same chunked machinery as [[pricePercentiles]]: arithmetic
-    // chunking on broadcast per-group value bounds, a per-(group,
-    // chunk) row_number, and tiny prefix offsets — parallelism =
-    // groups × chunks instead of one task per group (orders has FIVE
-    // o_orderpriority values: the native window plan caps at 5 tasks
-    // forever). PlanSpec pins result equivalence with q_window_ntile.
+    // order (o_orderkey tie-break), and the global rank comes from
+    // [[chunkedRank]] — parallelism = groups × chunks instead of one
+    // task per group (orders has FIVE o_orderpriority values: the
+    // native window plan caps at 5 tasks forever). PlanSpec pins
+    // result equivalence with q_window_ntile.
     QueryDef(
       "q_window_ntile2",
       """SELECT o_orderkey, o_orderpriority,
@@ -212,31 +235,7 @@ object Analytics {
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      val parts = s.sessionState.conf.numShufflePartitions
-      val n = o.groupBy(col("o_orderpriority")).agg(
-        count(lit(1)).as("n"),
-        min(col("o_totalprice")).as("vmin"),
-        max(col("o_totalprice")).as("vmax"))
-      val chunkOf = when(col("vmax") > col("vmin"),
-        least(floor((col("o_totalprice") - col("vmin")) * parts /
-          (col("vmax") - col("vmin"))), lit(parts - 1L)))
-        .otherwise(lit(0L))
-      val b = o.join(broadcast(n), "o_orderpriority")
-        .withColumn("chunk", chunkOf)
-      val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("chunk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offsets = b.groupBy(col("o_orderpriority"), col("chunk"))
-        .agg(count(lit(1)).as("cn"))
-        .withColumn("offset", sum(col("cn")).over(wOff) - col("cn"))
-        .select(col("o_orderpriority"), col("chunk"), col("offset"))
-      // ties on o_totalprice share a chunk (chunking ignores the
-      // tie-break), so ordering by (price, orderkey) within the chunk
-      // preserves the global total order
-      val wLocal = Window.partitionBy(col("o_orderpriority"), col("chunk"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      b.withColumn("lidx", row_number().over(wLocal) - 1)
-        .join(broadcast(offsets), Seq("o_orderpriority", "chunk"))
-        .withColumn("idx", col("lidx") + col("offset"))
+      chunkedRank(o, "o_orderpriority", "o_totalprice", Seq("o_orderkey"))
         // ANSI/Spark/DuckDB ntile: the first n % k buckets take
         // ceil(n/k) rows; DIV keeps the arithmetic in exact integers
         // (double division + floor can mis-round at 2^50-scale ranks).

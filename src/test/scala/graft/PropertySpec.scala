@@ -79,6 +79,37 @@ class PropertySpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
+  test("chunkedRank equals the native window rank, NULL groups and values included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new Random(23)
+    // random groups INCLUDING NULL, random values INCLUDING NULL, unique
+    // tie-break id — the latent cases a non-null benchmark table never
+    // exercises: NULL group keys must survive the null-safe joins and
+    // NULL values must rank first, exactly like the native window
+    val rows = (0L until 500L).map { id =>
+      val g = rnd.nextInt(4) match {
+        case 0 => null
+        case k => s"g$k"
+      }
+      val v = if (rnd.nextInt(10) == 0) null
+              else java.lang.Double.valueOf(rnd.nextInt(50).toDouble)
+      (g, v, id)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val got = graft.operators.Analytics.chunkedRank(df, "g", "v", Seq("id"))
+      .select(col("g"), col("v"), col("id"), col("idx"), col("n"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("v").asc_nulls_first, col("id").asc_nulls_first)
+    val native = df
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("g"))))
+    assert(got.exceptAll(native).count() == 0 &&
+      native.exceptAll(got).count() == 0,
+      got.exceptAll(native).collect().take(5).mkString("\n"))
+  }
+
   test("graft_topk equals sort-take-k on random scores, ties included") {
     import spark.implicits._
     graft.functions.TopK.register(spark)
