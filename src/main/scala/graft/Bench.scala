@@ -42,9 +42,7 @@ object Bench {
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
     // noop sink forces FULL materialization of every output column —
     // a bare count() would let Catalyst prune the computed projections
-    // and under-report the real work. Two passes, min per query: single
-    // runs on this VM show multi-second host-steal/GC spikes on random
-    // queries, and the steady-state time is the honest number.
+    // and under-report the real work.
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       // each invocation caches fresh self-join intermediates; clear so
@@ -55,16 +53,23 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    // min-of-3: single runs on this VM show multi-second host-steal/GC
-    // spikes on random queries; three samples make the min robust to a
-    // spike landing on any one of them.
+    // min-of-3, with the three samples INTERLEAVED across the suite:
+    // pass 1 runs every query once, then pass 2, then pass 3, and the
+    // reported number is the min per query across passes. The r4 driver
+    // artifact showed why back-to-back sampling is not noise-proof: a
+    // sustained (~minute-long) host-steal window covers all three
+    // consecutive samples of the same query and inflates its min by
+    // 10-30×. With the passes spread over the whole suite (~30s each),
+    // a contiguous noise window can poison at most ONE sample of any
+    // given query, and the min discards it.
     // name-sorted Seq (a Map would re-hash the order away) so the
     // emitted per-query map diffs cleanly across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        name -> Seq.fill(3)(timeOne(fn)).min
-      }
+    val passes = Seq.fill(3)(qlist.map { case (name, fn) => name -> timeOne(fn) })
+    val results = qlist.map { case (name, _) =>
+      name -> passes.map(_.find(_._1 == name).get._2).min
+    }
     // values rounded to ms so the single JSON line stays short — the
     // driver tail-captures stdout and must see the whole map
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -73,22 +78,28 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver tail-captures stdout; r2 and r3 both had the line's
-    // LEADING fields clipped by the capture window. Defense in depth:
-    // print the line twice so a full copy lands inside any window that
-    // covers the per-query map, and ALSO persist it to a file — but
-    // stdout first and the file write guarded, so a write failure (full
-    // disk, unwritable cwd) can never destroy the primary channel after
-    // minutes of completed queries.
+    // The driver tail-captures stdout; r2/r3/r4 all had the full line's
+    // LEADING fields clipped by the capture window (parsed: null three
+    // rounds running). Defense in depth, in order:
+    //   1. the full line (with the per-query map) twice, so a complete
+    //      copy lands inside any window that covers the map at all;
+    //   2. the full line persisted to BENCH_LOCAL.json — guarded, so a
+    //      write failure (full disk, unwritable cwd) can never destroy
+    //      the stdout channel after minutes of completed queries;
+    //   3. a SHORT total-only JSON line as the very LAST stdout output:
+    //      whatever the capture window's size, it always starts at the
+    //      tail, so a <120-byte final line is unclippable — the driver
+    //      can always parse at least the headline total.
     println(line)
     println(line)
-    System.out.flush()
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
     }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }
