@@ -180,6 +180,52 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** The document-frequency cap the capped twin runs (Spark AND oracle —
+    * the constant must be identical on both sides for the hash check to
+    * mean anything). 3 is deliberately low for the curated testdata so
+    * the cap provably PRUNES (615 shingles at sf0.01): a production cap
+    * would be ~1e4, but a cap that never fires verifies nothing. */
+  private val ngramDfCap = 3
+
+  /** Shared exact-Jaccard pair pipeline over hashed shingles (doc_id,
+    * sid): candidates share ≥1 shingle (any pair with J ≥ 0.8 must),
+    * exact J computed from shared/total counts. Used by the uncapped and
+    * df-capped n-gram queries — same plan, different shingle relation. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sid"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b"))
+    val pairs = a.join(b,
+        col("sid") === col("sid_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared") * lit(1.0) /
+      (col("na") + col("nb") - col("shared"))
+    pairs
+      .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
+        col("id_a") === col("id_a2"))
+      .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
+        col("id_b") === col("id_b2"))
+      .filter(jac >= 0.8)
+      .select(col("id_a"), col("id_b"), Num.r(jac, 6).as("jaccard"))
+  }
+
+  /** The same pair pipeline as DuckDB SQL, over shingle relation `rel`
+    * (must expose doc_id, shingle). */
+  private def jaccardPairsSql(rel: String): String =
+    s"""shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM $rel),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  ${Num.sql("p.shared * 1.0 / (ca.n + cb.n - p.shared)", 6)} AS jaccard
+      |FROM pairs p
+      |JOIN cnt ca ON p.id_a = ca.doc_id
+      |JOIN cnt cb ON p.id_b = cb.doc_id
+      |WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8""".stripMargin
+
   private val minhashSeeds = 0 until 16 // 8 bands × 2 rows
   private val minhashBands = 8
   private val agreeThreshold = 10 // > 16 - 8 ⇒ banded recall is exactly 1
@@ -212,40 +258,37 @@ object Dedup {
     QueryDef(
       "q_dedup_ngram",
       s"""WITH $shinglesSql,
-        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  ${Num.sql("p.shared * 1.0 / (ca.n + cb.n - p.shared)", 6)} AS jaccard
-        |FROM pairs p
-        |JOIN cnt ca ON p.id_a = ca.doc_id
-        |JOIN cnt cb ON p.id_b = cb.doc_id
-        |WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8""".stripMargin) { (s, dir) =>
+        |${jaccardPairsSql("sh")}""".stripMargin) { (s, dir) =>
       // The hashed shingle relation feeds three plan branches (doc counts
       // + both self-join sides); cache it so the explode+md5 work runs
       // once. ~16 B/row — at 100 TB this would be a checkpoint to a
       // bucketed table instead.
-      val sh = shingles(s, dir).select(col("doc_id"), h60(col("shingle")).as("sid"))
-        .cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sid"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b"))
-      val pairs = a.join(b,
-          col("sid") === col("sid_b") && col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared"))
-      val jac = col("shared") * lit(1.0) /
-        (col("na") + col("nb") - col("shared"))
-      pairs
-        .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
-          col("id_a") === col("id_a2"))
-        .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
-          col("id_b") === col("id_b2"))
-        .filter(jac >= 0.8)
-        .select(col("id_a"), col("id_b"), Num.r(jac, 6).as("jaccard"))
+      jaccardPairs(shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache())
+    },
+
+    // ------------------------------------------------------------------
+    // The df-CAPPED n-gram twin — the plan you'd actually run at 100 TB.
+    // Identical to q_dedup_ngram except shingles appearing in more than
+    // `ngramDfCap` documents are dropped first (boilerplate carries ~no
+    // near-dup signal but inflates the candidate self-join by df² pairs
+    // per hot shingle). The cap changes the per-doc shingle counts, so
+    // the emitted Jaccard VALUES differ from the uncapped query — this
+    // is a real hash check of the capped semantics, not a rerun. The
+    // oracle expresses the same cap with the same constant; on the
+    // curated testdata the surviving pair SET is cap-invariant (measured:
+    // 615 pruned shingles at sf0.01, same 25 pairs), which is itself the
+    // design claim — hot shingles are pure join-blowup, zero recall.
+    QueryDef(
+      "q_dedup_ngram_capped",
+      s"""WITH $shinglesSql,
+        |shc AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  WHERE shingle NOT IN (
+        |    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > $ngramDfCap)),
+        |${jaccardPairsSql("shc")}""".stripMargin) { (s, dir) =>
+      jaccardPairs(shinglesOf(t(s, dir, "documents"), dfCap = ngramDfCap)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache())
     },
 
     // ------------------------------------------------------------------
