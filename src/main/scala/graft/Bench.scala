@@ -43,15 +43,24 @@ object Bench {
     // noop sink forces FULL materialization of every output column —
     // a bare count() would let Catalyst prune the computed projections
     // and under-report the real work.
-    def timeOne(fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Double = {
+    // A crashed query (OOM, analysis error) must not masquerade as a
+    // fast sample: time-to-failure would win the min and the bench
+    // would report success. Each sample carries an ok flag; failures
+    // are reported per query in the emitted JSON.
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       // each invocation caches fresh self-join intermediates; clear so
       // dead blocks from prior runs can't pollute the timing
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // min-of-3, with the three samples INTERLEAVED across the suite:
     // pass 1 runs every query once, then pass 2, then pass 3, and the
@@ -66,9 +75,20 @@ object Bench {
     // emitted per-query map diffs cleanly across rounds
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val passes = Seq.fill(3)(qlist.map { case (name, fn) => name -> timeOne(fn) })
+    val passes = Seq.fill(3)(qlist.map { case (name, fn) => name -> timeOne(name, fn) })
+    // min over SUCCESSFUL samples only; a query with zero successes
+    // keeps its (meaningless) fastest failure time but lands on the
+    // failed list, so the artifact can never read as a clean run.
     val results = qlist.map { case (name, _) =>
-      name -> passes.map(_.find(_._1 == name).get._2).min
+      val samples = passes.map(_.find(_._1 == name).get._2)
+      val okTimes = samples.collect { case (t, true) => t }
+      name -> (if (okTimes.nonEmpty) okTimes.min else samples.map(_._1).min)
+    }
+    // any failed sample puts the query on the list — a crash is signal
+    // (noise slows queries down, it doesn't throw), even if another
+    // pass succeeded and supplied a valid min
+    val failed = qlist.map(_._1).filter { name =>
+      passes.exists(_.find(_._1 == name).get._2._2 == false)
     }
     // values rounded to ms so the single JSON line stays short — the
     // driver tail-captures stdout and must see the whole map
@@ -76,8 +96,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver tail-captures stdout; r2/r3/r4 all had the full line's
     // LEADING fields clipped by the capture window (parsed: null three
     // rounds running). Defense in depth, in order:
@@ -98,7 +119,7 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

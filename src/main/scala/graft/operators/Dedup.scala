@@ -64,13 +64,25 @@ object Dedup {
           element_at(toks, i + 2))))).as("shingle"))
     if (dfCap == Int.MaxValue) base
     else {
+      // The explode+tokenize fan-out feeds TWO branches here (the df
+      // count and the anti-join probe side); cache it so the heavy
+      // shingling runs once. At 100 TB this materialization would be a
+      // checkpoint to a bucketed table instead of executor memory.
+      val b = base.cache()
       // shingles are distinct per doc, so count(*) per shingle IS the
       // document frequency
-      val hot = base.groupBy(col("shingle"))
+      val hot = b.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap)
         .select(col("shingle"))
-      base.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // No broadcast hint: with a PRODUCTION cap (~1e4) the over-cap
+      // list is tiny and AQE turns this into a broadcast anti-join on
+      // its own from the observed size — but the hint would FORCE the
+      // broadcast regardless, and a low cap (tests use 3) makes the hot
+      // list grow with the corpus, risking the 8 GB / 512M-row
+      // broadcast limits and driver memory at scale. Let the runtime
+      // decide from actual sizes; correctness is identical either way.
+      b.join(hot, Seq("shingle"), "left_anti")
         .select(col("doc_id"), col("shingle"))
     }
   }
