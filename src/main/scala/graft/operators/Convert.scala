@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{Num, QueryDef}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -201,6 +201,47 @@ object Convert {
       s.read.parquet(tmpP)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
+    },
+
+    // STORED complex types (SURVEY §1's map/nested promise): build a
+    // real map<string,int>, a nested struct, and an array<bigint> column
+    // from `events`, persist them as a parquet table (Spark writes
+    // parquet LIST/MAP/group annotations), re-read, and flatten back to
+    // scalars. The oracle computes the same flattened values straight
+    // from `events` — equality proves the complex-typed storage is
+    // value-preserving end-to-end, not just transient in the plan. The
+    // flattened output is scalar-only on purpose: the driver compare
+    // hashes sorted columns, and map/array output cells don't sort.
+    QueryDef(
+      "q_convert_complex",
+      s"""SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |  CAST(props->>'k' AS INTEGER) AS k_val,
+        |  event_type AS etype,
+        |  user_id AS uid,
+        |  ${Num.sql("value", 6)} AS val6,
+        |  CAST(user_id + event_id AS BIGINT) AS id_sum
+        |FROM events""".stripMargin) { (s, dir) =>
+      val tmp = s"/tmp/graft_complex_parquet_${dir.hashCode.toHexString}"
+      graft.Tables(s, dir, "events")
+        .select(
+          col("event_id"),
+          from_json(col("props"), MapType(StringType, IntegerType))
+            .as("props_map"),
+          struct(
+            col("event_type"),
+            struct(col("user_id"), col("value")).as("usr")).as("meta"),
+          array(col("user_id"), col("event_id")).as("ids"))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val back = s.read.parquet(tmp)
+      back.select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("props_map"))), ",").as("ks"),
+        element_at(col("props_map"), "k").as("k_val"),
+        col("meta.event_type").as("etype"),
+        col("meta.usr.user_id").as("uid"),
+        Num.r(col("meta.usr.value"), 6).as("val6"),
+        (element_at(col("ids"), 1) + element_at(col("ids"), 2)).as("id_sum"))
     }
   )
 }

@@ -108,6 +108,32 @@ class ConvertSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("stored parquet preserves map / nested-struct / array columns") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val out = tmpDir("convert_complex") + "/c.parquet"
+    // one row with every complex kind SURVEY §1 promises as STORABLE
+    spark.range(1)
+      .select(
+        col("id"),
+        map(lit("a"), lit(1), lit("b"), lit(2)).as("m"),
+        struct(lit("x").as("tag"),
+          struct(lit(7L).as("n"), lit(1.5).as("v")).as("inner")).as("st"),
+        array(lit(10L), lit(20L)).as("arr"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // the FILE schema is complex-typed — not strings in disguise
+    assert(back.schema("m").dataType.isInstanceOf[MapType])
+    val st = back.schema("st").dataType.asInstanceOf[StructType]
+    assert(st("inner").dataType.isInstanceOf[StructType])
+    assert(back.schema("arr").dataType.isInstanceOf[ArrayType])
+    val r = back.select(
+      element_at(col("m"), "b"), col("st.inner.n"), col("st.inner.v"),
+      element_at(col("arr"), 2)).head()
+    assert((r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      == ((2, 7L, 1.5, 20L)))
+  }
+
   test("schema-inference mode converts unknown JSON without a StructType") {
     import org.apache.spark.sql.types.{LongType, StringType}
     val in = tmpDir("convert_infer")
