@@ -38,6 +38,7 @@ object Similarity {
   private val Planes = 4
   private val IvfK = 8      // coarse centroid cells
   private val IvfProbes = 2 // cells probed per query
+  private val IvfIters = 2  // Lloyd iterations for the trained quantizer
 
   /** Deterministic ±1 hyperplane signs: parity of the first md5 byte of
     * "h:j". Plan-time constants on both engines. */
@@ -74,6 +75,127 @@ object Similarity {
     """list_sum(list_transform(range(1, len(q.embedding) + 1),
       |      k -> CAST(q.embedding[k] AS DOUBLE) * CAST(n.embedding[k] AS DOUBLE)))
       |      / sqrt(q.n2 * n.n2)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic Lloyd k-means (spherical: cosine assignment, mean
+  // update) — the offline training job the IVF quantizer reads its
+  // centroids from. Seeds are the first K vectors, so the whole run is
+  // input-determined: no RNG, no Date — the same corpus always trains
+  // the same quantizer, which is what makes the unrolled DuckDB oracle
+  // an EXACT check and what a reproducible curation pipeline wants.
+  //
+  // Cross-engine parity: vectors promote to double up front; every dot
+  // product / norm folds sequentially left-to-right (aggregate ≡
+  // DuckDB list_sum∘list_transform); each new centroid element is the
+  // member mean ROUNDED via Num at 9 decimals, so the ~1e-15
+  // summation-order noise between engines (and between Spark partition
+  // orders) cannot flip a later assignment.
+  //
+  // 100 TB shape per iteration: centroids broadcast (K·Dim doubles);
+  // the corpus streams through score→argmax with only (vec_id, cell)
+  // leaving the map-side-combinable max_by; the mean update shuffles
+  // (cell, pos, partial sums) — K·Dim groups — via a map-combinable
+  // avg. Nothing ever shuffles the embedding payload. Lineage is
+  // truncated per round (eager localCheckpoint on the K-row centroid
+  // relation) — the iterative-plan lesson from connectedComponents.
+
+  /** (vec_id, embedding, v: array<double>, n2: ‖v‖²) — the shared
+    * double-promoted working relation. */
+  private def embWithNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("n2", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+
+  /** Cosine of a double vector against a double centroid, both norms
+    * precomputed. Sequential fold — bitwise-equal to the oracle. */
+  private def centCos: Column =
+    aggregate(zip_with(col("v"), col("cemb"), (x, c) => x * c),
+      lit(0.0), (a, x) => a + x) / sqrt(col("n2") * col("cn2"))
+
+  /** `iters` Lloyd rounds over `emb` (vec_id, embedding) seeded from the
+    * first `k` vectors. Returns (cid: int, cemb: array<double>, cn2).
+    * Empty cells keep their previous centroid. */
+  private[graft] def kmeansCentroids(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val eD = embWithNorm(emb)
+    var cents = eD.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("v").as("cemb"), col("n2").as("cn2"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assign = eD.crossJoin(broadcast(cents))
+        .withColumn("cs", centCos)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+      // per-(cell, element) mean: K·Dim groups, map-side combinable
+      val means = assign.join(eD, "vec_id")
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(Num.r(avg(col("col")), 9).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cemb2"))
+      cents = cents.join(means, col("cid") === col("cell"), "left")
+        .select(col("cid"), coalesce(col("cemb2"), col("cemb")).as("cemb"))
+        .withColumn("cn2", aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Spherical k-means objective Σ_v max_c cos(v, c) — the quantity an
+    * assignment step maximizes given centroids and a mean update
+    * maximizes given assignments, so it must be monotonically
+    * non-decreasing over [[kmeansCentroids]] rounds (property-tested;
+    * the 9-decimal centroid rounding can perturb it by ≤1e-6). */
+  private[graft] def kmeansObjective(emb: DataFrame, cents: DataFrame): Double =
+    embWithNorm(emb).crossJoin(broadcast(cents))
+      .withColumn("cs", centCos)
+      .groupBy(col("vec_id")).agg(max(col("cs")).as("best"))
+      .agg(sum(col("best"))).head().getDouble(0)
+
+  /** The same Lloyd rounds as DuckDB CTEs (generated, not hand-unrolled):
+    * `ed` (double vectors + norms), `c0` (seeds), and per round i the
+    * score/argmax/mean CTEs producing `c{i+1}`. */
+  private def lloydSql(iters: Int): String = {
+    val d1 = Dim + 1
+    val head =
+      s"""ed AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cemb, n2 AS cn2
+         |  FROM ed WHERE vec_id < $IvfK)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""s$i AS (
+         |  SELECT ed.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, $d1), k -> ed.v[k] * c.cemb[k]))
+         |      / sqrt(ed.n2 * c.cn2) AS cs
+         |  FROM ed, c$i c),
+         |a$i AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+         |    FROM s$i) WHERE r = 1),
+         |m$i AS (
+         |  SELECT a.cell AS cid, p.pos, ${Num.sql("avg(ed.v[p.pos])", 9)} AS m
+         |  FROM a$i a JOIN ed USING (vec_id),
+         |    (SELECT unnest(range(1, $d1)) AS pos) p
+         |  GROUP BY 1, 2),
+         |c${i + 1} AS (
+         |  SELECT c.cid,
+         |    coalesce(g.lst, c.cemb) AS cemb,
+         |    list_sum(list_transform(coalesce(g.lst, c.cemb), x -> x * x)) AS cn2
+         |  FROM c$i c LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS lst FROM m$i GROUP BY cid) g
+         |    USING (cid))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -225,6 +347,77 @@ object Similarity {
       val wProbe = Window.partitionBy(col("vec_id"))
         .orderBy(col("cs").desc, col("cid"))
       val probes = scored.filter(col("vec_id") < 10)
+        .withColumn("r", row_number().over(wProbe))
+        .filter(col("r") <= IvfProbes)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cid").as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      e.join(assign, "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          Num.r(col("cos"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // IVF with a TRAINED quantizer: the same probe/candidate plan as
+    // q_knn_ivf, but the centroids come out of [[kmeansCentroids]] —
+    // 2 deterministic Lloyd rounds seeded from the first K vectors —
+    // instead of being the raw seeds. The oracle replays the identical
+    // training (generated CTEs, same seeds / rounding / tie-breaks), so
+    // the whole pipeline — training included — is hash-checked, not
+    // just the serving path. At 100 TB training runs on a sample as its
+    // own job and the centroids persist to a table; here it is inline
+    // because the quantizer must be trained on the same session for the
+    // check to be self-contained.
+    QueryDef(
+      "q_knn_ivf_trained",
+      s"""WITH ${lloydSql(IvfIters)},
+        |sA AS (
+        |  SELECT ed.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), k -> ed.v[k] * c.cemb[k]))
+        |      / sqrt(ed.n2 * c.cn2) AS cs
+        |  FROM ed, c$IvfIters c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM sA) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM sA WHERE vec_id < 10) WHERE r <= $IvfProbes),
+        |s AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, $cosSql AS cc
+        |  FROM probe p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        |  JOIN ed q ON q.vec_id = p.query_id
+        |  JOIN ed n ON n.vec_id = a.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cc,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cc DESC, neighbor_id ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).cache()
+      val cents = kmeansCentroids(e, IvfK, IvfIters)
+      val eD = embWithNorm(e)
+      val scoredAll = eD.crossJoin(broadcast(cents)).withColumn("cs", centCos)
+      val assign = scoredAll.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val probes = scoredAll.filter(col("vec_id") < 10)
         .withColumn("r", row_number().over(wProbe))
         .filter(col("r") <= IvfProbes)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Properties of the deterministic Lloyd trainer behind q_knn_ivf_trained:
+  * the spherical k-means objective Σ max-cos must be monotonically
+  * non-decreasing per round (assignment maximizes it given centroids, the
+  * mean update maximizes it given assignments), and the whole run must be
+  * input-determined — same data, same centroids, bit for bit. */
+class KmeansSpec extends SparkSpec {
+
+  private def testVectors(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    // clustered, not uniform: k-means on pure noise has a near-flat
+    // objective and would make the monotonicity check vacuous
+    val centers = Array.fill(4, dim)(rnd.nextFloat() * 2f - 1f)
+    (0L until n).map { i =>
+      val c = centers(rnd.nextInt(4))
+      (i, c.map(x => x + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("objective is monotonically non-decreasing over Lloyd rounds") {
+    val emb = testVectors(200, 8, seed = 7).cache()
+    val objs = (0 to 3).map { iters =>
+      Similarity.kmeansObjective(emb,
+        Similarity.kmeansCentroids(emb, k = 4, iters = iters))
+    }
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      // 1e-6 slack: the 9-decimal centroid rounding perturbs each round
+      assert(b >= a - 1e-6, s"objective regressed: $objs")
+    }
+    // and training actually moved the needle vs the raw seeds
+    assert(objs.last > objs.head, s"training had no effect: $objs")
+  }
+
+  test("training is deterministic: two runs agree bit for bit") {
+    val emb = testVectors(150, 8, seed = 13).cache()
+    def run() = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+      .orderBy(col("cid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+    assert(run().toSeq == run().toSeq)
+  }
+
+  test("real embeddings: K centroids out, objective improves") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    val trained = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    assert(trained.count() == 8)
+    val seeds = Similarity.kmeansCentroids(emb, k = 8, iters = 0)
+    assert(Similarity.kmeansObjective(emb, trained) >=
+      Similarity.kmeansObjective(emb, seeds) - 1e-6)
+  }
+}
