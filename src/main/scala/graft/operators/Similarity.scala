@@ -412,7 +412,10 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).cache()
       val cents = kmeansCentroids(e, IvfK, IvfIters)
       val eD = embWithNorm(e)
+      // feeds both the full assignment and the probe ranking — cache so
+      // the N×K scoring pass runs once
       val scoredAll = eD.crossJoin(broadcast(cents)).withColumn("cs", centCos)
+        .cache()
       val assign = scoredAll.groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
       val wProbe = Window.partitionBy(col("vec_id"))

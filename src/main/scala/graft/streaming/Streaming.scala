@@ -188,6 +188,20 @@ object Streaming {
     rm(new java.io.File(aside))
   }
 
+  /** Purchase←click attribution: each purchase joins the same user's
+    * clicks from the preceding 10 minutes. ONE definition for both
+    * execution modes — q_stream_join runs it in batch under the DuckDB
+    * oracle; StreamingSpec runs the identical plan as a watermarked
+    * stream-stream join (Spark keeps 10 min + watermark of click state
+    * per user, evicting as event time advances — the bounded-state
+    * contract that makes this join runnable forever at 100 TB).
+    * Inputs must expose (p_ts, p_user, purchase_id) / (c_ts, c_user,
+    * click_id); streams add their watermarks before calling. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+      expr("""c_user = p_user AND c_ts <= p_ts
+             |AND c_ts >= p_ts - INTERVAL 10 MINUTES""".stripMargin))
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 
@@ -255,6 +269,29 @@ object Streaming {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))
+    },
+
+    // ------------------------------------------------------------------
+    // Stream-stream join, batch twin: the same purchaseClickJoin the
+    // streaming spec runs with watermarks, here over the full events
+    // table so the DuckDB oracle hash-checks the join semantics
+    // (event-time range + key equality) end to end.
+    QueryDef(
+      "q_stream_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id AS uid
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '10 minutes'""".stripMargin) { (s, dir) =>
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"))
+      val c = ev(s, dir).filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("user_id").as("c_user"),
+          col("event_id").as("click_id"))
+      purchaseClickJoin(p, c)
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("uid"))
     }
   )
 }

@@ -304,9 +304,8 @@ class StreamingSpec extends SparkSpec {
       .withWatermark("c_ts", "1 hour")
     val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
       .withWatermark("p_ts", "1 hour")
-    val joined = p.join(c,
-      expr("""c_user = p_user AND c_ts <= p_ts
-             |AND c_ts >= p_ts - INTERVAL 10 MINUTES""".stripMargin))
+    // the SAME join definition q_stream_join hash-checks in batch mode
+    val joined = Streaming.purchaseClickJoin(p, c)
       .select(col("purchase_id"), col("click_id"))
     val q = joined.writeStream.format("memory").queryName("ssj_test")
       .outputMode(OutputMode.Append()).start()
