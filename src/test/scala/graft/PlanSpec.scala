@@ -315,6 +315,7 @@ class PlanSpec extends SparkSpec {
     val intentional = Set(
       "q_knn_brute", // broadcast query set × vector table: exact baseline
       "q_knn_ivf", // N×K centroid assignment (K = 8, broadcast)
+      "q_knn_ivf_trained", // same N×K assignment, per Lloyd round
       "q_join_theta", // a theta join IS a nested loop by definition
       "q_join_range", // non-equi interval join
       "q_join_asof", // bounded range join + rank (asof2 is the O(n) path)
