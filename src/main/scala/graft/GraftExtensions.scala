@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(plans.RebalanceBeforeGenerate)
+    // whole-operator extension tier: logical node + strategy + physical
+    // merge operator (plans/AsOfJoin.scala)
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     // builders are shared with each companion's register() so the two
     // registration surfaces cannot drift
     ext.injectFunction((

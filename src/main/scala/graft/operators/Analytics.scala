@@ -160,6 +160,49 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // The NATIVE as-of join (plans/AsOfJoin.scala): same unbounded
+    // semantics as q_join_asof2, but as a custom logical node + planner
+    // strategy + physical streaming merge — one pass per co-partitioned
+    // sorted partition pair, O(1) task state (a single buffered right
+    // row), no candidate materialization and no window machinery. The
+    // oracle is the identical union+window SQL, so all three as-of
+    // plans (bounded range join, window composition, native operator)
+    // are checked against each other's semantics.
+    QueryDef(
+      "q_join_asof_native",
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS kind, event_id FROM events
+        |  WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS kind, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, kind, event_id,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |      OVER win AS click_id,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER win AS click_ts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, click_id,
+        |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM w WHERE kind = 1 AND click_id IS NOT NULL""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+          "p_user", "c_user", "p_ts", "c_ts", Seq("click_id"))
+        .filter(col("click_id").isNotNull)
+        .select(col("purchase_id"), col("click_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    },
+
+    // ------------------------------------------------------------------
     // Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal combos.
     QueryDef(
       "q_agg_groupsets",

@@ -1,0 +1,104 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The native as-of join operator (logical node + strategy + physical
+  * merge, plans/AsOfJoin.scala): planned shape, semantics against a
+  * window-composed oracle, and the SQL NULL rules. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def purchases(dir: String): DataFrame =
+    Tables(spark, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+
+  private def clicks(dir: String): DataFrame =
+    Tables(spark, dir, "events").filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+
+  test("plans as AsOfJoinExec over co-partitioned sorted children") {
+    val df = AsOfJoin.asof(purchases(sfDir), clicks(sfDir),
+      "p_user", "c_user", "p_ts", "c_ts", Seq("click_id"))
+    // the physical node prints without its Exec suffix
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p)
+    assert(p.contains("Exchange hashpartitioning"),
+      "EnsureRequirements must co-partition both children:\n" + p)
+    assert(p.contains("Sort ["), "EnsureRequirements must sort both children:\n" + p)
+    df.write.format("noop").mode("overwrite").save() // executes end to end
+  }
+
+  test("matches the union + last-observation window composition on real events") {
+    val native = AsOfJoin.asof(purchases(sfDir), clicks(sfDir),
+      "p_user", "c_user", "p_ts", "c_ts", Seq("click_id"))
+      .filter(col("click_id").isNotNull)
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the q_join_asof2 derivation, inlined
+    val ev = Tables(spark, sfDir, "events")
+    val u = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id")))
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = u
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(win))
+      .filter(col("kind") === 1 && col("click_id").isNotNull)
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+    assert(native == composed,
+      s"only-native=${native.diff(composed)} only-composed=${composed.diff(native)}")
+  }
+
+  test("random data: merge equals the window oracle across partitions") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    // few keys, many collisions, duplicate timestamps — the merge's
+    // hard cases; ids disambiguate ties
+    val l = Seq.tabulate(400)(i => (rnd.nextInt(7).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(400)(i => (rnd.nextInt(7).toLong, rnd.nextInt(50).toLong, i.toLong))
+      .toDF("rk", "rt", "rid")
+    val native = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    val w = Window.partitionBy(col("k")).orderBy(col("rt"), col("rid"))
+    val oracle = l.join(r, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", when(col("rid").isNotNull,
+        row_number().over(Window.partitionBy(col("lid"))
+          .orderBy(col("rt").desc, col("rid").desc))).otherwise(lit(1)))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    assert(native == oracle,
+      s"only-native=${native.diff(oracle)} only-oracle=${oracle.diff(native)}")
+  }
+
+  test("null keys and null timestamps never match; unmatched keeps null right") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(10L), 1L), // matches rid 100 (rt 5 <= 10)
+      (Some(1L), None, 2L),      // null left ts -> no match
+      (None, Some(10L), 3L),     // null left key -> no match
+      (Some(2L), Some(10L), 4L), // right side has only null-ts rows for key 2
+      (Some(3L), Some(10L), 5L)  // no right rows at all for key 3
+    ).toDF("k", "t", "lid")
+    val r = Seq(
+      (Some(1L), Some(5L), 100L),
+      (Some(2L), None, 200L),     // null right ts -> never matches
+      (Option.empty[Long], Some(1L), 300L) // null right key -> never matches
+    ).toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(got == Map(
+      1L -> Some(100L), 2L -> None, 3L -> None, 4L -> None, 5L -> None), got.toString)
+  }
+}
