@@ -349,6 +349,34 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // The BOUNDED-state twin of the collect aggregate above — the shape
+    // SCALING.md prescribes as its production replacement. collect_set/
+    // collect_list buffer every distinct value per group (unbounded at
+    // 100 TB); the graft_topk TypedImperativeAggregate keeps a k-element
+    // heap per group and combines map-side, so each partition forwards
+    // at most k pairs per group no matter how many rows it scanned.
+    // Per-group top-5 orders by value; ties break toward the smaller
+    // orderkey in BOTH engines, making the materialized id list exact.
+    QueryDef(
+      "q_agg_sort2",
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  array_to_string(list(o_orderkey ORDER BY rn), ',') AS top_ids
+        |FROM r WHERE rn <= 5 GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.functions.TopK.register(s)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("graft_topk(cast(o_totalprice as double), o_orderkey, 5)").as("top"))
+        .select(col("o_orderpriority"),
+          array_join(transform(col("top"),
+            x => x.getField("id").cast("string")), ",").as("top_ids"))
+    },
+
+    // ------------------------------------------------------------------
     // Rollup.
     QueryDef(
       "q_agg_rollup",
