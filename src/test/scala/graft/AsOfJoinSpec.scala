@@ -33,6 +33,17 @@ class AsOfJoinSpec extends SparkSpec {
     df.write.format("noop").mode("overwrite").save() // executes end to end
   }
 
+  test("downstream per-key aggregation reuses the join's partitioning") {
+    // outputPartitioning forwards the left child's hash partitioning, so
+    // a following groupBy on the join key must NOT add a third exchange
+    val agg = AsOfJoin.asof(purchases(sfDir), clicks(sfDir),
+        "p_user", "c_user", "p_ts", "c_ts", Seq("click_id"))
+      .groupBy(col("p_user")).agg(count(lit(1)).as("n"))
+    val p = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected only the join's two exchanges, got $exchanges:\n$p")
+  }
+
   test("matches the union + last-observation window composition on real events") {
     val native = AsOfJoin.asof(purchases(sfDir), clicks(sfDir),
       "p_user", "c_user", "p_ts", "c_ts", Seq("click_id"))
