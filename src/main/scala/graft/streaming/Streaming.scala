@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Num, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -187,6 +187,77 @@ object Streaming {
     Files.move(Paths.get(tmp), Paths.get(tablePath))
     rm(new java.io.File(aside))
   }
+
+  /** One micro-batch of incremental corpus ingestion with CROSS-BATCH
+    * exact dedup: drop rows whose content hash arrived in any earlier
+    * batch (or earlier in this one), append survivors to the corpus and
+    * their hashes to the state table. The cross-batch state is a plain
+    * parquet hash table — tiny relative to the corpus (16 B/doc), and at
+    * 100 TB it lives as a bucketed table so the anti-join is shuffle-free.
+    *
+    * Exactly-once WITHOUT a transactional format: both sinks write to a
+    * DETERMINISTIC per-batch subdirectory (`batch=<id>`) with overwrite —
+    * a replayed batch rewrites the same directories instead of appending
+    * duplicates, the same idempotence trick as the reference's
+    * `<key>.parquet` output key. Hash-state replay is additionally
+    * self-correcting: a duplicate hash row only strengthens the anti-join.
+    *
+    * Use as a `foreachBatch` body (see [[incrementalDedupStream]];
+    * StreamingSpec drives it from a MemoryStream and replays a batch). */
+  def dedupIngestBatch(
+      batch: DataFrame, batchId: Long,
+      corpusDir: String, stateDir: String): Unit = {
+    val s = batch.sparkSession
+    val hashed = batch
+      .withColumn("h", md5(col("text").cast("binary")))
+      // in-batch dedup first: smallest doc_id is canonical, matching
+      // q_dedup_exact's keep rule
+      .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    // Read every EARLIER batch's hashes — excluding this batch's own
+    // subdirectory: on a replay it already exists on disk, and letting
+    // the batch "see" its own previous attempt would dedup the rows
+    // against themselves and overwrite the output with nothing.
+    val earlier = Option(new java.io.File(stateDir).listFiles())
+      .map(_.toSeq.filter(f =>
+        f.isDirectory && f.getName.startsWith("batch=") &&
+          f.getName != s"batch=$batchId"))
+      .getOrElse(Seq.empty)
+    val seen =
+      if (earlier.nonEmpty)
+        s.read.parquet(earlier.map(_.getPath): _*).select(col("h"))
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType))))
+    val fresh = hashed.join(seen, Seq("h"), "left_anti").cache()
+    try {
+      fresh.drop("h").write
+        .mode(SaveMode.Overwrite).parquet(s"$corpusDir/batch=$batchId")
+      fresh.select(col("h")).write
+        .mode(SaveMode.Overwrite).parquet(s"$stateDir/batch=$batchId")
+    } finally fresh.unpersist()
+  }
+
+  /** The always-on ingestion service around [[dedupIngestBatch]]: watch
+    * `inDir` for new JSON document files, dedup each micro-batch against
+    * everything already ingested, grow the corpus incrementally. */
+  def incrementalDedupStream(
+      spark: SparkSession,
+      inDir: String,
+      corpusDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      schema: StructType): StreamingQuery =
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        dedupIngestBatch(batch, id, corpusDir, stateDir))
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
 
   /** Purchase←click attribution: each purchase joins the same user's
     * clicks from the preceding 10 minutes. ONE definition for both

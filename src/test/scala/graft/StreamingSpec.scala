@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup ingestion: in-batch + cross-batch dedup, idempotent replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tmpDir("ingest_corpus")
+    val state = tmpDir("ingest_state")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.dedupIngestBatch(b, id, corpus, state)
+      }
+      .option("checkpointLocation", tmpDir("ingest_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    def corpusIds: Set[Long] = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 0: doc 3 repeats doc 1's text -> in-batch dedup keeps min id
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 2L))
+      // batch 1: doc 4 repeats an EARLIER batch's text -> cross-batch drop
+      mem.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 2L, 5L))
+      // replay batch 1 (same data, same batch id — the recovery path):
+      // the deterministic per-batch overwrite must leave the corpus
+      // unchanged, and the batch must not dedup against its own attempt
+      Streaming.dedupIngestBatch(
+        Seq((4L, "beta"), (5L, "gamma")).toDF("doc_id", "text"), 1L,
+        corpus, state)
+      assert(corpusIds == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("upsert recovers a table stranded at .old by a mid-swap crash") {
     import spark.implicits._
     import java.nio.file.{Files => NF, Paths => NP}
