@@ -48,6 +48,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("as-of planner strategy is injected: plans without manual register()") {
+    withExtSession { ext =>
+      // build the logical node directly over analyzed children — NOT via
+      // AsOfJoin.asof, which would call register() and mask the injection
+      val ev = ext.read.parquet(s"$sfDir/events.parquet")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("pu"),
+          col("ts").as("pt"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"),
+          col("ts").as("ct"))
+      def a(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.queryExecution.analyzed.output.find(_.name == n).get
+      val df = org.apache.spark.sql.GraftBridge.ofRows(ext,
+        graft.plans.AsOfJoin(
+          l.queryExecution.analyzed, r.queryExecution.analyzed,
+          a(l, "pu"), a(r, "cu"), a(l, "pt"), a(r, "ct"), Seq(a(r, "cid"))))
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+        df.queryExecution.executedPlan.toString)
+      assert(df.count() > 0)
+    }
+  }
+
   test("rebalance rule fans out explode over a small scan, same results") {
     withExtSession { ext =>
       val df = ext.read.parquet(s"$sfDir/documents.parquet")
