@@ -116,8 +116,14 @@ object Similarity {
     * first `k` vectors. Returns (cid: int, cemb: array<double>, cn2).
     * Empty cells keep their previous centroid. */
   private[graft] def kmeansCentroids(
-      emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val eD = embWithNorm(emb)
+      emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCentroidsNormed(embWithNorm(emb), k, iters)
+
+  /** Same, over an already-normed relation (embWithNorm output) — lets a
+    * caller CACHE one normed corpus and share it between training and
+    * serving instead of re-running the double-promotion + norm fold. */
+  private def kmeansCentroidsNormed(
+      eD: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = eD.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         col("v").as("cemb"), col("n2").as("cn2"))
@@ -410,8 +416,11 @@ object Similarity {
       CosineSimilarity.register(s)
       val e = t(s, dir, "embeddings").repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding")).cache()
-      val cents = kmeansCentroids(e, IvfK, IvfIters)
-      val eD = embWithNorm(e)
+      // ONE normed relation, cached, shared by every training round AND
+      // the serving assignment/probe scoring — the double-promotion +
+      // norm fold over the corpus runs once, not once per consumer
+      val eD = embWithNorm(e).cache()
+      val cents = kmeansCentroidsNormed(eD, IvfK, IvfIters)
       // feeds both the full assignment and the probe ranking — cache so
       // the N×K scoring pass runs once
       val scoredAll = eD.crossJoin(broadcast(cents)).withColumn("cs", centCos)

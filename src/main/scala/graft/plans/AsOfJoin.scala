@@ -85,11 +85,16 @@ object AsOfJoin {
     require(lPlan.output.map(_.exprId).toSet
       .intersect(rPlan.output.map(_.exprId).toSet).isEmpty,
       "asof: left and right share attributes — alias each side's columns first")
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    // the merge compares right-side values with orderings built from the
+    // LEFT types — a width mismatch would compare garbage silently
+    require(lk.dataType == rk.dataType,
+      s"asof: key types differ: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"asof: ts types differ: ${lt.dataType.sql} vs ${rt.dataType.sql}")
     org.apache.spark.sql.GraftBridge.ofRows(spark, AsOfJoin(
-      lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs),
-      rightTieBreak.map(attr(rPlan, _))))
+      lPlan, rPlan, lk, rk, lt, rt, rightTieBreak.map(attr(rPlan, _))))
   }
 }
 
@@ -162,7 +167,7 @@ case class AsOfJoinExec(
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
       // the single-row state: the latest consumed qualifying right row
-      var lastMatch: UnsafeRow = null
+      var lastMatch: InternalRow = null
       var lastKey: UnsafeRow = null
       lIter.map { lRow =>
         val lKeyRow = lKeyProj(lRow) // reused buffer; only read this iteration
@@ -185,7 +190,7 @@ case class AsOfJoinExec(
               if (!lTsNull && rTsRow.isNullAt(0)) {
                 advance(); cont = rHead != null // null ts sorts first, never matches
               } else if (!lTsNull && tsOrd.compare(rTsRow, lTsRow) <= 0) {
-                lastMatch = rHead.copy().asInstanceOf[UnsafeRow]
+                lastMatch = rHead.copy()
                 lastKey = rKeyRow.copy()
                 advance(); cont = rHead != null
               } else cont = false

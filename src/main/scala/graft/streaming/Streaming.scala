@@ -210,28 +210,44 @@ object Streaming {
     val s = batch.sparkSession
     val hashed = batch
       .withColumn("h", md5(col("text").cast("binary")))
-      // in-batch dedup first: smallest doc_id is canonical, matching
-      // q_dedup_exact's keep rule
+      // In-batch dedup first: smallest doc_id is canonical, matching
+      // q_dedup_exact's keep rule. NULL text never deduplicates (SQL
+      // null-equality rules, and what the cross-batch anti-join below
+      // does anyway): the extra doc_id partition term gives every
+      // null-hash row its own window partition, so both dedup layers
+      // agree regardless of which batch such rows arrive in.
       .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .Window.partitionBy(col("h"), when(col("h").isNull, col("doc_id")))
+        .orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
     // Read every EARLIER batch's hashes — excluding this batch's own
     // subdirectory: on a replay it already exists on disk, and letting
     // the batch "see" its own previous attempt would dedup the rows
     // against themselves and overwrite the output with nothing.
-    val earlier = Option(new java.io.File(stateDir).listFiles())
-      .map(_.toSeq.filter(f =>
-        f.isDirectory && f.getName.startsWith("batch=") &&
-          f.getName != s"batch=$batchId"))
-      .getOrElse(Seq.empty)
+    // Listing goes through the Hadoop FileSystem of the state path (a
+    // java.io.File listing would silently return nothing on hdfs://
+    // or s3a:// and disable cross-batch dedup entirely), and the read
+    // pins the known schema: an earlier batch whose rows were all
+    // deduplicated away leaves a part-file-less directory that schema
+    // inference would refuse.
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val earlier =
+      if (fs.exists(statePath))
+        fs.listStatus(statePath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch=") &&
+            st.getPath.getName != s"batch=$batchId")
+          .map(_.getPath.toString)
+      else Seq.empty
     val seen =
       if (earlier.nonEmpty)
-        s.read.parquet(earlier.map(_.getPath): _*).select(col("h"))
+        s.read.schema(stateSchema).parquet(earlier: _*).select(col("h"))
       else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("h",
-            org.apache.spark.sql.types.StringType))))
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     val fresh = hashed.join(seen, Seq("h"), "left_anti").cache()
     try {
       fresh.drop("h").write

@@ -92,6 +92,18 @@ class AsOfJoinSpec extends SparkSpec {
       s"only-native=${native.diff(oracle)} only-oracle=${oracle.diff(native)}")
   }
 
+  test("mismatched key or ts types are rejected up front") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 1L)).toDF("k", "t", "lid")
+    val rIntKey = Seq((1, 1L, 1L)).toDF("rk", "rt", "rid")
+    // a LongType ordering reading an IntegerType slot would compare
+    // garbage silently — the API must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      plans.AsOfJoin.asof(l, rIntKey, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+  }
+
   test("null keys and null timestamps never match; unmatched keeps null right") {
     import spark.implicits._
     val l = Seq(

@@ -172,6 +172,11 @@ class StreamingSpec extends SparkSpec {
         Seq((4L, "beta"), (5L, "gamma")).toDF("doc_id", "text"), 1L,
         corpus, state)
       assert(corpusIds == Set(1L, 2L, 5L))
+      // NULL text never deduplicates — in-batch or across batches —
+      // so two null-text docs in one batch both survive
+      mem.addData((6L, null: String), (7L, null: String))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 2L, 5L, 6L, 7L))
     } finally q.stop()
   }
 
