@@ -26,21 +26,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** Element type shared by both sides: float (stored embeddings) or
+    * double (derived vectors — k-means centroids). Mixed widths are
+    * rejected rather than silently promoted: the caller should decide
+    * where the promotion happens so the fold order stays explicit. */
+  private def elementType: Option[DataType] =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => Some(FloatType)
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some(DoubleType)
+      case _ => None
+    }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    if (elementType.isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine expects (array<float>, array<float>), " +
+      s"graft_cosine expects (array<float>, array<float>) or " +
+        s"(array<double>, array<double>), " +
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
   }
 
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "graft_cosine"
+
+  private def isDouble: Boolean = elementType.contains(DoubleType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -49,13 +60,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     // than a plausible-looking score over the common prefix
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val dbl = isDouble
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (dbl) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (dbl) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -73,6 +85,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val get = if (isDouble) "getDouble" else "getFloat"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -80,8 +93,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = (double) $a.getFloat($i);
-         |    double $y = (double) $b.getFloat($i);
+         |    double $x = (double) $a.$get($i);
+         |    double $y = (double) $b.$get($i);
          |    $dot += $x * $y;
          |    $na += $x * $x;
          |    $nb += $y * $y;

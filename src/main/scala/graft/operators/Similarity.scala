@@ -99,21 +99,29 @@ object Similarity {
   // truncated per round (eager localCheckpoint on the K-row centroid
   // relation) — the iterative-plan lesson from connectedComponents.
 
-  /** (vec_id, embedding, v: array<double>, n2: ‖v‖²) — the shared
-    * double-promoted working relation. */
+  /** (vec_id, embedding, v: array<double>) — the shared double-promoted
+    * working relation. */
   private def embWithNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("n2", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
 
-  /** Cosine of a double vector against a double centroid, both norms
-    * precomputed. Sequential fold — bitwise-equal to the oracle. */
-  private def centCos: Column =
-    aggregate(zip_with(col("v"), col("cemb"), (x, c) => x * c),
-      lit(0.0), (a, x) => a + x) / sqrt(col("n2") * col("cn2"))
+  /** Cosine of a double vector against a double centroid, via the
+    * codegen'd [[CosineSimilarity]] expression (double-array overload):
+    * the N×K training/assignment scoring runs as a tight primitive loop
+    * inside whole-stage codegen instead of interpreted higher-order
+    * lambdas. The expression folds dot and both norms sequentially
+    * left-to-right from 0.0, so its value is bitwise-equal to the
+    * oracle's `list_sum(...) / sqrt(n2 * cn2)` with precomputed norms —
+    * same folds over the same doubles, whether or not the norms are
+    * materialized as columns. */
+  private def centCos: Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(col("v")), GraftBridge.expression(col("cemb"))))
+  }
 
   /** `iters` Lloyd rounds over `emb` (vec_id, embedding) seeded from the
-    * first `k` vectors. Returns (cid: int, cemb: array<double>, cn2).
+    * first `k` vectors. Returns (cid: int, cemb: array<double>).
     * Empty cells keep their previous centroid. */
   private[graft] def kmeansCentroids(
       emb: DataFrame, k: Int, iters: Int): DataFrame =
@@ -125,8 +133,7 @@ object Similarity {
   private def kmeansCentroidsNormed(
       eD: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = eD.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"),
-        col("v").as("cemb"), col("n2").as("cn2"))
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cemb"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val assign = eD.crossJoin(broadcast(cents))
@@ -144,7 +151,6 @@ object Similarity {
           s => s.getField("m")).as("cemb2"))
       cents = cents.join(means, col("cid") === col("cell"), "left")
         .select(col("cid"), coalesce(col("cemb2"), col("cemb")).as("cemb"))
-        .withColumn("cn2", aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x))
         .localCheckpoint()
     }
     cents

@@ -51,6 +51,35 @@ class CosineSimilaritySpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("double-array overload folds identically to the float path's math") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(25)((
+      Array.fill(16)(rnd.nextDouble() * 10d - 5d),
+      Array.fill(16)(rnd.nextDouble() * 10d - 5d)))
+    val df = cases.toDF("a", "b")
+    val got = df.select(expr("graft_cosine(a, b)")).collect().map(_.getDouble(0))
+    // the same sequential fold the declarative composition performs
+    val want = cases.map { case (a, b) =>
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val na = a.foldLeft(0.0)((s, x) => s + x * x)
+      val nb = b.foldLeft(0.0)((s, x) => s + x * x)
+      dot / math.sqrt(na * nb)
+    }
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("mixed float/double arrays are rejected at analysis time") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    // silent promotion would hide WHERE the fold order changes — refuse
+    val df = Seq((Array(1f, 2f), Array(1d, 2d))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(expr("graft_cosine(a, b)")).collect()
+    }
+  }
+
   test("null array yields null") {
     CosineSimilarity.register(spark)
     import spark.implicits._
