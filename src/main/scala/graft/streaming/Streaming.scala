@@ -275,6 +275,61 @@ object Streaming {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** Per-source token-quota admission — the domain-balancing curation
+    * primitive ("at most N tokens per source/domain in the training
+    * mix"), on Spark 4's transformWithState API (the arbitrary-state
+    * successor to mapGroupsWithState, RocksDB-backed). Soft cap: a
+    * document is admitted while the source's consumed count is still
+    * under quota and the whole document then counts — admission is
+    * per-document atomic, never a partial document. State is one Long
+    * per source; at 100 TB that is exactly the state a quota needs, and
+    * the RocksDB store checkpoints it incrementally. */
+  class SourceQuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long)] {
+    @transient private var consumed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      consumed = getHandle.getValueState[Long]("consumed",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        source: String,
+        rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long)] = {
+      var c = if (consumed.exists()) consumed.get() else 0L
+      // materialize before returning: the state update must not depend
+      // on whether the caller drains the iterator
+      val admitted = rows.flatMap { case (_, docId, nTokens) =>
+        if (c < quota) { c += nTokens; Some((source, docId)) } else None
+      }.toList
+      consumed.update(c)
+      admitted.iterator
+    }
+  }
+
+  /** Streaming quota admission over (source, doc_id, n_tokens) rows:
+    * emits (source, doc_id) for every admitted document. Requires the
+    * RocksDB state store provider (transformWithState's backing store):
+    * `spark.sql.streaming.stateStore.providerClass=
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`. */
+  def quotaAdmit(
+      docs: org.apache.spark.sql.Dataset[(String, Long, Long)],
+      quota: Long): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    docs.groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new SourceQuotaProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Purchase←click attribution: each purchase joins the same user's
     * clicks from the preceding 10 minutes. ONE definition for both
     * execution modes — q_stream_join runs it in batch under the DuckDB

@@ -180,6 +180,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState quota admission: per-source soft cap across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long, Long)] // (source, doc_id, n_tokens)
+    val q = Streaming.quotaAdmit(mem.toDS(), quota = 10L)
+      .writeStream.format("memory").queryName("quota_test")
+      .option("checkpointLocation", tmpDir("quota_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    def admitted: Set[Long] = spark.table("quota_test")
+      .collect().map(_.getLong(1)).toSet
+    try {
+      mem.addData(("a", 1L, 6L), ("b", 3L, 8L))
+      q.processAllAvailable()
+      assert(admitted == Set(1L, 3L))
+      // soft cap: both sources still under quota -> admitted (and the
+      // whole document counts, pushing both sources over)
+      mem.addData(("a", 2L, 5L), ("b", 4L, 7L))
+      q.processAllAvailable()
+      assert(admitted == Set(1L, 2L, 3L, 4L))
+      // both sources now at/over quota -> rejected, state survived the
+      // batch boundary
+      mem.addData(("a", 5L, 1L), ("b", 6L, 1L))
+      q.processAllAvailable()
+      assert(admitted == Set(1L, 2L, 3L, 4L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("upsert recovers a table stranded at .old by a mid-swap crash") {
     import spark.implicits._
     import java.nio.file.{Files => NF, Paths => NP}
