@@ -363,6 +363,32 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Domain-balancing quota, batch form: admit each source's documents
+    // in doc_id order until the source's char budget is spent (soft cap:
+    // the document that crosses the line is still admitted whole). One
+    // running-sum window per source — O(n), no state beyond the frame.
+    // Streaming.quotaAdmit is the arrival-order streaming form of the
+    // same admission rule (transformWithState + RocksDB); this twin
+    // fixes the order (doc_id) so the result is deterministic and the
+    // oracle can hash-check it.
+    QueryDef(
+      "q_curate_quota",
+      """WITH w AS (
+        |  SELECT source, doc_id,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS used
+        |  FROM documents)
+        |SELECT source, doc_id FROM w
+        |WHERE coalesce(used, 0) < 4000""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("used", sum(col("n_chars")).over(w))
+        .filter(coalesce(col("used"), lit(0)) < 4000)
+        .select(col("source"), col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Document fingerprinting: whole-doc 60-bit fingerprint, a rolling
     // (polynomial) hash over token hashes, and a winnowing-style minimum
     // shingle hash — the primitives under near-dup detection and content-
