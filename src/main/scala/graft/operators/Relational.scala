@@ -26,6 +26,54 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // TPC-H Q5 shape: the 6-table flagship join — one fact⋈fact
+    // sort-merge join (lineitem⋈orders, both filtered/pruned at the
+    // scan) and four explicit broadcasts for the schema-bounded dims
+    // (customer/supplier/nation/region), closed by a map-combinable
+    // aggregation. The layering mirrors what matters at 100 TB: exactly
+    // ONE big shuffle pair, every other join free, and the region/date
+    // filters pushed below everything.
+    QueryDef(
+      "q_tpch_q5",
+      s"""SELECT n_name,
+        |  ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = t(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      // MERGE hint: at test scale the auto-broadcast threshold would
+      // turn the fact⋈fact join into a broadcast and silently hide the
+      // shape this query exists to pin; at 100 TB SMJ is what stats
+      // would pick anyway
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Num.r(sum(col("rev")), 2).as("revenue"))
+    },
+
+    // ------------------------------------------------------------------
     // Aggregation — hash, partial+final (TPC-H Q1 shape).
     QueryDef(
       "q1_agg",

@@ -20,6 +20,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_bhj").contains("BroadcastHashJoin"))
   }
 
+  test("q_tpch_q5 runs exactly one big shuffle pair, dims broadcast") {
+    val p = plan("q_tpch_q5")
+    assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p)
+    // the date filter reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("q_join_smj is a sort-merge join") {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
