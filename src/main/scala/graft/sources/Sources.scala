@@ -36,6 +36,23 @@ object Sources {
     },
 
     // ------------------------------------------------------------------
+    // ORC round-trip: the third columnar format next to parquet and
+    // CSV/JSON — same vectorized-read / predicate-pushdown machinery on
+    // the Spark side, self-describing schema (no StructType on re-read).
+    // The oracle is the identity projection over the original table, so
+    // hash equality proves the format preserves every value and type.
+    QueryDef(
+      "q_orc_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin) { (s, dir) =>
+      val tmp = s"/tmp/graft_roundtrip_orc_${dir.hashCode.toHexString}"
+      graft.Tables(s, dir, "documents")
+        .write.mode(SaveMode.Overwrite).option("compression", "zlib").orc(tmp)
+      s.read.orc(tmp)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    },
+
+    // ------------------------------------------------------------------
     // Partitioned parquet: write documents partitioned by lang, read back
     // with a partition filter — the scan prunes to the two lang
     // directories before touching data.
