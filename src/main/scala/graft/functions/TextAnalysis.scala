@@ -363,6 +363,40 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Unigram (token) Shannon entropy per document + type-token ratio —
+    // the information-density quality signals next to the length/punct
+    // ratios (low entropy ⇒ repetitive/templated text, near-zero TTR ⇒
+    // word spam). Uses the identity −Σ(c/n)·log2(c/n) = log2(n) −
+    // (Σ c·log2 c)/n so each engine computes ONE map-combinable fold
+    // over per-token counts (no per-row p materialization); both sides
+    // round at 6 decimals, absorbing sub-ulp log differences.
+    QueryDef(
+      "q_text_entropy",
+      s"""WITH c AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tok,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  ${Num.sql("log2(sum(c)) - sum(c * log2(c)) / sum(c)", 6)} AS entropy,
+        |  ${Num.sql("count(*) * 1.0 / sum(c)", 6)} AS ttr
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          Num.r(log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c")), 6).as("entropy"),
+          Num.r(count(lit(1)) * lit(1.0) / sum(col("c")), 6).as("ttr"))
+    },
+
+    // ------------------------------------------------------------------
     // Domain-balancing quota, batch form: admit each source's documents
     // in doc_id order until the source's char budget is spent (soft cap:
     // the document that crosses the line is still admitted whole). One
