@@ -30,7 +30,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     * double (derived vectors — k-means centroids). Mixed widths are
     * rejected rather than silently promoted: the caller should decide
     * where the promotion happens so the fold order stays explicit. */
-  private def elementType: Option[DataType] =
+  private lazy val elementType: Option[DataType] =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => Some(FloatType)
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some(DoubleType)
@@ -51,7 +51,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
-  private def isDouble: Boolean = elementType.contains(DoubleType)
+  private lazy val isDouble: Boolean = elementType.contains(DoubleType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

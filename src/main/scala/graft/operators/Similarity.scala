@@ -100,8 +100,9 @@ object Similarity {
   // relation) — the iterative-plan lesson from connectedComponents.
 
   /** (vec_id, embedding, v: array<double>) — the shared double-promoted
-    * working relation. */
-  private def embWithNorm(emb: DataFrame): DataFrame =
+    * working relation (norms are NOT materialized: the codegen'd cosine
+    * folds them inline, bitwise-equal to the oracle's ed.n2/cn2 path). */
+  private def toDoubleVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       transform(col("embedding"), _.cast("double")).as("v"))
 
@@ -125,12 +126,12 @@ object Similarity {
     * Empty cells keep their previous centroid. */
   private[graft] def kmeansCentroids(
       emb: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansCentroidsNormed(embWithNorm(emb), k, iters)
+    kmeansCentroidsOnVectors(toDoubleVectors(emb), k, iters)
 
-  /** Same, over an already-normed relation (embWithNorm output) — lets a
+  /** Same, over an already-normed relation (toDoubleVectors output) — lets a
     * caller CACHE one normed corpus and share it between training and
     * serving instead of re-running the double-promotion + norm fold. */
-  private def kmeansCentroidsNormed(
+  private def kmeansCentroidsOnVectors(
       eD: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = eD.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cemb"))
@@ -162,7 +163,7 @@ object Similarity {
     * non-decreasing over [[kmeansCentroids]] rounds (property-tested;
     * the 9-decimal centroid rounding can perturb it by ≤1e-6). */
   private[graft] def kmeansObjective(emb: DataFrame, cents: DataFrame): Double =
-    embWithNorm(emb).crossJoin(broadcast(cents))
+    toDoubleVectors(emb).crossJoin(broadcast(cents))
       .withColumn("cs", centCos)
       .groupBy(col("vec_id")).agg(max(col("cs")).as("best"))
       .agg(sum(col("best"))).head().getDouble(0)
@@ -425,8 +426,8 @@ object Similarity {
       // ONE normed relation, cached, shared by every training round AND
       // the serving assignment/probe scoring — the double-promotion +
       // norm fold over the corpus runs once, not once per consumer
-      val eD = embWithNorm(e).cache()
-      val cents = kmeansCentroidsNormed(eD, IvfK, IvfIters)
+      val eD = toDoubleVectors(e).cache()
+      val cents = kmeansCentroidsOnVectors(eD, IvfK, IvfIters)
       // feeds both the full assignment and the probe ranking — cache so
       // the N×K scoring pass runs once
       val scoredAll = eD.crossJoin(broadcast(cents)).withColumn("cs", centCos)

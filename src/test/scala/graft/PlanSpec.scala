@@ -25,8 +25,7 @@ class PlanSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
     assert("BroadcastHashJoin".r.findAllIn(p).length == 4, p)
     // the date filter reaches the orders scan
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
-      || p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
   test("q_join_smj is a sort-merge join") {

@@ -183,18 +183,21 @@ class StreamingSpec extends SparkSpec {
   test("transformWithState quota admission: per-source soft cap across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // transformWithState requires the RocksDB state store
+    // transformWithState requires the RocksDB state store; the conf set
+    // and the query start both live INSIDE the try so a failing start()
+    // cannot leak the provider into the shared session's later tests
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val mem = MemoryStream[(String, Long, Long)] // (source, doc_id, n_tokens)
-    val q = Streaming.quotaAdmit(mem.toDS(), quota = 10L)
-      .writeStream.format("memory").queryName("quota_test")
-      .option("checkpointLocation", tmpDir("quota_ckpt"))
-      .outputMode(OutputMode.Append()).start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     def admitted: Set[Long] = spark.table("quota_test")
       .collect().map(_.getLong(1)).toSet
     try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.quotaAdmit(mem.toDS(), quota = 10L)
+        .writeStream.format("memory").queryName("quota_test")
+        .option("checkpointLocation", tmpDir("quota_ckpt"))
+        .outputMode(OutputMode.Append()).start()
       mem.addData(("a", 1L, 6L), ("b", 3L, 8L))
       q.processAllAvailable()
       assert(admitted == Set(1L, 3L))
@@ -209,7 +212,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(admitted == Set(1L, 2L, 3L, 4L))
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prev match {
         case Some(v) => spark.conf
           .set("spark.sql.streaming.stateStore.providerClass", v)
