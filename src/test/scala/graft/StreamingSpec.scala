@@ -177,6 +177,15 @@ class StreamingSpec extends SparkSpec {
       mem.addData((6L, null: String), (7L, null: String))
       q.processAllAvailable()
       assert(corpusIds == Set(1L, 2L, 5L, 6L, 7L))
+      // a batch whose rows ALL dedup away writes an empty (part-file-
+      // less) state partition; the next batch's pinned-schema state
+      // read must survive it — schema inference would refuse the dir
+      mem.addData((8L, "alpha"), (9L, "beta"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 2L, 5L, 6L, 7L))
+      mem.addData((10L, "delta"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 2L, 5L, 6L, 7L, 10L))
     } finally q.stop()
   }
 
