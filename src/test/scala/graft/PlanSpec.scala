@@ -36,6 +36,60 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_shj").contains("ShuffledHashJoin"))
   }
 
+  test("ANALYZE TABLE feeds CBO estimates; the 1=1 cartesian is reordered away") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    for (t <- Seq("cbo_li", "cbo_supp", "cbo_nat")) {
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    try {
+      Tables(s2, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .write.saveAsTable("cbo_li")
+      Tables(s2, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .write.saveAsTable("cbo_supp")
+      Tables(s2, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+        .write.saveAsTable("cbo_nat")
+      for (t <- Seq("cbo_li", "cbo_supp", "cbo_nat"))
+        s2.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      // exact row counts land in the catalog…
+      val desc = s2.sql("DESCRIBE TABLE EXTENDED cbo_li").collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+      assert(desc.contains("6000 rows"), desc)
+      // …and the optimizer ESTIMATES from column stats, not file sizes:
+      // a selective filter's plan carries a derived row count
+      // (SQLConf.get reads the ACTIVE session — set it for s2)
+      SparkSession.setActiveSession(s2)
+      val est = s2.sql("SELECT * FROM cbo_li WHERE l_suppkey > 0")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(rc => rc > 0 && rc <= 6000), s"no CBO estimate: $est")
+      // join reorder: the fact table is cross-joined to nation with ON
+      // 1=1 in query ORDER, but the optimizer must pull the real
+      // conditions in and leave NO cartesian in the executed plan
+      val q = s2.sql(
+        """SELECT n_name, count(*) AS n FROM cbo_li
+          |JOIN cbo_nat ON 1=1
+          |JOIN cbo_supp ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      assert(q.collect().map(_.getLong(1)).sum == 6000)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      for (t <- Seq("cbo_li", "cbo_supp", "cbo_nat")) {
+        s2.sql(s"DROP TABLE IF EXISTS $t")
+        rm(new java.io.File(s"/tmp/graft_warehouse/$t"))
+      }
+    }
+  }
+
   test("range-partitioned writes cluster data (file-level min/max narrow)") {
     import org.apache.spark.sql.functions._
     val out = tmpDir("graft_range_clustered")
