@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       HllSketch.builder))
     ext.injectFunction((
+      FunctionIdentifier("graft_freq"),
+      new ExpressionInfo(classOf[functions.FreqSketch].getName, "graft_freq"),
+      functions.FreqSketch.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       Shingles.builder))

@@ -45,6 +45,51 @@ object Approx {
             .as("hll_ok"),
           (abs(col("adc") - col("nd_exact")) <= col("nd_exact") * 0.10)
             .as("builtin_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // Heavy hitters via the space-saving FreqSketch UDAF, over a
+    // deliberately skewed stream derived from lineitem (two hot tokens
+    // carrying ~70% of rows + a ~15k-distinct cold tail that forces
+    // constant counter eviction). Exact heavy-hitter counting shuffles
+    // one row per DISTINCT token — the vocabulary; the sketch shuffles
+    // m=16 counters per partition. Same verdict-oracle trick as the HLL
+    // check: sketch contents are merge-order-dependent for borderline
+    // items, but the algorithm GUARANTEES any item above n/m is present
+    // with true count in [count − err, count] — so the query emits
+    // those booleans for the (deterministic) exact-heavy token set and
+    // the oracle asserts them.
+    QueryDef(
+      "q_agg_heavyhitters",
+      """WITH s AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7
+        |    THEN 'hot' || CAST(l_orderkey % 2 AS VARCHAR)
+        |    ELSE 'cold' || CAST(l_orderkey AS VARCHAR) END AS tok
+        |  FROM lineitem),
+        |cnt AS (SELECT tok, count(*) AS c FROM s GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM s)
+        |SELECT tok, true AS present, true AS bounds_ok
+        |FROM cnt, n WHERE c >= 3.0 * n / 16""".stripMargin) { (s, dir) =>
+      FreqSketch.register(s)
+      val toks = Tables(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 7,
+          concat(lit("hot"), (col("l_orderkey") % 2).cast("string")))
+          .otherwise(concat(lit("cold"), col("l_orderkey").cast("string")))
+          .as("tok"))
+      val entries = toks.agg(expr("graft_freq(tok, 16)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("s_item"), col("e.count").as("s_count"),
+          col("e.err").as("s_err"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val heavy = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(total))
+        .filter(col("c") >= lit(3.0) * col("n") / 16)
+      heavy.join(broadcast(entries), col("tok") === col("s_item"), "left")
+        .select(col("tok"),
+          col("s_item").isNotNull.as("present"),
+          coalesce(col("s_count") >= col("c") &&
+            col("s_count") - col("s_err") <= col("c"), lit(false))
+            .as("bounds_ok"))
     }
   )
 }
