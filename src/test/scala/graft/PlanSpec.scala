@@ -383,6 +383,7 @@ class PlanSpec extends SparkSpec {
       "q_join_asof", // bounded range join + rank (asof2 is the O(n) path)
       "q_dedup_embed", // all-pairs ground truth (embed_lsh is the scale path)
       "q_text_tfidf", // crossJoin(broadcast(single-row corpus count))
+      "q_agg_heavyhitters", // crossJoin(broadcast(single-row total)) for the n/m threshold
       "q_subquery_scalar") // scalar subquery = 1-row broadcast join
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
