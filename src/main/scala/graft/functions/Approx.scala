@@ -71,11 +71,14 @@ object Approx {
         |SELECT tok, true AS present, true AS bounds_ok
         |FROM cnt, n WHERE c >= 3.0 * n / 16""".stripMargin) { (s, dir) =>
       FreqSketch.register(s)
+      // feeds three branches (sketch, total, exact heavy counts) —
+      // cache so the scan + token derivation runs once
       val toks = Tables(s, dir, "lineitem").select(
         when(col("l_orderkey") % 10 < 7,
           concat(lit("hot"), (col("l_orderkey") % 2).cast("string")))
           .otherwise(concat(lit("cold"), col("l_orderkey").cast("string")))
           .as("tok"))
+        .cache()
       val entries = toks.agg(expr("graft_freq(tok, 16)").as("sk"))
         .select(explode(col("sk")).as("e"))
         .select(col("e.item").as("s_item"), col("e.count").as("s_count"),

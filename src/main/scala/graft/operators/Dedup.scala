@@ -202,8 +202,9 @@ object Dedup {
   /** Shared exact-Jaccard pair pipeline over hashed shingles (doc_id,
     * sid): candidates share ≥1 shingle (any pair with J ≥ 0.8 must),
     * exact J computed from shared/total counts. Used by the uncapped and
-    * df-capped n-gram queries — same plan, different shingle relation. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    * df-capped n-gram queries — same plan, different shingle relation —
+    * and by CurationPipelineSpec's end-to-end funnel. */
+  private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("sid"))
     val b = sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b"))

@@ -23,29 +23,18 @@ class CurationPipelineSpec extends SparkSpec {
     val keepExact = gated
       .groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val exact = gated.join(keepExact, Seq("doc_id"), "left_semi")
-    // 3. near-dup pairs (shingle equi-join + exact Jaccard >= 0.8) →
+    val exact = gated.join(keepExact, Seq("doc_id"), "left_semi").cache()
+    // 3. near-dup pairs via the SHIPPED pair pipeline (the same
+    //    Dedup.jaccardPairs the oracle-checked queries run) →
     //    connected components → keep the smallest doc_id per cluster
     val sh = Dedup.shinglesOf(exact)
       .select(col("doc_id"), graft.functions.TextAnalysis.h60(col("shingle")).as("sid"))
       .cache()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = sh.select(col("doc_id").as("id_a"), col("sid"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b")),
-        col("sid") === col("sid_b") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
-    val pairs = cand
-      .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
-        col("id_a") === col("id_a2"))
-      .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
-        col("id_b") === col("id_b2"))
-      .filter(col("shared") * lit(1.0) /
-        (col("na") + col("nb") - col("shared")) >= 0.8)
-      .select(col("id_a"), col("id_b"))
+    val pairs = Dedup.jaccardPairs(sh).select(col("id_a"), col("id_b"))
     val cc = Dedup.connectedComponents(pairs)
     val dropNearDups = cc.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    val deduped = exact.join(dropNearDups, Seq("doc_id"), "left_anti")
+    val deduped = exact.join(dropNearDups, Seq("doc_id"), "left_anti").cache()
     // 4. per-source char quota (the q_curate_quota admission rule)
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -53,8 +42,9 @@ class CurationPipelineSpec extends SparkSpec {
       .withColumn("used", sum(col("n_chars")).over(w))
       .filter(coalesce(col("used"), lit(0)) < 4000)
     val ids = admitted.select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    sh.unpersist()
-    (docs.count(), gated.count(), exact.count(), deduped.count(), ids)
+    val result = (docs.count(), gated.count(), exact.count(), deduped.count(), ids)
+    sh.unpersist(); exact.unpersist(); deduped.unpersist()
+    result
   }
 
   test("the funnel composes: monotone counts, non-trivial at every stage") {
