@@ -45,6 +45,21 @@ class KmeansSpec extends SparkSpec {
     assert(run().toSeq == run().toSeq)
   }
 
+  test("centroids persist to a table and serve identically after reload") {
+    // the 100 TB deployment shape SCALING.md describes: training runs as
+    // its own job, centroids land in a table, serving reads them back —
+    // the round-trip must not perturb a single assignment
+    val emb = testVectors(150, 8, seed = 21).cache()
+    val trained = Similarity.kmeansCentroids(emb, k = 4, iters = 2)
+    val path = tmpDir("kmeans_centroids") + "/cents"
+    trained.write.parquet(path)
+    val reloaded = spark.read.parquet(path)
+    assert(Similarity.kmeansObjective(emb, reloaded) ==
+      Similarity.kmeansObjective(emb, trained))
+    assert(reloaded.orderBy(col("cid")).collect().toSeq ==
+      trained.orderBy(col("cid")).collect().toSeq)
+  }
+
   test("real embeddings: K centroids out, objective improves") {
     val emb = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).cache()

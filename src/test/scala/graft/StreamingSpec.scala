@@ -189,6 +189,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream service: file source in, deduped corpus out") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = tmpDir("ingest_svc_in")
+    val corpus = tmpDir("ingest_svc_corpus")
+    val state = tmpDir("ingest_svc_state")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeDoc(name: String, id: Long, text: String): Unit =
+      Files.writeString(Paths.get(in, name),
+        s"""{"doc_id": $id, "text": "$text"}""" + "\n")
+    writeDoc("a.json", 1L, "alpha words here")
+    val q = Streaming.incrementalDedupStream(
+      spark, in, corpus, state, tmpDir("ingest_svc_ckpt"), schema)
+    try {
+      q.processAllAvailable()
+      // a later FILE with one duplicate and one new doc
+      writeDoc("b.json", 2L, "alpha words here")
+      writeDoc("c.json", 3L, "fresh words here")
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), ids.toString)
+    } finally q.stop()
+  }
+
   test("transformWithState quota admission: per-source soft cap across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
