@@ -104,6 +104,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("key types differ"), e.getMessage)
   }
 
+  test("AQE partition coalescing keeps the merge's two sides aligned") {
+    // the zipPartitions merge requires equal partition counts; AQE's
+    // coalescing must treat the two exchanges as one group — force
+    // aggressive coalescing (tiny data, huge advisory size) and check
+    // both execution and results
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    import org.apache.spark.sql.functions.{col => c}
+    val l = s2.range(300).select((c("id") % 5).as("k"), (c("id") % 40).as("t"),
+      c("id").as("lid"))
+    val r = s2.range(300).select((c("id") % 5).as("rk"), (c("id") % 37).as("rt"),
+      c("id").as("rid"))
+    val native = plans.AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid"))
+      .select(c("lid"), c("rid"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    val oracle = l.join(r, c("k") === c("rk") && c("rt") <= c("t"), "left")
+      .withColumn("rn", when(c("rid").isNotNull,
+        row_number().over(Window.partitionBy(c("lid"))
+          .orderBy(c("rt").desc, c("rid").desc))).otherwise(lit(1)))
+      .filter(c("rn") === 1)
+      .select(c("lid"), c("rid"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    assert(native == oracle,
+      s"only-native=${native.diff(oracle)} only-oracle=${oracle.diff(native)}")
+  }
+
   test("null keys and null timestamps never match; unmatched keeps null right") {
     import spark.implicits._
     val l = Seq(
