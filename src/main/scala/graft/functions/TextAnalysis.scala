@@ -363,6 +363,50 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // PII redaction — the privacy scrub a corpus runs before training:
+    // emails and phone-like sequences replaced with typed placeholders.
+    // Deterministic PII is derived inline from doc_id (the synthetic
+    // corpus carries none), so the oracle compares FULL redacted values
+    // — a value-level check that Spark's Java regex and DuckDB's RE2
+    // agree on these character-class patterns (kept to the common
+    // subset: no lookaround, no backreferences — which is also what
+    // keeps the expression codegen-friendly and portable). Output is
+    // the md5 of the redacted text (rows stay narrow) plus the
+    // redaction deltas.
+    QueryDef(
+      "q_text_redact",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(
+        |      regexp_replace(txt,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9-]{6,}', '<PHONE>', 'g') AS red
+        |  FROM d)
+        |SELECT doc_id, md5(red) AS h,
+        |  CAST(length(txt) - length(red) AS BIGINT) AS removed,
+        |  red LIKE '%<EMAIL>%' AND red LIKE '%<PHONE>%' AS both_hit
+        |FROM r""".stripMargin) { (s, dir) =>
+      val txt = concat(col("text"), lit(" reach user"),
+        col("doc_id").cast("string"), lit("@mail.example or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val red = regexp_replace(
+        regexp_replace(txt,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?[0-9][0-9-]{6,}", "<PHONE>")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(red.cast("binary")).as("h"),
+        (length(txt) - length(red)).cast("long").as("removed"),
+        (red.contains("<EMAIL>") && red.contains("<PHONE>")).as("both_hit"))
+    },
+
+    // ------------------------------------------------------------------
     // Unigram (token) Shannon entropy per document + type-token ratio —
     // the information-density quality signals next to the length/punct
     // ratios (low entropy ⇒ repetitive/templated text, near-zero TTR ⇒
