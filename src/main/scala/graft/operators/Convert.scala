@@ -100,10 +100,17 @@ object Convert {
       spark: SparkSession,
       in: String,
       out: String,
-      multiLine: Boolean = true): StructType = {
+      multiLine: Boolean = true,
+      samplingRatio: Double = 1.0): StructType = {
+    // samplingRatio < 1 is the 100 TB mode: infer the schema from a
+    // sample of the input instead of a full extra pass, then READ with
+    // that pinned schema — rows whose fields the sample missed surface
+    // as nulls/corrupt records, the explicit trade a production
+    // converter makes (and documents) rather than paying 2× the scan
     val df = spark.read
       .option("multiLine", multiLine)
       .option("mode", "PERMISSIVE")
+      .option("samplingRatio", samplingRatio)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(in)
     // inference only materializes _corrupt_record if some input didn't

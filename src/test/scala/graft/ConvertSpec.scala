@@ -157,6 +157,20 @@ class ConvertSpec extends SparkSpec {
     assert(back.where("email = 'ada@example.org' AND age = 36").count() == 1)
   }
 
+  test("schema inference can run on a sample of the input (the 100 TB mode)") {
+    val in = tmpDir("convert_infer_sample")
+    val out = tmpDir("convert_infer_sample_out") + "/p.parquet"
+    // a homogeneous corpus: any sample sees the full shape
+    (1 to 50).foreach { i =>
+      writePerson(in, s"p$i.json",
+        s"""{ "ID": "$i", "name": "N$i", "nationality": "DE", "age": ${20 + i} }""")
+    }
+    val inferred = graft.operators.Convert.jsonToParquetInferred(
+      spark, in, out, samplingRatio = 0.2)
+    assert(inferred.fieldNames.toSet == Set("ID", "name", "nationality", "age"))
+    assert(spark.read.parquet(out).count() == 50) // sample infers, FULL data converts
+  }
+
   test("schema-inference mode still drops corrupt records per-row") {
     val in = tmpDir("convert_infer2")
     val out = tmpDir("convert_infer2_out") + "/p.parquet"
