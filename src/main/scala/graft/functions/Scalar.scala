@@ -212,6 +212,39 @@ object Scalar {
         from_json(col("props"), schema).getField("k").as("k_int"),
         to_json(from_json(col("props"), schema)).as("rt"),
         get_json_object(col("props"), "$.missing").isNull.as("no_such_path"))
+    },
+
+    // ------------------------------------------------------------------
+    // VARIANT (Spark 4 semi-structured type): parse once into the binary
+    // variant encoding, then typed path extraction — the 100 TB answer to
+    // repeated get_json_object string re-parsing. A variant column parses
+    // each value ONCE (at ingest, storable in parquet) and every
+    // downstream path access is a cheap binary traversal instead of a
+    // fresh JSON parse; shredded variant subcolumns additionally restore
+    // columnar pruning. DuckDB has no variant type, so the oracle
+    // expresses the same observable results through its JSON operators
+    // (typed extraction, missing-path null, canonical re-serialization);
+    // schema_of_variant's answer is fixed by the fixture (every
+    // events.props value is {"k": <int>} — FIXTURES.md).
+    QueryDef(
+      "q_json_variant",
+      """SELECT event_id,
+        |  CAST(props->>'k' AS INTEGER) AS k_int,
+        |  props->>'k' AS k_str,
+        |  CAST(props->>'k' AS INTEGER) IS NOT NULL AS k_present,
+        |  props->>'missing' IS NULL AS no_such_path,
+        |  '{"k":' || (props->>'k') || '}' AS rt,
+        |  'OBJECT<k: BIGINT>' AS vschema
+        |FROM events""".stripMargin) { (s, dir) =>
+      val v = parse_json(col("props"))
+      t(s, dir, "events").select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_int"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        variant_get(v, "$.k", "int").isNotNull.as("k_present"),
+        try_variant_get(v, "$.missing", "int").isNull.as("no_such_path"),
+        to_json(v).as("rt"),
+        schema_of_variant(v).as("vschema"))
     }
   )
 }

@@ -74,6 +74,50 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q3 shape (shipping priority): the second flagship — segment
+    // filter broadcast against orders, ONE fact⋈fact sort-merge join,
+    // map-combinable aggregation, then a global top-10 that must plan as
+    // TakeOrderedAndProject (per-partition heads, O(k·partitions) moved)
+    // rather than a full sort. Dates split mid-range so both the orders
+    // and lineitem filters prune at the scan. (o_shippriority does not
+    // exist in the driver schema; o_orderpriority carries the same role.)
+    QueryDef(
+      "q_tpch_q3",
+      s"""SELECT l_orderkey,
+        |  ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      // same MERGE-hint rationale as q_tpch_q5: keep the fact⋈fact SMJ
+      // visible at test scale; the customer side broadcasts by schema
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Num.r(sum(col("rev")), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
     // Aggregation — hash, partial+final (TPC-H Q1 shape).
     QueryDef(
       "q1_agg",

@@ -28,6 +28,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("q_tpch_q3 plans a distributed top-10 over one SMJ, segment dim broadcast") {
+    val p = plan("q_tpch_q3")
+    // global ORDER BY + LIMIT must be per-partition heads, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both date filters reach their scans
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("dynamic partition pruning injects a runtime filter on the partitioned scan") {
+    import org.apache.spark.sql.functions._
+    // hive-partitioned fact + selectively-filtered dim joined on the
+    // partition column: the optimizer must reuse the dim's broadcast as a
+    // runtime PartitionFilter on the fact scan (DPP), so at 100 TB the
+    // fact read is directories-matching-the-dim, not the whole table —
+    // the runtime analogue of the static pruning q_parquet_partitioned pins
+    val dir = tmpDir("graft_dpp_fact")
+    val fact = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+    graft.sources.Layout.writePartitioned(fact, dir, "l_returnflag")
+    val dim = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .filter(col("l_linestatus") === "F")
+    val j = spark.read.parquet(dir).join(dim, "l_returnflag")
+      .agg(sum(col("l_extendedprice")))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("q_join_smj is a sort-merge join") {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
