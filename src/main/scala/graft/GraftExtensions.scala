@@ -41,5 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       Shingles.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta"),
+      new ExpressionInfo(classOf[functions.ThetaSketch].getName, "graft_theta"),
+      functions.ThetaSketch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_est"),
+      new ExpressionInfo(
+        classOf[functions.ThetaEstimate].getName, "graft_theta_est"),
+      functions.ThetaSketch.estBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect"),
+      new ExpressionInfo(
+        classOf[functions.ThetaIntersectEstimate].getName,
+        "graft_theta_intersect"),
+      functions.ThetaSketch.intersectBuilder))
   }
 }

@@ -130,6 +130,75 @@ object Approx {
         .select(col("yr"), col("nd_exact"),
           (abs(col("est") - col("nd_exact")) <= col("nd_exact") * 0.05)
             .as("sketch_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // EXACT distinct counting that still never shuffles keys: Spark's
+    // bitmap aggregates. Keys hash into 32k-bit buckets
+    // (bitmap_bucket_number / bitmap_bit_position); each (group, bucket)
+    // builds a fixed ≤4 KiB bitmap (bitmap_construct_agg), coarser
+    // rollups OR the stored bitmaps together (bitmap_or_agg) and
+    // popcount (bitmap_count). Per-year distinct here re-aggregates the
+    // per-MONTH bitmaps — the same persisted-pre-aggregation pattern as
+    // q_agg_sketch_table but with an exact answer, so the oracle compares
+    // values directly, no accuracy verdict needed. The shuffle ships one
+    // bitmap per touched bucket: for dense integer keys that is
+    // |keyspace|/32768 bitmaps per group, independent of row count — the
+    // 100 TB trade is bitmaps-∝-keyspace (exact) vs HLL's fixed 4 KiB
+    // (approximate).
+    QueryDef(
+      "q_agg_bitmap",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(DISTINCT o_custkey) AS nd
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val m = Tables(s, dir, "orders").select(
+        year(col("o_orderdate")).as("yr"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_custkey"))
+      val perMonthBucket = m
+        .groupBy(col("yr"), col("month"),
+          expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("bm"))
+      val perYearBucket = perMonthBucket
+        .groupBy(col("yr"), col("bucket"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      perYearBucket.groupBy(col("yr"))
+        .agg(sum(expr("bitmap_count(bm)")).as("nd"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theta-sketch set algebra: |customers active in BOTH 1996 and
+    // 1997| from two per-year sketches — the overlap/retention question
+    // stored HLLs cannot answer (HLL registers only union). Each year
+    // aggregates to one ≤32 KiB KMV sketch; the intersection is a
+    // single scalar expression over the two 1-row aggregates (the
+    // crossJoin is 1×1 control plane, like q_text_tfidf's corpus
+    // count). At 100 TB the sketches come from the persisted sketch
+    // table, so the overlap query reads K rows, not the fact table.
+    // Verdict oracle as with every sketch: exact intersection count +
+    // an accuracy boolean (exact-mode sketches ⇒ the estimate IS exact,
+    // but the contract stays the ±5% bound).
+    QueryDef(
+      "q_agg_theta",
+      """SELECT count(*) AS n_both, true AS theta_ok FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin) { (s, dir) =>
+      ThetaSketch.register(s)
+      val o = Tables(s, dir, "orders")
+      def custs(yr: Int) =
+        o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+      val sk96 = custs(1996).agg(expr("graft_theta(o_custkey)").as("sk96"))
+      val sk97 = custs(1997).agg(expr("graft_theta(o_custkey)").as("sk97"))
+      val est = sk96.crossJoin(broadcast(sk97))
+        .select(expr("graft_theta_intersect(sk96, sk97)").as("est"))
+      val exact = custs(1996).intersect(custs(1997))
+        .agg(count(lit(1)).as("n_both"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_both"),
+          (abs(col("est") - col("n_both")) <= col("n_both") * 0.05)
+            .as("theta_ok"))
     }
   )
 }

@@ -275,6 +275,35 @@ object Streaming {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** One micro-batch of incremental sketch-table maintenance: aggregate
+    * the batch's keys into one HLL sketch per group and write them as a
+    * DETERMINISTIC `batch=<id>` partial (same idempotent-replay trick as
+    * [[dedupIngestBatch]] — a replayed batch overwrites its own
+    * directory, never double-counts). The table stays APPEND-ONLY
+    * partials; [[sketchTable]] merges at read time. That split is the
+    * 100 TB shape: the hot path writes group×batch fixed-size sketches
+    * and never rewrites history, reads pay one register-max merge over
+    * partials (compactable offline exactly like small parquet files),
+    * and any date-range distinct query costs rows-of-sketch-table — the
+    * streaming half of q_agg_sketch_table's story. */
+  def sketchIngestBatch(
+      batch: DataFrame, batchId: Long,
+      tableDir: String, groupCol: String, keyCol: String): Unit =
+    batch.groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch_agg($keyCol)").as("sk"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+
+  /** Read-side merge of [[sketchIngestBatch]]'s partials: one row per
+    * group with the union sketch and its estimate. Register-wise max is
+    * merge-order independent, so estimates do not depend on how many
+    * batches the data arrived in. */
+  def sketchTable(
+      spark: SparkSession, tableDir: String, groupCol: String): DataFrame =
+    spark.read.parquet(tableDir)
+      .groupBy(col(groupCol))
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+      .withColumn("estimate", expr("hll_sketch_estimate(sk)"))
+
   /** Per-source token-quota admission — the domain-balancing curation
     * primitive ("at most N tokens per source/domain in the training
     * mix"), on Spark 4's transformWithState API (the arbitrary-state

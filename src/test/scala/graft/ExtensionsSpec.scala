@@ -49,6 +49,16 @@ class ExtensionsSpec extends SparkSpec {
         .agg(expr("graft_freq(lang, 4)").as("f"))
         .select(explode(col("f"))).count()
       assert(freq > 0 && freq <= 4)
+      // theta: sketch → estimate through the injected trio; exact mode
+      // at this sf, so self-intersection returns the true distinct count
+      val nd = ext.read.parquet(s"$sfDir/orders.parquet")
+        .agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+      val theta = ext.read.parquet(s"$sfDir/orders.parquet")
+        .agg(expr("graft_theta(o_custkey)").as("t"))
+        .select(expr("graft_theta_est(t)").as("e"),
+          expr("graft_theta_intersect(t, t)").as("i"))
+        .collect()(0)
+      assert(theta.getLong(0) == nd && theta.getLong(1) == nd, theta.toString)
     }
   }
 

@@ -189,6 +189,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental sketch table: per-batch partials merge to the right estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val table = tmpDir("sketch_table")
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("grp", "key")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.sketchIngestBatch(b, id, table, "grp", "key")
+      }
+      .option("checkpointLocation", tmpDir("sketch_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    def est: Map[String, Long] =
+      Streaming.sketchTable(spark, table, "grp")
+        .select(col("grp"), col("estimate"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      // group a: keys 0..999 across two batches with overlap — the
+      // union over batch partials must count distincts, not rows
+      mem.addData((0L until 600L).map(k => ("a", k)): _*)
+      q.processAllAvailable()
+      mem.addData((400L until 1000L).map(k => ("a", k)): _*) // 400-599 repeat
+      mem.addData((0L until 100L).map(k => ("b", k)): _*)
+      q.processAllAvailable()
+      val e1 = est
+      assert(math.abs(e1("a") - 1000L) <= 50, e1.toString) // ±5%
+      assert(math.abs(e1("b") - 100L) <= 5, e1.toString)
+      // replayed batch (same id, same data) overwrites its own partial:
+      // estimates unchanged — the idempotence dedupIngestBatch pioneered
+      Streaming.sketchIngestBatch(
+        (0L until 600L).map(k => ("a", k)).toDF("grp", "key"), 0L,
+        table, "grp", "key")
+      assert(est == e1)
+    } finally q.stop()
+  }
+
   test("incrementalDedupStream service: file source in, deduped corpus out") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val in = tmpDir("ingest_svc_in")
