@@ -245,6 +245,40 @@ object Scalar {
         try_variant_get(v, "$.missing", "int").isNull.as("no_such_path"),
         to_json(v).as("rt"),
         schema_of_variant(v).as("vschema"))
+    },
+
+    // ------------------------------------------------------------------
+    // Collations (Spark 4): case-insensitive semantics declared on the
+    // COLUMN (collate(..., 'UTF8_LCASE')) instead of smeared lower()
+    // calls through every predicate. The difference matters at 100 TB:
+    // a collated comparison works directly on the stored bytes inside
+    // codegen, while wrapping lower() around a column defeats pushdown
+    // and dictionary reuse on every touch. The fixture data is
+    // single-cased, so the query first case-mangles deterministically
+    // (partkey parity / mod-3) and then counts distincts and matches
+    // under both binary and case-insensitive collations; DuckDB
+    // expresses the same semantics via lower().
+    QueryDef(
+      "q_str_collate",
+      """SELECT
+        |  count(DISTINCT lower(mt)) AS nd_ci,
+        |  count(DISTINCT mt) AS nd_cs,
+        |  count(CASE WHEN contains(lower(mn), 'red') THEN 1 END) AS n_red_ci,
+        |  count(CASE WHEN contains(mn, 'RED') THEN 1 END) AS n_red_cs
+        |FROM (SELECT
+        |  CASE WHEN p_partkey % 2 = 1 THEN lower(p_type) ELSE p_type END AS mt,
+        |  CASE WHEN p_partkey % 3 = 0 THEN upper(p_name) ELSE p_name END AS mn
+        |FROM part)""".stripMargin) { (s, dir) =>
+      val mt = when(col("p_partkey") % 2 === 1, lower(col("p_type")))
+        .otherwise(col("p_type"))
+      val mn = when(col("p_partkey") % 3 === 0, upper(col("p_name")))
+        .otherwise(col("p_name"))
+      t(s, dir, "part").agg(
+        countDistinct(collate(mt, "UTF8_LCASE")).as("nd_ci"),
+        countDistinct(mt).as("nd_cs"),
+        count(when(contains(collate(mn, "UTF8_LCASE"), lit("RED")), 1))
+          .as("n_red_ci"),
+        count(when(contains(mn, lit("RED")), 1)).as("n_red_cs"))
     }
   )
 }
