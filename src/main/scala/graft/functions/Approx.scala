@@ -120,7 +120,7 @@ object Approx {
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
-      val est = Tables(s, dir, "orders").sparkSession.read.parquet(tmp)
+      val est = s.read.parquet(tmp)
         .groupBy(year(col("month")).as("yr"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
       val exact = orders

@@ -371,6 +371,48 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // The same interval join BINNED into an equi-join — the scale path.
+    // q_join_range's non-equi condition plans as a per-user nested loop:
+    // fine when the equi-key (user_id) slices the data thin, quadratic
+    // when it doesn't. Bucketing time into bins the width of the join
+    // range (10 min) turns it into a pure equi-join on (user, bin):
+    // any in-range (click, purchase) pair is at most one bin apart, so
+    // the purchase side explodes into its own and the previous bin (2×
+    // fan-out, never more) and the exact predicate re-filters after the
+    // keyed join. Same oracle as q_join_range — identical results, the
+    // candidate generation is what changed. Bins come from integer
+    // `div` (not floor of a double quotient) so bin boundaries are
+    // exact at any epoch magnitude.
+    QueryDef(
+      "q_join_range2",
+      """SELECT c.user_id, count(*) AS n_pairs,
+        |  min(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND p.event_type = 'purchase'
+        | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |GROUP BY c.user_id""".stripMargin) { (s, dir) =>
+      val binUs = 600000000L // 10 minutes of microseconds = the range width
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          expr(s"unix_micros(ts) div $binUs").as("c_bin"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          expr(s"unix_micros(ts) div $binUs").as("p_bin0"))
+        .withColumn("p_bin", explode(array(col("p_bin0"), col("p_bin0") - 1)))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("c_bin") === col("p_bin") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          min(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("min_gap_us"))
+    },
+
+    // ------------------------------------------------------------------
     // As-of join: for each purchase, the most recent prior click by the same
     // user within 1 day. Composed Spark-first: bounded range join + ranking
     // window (the bound keeps the candidate set finite at 100 TB; a custom

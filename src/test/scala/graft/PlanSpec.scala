@@ -59,6 +59,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("q_join_range2 (binned) plans as an equi-join and equals q_join_range") {
+    // the bin trick must eliminate the nested loop — candidates come
+    // from equality on (user, bin), the exact range re-filters after
+    val p = plan("q_join_range2")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val a = SparkEntry.queries("q_join_range")(spark, sfDir)
+    val b = SparkEntry.queries("q_join_range2")(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("q_join_smj is a sort-merge join") {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
