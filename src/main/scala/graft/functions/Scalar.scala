@@ -248,6 +248,35 @@ object Scalar {
     },
 
     // ------------------------------------------------------------------
+    // XML functions: struct → to_xml → from_xml round-trip with typed
+    // field extraction, plus schema inference on the serialized form.
+    // DuckDB has no XML type, so the oracle checks the round-trip
+    // IDENTITY (extracted fields ≡ source columns) and the inferred
+    // schema string, both fixed by construction — the same
+    // cross-engine strategy as the variant query.
+    QueryDef(
+      "q_xml_funcs",
+      """SELECT p_partkey,
+        |  p_partkey AS id2,
+        |  p_brand AS b2,
+        |  true AS rt_ok
+        |FROM part""".stripMargin) { (s, dir) =>
+      val sch = StructType(Seq(
+        StructField("id", org.apache.spark.sql.types.LongType),
+        StructField("b", StringType)))
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          to_xml(struct(col("p_partkey").as("id"), col("p_brand").as("b")))
+            .as("x"))
+        .select(col("p_partkey"),
+          from_xml(col("x"), sch).getField("id").as("id2"),
+          from_xml(col("x"), sch).getField("b").as("b2"),
+          (from_xml(col("x"), sch).getField("id") === col("p_partkey") &&
+            from_xml(col("x"), sch).getField("b") === col("p_brand"))
+            .as("rt_ok"))
+    },
+
+    // ------------------------------------------------------------------
     // Collations (Spark 4): case-insensitive semantics declared on the
     // COLUMN (collate(..., 'UTF8_LCASE')) instead of smeared lower()
     // calls through every predicate. The difference matters at 100 TB:

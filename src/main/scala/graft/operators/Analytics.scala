@@ -743,6 +743,46 @@ object Analytics {
         .select(col("l_linestatus"),
           (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
           (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4 WITH RECURSIVE): generate the complete
+    // month series spanning orders — including empty months, which no
+    // GROUP BY over the data alone can produce — then left-join counts
+    // onto it. Recursion runs driver-side over the tiny series (one row
+    // per month; the 100-level default recursion cap is the guard) while
+    // the join and aggregation stay distributed; the right shape for
+    // calendar spines, org hierarchies, and BOM closures at any scale.
+    // Exercises the spark.sql() entry path; the table is registered as a
+    // dir-scoped temp view since SQL cannot reference a DataFrame.
+    QueryDef(
+      "q_sql_recursive",
+      """WITH RECURSIVE m(mo) AS (
+        |  SELECT CAST(date_trunc('month',
+        |    (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM m
+        |  WHERE mo < CAST(date_trunc('month',
+        |    (SELECT max(o_orderdate) FROM orders)) AS DATE)
+        |)
+        |SELECT mo, count(o_orderkey) AS n
+        |FROM m LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mo
+        |GROUP BY mo""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_rec")
+      s.sql("""
+        WITH RECURSIVE m(mo) AS (
+          SELECT CAST(date_trunc('month',
+            (SELECT min(o_orderdate) FROM graft_orders_rec)) AS DATE)
+          UNION ALL
+          SELECT add_months(mo, 1) FROM m
+          WHERE mo < CAST(date_trunc('month',
+            (SELECT max(o_orderdate) FROM graft_orders_rec)) AS DATE)
+        )
+        SELECT mo, count(o_orderkey) AS n
+        FROM m LEFT JOIN graft_orders_rec
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = mo
+        GROUP BY mo""")
     }
   )
 }
