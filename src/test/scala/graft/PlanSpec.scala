@@ -350,6 +350,15 @@ class PlanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("q_agg_bitmap stays Expand-free with partial aggregation at every level") {
+    // the bitmap plan's whole point: distinct counting WITHOUT a
+    // distinct aggregate — no Expand, and each of the three groupBys
+    // map-side combines (partial HashAggregate/ObjectHashAggregate)
+    val p = plan("q_agg_bitmap")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("q_agg_approx keeps exact and sketch aggregation Expand-free") {
     // mixing countDistinct with the imperative sketch aggregates in one
     // groupBy re-plans as Expand (2x rows) through ObjectHashAggregate —

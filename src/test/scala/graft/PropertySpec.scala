@@ -110,6 +110,44 @@ class PropertySpec extends SparkSpec {
       got.exceptAll(native).collect().take(5).mkString("\n"))
   }
 
+  test("binned interval join equals the nested-loop join on random timestamps") {
+    import spark.implicits._
+    // random event times INCLUDING exact bin-boundary and exact
+    // range-boundary gaps — the off-by-one cases the real events table
+    // may never hit. Property: bin(candidates) ∩ exact-filter ≡ plain
+    // non-equi join, for bin width = range width.
+    val rnd = new Random(7)
+    val binUs = 600L // tiny bins so boundaries are dense
+    val rows = Seq.fill(4000) {
+      val user = rnd.nextLong(20)
+      // cluster times so in-range pairs are common; multiples of 100
+      // make exact-boundary gaps (0, 600) likely
+      val t = rnd.nextLong(50) * 100L + rnd.nextLong(3)
+      (user, t, if (rnd.nextBoolean()) "click" else "purchase")
+    }
+    val df = rows.toDF("user_id", "t_us", "kind").cache()
+    val c = df.filter(col("kind") === "click")
+      .select(col("user_id"), col("t_us").as("c_t"))
+    val p = df.filter(col("kind") === "purchase")
+      .select(col("user_id").as("p_user"), col("t_us").as("p_t"))
+    val exact = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_t") > col("c_t") && col("p_t") <= col("c_t") + binUs)
+      .select(col("user_id"), col("c_t"), col("p_t"))
+    val binned = c.withColumn("c_bin", expr(s"c_t div $binUs"))
+      .join(
+        p.withColumn("p_bin0", expr(s"p_t div $binUs"))
+          .withColumn("p_bin",
+            explode(array(col("p_bin0"), col("p_bin0") - 1))),
+        col("user_id") === col("p_user") &&
+          col("c_bin") === col("p_bin") &&
+          col("p_t") > col("c_t") && col("p_t") <= col("c_t") + binUs)
+      .select(col("user_id"), col("c_t"), col("p_t"))
+    assert(exact.exceptAll(binned).count() == 0 &&
+      binned.exceptAll(exact).count() == 0)
+    df.unpersist()
+  }
+
   test("graft_topk equals sort-take-k on random scores, ties included") {
     import spark.implicits._
     graft.functions.TopK.register(spark)
