@@ -441,6 +441,50 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Unigram LM score — the CCNet-style curation signal: a document's
+    // mean token surprisal −(1/L)·Σ ln p(tok) under the corpus's own
+    // unigram distribution (high ⇒ rare-token gibberish, very low ⇒
+    // boilerplate). The corpus token-frequency table broadcasts (the
+    // vocabulary, tiny next to the corpus — at 100 TB it would come
+    // from a persisted counts table, like tf-idf's df). Determinism
+    // across engines: each token's surprisal is scaled to an INTEGER
+    // (µnats) before summing, so the per-doc reduction is an exact,
+    // order-free integer sum — no float-summation-order hazard — and
+    // the mean is integer division.
+    QueryDef(
+      "q_text_lmscore",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(ln(n.n * 1e0 / f.c) * 1000000e0 + 0.5) AS BIGINT) AS s
+        |  FROM t JOIN f USING (tok) CROSS JOIN n)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(s) AS BIGINT) AS nll_micro,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS avg_nll_micro
+        |FROM s GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("s",
+          floor(log(col("n") * lit(1e0) / col("c")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("s")).as("nll_micro"))
+        .withColumn("avg_nll_micro", expr("nll_micro div n_tokens"))
+    },
+
+    // ------------------------------------------------------------------
     // Domain-balancing quota, batch form: admit each source's documents
     // in doc_id order until the source's char budget is spent (soft cap:
     // the document that crosses the line is still admitted whole). One

@@ -434,6 +434,7 @@ class PlanSpec extends SparkSpec {
       "q_join_asof", // bounded range join + rank (asof2 is the O(n) path)
       "q_dedup_embed", // all-pairs ground truth (embed_lsh is the scale path)
       "q_text_tfidf", // crossJoin(broadcast(single-row corpus count))
+      "q_text_lmscore", // crossJoin(broadcast(single-row corpus token total))
       "q_agg_heavyhitters", // crossJoin(broadcast(single-row total)) for the n/m threshold
       "q_agg_theta", // crossJoin of three single-row aggregates (sketch pair + exact)
       "q_subquery_scalar") // scalar subquery = 1-row broadcast join
