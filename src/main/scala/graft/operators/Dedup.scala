@@ -90,6 +90,33 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(t(s, dir, "documents"))
 
+  /** 16 md5-derived minhashes per document over its 3-word shingles:
+    * (doc_id, sig: array<long>). One md5 yields four 32-bit hash
+    * functions (32 hex chars = 4×8), so 4 digests per shingle instead
+    * of 16. Shared by q_dedup_minhash and the incremental near-dup
+    * ingestion ([[graft.streaming.Streaming.nearDupIngestBatch]]) so
+    * the stored band table and the batch query cannot drift. Documents
+    * under 3 tokens produce no shingles and therefore no signature. */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs).select(col("doc_id") +:
+      (0 until 4).map(g =>
+        md5(concat(lit(s"$g:"), col("shingle")).cast("binary")).as(s"m$g")): _*)
+    sh.groupBy(col("doc_id")).agg(
+      array(minhashSeeds.map { seed =>
+        val m = col(s"m${seed / 4}")
+        min(conv(substring(m, (seed % 4) * 8 + 1, 8), 16, 10).cast("long"))
+      }: _*).as("sig"))
+  }
+
+  /** LSH band keys from signatures: (doc_id, band, band_key), 8 bands of
+    * 2 rows — a shared (band, band_key) makes two docs candidates. */
+  private[graft] def minhashBandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array((0 until minhashBands).map(b => concat_ws("_",
+        element_at(col("sig"), 2 * b + 1),
+        element_at(col("sig"), 2 * b + 2))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+
   /** Connected components of an undirected pair graph: (node, component,
     * cluster_size) with component = min node id in the component — the
     * pairs→clusters step keep-one-per-group dedup needs.
@@ -331,17 +358,8 @@ object Dedup {
         |  len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k])) AS agree
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(1, 17), k -> a.sig[k] = b.sig[k])) >= 10""".stripMargin) { (s, dir) =>
-      // One md5 yields four 32-bit hash functions (32 hex chars = 4×8):
-      // 4 digests per shingle instead of 16.
-      val sh = shingles(s, dir).select(col("doc_id") +:
-        (0 until 4).map(g =>
-          md5(concat(lit(s"$g:"), col("shingle")).cast("binary")).as(s"m$g")): _*)
       // sig feeds both sides of the band join — cache (5k rows × 16 longs).
-      val sig = sh.groupBy(col("doc_id")).agg(
-        array(minhashSeeds.map { seed =>
-          val m = col(s"m${seed / 4}")
-          min(conv(substring(m, (seed % 4) * 8 + 1, 8), 16, 10).cast("long"))
-        }: _*).as("sig")).cache()
+      val sig = minhashSignatures(t(s, dir, "documents")).cache()
       // LSH bands: (band index, band key) per doc; a shared band ⇒ candidate.
       // The band join and the (id_a, id_b) dedup that follows it carry
       // ONLY the two 8-byte ids — a pair sharing k bands reaches the
@@ -349,11 +367,7 @@ object Dedup {
       // multiplied by the collision factor (the r3 bench measured 2×
       // when the two 16-long signatures rode along). Signatures are
       // joined back AFTER the dedup, once per surviving pair.
-      val banded = sig.select(col("doc_id"),
-        posexplode(array((0 until minhashBands).map(b => concat_ws("_",
-          element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      val banded = minhashBandKeys(sig)
       val left = banded.select(col("doc_id").as("id_a"),
         col("band"), col("band_key"))
       val right = banded.select(col("doc_id").as("id_b"),

@@ -275,6 +275,73 @@ object Streaming {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** One micro-batch of incremental NEAR-dup ingestion — the fuzzy
+    * counterpart of [[dedupIngestBatch]]: drop documents whose MinHash
+    * LSH band was already claimed by an earlier document, append
+    * survivors to the corpus and their bands to the state table. The
+    * admission rule is deterministic band OWNERSHIP: a document is
+    * dropped iff any of its 8 band keys is held by a smaller-id document
+    * of the same batch or by any earlier batch's survivor. That is the
+    * aggressive production mode — candidates are deduped WITHOUT the
+    * pairwise agreement verification the batch query suite applies
+    * (q_dedup_minhash verifies agree ≥ 10/16); on chains (A~B~C, A≁C)
+    * it can drop more than a greedy scan would, which is the standard
+    * trade for an O(batch) incremental check against state that is
+    * 8 rows/doc, not the corpus text. Signatures/bands come from the
+    * SAME [[graft.operators.Dedup.minhashSignatures]] the batch query
+    * uses, so stored state and batch semantics cannot drift. Documents
+    * under 3 tokens have no shingles → no bands → always admitted.
+    * Exactly-once exactly as dedupIngestBatch: deterministic
+    * `batch=<id>` overwrite, state read excludes the batch's own
+    * partition so a replay never dedups against its previous attempt. */
+  def nearDupIngestBatch(
+      batch: DataFrame, batchId: Long,
+      corpusDir: String, bandsDir: String): Unit = {
+    val s = batch.sparkSession
+    val bands = graft.operators.Dedup.minhashBandKeys(
+      graft.operators.Dedup.minhashSignatures(batch)).cache()
+    try {
+      val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_key",
+          org.apache.spark.sql.types.StringType)))
+      val statePath = new org.apache.hadoop.fs.Path(bandsDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val earlier =
+        if (fs.exists(statePath))
+          fs.listStatus(statePath).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch=") &&
+              st.getPath.getName != s"batch=$batchId")
+            .map(_.getPath.toString)
+        else Seq.empty
+      val seen =
+        if (earlier.nonEmpty)
+          s.read.schema(stateSchema).parquet(earlier: _*)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+      val dupCross = bands
+        .join(seen, Seq("band", "band_key"), "left_semi")
+        .select(col("doc_id"))
+      // in-batch: the smallest doc_id in each band bucket owns the band
+      val mins = bands.groupBy(col("band"), col("band_key"))
+        .agg(min(col("doc_id")).as("min_id"))
+      val dupIn = bands.join(mins, Seq("band", "band_key"))
+        .filter(col("doc_id") > col("min_id"))
+        .select(col("doc_id"))
+      val survivors = batch.join(
+        dupCross.union(dupIn).distinct(), Seq("doc_id"), "left_anti").cache()
+      try {
+        survivors.write
+          .mode(SaveMode.Overwrite).parquet(s"$corpusDir/batch=$batchId")
+        bands.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("band"), col("band_key")).write
+          .mode(SaveMode.Overwrite).parquet(s"$bandsDir/batch=$batchId")
+      } finally survivors.unpersist()
+    } finally bands.unpersist()
+  }
+
   /** One micro-batch of incremental sketch-table maintenance: aggregate
     * the batch's keys into one HLL sketch per group and write them as a
     * DETERMINISTIC `batch=<id>` partial (same idempotent-replay trick as

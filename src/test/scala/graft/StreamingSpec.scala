@@ -189,6 +189,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental near-dup ingestion: band ownership drops fuzzy repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tmpDir("neardup_corpus")
+    val bands = tmpDir("neardup_bands")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.nearDupIngestBatch(b, id, corpus, bands)
+      }
+      .option("checkpointLocation", tmpDir("neardup_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    def corpusIds: Set[Long] = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    try {
+      // batch 0: doc 2 is doc 1's text verbatim (all 8 bands collide),
+      // doc 3 is unrelated — in-batch ownership keeps {1, 3}
+      mem.addData((1L, base), (2L, base),
+        (3L, "completely different text with many other words in this sample"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 3L))
+      // batch 1: doc 4 is a NEAR-dup of doc 1 (one word changed out of
+      // 14 → 3 of 12 shingles differ, J ≈ 0.69; its md5-derived
+      // signature deterministically shares a band with doc 1) — dropped
+      // against the stored state; doc 5 is fresh — admitted
+      mem.addData(
+        (4L, base.replace("today", "tonight")),
+        (5L, "fresh words that have no overlap with anything stored before"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 3L, 5L))
+      // replay batch 1 (same id, same data): deterministic overwrite,
+      // state read excludes the batch's own partition — corpus unchanged
+      Streaming.nearDupIngestBatch(
+        Seq((4L, base.replace("today", "tonight")),
+          (5L, "fresh words that have no overlap with anything stored before"))
+          .toDF("doc_id", "text"), 1L, corpus, bands)
+      assert(corpusIds == Set(1L, 3L, 5L))
+      // a 2-token doc has no shingles → no bands → always admitted
+      mem.addData((6L, "too short"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("incremental sketch table: per-batch partials merge to the right estimate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
