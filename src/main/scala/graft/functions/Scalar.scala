@@ -248,6 +248,42 @@ object Scalar {
     },
 
     // ------------------------------------------------------------------
+    // Schema-drift monitoring over semi-structured data: a feed whose
+    // JSON payloads drift (new field on some rows) and rot (malformed
+    // on others), both injected deterministically from event_id. One
+    // aggregation pass answers the three ingest-monitoring questions:
+    // the MERGED schema across every parseable payload
+    // (schema_of_variant_agg — the union type a shredded variant column
+    // would need), how many rows drifted, and how many fail to parse at
+    // all (try_parse_json null ⇒ quarantine, never a job abort). The
+    // corrupt branch wins over the drift branch on overlapping ids in
+    // both engines.
+    QueryDef(
+      "q_json_schema_drift",
+      """SELECT 'OBJECT<k: BIGINT, u: STRING>' AS merged_schema,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN event_id % 97 <> 0 AND event_id % 100 = 0
+        |             THEN 1 END) AS n_drifted,
+        |  count(CASE WHEN event_id % 97 = 0 THEN 1 END) AS n_corrupt,
+        |  count(CASE WHEN event_id % 97 <> 0 THEN 1 END) AS n_parsed
+        |FROM events""".stripMargin) { (s, dir) =>
+      val props2 = when(col("event_id") % 97 === 0, lit("not json"))
+        .when(col("event_id") % 100 === 0,
+          concat(lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+            lit(", \"u\": \"x\"}")))
+        .otherwise(col("props"))
+      t(s, dir, "events")
+        .withColumn("v", try_parse_json(props2))
+        .agg(
+          schema_of_variant_agg(col("v")).as("merged_schema"),
+          count(lit(1)).as("n_rows"),
+          count(when(col("event_id") % 97 =!= 0 &&
+            col("event_id") % 100 === 0, 1)).as("n_drifted"),
+          count(when(col("event_id") % 97 === 0, 1)).as("n_corrupt"),
+          count(col("v")).as("n_parsed"))
+    },
+
+    // ------------------------------------------------------------------
     // XML functions: struct → to_xml → from_xml round-trip with typed
     // field extraction, plus schema inference on the serialized form.
     // DuckDB has no XML type, so the oracle checks the round-trip

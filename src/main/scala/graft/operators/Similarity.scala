@@ -453,6 +453,60 @@ object Similarity {
         .filter(col("rnk") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("rnk"),
           Num.r(col("cos"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // Int8 embedding quantization — the storage-quarter for 100 TB
+    // vector stores: per-vector symmetric scale (max|x|/127), elements
+    // round to [-127, 127] bytes, 4 bytes/dim becomes 1. The query
+    // emits the quantized checksum (an exact, order-free integer sum —
+    // cross-engine deterministic), the max quantized magnitude (must
+    // saturate at exactly 127 by construction), and a reconstruction-
+    // fidelity verdict: cosine(original, dequantized) ≥ 0.999 — int8
+    // quantization's defining property, far from the threshold for
+    // 64-dim vectors so no float-boundary flakiness. Identical IEEE
+    // double ops on both sides (the Num discipline).
+    QueryDef(
+      "q_embed_quantize",
+      """WITH sc AS (
+        |  SELECT vec_id,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / sc.scale + 0.5) AS BIGINT)) AS qv,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ov,
+        |    sc.scale AS scale
+        |  FROM embeddings e JOIN sc USING (vec_id))
+        |SELECT vec_id,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  list_max(list_transform(qv, x -> abs(x))) AS qmax,
+        |  list_sum(list_transform(range(1, len(ov) + 1),
+        |      i -> ov[i] * qv[i] * scale))
+        |    / sqrt(list_sum(list_transform(ov, x -> x * x)))
+        |    / sqrt(list_sum(list_transform(qv, x -> x * scale * x * scale)))
+        |    >= 0.999 AS fidelity_ok
+        |FROM q""".stripMargin) { (s, dir) =>
+      val scale = greatest(
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+        lit(1e-12)) / 127
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long"))
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      t(s, dir, "embeddings")
+        .withColumn("scale", scale)
+        .withColumn("qv", qv)
+        .withColumn("ov", transform(col("embedding"), _.cast("double")))
+        .withColumn("dq", transform(col("qv"), q => q * col("scale")))
+        .select(col("vec_id"),
+          aggregate(col("qv"), lit(0L), (acc, v) => acc + v).as("qsum"),
+          array_max(transform(col("qv"), abs(_))).as("qmax"),
+          (dot(col("ov"), col("dq")) /
+            sqrt(dot(col("ov"), col("ov"))) /
+            sqrt(dot(col("dq"), col("dq"))) >= 0.999).as("fidelity_ok"))
     }
   )
 }
