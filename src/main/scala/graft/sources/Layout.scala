@@ -113,6 +113,32 @@ object Layout {
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(dest)
   }
 
+  /** Parquet with a bloom filter on selected columns: point lookups
+    * (`key = x`, `key IN (...)`) on a HIGH-cardinality column skip row
+    * groups min/max statistics can't — a clustered file narrows value
+    * SPANS, but a high-cardinality key's span still covers everything,
+    * while its bloom filter answers "definitely absent" per row group
+    * at ~1 byte/distinct-value. The complement to [[writeClustered]]
+    * (range predicates) and hive partitioning (low-cardinality
+    * equality); `ndv` sizes the filter for the expected distincts per
+    * row group. Parquet only materializes the filter for chunks that
+    * fall back from dictionary encoding (a complete dictionary is
+    * already an exact membership structure, and readers filter on it) —
+    * exactly the high-cardinality regime bloom filters exist for, so
+    * the option composes correctly at every cardinality. PlanSpec
+    * verifies the footer filters exist and answer membership on a
+    * dictionary-overflowing key. */
+  def writeBloomFiltered(
+      df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 100000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    configured.parquet(path)
+  }
+
   /** Bucketed + sorted managed table: joins and aggregations on
     * `bucketCol` between tables bucketed the same way need NO exchange —
     * the steady-state layout for repeatedly-joined fact tables. */

@@ -446,6 +446,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("writeBloomFiltered stores working per-row-group bloom filters in the footer") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.column.values.bloomfilter.BloomFilter
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("graft_bloom")
+    // the key must OVERFLOW the dictionary page: parquet skips the bloom
+    // filter for fully dictionary-encoded chunks (the dictionary is
+    // already exact membership) — 300k distinct longs forces the plain-
+    // encoding fallback, the regime bloom filters exist for
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.sources.Layout.writeBloomFiltered(
+      spark.range(300000).select(
+        col("id").as("o_orderkey"), col("id").as("o_custkey"),
+        lit("x").as("o_orderpriority")).repartition(1),
+      dir, Seq("o_custkey"), ndv = 300000L)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val byCol = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      // the requested column carries a filter; the others don't
+      assert(byCol("o_custkey").getBloomFilterOffset > 0, byCol.keys)
+      assert(byCol("o_orderkey").getBloomFilterOffset <= 0)
+      val bloom: BloomFilter = reader.readBloomFilter(byCol("o_custkey"))
+      assert(bloom != null)
+      // membership: every present key answers "maybe", and probing
+      // far-away keys finds definite absences — the row-group skip a
+      // reader takes on a point lookup
+      assert((0L until 1000L).forall(k => bloom.findHash(bloom.hash(k))))
+      val absentHits = (1 to 1000)
+        .map(i => 10000000L + i)
+        .count(k => bloom.findHash(bloom.hash(k)))
+      assert(absentHits < 1000, "bloom filter never reports absence")
+    } finally reader.close()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.functions._
     val li = Tables(spark, sfDir, "lineitem")
