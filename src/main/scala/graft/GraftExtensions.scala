@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension tier: logical node + strategy + physical
     // merge operator (plans/AsOfJoin.scala)
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    // analysis-time governance tier: opt-in cartesian-product guard
+    ext.injectCheckRule(_ => plans.CartesianGuard)
     // builders are shared with each companion's register() so the two
     // registration surfaces cannot drift
     ext.injectFunction((

@@ -62,6 +62,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cartesian guard check rule: opt-in rejection, default-off passage") {
+    withExtSession { ext =>
+      val a = ext.range(3).toDF("a")
+      val b = ext.range(3).toDF("b")
+      // default off: deliberate cross joins analyze and run
+      assert(a.crossJoin(b).count() == 9)
+      ext.conf.set(graft.plans.CartesianGuard.ConfKey, "true")
+      try {
+        val e = intercept[Exception] { a.crossJoin(b).count() }
+        assert(e.getMessage.contains("failOnCartesian"), e.getMessage)
+        // conditioned joins still pass under the guard
+        assert(a.join(b, col("a") === col("b")).count() == 3)
+      } finally ext.conf.unset(graft.plans.CartesianGuard.ConfKey)
+    }
+  }
+
   test("as-of planner strategy is injected: plans without manual register()") {
     withExtSession { ext =>
       // build the logical node directly over analyzed children — NOT via
