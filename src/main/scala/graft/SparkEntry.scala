@@ -16,6 +16,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Analytics.defs ++
+      operators.Behavior.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Convert.defs ++

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log / warehouse behavioral analytics over the `events` table:
+  * conversion funnel, cohort retention, SCD-2 change history, and
+  * time-series gap-fill with forward fill. These are the workhorse
+  * shapes of product analytics and feature-pipeline backfills — each is
+  * expressed as a declarative plan whose shuffles are keyed on the
+  * natural entity key (`user_id`), so at 100 TB every one of them scales
+  * with the user count, never with a cross product:
+  *
+  *   - funnel: ONE map-combinable conditional-min aggregate per user,
+  *     then a count over the 150/71/24/5-style stage flags — two hash
+  *     aggs, the second over one row per user;
+  *   - cohort: first-touch per user (hash agg) + distinct activity
+  *     (hash agg) joined on user_id — both sides pre-shrunk before the
+  *     join, so the shuffle carries users, not raw events;
+  *   - SCD-2: two windows over the same `user_id` partitioning — the
+  *     second runs on the change rows only (~the distinct-run count),
+  *     and Catalyst reuses the first window's shuffle for it
+  *     (same partition key, already sorted);
+  *   - gap-fill: the spine generator explodes per user (bounded by each
+  *     user's own [min, max] day span — no global calendar cross join),
+  *     and the forward-fill window is a running `last(ignoreNulls)`
+  *     over ROWS UNBOUNDED PRECEDING: O(n) state, spill-capable.
+  */
+object Behavior {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Conversion funnel: signup → view → click → purchase, strictly
+    // ordered by each user's FIRST occurrence of every stage. The
+    // conditional-min aggregate is the scale-correct funnel plan: one
+    // pass over events, map-side combined, one row per user — never a
+    // per-stage self-join (the naive 4-way join shuffles the event table
+    // once per stage).
+    QueryDef(
+      "q_funnel",
+      """WITH stages AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  count(t_signup) AS n_signup,
+        |  count(CASE WHEN t_view > t_signup THEN 1 END) AS n_view,
+        |  count(CASE WHEN t_click > t_view AND t_view > t_signup
+        |    THEN 1 END) AS n_click,
+        |  count(CASE WHEN t_purchase > t_click AND t_click > t_view
+        |    AND t_view > t_signup THEN 1 END) AS n_purchase
+        |FROM stages""".stripMargin) { (s, dir) =>
+      val firstOf = (et: String) =>
+        min(when(col("event_type") === et, col("ts"))).as(s"t_$et")
+      val stages = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(firstOf("signup"), firstOf("view"), firstOf("click"),
+          firstOf("purchase"))
+      // count(expr) counts non-nulls — `when` without otherwise is NULL
+      // on no-match, so each stage flag mirrors the SQL CASE exactly.
+      stages.agg(
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_view") > col("t_signup"), 1)).as("n_view"),
+        count(when(col("t_click") > col("t_view")
+          && col("t_view") > col("t_signup"), 1)).as("n_click"),
+        count(when(col("t_purchase") > col("t_click")
+          && col("t_click") > col("t_view")
+          && col("t_view") > col("t_signup"), 1)).as("n_purchase"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cohort retention: cohort = Monday of the user's first event week,
+    // offset = whole weeks since. Both sides of the join are already
+    // user-grained aggregates (first-touch; distinct active weeks), so
+    // the join shuffle moves one row per user(+week), not raw events.
+    // The week difference is an exact multiple of 7 days by construction
+    // (both dates are week-truncated), so integer division is exact in
+    // both engines — no float-cast rounding divergence.
+    QueryDef(
+      "q_cohort_retention",
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST((active_week - cohort_week) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        |FROM firsts JOIN activity USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("active_week"))
+        .distinct()
+      firsts.join(activity, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("active_week"), col("cohort_week")) / lit(7))
+            .cast("int").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ------------------------------------------------------------------
+    // SCD-2 change history: collapse each user's event stream into
+    // [valid_from, valid_to) intervals, one row per event_type RUN —
+    // the slowly-changing-dimension type-2 build every warehouse runs on
+    // its change feeds. Two windows, both partitioned by user_id with
+    // the same (ts, event_id) order: the run-boundary lag over raw
+    // events, then the lead over boundary rows only. Same partition key
+    // → one shuffle, reused; the interval end needs no self-join.
+    // event_id breaks ts ties deterministically on both engines.
+    QueryDef(
+      "q_scd2",
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM ordered WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |FROM changes""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+      val byUserFrom = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      changes.select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(byUserFrom).as("valid_to"))
+    },
+
+    // ------------------------------------------------------------------
+    // Time-series gap-fill + forward fill: per-user daily purchase
+    // average, densified onto each user's own [first, last] day span and
+    // carried forward across gap days. The spine is generated per user
+    // from that user's bounds — there is no global calendar cross join,
+    // so spine size is Σ_user span(user), proportional to the data. The
+    // daily average is rounded BEFORE the fill on both engines: the fill
+    // then only copies bit-identical values, so engine summation-order
+    // differences cannot leak through the window. The fill itself is a
+    // running last(ignoreNulls) over ROWS UNBOUNDED PRECEDING — O(1)
+    // state per row, never a whole-partition buffer.
+    QueryDef(
+      "q_ts_fill",
+      s"""WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    ${Num.sql("avg(value)", 6)} AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds)
+        |SELECT user_id, d,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM spine LEFT JOIN daily USING (user_id, d)""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(Num.r(avg(col("value")), 6).as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+      val fill = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          last(col("v"), ignoreNulls = true).over(fill).as("v_filled"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic train/valid/test split: hash the stable document id,
+    // bucket mod 10, 80/10/10. The split is a pure projection — no
+    // shuffle at all until the per-split audit aggregate — and because
+    // the bucket is a function of the id alone, re-running the pipeline
+    // on a grown corpus never reassigns an existing document (the
+    // property a training pipeline actually needs from its split).
+    // The md5-prefix hash is the repo's portable h32 (TextAnalysis.h32),
+    // bit-identical in DuckDB.
+    QueryDef(
+      "q_split",
+      s"""SELECT
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS chars
+        |FROM (
+        |  SELECT n_chars,
+        |    ${graft.functions.TextAnalysis.h32sql("CAST(doc_id AS VARCHAR)")} % 10 AS b
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val b = graft.functions.TextAnalysis.h32(col("doc_id").cast("string")) % 10
+      t(s, dir, "documents")
+        .select(col("n_chars"),
+          when(b < 8, "train").when(b === 8, "valid").otherwise("test")
+            .as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    }
+  )
+}

@@ -629,6 +629,40 @@ object Dedup {
         .select(col("doc_id"), col("n_sh"), col("n_hit"),
           Num.r(frac, 6).as("overlap_frac"),
           (frac >= 0.5).as("contaminated"))
+    },
+
+    // ------------------------------------------------------------------
+    // Fuzzy record linkage by edit distance with BLOCKING — the
+    // structured-data sibling of the document near-dup suite. All-pairs
+    // levenshtein is O(n²) and never survives scale; the standard fix is
+    // a cheap blocking key (here: the noun token of the part name) so
+    // the quadratic comparator runs only inside blocks. Two extra
+    // scale guards: the comparison runs over DISTINCT names (64 at any
+    // sf — name-space cardinality, not row count), and the `<` on the
+    // pair cuts the symmetric half. The plan is an equi-join on the
+    // block key with the levenshtein as a post-join filter — keyed
+    // shuffle, no cartesian (PlanSpec's suite-wide sweep applies).
+    QueryDef(
+      "q_link_fuzzy",
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin) { (s, dir) =>
+      val names = t(s, dir, "part")
+        .select(col("p_name"),
+          element_at(split(col("p_name"), " "), 2).as("blk"))
+        .distinct()
+      val a = names.select(col("p_name").as("name_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
     }
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the behavioral-analytics operators (Behavior.scala)
+  * beyond the driver's DuckDB hash compare: invariants that must hold on
+  * ANY event log, checked on the real sf0.001 data. */
+class BehaviorSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_funnel stages are monotonically non-increasing") {
+    val r = run("q_funnel").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val Seq(s, v, c, p) = Seq("n_signup", "n_view", "n_click", "n_purchase")
+      .map(n => row.getLong(row.fieldIndex(n)))
+    assert(s >= v && v >= c && c >= p,
+      s"funnel must narrow: $s >= $v >= $c >= $p")
+    assert(s > 0, "at least one user must enter the funnel")
+  }
+
+  test("q_cohort_retention: offset-0 cell counts every cohort member " +
+    "and no offset is negative") {
+    val rows = run("q_cohort_retention").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) >= 0), "first-touch week IS an active week")
+    // Σ over offset-0 cells = number of distinct users
+    val users = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    val atZero = rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    assert(atZero == users, s"offset-0 total $atZero != $users users")
+    // retention can never exceed the cohort's own size
+    val byCohort = rows.groupBy(_.getDate(0)).view.mapValues { rs =>
+      (rs.filter(_.getInt(1) == 0).map(_.getLong(2)).sum,
+        rs.map(_.getLong(2)).max)
+    }
+    byCohort.foreach { case (cw, (size, maxCell)) =>
+      assert(maxCell <= size, s"cohort $cw: cell $maxCell > cohort size $size")
+    }
+  }
+
+  test("q_scd2 intervals tile each user's timeline: every event falls in " +
+    "exactly the interval carrying its type") {
+    val scd = run("q_scd2")
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type").as("ev_type"), col("ts"))
+    // join each event to the SCD2 row covering its timestamp; the
+    // covering row's type must equal the event's type (NULL valid_to =
+    // open interval). Events AT a boundary belong to the new interval.
+    val covered = ev.join(scd, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+    val n = ev.count()
+    assert(covered.count() == n, "each event must be covered exactly once")
+    assert(covered.filter(col("ev_type") =!= col("event_type")).count() == 0,
+      "the covering interval must carry the event's type")
+    // exactly one open interval per user (the current state)
+    val open = scd.filter(col("valid_to").isNull)
+      .groupBy(col("user_id")).count()
+    assert(open.filter(col("count") =!= 1).count() == 0)
+  }
+
+  test("q_ts_fill densifies to each user's full day span and forward-fill " +
+    "leaves no interior nulls") {
+    val filled = run("q_ts_fill").cache()
+    try {
+      // span check: per user, row count == days between min and max + 1
+      val bad = filled.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          (datediff(max(col("d")), min(col("d"))) + 1).as("span"))
+        .filter(col("n") =!= col("span"))
+      assert(bad.count() == 0, "spine must be dense per user")
+      // the first row per user is a real observation, so after the
+      // running fill no row can be null
+      assert(filled.filter(col("v_filled").isNull).count() == 0)
+    } finally filled.unpersist()
+  }
+
+  test("q_split is a partition of documents, stable under corpus growth") {
+    val total = Tables(spark, sfDir, "documents").count()
+    val splits = run("q_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == total, "splits must partition the corpus")
+    assert(splits.keySet == Set("train", "valid", "test"))
+    // growth stability: the assignment of a doc depends only on its id —
+    // recomputing on a PREFIX of the corpus must agree on every shared id
+    val docs = Tables(spark, sfDir, "documents")
+    val b = graft.functions.TextAnalysis.h32(col("doc_id").cast("string")) % 10
+    val full = docs.select(col("doc_id"), b.as("b"))
+    val prefix = docs.filter(col("doc_id") < 50).select(col("doc_id"), b.as("b"))
+    val disagree = full.join(prefix, Seq("doc_id"))
+      .filter(full("b") =!= prefix("b"))
+    assert(disagree.count() == 0)
+  }
+
+  test("q_link_fuzzy: pairs are blocked, deduped, within threshold") {
+    val rows = run("q_link_fuzzy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, bn, d) = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(a < bn, "pair must be ordered (half-matrix)")
+      assert(d >= 1 && d <= 3, s"distance $d out of band")
+      assert(a.split(" ").last == bn.split(" ").last,
+        "pairs must share the blocking noun")
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length, "no duplicate pairs")
+  }
+}
