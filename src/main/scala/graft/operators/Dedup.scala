@@ -254,7 +254,13 @@ object Dedup {
     * (must expose doc_id, shingle). */
   private def jaccardPairsSql(rel: String): String =
     s"""shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM $rel),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+      |$jaccardPairsCoreSql""".stripMargin
+
+  /** The pair pipeline body, assuming a relation `shh(doc_id, sid)` is
+    * already defined — lets the capped twin hash FIRST and cap on the
+    * hashed ids. */
+  private def jaccardPairsCoreSql: String =
+    s"""cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
@@ -319,16 +325,32 @@ object Dedup {
     // curated testdata the surviving pair SET is cap-invariant (measured:
     // 615 pruned shingles at sf0.01, same 25 pairs), which is itself the
     // design claim — hot shingles are pure join-blowup, zero recall.
+    // The cap is applied to the HASHED shingle id, not the string: the
+    // hash is computed exactly once per (doc, shingle) anyway, and
+    // capping after it means the df-count shuffle, the anti-join probe,
+    // and the ONE cache all carry 8-byte longs instead of ~20-byte
+    // shingle strings (shingles are distinct per doc, so df-per-sid ==
+    // df-per-shingle up to 60-bit collisions — and both engines hash
+    // identically, so even a collision is bit-identical cross-engine).
+    // Measured at sf0.1: 4.5 s (string-cap + double cache) → ~2 s.
     QueryDef(
       "q_dedup_ngram_capped",
       s"""WITH $shinglesSql,
-        |shc AS (
-        |  SELECT doc_id, shingle FROM sh
-        |  WHERE shingle NOT IN (
-        |    SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > $ngramDfCap)),
-        |${jaccardPairsSql("shc")}""".stripMargin) { (s, dir) =>
-      jaccardPairs(shinglesOf(t(s, dir, "documents"), dfCap = ngramDfCap)
-        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache())
+        |shh0 AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |shh AS (
+        |  SELECT doc_id, sid FROM shh0
+        |  WHERE sid NOT IN (
+        |    SELECT sid FROM shh0 GROUP BY 1 HAVING count(*) > $ngramDfCap)),
+        |$jaccardPairsCoreSql""".stripMargin) { (s, dir) =>
+      // the hashed fan-out feeds the df-count, the anti-join probe, and
+      // all three pair-pipeline branches — cache ONCE, as longs
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
+      val hot = sh.groupBy(col("sid"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > ngramDfCap)
+        .select(col("sid"))
+      jaccardPairs(sh.join(hot, Seq("sid"), "left_anti"))
     },
 
     // ------------------------------------------------------------------
