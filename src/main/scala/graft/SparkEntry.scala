@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Analytics.defs ++
       operators.Behavior.defs ++
+      operators.Graph.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Convert.defs ++

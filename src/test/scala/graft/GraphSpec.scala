@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant pins for PageRank (Graph.scala) beyond the oracle hash:
+  * properties that must hold on ANY symmetric graph. */
+class GraphSpec extends SparkSpec {
+
+  test("q_graph_pagerank conserves rank mass and keeps every node") {
+    val pr = SparkEntry.queries("q_graph_pagerank")(spark, sfDir).cache()
+    try {
+      val nodes = pr.count()
+      // node set = parts-with-lineitems + suppliers-with-lineitems
+      val li = Tables(spark, sfDir, "lineitem")
+      val expected = li.select(col("l_partkey")).distinct().count() +
+        li.select(col("l_suppkey")).distinct().count()
+      assert(nodes == expected, s"$nodes nodes != $expected")
+      // no dangling nodes on a symmetric graph ⇒ Σpr = 1 exactly (up to
+      // float noise + the 1e-9 output rounding)
+      val mass = pr.agg(sum(col("pr"))).head.getDouble(0)
+      assert(math.abs(mass - 1.0) < 1e-5, s"rank mass $mass drifted from 1")
+      assert(pr.filter(col("pr") <= 0).count() == 0, "ranks must be positive")
+      // supplier nodes (odd ids) aggregate ~20 parts each — every
+      // supplier must out-rank the uniform 1/N baseline
+      val uniform = 1.0 / nodes
+      val weakSuppliers = pr.filter(col("node") % 2 === 1 &&
+        col("pr") <= uniform).count()
+      assert(weakSuppliers == 0, s"$weakSuppliers hub suppliers below uniform")
+    } finally pr.unpersist()
+  }
+}
