@@ -217,6 +217,80 @@ object Behavior {
             .as("split"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic source mixing — the data-mixing step of a training
+    // pipeline: each source tier gets a target sampling RATE, and a
+    // document survives iff its id-hash clears the rate threshold. The
+    // thresholds are exact integer literals (floor(rate·2³²)) compared
+    // against the 32-bit id hash, so admission is a pure integer
+    // predicate — no float boundary can disagree cross-engine, and
+    // re-running on a grown corpus never flips an existing document's
+    // fate (same property as q_split). The whole mix is a projection +
+    // one audit aggregate: filters this shape push to the scan and cost
+    // nothing at 100 TB.
+    QueryDef(
+      "q_mix_sources",
+      s"""WITH rated AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 4294967296
+        |         WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 2147483648
+        |         WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN 1073741824
+        |         ELSE 429496729 END AS thr,
+        |    ${graft.functions.TextAnalysis.h32sql("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents)
+        |SELECT source,
+        |  count(*) AS n_total,
+        |  count(CASE WHEN h < thr THEN 1 END) AS n_kept,
+        |  sum(CASE WHEN h < thr THEN n_chars END) AS kept_chars
+        |FROM rated GROUP BY 1""".stripMargin) { (s, dir) =>
+      val idx = substring(col("source"), 4, 8).cast("int")
+      val thr = when(idx < 5, 4294967296L).when(idx < 10, 2147483648L)
+        .when(idx < 15, 1073741824L).otherwise(429496729L)
+      val h = graft.functions.TextAnalysis.h32(col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), thr.as("thr"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("h") < col("thr"), 1)).as("n_kept"),
+          sum(when(col("h") < col("thr"), col("n_chars"))).as("kept_chars"))
+    },
+
+    // ------------------------------------------------------------------
+    // Trailing 7-day active users per day (the product-analytics WAU
+    // curve). The scale-correct plan is NOT a range join or a sliding
+    // window over raw events: distinct (user, day) first (hash agg —
+    // the fan-in), then each active day contributes to exactly 7 target
+    // days via a BOUNDED explode, and the trailing distinct collapses in
+    // one count-distinct per day. Shuffle volume is 7·|user-days|,
+    // independent of raw event count — the same bounded-fan-out trick as
+    // the binned interval join (q_join_range2).
+    QueryDef(
+      "q_active_trailing",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events),
+        |expanded AS (
+        |  SELECT user_id, d + CAST(o AS INTEGER) AS day
+        |  FROM act, (SELECT unnest(range(0, 7)) AS o))
+        |SELECT day, count(DISTINCT user_id) AS wau
+        |FROM expanded
+        |WHERE day <= (SELECT max(CAST(date_trunc('day', ts) AS DATE))
+        |              FROM events)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val act = ev.select(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("d")).distinct()
+      // the horizon is a bounded control-plane scalar (1-row max), same
+      // tier as Layout's bounds aggregate — not a data-plane collect
+      val dMax = ev.agg(max(to_date(date_trunc("day", col("ts"))))).head.getDate(0)
+      act.select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select(col("user_id"), date_add(col("d"), col("o")).as("day"))
+        .filter(col("day") <= lit(dMax))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
     }
   )
 }

@@ -95,6 +95,43 @@ class BehaviorSpec extends SparkSpec {
     assert(disagree.count() == 0)
   }
 
+  test("q_mix_sources: full-rate tier keeps everything, kept never " +
+    "exceeds total, rates order the tiers") {
+    val rows = run("q_mix_sources").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.length == 20)
+    rows.foreach { case (src, total, kept) =>
+      assert(kept <= total, s"$src kept $kept > total $total")
+    }
+    def tierFrac(lo: Int, hi: Int): Double = {
+      val t = rows.filter { case (s, _, _) => val i = s.drop(3).toInt
+        i >= lo && i < hi }
+      t.map(_._3).sum.toDouble / t.map(_._2).sum
+    }
+    assert(tierFrac(0, 5) == 1.0, "rate-1.0 tier must keep every doc")
+    // sampled tiers must order by rate (wide tolerance — small strata)
+    assert(tierFrac(0, 5) > tierFrac(5, 10) &&
+      tierFrac(5, 10) > tierFrac(15, 20),
+      s"tier keep-fractions out of order")
+  }
+
+  test("q_active_trailing: trailing-7d actives bound daily actives and " +
+    "total users, one row per day of the span") {
+    val wau = run("q_active_trailing").collect()
+      .map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val ev = Tables(spark, sfDir, "events")
+    val daily = ev.select(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("user_id")).distinct()
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(wau.nonEmpty && wau.size >= daily.size)
+    daily.foreach { case (day, dau) =>
+      assert(wau(day) >= dau, s"$day: wau ${wau(day)} < dau $dau")
+    }
+    wau.values.foreach(w => assert(w <= users))
+  }
+
   test("q_link_fuzzy: pairs are blocked, deduped, within threshold") {
     val rows = run("q_link_fuzzy").collect()
     assert(rows.nonEmpty)
