@@ -291,6 +291,36 @@ object Behavior {
         .filter(col("day") <= lit(dMax))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("wau"))
+    },
+
+    // ------------------------------------------------------------------
+    // Z-score anomaly counts per event type — the feed-monitoring
+    // aggregate a pipeline runs on every ingest batch. Two map-combinable
+    // passes: per-type moments (Welford-style bounded state, 5 rows out),
+    // then the outlier scan against the broadcast moments. Both engines
+    // compute sample stddev; z-noise from summation order is ~1e-14,
+    // seven orders below the |z| > 3 cut and the 1e-6 output rounding.
+    QueryDef(
+      "q_anomaly_zscore",
+      s"""WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n_total,
+        |  count(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 END)
+        |    AS n_outliers,
+        |  ${Num.sql("max(abs((value - mu) / sd))", 6)} AS max_z
+        |FROM events JOIN stats USING (event_type)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"))
+      val z = abs((col("value") - col("mu")) / col("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(z > 3, 1)).as("n_outliers"),
+          Num.r(max(z), 6).as("max_z"))
     }
   )
 }

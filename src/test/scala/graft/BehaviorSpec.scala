@@ -132,6 +132,21 @@ class BehaviorSpec extends SparkSpec {
     wau.values.foreach(w => assert(w <= users))
   }
 
+  test("q_anomaly_zscore: outliers are rare and max_z clears the cut " +
+    "only when outliers exist") {
+    val rows = run("q_anomaly_zscore").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, outliers, maxZ) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // Chebyshev: P(|z|>3) <= 1/9; real feeds sit far under it
+      assert(outliers <= total / 9,
+        s"${r.getString(0)}: $outliers outliers of $total")
+      assert((outliers > 0) == (maxZ > 3.0),
+        s"${r.getString(0)}: outlier count and max_z disagree")
+    }
+  }
+
   test("q_link_fuzzy: pairs are blocked, deduped, within threshold") {
     val rows = run("q_link_fuzzy").collect()
     assert(rows.nonEmpty)
