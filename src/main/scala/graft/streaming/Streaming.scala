@@ -426,6 +426,77 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** The funnel stages [[FunnelProcessor]] walks, in order. */
+  private[graft] val funnelStages =
+    Vector("signup", "view", "click", "purchase")
+
+  /** Streaming conversion funnel as a per-user STATE MACHINE — the
+    * live twin of the batch `q_funnel` aggregate, and the canonical
+    * stateful-streaming shape beyond counters: state is the index of
+    * the highest funnel stage reached (one Int per user — at 100 TB
+    * users·4 bytes, RocksDB-backed, incremental checkpoints), and each
+    * batch advances the machine through whatever stages its events
+    * unlock, emitting one (user, stage, ts) row per transition.
+    *
+    * Semantics are the SEQUENTIAL funnel (advance on the first
+    * next-stage event after the current stage was reached) — the state
+    * machine walks forward in event order, unlike the batch
+    * first-occurrence aggregate which compares global per-stage minima;
+    * StreamingSpec pins the case where the two differ (a click that
+    * precedes the first view advances neither machine, but a LATER
+    * click does advance this one). Within a batch rows are applied in
+    * event-time order (the iterator is buffered and sorted — batches
+    * are bounded by the trigger, not the corpus); across batches the
+    * machine follows arrival order, the same trade quotaAdmit
+    * documents, with the watermark bounding how stale a replayed
+    * event can be. */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), (Long, String, Long)] {
+    @transient private var reached:
+        org.apache.spark.sql.streaming.ValueState[Int] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reached = getHandle.getValueState[Int]("reached",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      var at = if (reached.exists()) reached.get() else 0
+      val out = List.newBuilder[(Long, String, Long)]
+      // event-time order within the batch; state must not depend on
+      // shuffle arrival order of a single micro-batch
+      rows.toList.sortBy(r => (r._3, r._2)).foreach { case (_, et, ts) =>
+        if (at < funnelStages.length && et == funnelStages(at)) {
+          at += 1
+          out += ((user, funnelStages(at - 1), ts))
+        }
+      }
+      reached.update(at)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming funnel over (user_id, event_type, ts_ms) rows: emits
+    * (user_id, stage, ts_ms) per stage transition. Requires the RocksDB
+    * state store provider, like [[quotaAdmit]]. */
+  def funnelAdvance(events: org.apache.spark.sql.Dataset[(Long, String, Long)])
+      : org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Purchase←click attribution: each purchase joins the same user's
     * clicks from the preceding 10 minutes. ONE definition for both
     * execution modes — q_stream_join runs it in batch under the DuckDB

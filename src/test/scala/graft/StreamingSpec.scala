@@ -297,6 +297,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState funnel: per-user state machine advances " +
+    "across batches in event order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, String, Long)] // (user_id, event_type, ts)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    def transitions: Set[(Long, String, Long)] = spark.table("funnel_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.funnelAdvance(mem.toDS())
+        .writeStream.format("memory").queryName("funnel_test")
+        .option("checkpointLocation", tmpDir("funnel_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      // batch 1, user 1: a click BEFORE any signup/view advances nothing;
+      // signup advances even when it arrives out of order in the batch
+      // (rows are applied in event-time order within the batch)
+      mem.addData((1L, "click", 10L), (1L, "signup", 5L), (2L, "signup", 7L))
+      q.processAllAvailable()
+      assert(transitions == Set((1L, "signup", 5L), (2L, "signup", 7L)))
+      // batch 2: user 1 walks view AND click in one batch (multi-stage
+      // advance); the machine differs from the batch q_funnel aggregate
+      // here — the global first click (ts=10) preceded the first view,
+      // but the SEQUENTIAL funnel advances on the later click at ts=30
+      mem.addData((1L, "view", 20L), (1L, "click", 30L))
+      q.processAllAvailable()
+      assert(transitions == Set((1L, "signup", 5L), (2L, "signup", 7L),
+        (1L, "view", 20L), (1L, "click", 30L)))
+      // batch 3: wrong-stage events advance nothing (user 2 needs view,
+      // gets purchase; user 1 re-sends click, already consumed)
+      mem.addData((2L, "purchase", 40L), (1L, "click", 41L))
+      q.processAllAvailable()
+      assert(transitions.size == 4)
+      // batch 4: user 1 completes; state survived three batch boundaries
+      mem.addData((1L, "purchase", 50L))
+      q.processAllAvailable()
+      assert(transitions.contains((1L, "purchase", 50L)) &&
+        transitions.size == 5)
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState quota admission: per-source soft cap across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
