@@ -344,6 +344,40 @@ object Scalar {
         count(when(contains(collate(mn, "UTF8_LCASE"), lit("RED")), 1))
           .as("n_red_ci"),
         count(when(contains(mn, lit("RED")), 1)).as("n_red_cs"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bitwise surface: the bit_and/bit_or/bit_xor AGGREGATES (flag-mask
+    // roll-ups — e.g. "which feature bits are set across every row of a
+    // group" — all map-combinable) plus scalar shifts, masks, and xor.
+    // Scalar xor/mask keep operands small so every sum stays in BIGINT
+    // on both engines (DuckDB widens sum(BIGINT) to HUGEINT, so the sums
+    // are CAST back on the oracle side).
+    QueryDef(
+      "q_bit_funcs",
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS all_and,
+        |  bit_or(o_orderkey) AS any_or,
+        |  bit_xor(o_orderkey) AS parity,
+        |  CAST(sum(o_orderkey << 2) AS BIGINT) AS shl_sum,
+        |  CAST(sum(o_orderkey >> 1) AS BIGINT) AS shr_sum,
+        |  CAST(sum(o_orderkey & 255) AS BIGINT) AS mask_sum,
+        |  CAST(sum(xor(o_orderkey, 255)) AS BIGINT) AS xor_sum,
+        |  CAST(sum(CASE WHEN (o_orderkey & 1) = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS odd_cnt
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("bit_and(o_orderkey)").as("all_and"),
+          expr("bit_or(o_orderkey)").as("any_or"),
+          expr("bit_xor(o_orderkey)").as("parity"),
+          sum(shiftleft(col("o_orderkey"), 2)).as("shl_sum"),
+          sum(shiftright(col("o_orderkey"), 1)).as("shr_sum"),
+          sum(col("o_orderkey").bitwiseAND(255)).as("mask_sum"),
+          sum(col("o_orderkey").bitwiseXOR(255)).as("xor_sum"),
+          sum(when(col("o_orderkey").bitwiseAND(1) === 1, 1L)
+            .otherwise(0L)).as("odd_cnt"))
     }
   )
 }

@@ -28,4 +28,18 @@ class GraphSpec extends SparkSpec {
       assert(weakSuppliers == 0, s"$weakSuppliers hub suppliers below uniform")
     } finally pr.unpersist()
   }
+
+  test("pagerank iterations join via shuffle-hash, never a per-iteration " +
+    "sort-merge over the cached adjacency") {
+    val df = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "rank joins must be shuffle-hash (hint lost?)")
+    // the SMJ fallback would re-sort the |E|-row cached adjacency every
+    // iteration; nothing in this plan may sort-merge at all
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "keyed joins only")
+  }
 }
