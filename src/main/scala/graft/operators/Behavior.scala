@@ -175,10 +175,14 @@ object Behavior {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM spine LEFT JOIN daily USING (user_id, d)""".stripMargin) { (s, dir) =>
+      // daily feeds two branches (the per-user bounds and the spine's
+      // left-join probe) — cache so the events scan+agg runs once; at
+      // 100 TB this user×day relation would persist as its own table
       val daily = t(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
         .agg(Num.r(avg(col("value")), 6).as("v"))
+        .cache()
       val spine = daily.groupBy(col("user_id"))
         .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
         .select(col("user_id"),
@@ -245,7 +249,9 @@ object Behavior {
         |  count(CASE WHEN h < thr THEN 1 END) AS n_kept,
         |  sum(CASE WHEN h < thr THEN n_chars END) AS kept_chars
         |FROM rated GROUP BY 1""".stripMargin) { (s, dir) =>
-      val idx = substring(col("source"), 4, 8).cast("int")
+      // substring-to-end (2-arg SQL form), matching the oracle's
+      // substr(source, 4) for suffixes of ANY length
+      val idx = expr("substring(source, 4)").cast("int")
       val thr = when(idx < 5, 4294967296L).when(idx < 10, 2147483648L)
         .when(idx < 15, 1073741824L).otherwise(429496729L)
       val h = graft.functions.TextAnalysis.h32(col("doc_id").cast("string"))
@@ -282,13 +288,18 @@ object Behavior {
       val ev = t(s, dir, "events")
       val act = ev.select(col("user_id"),
         to_date(date_trunc("day", col("ts"))).as("d")).distinct()
-      // the horizon is a bounded control-plane scalar (1-row max), same
-      // tier as Layout's bounds aggregate — not a data-plane collect
-      val dMax = ev.agg(max(to_date(date_trunc("day", col("ts"))))).head.getDate(0)
+      // the horizon stays IN-PLAN (like the oracle's scalar subquery):
+      // a 1-row max aggregate broadcast-joined on a constant key — a
+      // keyed BroadcastHashJoin, so the whole query is one lazy plan
+      // with no construction-time job
+      val bounds = ev.agg(max(to_date(date_trunc("day", col("ts"))))
+        .as("d_max")).withColumn("k", lit(1))
       act.select(col("user_id"), col("d"),
           explode(sequence(lit(0), lit(6))).as("o"))
-        .select(col("user_id"), date_add(col("d"), col("o")).as("day"))
-        .filter(col("day") <= lit(dMax))
+        .select(col("user_id"), date_add(col("d"), col("o")).as("day"),
+          lit(1).as("k"))
+        .join(broadcast(bounds), Seq("k"))
+        .filter(col("day") <= col("d_max"))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("wau"))
     },

@@ -63,28 +63,32 @@ object Dedup {
           element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))))).as("shingle"))
     if (dfCap == Int.MaxValue) base
-    else {
-      // The explode+tokenize fan-out feeds TWO branches here (the df
-      // count and the anti-join probe side); cache it so the heavy
-      // shingling runs once. At 100 TB this materialization would be a
-      // checkpoint to a bucketed table instead of executor memory.
-      val b = base.cache()
-      // shingles are distinct per doc, so count(*) per shingle IS the
-      // document frequency
-      val hot = b.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
-        .select(col("shingle"))
-      // No broadcast hint: with a PRODUCTION cap (~1e4) the over-cap
-      // list is tiny and AQE turns this into a broadcast anti-join on
-      // its own from the observed size — but the hint would FORCE the
-      // broadcast regardless, and a low cap (tests use 3) makes the hot
-      // list grow with the corpus, risking the 8 GB / 512M-row
-      // broadcast limits and driver memory at scale. Let the runtime
-      // decide from actual sizes; correctness is identical either way.
-      b.join(hot, Seq("shingle"), "left_anti")
-        .select(col("doc_id"), col("shingle"))
-    }
+    else capByDf(base, "shingle", dfCap).select(col("doc_id"), col("shingle"))
+  }
+
+  /** THE hot-key mitigation, shared by every capped plan: drop rows whose
+    * `keyCol` value appears in more than `cap` documents. `rel` must be
+    * one row per (doc, key) — keys distinct per doc — so count(*) per key
+    * IS the document frequency. The fan-out feeds TWO branches (the df
+    * count and the anti-join probe side); it is cached so the expensive
+    * derivation above it runs once — at 100 TB that materialization is a
+    * checkpoint to a bucketed table instead of executor memory.
+    *
+    * No broadcast hint on the over-cap list: with a PRODUCTION cap
+    * (~1e4) it is tiny and AQE turns this into a broadcast anti-join on
+    * its own from the observed size — but a hint would FORCE the
+    * broadcast regardless, and a low cap (tests use 3) makes the hot
+    * list grow with the corpus, risking the 8 GB / 512M-row broadcast
+    * limits and driver memory at scale. Let the runtime decide from
+    * actual sizes; correctness is identical either way. */
+  private[graft] def capByDf(rel: DataFrame, keyCol: String, cap: Int)
+      : DataFrame = {
+    val b = rel.cache()
+    val hot = b.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col(keyCol))
+    b.join(hot, Seq(keyCol), "left_anti")
   }
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
@@ -342,15 +346,12 @@ object Dedup {
         |  WHERE sid NOT IN (
         |    SELECT sid FROM shh0 GROUP BY 1 HAVING count(*) > $ngramDfCap)),
         |$jaccardPairsCoreSql""".stripMargin) { (s, dir) =>
-      // the hashed fan-out feeds the df-count, the anti-join probe, and
-      // all three pair-pipeline branches — cache ONCE, as longs
-      val sh = shingles(s, dir)
-        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
-      val hot = sh.groupBy(col("sid"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > ngramDfCap)
-        .select(col("sid"))
-      jaccardPairs(sh.join(hot, Seq("sid"), "left_anti"))
+      // the same capByDf mitigation as shinglesOf(dfCap), applied AFTER
+      // hashing so the df-count shuffle, the anti-join probe, and the
+      // one cache all carry 8-byte longs
+      jaccardPairs(capByDf(
+        shingles(s, dir).select(col("doc_id"), h60(col("shingle")).as("sid")),
+        "sid", ngramDfCap))
     },
 
     // ------------------------------------------------------------------

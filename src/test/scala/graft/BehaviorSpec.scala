@@ -109,9 +109,11 @@ class BehaviorSpec extends SparkSpec {
       t.map(_._3).sum.toDouble / t.map(_._2).sum
     }
     assert(tierFrac(0, 5) == 1.0, "rate-1.0 tier must keep every doc")
-    // sampled tiers must order by rate (wide tolerance — small strata)
+    // sampled tiers must order by rate (wide tolerance — small strata);
+    // every adjacent tier pair is pinned so no threshold can swap
     assert(tierFrac(0, 5) > tierFrac(5, 10) &&
-      tierFrac(5, 10) > tierFrac(15, 20),
+      tierFrac(5, 10) > tierFrac(10, 15) &&
+      tierFrac(10, 15) > tierFrac(15, 20),
       s"tier keep-fractions out of order")
   }
 

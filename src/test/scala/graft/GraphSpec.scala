@@ -32,7 +32,11 @@ class GraphSpec extends SparkSpec {
   test("pagerank iterations join via shuffle-hash, never a per-iteration " +
     "sort-merge over the cached adjacency") {
     val df = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
-    df.write.format("noop").mode("overwrite").save()
+    // collect() executes THIS DataFrame's QueryExecution, so the
+    // assertion below reads the adaptively finalized plan that actually
+    // ran (a noop write would execute a separate QueryExecution and
+    // leave df's plan un-finalized)
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"),
       "rank joins must be shuffle-hash (hint lost?)")
