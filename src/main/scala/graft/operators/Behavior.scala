@@ -289,16 +289,17 @@ object Behavior {
       val act = ev.select(col("user_id"),
         to_date(date_trunc("day", col("ts"))).as("d")).distinct()
       // the horizon stays IN-PLAN (like the oracle's scalar subquery):
-      // a 1-row max aggregate broadcast-joined on a constant key — a
-      // keyed BroadcastHashJoin, so the whole query is one lazy plan
-      // with no construction-time job
+      // crossJoin(broadcast(1-row max)) — the repo's control-plane
+      // pattern (q_text_tfidf, q_agg_heavyhitters), so the whole query
+      // is one lazy plan with no construction-time job. A constant-key
+      // equi-join would NOT survive Catalyst: the foldable condition
+      // collapses and the join degenerates to a nested loop anyway.
       val bounds = ev.agg(max(to_date(date_trunc("day", col("ts"))))
-        .as("d_max")).withColumn("k", lit(1))
+        .as("d_max"))
       act.select(col("user_id"), col("d"),
           explode(sequence(lit(0), lit(6))).as("o"))
-        .select(col("user_id"), date_add(col("d"), col("o")).as("day"),
-          lit(1).as("k"))
-        .join(broadcast(bounds), Seq("k"))
+        .select(col("user_id"), date_add(col("d"), col("o")).as("day"))
+        .crossJoin(broadcast(bounds))
         .filter(col("day") <= col("d_max"))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("wau"))

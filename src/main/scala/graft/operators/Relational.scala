@@ -118,6 +118,43 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q18 (large-volume customers) — the third flagship, and the
+    // canonical GROUP-HAVING SEMI-JOIN shape: find orders whose total
+    // quantity clears a threshold, then re-join the winners to their
+    // customers and lines. The scale plan: the HAVING aggregate is ONE
+    // map-combinable hash agg over the fact table producing a SMALL
+    // winner key set (204 orders at sf0.01) that AQE then broadcasts
+    // into a left-semi probe of lineitem — the fact table is never
+    // joined to itself, and only winner rows reach the 3-way join.
+    QueryDef(
+      "q_tpch_q18",
+      s"""SELECT c_name, o_orderkey, ${Num.sql("o_totalprice", 2)} AS oprice,
+        |  ${Num.sql("sum(l_quantity)", 2)} AS total_qty
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val winners = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 250)
+        .select(col("l_orderkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      li.join(winners, Seq("l_orderkey"), "left_semi")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("o_orderkey"),
+          Num.r(col("o_totalprice"), 2).as("oprice"))
+        .agg(Num.r(sum(col("l_quantity")), 2).as("total_qty"))
+    },
+
+    // ------------------------------------------------------------------
     // Aggregation — hash, partial+final (TPC-H Q1 shape).
     QueryDef(
       "q1_agg",

@@ -149,6 +149,22 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q_funnel plans as two aggregates and no join; q_active_trailing's " +
+    "horizon is a broadcast, never a shuffled cartesian") {
+    val funnel = run("q_funnel")
+    funnel.collect()
+    val fp = funnel.queryExecution.executedPlan.toString
+    assert(!fp.contains("Join"), "funnel must never self-join per stage")
+    assert(fp.contains("HashAggregate"), fp.take(500))
+    val active = run("q_active_trailing")
+    active.collect()
+    val ap = active.queryExecution.executedPlan.toString
+    // the 1-row horizon rides a broadcast (the control-plane crossJoin
+    // pattern); what must NEVER appear is a shuffled cartesian product
+    assert(ap.contains("BroadcastExchange"), ap.take(500))
+    assert(!ap.contains("CartesianProduct"), ap.take(500))
+  }
+
   test("q_link_fuzzy: pairs are blocked, deduped, within threshold") {
     val rows = run("q_link_fuzzy").collect()
     assert(rows.nonEmpty)
