@@ -783,6 +783,41 @@ object Analytics {
         FROM m LEFT JOIN graft_orders_rec
           ON CAST(date_trunc('month', o_orderdate) AS DATE) = mo
         GROUP BY mo""")
+    },
+
+    // ------------------------------------------------------------------
+    // Linear-regression aggregates (ANSI regr_*): slope / intercept /
+    // R² / count / mean-x / mean-y of price ~ quantity per return flag.
+    // Like corr/covar these are single-pass moment folds — bounded
+    // state, map-side combined, one shuffle of 6 doubles per group —
+    // i.e. the in-engine way to fit millions of per-group trend lines
+    // without a driver-side regression library. Both engines implement
+    // the same textbook formulas; Num-rounding absorbs summation-order
+    // noise.
+    QueryDef(
+      "q_agg_regr",
+      s"""SELECT l_returnflag,
+        |  ${Num.sql("regr_slope(l_extendedprice, l_quantity)", 6)} AS slope,
+        |  ${Num.sql("regr_intercept(l_extendedprice, l_quantity)", 6)} AS icept,
+        |  ${Num.sql("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  ${Num.sql("regr_avgx(l_extendedprice, l_quantity)", 6)} AS avg_x,
+        |  ${Num.sql("regr_avgy(l_extendedprice, l_quantity)", 2)} AS avg_y
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Num.r(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("slope"),
+          Num.r(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("icept"),
+          Num.r(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          Num.r(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("avg_x"),
+          Num.r(regr_avgy(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("avg_y"))
     }
   )
 }
