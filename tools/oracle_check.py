@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
 """Dev-only harness that mimics the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/oracle_check.py <sfDir> <outDir>
-  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+Usage: python3 tools/oracle_check.py <sfDir> <outDir> [--only q1,q2,...]
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first;
+   --only restricts the compare to named queries for fast iteration)
 
 Not part of the library — the engine itself has no Python dependency.
 Compares each <outDir>/<name> parquet against the oracle SQL in
@@ -35,11 +36,18 @@ def rows_key(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = None
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        only = set(sys.argv[4].split(","))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        unknown = only - oracles.keys()
+        assert not unknown, f"--only names not in oracle_sql.json: {unknown}"
+        oracles = {k: v for k, v in oracles.items() if k in only}
     fails = 0
     for name, sql in sorted(oracles.items()):
         try:
