@@ -618,6 +618,41 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Salted JOIN — the skew-join mitigation as an oracle-checked query
+    // (the PlanSpec twin pins the shuffle key; this pins the VALUES).
+    // l_returnflag has 3 values, so a shuffled equi-join on it lands
+    // each flag's ~20k rows on ONE reducer forever; the salted plan
+    // spreads every flag across 16 reducers: the fact side salts on a
+    // high-cardinality column, the 3-row dim replicates across all 16
+    // salts, and the join key becomes (flag, salt). The merge hint
+    // keeps the shuffled shape the mitigation exists for — left alone,
+    // a 3-row dim would broadcast and hide the skew problem entirely
+    // (which IS the right plan when the dim fits; salting is for when
+    // it does not). The oracle is the plain unsalted join.
+    QueryDef(
+      "q_join_salted",
+      s"""SELECT l_returnflag, descr, count(*) AS n,
+        |  ${Num.sql("sum(l_quantity)", 2)} AS qty
+        |FROM lineitem
+        |JOIN (VALUES ('A', 'returned'), ('N', 'in-flight'), ('R', 'refused'))
+        |  d(flag, descr) ON l_returnflag = flag
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val SALT = 16
+      val dim = s.createDataFrame(Seq(
+        ("A", "returned"), ("N", "in-flight"), ("R", "refused")))
+        .toDF("flag", "descr")
+      val saltedDim = dim.select(col("flag"), col("descr"),
+        explode(sequence(lit(0L), lit((SALT - 1).toLong))).as("salt"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          pmod(col("l_orderkey"), lit(SALT)).as("fsalt"))
+        .join(saltedDim.hint("merge"),
+          col("l_returnflag") === col("flag") && col("fsalt") === col("salt"))
+        .groupBy(col("l_returnflag"), col("descr"))
+        .agg(count(lit(1)).as("n"), Num.r(sum(col("l_quantity")), 2).as("qty"))
+    },
+
+    // ------------------------------------------------------------------
     // Exact interpolated percentiles via distributed sort + rank
     // selection — see [[pricePercentiles]]. The sort is the same
     // machinery any 100 TB orderBy uses. Same result as quantile_cont.
