@@ -574,6 +574,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits the null row only after the " +
+    "watermark proves no match can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "1 hour")
+    // same predicate as purchaseClickJoin, LEFT OUTER: unattributed
+    // purchases must still come out (with a null click) — but only once
+    // the click watermark passes the bound, because until then a
+    // matching click could still arrive. The deferred null is the
+    // outer-join semantics that makes attribution EXACT on a stream.
+    val joined = p.join(c,
+      expr("""c_user = p_user AND c_ts <= p_ts
+             |AND c_ts >= p_ts - INTERVAL 10 MINUTES""".stripMargin),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def got: Set[(Long, Option[Long])] = spark.table("ssj_outer_test")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      clicks.addData((ts("2024-01-01 00:30:00"), 1L, 101L))
+      purchases.addData(
+        (ts("2024-01-01 00:35:00"), 1L, 900L), // matches click 101
+        (ts("2024-01-01 00:36:00"), 2L, 901L)) // no click — outer row
+      q.processAllAvailable()
+      assert(got.contains((900L, Some(101L))), got.toString)
+      // the unmatched purchase must NOT have emitted yet: its match
+      // window is still open under the click watermark
+      assert(!got.exists(_._1 == 901L),
+        s"outer row emitted before the watermark closed: $got")
+      // advance both watermarks far past the bound -> state evicts and
+      // the unmatched purchase surfaces with a null click
+      clicks.addData((ts("2024-01-01 05:00:00"), 9L, 999L))
+      purchases.addData((ts("2024-01-01 05:00:00"), 9L, 998L))
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 08:00:00"), 9L, 997L))
+      purchases.addData((ts("2024-01-01 08:00:00"), 9L, 996L))
+      q.processAllAvailable()
+      assert(got.contains((901L, None)), got.toString)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups redeliveries, then forgets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
