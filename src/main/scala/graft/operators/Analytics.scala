@@ -821,6 +821,34 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Deterministic MODE (most-frequent value) per group — the data-
+    // profiling aggregate, built from counts instead of the engine
+    // mode() builtin precisely because builtins tie-break arbitrarily
+    // (Spark and DuckDB could legitimately disagree). Two map-combinable
+    // hash aggs + a tiny per-group max join; ties break on the smallest
+    // value, so the result is a pure function of the data in both
+    // engines.
+    QueryDef(
+      "q_agg_mode",
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, max(n) AS mx FROM c GROUP BY 1)
+        |SELECT event_type, CAST(min(user_id) AS BIGINT) AS mode_user,
+        |  CAST(max(n) AS BIGINT) AS mode_n
+        |FROM c JOIN m USING (event_type) WHERE n = mx
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val m = c.groupBy(col("event_type")).agg(max(col("n")).as("mx"))
+      c.join(m, Seq("event_type"))
+        .filter(col("n") === col("mx"))
+        .groupBy(col("event_type"))
+        .agg(min(col("user_id")).as("mode_user"), max(col("n")).as("mode_n"))
+    },
+
+    // ------------------------------------------------------------------
     // Linear-regression aggregates (ANSI regr_*): slope / intercept /
     // R² / count / mean-x / mean-y of price ~ quantity per return flag.
     // Like corr/covar these are single-pass moment folds — bounded
