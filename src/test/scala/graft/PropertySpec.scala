@@ -38,6 +38,31 @@ class PropertySpec extends SparkSpec {
       "first z-quarter of a 32x32 grid must be exactly the (0..15,0..15) quadrant")
   }
 
+  test("capByDf equals the literal df filter on random (doc, key) data") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // random doc→key incidence with a few deliberately hot keys; keys
+    // distinct per doc (capByDf's contract). Oracle: count dfs on the
+    // driver and filter literally.
+    val rnd = new Random(7)
+    val rows = (0L until 400L).flatMap { doc =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val keys = Seq.fill(nKeys)(
+        if (rnd.nextInt(4) == 0) rnd.nextLong(3) // hot: keys 0..2
+        else 100 + rnd.nextLong(500)).distinct
+      keys.map(k => (doc, k))
+    }
+    val df = rows.toDF("doc_id", "sid")
+    for (cap <- Seq(1, 5, 50, Int.MaxValue)) {
+      val got = Dedup.capByDf(df, "sid", cap)
+        .select(col("doc_id"), col("sid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dfCounts = rows.groupBy(_._2).view.mapValues(_.size)
+      val expect = rows.filter { case (_, k) => dfCounts(k) <= cap }.toSet
+      assert(got == expect, s"cap=$cap: ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     import spark.implicits._
     // arbitrary topologies (many small components, a few giants, dense
