@@ -348,6 +348,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState funnel state survives a query RESTART from " +
+    "the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, String, Long)]
+    val ckpt = tmpDir("funnel_restart_ckpt")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // the memory sink cannot recover a checkpoint; the parquet file
+      // sink is the restart-capable one (its commit log is also what
+      // gives the file sink exactly-once)
+      val out = tmpDir("funnel_restart_out")
+      def start() = Streaming.funnelAdvance(mem.toDS())
+        .toDF("user_id", "stage", "ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      def transitions: Set[(String, Long)] = spark.read.parquet(out)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      q = start()
+      mem.addData((1L, "signup", 5L))
+      q.processAllAvailable()
+      assert(transitions == Set(("signup", 5L)))
+      q.stop()
+      // cold restart on the same checkpoint: the RocksDB state must
+      // remember the user is PAST signup — a replayed signup advances
+      // nothing, the next stage does
+      q = start()
+      mem.addData((1L, "signup", 6L), (1L, "view", 7L))
+      q.processAllAvailable()
+      assert(transitions == Set(("signup", 5L), ("view", 7L)),
+        s"restarted machine must advance only view: $transitions")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState quota admission: per-source soft cap across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
