@@ -208,7 +208,7 @@ object Behavior {
       s"""SELECT
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
         |    ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM (
         |  SELECT n_chars,
         |    ${graft.functions.TextAnalysis.h32sql("CAST(doc_id AS VARCHAR)")} % 10 AS b
@@ -247,7 +247,7 @@ object Behavior {
         |SELECT source,
         |  count(*) AS n_total,
         |  count(CASE WHEN h < thr THEN 1 END) AS n_kept,
-        |  sum(CASE WHEN h < thr THEN n_chars END) AS kept_chars
+        |  CAST(sum(CASE WHEN h < thr THEN n_chars END) AS BIGINT) AS kept_chars
         |FROM rated GROUP BY 1""".stripMargin) { (s, dir) =>
       // substring-to-end (2-arg SQL form), matching the oracle's
       // substr(source, 4) for suffixes of ANY length
