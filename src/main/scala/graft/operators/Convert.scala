@@ -249,6 +249,33 @@ object Convert {
         col("meta.usr.user_id").as("uid"),
         Num.r(col("meta.usr.value"), 6).as("val6"),
         (element_at(col("ids"), 1) + element_at(col("ids"), 2)).as("id_sum"))
+    },
+
+    // Schema EVOLUTION end-to-end (readEvolved's oracle row): generation 1
+    // persists documents WITHOUT `source`; generation 2 adds it — the
+    // field-gains-a-column drift a long-running converter hits. The
+    // mergeSchema read unions the per-file footers (a footer-only
+    // operation — no data re-read at 100 TB) and must surface gen-1 rows
+    // with NULL source. The oracle recomputes the expected merged relation
+    // straight from `documents`, so the hash check proves the evolved read
+    // is value-preserving, not merely non-crashing. The reference would
+    // silently drop the new field (`convertor/convertor.go:138` decodes
+    // into the fixed struct) — this is the Spark-native answer to that.
+    QueryDef(
+      "q_convert_evolved",
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val tmp = s"/tmp/graft_evolved_parquet_${dir.hashCode.toHexString}"
+      val docs = graft.Tables(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=2")
+      readEvolved(s, tmp)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
     }
   )
 }
