@@ -456,6 +456,141 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // ANN recall/cost verdict — the number a user tuning bands/nprobe
+    // actually needs: per query, how many of the EXACT top-5 (brute
+    // ground truth) fall inside each approximate method's CANDIDATE set,
+    // and how large that candidate set was. recall = hits/5, cost =
+    // cand/N — both as exact integers, so the oracle is a hash check,
+    // not a tolerance. Membership needs no re-scoring: an LSH hit is
+    // bucket equality, an IVF hit is cell-in-probed-cells, and the
+    // candidate counts come from bucket/cell HISTOGRAMS (map-combinable
+    // counts) — candidate pairs are never materialized, so the audit
+    // costs one scoring pass (the same N×K the IVF index already pays)
+    // plus tiny broadcast joins, and scales exactly like the index
+    // build itself.
+    QueryDef(
+      "q_knn_recall",
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    ${bucketSql("embedding")} AS bucket
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosSql AS c
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |top5 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |    FROM s) WHERE rnk <= 5),
+        |c AS (SELECT vec_id AS cid, embedding AS cemb, n2 AS cn2
+        |      FROM e WHERE vec_id < $IvfK),
+        |score AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      k -> CAST(e.embedding[k] AS DOUBLE) * CAST(c.cemb[k] AS DOUBLE)))
+        |      / sqrt(e.n2 * c.cn2) AS cs
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM score) WHERE r = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM score WHERE vec_id < 10) WHERE r <= $IvfProbes),
+        |bsize AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1),
+        |csize AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+        |qside AS (
+        |  SELECT e.vec_id AS query_id, e.bucket, b.n - 1 AS lsh_cand
+        |  FROM e JOIN bsize b USING (bucket) WHERE e.vec_id < 10),
+        |ivfcand AS (
+        |  SELECT p.query_id, CAST(sum(cs.n) - 1 AS BIGINT) AS ivf_cand
+        |  FROM probe p JOIN csize cs USING (cell) GROUP BY 1),
+        |hits AS (
+        |  SELECT t.query_id,
+        |    CAST(sum(CASE WHEN nb.bucket = qs.bucket THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS lsh_hits,
+        |    CAST(sum(CASE WHEN p.cell IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ivf_hits
+        |  FROM top5 t
+        |  JOIN e nb ON nb.vec_id = t.neighbor_id
+        |  JOIN qside qs ON qs.query_id = t.query_id
+        |  JOIN assign a ON a.vec_id = t.neighbor_id
+        |  LEFT JOIN probe p ON p.query_id = t.query_id AND p.cell = a.cell
+        |  GROUP BY 1)
+        |SELECT h.query_id, h.lsh_hits, qs.lsh_cand, h.ivf_hits, i.ivf_cand
+        |FROM hits h JOIN qside qs USING (query_id)
+        |JOIN ivfcand i USING (query_id)""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      graft.functions.TopK.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket"))
+        .cache() // feeds ground truth, both index builds, and both histograms
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      // exact ground truth, same TopK-aggregate plan as q_knn_brute
+      val top5 = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+        .select(col("query_id"), explode(col("top")).as("tk"))
+        .select(col("query_id"), col("tk.id").as("neighbor_id"))
+      // untrained IVF index (q_knn_ivf's): seed centroids, argmax cells
+      val cents = e.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cs", expr("graft_cosine(embedding, cemb)"))
+      val assign = scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val probes = scored.filter(col("vec_id") < 10)
+        .withColumn("r", row_number().over(wProbe))
+        .filter(col("r") <= IvfProbes)
+        .select(col("vec_id").as("p_qid"), col("cid").as("p_cell"))
+      // candidate-set sizes from histograms — never from candidate pairs
+      val bsize = e.groupBy(col("bucket")).count()
+      val csize = assign.groupBy(col("cell")).count()
+      val qside = q.join(bsize, col("q_bucket") === col("bucket"))
+        .select(col("query_id"), col("q_bucket"),
+          (col("count") - 1).as("lsh_cand"))
+      val ivfcand = probes
+        .join(csize, col("p_cell") === col("cell"))
+        .groupBy(col("p_qid"))
+        .agg((sum(col("count")) - 1).as("ivf_cand"))
+        .select(col("p_qid").as("query_id"), col("ivf_cand"))
+      val hits = top5
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("bucket").as("n_bucket")), "neighbor_id")
+        .join(broadcast(qside.select(col("query_id"), col("q_bucket"))),
+          "query_id")
+        .join(assign.select(col("vec_id").as("neighbor_id"),
+          col("cell").as("n_cell")), "neighbor_id")
+        .join(broadcast(probes),
+          col("query_id") === col("p_qid") && col("n_cell") === col("p_cell"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(
+          sum(when(col("n_bucket") === col("q_bucket"), 1).otherwise(0))
+            .as("lsh_hits"),
+          sum(when(col("p_cell").isNotNull, 1).otherwise(0)).as("ivf_hits"))
+      hits
+        .join(qside.select(col("query_id"), col("lsh_cand")), "query_id")
+        .join(ivfcand, "query_id")
+        .select(col("query_id"), col("lsh_hits"), col("lsh_cand"),
+          col("ivf_hits"), col("ivf_cand"))
+    },
+
+    // ------------------------------------------------------------------
     // Int8 embedding quantization — the storage-quarter for 100 TB
     // vector stores: per-vector symmetric scale (max|x|/127), elements
     // round to [-127, 127] bytes, 4 bytes/dim becomes 1. The query
