@@ -30,6 +30,55 @@ class MultimodalSpec extends SparkSpec {
         && x.n_bytes == y.n_bytes && x.features.sameElements(y.features)) })
   }
 
+  test("real PPM decode recovers encoded dimensions and exact pixel sum") {
+    import spark.implicits._
+    // dimensions that exercise 1-wide, 1-tall, and non-square shapes
+    val shapes = Seq((1L, 1, 1), (2L, 7, 3), (3L, 1, 5), (4L, 16, 9))
+    val assets = shapes.toDS().map { case (id, w, h) =>
+      (id, Multimodal.encodePpm(w, h, k => (id * 31 + k).toInt))
+    }
+    val out = Multimodal.decodeImage(assets).collect().sortBy(_.doc_id).toSeq
+    shapes.foreach { case (id, w, h) =>
+      val d = out.find(_.doc_id == id).get
+      assert(d.fmt == "ppm" && d.width == w && d.height == h)
+      val expect = (0 until w * h * 3).map(k => (id * 31 + k) & 0xff).sum
+      assert(d.n_pix_bytes == w.toLong * h * 3 && d.pix_sum == expect,
+        s"id=$id got ${d.pix_sum} want $expect")
+    }
+  }
+
+  test("real BMP decode honors row padding and little-endian headers") {
+    import spark.implicits._
+    // w=3 → rowBytes 12 (3 pad bytes/row); w=4 → no padding: both must
+    // produce the same pixel sum formula, or the decoder is counting pad
+    val assets = Seq((10L, 3, 2), (11L, 4, 2)).toDS().map { case (id, w, h) =>
+      (id, Multimodal.encodeBmp(w, h, k => k + 1))
+    }
+    val out = Multimodal.decodeImage(assets).collect().sortBy(_.doc_id).toSeq
+    Seq((10L, 3, 2), (11L, 4, 2)).foreach { case (id, w, h) =>
+      val d = out.find(_.doc_id == id).get
+      val expect = (1 to w * h * 3).sum.toLong
+      assert(d.fmt == "bmp" && d.width == w && d.height == h
+        && d.pix_sum == expect, s"id=$id got $d want sum=$expect")
+    }
+  }
+
+  test("decoders reject malformed payloads instead of misreading them") {
+    // truncated pixel array: header promises more bytes than present
+    val good = Multimodal.encodePpm(4, 4, _ => 7)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(good.dropRight(1))
+    }
+    // non-P6 magic
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P3\n1 1\n255\n".getBytes("US-ASCII"))
+    }
+    // BMP claiming a compressed encoding must be refused, not summed
+    val bmp = Multimodal.encodeBmp(2, 2, _ => 1)
+    bmp(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(bmp) }
+  }
+
   test("frame sampling bounds rows per asset") {
     val frames = SparkEntry.queries("q_multimodal_frames")(spark, sfDir)
     val perAsset = frames.groupBy("doc_id").count()
