@@ -43,7 +43,31 @@ class GraphSpec extends SparkSpec {
     // the SMJ fallback would re-sort the |E|-row cached adjacency every
     // iteration; nothing in this plan may sort-merge at all
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), "keyed joins only")
+    // exactly ONE nested-loop join is sanctioned: the broadcast 1-row
+    // |V| aggregate that keeps the query job-free at build time. The
+    // |E|-sized iteration joins must all stay keyed.
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+    // count in the FINAL adaptive plan only (the executed-plan string
+    // repeats join nodes in its Initial Plan section)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins (only the 1-row |V| broadcast is allowed)")
+  }
+
+  test("building the pagerank query runs no data jobs (plan-only consumers pay " +
+    "only the scan-metadata floor)") {
+    // every path-based spark.read.parquet runs ONE footer-schema job —
+    // that metadata floor belongs to any query build. Construction must
+    // add nothing on top (the old version ran a 1.18M-edge distinct +
+    // count at build time).
+    def jobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val b0 = jobs()
+    Tables(spark, sfDir, "lineitem")
+    val floor = jobs() - b0
+    val b1 = jobs()
+    SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+    val built = jobs() - b1
+    assert(built <= floor,
+      s"construction launched $built job(s); the bare table read costs $floor")
   }
 }

@@ -438,6 +438,8 @@ class PlanSpec extends SparkSpec {
       "q_agg_heavyhitters", // crossJoin(broadcast(single-row total)) for the n/m threshold
       "q_agg_theta", // crossJoin of three single-row aggregates (sketch pair + exact)
       "q_active_trailing", // crossJoin(broadcast(single-row day horizon))
+      "q_graph_pagerank", // crossJoin(broadcast(single-row |V| aggregate))
+      "q_knn_recall", // q_knn_ivf's N×K assignment feeding the recall audit
       "q_subquery_scalar") // scalar subquery = 1-row broadcast join
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

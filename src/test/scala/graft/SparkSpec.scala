@@ -22,7 +22,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     // One JVM-shared session across suites (getOrCreate) — don't stop it
-    // between suites; sbt forks one JVM for the whole test run.
+    // between suites; sbt forks one JVM for the whole test run. DO drop
+    // cached relations: several queries cache shared intermediates
+    // (capByDf, q_ts_fill's daily, pagerank's adjacency) whose lifetime
+    // is bounded by the consumer, and Verify/Bench clearCache between
+    // queries — the suite boundary is this harness's equivalent.
+    spark.catalog.clearCache()
     super.afterAll()
   }
 
