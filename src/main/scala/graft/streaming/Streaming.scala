@@ -471,8 +471,15 @@ object Streaming {
       var at = if (reached.exists()) reached.get() else 0
       val out = List.newBuilder[(Long, String, Long)]
       // event-time order within the batch; state must not depend on
-      // shuffle arrival order of a single micro-batch
-      rows.toList.sortBy(r => (r._3, r._2)).foreach { case (_, et, ts) =>
+      // shuffle arrival order of a single micro-batch. Equal-timestamp
+      // ties break by FUNNEL STAGE ORDER (not the raw string, whose
+      // alphabetical order is the reverse): a user whose view and click
+      // share a timestamp must advance through both, which only happens
+      // if the view applies first. Unknown event types index to -1 and
+      // sort first — they match no stage, so their position is inert.
+      rows.toList
+        .sortBy(r => (r._3, funnelStages.indexOf(r._2)))
+        .foreach { case (_, et, ts) =>
         if (at < funnelStages.length && et == funnelStages(at)) {
           at += 1
           out += ((user, funnelStages(at - 1), ts))

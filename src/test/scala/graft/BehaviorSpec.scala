@@ -172,8 +172,11 @@ class BehaviorSpec extends SparkSpec {
       val (a, bn, d) = (r.getString(0), r.getString(1), r.getInt(2))
       assert(a < bn, "pair must be ordered (half-matrix)")
       assert(d >= 1 && d <= 3, s"distance $d out of band")
-      assert(a.split(" ").last == bn.split(" ").last,
-        "pairs must share the blocking noun")
+      // the query blocks on the SECOND token (split(name,' ')[1]) — pin
+      // that token, not .last, so the assertion tracks the blocking key
+      // even if names ever grow a third token
+      assert(a.split(" ")(1) == bn.split(" ")(1),
+        "pairs must share the blocking token (the second word)")
     }
     assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
       == rows.length, "no duplicate pairs")

@@ -337,6 +337,16 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(transitions.contains((1L, "purchase", 50L)) &&
         transitions.size == 5)
+      // batch 5: EQUAL-timestamp view+click must advance BOTH stages —
+      // ties break by funnel stage order, not alphabetically (click <
+      // view as strings, which would consume the click first and lose it)
+      mem.addData((3L, "signup", 60L))
+      q.processAllAvailable()
+      mem.addData((3L, "click", 70L), (3L, "view", 70L))
+      q.processAllAvailable()
+      assert(transitions.contains((3L, "view", 70L)) &&
+        transitions.contains((3L, "click", 70L)),
+        s"same-ts view+click must both apply: $transitions")
     } finally {
       if (q != null) q.stop()
       prev match {
