@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Num, QueryDef, Tables}
 import graft.functions.TextAnalysis.{h32, h32sql, h60, h60sql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for LLM training-data curation (SURVEY.md §2B north
@@ -652,6 +653,95 @@ object Dedup {
         .select(col("doc_id"), col("n_sh"), col("n_hit"),
           Num.r(frac, 6).as("overlap_frac"),
           (frac >= 0.5).as("contaminated"))
+    },
+
+    // ------------------------------------------------------------------
+    // The WHOLE curation funnel as ONE declarative plan — quality gate →
+    // exact dedup → benchmark decontamination → per-source char quota →
+    // sequence packing — composed from the exact stage definitions the
+    // individual queries pin (q_curate_corpus's gate, q_text_decontam's
+    // overlap rule, q_curate_quota's admission window, q_text_pack's
+    // bins). One plan means Catalyst sees the funnel end to end: the
+    // gate's filters push into the scan under everything else, the
+    // shingle fan-out feeds decontamination without re-reading documents,
+    // and the two windows (quota by source, packing by lang) are the only
+    // per-shard serial points — each O(n) within its shard, exactly the
+    // shape a 100 TB corpus build wants. CurationPipelineSpec drives the
+    // same composition imperatively; this row makes it hash-checked.
+    QueryDef(
+      "q_curate_funnel",
+      s"""WITH $shinglesSql,
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |base AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |    len(string_split(d.text, ' ')) AS n_tok
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |  WHERE d.lang IN ('en', 'de') AND d.n_chars >= 50
+        |    AND len(string_split(d.text, ' ')) >= 10 AND d.doc_id >= 20),
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |bench AS (SELECT DISTINCT sid FROM shh WHERE doc_id < 20),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM shh
+        |        WHERE doc_id >= 20 GROUP BY 1),
+        |hit AS (SELECT s.doc_id, count(*) AS n_hit
+        |        FROM shh s JOIN bench b ON s.sid = b.sid
+        |        WHERE s.doc_id >= 20 GROUP BY 1),
+        |clean AS (
+        |  SELECT b.doc_id, b.lang, b.source, b.n_chars, b.n_tok
+        |  FROM base b JOIN tot t ON b.doc_id = t.doc_id
+        |  LEFT JOIN hit h ON b.doc_id = h.doc_id
+        |  WHERE coalesce(h.n_hit, 0) * 1.0 / t.n_sh < 0.5),
+        |adm AS (
+        |  SELECT *, sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS used
+        |  FROM clean),
+        |packed AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |      AS start_off
+        |  FROM adm WHERE coalesce(used, 0) < 4000)
+        |SELECT doc_id, lang, source, n_tok,
+        |  CAST(start_off // 512 AS BIGINT) AS bin,
+        |  CAST(start_off % 512 AS BIGINT) AS bin_off
+        |FROM packed""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val keepers = docs
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val base = docs
+        .filter(col("lang").isin("en", "de") && col("n_chars") >= 50 &&
+          col("doc_id") >= 20)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .filter(col("n_tok") >= 10)
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("n_tok"))
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid"))
+        .cache() // feeds the benchmark set, totals, and the hit join
+      val bench = sh.filter(col("doc_id") < 20).select(col("sid")).distinct()
+      val tot = sh.filter(col("doc_id") >= 20)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hit = sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), "sid")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val clean = base.join(tot, "doc_id").join(hit, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_hit"), lit(0L)) * lit(1.0) / col("n_sh") < 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("n_tok"))
+      val wq = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wp = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clean
+        .withColumn("used", sum(col("n_chars")).over(wq))
+        .filter(coalesce(col("used"), lit(0L)) < 4000)
+        .withColumn("start_off", sum(col("n_tok")).over(wp) - col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          expr("start_off div 512").as("bin"),
+          (col("start_off") % 512).as("bin_off"))
     },
 
     // ------------------------------------------------------------------

@@ -133,6 +133,48 @@ class AsOfJoinSpec extends SparkSpec {
       s"only-native=${native.diff(oracle)} only-oracle=${oracle.diff(native)}")
   }
 
+  test("AQE coalescing on skewed, asymmetric sides: alignment holds and " +
+    "coalescing demonstrably fires") {
+    // adversarial case for the zipPartitions contract: one side 3000
+    // rows with 90% of them on a single key, the other side 12 rows —
+    // per-side coalescing decisions would diverge wildly if AQE did not
+    // treat the join's two exchanges as one coalescing group. Assert the
+    // plan actually coalesced (the symmetric test above could pass with
+    // AQE silently inert) AND that the merge still matches the oracle.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    s2.conf.set("spark.sql.shuffle.partitions", "13")
+    import org.apache.spark.sql.functions.{col => c}
+    val l = s2.range(3000).select(
+      when(c("id") % 10 < 9, lit(0L)).otherwise(c("id") % 5).as("k"),
+      (c("id") % 97).as("t"), c("id").as("lid"))
+    val r = s2.range(12).select((c("id") % 5).as("rk"),
+      (c("id") * 7 % 50).as("rt"), c("id").as("rid"))
+    // read the plan from the SAME DataFrame the action finalizes — a
+    // .select would run its own QueryExecution and leave this one
+    // un-adapted (isFinalPlan=false, no AQEShuffleRead to see)
+    val joined = plans.AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid"))
+      .select(c("lid"), c("rid"))
+    val native = joined
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p.take(800))
+    assert(p.contains("coalesced"),
+      "AQE coalescing did not fire — the test is not exercising the path:\n"
+        + p.take(1500))
+    val oracle = l.join(r, c("k") === c("rk") && c("rt") <= c("t"), "left")
+      .withColumn("rn", when(c("rid").isNotNull,
+        row_number().over(Window.partitionBy(c("lid"))
+          .orderBy(c("rt").desc, c("rid").desc))).otherwise(lit(1)))
+      .filter(c("rn") === 1)
+      .select(c("lid"), c("rid"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    assert(native == oracle,
+      s"only-native=${native.diff(oracle)} only-oracle=${oracle.diff(native)}")
+  }
+
   test("null keys and null timestamps never match; unmatched keeps null right") {
     import spark.implicits._
     val l = Seq(
