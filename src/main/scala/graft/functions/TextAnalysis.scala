@@ -102,6 +102,55 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Fixed-weight logistic quality classifier — the shape of the
+    // fastText/CCNet-style model gate every pre-training pipeline runs
+    // after the cheap heuristics: interpretable features → linear model
+    // → sigmoid → keep/drop. The weights are LITERALS standing in for a
+    // trained model (training is offline; serving is what the engine
+    // owns), which makes the whole classifier a pure PROJECTION: weights
+    // ride the plan as constants, nothing shuffles until a downstream
+    // consumer aggregates, and at 100 TB the gate runs at scan speed
+    // inside whole-stage codegen. Features reuse q_text_quality's exact
+    // derivations; the sigmoid is one exp per row rounded via Num (same
+    // single-transcendental parity budget as q_text_tfidf's ln). The
+    // label compares the ROUNDED score, so it adds no cross-engine risk
+    // beyond the score column itself.
+    QueryDef(
+      "q_text_classify",
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> list_contains($stopSqlList, w))) * 1.0
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |      / len(string_split(text, ' ')) AS mean_tok_len
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, n_tok,
+        |    -3.0 + 0.8 * ln(1.0 + n_tok) + 2.5 * stop_ratio
+        |      - 0.1 * mean_tok_len AS zv
+        |  FROM f),
+        |sc AS (SELECT doc_id, n_tok, ${Num.sql("1.0 / (1.0 + exp(-zv))", 6)} AS score
+        |       FROM z)
+        |SELECT doc_id, n_tok, score, score >= 0.5 AS keep
+        |FROM sc""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stopArr = array(stopwords.map(lit): _*)
+      val stopRatio =
+        size(filter(toks, w => array_contains(stopArr, w))).cast("double") / nTok
+      val meanTokLen = (length(col("text")) - size(toks) + 1).cast("double") / nTok
+      val z = lit(-3.0) + lit(0.8) * log(lit(1.0) + nTok) +
+        lit(2.5) * stopRatio - lit(0.1) * meanTokLen
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+          Num.r(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+        .select(col("doc_id"), col("n_tok"), col("score"),
+          (col("score") >= 0.5).as("keep"))
+    },
+
+    // ------------------------------------------------------------------
     // Language-ID heuristic: score each candidate language by marker-token
     // hits; deterministic priority order breaks ties. (The synthetic corpus
     // shares one vocabulary across langs, so the value of this query is the

@@ -656,6 +656,131 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Canonical-document selection per near-dup cluster — the step a real
+    // pipeline runs BETWEEN clustering and output: inside each component
+    // of the resemblance graph, keep the best member (here: max n_chars,
+    // ties to the smallest doc_id) and mark the rest as casualties. The
+    // plan composes the verified pieces: the q_dedup_ngram pair
+    // derivation → connectedComponents (O(log d) keyed shuffles) → ONE
+    // map-combinable max_by per component joined back to the members.
+    // Nothing beyond the component label ever shuffles per-doc payloads;
+    // at 100 TB the keeper election is a per-cluster argmax, cost ∝
+    // clustered docs, not corpus size. The oracle replays the closure
+    // recursively (oracle-scale only) and elects with a ranking window.
+    QueryDef(
+      "q_dedup_keepbest",
+      s"""WITH $shinglesSql,
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand p
+        |  JOIN cnt ca ON p.id_a = ca.doc_id
+        |  JOIN cnt cb ON p.id_b = cb.doc_id
+        |  WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION ALL SELECT id_b, id_a FROM pairs),
+        |r AS (
+        |  WITH RECURSIVE reach(a, b) AS (
+        |    SELECT a, b FROM e
+        |    UNION
+        |    SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+        |  SELECT * FROM reach),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM r GROUP BY a),
+        |ranked AS (
+        |  SELECT c.doc_id, c.component, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rnk
+        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+        |keepers AS (SELECT component, doc_id AS keeper FROM ranked WHERE rnk = 1)
+        |SELECT r2.doc_id, r2.component, k.keeper,
+        |  r2.doc_id = k.keeper AS keep
+        |FROM ranked r2 JOIN keepers k ON r2.component = k.component""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = sh.select(col("doc_id").as("id_a"), col("sid"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b")),
+          col("sid") === col("sid_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      val pairs = cand
+        .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
+          col("id_a") === col("id_a2"))
+        .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
+          col("id_b") === col("id_b2"))
+        .filter(col("shared") * lit(1.0) /
+          (col("na") + col("nb") - col("shared")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+        .cache() // feeds both directions of the edge union
+      val cc = connectedComponents(pairs)
+      pairs.unpersist()
+      sh.unpersist()
+      val members = cc.withColumnRenamed("node", "doc_id")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
+      // keeper election: ONE map-combinable argmax per component —
+      // max_by on (n_chars, -doc_id) is the deterministic tie-break
+      val keepers = members.groupBy(col("component"))
+        .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("keeper"))
+      members.join(keepers, "component")
+        .select(col("doc_id"), col("component"), col("keeper"),
+          (col("doc_id") === col("keeper")).as("keep"))
+    },
+
+    // ------------------------------------------------------------------
+    // Pairwise source-overlap matrix — the corpus-provenance audit run
+    // before mixing: for every source pair, how many distinct 3-gram
+    // shingles do the two sources share, and what is their Jaccard?
+    // The scale-critical move is the DISTINCT (source, shingle-hash)
+    // pre-aggregation: it collapses the per-doc fan-out BEFORE the
+    // self-join, so each shingle contributes at most |sources| rows
+    // (bounded by the source vocabulary, ~20) — the join fan-out is
+    // per-shingle O(|sources|²), independent of how many DOCUMENTS
+    // share the shingle. Totals broadcast; counts are exact BIGINTs.
+    QueryDef(
+      "q_source_overlap",
+      s"""WITH $shinglesSql,
+        |ss AS (
+        |  SELECT DISTINCT d.source, ${h60sql("shingle")} AS sid
+        |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+        |tot AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        |pair AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared
+        |  FROM ss a JOIN ss b ON a.sid = b.sid AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.shared,
+        |  ${Num.sql("p.shared * 1.0 / (ta.n + tb.n - p.shared)", 6)} AS jacc
+        |FROM pair p
+        |JOIN tot ta ON p.source_a = ta.source
+        |JOIN tot tb ON p.source_b = tb.source""".stripMargin) { (s, dir) =>
+      val ss = shingles(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), h60(col("shingle")).as("sid"))
+        .distinct()
+        .cache() // feeds the totals and both sides of the pair join
+      val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pair = ss.select(col("source").as("source_a"), col("sid"))
+        .join(ss.select(col("source").as("source_b"), col("sid").as("sid_b")),
+          col("sid") === col("sid_b") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      pair
+        .join(broadcast(tot.select(col("source").as("source_a"),
+          col("n").as("na"))), "source_a")
+        .join(broadcast(tot.select(col("source").as("source_b"),
+          col("n").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared"),
+          Num.r(col("shared") * lit(1.0) /
+            (col("na") + col("nb") - col("shared")), 6).as("jacc"))
+    },
+
+    // ------------------------------------------------------------------
     // The WHOLE curation funnel as ONE declarative plan — quality gate →
     // exact dedup → benchmark decontamination → per-source char quota →
     // sequence packing — composed from the exact stage definitions the
