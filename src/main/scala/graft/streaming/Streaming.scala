@@ -426,6 +426,100 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Inactivity-timeout sessionizer on transformWithState EVENT-TIME
+    * TIMERS — the third TWS surface after value-state counters
+    * ([[SourceQuotaProcessor]]) and the state machine
+    * ([[FunnelProcessor]]): state that closes ITSELF when the watermark
+    * passes the session's trailing edge, with no new event required.
+    * Built-in session_window() can only aggregate; a processor with
+    * timers can emit an arbitrary summary row at close (here:
+    * (user, start, end, n_events) — the shape downstream attribution
+    * actually joins against).
+    *
+    * Mechanics: events apply in event-time order; a gap > gapMs inside a
+    * batch closes the session INLINE (emitted immediately), and the
+    * trailing open session re-arms ONE timer at last+gapMs (stale timers
+    * deleted — at most one live timer per user). When the watermark
+    * passes the expiry, [[handleExpiredTimer]] emits the summary and
+    * clears state. State: 3 Longs per ACTIVE user only — closed sessions
+    * leave nothing behind, which is what lets this run forever at
+    * 100 TB (the watermark, not a scan, is the garbage collector). */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var sess:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._2).toArray.sorted
+      var (start, last, n) =
+        if (sess.exists()) sess.get() else (0L, 0L, 0L)
+      val out = List.newBuilder[(Long, Long, Long, Long)]
+      ts.foreach { t =>
+        if (n == 0L) { start = t; last = t; n = 1L }
+        else if (t - last > gapMs) {
+          out += ((user, start, last, n)) // intra-batch gap: close inline
+          start = t; last = t; n = 1L
+        } else { last = math.max(last, t); n += 1L }
+      }
+      // exactly one live timer per user: re-arm at the new trailing edge
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + gapMs)
+      sess.update((start, last, n))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] =
+      if (sess.exists()) {
+        val (start, last, n) = sess.get()
+        // a stale timer (already superseded by a re-arm) must not close
+        // a session that new events have since extended
+        if (expired.getExpiryTimeInMs() >= last + gapMs) {
+          sess.clear()
+          Iterator.single((user, start, last, n))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Timer-based sessionization over a WATERMARKED stream: `events` must
+    * carry (user_id: long, ts: timestamp) with `withWatermark` already
+    * applied to ts (the watermark drives timer expiry). Emits
+    * (user_id, session_start_ms, session_end_ms, n_events) — inline for
+    * intra-batch gaps, via event-time timer for trailing sessions. */
+  def sessionTimeout(events: DataFrame, gapMs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    events.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** The funnel stages [[FunnelProcessor]] walks, in order. */
   private[graft] val funnelStages =
     Vector("signup", "view", "click", "purchase")

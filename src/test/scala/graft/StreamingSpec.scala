@@ -358,6 +358,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers close idle sessions from the " +
+    "watermark, not from new per-user events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    def sessions: Set[(Long, Long, Long, Long)] = spark.table("session_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val watermarked = mem.toDS().toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "0 seconds")
+      q = Streaming.sessionTimeout(watermarked, gapMs = 10000L)
+        .writeStream.format("memory").queryName("session_test")
+        .option("checkpointLocation", tmpDir("session_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      // batch 1, user 1: two events 2s apart + an intra-batch gap >10s —
+      // the first session must close INLINE without any timer involved
+      mem.addData((1L, 1000L), (1L, 3000L), (1L, 20000L))
+      q.processAllAvailable()
+      assert(sessions == Set((1L, 1000L, 3000L, 2L)),
+        s"intra-batch gap must close inline: $sessions")
+      // batch 2, other user far in the future: advances the WATERMARK
+      // past user 1's trailing expiry (20000+10000) but delivers no
+      // user-1 event. The timer — not an event — must close the session.
+      mem.addData((9L, 50000L))
+      q.processAllAvailable()
+      // batch 3 triggers evaluation under the advanced watermark
+      mem.addData((9L, 50001L))
+      q.processAllAvailable()
+      assert(sessions.contains((1L, 20000L, 20000L, 1L)),
+        s"watermark-driven timer close missing: $sessions")
+      // user 9's own session stays OPEN (watermark 50001 < 50001+10000):
+      // re-armed timers must not fire early
+      assert(!sessions.exists(_._1 == 9L),
+        s"open session closed prematurely: $sessions")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel state survives a query RESTART from " +
     "the checkpoint") {
     import spark.implicits._
