@@ -520,6 +520,79 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Bounded purchase←click attribution on transformWithState LIST
+    * state — the explicitly-bounded alternative to the watermarked
+    * stream-stream join ([[purchaseClickJoin]]): instead of letting the
+    * engine hold EVERY in-window click, the processor keeps at most
+    * `maxClicks` recent clicks per user (newest win), so worst-case
+    * state is maxClicks·16 B per user BY CONSTRUCTION — the cap a
+    * production attribution pipeline actually enforces against
+    * click-storm users, and the trade it accepts (a storm can evict an
+    * older in-window click; the join twin has no cap and no eviction).
+    * Rows apply in event-time order with clicks before purchases at the
+    * same timestamp, matching the join's inclusive `c_ts <= p_ts`.
+    * Clicks older than windowMs prune on every touch, so the list also
+    * never holds out-of-window state. */
+  class ClickWindowProcessor(windowMs: Long, maxClicks: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long), (Long, Long, Long)] {
+    @transient private var clicks:
+        org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      clicks = getHandle.getListState[(Long, Long)]("clicks",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var buf: Vector[(Long, Long)] =
+        if (clicks.exists()) clicks.get().toVector else Vector.empty
+      val out = List.newBuilder[(Long, Long, Long)]
+      // clicks sort before purchases at equal ts (inclusive c_ts <= p_ts)
+      rows.toList.sortBy { case (_, kind, _, ts) =>
+        (ts, if (kind == "click") 0 else 1)
+      }.foreach { case (_, kind, id, ts) =>
+        if (kind == "click") {
+          buf = (buf :+ ((id, ts)))
+            .filter { case (_, cts) => cts >= ts - windowMs }
+            .takeRight(maxClicks) // newest win under the cap
+        } else {
+          buf.foreach { case (cid, cts) =>
+            if (cts >= ts - windowMs && cts <= ts) out += ((id, cid, user))
+          }
+        }
+      }
+      clicks.put(buf.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming attribution over interleaved (user_id, kind, event_id,
+    * ts_ms) rows, kind ∈ {click, purchase}: emits (purchase_id,
+    * click_id, uid) for every click within windowMs before each
+    * purchase, holding at most maxClicks clicks of state per user.
+    * Requires the RocksDB state store provider, like [[quotaAdmit]]. */
+  def clickAttribution(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long, Long)],
+      windowMs: Long, maxClicks: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new ClickWindowProcessor(windowMs, maxClicks),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** The funnel stages [[FunnelProcessor]] walks, in order. */
   private[graft] val funnelStages =
     Vector("signup", "view", "click", "purchase")

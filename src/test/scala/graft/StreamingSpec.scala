@@ -409,6 +409,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState list-state attribution matches the stream-stream " +
+    "join twin when the cap doesn't bind, and evicts oldest-first when it does") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    def attributed: Set[(Long, Long)] = spark.table("attr_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.clickAttribution(mem.toDS(), windowMs = 600000L,
+          maxClicks = 1000)
+        .writeStream.format("memory").queryName("attr_test")
+        .option("checkpointLocation", tmpDir("attr_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      // real events, split into two batches at the median ts so clicks
+      // held as STATE from batch 1 must attribute purchases in batch 2
+      val ev = Tables(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4)
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // batch twin on the same data (the q_stream_join definition)
+      val p = Tables(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(unix_millis(col("ts")).as("p_ts"), col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"))
+      val c = Tables(spark, sfDir, "events")
+        .filter(col("event_type") === "click")
+        .select(unix_millis(col("ts")).as("c_ts"), col("user_id").as("c_user"),
+          col("event_id").as("click_id"))
+      val twin = p.join(c, col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - 600000L)
+        .select(col("purchase_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(attributed == twin,
+        s"only-stream=${attributed.diff(twin).take(5)} " +
+          s"only-twin=${twin.diff(attributed).take(5)}")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // cap-binding case: two in-window clicks, cap 1 — only the NEWEST
+    // survives to attribute (oldest-first eviction, the documented trade)
+    val mem2 = MemoryStream[(Long, String, Long, Long)]
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q2 = Streaming.clickAttribution(mem2.toDS(), windowMs = 600000L,
+          maxClicks = 1)
+        .writeStream.format("memory").queryName("attr_cap_test")
+        .option("checkpointLocation", tmpDir("attr_cap_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      mem2.addData((7L, "click", 100L, 1000L), (7L, "click", 101L, 2000L),
+        (7L, "purchase", 900L, 3000L))
+      q2.processAllAvailable()
+      val got = spark.table("attr_cap_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((900L, 101L)),
+        s"cap must keep only the newest click: $got")
+    } finally {
+      if (q2 != null) q2.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel state survives a query RESTART from " +
     "the checkpoint") {
     import spark.implicits._
