@@ -221,6 +221,44 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // GROUPING()/GROUPING_ID() — the disambiguation functions without
+    // which rollup output is unusable on nullable group keys: a NULL
+    // from the DATA and a NULL standing for "all values" hash to the
+    // same output cell unless the grouping flags travel with the row.
+    // Both engines CAST the flags to INTEGER (their native return types
+    // differ) and the subtotal label is derived FROM the flag, the
+    // pattern a report layer actually uses. Same Expand-based plan as
+    // every rollup — the flags are free metadata on rows the rollup
+    // already produces.
+    QueryDef(
+      "q_agg_groupingid",
+      s"""SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '<all>'
+        |       ELSE l_returnflag END AS rflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '<all>'
+        |       ELSE l_linestatus END AS lstatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rflag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_lstatus,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gid")
+      s.sql(
+        """SELECT
+          |  CASE WHEN GROUPING(l_returnflag) = 1 THEN '<all>'
+          |       ELSE l_returnflag END AS rflag,
+          |  CASE WHEN GROUPING(l_linestatus) = 1 THEN '<all>'
+          |       ELSE l_linestatus END AS lstatus,
+          |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rflag,
+          |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_lstatus,
+          |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+          |  count(*) AS n
+          |FROM graft_li_gid
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // Pivot: one revenue column per order status. The oracle is the
     // portable SUM(CASE ...) rewrite — what pivot compiles to.
     QueryDef(

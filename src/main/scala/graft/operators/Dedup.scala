@@ -732,6 +732,58 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Repeated-passage profiling — the span-level contamination signal
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): a document whose 8-gram spans largely also occur in
+    // OTHER documents is boilerplate/template even when no whole-doc
+    // pair clears a Jaccard threshold. The plan never forms doc pairs at
+    // all: per-shingle document frequency is ONE map-combinable count
+    // (shingles are distinct within a doc, so count(*) per shingle IS
+    // its df), the repeated set is df ≥ 2, and a semi-join back tags
+    // each doc's spans — every shuffle is keyed on the 60-bit span hash.
+    // At 100 TB the hot-span cap (capByDf) composes exactly as in the
+    // 3-gram suite.
+    QueryDef(
+      "q_dedup_passage",
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM d WHERE len(w) >= 8),
+        |gh AS (SELECT doc_id, ${h60sql("g")} AS gid FROM g8),
+        |df AS (SELECT gid, count(*) AS df FROM gh GROUP BY 1),
+        |rep AS (SELECT gid FROM df WHERE df >= 2),
+        |per AS (
+        |  SELECT gh.doc_id, count(*) AS n8,
+        |    count(CASE WHEN r.gid IS NOT NULL THEN 1 END) AS n_rep
+        |  FROM gh LEFT JOIN rep r ON gh.gid = r.gid
+        |  GROUP BY 1)
+        |SELECT doc_id, n8, n_rep,
+        |  ${Num.sql("n_rep * 1.0 / n8", 6)} AS rep_frac,
+        |  n_rep * 1.0 / n8 >= 0.3 AS boilerplate
+        |FROM per""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val gh = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .filter(size(toks) >= 8)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - 7),
+          i => concat_ws(" ", slice(toks, i, lit(8)))))).as("g"))
+        .select(col("doc_id"), h60(col("g")).as("gid"))
+        .cache() // feeds the df count and the per-doc tagging join
+      val rep = gh.groupBy(col("gid")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("gid"))
+      val frac = col("n_rep") * lit(1.0) / col("n8")
+      gh.join(rep.withColumn("hit", lit(1)), Seq("gid"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n8"), count(col("hit")).as("n_rep"))
+        .select(col("doc_id"), col("n8"), col("n_rep"),
+          Num.r(frac, 6).as("rep_frac"),
+          (frac >= 0.3).as("boilerplate"))
+    },
+
+    // ------------------------------------------------------------------
     // Pairwise source-overlap matrix — the corpus-provenance audit run
     // before mixing: for every source pair, how many distinct 3-gram
     // shingles do the two sources share, and what is their Jaccard?
