@@ -732,6 +732,53 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Containment near-dup (Broder's second resemblance measure):
+    // |A∩B| / min(|A|,|B|) — the signal Jaccard structurally MISSES when
+    // a small document is embedded whole inside a much larger one (the
+    // quote-a-full-article case: intersection ≈ the small doc, union ≈
+    // the large doc, Jaccard ≈ |small|/|large| ≈ 0). Same shingle-hash
+    // equi-join candidate derivation as q_dedup_ngram — candidates come
+    // from shared shingles, never all pairs — with the containment
+    // ratio replacing the Jaccard filter; the emitted jacc column shows
+    // per pair how far the two measures diverge. Scale shape identical
+    // to the 3-gram suite (keyed joins, capByDf composes).
+    QueryDef(
+      "q_dedup_containment",
+      s"""WITH $shinglesSql,
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  ${Num.sql("p.shared * 1.0 / least(ca.n, cb.n)", 6)} AS containment,
+        |  ${Num.sql("p.shared * 1.0 / (ca.n + cb.n - p.shared)", 6)} AS jacc
+        |FROM cand p
+        |JOIN cnt ca ON p.id_a = ca.doc_id
+        |JOIN cnt cb ON p.id_b = cb.doc_id
+        |WHERE p.shared * 1.0 / least(ca.n, cb.n) >= 0.9""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = sh.select(col("doc_id").as("id_a"), col("sid"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b")),
+          col("sid") === col("sid_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      val contain = col("shared") * lit(1.0) / least(col("na"), col("nb"))
+      val jacc = col("shared") * lit(1.0) /
+        (col("na") + col("nb") - col("shared"))
+      cand
+        .join(cnt.select(col("doc_id").as("id_a2"), col("n").as("na")),
+          col("id_a") === col("id_a2"))
+        .join(cnt.select(col("doc_id").as("id_b2"), col("n").as("nb")),
+          col("id_b") === col("id_b2"))
+        .filter(contain >= 0.9)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          Num.r(contain, 6).as("containment"), Num.r(jacc, 6).as("jacc"))
+    },
+
+    // ------------------------------------------------------------------
     // Repeated-passage profiling — the span-level contamination signal
     // (Lee et al., "Deduplicating Training Data Makes Language Models
     // Better"): a document whose 8-gram spans largely also occur in

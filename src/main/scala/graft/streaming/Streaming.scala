@@ -593,6 +593,64 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Per-user behavioral profile on transformWithState MAP state — the
+    * fourth and last TWS state surface (value, list, timers, map): a
+    * running count per event_type per user, maintained by POINT
+    * reads/writes on the touched keys only. That point access is why
+    * MapState exists over ValueState[Map[...]]: RocksDB updates the one
+    * (user, event_type) entry a batch touches instead of
+    * deserializing-rewriting the whole per-user map — at 100 TB the
+    * write amplification of a profile update is O(types touched this
+    * batch), not O(types ever seen). Emits the updated (user, type,
+    * count) rows per batch — an incremental changelog a downstream
+    * upsert sink applies directly. */
+  class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      // pre-aggregate the batch locally, then ONE point read+write per
+      // touched key — never an iteration over untouched profile entries
+      val batchCounts = rows.foldLeft(Map.empty[String, Long]) {
+        case (m, (_, et)) => m.updated(et, m.getOrElse(et, 0L) + 1L)
+      }
+      batchCounts.toSeq.sortBy(_._1).map { case (et, dn) =>
+        val next =
+          (if (counts.containsKey(et)) counts.getValue(et) else 0L) + dn
+        counts.updateValue(et, next)
+        (user, et, next)
+      }.iterator
+    }
+  }
+
+  /** Streaming per-user event-type profile over (user_id, event_type)
+    * rows: emits the updated (user_id, event_type, count) changelog each
+    * batch. Requires the RocksDB state store provider. */
+  def profileCounts(events: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** The funnel stages [[FunnelProcessor]] walks, in order. */
   private[graft] val funnelStages =
     Vector("signup", "view", "click", "purchase")

@@ -494,6 +494,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState map-state profile counts accumulate by point " +
+    "updates and the changelog reconstructs the batch truth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, String)]
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    def changelog: Seq[(Long, String, Long)] = spark.table("profile_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.profileCounts(mem.toDS())
+        .writeStream.format("memory").queryName("profile_test")
+        .option("checkpointLocation", tmpDir("profile_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      mem.addData((1L, "click"), (1L, "click"), (1L, "view"), (2L, "view"))
+      q.processAllAvailable()
+      assert(changelog.toSet == Set((1L, "click", 2L), (1L, "view", 1L),
+        (2L, "view", 1L)))
+      // batch 2: only touched (user, type) cells emit, counts accumulate
+      // across batches through the map's point reads
+      mem.addData((1L, "click"), (2L, "purchase"))
+      q.processAllAvailable()
+      val b2 = changelog.diff(Seq((1L, "click", 2L), (1L, "view", 1L),
+        (2L, "view", 1L)))
+      assert(b2.toSet == Set((1L, "click", 3L), (2L, "purchase", 1L)),
+        s"unexpected batch-2 changelog: $b2")
+      // the LAST changelog row per (user, type) must equal the global
+      // group-count truth — the upsert-sink contract
+      val last = changelog.groupBy(t => (t._1, t._2))
+        .map { case (k, v) => k -> v.last._3 }
+      assert(last == Map((1L, "click") -> 3L, (1L, "view") -> 1L,
+        (2L, "view") -> 1L, (2L, "purchase") -> 1L))
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel state survives a query RESTART from " +
     "the checkpoint") {
     import spark.implicits._
