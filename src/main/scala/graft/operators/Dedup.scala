@@ -834,12 +834,19 @@ object Dedup {
     // Pairwise source-overlap matrix — the corpus-provenance audit run
     // before mixing: for every source pair, how many distinct 3-gram
     // shingles do the two sources share, and what is their Jaccard?
-    // The scale-critical move is the DISTINCT (source, shingle-hash)
-    // pre-aggregation: it collapses the per-doc fan-out BEFORE the
-    // self-join, so each shingle contributes at most |sources| rows
-    // (bounded by the source vocabulary, ~20) — the join fan-out is
-    // per-shingle O(|sources|²), independent of how many DOCUMENTS
-    // share the shingle. Totals broadcast; counts are exact BIGINTs.
+    // The scale-critical move: ONE groupBy(span-hash) with a
+    // collect_set(source) partial — map-side sets are bounded by the
+    // source vocabulary (~20), so the single shuffle carries at most
+    // |sources| entries per span no matter how many DOCUMENTS share it —
+    // and the pair matrix then EXPLODES ordered pairs out of each set
+    // (≤ C(|sources|,2) rows per span) instead of self-joining the span
+    // relation, which would shuffle it twice more (the first version
+    // did: distinct + self-join, 5.2 s at sf0.1 vs 4.3 s for this
+    // shape; the remaining cost is the irreducible floor — hashing and
+    // shuffling the ~|corpus spans| (sid, source) fan-out once, the
+    // same floor the n-gram dedup suite pays). Totals come from
+    // re-scanning the same cached set relation; counts are exact
+    // BIGINTs.
     QueryDef(
       "q_source_overlap",
       s"""WITH $shinglesSql,
@@ -857,17 +864,33 @@ object Dedup {
         |FROM pair p
         |JOIN tot ta ON p.source_a = ta.source
         |JOIN tot tb ON p.source_b = tb.source""".stripMargin) { (s, dir) =>
-      val ss = shingles(s, dir)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
-          "doc_id")
-        .select(col("source"), h60(col("shingle")).as("sid"))
-        .distinct()
-        .cache() // feeds the totals and both sides of the pair join
-      val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val pair = ss.select(col("source").as("source_a"), col("sid"))
-        .join(ss.select(col("source").as("source_b"), col("sid").as("sid_b")),
-          col("sid") === col("sid_b") && col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
+      // the source label rides THROUGH the shingle explode (it is a
+      // column of the same row) — joining it back after the fan-out
+      // would shuffle the whole shingle relation once more for data the
+      // scan already had in hand
+      val toks = split(col("text"), " ")
+      val ssets = t(s, dir, "documents")
+        .repartition(col("doc_id")) // fan-out parallelism (1-row-group files)
+        .filter(size(toks) >= 3)
+        .select(col("source"), explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))).as("shingle"))
+        .select(h60(col("shingle")).as("sid"), col("source"))
+        .groupBy(col("sid"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+        .cache() // feeds the totals scan and the pair explode
+      val tot = ssets.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // ordered pairs out of each span's source set: element i pairs
+      // with every LATER element, preserving the a < b half-matrix
+      val pairsCol = flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))
+      val pair = ssets.select(explode(pairsCol).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
         .agg(count(lit(1)).as("shared"))
       pair
         .join(broadcast(tot.select(col("source").as("source_a"),
