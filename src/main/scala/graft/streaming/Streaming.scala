@@ -651,6 +651,64 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** [[SourceQuotaProcessor]] with INITIAL STATE — the batch→stream
+    * migration story: a corpus pipeline that already consumed part of
+    * each source's budget in batch mode cuts over to streaming without
+    * resetting quotas, by seeding the per-source consumed counters from
+    * the batch table on the FIRST batch (handleInitialState runs once
+    * per seeded key, before any input rows). Admission semantics are
+    * identical to the unseeded processor; unseeded sources start at 0. */
+  class SeededQuotaProcessor(quota: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, (String, Long, Long), (String, Long), (String, Long)] {
+    @transient private var consumed:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      consumed = getHandle.getValueState[Long]("consumed",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInitialState(
+        source: String,
+        initial: (String, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      consumed.update(initial._2)
+
+    override def handleInputRows(
+        source: String,
+        rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long)] = {
+      var c = if (consumed.exists()) consumed.get() else 0L
+      val admitted = rows.flatMap { case (_, docId, nTokens) =>
+        if (c < quota) { c += nTokens; Some((source, docId)) } else None
+      }.toList
+      consumed.update(c)
+      admitted.iterator
+    }
+  }
+
+  /** [[quotaAdmit]] seeded from a batch-computed (source, consumed)
+    * table. Same admission rule; the initial state applies before the
+    * first batch's rows. */
+  def quotaAdmitSeeded(
+      docs: org.apache.spark.sql.Dataset[(String, Long, Long)],
+      quota: Long,
+      initial: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    docs.groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new SeededQuotaProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        initial.groupByKey(_._1)(Encoders.STRING))
+  }
+
   /** The funnel stages [[FunnelProcessor]] walks, in order. */
   private[graft] val funnelStages =
     Vector("signup", "view", "click", "purchase")

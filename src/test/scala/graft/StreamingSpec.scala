@@ -539,6 +539,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState initial state seeds quota counters from a batch " +
+    "table before the first streaming row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(String, Long, Long)] // (source, doc_id, n_tokens)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // batch-mode history: srcA already exhausted its 100-token quota,
+      // srcB half-way; srcC never seen in batch
+      val seed = Seq(("srcA", 100L), ("srcB", 50L)).toDS()
+      q = Streaming.quotaAdmitSeeded(mem.toDS(), quota = 100L, initial = seed)
+        .writeStream.format("memory").queryName("seeded_quota_test")
+        .option("checkpointLocation", tmpDir("seeded_quota_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(("srcA", 1L, 10L), ("srcB", 2L, 60L), ("srcB", 3L, 60L),
+        ("srcC", 4L, 10L))
+      q.processAllAvailable()
+      val got = spark.table("seeded_quota_test")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // srcA: seeded at quota -> nothing admits. srcB: 50 consumed, doc 2
+      // admits (soft cap) and exhausts, doc 3 rejected. srcC: fresh.
+      assert(got == Set(("srcB", 2L), ("srcC", 4L)),
+        s"seeded admission wrong: $got")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel state survives a query RESTART from " +
     "the checkpoint") {
     import spark.implicits._
