@@ -709,6 +709,59 @@ object Streaming {
         initial.groupByKey(_._1)(Encoders.STRING))
   }
 
+  /** One micro-batch of INCREMENTAL top-k maintenance — the streaming
+    * half of the kNN suite (the continuously-arriving-corpus case: keep
+    * each query's exact top-k as new vectors land, without ever
+    * re-scoring history). Per batch: score ONLY the new vectors against
+    * the broadcast query set, union with the stored per-query top-k
+    * (queries·k rows — the entire state), dedup by (query, neighbor),
+    * and keep the new top-k as a DETERMINISTIC `v=<batchId>` version.
+    * A replayed batch rebuilds its own version from the same inputs —
+    * idempotent, the versioned sibling of [[dedupIngestBatch]]'s
+    * overwrite trick (versions beat in-place swap here because the
+    * merge READS the previous version while writing the next). Dedup
+    * before the top-k makes replay safe: a twice-delivered candidate
+    * collapses instead of double-occupying heap slots. At 100 TB the
+    * per-batch cost is |batch|·|queries| scoring + a queries·k merge —
+    * history is never touched. */
+  def knnIngestBatch(
+      batch: DataFrame, batchId: Long,
+      queries: DataFrame, tableDir: String, k: Int): Unit = {
+    val s = batch.sparkSession
+    graft.functions.CosineSimilarity.register(s)
+    val fresh = batch
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    val prevDir = new java.io.File(s"$tableDir/v=${batchId - 1}")
+    val prev =
+      if (prevDir.exists()) s.read.parquet(prevDir.getPath)
+      else fresh.limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    prev.unionByName(fresh)
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/v=$batchId")
+  }
+
+  /** Read-side of [[knnIngestBatch]]: the CURRENT top-k per query (the
+    * highest version), ranked. */
+  def knnTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val versions = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    require(versions.nonEmpty, s"no versions under $tableDir")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    spark.read.parquet(s"$tableDir/v=${versions.max}")
+      .withColumn("rnk", row_number().over(w))
+  }
+
   /** The funnel stages [[FunnelProcessor]] walks, in order. */
   private[graft] val funnelStages =
     Vector("signup", "view", "click", "purchase")

@@ -576,6 +576,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental kNN maintenance equals the batch top-k after any number " +
+    "of batches, and replay rebuilds a version bit-identically") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dir = tmpDir("knn_ingest")
+    // three arrival waves by vec_id range
+    val waves = Seq(
+      e.filter(col("vec_id") % 3 === 0),
+      e.filter(col("vec_id") % 3 === 1),
+      e.filter(col("vec_id") % 3 === 2))
+    waves.zipWithIndex.foreach { case (b, i) =>
+      Streaming.knnIngestBatch(b, i.toLong, queries, dir, k = 5)
+    }
+    val inc = Streaming.knnTable(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch truth over ALL vectors, same scoring + tie-break
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val truth = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == truth,
+      s"only-inc=${inc.diff(truth).take(5)} only-truth=${truth.diff(inc).take(5)}")
+    // replay wave 2 (batchId 1): the version it owns must rebuild
+    // identically from the same inputs — the idempotence the versioned
+    // overwrite exists for
+    def v1: Set[(Long, Long, Double)] = spark.read.parquet(s"$dir/v=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = v1
+    Streaming.knnIngestBatch(waves(1), 1L, queries, dir, k = 5)
+    assert(v1 == before, "replay must rebuild v=1 bit-identically")
+  }
+
   test("transformWithState funnel state survives a query RESTART from " +
     "the checkpoint") {
     import spark.implicits._
