@@ -36,6 +36,104 @@ object Behavior {
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // Funnel time-to-convert: over fully-converted users (the strictly
+    // ordered funnel q_funnel counts), the average latency of every
+    // stage transition in milliseconds. Same one-pass conditional-min
+    // aggregate — the latency columns are arithmetic on timestamps the
+    // funnel pass already produced, so the whole question costs ZERO
+    // extra shuffles on top of q_funnel. Millisecond integers keep the
+    // averages exact cross-engine: both engines floor each TIMESTAMP to
+    // ms BEFORE differencing (floor-of-the-difference disagrees by ±1
+    // whenever the two endpoints sit on different sub-ms phases — the
+    // first draft failed exactly there), the per-user diffs are then
+    // exact longs whose sum stays under 2^53 (exactly representable in
+    // the double both engines average with), so avg is bit-identical
+    // before the final floor.
+    QueryDef(
+      "q_funnel_latency",
+      """WITH stages AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT * FROM stages
+        |  WHERE t_purchase > t_click AND t_click > t_view
+        |    AND t_view > t_signup)
+        |SELECT count(*) AS n_converted,
+        |  CAST(floor(avg(epoch_ms(t_view) - epoch_ms(t_signup))) AS BIGINT)
+        |    AS sv_ms,
+        |  CAST(floor(avg(epoch_ms(t_click) - epoch_ms(t_view))) AS BIGINT)
+        |    AS vc_ms,
+        |  CAST(floor(avg(epoch_ms(t_purchase) - epoch_ms(t_click))) AS BIGINT)
+        |    AS cp_ms,
+        |  CAST(floor(avg(epoch_ms(t_purchase) - epoch_ms(t_signup))) AS BIGINT)
+        |    AS sp_ms
+        |FROM conv""".stripMargin) { (s, dir) =>
+      val firstOf = (et: String) =>
+        min(when(col("event_type") === et, col("ts"))).as(s"t_$et")
+      val stages = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(firstOf("signup"), firstOf("view"), firstOf("click"),
+          firstOf("purchase"))
+      val conv = stages.filter(col("t_purchase") > col("t_click") &&
+        col("t_click") > col("t_view") && col("t_view") > col("t_signup"))
+      def ms(a: String, b: String) =
+        (unix_millis(col(a)) - unix_millis(col(b))).cast("double")
+      conv.agg(count(lit(1)).as("n_converted"),
+        floor(avg(ms("t_view", "t_signup"))).cast("long").as("sv_ms"),
+        floor(avg(ms("t_click", "t_view"))).cast("long").as("vc_ms"),
+        floor(avg(ms("t_purchase", "t_click"))).cast("long").as("cp_ms"),
+        floor(avg(ms("t_purchase", "t_signup"))).cast("long").as("sp_ms"))
+    },
+
+    // ------------------------------------------------------------------
+    // Peak concurrency — the +1/-1 boundary sweep, the interval pattern
+    // the suite's joins don't cover: treat each event as a 10-minute
+    // active interval and find each type's maximum simultaneous count.
+    // Deltas NET PER INSTANT first (one map-combinable aggregate), so
+    // the running sum walks distinct instants and its max is
+    // deterministic regardless of how ties arrive — and the sweep is one
+    // keyed shuffle + per-partition sort, O(n log n) per event type. At
+    // 100 TB the partition key becomes (type, day) with per-boundary
+    // carry-in stitching; the sweep itself is unchanged.
+    QueryDef(
+      "q_peak_concurrency",
+      """WITH iv AS (
+        |  SELECT event_type, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, s AS t, 1 AS dl FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e, -1 FROM iv),
+        |net AS (
+        |  SELECT event_type, t, CAST(sum(dl) AS BIGINT) AS net
+        |  FROM d GROUP BY 1, 2),
+        |run AS (
+        |  SELECT event_type,
+        |    sum(net) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM net)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS peak
+        |FROM run GROUP BY 1""".stripMargin) { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .select(col("event_type"), col("ts").as("s"),
+          col("ts") + expr("INTERVAL 10 MINUTES")).toDF("event_type", "s", "e")
+      val d = iv.select(col("event_type"), col("s").as("t"), lit(1).as("dl"))
+        .unionByName(iv.select(col("event_type"), col("e").as("t"),
+          lit(-1).as("dl")))
+      val net = d.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("dl")).as("net"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      net.withColumn("conc", sum(col("net")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("conc")).as("peak"))
+    },
+
+    // ------------------------------------------------------------------
     // Conversion funnel: signup → view → click → purchase, strictly
     // ordered by each user's FIRST occurrence of every stage. The
     // conditional-min aggregate is the scale-correct funnel plan: one
