@@ -247,6 +247,69 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // SCD2 POINT-IN-TIME LOOKUP — the read side of q_scd2's interval
+    // build, and the query every warehouse join-to-dimension actually
+    // runs: attach to each purchase the dimension version valid AT ITS
+    // TIMESTAMP. Because deduped versions tile each user's timeline,
+    // "the version containing ts" ≡ "the last version starting ≤ ts" —
+    // so the plan is the NATIVE as-of operator (plans/AsOfJoin.scala:
+    // co-partitioned streaming merge, O(1) task state), not an interval
+    // join: no bin fan-out, no candidate multiplication, one shuffle
+    // per side. Same-instant version flaps collapse to their final
+    // state (max event_id) BEFORE tiling — zero-width intervals would
+    // otherwise make "containing version" ambiguous. The oracle checks
+    // the same semantics via explicit interval containment.
+    QueryDef(
+      "q_scd2_lookup",
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+        |dedup AS (
+        |  SELECT user_id, event_type, valid_from FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY user_id, valid_from ORDER BY event_id DESC) AS rn
+        |    FROM changes) WHERE rn = 1),
+        |dim AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER
+        |      (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM dedup),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, d.event_type AS state_at_purchase,
+        |  d.valid_from
+        |FROM p JOIN dim d ON d.user_id = p.user_id
+        |  AND d.valid_from <= p.ts
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byVersion = Window.partitionBy(col("user_id"), col("valid_from"))
+        .orderBy(col("event_id").desc)
+      val dim = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+        .withColumn("rn", row_number().over(byVersion))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("d_user"),
+          col("event_type").as("state_at_purchase"), col("valid_from"))
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      graft.plans.AsOfJoin
+        .asof(p, dim, "user_id", "d_user", "p_ts", "valid_from")
+        .select(col("purchase_id"), col("user_id"),
+          col("state_at_purchase"), col("valid_from"))
+    },
+
+    // ------------------------------------------------------------------
     // Time-series gap-fill + forward fill: per-user daily purchase
     // average, densified onto each user's own [first, last] day span and
     // carried forward across gap days. The spine is generated per user
