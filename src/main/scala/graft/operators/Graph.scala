@@ -109,6 +109,109 @@ object Graph {
           .agg(contrib.as("pr"), max(col("n")).as("n"))
           .select(col("dst").as("node"), col("pr"), col("n"))
       pr.select(col("node"), Num.r(col("pr"), 9).as("pr"))
+    },
+
+    // ------------------------------------------------------------------
+    // Triangle counting + local clustering coefficient over the bulk
+    // co-purchase graph (parts appearing together in an order with
+    // quantity ≥ 30). Community density is the other standard link-graph
+    // quality signal next to PageRank — near-duplicate content farms show
+    // up as abnormally dense neighborhoods. The Spark shape is the
+    // node-iterator / "compact-forward" scheme (Schank & Wagner, "Finding,
+    // counting and listing all triangles in large graphs", WEA 2005;
+    // Suri & Vassilvitskii's MapReduce variant, WWW 2011):
+    //   - edges come from ONE shuffle (groupBy order → sorted part set →
+    //     in-place half-matrix pair explode), never an |E|-sized
+    //     self-join of the fact table;
+    //   - each edge is oriented from its lower-(degree, id) endpoint, so
+    //     every out-neighborhood is O(√m) and wedge generation — the
+    //     step that decides whether the algorithm survives skew — is
+    //     Σ outdeg² ≤ m·√m instead of Σ deg² (unbounded under hubs);
+    //   - wedges close via ONE left-semi probe into the canonical edge
+    //     set (both sides keyed, shuffle_hash — the wedge relation is
+    //     the big side and must stream, not sort).
+    // At 100 TB the edge list persists bucketed by src and the degree
+    // table (|V|-sized) broadcasts; the only super-linear term is the
+    // √m-bounded wedge fan-out. The oracle counts the same triangles as
+    // the textbook a<b<c triple join — orientation must not change the
+    // answer, which is exactly what the hash check pins.
+    QueryDef(
+      "q_graph_triangles",
+      s"""WITH li AS (
+        |  SELECT l_orderkey AS okey, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 30),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.okey = y.okey AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT ab.a, ab.b, bc.b AS c
+        |  FROM e ab
+        |  JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |pn AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT p.node, p.n_tri,
+        |  ${Num.sql("p.n_tri * 2e0 / (d.d * (d.d - 1))", 6)} AS cc
+        |FROM pn p JOIN deg d ON p.node = d.node""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      // one shuffle builds the edge list: per-order sorted part set,
+      // pairs exploded in place (element i with every later element —
+      // the q_source_overlap half-matrix idiom), so a and b are already
+      // canonical (a < b) without a comparison pass
+      val parts = li.groupBy(col("okey"))
+        .agg(array_sort(collect_set(col("pk"))).as("pks"))
+        .filter(size(col("pks")) >= 2)
+      val pairsCol = flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val edges = parts.select(explode(pairsCol).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+        .cache() // feeds degrees, orientation, and the closing probe
+      // |V|-sized degree table — broadcastable at any corpus scale
+      val deg = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      // orient from the lower-(degree, id) endpoint: bounds every
+      // out-neighborhood by O(√m), the skew armor of this algorithm
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))),
+          "a")
+        .join(broadcast(deg.select(col("node").as("b"), col("d").as("db"))),
+          "b")
+        .select(
+          when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(lowFirst, col("da")).otherwise(col("db")).as("dsrc"))
+      // wedges around each center, each unordered wedge exactly once
+      // (v < w by id); closes with a left-semi probe into the canonical
+      // a<b edge set — wedge side streams, edge side builds
+      val wedges = oriented.select(col("src"), col("dst").as("v"))
+        .join(oriented.select(col("src"), col("dst").as("w")), "src")
+        .filter(col("v") < col("w"))
+      val closed = wedges.join(
+        edges.hint("shuffle_hash"),
+        wedges("v") === edges("a") && wedges("w") === edges("b"),
+        "left_semi")
+      val perNode = closed
+        .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      perNode.join(broadcast(deg), "node")
+        .select(col("node"), col("n_tri"),
+          Num.r(col("n_tri") * lit(2.0) / (col("d") * (col("d") - 1)), 6)
+            .as("cc"))
     }
   )
 }

@@ -70,4 +70,26 @@ class GraphSpec extends SparkSpec {
     assert(built <= floor,
       s"construction launched $built job(s); the bare table read costs $floor")
   }
+
+  test("q_graph_triangles: counts are consistent and the closing probe " +
+    "stays keyed") {
+    val df = SparkEntry.queries("q_graph_triangles")(spark, sfDir).cache()
+    try {
+      // each triangle contributes exactly once to each of its 3 corners
+      val total = df.agg(sum(col("n_tri"))).head.getLong(0)
+      assert(total > 0, "fixture graph must contain triangles")
+      assert(total % 3 == 0, s"Σ n_tri = $total not divisible by 3")
+      // clustering coefficient is a ratio of realized to possible wedges
+      assert(df.filter(col("cc") <= 0 || col("cc") > 1).count() == 0,
+        "cc must lie in (0, 1]")
+      // a node in a triangle has degree ≥ 2 ⇒ at most C(d,2) triangles;
+      // cc = 1 exactly when the neighborhood is a clique
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "triangle closure must never degenerate to an unkeyed join")
+      assert(plan.contains("LeftSemi"),
+        "the closing edge probe must be a semi join")
+    } finally df.unpersist()
+  }
 }
