@@ -58,5 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[functions.ThetaIntersectEstimate].getName,
         "graft_theta_intersect"),
       functions.ThetaSketch.intersectBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[functions.BloomSketch].getName, "graft_bloom"),
+      functions.BloomSketch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[functions.BloomMightContain].getName, "graft_bloom_contains"),
+      functions.BloomSketch.mightContainBuilder))
   }
 }

@@ -656,6 +656,57 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Decontamination candidates via a Bloom-prefiltered exact
+    // confirm — q_text_decontam's scale twin for when the benchmark
+    // shingle set is too big to broadcast as a hash relation. The
+    // graft_bloom aggregate (functions/Bloom.scala) compresses the bench
+    // set ~10× into a broadcastable bit array with NO false negatives;
+    // the corpus side probes it with a codegen'd graft_bloom_contains
+    // INSIDE the scan's whole-stage loop, so the exact-confirm join's
+    // exchange carries only true hits + the ~0.04% false positives
+    // instead of every corpus shingle. The confirm join is deliberately
+    // shuffle_hash (not broadcast) — that is the regime this plan
+    // exists for. Correctness is UNCHANGED by the filter (no false
+    // negatives + exact confirm), which is exactly what the oracle
+    // hash-checks: DuckDB computes the kill list with no bloom at all.
+    QueryDef(
+      "q_decontam_bloom",
+      s"""WITH $shinglesSql,
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |bench AS (SELECT DISTINCT sid FROM shh WHERE doc_id < 20),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM shh
+        |        WHERE doc_id >= 20 GROUP BY 1),
+        |hit AS (SELECT s.doc_id, count(*) AS n_hit
+        |        FROM shh s JOIN bench b ON s.sid = b.sid
+        |        WHERE s.doc_id >= 20 GROUP BY 1)
+        |SELECT t.doc_id, t.n_sh, h.n_hit,
+        |  h.n_hit * 1.0 / t.n_sh >= 0.5 AS contaminated
+        |FROM tot t JOIN hit h ON t.doc_id = h.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.BloomSketch.register(s)
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid"))
+        .cache() // feeds the bench set (twice: bloom + confirm) + corpus
+      val bench = sh.filter(col("doc_id") < 20).select(col("sid")).distinct()
+      // ~4k bench shingles into 64 Ki bits / 7 hashes ⇒ ~16 bits/key,
+      // false-positive rate ≈ 4e-4; at 10⁸ keys the same 10-16 bits/key
+      // sizing holds and the filter stays a ~100-200 MB broadcast
+      val bloom = bench.agg(expr("graft_bloom(sid, 65536, 7)").as("bf"))
+      val corpus = sh.filter(col("doc_id") >= 20)
+      val tot = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pre = corpus.crossJoin(broadcast(bloom))
+        .filter(expr("graft_bloom_contains(bf, sid)"))
+        .select(col("doc_id"), col("sid"))
+      val hit = pre.join(bench.hint("shuffle_hash"), "sid")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      // inner join: the output is the candidate list the bloom surfaces
+      // (docs sharing ≥1 bench shingle) — zero-hit docs never reach the
+      // confirm join at all, which is the point of the prefilter
+      tot.join(hit, "doc_id")
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          (col("n_hit") * lit(1.0) / col("n_sh") >= 0.5).as("contaminated"))
+    },
+
+    // ------------------------------------------------------------------
     // Canonical-document selection per near-dup cluster — the step a real
     // pipeline runs BETWEEN clustering and output: inside each component
     // of the resemblance graph, keep the best member (here: max n_chars,
