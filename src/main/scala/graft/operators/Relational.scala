@@ -155,6 +155,77 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this dataset's columns: a line is LATE when it ships > 365 days
+    // after its (finalized) order's date; report, per supplier, the
+    // count of late lines on multi-supplier orders where that supplier
+    // was the ONLY late one. The textbook form is a correlated EXISTS
+    // plus a correlated NOT EXISTS — i.e. TWO lineitem self-joins. The
+    // scale plan dissolves both into ONE per-order aggregate on the
+    // already-partitioned join output:
+    //   EXISTS(other supplier)        ⇔ count(distinct suppkey) ≥ 2
+    //   NOT EXISTS(other late suppl.) ⇔ count(distinct late suppkey) = 1
+    // so lineitem⋈orders shuffles by orderkey ONCE and the flag
+    // aggregate, the qualification join, and the late-line filter all
+    // reuse that partitioning — zero self-joins, zero extra exchanges
+    // until the final (tiny, map-combinable) per-supplier count. The
+    // supplier/nation dims attach AFTER aggregation, so at 100 TB the
+    // dim join probes |suppliers| rows, not |lineitem|. The oracle runs
+    // the EXISTS/NOT-EXISTS original — the hash check IS the rewrite's
+    // equivalence proof.
+    QueryDef(
+      "q_tpch_q21",
+      """SELECT s_name, n_name, numwait FROM (
+        |  SELECT l1.l_suppkey AS sk, count(*) AS numwait
+        |  FROM lineitem l1
+        |  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |    AND o.o_orderstatus = 'F'
+        |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_shipdate >
+        |                        o.o_orderdate + INTERVAL 365 DAY)
+        |  GROUP BY 1) w
+        |JOIN supplier ON s_suppkey = w.sk
+        |JOIN nation ON n_nationkey = s_nationkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      // NOTE: EXISTS ranges over ALL lines of the order (any status),
+      // so the distinct-supplier count must come from the unjoined
+      // lineitem; only the LATE flag needs o_orderdate. Both aggregates
+      // group by l_orderkey — AQE coalesces them onto the same exchange
+      // shape, and the three orderkey-keyed joins below never reshuffle.
+      val flagged = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAY"))
+            .as("late"))
+      val nsupp = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+      val nlate = flagged.groupBy(col("l_orderkey"))
+        .agg(countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+      val waiters = flagged.filter(col("late"))
+        .join(nsupp.filter(col("nsupp") >= 2), "l_orderkey")
+        .join(nlate.filter(col("nlate") === 1), "l_orderkey")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      waiters
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), col("numwait"))
+    },
+
+    // ------------------------------------------------------------------
     // Aggregation — hash, partial+final (TPC-H Q1 shape).
     QueryDef(
       "q1_agg",
