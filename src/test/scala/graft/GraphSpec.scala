@@ -88,8 +88,12 @@ class GraphSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         "triangle closure must never degenerate to an unkeyed join")
-      assert(plan.contains("LeftSemi"),
-        "the closing edge probe must be a semi join")
+      // closure = neighborhood-intersect along each edge; no wedge
+      // relation may ever materialize, so no sort-merge anywhere
+      assert(!plan.contains("SortMergeJoin"),
+        "closure must stay hash-joined (wedge relation resurrected?)")
+      assert(plan.contains("array_intersect"),
+        "closure must intersect out-neighborhoods in-expression")
     } finally df.unpersist()
   }
 }
