@@ -456,6 +456,73 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Semantic deduplication (SemDeDup shape: Abbas, Tirumala, Simig,
+    // Ganguli & Morcos, "SemDeDup: Data-efficient learning at web-scale
+    // through semantic deduplication", 2023): cluster embeddings with
+    // the trained quantizer, then compare each vector ONLY to its own
+    // cluster's members — a doc is a semantic dup when it matches a
+    // LOWER-id cellmate at cos ≥ 0.4 (first-seen-wins, deterministic,
+    // same threshold as the exact q_dedup_embed twin). The clustering
+    // turns the O(N²) all-pairs matrix into Σ|cell|² ≈ N²/K work on a
+    // cell-keyed self-join — the quadratic term is bounded by the CELL
+    // size, and K grows with the corpus (fixed target cell size), so
+    // per-cell work is constant at 100 TB and the join stays keyed.
+    // Everything — training, assignment, within-cell pairs — replays in
+    // the oracle via the generated Lloyd CTEs, so the full pipeline is
+    // hash-checked. maxcos uses a -2 sentinel for a cell's first member
+    // (cosine lives in [-1, 1]).
+    QueryDef(
+      "q_dedup_semantic",
+      s"""WITH ${lloydSql(IvfIters)},
+        |sA AS (
+        |  SELECT ed.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, ${Dim + 1}), k -> ed.v[k] * c.cemb[k]))
+        |      / sqrt(ed.n2 * c.cn2) AS cs
+        |  FROM ed, c$IvfIters c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+        |    FROM sA) WHERE r = 1),
+        |pairs AS (
+        |  SELECT i.vec_id,
+        |    max(list_sum(list_transform(range(1, ${Dim + 1}),
+        |          k -> a.v[k] * b.v[k])) / sqrt(a.n2 * b.n2)) AS mc
+        |  FROM assign i
+        |  JOIN assign j ON i.cell = j.cell AND j.vec_id < i.vec_id
+        |  JOIN ed a ON a.vec_id = i.vec_id
+        |  JOIN ed b ON b.vec_id = j.vec_id
+        |  GROUP BY 1)
+        |SELECT s.vec_id, s.cell,
+        |  coalesce(p.mc, -2) >= 0.4 AS dup,
+        |  ${Num.sql("coalesce(p.mc, -2)", 6)} AS maxcos
+        |FROM assign s LEFT JOIN pairs p ON s.vec_id = p.vec_id""".stripMargin) {
+      (s, dir) =>
+      CosineSimilarity.register(s)
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).cache()
+      val eD = toDoubleVectors(e).cache()
+      val cents = kmeansCentroidsOnVectors(eD, IvfK, IvfIters)
+      val assign = eD.crossJoin(broadcast(cents)).withColumn("cs", centCos)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+      // members carry their double vectors through the cell-keyed
+      // half-matrix self-join; graft_cosine's double overload folds
+      // dot+norms identically to the oracle's n2-based fragment
+      val m = assign.join(eD.select(col("vec_id"), col("v")), "vec_id")
+      val pairs = m.select(col("cell"), col("vec_id"), col("v").as("va"))
+        .join(m.select(col("cell"), col("vec_id").as("vid_b"),
+          col("v").as("vb")), Seq("cell"))
+        .filter(col("vid_b") < col("vec_id"))
+        .withColumn("cs", expr("graft_cosine(va, vb)"))
+        .groupBy(col("vec_id")).agg(max(col("cs")).as("mc"))
+      assign.join(pairs, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          (coalesce(col("mc"), lit(-2.0)) >= 0.4).as("dup"),
+          Num.r(coalesce(col("mc"), lit(-2.0)), 6).as("maxcos"))
+    },
+
+    // ------------------------------------------------------------------
     // ANN recall/cost verdict — the number a user tuning bands/nprobe
     // actually needs: per query, how many of the EXACT top-5 (brute
     // ground truth) fall inside each approximate method's CANDIDATE set,
