@@ -425,6 +425,62 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Temperature-scaled source mixing (the multilingual-sampling rule
+    // of mC4 / XLM-R: target share ∝ natural share^α, α = 0.5) — unlike
+    // q_mix_sources' FIXED rates, the rates here are computed FROM the
+    // corpus. Downsampling-only rebalance: rate_s = (share_s^(α-1)) /
+    // (share_min^(α-1)) which at α=½ collapses to √(chars_min/chars_s)
+    // — ONE IEEE sqrt of a ratio of two exact BIGINTs, so the rate (and
+    // the 2^32-scaled integer threshold floor'd from it) is bitwise
+    // reproducible cross-engine with no rounding armor needed.
+    // Scale shape: pass 1 is a map-combinable per-source char count
+    // (|sources| rows); the thresholds broadcast back onto the corpus
+    // scan, and the keep decision is a pushable hash-compare projection
+    // — the corpus never shuffles by source (the window-over-source
+    // alternative would put the whole 100 TB through one skewed
+    // exchange). Keep-set membership is h32(doc_id) < thr: a doc's fate
+    // is a pure function of its id and the histogram, stable under
+    // repartitioning, re-runs, and incremental appends of OTHER sources.
+    QueryDef(
+      "q_mix_temperature",
+      s"""WITH sc AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |mn AS (SELECT min(chars) AS mc FROM sc),
+        |thr AS (
+        |  SELECT source, chars,
+        |    CAST(floor(sqrt(CAST(mc AS DOUBLE) / chars) * 4294967296e0)
+        |      AS BIGINT) AS t
+        |  FROM sc, mn),
+        |d AS (
+        |  SELECT source, n_chars,
+        |    ${graft.functions.TextAnalysis.h32sql("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents)
+        |SELECT d.source, t.t AS thr,
+        |  count(*) AS n_total,
+        |  count(CASE WHEN d.h < t.t THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN d.h < t.t THEN d.n_chars END) AS BIGINT)
+        |    AS kept_chars
+        |FROM d JOIN thr t ON d.source = t.source
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sc = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+      val mn = sc.agg(min(col("chars")).as("mc"))
+      val thr = sc.crossJoin(broadcast(mn))
+        .select(col("source"),
+          floor(sqrt(col("mc").cast("double") / col("chars")) *
+            lit(4294967296.0)).cast("long").as("thr"))
+      val h = graft.functions.TextAnalysis.h32(col("doc_id").cast("string"))
+      docs.select(col("source"), col("n_chars"), h.as("h"))
+        .join(broadcast(thr), "source")
+        .groupBy(col("source"), col("thr"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("h") < col("thr"), 1)).as("n_kept"),
+          sum(when(col("h") < col("thr"), col("n_chars"))).as("kept_chars"))
+    },
+
+    // ------------------------------------------------------------------
     // Trailing 7-day active users per day (the product-analytics WAU
     // curve). The scale-correct plan is NOT a range join or a sliding
     // window over raw events: distinct (user, day) first (hash agg —
