@@ -197,24 +197,29 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderdate"))
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      // NOTE: EXISTS ranges over ALL lines of the order (any status),
-      // so the distinct-supplier count must come from the unjoined
-      // lineitem; only the LATE flag needs o_orderdate. Both aggregates
-      // group by l_orderkey — AQE coalesces them onto the same exchange
-      // shape, and the three orderkey-keyed joins below never reshuffle.
+      // The EXISTS subqueries correlate on l_orderkey, and an order has
+      // ONE status — so although l2/l3 scan lineitem unrestricted, every
+      // line they can see belongs to l1's own (status-F) order, and ALL
+      // per-order statistics come out of the one orders-joined relation.
+      // With nlate = 1 the sole late supplier's late-line count equals
+      // the order's TOTAL late-line count, so the entire qualification
+      // collapses into a single per-order aggregate: lineitem is
+      // scanned once, shuffles once (by orderkey), and the waiter count
+      // re-aggregates |qualifying orders| rows by suppkey.
       val flagged = li
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAY"))
             .as("late"))
-      val nsupp = li.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"))
-      val nlate = flagged.groupBy(col("l_orderkey"))
-        .agg(countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
-      val waiters = flagged.filter(col("late"))
-        .join(nsupp.filter(col("nsupp") >= 2), "l_orderkey")
-        .join(nlate.filter(col("nlate") === 1), "l_orderkey")
-        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      val perOrder = flagged.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"),
+        max(when(col("late"), col("l_suppkey"))).as("latesupp"),
+        count(when(col("late"), 1)).as("nlatelines"))
+      val waiters = perOrder
+        .filter(col("nsupp") >= 2 && col("nlate") === 1)
+        .groupBy(col("latesupp").as("l_suppkey"))
+        .agg(sum(col("nlatelines")).as("numwait"))
       val supp = t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
       val nat = t(s, dir, "nation")

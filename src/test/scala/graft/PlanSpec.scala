@@ -328,6 +328,27 @@ class PlanSpec extends SparkSpec {
       "runtime bloom filter was not injected:\n" + p)
   }
 
+  test("q_tpch_q21 dissolves both correlated subqueries: ONE lineitem " +
+    "scan, no self-join") {
+    val p = plan("q_tpch_q21")
+    // the EXISTS/NOT-EXISTS original needs 3 passes over lineitem and a
+    // self-join; the rewrite folds every per-order statistic (supplier
+    // count, late-supplier count, the sole late supplier and its line
+    // count) into one aggregate over the single orders-joined relation
+    val liScans = "Location.*lineitem".r.findAllIn(p).length
+    assert(liScans == 1, s"$liScans lineitem scans (rewrite regressed?)\n" +
+      p.take(1500))
+  }
+
+  test("q_decontam_bloom probes the filter inside the scan stage, before " +
+    "the confirm join's exchange") {
+    val p = plan("q_decontam_bloom")
+    assert(p.contains("graft_bloom_contains"), "bloom prefilter missing")
+    // the exact confirm must stay a shuffle join (the regime this plan
+    // exists for: a bench set too big to broadcast as a hash relation)
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
   test("q_window_range2 (two running sums) equals a sliding RANGE frame, full table") {
     // the benched q_window_range pins RANGE semantics on a one-event-type
     // slice (the sliding frame is O(n·frame)); the FULL-TABLE equivalence
@@ -440,6 +461,9 @@ class PlanSpec extends SparkSpec {
       "q_active_trailing", // crossJoin(broadcast(single-row day horizon))
       "q_graph_pagerank", // crossJoin(broadcast(single-row |V| aggregate))
       "q_knn_recall", // q_knn_ivf's N×K assignment feeding the recall audit
+      "q_dedup_semantic", // the Lloyd rounds' N×K broadcast centroid assignment
+      "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
+      "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
       "q_subquery_scalar") // scalar subquery = 1-row broadcast join
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
