@@ -708,6 +708,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed quota state is introspectable offline via the state " +
+    "data source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ops surface behind every stateful stream here: the RocksDB
+    // state a query checkpointed is readable later as a plain DataFrame
+    // (spark.read.format("statestore")) — the audit path for "why is
+    // source X being rejected" without instrumenting the running job
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(String, Long, Long)]
+    val ckpt = tmpDir("quota_state_read")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.quotaAdmit(mem.toDS(), quota = 10L)
+        .writeStream.format("memory").queryName("quota_state_read")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(("a", 1L, 6L), ("b", 3L, 8L))
+      q.processAllAvailable()
+      mem.addData(("a", 2L, 5L)) // a: 6 + 5 = 11, over quota hereafter
+      q.processAllAvailable()
+      q.stop(); q = null
+      val state = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "consumed")
+        .load()
+      val consumed = state.selectExpr("key.value AS source", "value.value AS c")
+        .as[(String, Long)].collect().toMap
+      assert(consumed == Map("a" -> 11L, "b" -> 8L),
+        s"offline state read disagrees with the stream's bookkeeping: $consumed")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("upsert recovers a table stranded at .old by a mid-swap crash") {
     import spark.implicits._
     import java.nio.file.{Files => NF, Paths => NP}
