@@ -731,6 +731,97 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Spearman rank correlation (tie-averaged) — the robust complement
+    // to q_agg_corr's Pearson: ρ = Pearson on the rank transforms, so
+    // outliers move a value's RANK by one step instead of dragging the
+    // moment sums. Ranks are where the scale risk lives: a naive
+    // rank() window sorts each whole group in one task (l_linestatus
+    // has 3 values — the low-cardinality killer SCALING.md names), so
+    // both rank passes run through chunkedRank — value-range chunks
+    // give groups×chunks parallel sort tasks with broadcast offsets.
+    // Tie averaging is exact arithmetic on integer positions: the
+    // average rank of a tie class of size c starting at min-rank a is
+    // a + (c-1)/2 ≡ avg(0-based idx) + 1, and every such value is a
+    // half-integer — exactly representable, so only the final corr
+    // needs rounding armor. The oracle computes the same ranks with
+    // the textbook rank-window formula; the hash match proves the
+    // chunked plan ≡ the per-group sort.
+    QueryDef(
+      "q_agg_spearman",
+      s"""WITH r AS (
+        |  SELECT l_linestatus AS g, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT g,
+        |    rank() OVER (PARTITION BY g ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY g ORDER BY y)
+        |      + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+        |  FROM r)
+        |SELECT g AS l_linestatus, count(*) AS n,
+        |  ${Num.sql("corr(rx, ry)", 6)} AS spearman_qp
+        |FROM ranked GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+      def avgRanks(valueCol: String, out: String): DataFrame =
+        chunkedRank(li.select(col("l_linestatus"), col(valueCol)),
+          "l_linestatus", valueCol)
+          .groupBy(col("l_linestatus"), col(valueCol))
+          .agg((avg(col("idx")) + 1).as(out))
+      // quantity has ~50 distinct values per group — its rank table
+      // broadcasts; the price rank table is fact-sized and joins keyed
+      val rx = avgRanks("l_quantity", "rx")
+      val ry = avgRanks("l_extendedprice", "ry")
+      li.join(broadcast(rx), Seq("l_linestatus", "l_quantity"))
+        .join(ry, Seq("l_linestatus", "l_extendedprice"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          Num.r(corr(col("rx"), col("ry")), 6).as("spearman_qp"))
+    },
+
+    // ------------------------------------------------------------------
+    // Chi-squared association profile between two categorical columns
+    // (source × lang) — the corpus-balance diagnostic: which
+    // (source, language) cells are over/under-represented against
+    // independence, per-cell. One map-combinable count over the corpus
+    // is the ONLY pass that touches data; both marginals re-aggregate
+    // the tiny cell table and broadcast back onto it — at 100 TB this
+    // costs one shuffle of |cells| rows after the scan-side combine.
+    // Every expected count is a single multiply-divide of exact
+    // integers (deterministic cross-engine); only the per-cell
+    // contribution carries rounding armor.
+    QueryDef(
+      "q_agg_chi2",
+      s"""WITH cells AS (
+        |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT source, sum(o) AS rs FROM cells GROUP BY 1),
+        |cm AS (SELECT lang, sum(o) AS cs FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM cells)
+        |SELECT c.source, c.lang, c.o,
+        |  ${Num.sql("rm.rs * cm.cs / (1.0 * nn.n)", 4)} AS e,
+        |  ${Num.sql(
+            "pow(c.o - rm.rs * cm.cs / (1.0 * nn.n), 2) / (rm.rs * cm.cs / (1.0 * nn.n))",
+            6)} AS contrib
+        |FROM cells c
+        |JOIN rm ON c.source = rm.source
+        |JOIN cm ON c.lang = cm.lang, nn""".stripMargin) { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+        .cache() // feeds both marginals and the cell output
+      val rm = cells.groupBy(col("source")).agg(sum(col("o")).as("rs"))
+      val cm = cells.groupBy(col("lang")).agg(sum(col("o")).as("cs"))
+      val nn = cells.agg(sum(col("o")).as("n"))
+      val e = col("rs") * col("cs") / (lit(1.0) * col("n"))
+      cells
+        .join(broadcast(rm), "source")
+        .join(broadcast(cm), "lang")
+        .crossJoin(broadcast(nn))
+        .select(col("source"), col("lang"), col("o"),
+          Num.r(e, 4).as("e"),
+          Num.r(pow(col("o") - e, 2) / e, 6).as("contrib"))
+    },
+
+    // ------------------------------------------------------------------
     // Unpivot (melt) + per-column profiling: stack() turns columns into
     // rows — the missing inverse of pivot — and one aggregation over the
     // melted relation yields the null/distinct profile of every column

@@ -464,6 +464,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_semantic", // the Lloyd rounds' N×K broadcast centroid assignment
       "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
       "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
+      "q_agg_chi2", // crossJoin(broadcast(single-row grand-total aggregate))
       "q_subquery_scalar") // scalar subquery = 1-row broadcast join
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
