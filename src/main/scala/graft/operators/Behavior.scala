@@ -481,6 +481,63 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // The per-source corpus health report — the dashboard query a
+    // curator runs daily: volume, exact-duplicate rate, language mix
+    // entropy, and token-length profile, per source, in one output.
+    // Every signal is a map-combinable aggregate: the dup rate rides
+    // count(distinct md5(text)) (two-phase partial agg — the md5 is
+    // computed scan-side, full text never shuffles), and the language
+    // entropy comes from the tiny (source, lang) cell table re-joined
+    // broadcast — the corpus is scanned twice (once per grain), both
+    // times scan-local. Entropy terms are ≤ |langs| doubles per source;
+    // Num-rounding absorbs the summation-order jitter (same contract
+    // as every float aggregate here).
+    QueryDef(
+      "q_curate_report",
+      s"""WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    md5(text) AS h, len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |cells AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT source,
+        |    sum(-(c * 1.0 / n) * log2(c * 1.0 / n)) AS entropy
+        |  FROM (SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS n
+        |        FROM cells)
+        |  GROUP BY 1)
+        |SELECT b.source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(b.n_chars) AS BIGINT) AS chars,
+        |  count(*) - count(DISTINCT b.h) AS n_dup,
+        |  count(DISTINCT b.lang) AS n_langs,
+        |  ${Num.sql("max(e.entropy)", 6)} AS lang_entropy,
+        |  ${Num.sql("avg(b.toks)", 4)} AS avg_toks
+        |FROM base b JOIN ent e ON b.source = e.source
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"),
+          size(split(col("text"), " ")).as("toks"))
+      val cells = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val p = col("c") * lit(1.0) / col("n")
+      val ent = cells.join(broadcast(tot), "source")
+        .groupBy(col("source"))
+        .agg(sum(-p * log2(p)).as("entropy"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup"),
+          countDistinct(col("lang")).as("n_langs"),
+          Num.r(avg(col("toks")), 4).as("avg_toks"))
+        .join(broadcast(ent), "source")
+        .select(col("source"), col("n_docs"), col("chars"), col("n_dup"),
+          col("n_langs"), Num.r(col("entropy"), 6).as("lang_entropy"),
+          col("avg_toks"))
+    },
+
+    // ------------------------------------------------------------------
     // Trailing 7-day active users per day (the product-analytics WAU
     // curve). The scale-correct plan is NOT a range join or a sliding
     // window over raw events: distinct (user, day) first (hash agg —
