@@ -378,6 +378,59 @@ object Scalar {
           sum(col("o_orderkey").bitwiseXOR(255)).as("xor_sum"),
           sum(when(col("o_orderkey").bitwiseAND(1) === 1, 1L)
             .otherwise(0L)).as("odd_cnt"))
+    },
+
+    // ------------------------------------------------------------------
+    // URL parsing — the provenance-curation primitive (host/domain-level
+    // dedup, quota, and blocklists all key on these pieces). Documents
+    // carry no URL column, so one is synthesized DETERMINISTICALLY from
+    // (source, lang, doc_id) — both engines build the identical string,
+    // then decompose it: Spark with the native parse_url expression
+    // (HOST/PATH/QUERY/REF/PROTOCOL + keyed query-parameter lookup),
+    // the oracle with equivalent regexps, so the hash match pins
+    // parse_url's component semantics. The registrable domain strips
+    // the subdomain from the host — the key a domain-quota actually
+    // uses. Pure projection: prunes to three columns at the scan and
+    // runs inside one codegen stage; at 100 TB this costs scan speed.
+    QueryDef(
+      "q_url_funcs",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/' || lang || '/doc/'
+        |      || CAST(doc_id AS VARCHAR) || '?ref=r'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '#s'
+        |      || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+        |    regexp_extract(url, '://([^/]+)', 1) AS host,
+        |    regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |    regexp_extract(url, 'ref=([^&#]*)', 1) AS ref_param,
+        |    regexp_extract(url, '#(.*)$', 1) AS frag
+        |  FROM u)
+        |SELECT doc_id, scheme, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  path, query, ref_param, frag
+        |FROM h""".stripMargin) { (s, dir) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+        col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        lit("?ref=r"), (col("doc_id") % 7).cast("string"),
+        lit("#s"), (col("doc_id") % 3).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("scheme"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"),
+          parse_url(col("url"), lit("REF")).as("frag"))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .select(col("doc_id"), col("scheme"), col("host"), col("domain"),
+          col("path"), col("query"), col("ref_param"), col("frag"))
     }
   )
 }

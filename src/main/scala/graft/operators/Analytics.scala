@@ -561,6 +561,42 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Equi-DEPTH histogram — q_histogram's quantile-boundary dual (equal
+    // COUNT per bucket instead of equal width; what ANALYZE-style
+    // optimizers and drift monitors actually store). bucket =
+    // ⌊idx·B/n⌋ over the GLOBAL value rank, and that global rank is the
+    // scale problem this query exists to demonstrate solved: a naive
+    // row_number() over one un-partitioned window is a single-task
+    // total sort, while chunkedRank's arithmetic value-chunks give 32
+    // parallel sorts + broadcast prefix offsets. Bucket populations
+    // depend only on idx, and per-bucket min/max read value ranges of
+    // the SORTED order, so the output is tie-insensitive and exact;
+    // the oracle uses the textbook single window, making the hash
+    // match the chunked-plan ≡ total-sort equivalence proof.
+    QueryDef(
+      "q_histogram_eqdepth",
+      s"""WITH r AS (
+        |  SELECT l_extendedprice,
+        |    row_number() OVER (ORDER BY l_extendedprice) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(floor(idx * 10 / n) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  ${Num.sql("min(l_extendedprice)", 2)} AS lo,
+        |  ${Num.sql("max(l_extendedprice)", 2)} AS hi
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice"))
+        .withColumn("__all", lit("all"))
+      chunkedRank(li, "__all", "l_extendedprice")
+        .select(floor(col("idx") * lit(10) / col("n")).as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Num.r(min(col("l_extendedprice")), 2).as("lo"),
+          Num.r(max(col("l_extendedprice")), 2).as("hi"))
+    },
+
+    // ------------------------------------------------------------------
     // Stratified sampling (sampleBy): per-stratum Bernoulli sampling with
     // a fixed seed. Engine RNGs differ, so the sampled ROWS have no
     // cross-engine oracle; instead the query emits a verdict (the Approx

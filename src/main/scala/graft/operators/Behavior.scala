@@ -385,6 +385,42 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Deterministic global training-order shuffle + sharding — the last
+    // step before a corpus is written for the trainer: every document
+    // gets a pseudo-random position that is a pure FUNCTION of its id
+    // and a seed (no RNG state, so the order is reproducible across
+    // reruns and engines). This is the terasort shape: the 60-bit
+    // id-hash IS the sort key, shard = key mod S routes each document,
+    // and the within-shard order comes from chunkedRank — shards ×
+    // chunks parallel sorts with broadcast prefix offsets, never one
+    // task per shard. At 100 TB the same plan is the shuffle-write
+    // path itself (repartition by shard, sortWithinPartitions(key) on
+    // the way into the sink); S grows with the corpus while this
+    // query's S=8 keeps the oracle's window tractable. Positions are
+    // dense 0..n_shard-1 — exactly what a deterministic data-loader
+    // resume ("skip to sample k of shard s") needs.
+    QueryDef(
+      "q_shuffle_global",
+      s"""WITH k AS (
+        |  SELECT doc_id,
+        |    ${graft.functions.TextAnalysis.h60sql(
+            "'shuf1:' || CAST(doc_id AS VARCHAR)")} AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 8 AS shard,
+        |  row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1
+        |    AS pos
+        |FROM k""".stripMargin) { (s, dir) =>
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis
+            .h60(concat(lit("shuf1:"), col("doc_id").cast("string")))
+            .as("key"))
+        .withColumn("shard", col("key") % 8) // h60 is non-negative
+      Analytics.chunkedRank(keyed, "shard", "key", Seq("doc_id"))
+        .select(col("doc_id"), col("shard"), col("idx").as("pos"))
+    },
+
+    // ------------------------------------------------------------------
     // Deterministic source mixing — the data-mixing step of a training
     // pipeline: each source tier gets a target sampling RATE, and a
     // document survives iff its id-hash clears the rate threshold. The
@@ -607,6 +643,136 @@ object Behavior {
         .agg(count(lit(1)).as("n_total"),
           count(when(z > 3, 1)).as("n_outliers"),
           Num.r(max(z), 6).as("max_z"))
+    },
+
+    // ------------------------------------------------------------------
+    // Robust (MAD-based) anomaly detection — q_anomaly_zscore's
+    // outlier-resistant twin: the z-score's mean/stddev are themselves
+    // dragged by the outliers they're meant to find; median and MAD
+    // (median absolute deviation) are not. Both medians use the LOWER-
+    // median convention (the value at global rank ⌊(n−1)/2⌋) — an
+    // actual data value selected by rank, not an interpolated float —
+    // so every downstream comparison is exact double arithmetic on
+    // parquet values and the whole detector is bit-deterministic
+    // cross-engine (no quantile-interpolation boundary can flip an
+    // anomaly count). Each median is one chunkedRank pass (groups ×
+    // chunks parallel sorts — never one task per 7-value event_type
+    // key) + a one-row-per-group rank filter; the flagged threshold is
+    // the textbook 3σ-equivalent 3·1.4826·MAD, written as the single
+    // literal 4.4478 on both sides so no constant folding can differ.
+    QueryDef(
+      "q_anomaly_mad",
+      s"""WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+        |      AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, min(value) AS med FROM ranked
+        |  WHERE idx = CAST(floor((n - 1) / 2.0) AS BIGINT) GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |ranked2 AS (
+        |  SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) - 1
+        |      AS idx,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |madm AS (
+        |  SELECT event_type, min(dev) AS madm FROM ranked2
+        |  WHERE idx = CAST(floor((n - 1) / 2.0) AS BIGINT) GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_total,
+        |  min(d.med) AS med, min(ma.madm) AS madm,
+        |  count(CASE WHEN d.dev > 4.4478e0 * ma.madm THEN 1 END) AS n_anom,
+        |  ${Num.sql("max(d.dev / ma.madm)", 6)} AS max_ratio
+        |FROM dev d JOIN madm ma USING (event_type)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      // lower median by rank selection: exactly one row per group passes
+      // the filter, so min() just reads it off
+      def lowerMedian(df: DataFrame, vcol: String, out: String): DataFrame =
+        Analytics.chunkedRank(df, "event_type", vcol)
+          .filter(col("idx") === floor((col("n") - lit(1)) / lit(2.0)))
+          .groupBy(col("event_type"))
+          .agg(min(col(vcol)).as(out))
+      val med = lowerMedian(ev, "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("value") - col("med")).as("dev"), col("med"))
+      val madm = lowerMedian(dev.select(col("event_type"), col("dev")),
+        "dev", "madm")
+      dev.join(broadcast(madm), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          min(col("med")).as("med"), min(col("madm")).as("madm"),
+          count(when(col("dev") > lit(4.4478) * col("madm"), 1)).as("n_anom"),
+          Num.r(max(col("dev") / col("madm")), 6).as("max_ratio"))
+    },
+
+    // ------------------------------------------------------------------
+    // Snapshot diff / CDC derivation — reconcile two versions of a keyed
+    // table into row-level change records (the incremental-pipeline
+    // primitive: what changed since the last snapshot?). The two
+    // versions are derived deterministically from `orders` (keys
+    // ≡3 mod 11 arrive only in v2 = inserts; keys ≡5 mod 13 leave =
+    // deletes; keys ≡2 mod 7 get repriced = updates), so the oracle
+    // sees bit-identical inputs. The diff itself is ONE full-outer
+    // join on the primary key plus a codegen'd column compare — at
+    // 100 TB both snapshots are bucketed by PK so the join is
+    // shuffle-free zipper merge, and the output is only the changed
+    // rows (≪ table), never a rewrite of the unchanged majority.
+    QueryDef(
+      "q_table_diff",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |v1 AS (SELECT * FROM o WHERE o_orderkey % 11 <> 3),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 1000.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 7 = 2 THEN '9-REPRICED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |  FROM o WHERE o_orderkey % 13 <> 5),
+        |j AS (
+        |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    v1.o_totalprice AS old_price, v2.o_totalprice AS new_price,
+        |    v1.o_orderpriority AS old_priority,
+        |    v2.o_orderpriority AS new_priority
+        |  FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+        |d AS (
+        |  SELECT *,
+        |    CASE WHEN old_price IS NULL THEN 'insert'
+        |      WHEN new_price IS NULL THEN 'delete'
+        |      WHEN old_price <> new_price
+        |        OR old_priority <> new_priority THEN 'update' END AS change
+        |  FROM j)
+        |SELECT o_orderkey, change, old_price, new_price,
+        |  old_priority, new_priority
+        |FROM d WHERE change IS NOT NULL""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val repriced = col("o_orderkey") % 7 === 2
+      val v1 = o.filter(col("o_orderkey") % 11 =!= 3)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
+          col("o_orderpriority").as("old_priority"))
+      val v2 = o.filter(col("o_orderkey") % 13 =!= 5)
+        .select(col("o_orderkey"),
+          when(repriced, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")).as("new_price"),
+          when(repriced, lit("9-REPRICED"))
+            .otherwise(col("o_orderpriority")).as("new_priority"))
+      val change = when(col("old_price").isNull, "insert")
+        .when(col("new_price").isNull, "delete")
+        .when(col("old_price") =!= col("new_price") ||
+          col("old_priority") =!= col("new_priority"), "update")
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .withColumn("change", change)
+        .filter(col("change").isNotNull)
+        .select(col("o_orderkey"), col("change"),
+          col("old_price"), col("new_price"),
+          col("old_priority"), col("new_priority"))
     }
   )
 }

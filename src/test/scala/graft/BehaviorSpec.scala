@@ -181,4 +181,66 @@ class BehaviorSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
       == rows.length, "no duplicate pairs")
   }
+
+  test("q_shuffle_global: shards partition the corpus, positions are dense " +
+    "0..n-1 per shard, and shard assignment is growth-stable") {
+    val rows = run("q_shuffle_global").collect()
+    val docs = Tables(spark, sfDir, "documents").count()
+    assert(rows.length == docs, "every document gets exactly one slot")
+    val byShard = rows.groupBy(_.getLong(1))
+    byShard.foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(2)).sorted
+      assert(pos.head == 0 && pos.last == rs.length - 1 &&
+        pos.distinct.length == rs.length,
+        s"shard $shard positions must be dense 0..${rs.length - 1}")
+    }
+    // growth stability: the shard is a function of the id alone, so the
+    // same doc_id must land in the same shard no matter the corpus size
+    val half = rows.filter(_.getLong(0) % 2 == 0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => half.contains(r.getLong(0))).foreach { r =>
+      assert(half(r.getLong(0)) == r.getLong(1))
+    }
+  }
+
+  test("q_table_diff classifies exactly the constructed changes") {
+    val rows = run("q_table_diff").collect()
+    val byChange = rows.groupBy(_.getString(1))
+    val keys = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    // the derivation's own arithmetic is the ground truth
+    val expInsert = keys.count(k => k % 11 == 3 && k % 13 != 5)
+    val expDelete = keys.count(k => k % 13 == 5 && k % 11 != 3)
+    val expUpdate = keys.count(k => k % 7 == 2 && k % 11 != 3 && k % 13 != 5)
+    assert(byChange.get("insert").map(_.length).getOrElse(0) == expInsert)
+    assert(byChange.get("delete").map(_.length).getOrElse(0) == expDelete)
+    assert(byChange.get("update").map(_.length).getOrElse(0) == expUpdate)
+    byChange.getOrElse("insert", Array.empty[org.apache.spark.sql.Row])
+      .foreach(r => assert(r.isNullAt(2) && !r.isNullAt(3)))
+    byChange.getOrElse("delete", Array.empty[org.apache.spark.sql.Row])
+      .foreach(r => assert(!r.isNullAt(2) && r.isNullAt(3)))
+    byChange.getOrElse("update", Array.empty[org.apache.spark.sql.Row])
+      .foreach { r =>
+        assert(r.getDouble(3) - r.getDouble(2) == 1000.0,
+          "updates are exactly the +1000 reprice")
+        assert(r.getString(5) == "9-REPRICED")
+      }
+  }
+
+  test("q_anomaly_mad: MAD bound caps the anomaly rate and the flag " +
+    "agrees with the max ratio") {
+    val rows = run("q_anomaly_mad").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, madm, nAnom, maxRatio) =
+        (r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5))
+      assert(madm >= 0.0)
+      // by definition of the median of deviations, at most half the rows
+      // can exceed 1·MAD — a fortiori 4.4478·MAD
+      assert(nAnom <= (total + 1) / 2,
+        s"${r.getString(0)}: $nAnom anomalies of $total breaks the MAD bound")
+      assert((nAnom > 0) == (maxRatio > 4.4478),
+        s"${r.getString(0)}: anomaly count and max ratio disagree")
+    }
+  }
 }
