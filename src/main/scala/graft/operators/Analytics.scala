@@ -858,6 +858,76 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Skewness / excess kurtosis per group — the shape moments a drift
+    // monitor reads next to q_agg_stats' location/spread. Both engines'
+    // BUILTIN skewness/kurtosis fold central moments in partition order,
+    // so their low bits are run-dependent — useless for a hash check.
+    // Here the moments come from exact INTEGER power sums instead:
+    // l_quantity is integral, q⁴ ≤ 50⁴ keeps even the sf0.1 sums far
+    // inside BIGINT, integer addition is order-insensitive, and the
+    // int→double conversion of each exact sum is correctly rounded in
+    // both engines — so the double formula below runs on bit-identical
+    // inputs and only the final values need rounding armor. m2^1.5 is
+    // written m2·sqrt(m2) (sqrt is IEEE-exact; pow is libm-dependent).
+    // One map-combinable hash agg of 5 longs per group — bounded state,
+    // the same scale shape as q_agg_regr. The builtin parity is pinned
+    // separately in AnalyticsSpec (|Δ| < 1e-6 vs skewness()/kurtosis()).
+    QueryDef(
+      "q_agg_skew",
+      s"""WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS s1,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS s2,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS s3,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS s4
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS r1, CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM m),
+        |c AS (
+        |  SELECT l_returnflag, n, r1,
+        |    r2 - r1 * r1 AS m2,
+        |    r3 - 3.0e0 * r1 * r2 + 2.0e0 * r1 * r1 * r1 AS m3,
+        |    r4 - 4.0e0 * r1 * r3 + 6.0e0 * r1 * r1 * r2
+        |      - 3.0e0 * r1 * r1 * r1 * r1 AS m4
+        |  FROM r)
+        |SELECT l_returnflag, n,
+        |  ${Num.sql("r1", 6)} AS mean_qty,
+        |  ${Num.sql("m3 / (m2 * sqrt(m2))", 6)} AS skew,
+        |  ${Num.sql("m4 / (m2 * m2) - 3.0e0", 6)} AS kurt
+        |FROM c""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast("long")
+      val m = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), q.as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          sum(col("q") * col("q") * col("q")).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      val r1 = col("s1").cast("double") / col("n")
+      val r2 = col("s2").cast("double") / col("n")
+      val r3 = col("s3").cast("double") / col("n")
+      val r4 = col("s4").cast("double") / col("n")
+      val c = m.select(col("l_returnflag"), col("n"),
+        r1.as("r1"),
+        (r2 - r1 * r1).as("m2"),
+        (r3 - lit(3.0) * r1 * r2 + lit(2.0) * r1 * r1 * r1).as("m3"),
+        (r4 - lit(4.0) * r1 * r3 + lit(6.0) * r1 * r1 * r2
+          - lit(3.0) * r1 * r1 * r1 * r1).as("m4"))
+      c.select(col("l_returnflag"), col("n"),
+        Num.r(col("r1"), 6).as("mean_qty"),
+        Num.r(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skew"),
+        Num.r(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurt"))
+    },
+
+    // ------------------------------------------------------------------
     // Unpivot (melt) + per-column profiling: stack() turns columns into
     // rows — the missing inverse of pivot — and one aggregation over the
     // melted relation yields the null/distinct profile of every column

@@ -712,6 +712,67 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Interval union (total covered time) per user — the gaps-and-
+    // islands aggregate q_peak_concurrency's sweep doesn't answer: how
+    // much wall-clock was covered by ≥1 active interval, and in how
+    // many disjoint stretches? Each event opens a deterministic
+    // interval (60 + event_id % 540 seconds — a pure function of the
+    // row, so both engines build identical intervals), and overlapping
+    // or touching intervals merge into islands via the classic running
+    // max: a new island starts exactly where start > max(end) over all
+    // earlier rows. All arithmetic is exact BIGINT epoch-µs (no
+    // timestamp/interval ops, no doubles anywhere). The scale shape:
+    // both windows and both aggregations key on user_id (high-
+    // cardinality), and hash(user_id) satisfies the (user_id, island)
+    // clustering, so the whole query is ONE shuffle — window, island
+    // group-by, and per-user rollup all reuse the same exchange.
+    QueryDef(
+      "q_interval_union",
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM w),
+        |g AS (
+        |  SELECT user_id, island, max(e) - min(s) AS cov
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(cov) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts"))
+            + (lit(60) + col("event_id") % 540) * lit(1000000L)).as("e"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val prevMax = max(col("e"))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = iv
+        .withColumn("prev_max", prevMax)
+        .withColumn("island",
+          sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1)
+            .otherwise(0))
+            .over(order.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("covered_us"))
+    },
+
+    // ------------------------------------------------------------------
     // Snapshot diff / CDC derivation — reconcile two versions of a keyed
     // table into row-level change records (the incremental-pipeline
     // primitive: what changed since the last snapshot?). The two

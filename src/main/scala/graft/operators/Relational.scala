@@ -395,6 +395,89 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Referential-integrity audit — the data-quality gate a pipeline
+    // runs before trusting joins: per FK relation, how many fact rows
+    // have a NULL key vs a key with no parent, and how many distinct
+    // orphan keys exist. The clean testdata has zero violations, so the
+    // audit runs against DELIBERATELY corrupted derived snapshots (the
+    // q_table_diff pattern): deterministic key arithmetic injects
+    // out-of-domain and NULL keys both engines reproduce bit-identically.
+    // Each relation costs ONE keyed left join against the dim's key
+    // column plus one map-combinable conditional aggregate — the fact
+    // table is scanned once per relation, never buffered, and the dim
+    // key side is broadcast-eligible (AQE decides from observed sizes).
+    // At 100 TB this is the cheapest possible audit shape: no
+    // count(distinct) over the fact table, only over the (rare) orphans.
+    QueryDef(
+      "q_audit_fk",
+      """WITH od AS (
+        |  SELECT CASE WHEN o_orderkey % 101 = 11 THEN NULL
+        |    WHEN o_orderkey % 97 = 13 THEN o_custkey + 1000000
+        |    ELSE o_custkey END AS fk
+        |  FROM orders),
+        |ld AS (
+        |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 89 = 7
+        |    THEN -(l_partkey + 1) ELSE l_partkey END AS pfk,
+        |  CASE WHEN (l_orderkey * 7 + l_linenumber) % 83 = 5
+        |    THEN l_suppkey + 500000 ELSE l_suppkey END AS sfk
+        |  FROM lineitem),
+        |a1 AS (
+        |  SELECT 'orders.o_custkey->customer' AS relation,
+        |    count(*) AS n_rows,
+        |    count(*) - count(fk) AS n_null_fk,
+        |    count(CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
+        |      THEN 1 END) AS n_orphan,
+        |    count(DISTINCT CASE WHEN fk IS NOT NULL AND c_custkey IS NULL
+        |      THEN fk END) AS n_orphan_keys
+        |  FROM od LEFT JOIN customer ON fk = c_custkey),
+        |a2 AS (
+        |  SELECT 'lineitem.l_partkey->part', count(*),
+        |    count(*) - count(pfk),
+        |    count(CASE WHEN pfk IS NOT NULL AND p_partkey IS NULL
+        |      THEN 1 END),
+        |    count(DISTINCT CASE WHEN pfk IS NOT NULL AND p_partkey IS NULL
+        |      THEN pfk END)
+        |  FROM ld LEFT JOIN part ON pfk = p_partkey),
+        |a3 AS (
+        |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+        |    count(*) - count(sfk),
+        |    count(CASE WHEN sfk IS NOT NULL AND s_suppkey IS NULL
+        |      THEN 1 END),
+        |    count(DISTINCT CASE WHEN sfk IS NOT NULL AND s_suppkey IS NULL
+        |      THEN sfk END)
+        |  FROM ld LEFT JOIN supplier ON sfk = s_suppkey)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |UNION ALL SELECT * FROM a3""".stripMargin) { (s, dir) =>
+      def audit(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+          rel: String): DataFrame = {
+        val orphan = col(fk).isNotNull && col(pk).isNull
+        fact.join(dim.select(col(pk)), col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(fk))).as("n_null_fk"),
+            count(when(orphan, 1)).as("n_orphan"),
+            countDistinct(when(orphan, col(fk))).as("n_orphan_keys"))
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_null_fk"),
+            col("n_orphan"), col("n_orphan_keys"))
+      }
+      val od = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 101 === 11, lit(null))
+          .when(col("o_orderkey") % 97 === 13, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("fk"))
+      val lkey = col("l_orderkey") * 7 + col("l_linenumber")
+      val ld = t(s, dir, "lineitem").select(
+        when(lkey % 89 === 7, -(col("l_partkey") + 1))
+          .otherwise(col("l_partkey")).as("pfk"),
+        when(lkey % 83 === 5, col("l_suppkey") + 500000)
+          .otherwise(col("l_suppkey")).as("sfk"))
+      audit(od, "fk", t(s, dir, "customer"), "c_custkey",
+          "orders.o_custkey->customer")
+        .unionAll(audit(ld.select(col("pfk")), "pfk",
+          t(s, dir, "part"), "p_partkey", "lineitem.l_partkey->part"))
+        .unionAll(audit(ld.select(col("sfk")), "sfk",
+          t(s, dir, "supplier"), "s_suppkey", "lineitem.l_suppkey->supplier"))
+    },
+
+    // ------------------------------------------------------------------
     // Left-outer join: order counts per segment keeping order-less customers.
     QueryDef(
       "q_join_outer",

@@ -243,4 +243,55 @@ class BehaviorSpec extends SparkSpec {
         s"${r.getString(0)}: anomaly count and max ratio disagree")
     }
   }
+
+  test("q_interval_union matches a per-user brute-force interval merge") {
+    val rows = run("q_interval_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per user")
+    val iv = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts"))
+          + (lit(60) + col("event_id") % 540) * lit(1000000L)).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.length == iv.size, "every user with events gets a row")
+    rows.foreach { case (u, nIslands, covered) =>
+      // textbook sequential merge (touching intervals coalesce, same as
+      // the query's strict s > prev_max island break)
+      var islands = List.empty[(Long, Long)]
+      iv(u).map(t => (t._2, t._3)).sortBy(identity).foreach { case (s0, e0) =>
+        islands match {
+          case (a, b) :: tail if s0 <= b =>
+            islands = (a, math.max(b, e0)) :: tail
+          case _ => islands = (s0, e0) :: islands
+        }
+      }
+      assert(islands.length == nIslands, s"user $u: island count")
+      assert(islands.map(i => i._2 - i._1).sum == covered,
+        s"user $u: covered time")
+    }
+  }
+
+  test("q_audit_fk finds exactly the injected violations") {
+    val rows = run("q_audit_fk").collect()
+    assert(rows.length == 3, "one row per audited relation")
+    val byRel = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ground truth from the injection arithmetic itself (dim keys are
+    // dense, so remapped keys are orphans iff out of the dim's domain —
+    // which +1000000 / +500000 / negation all guarantee)
+    val okeys = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val (nRows, nNull, nOrphan, nKeys) = byRel("orders.o_custkey->customer")
+    assert(nRows == okeys.length)
+    assert(nNull == okeys.count(_ % 101 == 11))
+    assert(nOrphan == okeys.count(k => k % 101 != 11 && k % 97 == 13))
+    assert(nKeys > 0 && nKeys <= nOrphan)
+    Seq("lineitem.l_partkey->part", "lineitem.l_suppkey->supplier")
+      .foreach { rel =>
+        val (n, nn, no, nk) = byRel(rel)
+        assert(nn == 0, s"$rel: no NULLs injected")
+        assert(no > 0 && nk > 0 && nk <= no && no < n, s"$rel: orphans")
+      }
+  }
 }

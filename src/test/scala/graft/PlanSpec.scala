@@ -465,6 +465,9 @@ class PlanSpec extends SparkSpec {
       "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
       "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
       "q_agg_chi2", // crossJoin(broadcast(single-row grand-total aggregate))
+      "q_histogram_eqdepth", // global rank: chunkedRank's 1-row bounds
+      // broadcast constant-folds its equi-join key (the group column is
+      // a literal — the corpus IS one group), leaving a 1-row BNLJ
       "q_subquery_scalar") // scalar subquery = 1-row broadcast join
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
