@@ -517,6 +517,60 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Largest-remainder (Hamilton) apportionment — allocate a FIXED
+    // integer budget of training slots across sources exactly
+    // proportionally to their char mass: quota = ⌊N·w/W⌋ first, then
+    // the R = N − Σ⌊…⌋ leftover slots go to the largest fractional
+    // remainders. Unlike the rate-based mixers above, the output is
+    // GUARANTEED to sum to exactly N — what a batch scheduler or a
+    // fixed-token-budget data mix actually needs. All arithmetic is
+    // exact BIGINT (remainder comparison is N·w mod W — no division
+    // ever happens), ties break on source name, so both engines agree
+    // bit-for-bit. Scale shape: the corpus contributes ONE map-
+    // combinable per-source char count; everything after runs on
+    // |sources| rows (bounded by schema, not scale — the unpartitioned
+    // window is 6 rows). N·w needs headroom: at 100 TB-scale char
+    // masses move the quota math to DECIMAL(38,0) — the sf-bounded
+    // BIGINT form here keeps the oracle exact.
+    QueryDef(
+      "q_mix_allocate",
+      """WITH sc AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS w FROM sc),
+        |q AS (
+        |  SELECT source, chars,
+        |    (100000 * chars) // w AS quota,
+        |    (100000 * chars) % w AS rem
+        |  FROM sc, tot),
+        |r AS (
+        |  SELECT source, chars, quota, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    100000 - sum(quota) OVER () AS leftover
+        |  FROM q)
+        |SELECT source, chars, quota,
+        |  quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        |FROM r""".stripMargin) { (s, dir) =>
+      val sc = t(s, dir, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+      val tot = sc.agg(sum(col("chars")).as("w"))
+      val q = sc.crossJoin(broadcast(tot))
+        .select(col("source"), col("chars"),
+          // `div`, not `/`: Column./ on longs is DOUBLE true-division,
+          // and a near-boundary quotient could round across the floor
+          expr("(100000 * chars) div w").as("quota"),
+          ((lit(100000L) * col("chars")) % col("w")).as("rem"))
+      val all = Window.partitionBy()
+      val r = q.select(col("source"), col("chars"), col("quota"), col("rem"),
+        row_number().over(all.orderBy(col("rem").desc, col("source")))
+          .as("rk"),
+        (lit(100000L) - sum(col("quota")).over(all)).as("leftover"))
+      r.select(col("source"), col("chars"), col("quota"),
+        (col("quota") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+    },
+
+    // ------------------------------------------------------------------
     // The per-source corpus health report — the dashboard query a
     // curator runs daily: volume, exact-duplicate rate, language mix
     // entropy, and token-length profile, per source, in one output.

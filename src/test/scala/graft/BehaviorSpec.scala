@@ -272,6 +272,21 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q_mix_allocate sums to exactly the budget and stays within one " +
+    "slot of true proportionality") {
+    val rows = SparkEntry.queries("q_mix_allocate")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = rows.map(_._2).sum
+    assert(rows.map(_._4).sum == 100000L,
+      "largest-remainder allocation must hit the budget exactly")
+    rows.foreach { case (src, chars, quota, alloc) =>
+      assert(alloc == quota || alloc == quota + 1, s"$src: +1 at most")
+      val exact = 100000.0 * chars / w
+      assert(math.abs(alloc - exact) < 1.0,
+        s"$src: $alloc vs exact share $exact — quota rule violated")
+    }
+  }
+
   test("q_audit_fk finds exactly the injected violations") {
     val rows = run("q_audit_fk").collect()
     assert(rows.length == 3, "one row per audited relation")
