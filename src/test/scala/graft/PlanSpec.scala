@@ -464,6 +464,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_semantic", // the Lloyd rounds' N×K broadcast centroid assignment
       "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
       "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
+      "q_mix_allocate", // crossJoin(broadcast(single-row grand-total aggregate))
       "q_agg_chi2", // crossJoin(broadcast(single-row grand-total aggregate))
       "q_histogram_eqdepth", // global rank: chunkedRank's 1-row bounds
       // broadcast constant-folds its equi-join key (the group column is
