@@ -151,6 +151,106 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // TRAINED Naive Bayes language classifier — where q_text_classify
+    // serves a fixed-weight model and q_text_langid a hand-written
+    // heuristic, this query TRAINS the model in-engine (Laplace-
+    // smoothed per-language token log-likelihoods + doc-count priors),
+    // scores every document against every language, and reports the
+    // confusion matrix — the whole fit/predict/evaluate loop as one
+    // declarative plan. Determinism is the q_text_lmscore trick: every
+    // log-probability becomes an INTEGER (µnats) the moment it leaves
+    // ln(), so per-doc score sums are order-free exact integer folds
+    // and argmax can't flip on float noise (ties break on language
+    // name). Scale shape: the model is V×L rows — bounded by VOCABULARY
+    // (at 100 TB: df-capped or feature-hashed, from a persisted counts
+    // table) — and broadcasts; scoring fans each token out L ways
+    // (bounded by the language count, not the corpus) and immediately
+    // collapses in a map-combinable (doc, lang) sum; prediction is one
+    // window on high-cardinality doc_id. The corpus never shuffles by
+    // language. (The synthetic corpus shares one vocabulary across
+    // langs, so the diagonal is weak — the value is the mechanics +
+    // exact cross-engine parity of a trained model, not accuracy.)
+    QueryDef(
+      "q_text_nb",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT DISTINCT tok FROM t),
+        |vs AS (SELECT count(*) AS vsize FROM v),
+        |l AS (SELECT lang, count(*) AS dl FROM documents GROUP BY 1),
+        |dt AS (SELECT count(*) AS n FROM documents),
+        |c AS (
+        |  SELECT d.lang, t.tok, count(*) AS c
+        |  FROM t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |nl AS (
+        |  SELECT d.lang, count(*) AS ntok
+        |  FROM t JOIN documents d USING (doc_id) GROUP BY 1),
+        |m AS (
+        |  SELECT l.lang AS cand, v.tok,
+        |    CAST(floor(ln((coalesce(c.c, 0) + 1) * 1e0
+        |      / (nl.ntok + vs.vsize)) * 1000000e0 + 0.5) AS BIGINT) AS s
+        |  FROM v CROSS JOIN l
+        |  JOIN nl ON nl.lang = l.lang
+        |  CROSS JOIN vs
+        |  LEFT JOIN c ON c.lang = l.lang AND c.tok = v.tok),
+        |p AS (
+        |  SELECT lang AS cand,
+        |    CAST(floor(ln(dl * 1e0 / n) * 1000000e0 + 0.5) AS BIGINT)
+        |      AS prior
+        |  FROM l CROSS JOIN dt),
+        |sc AS (
+        |  SELECT t.doc_id, m.cand, sum(m.s) AS ts
+        |  FROM t JOIN m USING (tok) GROUP BY 1, 2),
+        |sc2 AS (
+        |  SELECT sc.doc_id, sc.cand, sc.ts + p.prior AS score
+        |  FROM sc JOIN p USING (cand)),
+        |r AS (
+        |  SELECT doc_id, cand,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rk
+        |  FROM sc2)
+        |SELECT d.lang AS actual, r.cand AS pred, count(*) AS n_docs
+        |FROM r JOIN documents d USING (doc_id)
+        |WHERE rk = 1 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+      val v = toks.select(col("tok")).distinct()
+      val vsz = v.agg(count(lit(1)).as("vsize"))
+      val lgs = docs.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+      val dt = docs.agg(count(lit(1)).as("n"))
+      val c = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val nl = toks.groupBy(col("lang")).agg(count(lit(1)).as("ntok"))
+      val m = v.crossJoin(broadcast(lgs.select(col("lang"))))
+        .join(broadcast(c), Seq("lang", "tok"), "left")
+        .join(broadcast(nl), "lang")
+        .crossJoin(broadcast(vsz))
+        .select(col("lang").as("cand"), col("tok"),
+          floor(log((coalesce(col("c"), lit(0L)) + 1) * lit(1e0)
+            / (col("ntok") + col("vsize"))) * lit(1e6) + lit(0.5))
+            .cast("long").as("s"))
+      val prior = lgs.crossJoin(broadcast(dt))
+        .select(col("lang").as("cand"),
+          floor(log(col("dl") * lit(1e0) / col("n")) * lit(1e6) + lit(0.5))
+            .cast("long").as("prior"))
+      val sc = toks.select(col("doc_id"), col("tok"))
+        .join(broadcast(m), "tok")
+        .groupBy(col("doc_id"), col("cand")).agg(sum(col("s")).as("ts"))
+        .join(broadcast(prior), "cand")
+        .select(col("doc_id"), col("cand"),
+          (col("ts") + col("prior")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand"))
+      sc.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("cand").as("pred"))
+        .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+        .groupBy(col("actual"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ------------------------------------------------------------------
     // Language-ID heuristic: score each candidate language by marker-token
     // hits; deterministic priority order breaks ties. (The synthetic corpus
     // shares one vocabulary across langs, so the value of this query is the

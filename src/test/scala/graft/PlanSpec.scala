@@ -465,6 +465,8 @@ class PlanSpec extends SparkSpec {
       "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
       "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
       "q_mix_allocate", // crossJoin(broadcast(single-row grand-total aggregate))
+      "q_text_nb", // vocab × language-list densification (L-row broadcast)
+      // + 1-row vocab-size/doc-total broadcasts building the NB model
       "q_agg_chi2", // crossJoin(broadcast(single-row grand-total aggregate))
       "q_histogram_eqdepth", // global rank: chunkedRank's 1-row bounds
       // broadcast constant-folds its equi-join key (the group column is
