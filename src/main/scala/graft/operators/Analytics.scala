@@ -540,6 +540,63 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Schema-aligned union (unionByName + allowMissingColumns) — the
+    // union a pipeline actually needs when two feeds share a key but
+    // drifted columns: positional UNION would mis-align or reject, BY
+    // NAME aligns on column identity and NULL-fills the gaps. Still a
+    // zero-shuffle concatenation; the filter pushes into both scans.
+    QueryDef(
+      "q_set_union_byname",
+      """SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority,
+        |  'price_feed' AS feed
+        |FROM orders WHERE o_orderkey % 100 = 7
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderpriority, 'priority_feed' AS feed
+        |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 7)
+      val priceFeed = o.select(col("o_orderkey"), col("o_totalprice"),
+        lit("price_feed").as("feed"))
+      val prioFeed = o.select(col("o_orderkey"), col("o_orderpriority"),
+        lit("priority_feed").as("feed"))
+      priceFeed.unionByName(prioFeed, allowMissingColumns = true)
+    },
+
+    // ------------------------------------------------------------------
+    // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join
+    // semantics plain `=` silently breaks: NULL keys never match
+    // themselves, so two feeds keyed by a nullable column lose their
+    // unknown-key rows. Both sides pre-aggregate to per-key counts
+    // BEFORE joining (the scale move — the NULL×NULL pair explosion
+    // n_a·n_b collapses to one multiplication of two counts), and the
+    // null-safe key is still a hash-join key in both engines, not a
+    // nested loop. NULLs are injected deterministically since the
+    // testdata has none.
+    QueryDef(
+      "q_join_nullsafe",
+      """WITH a AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 3 THEN NULL
+        |    ELSE o_custkey % 50 END AS k, count(*) AS na
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN c_custkey % 17 = 2 THEN NULL
+        |    ELSE c_custkey % 50 END AS k, count(*) AS nb
+        |  FROM customer GROUP BY 1)
+        |SELECT a.k, a.na, b.nb, a.na * b.nb AS pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "orders")
+        .groupBy(when(col("o_orderkey") % 13 === 3, lit(null))
+          .otherwise(col("o_custkey") % 50).as("k"))
+        .agg(count(lit(1)).as("na"))
+      val b = t(s, dir, "customer")
+        .groupBy(when(col("c_custkey") % 17 === 2, lit(null))
+          .otherwise(col("c_custkey") % 50).as("k"))
+        .agg(count(lit(1)).as("nb"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k"), col("na"), col("nb"),
+          (col("na") * col("nb")).as("pairs"))
+    },
+
+    // ------------------------------------------------------------------
     // Histogram: fixed-width bucketing by pure arithmetic (identical in
     // both engines), the building block for distribution profiling at
     // scale — one shuffle on the bucket id.
