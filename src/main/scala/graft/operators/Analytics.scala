@@ -985,6 +985,53 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Join/shuffle-key skew profiler — the diagnostic behind the
+    // salting decision (q_agg_salted / q_join_salted are the CURE; this
+    // measures the disease): key cardinality, the hot key's share, the
+    // exact Gini coefficient of the key-frequency distribution, and
+    // its Shannon entropy. The scale discipline: every statistic runs
+    // on the AGGREGATED key-count table (|keys| rows), not the fact
+    // table — the corpus contributes exactly one map-combinable count.
+    // Gini needs frequencies in sorted order, which is ONE chunkedRank
+    // over the key table (equal counts commute inside the rank-weighted
+    // sum, so tie order can't move the value) and the weighted sum is
+    // exact BIGINT arithmetic until the final division; entropy uses
+    // the same log2-identity fold as q_text_entropy.
+    QueryDef(
+      "q_profile_skew",
+      s"""WITH kc AS (
+        |  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT c,
+        |    row_number() OVER (ORDER BY c, k) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM kc)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_c,
+        |  ${Num.sql("max(c) * 1.0 / sum(c)", 6)} AS max_share,
+        |  ${Num.sql(
+            "CAST(sum((2 * (idx + 1) - n - 1) * c) AS DOUBLE) / (min(n) * sum(c))",
+            6)} AS gini,
+        |  ${Num.sql("log2(sum(c)) - sum(c * log2(c)) / sum(c)", 6)}
+        |    AS entropy
+        |FROM r""".stripMargin) { (s, dir) =>
+      val kc = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+        .withColumn("__all", lit("all"))
+      chunkedRank(kc, "__all", "c", Seq("k"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"),
+          Num.r(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("max_share"),
+          Num.r(sum((lit(2) * (col("idx") + 1) - col("n") - 1) * col("c"))
+            .cast("double") / (min(col("n")) * sum(col("c"))), 6)
+            .as("gini"),
+          Num.r(log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c")), 6).as("entropy"))
+    },
+
+    // ------------------------------------------------------------------
     // Unpivot (melt) + per-column profiling: stack() turns columns into
     // rows — the missing inverse of pivot — and one aggregation over the
     // melted relation yields the null/distinct profile of every column

@@ -421,6 +421,41 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Export manifest — the integrity record written NEXT TO the
+    // sharded corpus (q_shuffle_global's routing) that a data loader
+    // validates before training: per shard, the document count, char
+    // mass, key range, and an order-insensitive XOR checksum of the
+    // 60-bit id-hashes. Every field is a map-combinable aggregate over
+    // the same (key, shard) projection the shuffle write already
+    // computes — the manifest rides the export pass for free. XOR is
+    // the right checksum here precisely because it commutes: partition
+    // order can't change it, and a single missing/duplicated/corrupted
+    // doc id flips it.
+    QueryDef(
+      "q_export_manifest",
+      s"""WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ${graft.functions.TextAnalysis.h60sql(
+            "'shuf1:' || CAST(doc_id AS VARCHAR)")} AS key
+        |  FROM documents)
+        |SELECT key % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(key) AS key_lo, max(key) AS key_hi,
+        |  bit_xor(key) AS checksum
+        |FROM k GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.TextAnalysis
+            .h60(concat(lit("shuf1:"), col("doc_id").cast("string")))
+            .as("key"))
+        .groupBy((col("key") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("key")).as("key_lo"), max(col("key")).as("key_hi"),
+          bit_xor(col("key")).as("checksum"))
+    },
+
+    // ------------------------------------------------------------------
     // Deterministic source mixing — the data-mixing step of a training
     // pipeline: each source tier gets a target sampling RATE, and a
     // document survives iff its id-hash clears the rate threshold. The

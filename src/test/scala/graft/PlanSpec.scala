@@ -468,6 +468,7 @@ class PlanSpec extends SparkSpec {
       "q_text_nb", // vocab × language-list densification (L-row broadcast)
       // + 1-row vocab-size/doc-total broadcasts building the NB model
       "q_agg_chi2", // crossJoin(broadcast(single-row grand-total aggregate))
+      "q_profile_skew", // same constant-group chunkedRank bounds broadcast
       "q_histogram_eqdepth", // global rank: chunkedRank's 1-row bounds
       // broadcast constant-folds its equi-join key (the group column is
       // a literal — the corpus IS one group), leaving a 1-row BNLJ
