@@ -658,6 +658,57 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Embeddings-table health audit — the validation pass before any
+    // ANN/dedup job trusts the vector column: dimension consistency,
+    // non-finite elements, zero vectors, and a fixed-boundary norm²
+    // histogram. One narrow-projection pass (vec fold per row, then a
+    // single map-combinable conditional-count aggregate — no shuffle of
+    // vectors, ever). All outputs are exact integers or min/max of
+    // per-vector folds: the norm² fold is sequential left-to-right in
+    // both engines (the kmeans parity argument), and NaN/Inf detection
+    // uses NOT(|x| ≤ DBL_MAX), which both engines' NaN total ordering
+    // evaluates identically — no float SUM is ever compared.
+    QueryDef(
+      "q_embed_health",
+      s"""WITH h AS (
+        |  SELECT vec_id,
+        |    len(embedding) AS dim,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE))
+        |      <= 1.7976931348623157e308))) AS n_bad
+        |  FROM embeddings)
+        |SELECT count(*) AS n_vecs,
+        |  count(CASE WHEN dim <> $Dim THEN 1 END) AS n_bad_dim,
+        |  count(CASE WHEN n_bad > 0 THEN 1 END) AS n_nonfinite,
+        |  count(CASE WHEN n2 = 0e0 THEN 1 END) AS n_zero,
+        |  count(CASE WHEN n2 < 1e0 THEN 1 END) AS n_lt1,
+        |  count(CASE WHEN n2 >= 1e0 AND n2 < 4e0 THEN 1 END) AS n_1to4,
+        |  count(CASE WHEN n2 >= 4e0 THEN 1 END) AS n_ge4,
+        |  ${Num.sql("min(n2)", 6)} AS n2_lo,
+        |  ${Num.sql("max(n2)", 6)} AS n2_hi
+        |FROM h""".stripMargin) { (s, dir) =>
+      val xd = (x: Column) => x.cast("double")
+      val n2 = aggregate(
+        transform(col("embedding"), x => xd(x) * xd(x)),
+        lit(0.0), (acc, x) => acc + x)
+      val nBad = size(filter(col("embedding"),
+        x => !(abs(xd(x)) <= lit(Double.MaxValue))))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          n2.as("n2"), nBad.as("n_bad"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("dim") =!= Dim, 1)).as("n_bad_dim"),
+          count(when(col("n_bad") > 0, 1)).as("n_nonfinite"),
+          count(when(col("n2") === 0.0, 1)).as("n_zero"),
+          count(when(col("n2") < 1.0, 1)).as("n_lt1"),
+          count(when(col("n2") >= 1.0 && col("n2") < 4.0, 1)).as("n_1to4"),
+          count(when(col("n2") >= 4.0, 1)).as("n_ge4"),
+          Num.r(min(col("n2")), 6).as("n2_lo"),
+          Num.r(max(col("n2")), 6).as("n2_hi"))
+    },
+
+    // ------------------------------------------------------------------
     // Int8 embedding quantization — the storage-quarter for 100 TB
     // vector stores: per-vector symmetric scale (max|x|/127), elements
     // round to [-127, 127] bytes, 4 bytes/dim becomes 1. The query
