@@ -50,10 +50,24 @@ object Analytics {
       min(col(valueCol)).as("__vmin"), // min/max ignore NULLs
       max(col(valueCol)).as("__vmax"))
       .withColumnRenamed(groupCol, "__g")
+    // chunk arithmetic in DOUBLE, not the column's own type: a LONG
+    // value column with a ~2^60 span (e.g. q_shuffle_global's 60-bit
+    // keys) overflows (value−min)·parts in integer arithmetic once
+    // parts ≥ 9 — an ANSI-mode crash that only shows up at high
+    // parallelism (8-partition runs fit 2^60·8 < 2^63 by a hair).
+    // long→double is monotone non-decreasing, so chunk order still
+    // equals value order and every downstream rank is unchanged; the
+    // only effect of the lost low bits is which side of a chunk
+    // boundary a value lands on. (Degenerate case: a span too small
+    // for double resolution makes the ratio NaN, which `least` ranks
+    // above parts−1 — one chunk, correct and merely unparallel.)
     val chunkOf = when(col(valueCol).isNull, lit(-1L))
       .otherwise(when(col("__vmax") > col("__vmin"),
-        least(floor((col(valueCol) - col("__vmin")) * parts /
-          (col("__vmax") - col("__vmin"))), lit(parts - 1L)))
+        least(floor(
+          (col(valueCol).cast("double") - col("__vmin").cast("double"))
+            * parts /
+            (col("__vmax").cast("double") - col("__vmin").cast("double"))),
+          lit(parts - 1L)))
         .otherwise(lit(0L)))
     val bucketed = df
       .join(broadcast(bounds), col(groupCol) <=> col("__g"))
