@@ -1025,7 +1025,7 @@ object Analytics {
         |  max(c) AS max_c,
         |  ${Num.sql("max(c) * 1.0 / sum(c)", 6)} AS max_share,
         |  ${Num.sql(
-            "CAST(sum((2 * (idx + 1) - n - 1) * c) AS DOUBLE) / (min(n) * sum(c))",
+            "CAST(sum((2 * (idx + 1) - n - 1) * c) AS DOUBLE) / (CAST(min(n) AS DOUBLE) * sum(c))",
             6)} AS gini,
         |  ${Num.sql("log2(sum(c)) - sum(c * log2(c)) / sum(c)", 6)}
         |    AS entropy
@@ -1038,8 +1038,15 @@ object Analytics {
           sum(col("c")).as("n_rows"),
           max(col("c")).as("max_c"),
           Num.r(max(col("c")) * lit(1.0) / sum(col("c")), 6).as("max_share"),
-          Num.r(sum((lit(2) * (col("idx") + 1) - col("n") - 1) * col("c"))
-            .cast("double") / (min(col("n")) * sum(col("c"))), 6)
+          // the rank-weighted sum goes through DECIMAL(38,0), not LONG:
+          // billions of keys push Σ(2i−n−1)·c past 2^63 (ANSI crash in
+          // Spark where DuckDB silently widens to HUGEINT); decimal is
+          // exact to 1e38 and both engines' exact-int→double cast of
+          // the final value is correctly rounded, hence identical.
+          // n·Σc likewise multiplies as double.
+          Num.r(sum(((lit(2) * (col("idx") + 1) - col("n") - 1) * col("c"))
+            .cast("decimal(38,0)")).cast("double")
+            / (min(col("n")).cast("double") * sum(col("c"))), 6)
             .as("gini"),
           Num.r(log2(sum(col("c"))) -
             sum(col("c") * log2(col("c"))) / sum(col("c")), 6).as("entropy"))
