@@ -371,6 +371,40 @@ object Streaming {
       .agg(expr("hll_union_agg(sk)").as("sk"))
       .withColumn("estimate", expr("hll_sketch_estimate(sk)"))
 
+  /** One micro-batch of incremental export-manifest maintenance — the
+    * streaming twin of q_export_manifest, on the sketch-table pattern
+    * (append-only `batch=<id>` partials, idempotent per-batch
+    * overwrite): each arriving document slice contributes its per-shard
+    * counts, char mass, key range, and XOR checksum as a deterministic
+    * partial. Every manifest field is a commutative monoid (sum / sum /
+    * min / max / xor), which is exactly WHY the manifest is
+    * incrementally maintainable with no read-modify-write of history —
+    * the same algebra that makes the fields partition-order-proof in
+    * batch makes them batch-order-proof here. */
+  def manifestIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String): Unit =
+    batch.select(col("n_chars"),
+        graft.functions.TextAnalysis
+          .h60(concat(lit("shuf1:"), col("doc_id").cast("string")))
+          .as("key"))
+      .groupBy((col("key") % 8).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        min(col("key")).as("key_lo"), max(col("key")).as("key_hi"),
+        bit_xor(col("key")).as("checksum"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+
+  /** Read-side merge of [[manifestIngestBatch]]'s partials: fold each
+    * monoid across batches. Equal to the batch manifest over the union
+    * of all ingested slices, independent of arrival order or batch
+    * boundaries (StreamingSpec proves equality after three waves plus a
+    * replayed batch). */
+  def manifestTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
+        min(col("key_lo")).as("key_lo"), max(col("key_hi")).as("key_hi"),
+        bit_xor(col("checksum")).as("checksum"))
+
   /** Per-source token-quota admission — the domain-balancing curation
     * primitive ("at most N tokens per source/domain in the training
     * mix"), on Spark 4's transformWithState API (the arbitrary-state

@@ -272,6 +272,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental export manifest: batch partials fold to the batch " +
+    "manifest, replay included") {
+    import org.apache.spark.sql.functions.col
+    val table = tmpDir("manifest_table")
+    val docs = Tables(spark, sfDir, "documents")
+    // three arrival waves split by doc_id — boundaries are arbitrary,
+    // the monoid fold must erase them
+    (0 until 3).foreach { w =>
+      Streaming.manifestIngestBatch(
+        docs.filter(col("doc_id") % 3 === w), w.toLong, table)
+    }
+    def snap: Map[Long, (Long, Long, Long, Long, Long)] =
+      Streaming.manifestTable(spark, table).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+    val expected = SparkEntry.queries("q_export_manifest")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val s1 = snap
+    assert(s1 == expected,
+      "merged per-batch manifest must equal the one-shot batch manifest")
+    // a replayed wave overwrites its own partial — nothing double-counts
+    Streaming.manifestIngestBatch(
+      docs.filter(col("doc_id") % 3 === 1), 1L, table)
+    assert(snap == expected, "replay must be idempotent")
+  }
+
   test("incrementalDedupStream service: file source in, deduped corpus out") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val in = tmpDir("ingest_svc_in")
