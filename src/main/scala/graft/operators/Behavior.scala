@@ -613,6 +613,71 @@ object Behavior {
     // count(distinct md5(text)) (two-phase partial agg — the md5 is
     // computed scan-side, full text never shuffles), and the language
     // entropy comes from the tiny (source, lang) cell table re-joined
+    // ------------------------------------------------------------------
+    // Population-stability drift report (PSI) — the monitoring metric a
+    // production corpus pipeline alarms on between snapshots: per
+    // source, PSI = Σ (p_b − q_b)·ln(p_b/q_b) over length buckets,
+    // comparing two deterministically derived snapshot halves. The
+    // whole metric derives from EXACT integer bucket counts in ONE
+    // map-combinable aggregate (conditional counts per half — no join
+    // between snapshots, no second corpus pass), +1-smoothed over the
+    // observed bucket set so empty cells can't divide by zero; the
+    // tiny per-source totals broadcast back onto the bucket rows. Both
+    // engines run the identical double formula on identical integers;
+    // Num-rounding armors the final sum. At 100 TB the only corpus
+    // cost is the one bucketing scan — PSI itself runs on
+    // sources×buckets rows.
+    QueryDef(
+      "q_drift_psi",
+      s"""WITH b AS (
+        |  SELECT source, doc_id % 2 AS half,
+        |    least(n_chars // 100, 4) AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, bucket,
+        |    count(CASE WHEN half = 0 THEN 1 END) AS c0,
+        |    count(CASE WHEN half = 1 THEN 1 END) AS c1
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1, count(*) AS k
+        |  FROM c GROUP BY 1),
+        |pq AS (
+        |  SELECT c.source,
+        |    (c0 + 1) * 1e0 / (n0 + k) AS p,
+        |    (c1 + 1) * 1e0 / (n1 + k) AS q,
+        |    n0, n1
+        |  FROM c JOIN tot ON c.source = tot.source)
+        |SELECT source, min(n0) AS n0, min(n1) AS n1,
+        |  ${Num.sql("sum((p - q) * ln(p / q))", 6)} AS psi
+        |FROM pq GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(col("source"), (col("doc_id") % 2).as("half"),
+          least(expr("n_chars div 100"), lit(4L)).as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(when(col("half") === 0, 1)).as("c0"),
+          count(when(col("half") === 1, 1)).as("c1"))
+      val tot = c.groupBy(col("source"))
+        .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+          count(lit(1)).as("k"))
+      val p = (col("c0") + 1) * lit(1e0) / (col("n0") + col("k"))
+      val q = (col("c1") + 1) * lit(1e0) / (col("n1") + col("k"))
+      c.join(broadcast(tot), "source")
+        .select(col("source"), p.as("p"), q.as("q"), col("n0"), col("n1"))
+        .groupBy(col("source"))
+        .agg(min(col("n0")).as("n0"), min(col("n1")).as("n1"),
+          Num.r(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+            .as("psi"))
+    },
+
+    // ------------------------------------------------------------------
+    // The per-source corpus health report — the dashboard query a
+    // curator runs daily: volume, exact-duplicate rate, language mix
+    // entropy, and token-length profile, per source, in one output.
+    // Every signal is a map-combinable aggregate: the dup rate rides
+    // count(distinct md5(text)) (two-phase partial agg — the md5 is
+    // computed scan-side, full text never shuffles), and the language
+    // entropy comes from the tiny (source, lang) cell table re-joined
     // broadcast — the corpus is scanned twice (once per grain), both
     // times scan-local. Entropy terms are ≤ |langs| doubles per source;
     // Num-rounding absorbs the summation-order jitter (same contract
