@@ -118,6 +118,51 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q10 (returned-item reporting) — the fourth flagship: which
+    // customers returned the most value in a quarter? The scale plan:
+    // the quarter filter prunes orders at the scan and the returnflag
+    // filter prunes lineitem (both pushed), so the ONE fact⋈fact join
+    // carries a quarter's orders against only returned lines;
+    // customer attaches AFTER the revenue grain is fixed, and the
+    // 25-row nation dim broadcasts. Distributed top-20 via
+    // TakeOrderedAndProject — k·partitions rows move, never the full
+    // per-customer revenue table.
+    QueryDef(
+      "q_tpch_q10",
+      s"""SELECT c_custkey, c_name, n_name,
+        |  ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+        |    AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("rev")).as("raw_rev"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Num.r(sum(col("raw_rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
     // TPC-H Q18 (large-volume customers) — the third flagship, and the
     // canonical GROUP-HAVING SEMI-JOIN shape: find orders whose total
     // quantity clears a threshold, then re-join the winners to their
