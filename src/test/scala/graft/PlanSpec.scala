@@ -39,6 +39,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_shipdate"), p)
   }
 
+  test("q_tpch_q10 plans one fact-fact SMJ with both filters pushed and a " +
+    "distributed top-20") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
+    // quarter bound reaches the orders scan, returnflag the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
   test("dynamic partition pruning injects a runtime filter on the partitioned scan") {
     import org.apache.spark.sql.functions._
     // hive-partitioned fact + selectively-filtered dim joined on the

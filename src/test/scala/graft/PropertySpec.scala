@@ -8,6 +8,53 @@ import scala.util.Random
   * boundary bit patterns. */
 class PropertySpec extends SparkSpec {
 
+  test("largest-remainder apportionment: random weights always sum to the " +
+    "budget with quotas within one slot") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // adversarial weight sets: ties, zeros, one dominant source
+    val cases = Seq(
+      Seq.fill(20)(rnd.nextLong(1L << 40) + 1),
+      Seq.fill(7)(1000L), // all tied — remainder rank falls to the name
+      // weights stay under 2^40: N·w must fit a LONG (the query's
+      // documented sf-bounded form; DECIMAL(38,0) is the 100 TB form)
+      Seq(0L, 0L, 5L, 1L << 40),
+      Seq(1L))
+    for ((ws, ci) <- cases.zipWithIndex) {
+      val n = 100000L
+      val df = ws.zipWithIndex
+        .map { case (w, i) => (f"s$i%03d", w) }.toDF("source", "chars")
+      val tot = df.agg(org.apache.spark.sql.functions.sum(col("chars"))
+        .as("w"))
+      val q = df.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+        .select(col("source"), col("chars"),
+          org.apache.spark.sql.functions.expr(s"($n * chars) div w")
+            .as("quota"),
+          (org.apache.spark.sql.functions.lit(n) * col("chars") % col("w"))
+            .as("rem"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val got = q.select(col("source"), col("chars"), col("quota"),
+          org.apache.spark.sql.functions.row_number()
+            .over(all.orderBy(col("rem").desc, col("source"))).as("rk"),
+          (org.apache.spark.sql.functions.lit(n) -
+            org.apache.spark.sql.functions.sum(col("quota")).over(all))
+            .as("leftover"))
+        .select(col("source"), col("chars"),
+          (col("quota") + org.apache.spark.sql.functions
+            .when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val w = ws.sum
+      assert(got.map(_._3).sum == n, s"case $ci: budget")
+      got.foreach { case (src, chars, alloc) =>
+        val exact = n.toDouble * chars / w
+        assert(alloc >= math.floor(exact).toLong &&
+          alloc <= math.floor(exact).toLong + 1,
+          s"case $ci $src: $alloc vs exact $exact")
+      }
+    }
+  }
+
   test("zValue interleave is invertible on random 21-bit points") {
     import spark.implicits._
     val rnd = new Random(42)
