@@ -366,6 +366,74 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // BM25 ranked retrieval — the search-engine scoring function over
+    // the corpus, with every statistic it needs (df, N, avgdl) computed
+    // in-engine: score(d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/
+    // avgdl)), the Robertson idf ln((N−df+0.5)/(df+0.5)+1), k1=1.2,
+    // b=0.75 as literals on both sides. Scale shape: tokens filter to
+    // the QUERY TERMS at the scan (the posting-list read — rows ∝ hits,
+    // not corpus), per-term df/idf and the 1-row avgdl broadcast, doc
+    // lengths join on doc_id only for hit docs, and the top-20 is
+    // TakeOrderedAndProject. Determinism: tf/dl/df/N are exact
+    // integers, avgdl is one double division of exact integers, and
+    // both engines run the identical IEEE expression — ORDER BY the raw
+    // score is stable because the doubles are bit-identical; doc_id
+    // breaks true ties.
+    QueryDef(
+      "q_text_bm25",
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('table', 'spark', 'fast') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln((st.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
+        |      * tf.tf * 2.2e0
+        |      / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl
+        |        / (st.sdl * 1e0 / st.n))) AS x
+        |  FROM tf
+        |  JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st),
+        |agg AS (SELECT doc_id, sum(x) AS score FROM sc GROUP BY 1)
+        |SELECT doc_id, ${Num.sql("score", 6)} AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val st = dl.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+      val tf = terms.filter(col("term").isin("table", "spark", "fast"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val x = log((col("n") - col("df") + lit(0.5e0))
+          / (col("df") + lit(0.5e0)) + lit(1e0)) *
+        col("tf") * lit(2.2e0) /
+        (col("tf") + lit(1.2e0) * (lit(0.25e0) + lit(0.75e0) * col("dl")
+          / (col("sdl") * lit(1e0) / col("n"))))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), x.as("x"))
+        .groupBy(col("doc_id")).agg(sum(col("x")).as("score"))
+        // rank on the ROUNDED score: the ≤3-term sum can differ by an
+        // ulp between engines (and partition orders), and a raw-score
+        // sort would let that flip near-equal ranks; rounding collapses
+        // the noise and doc_id breaks genuine ties
+        .select(col("doc_id"), Num.r(col("score"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
     // Higher-order array functions over embeddings: filter/exists/forall
     // and a comparator sort. The sorted head is serialized to a string of
     // Num-scaled integers (the driver's compare cannot sort array-typed
