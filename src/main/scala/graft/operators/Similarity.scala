@@ -658,6 +658,116 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Hybrid search — reciprocal-rank fusion (RRF, k=60) of a lexical
+    // BM25 leg over `documents` and a dense cosine leg over
+    // `embeddings`: the modern retrieval stack's default fusion rule,
+    // score(d) = Σ_legs 1/(60 + rank_leg(d)), which needs only RANKS —
+    // no score calibration between legs. Both legs rank on their
+    // ROUNDED scores with id tie-breaks, so rank lists are
+    // deterministic cross-engine; RRF itself is a fixed-shape scalar
+    // expression over exact integer ranks. The legs here rank their
+    // full candidate lists so the oracle can replay them exactly — a
+    // production run bounds both legs with the graft_topk heap first
+    // (the q_knn_brute pattern), making each leg's shuffle k-sized.
+    // The doc/vec id spaces coincide by construction in this corpus.
+    QueryDef(
+      "q_search_hybrid",
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('table', 'spark', 'fast') GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (
+        |  SELECT tf.doc_id,
+        |    ${Num.sql(
+            """sum(ln((st.n - dfr.df + 0.5e0) / (dfr.df + 0.5e0) + 1e0)
+        |      * tf.tf * 2.2e0
+        |      / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl
+        |        / (st.sdl * 1e0 / st.n))))""".stripMargin, 6)} AS bm25
+        |  FROM tf
+        |  JOIN dfr ON tf.term = dfr.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN st GROUP BY 1),
+        |bmr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+        |  FROM bm),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |q0 AS (SELECT embedding, n2 FROM e WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ${Num.sql(
+            """list_sum(list_transform(range(1, len(q0.embedding) + 1),
+        |      k -> CAST(q0.embedding[k] AS DOUBLE)
+        |        * CAST(e.embedding[k] AS DOUBLE))) / sqrt(q0.n2 * e.n2)"""
+              .stripMargin, 6)} AS cosv
+        |  FROM e, q0 WHERE e.vec_id <> 0),
+        |cr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY cosv DESC, doc_id) AS rc
+        |  FROM cs),
+        |f AS (
+        |  SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id, rb, rc,
+        |    coalesce(1e0 / (60 + rb), 0e0) + coalesce(1e0 / (60 + rc), 0e0)
+        |      AS rrf_raw
+        |  FROM bmr FULL JOIN cr ON bmr.doc_id = cr.doc_id)
+        |SELECT doc_id, rb, rc, ${Num.sql("rrf_raw", 6)} AS rrf
+        |FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+      val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      val st = dl.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+      val tf = terms.filter(col("term").isin("table", "spark", "fast"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val x = log((col("n") - col("df") + lit(0.5e0))
+          / (col("df") + lit(0.5e0)) + lit(1e0)) *
+        col("tf") * lit(2.2e0) /
+        (col("tf") + lit(1.2e0) * (lit(0.25e0) + lit(0.75e0) * col("dl")
+          / (col("sdl") * lit(1e0) / col("n"))))
+      val bm = tf.join(broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), x.as("x"))
+        .groupBy(col("doc_id"))
+        .agg(Num.r(sum(col("x")), 6).as("bm25"))
+      val bmr = bm.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .as("rb"))
+      val e = t(s, dir, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cs = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id").as("doc_id"),
+          Num.r(expr("graft_cosine(q_emb, embedding)"), 6).as("cosv"))
+      val cr = cs.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("cosv").desc, col("doc_id")))
+          .as("rc"))
+      val rrfRaw = coalesce(lit(1e0) / (lit(60) + col("rb")), lit(0e0)) +
+        coalesce(lit(1e0) / (lit(60) + col("rc")), lit(0e0))
+      bmr.join(cr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rb"), col("rc"), rrfRaw.as("rrf_raw"))
+        .orderBy(col("rrf_raw").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("rb"), col("rc"),
+          Num.r(col("rrf_raw"), 6).as("rrf"))
+    },
+
+    // ------------------------------------------------------------------
     // Embeddings-table health audit — the validation pass before any
     // ANN/dedup job trusts the vector column: dimension consistency,
     // non-finite elements, zero vectors, and a fixed-boundary norm²

@@ -467,6 +467,7 @@ class PlanSpec extends SparkSpec {
       "q_text_tfidf", // crossJoin(broadcast(single-row corpus count))
       "q_text_lmscore", // crossJoin(broadcast(single-row corpus token total))
       "q_text_bm25", // crossJoin(broadcast(single-row N/avgdl statistics))
+      "q_search_hybrid", // same 1-row stats broadcast + 1-row query vector
       "q_agg_heavyhitters", // crossJoin(broadcast(single-row total)) for the n/m threshold
       "q_agg_theta", // crossJoin of three single-row aggregates (sketch pair + exact)
       "q_active_trailing", // crossJoin(broadcast(single-row day horizon))
