@@ -405,6 +405,48 @@ object Streaming {
         min(col("key_lo")).as("key_lo"), max(col("key_hi")).as("key_hi"),
         bit_xor(col("checksum")).as("checksum"))
 
+  /** One micro-batch of incremental drift-monitor maintenance — the
+    * streaming half of q_drift_psi: each arriving slice contributes its
+    * per-(source, length-bucket) counts as an append-only `batch=<id>`
+    * partial (idempotent overwrite, the manifest/sketch pattern).
+    * Counts are the monoid; PSI is deliberately NOT stored — it is
+    * derived at read time against whichever reference the reader picks,
+    * so one table answers "drift since batch 0" and "drift since
+    * yesterday" alike. */
+  def driftIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String): Unit =
+    batch.select(col("source"),
+        least(expr("n_chars div 100"), lit(4L)).as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+
+  /** Read-side PSI of everything-after-the-reference against the
+    * reference batch, per source (same +1-smoothed formula as
+    * q_drift_psi, over the union of observed buckets). Identical
+    * distributions give EXACTLY psi = 0.0 — equal counts make p = q
+    * bucket-wise, and (p−q)·ln(p/q) is an exact float zero — so the
+    * no-drift case is a hard equality, not a tolerance
+    * (StreamingSpec pins it, plus directional drift and replay). */
+  def driftVsReference(
+      spark: SparkSession, tableDir: String, refBatch: Long): DataFrame = {
+    val cells = spark.read.parquet(tableDir)
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        sum(when(col("batch") === refBatch, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("batch") =!= refBatch, col("c")).otherwise(0L)).as("c1"))
+    val tot = cells.groupBy(col("source"))
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        count(lit(1)).as("k"))
+    val p = (col("c0") + 1) * lit(1e0) / (col("n0") + col("k"))
+    val q = (col("c1") + 1) * lit(1e0) / (col("n1") + col("k"))
+    cells.join(broadcast(tot), "source")
+      .select(col("source"), col("n0"), col("n1"),
+        ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("source"))
+      .agg(min(col("n0")).as("n_ref"), min(col("n1")).as("n_cur"),
+        sum(col("term")).as("psi"))
+  }
+
   /** Per-source token-quota admission — the domain-balancing curation
     * primitive ("at most N tokens per source/domain in the training
     * mix"), on Spark 4's transformWithState API (the arbitrary-state

@@ -302,6 +302,31 @@ class StreamingSpec extends SparkSpec {
     assert(snap == expected, "replay must be idempotent")
   }
 
+  test("incremental drift monitor: identical slices read as exactly zero " +
+    "PSI, shifted slices as positive, replay changes nothing") {
+    import org.apache.spark.sql.functions.col
+    val table = tmpDir("drift_table")
+    val docs = Tables(spark, sfDir, "documents")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    Streaming.driftIngestBatch(half, 0L, table) // reference
+    Streaming.driftIngestBatch(half, 1L, table) // identical arrival
+    def psi: Map[String, Double] =
+      Streaming.driftVsReference(spark, table, 0L).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val p1 = psi
+    assert(p1.nonEmpty && p1.values.forall(_ == 0.0),
+      s"identical distributions must read as exact zero: $p1")
+    // a length-skewed slice drifts: only short documents arrive
+    Streaming.driftIngestBatch(
+      docs.filter(col("doc_id") % 2 === 1 && col("n_chars") < 200), 2L, table)
+    val p2 = psi
+    assert(p2.values.exists(_ > 0.0), s"skewed arrival must drift: $p2")
+    // replaying the skewed batch overwrites its own partial
+    Streaming.driftIngestBatch(
+      docs.filter(col("doc_id") % 2 === 1 && col("n_chars") < 200), 2L, table)
+    assert(psi == p2, "replay must be idempotent")
+  }
+
   test("incrementalDedupStream service: file source in, deduped corpus out") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val in = tmpDir("ingest_svc_in")
