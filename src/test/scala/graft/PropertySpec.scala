@@ -182,6 +182,79 @@ class PropertySpec extends SparkSpec {
       got.exceptAll(native).collect().take(5).mkString("\n"))
   }
 
+  test("chunkedRank survives 60-bit long spans at 32 shuffle partitions " +
+    "(the ANSI-overflow regression)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the r7 bug: (value − min) · parts in LONG overflows once
+    // span · parts ≥ 2^63 — only visible at bench parallelism (32),
+    // never at the spec/verify default (4). Pin it at both extremes of
+    // the 60-bit hash-key range plus random fill.
+    val rnd = new Random(31)
+    val keys = Seq(0L, (1L << 60) - 1, 1L, (1L << 60) - 2) ++
+      Seq.fill(500)(rnd.nextLong(1L << 60))
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("key", "id")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val got = graft.operators.Analytics
+        .chunkedRank(df.withColumn("g", lit("all")), "g", "key", Seq("id"))
+        .select(col("key"), col("id"), col("idx"))
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("key"), col("id"))
+      val native = df.withColumn("g", lit("all"))
+        .withColumn("idx", row_number().over(w).cast("long") - 1)
+        .select(col("key"), col("id"), col("idx"))
+      assert(got.exceptAll(native).count() == 0 &&
+        native.exceptAll(got).count() == 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("interval union matches a sequential merge on random intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the q_interval_union island pattern over adversarial intervals:
+    // duplicates, containment, exact-touch (s == prev end merges),
+    // multiple users
+    val rnd = new Random(11)
+    val rows = (0L until 800L).map { id =>
+      val u = rnd.nextInt(5).toLong
+      val s = rnd.nextInt(1000).toLong
+      val e = s + 1 + rnd.nextInt(50)
+      (u, id, s, e)
+    }
+    val df = rows.toDF("user_id", "event_id", "s", "e")
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val prevMax = max(col("e"))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val got = df.withColumn("prev_max", prevMax)
+      .withColumn("island",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1)
+          .otherwise(0))
+          .over(order.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("e")) - min(col("s"))).as("cov"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("cov")).as("covered"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      var islands = List.empty[(Long, Long)]
+      rs.map(t => (t._3, t._4)).sorted.foreach { case (s0, e0) =>
+        islands match {
+          case (a, b) :: tail if s0 <= b =>
+            islands = (a, math.max(b, e0)) :: tail
+          case _ => islands = (s0, e0) :: islands
+        }
+      }
+      assert(got(u) == ((islands.length.toLong,
+        islands.map(i => i._2 - i._1).sum)), s"user $u")
+    }
+  }
+
   test("binned interval join equals the nested-loop join on random timestamps") {
     import spark.implicits._
     // random event times INCLUDING exact bin-boundary and exact
