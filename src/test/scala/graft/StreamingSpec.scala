@@ -302,6 +302,54 @@ class StreamingSpec extends SparkSpec {
     assert(snap == expected, "replay must be idempotent")
   }
 
+  test("incremental manifest over an incremental dedup corpus equals the " +
+    "one-shot manifest of the final corpus") {
+    import org.apache.spark.sql.functions.{col, length}
+    // two independently-maintained incremental tables must stay
+    // consistent: each batch's dedup SURVIVORS feed the manifest, so
+    // after all waves the folded manifest must equal a manifest
+    // computed from scratch over the corpus directory
+    val corpus = tmpDir("consist_corpus")
+    val state = tmpDir("consist_state")
+    val manifest = tmpDir("consist_manifest")
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // waves with CROSS-WAVE duplicates: wave 1 re-sends some of wave 0
+    val waves = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1)
+        .unionAll(docs.filter(col("doc_id") % 6 === 0)),
+      docs.filter(col("doc_id") % 3 === 2))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      Streaming.dedupIngestBatch(w, i.toLong, corpus, state)
+      val survivors = spark.read.parquet(s"$corpus/batch=$i")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      Streaming.manifestIngestBatch(survivors, i.toLong, manifest)
+    }
+    val folded = Streaming.manifestTable(spark, manifest).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // one-shot manifest recomputed from the corpus directory itself
+    val oneShot = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(corpus)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("n_chars"),
+          graft.functions.TextAnalysis
+            .h60(concat(lit("shuf1:"), col("doc_id").cast("string")))
+            .as("key"))
+        .groupBy((col("key") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          min(col("key")).as("key_lo"), max(col("key")).as("key_hi"),
+          bit_xor(col("key")).as("checksum"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    }
+    assert(folded == oneShot,
+      "incrementally-maintained manifest diverged from the corpus")
+  }
+
   test("incremental drift monitor: identical slices read as exactly zero " +
     "PSI, shifted slices as positive, replay changes nothing") {
     import org.apache.spark.sql.functions.col
