@@ -614,6 +614,57 @@ object Behavior {
     // computed scan-side, full text never shuffles), and the language
     // entropy comes from the tiny (source, lang) cell table re-joined
     // ------------------------------------------------------------------
+    // Bounded-horizon EWMA (α = ½) per user — the time-series smoothing
+    // primitive next to gap-fill and the anomaly detectors. The
+    // textbook EWMA is a sequential recurrence no window aggregate
+    // expresses directly; with α = ½ the weights are EXACT powers of
+    // two, so a 16-tap lag comb (Σ lag_k·2⁻ᵏ / Σ_available 2⁻ᵏ,
+    // missing history renormalized away) reproduces it to 2⁻¹⁶
+    // truncation with a FIXED-SHAPE expression — same 16 terms, same
+    // fold order, bit-identical in both engines since every weight and
+    // every product is exact-double arithmetic. One window on
+    // high-cardinality user_id; the comb itself is codegen inside the
+    // window projection.
+    QueryDef(
+      "q_window_ewma",
+      s"""WITH w AS (
+        |  SELECT user_id, event_id, "value",
+        |    ${(0 until 16).map(k =>
+              s"""lag("value", $k) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS l$k""").mkString(",\n        |    ")}
+        |  FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id,
+        |  ${Num.sql(
+            (0 until 16).map(k =>
+              s"coalesce(l$k * ${java.math.BigDecimal.valueOf(0.5)
+                .pow(k).toPlainString}e0, 0e0)").mkString(" + "), 6)}
+        |    AS comb,
+        |  ${Num.sql(
+            "(" + (0 until 16).map(k =>
+              s"coalesce(l$k * ${java.math.BigDecimal.valueOf(0.5)
+                .pow(k).toPlainString}e0, 0e0)").mkString(" + ") + ") / (" +
+            (0 until 16).map(k =>
+              s"CASE WHEN l$k IS NOT NULL THEN ${java.math.BigDecimal
+                .valueOf(0.5).pow(k).toPlainString}e0 ELSE 0e0 END")
+              .mkString(" + ") + ")", 6)} AS ewma
+        |FROM w""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val lags = (0 until 16).map(k => lag(col("value"), k).over(w).as(s"l$k"))
+      val base = t(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id") +: col("event_id") +: lags: _*)
+      val wt = (0 until 16).map(k => math.pow(0.5, k))
+      val comb = (0 until 16).map(k =>
+        coalesce(col(s"l$k") * lit(wt(k)), lit(0e0))).reduce(_ + _)
+      val wsum = (0 until 16).map(k =>
+        when(col(s"l$k").isNotNull, lit(wt(k))).otherwise(lit(0e0)))
+        .reduce(_ + _)
+      base.select(col("user_id"), col("event_id"),
+        Num.r(comb, 6).as("comb"),
+        Num.r(comb / wsum, 6).as("ewma"))
+    },
+
+    // ------------------------------------------------------------------
     // Population-stability drift report (PSI) — the monitoring metric a
     // production corpus pipeline alarms on between snapshots: per
     // source, PSI = Σ (p_b − q_b)·ln(p_b/q_b) over length buckets,
