@@ -978,6 +978,42 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Table fingerprinting — the cheap half of the detect-then-diff
+    // workflow q_table_diff completes: per partition-grain group, an
+    // order-insensitive XOR of 60-bit row hashes plus the row count.
+    // Comparing yesterday's fingerprints to today's costs |groups|
+    // integers and pinpoints WHICH partitions changed, so the expensive
+    // full-outer diff runs only there. XOR is the right fold for the
+    // same reason as q_export_manifest: commutative (partition-order-
+    // proof), and any single row change flips it. Row serialization
+    // pins exact-typed columns only (keys, strings, epoch integers) —
+    // never raw doubles, whose string forms differ between engines.
+    // One map-combinable aggregate over a narrow projection.
+    QueryDef(
+      "q_table_fingerprint",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+        |  bit_xor(${graft.functions.TextAnalysis.h60sql(
+            // single line: a line-leading || would lose a pipe to the
+            // outer stripMargin
+            "'fp:' || CAST(o_orderkey AS VARCHAR) || '|' || " +
+              "CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority || " +
+              "'|' || CAST(epoch_us(o_orderdate) AS VARCHAR)")}) AS fp
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val row = concat(lit("fp:"), col("o_orderkey").cast("string"),
+        lit("|"), col("o_custkey").cast("string"),
+        lit("|"), col("o_orderpriority"),
+        // NTZ → TZ is the identity instant under the session's UTC, and
+        // unix_micros only accepts the TZ flavor
+        lit("|"), unix_micros(col("o_orderdate").cast("timestamp"))
+          .cast("string"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          graft.functions.TextAnalysis.h60(row).as("h"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("fp"))
+    },
+
+    // ------------------------------------------------------------------
     // Snapshot diff / CDC derivation — reconcile two versions of a keyed
     // table into row-level change records (the incremental-pipeline
     // primitive: what changed since the last snapshot?). The two
