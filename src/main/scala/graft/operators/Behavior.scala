@@ -614,6 +614,44 @@ object Behavior {
     // computed scan-side, full text never shuffles), and the language
     // entropy comes from the tiny (source, lang) cell table re-joined
     // ------------------------------------------------------------------
+    // Balanced eval-set builder — EXACTLY k documents per (source, lang)
+    // stratum, chosen by deterministic hash rank: unlike q_sample_
+    // stratified's seeded Bernoulli (rate-based, count varies, rows
+    // engine-specific), this picks the k smallest h60(id) per stratum —
+    // a pure function of the ids, so the selected ROWS hash-check
+    // cross-engine and survive corpus growth for the documents that
+    // stay (a doc leaves the eval set only when a smaller-hash doc
+    // enters its stratum). One window on the (source, lang) stratum
+    // key; strata are schema-bounded, and at extreme per-stratum
+    // volume the same selection runs as graft_topk over negated hashes
+    // (the bounded-state twin q_agg_sort2 pins).
+    QueryDef(
+      "q_sample_eval",
+      s"""WITH h AS (
+        |  SELECT source, lang, doc_id,
+        |    ${graft.functions.TextAnalysis.h60sql(
+            "'eval1:' || CAST(doc_id AS VARCHAR)")} AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, lang, doc_id,
+        |    row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY hk, doc_id) AS rk
+        |  FROM h)
+        |SELECT source, lang, doc_id, rk FROM r WHERE rk <= 5""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("doc_id"),
+          graft.functions.TextAnalysis
+            .h60(concat(lit("eval1:"), col("doc_id").cast("string")))
+            .as("hk"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("lang"), col("doc_id"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
     // Bounded-horizon EWMA (α = ½) per user — the time-series smoothing
     // primitive next to gap-fill and the anomaly detectors. The
     // textbook EWMA is a sequential recurrence no window aggregate
