@@ -770,6 +770,127 @@ object TextAnalysis {
             i => ((element_at(col("hs"), i) * 31
               + element_at(col("hs"), i + 1)) * 31
               + element_at(col("hs"), i + 2)) % M)).as("win_min"))
+    },
+
+    // ------------------------------------------------------------------
+    // BPE pair-frequency counting — the counting step of byte-pair-
+    // encoding tokenizer training (Sennrich et al. 2016): the most
+    // frequent adjacent symbol pair is the next merge. Scale shape is
+    // the one production BPE trainers (subword-nmt, HF tokenizers) use:
+    // the corpus collapses to WORD COUNTS first (map-combinable agg,
+    // vocab-sized output — vocabulary grows ~Heaps-sublinearly while
+    // the corpus grows to 100 TB), then the pair fan-out runs over
+    // DISTINCT words only, weighted by their counts — cost is
+    // vocab × avg word length, independent of corpus size. The final
+    // pair agg is bounded by symbol-alphabet² (≤ ~27² here), so the
+    // ranking window runs over a corpus-independent tiny relation —
+    // the one place a single-partition window is scale-safe by
+    // construction. '_' is the end-of-word symbol; iterating BPE =
+    // apply the winning merge to the vocab's symbol sequences (again
+    // vocab-sized work) and recount.
+    QueryDef(
+      "q_text_bpe",
+      """WITH wt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM wt WHERE w <> '' GROUP BY 1),
+        |p AS (
+        |  SELECT CASE WHEN i < length(w) THEN substr(w, CAST(i AS INTEGER), 2)
+        |              ELSE substr(w, CAST(i AS INTEGER), 1) || '_' END AS pair,
+        |         c
+        |  FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM wc)),
+        |pc AS (SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM p GROUP BY 1)
+        |SELECT pair, freq,
+        |  row_number() OVER (ORDER BY freq DESC, pair) AS rk
+        |FROM pc ORDER BY freq DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val wc = t(s, dir, "documents")
+        .select(explode(toks).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val pair = when(col("i") < length(col("w")),
+        col("w").substr(col("i"), lit(2)))
+        .otherwise(concat(col("w").substr(col("i"), lit(1)), lit("_")))
+      // rank window: single partition over an alphabet²-bounded relation
+      val rw = Window.orderBy(col("freq").desc, col("pair"))
+      wc.select(col("w"), col("c"),
+          explode(sequence(lit(1), length(col("w")))).as("i"))
+        .select(pair.as("pair"), col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("freq"))
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 20)
+    },
+
+    // ------------------------------------------------------------------
+    // Cohen's kappa — chance-corrected agreement between the langid
+    // heuristic's prediction (q_text_langid's exact rule) and the
+    // declared label: the annotation-audit metric a labeling pipeline
+    // reports next to raw accuracy. Algebra is kept in exact integers:
+    // with n docs, d agreeing, row marginals r_k, column marginals c_k,
+    //   kappa = (n·d − Σ r_k·c_k) / (n² − Σ r_k·c_k)
+    // (multiply the usual (po−pe)/(1−pe) through by n²) — both
+    // numerator and denominator are exact BIGINTs, so the single double
+    // division is bitwise identical cross-engine with no rounding
+    // armor. Scale shape: one corpus-sized map-combinable confusion agg
+    // (|labels|² output), then arithmetic on that tiny table; the 1-row
+    // joins broadcast. n² overflows int64 past ~3e9 docs — at that
+    // count switch the final ratio to the double-valued po/pe form, the
+    // marginal sums stay exact far beyond any corpus.
+    QueryDef(
+      "q_label_kappa",
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN en_s >= de_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+        |      WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |      WHEN fr_s > 0 THEN 'fr'
+        |      ELSE 'unknown'
+        |    END AS predicted
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(string_split(text, ' '), w -> list_contains(['the', 'a', 'and'], w))) AS en_s,
+        |      len(list_filter(string_split(text, ' '), w -> list_contains(['der', 'und', 'das'], w))) AS de_s,
+        |      len(list_filter(string_split(text, ' '), w -> list_contains(['le', 'et', 'la'], w))) AS fr_s
+        |    FROM documents)),
+        |cm AS (SELECT lang, predicted, count(*) AS n FROM s GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cm),
+        |ag AS (SELECT CAST(coalesce(sum(CASE WHEN lang = predicted THEN n END), 0) AS BIGINT) AS d FROM cm),
+        |rm AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS r FROM cm GROUP BY 1),
+        |cmm AS (SELECT predicted AS k, CAST(sum(n) AS BIGINT) AS c FROM cm GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(rm.r * cmm.c), 0) AS BIGINT) AS ch
+        |       FROM rm JOIN cmm USING (k))
+        |SELECT tot.n AS n_docs, ag.d AS n_agree, pe.ch AS chance_w,
+        |  CAST(tot.n * ag.d - pe.ch AS DOUBLE)
+        |    / CAST(tot.n * tot.n - pe.ch AS DOUBLE) AS kappa
+        |FROM tot, ag, pe""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      def score(markers: Seq[String]): Column =
+        size(filter(toks, w => array_contains(array(markers.map(lit): _*), w)))
+      val scored = t(s, dir, "documents").select(
+        col("lang"),
+        score(Seq("the", "a", "and")).as("en_s"),
+        score(Seq("der", "und", "das")).as("de_s"),
+        score(Seq("le", "et", "la")).as("fr_s"))
+      val cm = scored.select(
+          col("lang"),
+          when(col("en_s") >= col("de_s") && col("en_s") >= col("fr_s")
+            && col("en_s") > 0, "en")
+            .when(col("de_s") >= col("fr_s") && col("de_s") > 0, "de")
+            .when(col("fr_s") > 0, "fr")
+            .otherwise("unknown").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cm.agg(sum(col("n")).as("n"))
+      val ag = cm.agg(coalesce(
+        sum(when(col("lang") === col("predicted"), col("n"))), lit(0L)).as("d"))
+      val rm = cm.groupBy(col("lang").as("k")).agg(sum(col("n")).as("r"))
+      val cmm = cm.groupBy(col("predicted").as("k")).agg(sum(col("n")).as("c"))
+      val pe = rm.join(cmm, "k")
+        .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("ch"))
+      tot.crossJoin(broadcast(ag)).crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"), col("d").as("n_agree"),
+          col("ch").as("chance_w"),
+          ((col("n") * col("d") - col("ch")).cast("double")
+            / (col("n") * col("n") - col("ch")).cast("double")).as("kappa"))
     }
   )
 }
