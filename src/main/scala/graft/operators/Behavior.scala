@@ -33,6 +33,22 @@ object Behavior {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  private val btlIters = 3
+
+  /** One Bradley–Terry MM round as DuckDB CTEs over the previous
+    * strength relation: d_i = Σ_j n_ij/(p_i+p_j), p_i' = W_i/d_i,
+    * re-normalized to mean 1 (the model only identifies ratios). */
+  private def btlStepSql(k: Int): String =
+    s"""d$k AS (
+      |  SELECT s.i, sum(s.n / (a.p + b.p)) AS d
+      |  FROM sym s JOIN p${k - 1} a ON s.i = a.i
+      |  JOIN p${k - 1} b ON s.j = b.i
+      |  GROUP BY 1),
+      |r$k AS (SELECT w.i, w.wi / d.d AS pr
+      |        FROM wins w JOIN d$k d ON w.i = d.i),
+      |n$k AS (SELECT sum(pr) AS sp, count(*) AS kk FROM r$k),
+      |p$k AS (SELECT r.i, r.pr * n$k.kk / n$k.sp AS p FROM r$k r, n$k)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1113,6 +1129,100 @@ object Behavior {
         .select(col("o_orderkey"), col("change"),
           col("old_price"), col("new_price"),
           col("old_priority"), col("new_priority"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bradley–Terry preference ratings (MM algorithm, Hunter 2004) — the
+    // aggregation under RLHF reward data and A/B ranking: pairwise
+    // "i beat j" comparisons become per-item strengths p_i satisfying
+    // P(i beats j) = p_i/(p_i+p_j). Comparisons are mined from the
+    // event log: consecutive events of one user (ts order, event_id
+    // tie-break) pit their two event types against each other, higher
+    // `value` wins, ties and same-type pairs drop. Scale shape: the
+    // corpus-sized work is ONE user-keyed lag window (the funnel's
+    // sessionization exchange) plus one map-combinable pair count whose
+    // output is ≤K² rows for K items — models/pages/arms under
+    // comparison, bounded by the catalog, not the corpus. The MM
+    // iterations p_i ← W_i / Σ_j n_ij/(p_i+p_j) then run on that tiny
+    // cached matrix (re-normalized to mean 1 each round via a 1-row
+    // broadcast, pinning the scale gauge the model leaves free); 3
+    // fixed rounds replay in the oracle as generated CTEs — the
+    // pagerank/k-means pattern for hash-checking iterative algorithms.
+    // Rounding at 1e-9: summation-order noise is ~1e-15 over ≤K-term
+    // float sums, six orders below the rounding step.
+    QueryDef(
+      "q_pref_btl",
+      s"""WITH e AS (
+        |  SELECT event_type AS cur, value AS cv,
+        |    lag(event_type) OVER w AS prv, lag(value) OVER w AS pv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |mm AS (
+        |  SELECT CASE WHEN prv < cur THEN prv ELSE cur END AS lo,
+        |    CASE WHEN prv < cur THEN cur ELSE prv END AS hi,
+        |    CASE WHEN (CASE WHEN prv < cur THEN pv ELSE cv END) >
+        |      (CASE WHEN prv < cur THEN cv ELSE pv END)
+        |      THEN 1 ELSE 0 END AS wl
+        |  FROM e WHERE prv IS NOT NULL AND prv <> cur AND pv <> cv),
+        |m AS (SELECT lo, hi, count(*) AS n, CAST(sum(wl) AS BIGINT) AS w
+        |      FROM mm GROUP BY 1, 2),
+        |sym AS (SELECT lo AS i, hi AS j, n, w FROM m
+        |        UNION ALL SELECT hi, lo, n, n - w FROM m),
+        |wins AS (SELECT i, CAST(sum(w) AS BIGINT) AS wi,
+        |           CAST(sum(n) AS BIGINT) AS ni
+        |         FROM sym GROUP BY 1),
+        |p0 AS (SELECT i, 1e0 AS p FROM wins),
+        |${(1 to btlIters).map(btlStepSql).mkString(",\n")}
+        |SELECT w.i AS item, w.wi AS wins, w.ni AS n_matches,
+        |  ${Num.sql("p.p", 9)} AS rating
+        |FROM wins w JOIN p$btlIters p ON w.i = p.i""".stripMargin) {
+      (s, dir) =>
+      val ws = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events").select(
+        col("event_type").as("cur"), col("value").as("cv"),
+        lag(col("event_type"), 1).over(ws).as("prv"),
+        lag(col("value"), 1).over(ws).as("pv"))
+      val asc = col("prv") < col("cur")
+      val loVal = when(asc, col("pv")).otherwise(col("cv"))
+      val hiVal = when(asc, col("cv")).otherwise(col("pv"))
+      val m = e
+        .filter(col("prv").isNotNull && col("prv") =!= col("cur")
+          && col("pv") =!= col("cv"))
+        .select(when(asc, col("prv")).otherwise(col("cur")).as("lo"),
+          when(asc, col("cur")).otherwise(col("prv")).as("hi"),
+          when(loVal > hiVal, 1L).otherwise(0L).as("wl"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"), sum(col("wl")).as("w"))
+      // cache lifetime: sym feeds two sides of every MM round and wins
+      // feeds each round's numerator + the final join — the accepted
+      // pattern (Verify/Bench/specs clearCache after the action). Both
+      // are ≤K²-row relations; the events scan behind them runs once.
+      val sym = m.select(col("lo").as("i"), col("hi").as("j"),
+          col("n"), col("w"))
+        .union(m.select(col("hi"), col("lo"), col("n"),
+          (col("n") - col("w")).as("w")))
+        .cache()
+      val wins = sym.groupBy(col("i"))
+        .agg(sum(col("w")).as("wi"), sum(col("n")).as("ni"))
+        .cache()
+      var p: DataFrame = wins.select(col("i"), lit(1.0).as("p"))
+      for (_ <- 1 to btlIters) {
+        val pa = p.select(col("i").as("ai"), col("p").as("pa"))
+        val pb = p.select(col("i").as("bi"), col("p").as("pb"))
+        val d = sym.join(pa, col("i") === col("ai"))
+          .join(pb, col("j") === col("bi"))
+          .groupBy(col("i"))
+          .agg(sum(col("n") / (col("pa") + col("pb"))).as("d"))
+        val r = wins.join(d, "i")
+          .select(col("i"), (col("wi") / col("d")).as("pr"))
+        val nk = r.agg(sum(col("pr")).as("sp"), count(lit(1)).as("kk"))
+        p = r.crossJoin(broadcast(nk))
+          .select(col("i"), (col("pr") * col("kk") / col("sp")).as("p"))
+      }
+      wins.join(p, "i")
+        .select(col("i").as("item"), col("wi").as("wins"),
+          col("ni").as("n_matches"), Num.r(col("p"), 9).as("rating"))
     }
   )
 }

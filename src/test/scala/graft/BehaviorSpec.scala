@@ -309,4 +309,26 @@ class BehaviorSpec extends SparkSpec {
         assert(no > 0 && nk > 0 && nk <= no && no < n, s"$rel: orphans")
       }
   }
+
+  test("q_pref_btl: ratings are positive with mean 1, and the win ledger " +
+    "is conserved (Σ wins = Σ matches / 2)") {
+    val rows = run("q_pref_btl").collect()
+    assert(rows.length > 1, "need at least two items under comparison")
+    val ratings = rows.map(r => r.getDouble(r.fieldIndex("rating")))
+    assert(ratings.forall(_ > 0), "BTL strengths are strictly positive")
+    // the model fixes the scale gauge at mean 1 (ratings are ratios)
+    assert(math.abs(ratings.sum / ratings.length - 1.0) < 1e-6,
+      s"mean-1 normalization: ${ratings.sum / ratings.length}")
+    val wins = rows.map(r => r.getLong(r.fieldIndex("wins"))).sum
+    val matches = rows.map(r => r.getLong(r.fieldIndex("n_matches"))).sum
+    // every comparison appears twice in the symmetrized ledger (once per
+    // orientation) and contributes exactly one win in total
+    assert(matches % 2 == 0 && wins * 2 == matches,
+      s"conservation: 2*$wins != $matches")
+    rows.foreach { r =>
+      val (w, n) = (r.getLong(r.fieldIndex("wins")),
+        r.getLong(r.fieldIndex("n_matches")))
+      assert(w >= 0 && w <= n, s"${r.getString(0)}: wins $w outside [0,$n]")
+    }
+  }
 }

@@ -484,7 +484,9 @@ class PlanSpec extends SparkSpec {
       "q_histogram_eqdepth", // global rank: chunkedRank's 1-row bounds
       // broadcast constant-folds its equi-join key (the group column is
       // a literal — the corpus IS one group), leaving a 1-row BNLJ
-      "q_subquery_scalar") // scalar subquery = 1-row broadcast join
+      "q_subquery_scalar", // scalar subquery = 1-row broadcast join
+      "q_label_kappa", // crossJoin of 1-row total/agree/chance aggregates
+      "q_pref_btl") // per-MM-round crossJoin(broadcast(1-row norm total))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
