@@ -16,19 +16,28 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read the raw nanos as long and truncate to
-      // microseconds — the same ns→µs truncation DuckDB applies, so the
-      // oracle sees identical instants. Requires
-      // spark.sql.legacy.parquet.nanosAsLong=true, set at session build
-      // time (build.sbt javaOptions / the Verify & Bench builders) so the
-      // loader has no session-mutating side effects.
-      require(
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build time")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped as two physical encodings across driver
+      // testdata generations, so the loader adapts by SCHEMA, not by
+      // assumption:
+      //   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+      //     (with spark.sql.legacy.parquet.nanosAsLong=true, set at
+      //     session build time) the raw nanos arrive as LONG and are
+      //     truncated to microseconds — the same ns→µs truncation DuckDB
+      //     applies, so the oracle sees identical instants;
+      //   - TIMESTAMP(MICROS) (current generation): reads natively as
+      //     TIMESTAMP_NTZ; cast to the session-zone TIMESTAMP every
+      //     downstream query and the µs-era plans were written against
+      //     (sessions here run UTC, so the wall-clock instant is
+      //     unchanged and DuckDB's naive TIMESTAMP read matches).
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.LongType
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
