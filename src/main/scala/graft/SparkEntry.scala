@@ -15,6 +15,7 @@ object SparkEntry {
   /** All implemented operators, grouped by module. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.TpchExtra.defs ++
       operators.Analytics.defs ++
       operators.Behavior.defs ++
       operators.Graph.defs ++
