@@ -870,6 +870,88 @@ object Similarity {
           (dot(col("ov"), col("dq")) /
             sqrt(dot(col("ov"), col("ov"))) /
             sqrt(dot(col("dq"), col("dq"))) >= 0.999).as("fidelity_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // PCA top principal component by power iteration — the dominant
+    // direction of the (centered) embedding cloud, the primitive under
+    // whitening, spectral outlier pruning, and low-rank compression of
+    // an embedding store. The scale design NEVER materializes the
+    // Dim×Dim covariance: each round computes C·v as Σᵢ xᵢ(xᵢ·v) — a
+    // per-row dot product against the broadcast 64-float iterate
+    // followed by ONE map-combinable 64-group aggregate (partial sums
+    // per partition, a 64×partitions-row shuffle), so a round costs one
+    // corpus scan regardless of corpus size, and three fixed rounds
+    // from a fixed positive start make the result — including its
+    // sign — deterministic. The mean vector is the same 64-group
+    // aggregate, re-assembled into a 1-row broadcast array via
+    // array_sort(collect_list(struct(pos, ·))) (sorted ⇒ order-stable).
+    // The DuckDB oracle replays the identical three rounds as CTEs —
+    // the pagerank/k-means pattern for hash-checking iterative
+    // algorithms.
+    QueryDef(
+      "q_embed_pca",
+      s"""WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+        |  FROM embeddings),
+        |m AS (SELECT pos, avg(x) AS mx FROM u GROUP BY pos),
+        |c AS (SELECT vec_id, u.pos AS pos, u.x - m.mx AS x
+        |      FROM u JOIN m USING (pos)),
+        |v0 AS (SELECT pos, 1.0 / sqrt((SELECT count(*) FROM m)) AS v
+        |       FROM m),
+        |d1 AS (SELECT vec_id, sum(c.x * v0.v) AS d FROM c
+        |       JOIN v0 USING (pos) GROUP BY vec_id),
+        |s1 AS (SELECT pos, sum(c.x * d1.d) AS s FROM c
+        |       JOIN d1 USING (vec_id) GROUP BY pos),
+        |v1 AS (SELECT pos, s / sqrt((SELECT sum(s * s) FROM s1)) AS v
+        |       FROM s1),
+        |d2 AS (SELECT vec_id, sum(c.x * v1.v) AS d FROM c
+        |       JOIN v1 USING (pos) GROUP BY vec_id),
+        |s2 AS (SELECT pos, sum(c.x * d2.d) AS s FROM c
+        |       JOIN d2 USING (vec_id) GROUP BY pos),
+        |v2 AS (SELECT pos, s / sqrt((SELECT sum(s * s) FROM s2)) AS v
+        |       FROM s2),
+        |d3 AS (SELECT vec_id, sum(c.x * v2.v) AS d FROM c
+        |       JOIN v2 USING (pos) GROUP BY vec_id),
+        |s3 AS (SELECT pos, sum(c.x * d3.d) AS s FROM c
+        |       JOIN d3 USING (vec_id) GROUP BY pos),
+        |v3 AS (SELECT pos, s / sqrt((SELECT sum(s * s) FROM s3)) AS v
+        |       FROM s3)
+        |SELECT pos, ${Num.sql("v", 6)} AS loading FROM v3""".stripMargin) {
+      (s, dir) =>
+        def dot(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        def sumSq(a: Column): Column = aggregate(
+          transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+        // 64-slot relation → ordered 1-row array (broadcastable iterate)
+        def asArray(rel: DataFrame, valueCol: String): DataFrame = rel.agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col(valueCol)))),
+            e => e.getField(valueCol)).as("arr"))
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("x"))
+        val mean = emb.select(posexplode(col("x")).as(Seq("pos", "xv")))
+          .groupBy(col("pos")).agg(avg(col("xv")).as("mx"))
+        val centered = emb.crossJoin(broadcast(
+            asArray(mean, "mx").withColumnRenamed("arr", "m")))
+          .select(col("vec_id"),
+            zip_with(col("x"), col("m"), (a, b) => a - b).as("xc"))
+        val v0 = asArray(mean, "mx").select(
+          transform(col("arr"),
+            _ => lit(1.0) / sqrt(size(col("arr")).cast("double"))).as("v"))
+        val vFinal = (1 to 3).foldLeft(v0) { (v, _) =>
+          val sRel = centered.crossJoin(broadcast(v))
+            .withColumn("d", dot(col("xc"), col("v")))
+            .select(posexplode(transform(col("xc"), e => e * col("d")))
+              .as(Seq("pos", "sv")))
+            .groupBy(col("pos")).agg(sum(col("sv")).as("sv"))
+          asArray(sRel, "sv").select(
+            transform(col("arr"), e => e / sqrt(sumSq(col("arr")))).as("v"))
+        }
+        vFinal.select(posexplode(col("v")).as(Seq("pos", "lv")))
+          .select(col("pos"), Num.r(col("lv"), 6).as("loading"))
     }
   )
 }
