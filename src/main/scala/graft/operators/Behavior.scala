@@ -1217,8 +1217,15 @@ object Behavior {
         val r = wins.join(d, "i")
           .select(col("i"), (col("wi") / col("d")).as("pr"))
         val nk = r.agg(sum(col("pr")).as("sp"), count(lit(1)).as("kk"))
+        // eager K-row localCheckpoint per round — the kmeans/pagerank
+        // lineage truncation. Without it each round's plan embeds TWO
+        // copies of the previous round's (pa ⋈ pb is a self-join), so
+        // the plan tree doubles per iteration and round 3 spends ~16 s
+        // in replanning + duplicated tiny exchanges on 25-row data
+        // (measured; 27.7 s total in BENCH). Truncated: sub-second.
         p = r.crossJoin(broadcast(nk))
           .select(col("i"), (col("pr") * col("kk") / col("sp")).as("p"))
+          .localCheckpoint()
       }
       wins.join(p, "i")
         .select(col("i").as("item"), col("wi").as("wins"),
