@@ -24,6 +24,18 @@ final case class DecodedImage(
     n_pix_bytes: Long,
     pix_sum: Long)
 
+/** A decoded audio row: real header-parsed format parameters plus exact
+  * integer sample statistics. */
+final case class DecodedAudio(
+    doc_id: Long,
+    fmt: String,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    dur_ms: Long,
+    sample_sum: Long,
+    peak: Int)
+
 /** Multimodal column plumbing (SURVEY.md §2B north star): media as opaque
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
@@ -168,6 +180,85 @@ object Multimodal {
     }
   }
 
+  /** Minimal real WAV (RIFF/PCM16) encoder — fixture generator for the
+    * audio decode path. Interleaved signed 16-bit little-endian samples;
+    * emits a LIST chunk before `data` so the decoder's unknown-chunk
+    * skipping is exercised by every fixture. */
+  def encodeWav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val listPayload = "INFOgraft fixture ".getBytes("US-ASCII") // even length
+    val dataBytes = samples.length * 2
+    val riffSize = 4 + (8 + 16) + (8 + listPayload.length) + (8 + dataBytes)
+    val b = new Array[Byte](8 + riffSize)
+    var o = 0
+    def ascii(t: String): Unit = { t.getBytes("US-ASCII").foreach { c => b(o) = c; o += 1 } }
+    def le32(v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+      o += 4
+    }
+    def le16(v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte; o += 2
+    }
+    ascii("RIFF"); le32(riffSize); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1) // PCM
+    le16(channels); le32(rate)
+    le32(rate * channels * 2) // byte rate
+    le16(channels * 2) // block align
+    le16(16) // bits per sample
+    ascii("LIST"); le32(listPayload.length); listPayload.foreach { c => b(o) = c; o += 1 }
+    ascii("data"); le32(dataBytes)
+    samples.foreach(v => le16(v & 0xffff))
+    b
+  }
+
+  /** Real WAV (RIFF/PCM16) parse: chunk walk — `fmt ` → (rate, channels,
+    * bits), unknown chunks (LIST, ...) skipped by their declared size —
+    * then exact integer statistics over the `data` samples. Throws on
+    * non-RIFF/WAVE, non-PCM16, or truncated payloads. */
+  def decodeWav(b: Array[Byte]): DecodedAudio = {
+    require(b.length >= 12, "truncated WAV")
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    def le32(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
+      (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+    def le16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
+    var o = 12
+    var rate = 0; var channels = 0
+    var sum = 0L; var peak = 0; var nInterleaved = 0
+    var sawFmt = false; var sawData = false
+    while (o + 8 <= b.length) {
+      val id = tag(o); val size = le32(o + 4)
+      val body = o + 8
+      require(body + size <= b.length, s"truncated $id chunk")
+      id match {
+        case "fmt " =>
+          require(le16(body) == 1 && le16(body + 14) == 16, "only PCM16 WAV")
+          channels = le16(body + 2)
+          rate = le32(body + 4)
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, "data chunk before fmt")
+          nInterleaved = size / 2
+          var k = 0
+          while (k < nInterleaved) {
+            val v = (le16(body + 2 * k) << 16) >> 16 // sign-extend int16
+            sum += v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            k += 1
+          }
+          sawData = true
+        case _ => // LIST and friends: skip by declared size
+      }
+      o = body + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(sawData, "no data chunk")
+    val nFrames = nInterleaved / channels
+    DecodedAudio(0L, "wav", rate, channels, nFrames.toLong,
+      nFrames.toLong * 1000L / rate, sum, peak)
+  }
+
   /** STUB decode kernel — swap for a real codec binding in production.
     * Deterministic: "features" are simple byte statistics, "dimensions"
     * derive from the length. Runs per-partition so a real decoder could
@@ -290,6 +381,107 @@ object Multimodal {
             col("duration_s").divide(2).cast("long"))).as("frame_idx"))
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 2).as("frame_ts_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // REAL audio decode end-to-end: each document becomes an actual
+    // RIFF/PCM16 WAV (fmt chunk, a LIST chunk the decoder must skip by
+    // declared size, interleaved int16 data; frame/rate/channel counts
+    // and every sample a fixed function of doc_id), and [[decodeWav]]
+    // walks the chunks — format parameters from the fmt chunk, exact
+    // integer sample sum and peak from the data chunk. The oracle
+    // recomputes everything arithmetically from doc_id, so a decoder
+    // that misreads the chunk layout, drops the LIST skip, or
+    // sign-extends int16 wrongly hash-mismatches immediately. Same
+    // per-partition batch shape as the image kernel: only the small
+    // decoded rows ever leave the executors.
+    QueryDef(
+      "q_multimodal_audio",
+      """SELECT doc_id, 'wav' AS fmt,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
+        |  CAST((doc_id % 50) + 10 AS BIGINT) AS n_frames,
+        |  CAST(((doc_id % 50) + 10) * 1000
+        |    // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS dur_ms,
+        |  CAST(list_sum(list_transform(
+        |    range(0, ((doc_id % 50) + 10) * (1 + doc_id % 2)),
+        |    k -> (doc_id * 31 + k * 7) % 65536 - 32768)) AS BIGINT)
+        |    AS sample_sum,
+        |  CAST(list_max(list_transform(
+        |    range(0, ((doc_id % 50) + 10) * (1 + doc_id % 2)),
+        |    k -> abs((doc_id * 31 + k * 7) % 65536 - 32768))) AS INTEGER)
+        |    AS peak
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = (id % 50).toInt + 10
+          val samples = Array.tabulate[Short](n * ch)(
+            k => (((id * 31 + k * 7) % 65536) - 32768).toShort)
+          (id, encodeWav(rate, ch, samples))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) => decodeWav(bytes).copy(doc_id = id) }
+      }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // Media INGESTION through Spark's binaryFile source — the path a
+    // real 100 TB media corpus arrives by: a directory of opaque files
+    // (object store in production) → (path, content) rows → the decode
+    // kernel. Fixtures are real .ppm FILES written by the executors
+    // (one per asset, the object-store analogue), then read back with
+    // format("binaryFile") + pathGlobFilter; the asset id rides the
+    // FILENAME, recovered with regexp_extract — media pipelines key on
+    // paths, not embedded ids. Decoded rows hash-check against the
+    // same doc_id arithmetic as q_multimodal_decode, so the whole
+    // files→rows→decode chain is oracle-verified.
+    QueryDef(
+      "q_multimodal_ingest",
+      """SELECT doc_id, 'ppm' AS fmt,
+        |  CAST((doc_id % 8) + 1 AS INTEGER) AS width,
+        |  CAST((doc_id % 6) + 1 AS INTEGER) AS height,
+        |  CAST(((doc_id % 8) + 1) * ((doc_id % 6) + 1) * 3 AS BIGINT)
+        |    AS n_pix_bytes,
+        |  CAST(list_sum(list_transform(
+        |    range(0, ((doc_id % 8) + 1) * ((doc_id % 6) + 1) * 3),
+        |    k -> (doc_id + k) % 256)) AS BIGINT) AS pix_sum
+        |FROM documents WHERE doc_id < 60""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val mediaDir = s"/tmp/graft_media_${dir.hashCode.toHexString}"
+      // control-plane cleanup: drop stale fixtures from prior testdata
+      // generations so the directory exactly mirrors the current corpus
+      val root = java.nio.file.Paths.get(mediaDir)
+      if (java.nio.file.Files.exists(root)) {
+        val old = java.nio.file.Files.list(root)
+        try old.forEach(p => java.nio.file.Files.delete(p))
+        finally old.close()
+      }
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 60).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          // (re-derive the Path per partition: java.nio Paths are not
+          // serializable, only the directory STRING ships in the closure)
+          val out = java.nio.file.Paths.get(mediaDir)
+          java.nio.file.Files.createDirectories(out)
+          it.foreach { id =>
+            val w = (id % 8).toInt + 1
+            val h = (id % 6).toInt + 1
+            java.nio.file.Files.write(
+              out.resolve(s"asset_$id.ppm"),
+              encodePpm(w, h, k => ((id + k) % 256).toInt))
+          }
+        }
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm").load(mediaDir)
+      val assets = bin.select(
+        regexp_extract(col("path"), "asset_(\\d+)\\.ppm$", 1)
+          .cast("long").as("_1"),
+        col("content").as("_2")).as[(Long, Array[Byte])]
+      decodeImage(assets).toDF()
     }
   )
 }

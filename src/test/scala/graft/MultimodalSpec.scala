@@ -85,4 +85,63 @@ class MultimodalSpec extends SparkSpec {
     val mx = perAsset.agg(max("count")).collect()(0).getLong(0)
     assert(mx <= 4, s"frame explosion unbounded: $mx")
   }
+
+  test("real WAV decode recovers format params and exact sample stats") {
+    // stereo, with a negative-heavy signal: sign extension must hold
+    val samples = Array[Short](0, -1, 32767, -32768, 100, -100)
+    val wav = Multimodal.encodeWav(rate = 8000, channels = 2, samples)
+    val d = Multimodal.decodeWav(wav)
+    assert(d.fmt == "wav" && d.sample_rate == 8000 && d.channels == 2)
+    assert(d.n_frames == 3 && d.dur_ms == 3 * 1000L / 8000)
+    assert(d.sample_sum == samples.map(_.toLong).sum, d.toString)
+    assert(d.peak == 32768, s"peak ${d.peak}")
+  }
+
+  test("WAV chunk walk skips unknown chunks and rejects malformed files") {
+    // the encoder emits a LIST chunk before data; a decoder that does
+    // not skip by declared size would misparse every fixture — also pin
+    // an ODD-sized unknown chunk (RIFF pads to word boundaries)
+    val base = Multimodal.encodeWav(16000, 1, Array[Short](5, -5, 9))
+    val odd = "querX".getBytes("US-ASCII") // 5-byte payload → 1 pad byte
+    val inject = new Array[Byte](base.length + 8 + odd.length + 1)
+    System.arraycopy(base, 0, inject, 0, 12) // RIFF header
+    // unknown chunk right after the RIFF header
+    val tag = "junk".getBytes("US-ASCII")
+    System.arraycopy(tag, 0, inject, 12, 4)
+    inject(16) = odd.length.toByte // little-endian 5
+    System.arraycopy(odd, 0, inject, 20, odd.length)
+    // remaining original chunks after the padded odd chunk
+    System.arraycopy(base, 12, inject, 12 + 8 + odd.length + 1,
+      base.length - 12)
+    // patch the RIFF size field
+    val newSize = inject.length - 8
+    inject(4) = (newSize & 0xff).toByte
+    inject(5) = ((newSize >> 8) & 0xff).toByte
+    inject(6) = ((newSize >> 16) & 0xff).toByte
+    inject(7) = ((newSize >> 24) & 0xff).toByte
+    val d = Multimodal.decodeWav(inject)
+    assert(d.n_frames == 3 && d.sample_sum == 9 && d.peak == 9)
+    // malformed: not RIFF
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFX....WAVE".getBytes("US-ASCII"))
+    }
+    // malformed: data chunk truncated vs its declared size
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(base.dropRight(2))
+    }
+    // non-PCM format code must be refused, not summed
+    val bad = Multimodal.encodeWav(8000, 1, Array[Short](1))
+    bad(20) = 3 // IEEE float
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(bad) }
+  }
+
+  test("binaryFile ingestion decodes exactly the corpus' fixture files") {
+    val out = SparkEntry.queries("q_multimodal_ingest")(spark, sfDir)
+      .collect()
+    assert(out.length == 60, s"expected 60 assets, got ${out.length}")
+    // stale-file cleanup: a second construction must not double-count
+    val again = SparkEntry.queries("q_multimodal_ingest")(spark, sfDir)
+      .collect()
+    assert(again.length == 60)
+  }
 }
