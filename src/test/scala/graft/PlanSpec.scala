@@ -350,6 +350,40 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q_tpch_q7 plans one fact-fact SMJ; both nation legs broadcast; " +
+    "ship-date bounds pushed") {
+    val p = plan("q_tpch_q7")
+    assert("SortMergeJoin".r.findAllIn(p).length == 1, p.take(1500))
+    // supplier→nation resolves pre-join, customer attaches post-agg:
+    // every dimension hop is a broadcast, never a second big exchange
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1500))
+  }
+
+  test("q_tpch_q17 runs ONE lineitem scan with the brand filter reaching " +
+    "the part scan") {
+    val p = plan("q_tpch_q17")
+    // the correlated-subquery original scans lineitem twice; the window
+    // rewrite folds the per-part threshold into the single partkey sort
+    val liScans = "Location.*lineitem".r.findAllIn(p).length
+    assert(liScans == 1, s"$liScans lineitem scans (rewrite regressed?)")
+    assert(p.contains("EqualTo(p_brand,Brand#13)"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("q_tpch_q19 keeps the disjunction a hash join with the part-only " +
+    "half pruning the broadcast") {
+    val p = plan("q_tpch_q19")
+    // the OR of brand/size/quantity arms must not degrade to a nested
+    // loop: partkey stays the equi-key, mixed arms filter post-join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+    // the part-side halves of the arms reach the part scan as pushed
+    // filters (Or(EqualTo(p_brand,...)...))
+    assert(p.contains("PushedFilters: [Or("), p.take(1500))
+  }
+
   test("q_decontam_bloom probes the filter inside the scan stage, before " +
     "the confirm join's exchange") {
     val p = plan("q_decontam_bloom")
