@@ -728,6 +728,43 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Adaptive per-language quality cutoff: drop each language's bottom
+    // quartile by document length — the percentile-based pruning every
+    // production curation pipeline runs (fixed thresholds rot as the
+    // corpus mix shifts; a percentile tracks it). The cutoff needs a
+    // GLOBAL rank within a low-cardinality group — the exact shape that
+    // serializes into one task per language under a native window — so
+    // the rank comes from chunkedRank (groups × chunks parallel sorts +
+    // broadcast prefix offsets, the q_agg_spearman machinery), with
+    // (n_chars, doc_id) total order for determinism. The oracle ranks
+    // with the textbook single window, so the hash match re-proves
+    // chunked ≡ native on this query too. Output is the per-language
+    // admission report: kept count, realized threshold, kept chars.
+    QueryDef(
+      "q_curate_percentile",
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+        |  min(n_chars) AS thresh_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM r WHERE idx >= n // 4
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Analytics
+        .chunkedRank(docs, "lang", "n_chars", Seq("doc_id"))
+        .filter(col("idx") >= expr("n div 4"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          min(col("n_chars")).as("thresh_chars"),
+          sum(col("n_chars")).as("kept_chars"))
+    },
+
+    // ------------------------------------------------------------------
     // Document fingerprinting: whole-doc 60-bit fingerprint, a rolling
     // (polynomial) hash over token hashes, and a winnowing-style minimum
     // shingle hash — the primitives under near-dup detection and content-
