@@ -930,6 +930,18 @@ object Streaming {
       expr("""c_user = p_user AND c_ts <= p_ts
              |AND c_ts >= p_ts - INTERVAL 10 MINUTES""".stripMargin))
 
+  /** Stream-static enrichment: streaming fact rows joined against a
+    * STATIC dimension — the third join regime Structured Streaming
+    * supports (beside stream-stream and foreachBatch), and the cheapest:
+    * no watermark, no join state, the static side simply joins into
+    * every micro-batch (broadcast here — dims are schema-bounded). With
+    * a file-backed dimension the static side is re-resolved as batches
+    * run, so slowly-changing dims refresh without restarting the query.
+    * Left join keeps facts whose key has no dim row yet (late dim
+    * arrival) with NULL attributes instead of dropping them. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 

@@ -141,6 +141,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches and keeps unmatched facts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("cust"), col("c_mktsegment"))
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = Streaming.enrichStream(
+        mem.toDF().toDF("event_id", "cust", "value"), dim, "cust")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // custkey 1 exists in every generation; -999 never does
+      mem.addData((1L, 1L, 5.0), (2L, -999L, 7.0))
+      q.processAllAvailable()
+      // USING-join output order: (cust, event_id, value, c_mktsegment)
+      val rows = spark.sql("SELECT * FROM enriched").collect()
+        .map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+      assert(rows.size == 2)
+      val seg = Tables(spark, sfDir, "customer")
+        .filter(col("c_custkey") === 1L)
+        .select("c_mktsegment").collect()(0).getString(0)
+      assert(rows(1L).contains(seg), s"enrichment mismatch: $rows")
+      // unmatched fact survives the left join with NULL attributes
+      assert(rows(2L).isEmpty, s"unmatched fact dropped or filled: $rows")
+      // a second batch joins the same static dim without restart
+      mem.addData((3L, 1L, 9.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM enriched").count() == 3)
+    } finally q.stop()
+  }
+
   test("incremental dedup ingestion: in-batch + cross-batch dedup, idempotent replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
