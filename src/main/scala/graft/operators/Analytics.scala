@@ -1241,6 +1241,112 @@ object Analytics {
             .as("avg_x"),
           Num.r(regr_avgy(col("l_extendedprice"), col("l_quantity")), 2)
             .as("avg_y"))
+    },
+
+    // ------------------------------------------------------------------
+    // Multivariate ridge regression by EXACT normal equations — the
+    // closed-form training loop under feature-based quality models
+    // (predict price from quantity + discount here; predict a quality
+    // label from doc features in a curation pipeline). regr_* stops at
+    // one feature; with two the normal equations are a 3×3 symmetric
+    // solve, and the 100 TB shape is unchanged: the ONLY corpus pass is
+    // one map-combinable aggregate of p(p+3)/2+1 = 9 moments, then the
+    // solve is scalar algebra on a single row. Cross-engine parity is
+    // engineered the q_agg_skew way: every moment is an exact BIGINT
+    // (features integer-scaled first: qty is integral, disc/price carry
+    // two decimals → ×100), so integer addition's order-insensitivity
+    // makes the moments hash-identical, and the downstream Cramer solve
+    // is the IDENTICAL sequence of double ops in both engines —
+    // deterministic, not merely close. λ = 1000 on the feature diagonal
+    // (intercept unpenalized, the textbook convention).
+    QueryDef(
+      "q_ml_ridge",
+      s"""WITH i AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS sx1,
+        |    CAST(sum(x2) AS BIGINT) AS sx2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+        |    CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS sx2y
+        |  FROM i),
+        |d AS (
+        |  SELECT CAST(n AS DOUBLE) AS a,
+        |    CAST(sx1 AS DOUBLE) AS b, CAST(sx2 AS DOUBLE) AS c,
+        |    CAST(sx1x1 AS DOUBLE) + 1000.0e0 AS dd,
+        |    CAST(sx1x2 AS DOUBLE) AS e,
+        |    CAST(sx2x2 AS DOUBLE) + 1000.0e0 AS f,
+        |    CAST(sy AS DOUBLE) AS u, CAST(sx1y AS DOUBLE) AS v,
+        |    CAST(sx2y AS DOUBLE) AS w
+        |  FROM m),
+        |s AS (
+        |  SELECT
+        |    a * (dd * f - e * e) - b * (b * f - e * c)
+        |      + c * (b * e - dd * c) AS det,
+        |    u * (dd * f - e * e) - b * (v * f - e * w)
+        |      + c * (v * e - dd * w) AS det0,
+        |    a * (v * f - e * w) - u * (b * f - e * c)
+        |      + c * (b * w - v * c) AS det1,
+        |    a * (dd * w - e * v) - b * (b * w - v * c)
+        |      + u * (b * e - dd * c) AS det2
+        |  FROM d)
+        |SELECT ${Num.sql("det0 / det", 6)} AS w_icept,
+        |  ${Num.sql("det1 / det", 6)} AS w_qty,
+        |  ${Num.sql("det2 / det", 6)} AS w_disc
+        |FROM s""".stripMargin) { (s, dir) =>
+      val x1 = col("l_quantity").cast("long")
+      val x2 = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      val y = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val m = t(s, dir, "lineitem")
+        .select(x1.as("x1"), x2.as("x2"), y.as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+          sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("sx1x1"),
+          sum(col("x1") * col("x2")).as("sx1x2"),
+          sum(col("x2") * col("x2")).as("sx2x2"),
+          sum(col("x1") * col("y")).as("sx1y"),
+          sum(col("x2") * col("y")).as("sx2y"))
+      val d = m.select(
+        col("n").cast("double").as("a"),
+        col("sx1").cast("double").as("b"),
+        col("sx2").cast("double").as("c"),
+        (col("sx1x1").cast("double") + lit(1000.0)).as("dd"),
+        col("sx1x2").cast("double").as("e"),
+        (col("sx2x2").cast("double") + lit(1000.0)).as("f"),
+        col("sy").cast("double").as("u"),
+        col("sx1y").cast("double").as("v"),
+        col("sx2y").cast("double").as("w"))
+      // the same Cramer cofactor expressions, token for token, as the
+      // oracle: identical IEEE op sequences are the parity guarantee
+      val sRow = d.select(
+        (col("a") * (col("dd") * col("f") - col("e") * col("e"))
+          - col("b") * (col("b") * col("f") - col("e") * col("c"))
+          + col("c") * (col("b") * col("e") - col("dd") * col("c")))
+          .as("det"),
+        (col("u") * (col("dd") * col("f") - col("e") * col("e"))
+          - col("b") * (col("v") * col("f") - col("e") * col("w"))
+          + col("c") * (col("v") * col("e") - col("dd") * col("w")))
+          .as("det0"),
+        (col("a") * (col("v") * col("f") - col("e") * col("w"))
+          - col("u") * (col("b") * col("f") - col("e") * col("c"))
+          + col("c") * (col("b") * col("w") - col("v") * col("c")))
+          .as("det1"),
+        (col("a") * (col("dd") * col("w") - col("e") * col("v"))
+          - col("b") * (col("b") * col("w") - col("v") * col("c"))
+          + col("u") * (col("b") * col("e") - col("dd") * col("c")))
+          .as("det2"))
+      sRow.select(
+        Num.r(col("det0") / col("det"), 6).as("w_icept"),
+        Num.r(col("det1") / col("det"), 6).as("w_qty"),
+        Num.r(col("det2") / col("det"), 6).as("w_disc"))
     }
   )
 }
