@@ -952,6 +952,59 @@ object Similarity {
         }
         vFinal.select(posexplode(col("v")).as(Seq("pos", "lv")))
           .select(col("pos"), Num.r(col("lv"), 6).as("loading"))
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-space class-separation audit: per-label centroids and
+    // pairwise centroid cosines — the health check run before training
+    // a classifier on labeled embeddings (labels whose centroids nearly
+    // coincide are either mislabeled or inseparable in this space; the
+    // same audit over sources detects near-duplicate crawls). Scale
+    // shape: the ONLY corpus pass is the (label, pos) mean — a
+    // map-combinable L×Dim-group aggregate — and everything downstream
+    // (centroid assembly, the L² pair join, cosines) runs on
+    // schema-bounded rows. The pair join is a deliberate bounded
+    // nested-loop over L centroid rows, the same regime as the K-row
+    // centroid assignments the sweep already allowlists.
+    QueryDef(
+      "q_embed_centroids",
+      s"""WITH u AS (
+        |  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |m AS (SELECT label, pos, avg(x) AS mx FROM u GROUP BY 1, 2),
+        |c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    sum(a.mx * b.mx) AS dab,
+        |    sum(a.mx * a.mx) AS daa, sum(b.mx * b.mx) AS dbb
+        |  FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+        |  ${Num.sql("dab / sqrt(daa) / sqrt(dbb)", 6)} AS cos
+        |FROM p
+        |JOIN c ca ON label_a = ca.label
+        |JOIN c cb ON label_b = cb.label""".stripMargin) { (s, dir) =>
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val emb = t(s, dir, "embeddings").select(col("label"),
+        transform(col("embedding"), _.cast("double")).as("x"))
+      val lm = emb.select(col("label"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("xv")).as("mx"))
+      val cent = lm.groupBy(col("label")).agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          e => e.getField("mx")).as("m"))
+      val cnt = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val withN = cent.join(broadcast(cnt), "label")
+      val a = withN.select(col("label").as("label_a"), col("m").as("ma"),
+        col("n").as("n_a"))
+      val b = withN.select(col("label").as("label_b"), col("m").as("mb"),
+        col("n").as("n_b"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          Num.r(dot(col("ma"), col("mb")) /
+            sqrt(dot(col("ma"), col("ma"))) /
+            sqrt(dot(col("mb"), col("mb"))), 6).as("cos"))
     }
   )
 }
