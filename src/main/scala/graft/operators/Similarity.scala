@@ -36,6 +36,57 @@ object Similarity {
 
   private val Dim = 64
   private val Planes = 4
+
+  /** One PC1 power-iteration round as oracle CTEs: Cv via the per-vec
+    * dot (d) then the per-pos re-aggregate (s), normalized into v$r.
+    * Shared by q_embed_pca2's replay (q_embed_pca inlines the same
+    * text; the hash checks keep them honest). Every CTE is
+    * MATERIALIZED: DuckDB otherwise INLINES each reference, and the
+    * deflated iteration references earlier rounds multiple times — the
+    * plan tree doubles per round, the exact lineage explosion the
+    * Spark side checkpoints away (q_pref_btl lesson, oracle edition;
+    * the un-hinted PC2 oracle ran minutes, materialized: 0.09 s). */
+  private def pcaRoundSql(r: Int, prev: String): String =
+    s"""d$r AS MATERIALIZED (SELECT vec_id, sum(c.x * $prev.v) AS d
+       |       FROM c JOIN $prev USING (pos) GROUP BY vec_id),
+       |s$r AS MATERIALIZED (SELECT pos, sum(c.x * d$r.d) AS s
+       |       FROM c JOIN d$r USING (vec_id) GROUP BY pos),
+       |v$r AS MATERIALIZED (SELECT pos,
+       |         s / sqrt((SELECT sum(s * s) FROM s$r)) AS v
+       |       FROM s$r)""".stripMargin
+
+  /** One DEFLATED round for PC2: raw Cw (e/t), the v₁ projection (p),
+    * the deflation correction (q: t − λ₁·v₁·(v₁·w)), normalized w$r. */
+  private def pca2RoundSql(r: Int, prev: String): String =
+    s"""e$r AS MATERIALIZED (SELECT vec_id, sum(c.x * $prev.v) AS d
+       |       FROM c JOIN $prev USING (pos) GROUP BY vec_id),
+       |t$r AS MATERIALIZED (SELECT pos, sum(c.x * e$r.d) AS s
+       |       FROM c JOIN e$r USING (vec_id) GROUP BY pos),
+       |p$r AS MATERIALIZED (SELECT sum(v3.v * $prev.v) AS pr FROM v3
+       |       JOIN $prev USING (pos)),
+       |q$r AS MATERIALIZED (SELECT t$r.pos AS pos,
+       |         t$r.s - (SELECT l FROM lam) * v3.v * (SELECT pr FROM p$r)
+       |           AS s
+       |       FROM t$r JOIN v3 ON t$r.pos = v3.pos),
+       |w$r AS MATERIALIZED (SELECT pos,
+       |         s / sqrt((SELECT sum(s * s) FROM q$r)) AS v
+       |       FROM q$r)""".stripMargin
+
+  /** Array-level dot product / sum of squares / ordered re-assembly —
+    * the building blocks of the power-iteration queries. */
+  private def pcaDot(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def pcaSumSq(a: Column): Column = aggregate(
+    transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** (pos, value) relation → ordered 1-row array named `arr`
+    * (array_sort on the struct ⇒ order-stable collect). */
+  private def pcaAsArray(rel: DataFrame, valueCol: String): DataFrame =
+    rel.agg(
+      transform(
+        array_sort(collect_list(struct(col("pos"), col(valueCol)))),
+        e => e.getField(valueCol)).as("arr"))
   private val IvfK = 8      // coarse centroid cells
   private val IvfProbes = 2 // cells probed per query
   private val IvfIters = 2  // Lloyd iterations for the trained quantizer
@@ -891,33 +942,17 @@ object Similarity {
     // algorithms.
     QueryDef(
       "q_embed_pca",
-      s"""WITH u AS (
+      s"""WITH u AS MATERIALIZED (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
         |  FROM embeddings),
-        |m AS (SELECT pos, avg(x) AS mx FROM u GROUP BY pos),
-        |c AS (SELECT vec_id, u.pos AS pos, u.x - m.mx AS x
+        |m AS MATERIALIZED (SELECT pos, avg(x) AS mx FROM u GROUP BY pos),
+        |c AS MATERIALIZED (SELECT vec_id, u.pos AS pos, u.x - m.mx AS x
         |      FROM u JOIN m USING (pos)),
-        |v0 AS (SELECT pos, 1.0 / sqrt((SELECT count(*) FROM m)) AS v
+        |v0 AS MATERIALIZED (
+        |       SELECT pos, 1.0 / sqrt((SELECT count(*) FROM m)) AS v
         |       FROM m),
-        |d1 AS (SELECT vec_id, sum(c.x * v0.v) AS d FROM c
-        |       JOIN v0 USING (pos) GROUP BY vec_id),
-        |s1 AS (SELECT pos, sum(c.x * d1.d) AS s FROM c
-        |       JOIN d1 USING (vec_id) GROUP BY pos),
-        |v1 AS (SELECT pos, s / sqrt((SELECT sum(s * s) FROM s1)) AS v
-        |       FROM s1),
-        |d2 AS (SELECT vec_id, sum(c.x * v1.v) AS d FROM c
-        |       JOIN v1 USING (pos) GROUP BY vec_id),
-        |s2 AS (SELECT pos, sum(c.x * d2.d) AS s FROM c
-        |       JOIN d2 USING (vec_id) GROUP BY pos),
-        |v2 AS (SELECT pos, s / sqrt((SELECT sum(s * s) FROM s2)) AS v
-        |       FROM s2),
-        |d3 AS (SELECT vec_id, sum(c.x * v2.v) AS d FROM c
-        |       JOIN v2 USING (pos) GROUP BY vec_id),
-        |s3 AS (SELECT pos, sum(c.x * d3.d) AS s FROM c
-        |       JOIN d3 USING (vec_id) GROUP BY pos),
-        |v3 AS (SELECT pos, s / sqrt((SELECT sum(s * s) FROM s3)) AS v
-        |       FROM s3)
+        |${(1 to 3).map(r => pcaRoundSql(r, s"v${r - 1}")).mkString(",\n")}
         |SELECT pos, ${Num.sql("v", 6)} AS loading FROM v3""".stripMargin) {
       (s, dir) =>
         def dot(a: Column, b: Column): Column = aggregate(
@@ -1005,6 +1040,98 @@ object Similarity {
           Num.r(dot(col("ma"), col("mb")) /
             sqrt(dot(col("ma"), col("ma"))) /
             sqrt(dot(col("mb"), col("mb"))), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // Second principal component by DEFLATION — the step that turns the
+    // q_embed_pca primitive into a general top-k spectral decomposition
+    // (low-rank compression, whitening, spectral outlier pruning all
+    // need more than one direction). PC1 replays exactly as in
+    // q_embed_pca; its Rayleigh eigenvalue estimate λ₁ = ‖s₃‖ then
+    // deflates each PC2 round: C′w = Cw − λ₁·v₁·(v₁·w) — the
+    // correction is pure 1-row array algebra on broadcasts, so a PC2
+    // round costs exactly what a PC1 round costs: one corpus scan plus
+    // a map-combinable Dim-group aggregate. Fixed starts (uniform for
+    // PC1, the e₀ basis vector for PC2) make both signs deterministic.
+    // The oracle replays BOTH iterations and the deflation as CTEs;
+    // KmeansSpec pins unit norms and v₁⊥v₂ — properties the hash match
+    // alone wouldn't state. (Variance ORDERING is deliberately not
+    // claimed: this testdata's spectrum is near-flat, λ2/λ1 ≈ 0.987,
+    // so three fixed rounds return two orthogonal high-variance
+    // directions, not strictly ranked eigenvectors — the right
+    // contract for the operator on such data.)
+    QueryDef(
+      "q_embed_pca2",
+      s"""WITH u AS MATERIALIZED (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+        |  FROM embeddings),
+        |m AS MATERIALIZED (SELECT pos, avg(x) AS mx FROM u GROUP BY pos),
+        |c AS MATERIALIZED (SELECT vec_id, u.pos AS pos, u.x - m.mx AS x
+        |      FROM u JOIN m USING (pos)),
+        |v0 AS MATERIALIZED (
+        |       SELECT pos, 1.0 / sqrt((SELECT count(*) FROM m)) AS v
+        |       FROM m),
+        |${(1 to 3).map(r => pcaRoundSql(r, s"v${r - 1}")).mkString(",\n")},
+        |lam AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS l FROM s3),
+        |w0 AS MATERIALIZED (
+        |       SELECT pos, CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END AS v
+        |       FROM m),
+        |${(1 to 3).map(r => pca2RoundSql(r, s"w${r - 1}")).mkString(",\n")}
+        |SELECT v3.pos AS pos, ${Num.sql("v3.v", 6)} AS pc1,
+        |  ${Num.sql("w3.v", 6)} AS pc2
+        |FROM v3 JOIN w3 ON v3.pos = w3.pos""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("x"))
+      val mean = emb.select(posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy(col("pos")).agg(avg(col("xv")).as("mx"))
+      val centered = emb.crossJoin(broadcast(
+          pcaAsArray(mean, "mx").withColumnRenamed("arr", "m")))
+        .select(col("vec_id"),
+          zip_with(col("x"), col("m"), (a, b) => a - b).as("xc"))
+      val v0 = pcaAsArray(mean, "mx").select(
+        transform(col("arr"),
+          _ => lit(1.0) / sqrt(size(col("arr")).cast("double"))).as("v"))
+      // PC1: identical three rounds to q_embed_pca, tracking the last
+      // UN-normalized aggregate for the Rayleigh eigenvalue estimate
+      val (v3, s3) = (1 to 3).foldLeft((v0, v0)) { case ((v, _), _) =>
+        val sRel = centered.crossJoin(broadcast(v))
+          .withColumn("d", pcaDot(col("xc"), col("v")))
+          .select(posexplode(transform(col("xc"), e => e * col("d")))
+            .as(Seq("pos", "sv")))
+          .groupBy(col("pos")).agg(sum(col("sv")).as("sv"))
+        val sArr = pcaAsArray(sRel, "sv")
+        (sArr.select(transform(col("arr"),
+          e => e / sqrt(pcaSumSq(col("arr")))).as("v")), sArr)
+      }
+      val lam = s3.select(sqrt(pcaSumSq(col("arr"))).as("l"))
+      val pc1 = v3.withColumnRenamed("v", "v1")
+      val w0 = pcaAsArray(mean, "mx").select(
+        transform(col("arr"), (_, i) =>
+          when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("w"))
+      val w3 = (1 to 3).foldLeft(w0) { (w, _) =>
+        val raw = centered.crossJoin(broadcast(w))
+          .withColumn("d", pcaDot(col("xc"), col("w")))
+          .select(posexplode(transform(col("xc"), e => e * col("d")))
+            .as(Seq("pos", "sv")))
+          .groupBy(col("pos")).agg(sum(col("sv")).as("sv"))
+        val deflated = pcaAsArray(raw, "sv")
+          .crossJoin(broadcast(pc1))
+          .crossJoin(broadcast(lam))
+          .crossJoin(broadcast(w))
+          .select(col("arr"), col("v1"), col("l"),
+            pcaDot(col("v1"), col("w")).as("proj"))
+          .select(zip_with(col("arr"), col("v1"),
+            (sv, v1) => sv - col("l") * v1 * col("proj")).as("arr"))
+        deflated.select(transform(col("arr"),
+          e => e / sqrt(pcaSumSq(col("arr")))).as("w"))
+      }
+      v3.crossJoin(broadcast(w3))
+        .select(posexplode(zip_with(col("v"), col("w"),
+          (a, b) => struct(a.as("l1"), b.as("l2")))).as(Seq("pos", "pc")))
+        .select(col("pos"), Num.r(col("pc.l1"), 6).as("pc1"),
+          Num.r(col("pc.l2"), 6).as("pc2"))
     }
   )
 }

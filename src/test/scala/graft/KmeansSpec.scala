@@ -69,4 +69,28 @@ class KmeansSpec extends SparkSpec {
     assert(Similarity.kmeansObjective(emb, trained) >=
       Similarity.kmeansObjective(emb, seeds) - 1e-6)
   }
+
+  test("PCA deflation: components are unit and mutually orthogonal") {
+    // properties the q_embed_pca2 hash match alone wouldn't state: the
+    // oracle replays the same arithmetic, so a deflation-formula bug
+    // could hash-match while producing a useless second component.
+    // NOT asserted: variance ordering. The synthetic embeddings have a
+    // near-FLAT spectrum (λ2/λ1 ≈ 0.987 measured), so power iteration
+    // converges at (λ2/λ1)^t ≈ not-at-all in three fixed rounds, and
+    // which high-variance direction ranks first is sampling noise. On
+    // a flat spectrum the operator's contract is "two unit, mutually
+    // orthogonal, high-variance directions" — exactly what deflation
+    // guarantees structurally and what this pin checks.
+    val rows = SparkEntry.queries("q_embed_pca2")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val v1 = rows.map(_._2)
+    val v2 = rows.map(_._3)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(v1, v1) - 1.0) < 1e-3, s"v1 not unit: ${dot(v1, v1)}")
+    assert(math.abs(dot(v2, v2) - 1.0) < 1e-3, s"v2 not unit: ${dot(v2, v2)}")
+    // the deflated iterate is orthogonal to v1 up to iteration accuracy
+    assert(math.abs(dot(v1, v2)) < 0.05, s"v1·v2 = ${dot(v1, v2)}")
+  }
 }

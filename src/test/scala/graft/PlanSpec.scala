@@ -522,6 +522,7 @@ class PlanSpec extends SparkSpec {
       "q_tpch_q22", // uncorrelated scalar AVG = 1-row broadcast join
       "q_embed_pca", // per-round crossJoin(broadcast(1-row iterate array))
       "q_embed_centroids", // bounded L² nested loop over L centroid rows
+      "q_embed_pca2", // per-round crossJoins of 1-row iterate/λ/v1 arrays
       "q_label_kappa", // crossJoin of 1-row total/agree/chance aggregates
       "q_pref_btl") // per-MM-round crossJoin(broadcast(1-row norm total))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
