@@ -405,6 +405,44 @@ object Streaming {
         min(col("key_lo")).as("key_lo"), max(col("key_hi")).as("key_hi"),
         bit_xor(col("checksum")).as("checksum"))
 
+  /** One micro-batch of incremental document-frequency maintenance —
+    * the streaming half of the tf-idf vocabulary: per-token document
+    * frequency plus the batch's doc count as append-only `batch=<id>`
+    * partials (idempotent overwrite, the sketch/manifest pattern).
+    * Both are count monoids, so the table folds batch-order-free; idf
+    * is deliberately NOT stored — [[dfTable]] derives it at read time
+    * from the folded (df, N), the drift-monitor discipline (store
+    * monoids, derive the statistic). The corpus doc count rides under
+    * the reserved NULL token — real tokens are never NULL because
+    * split() yields strings — so one table carries both monoids. */
+  def dfIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String): Unit = {
+    val toks = batch
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = batch.agg(count(lit(1)).as("df"))
+      .select(lit(null).cast("string").as("tok"), col("df"))
+    toks.unionByName(nDocs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+  }
+
+  /** Read-side fold of [[dfIngestBatch]]'s partials: per-token df, the
+    * corpus doc count, and the derived idf in integer µnats (the
+    * repo-wide ln() parity convention). Equal to the single-batch
+    * derivation over the union corpus, independent of arrival order or
+    * batch boundaries (StreamingSpec proves it, incl. replay). */
+  def dfTable(spark: SparkSession, tableDir: String): DataFrame = {
+    val folded = spark.read.parquet(tableDir)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val n = folded.filter(col("tok").isNull)
+      .select(col("df").as("n_docs"))
+    folded.filter(col("tok").isNotNull)
+      .crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        floor(log(col("n_docs") * lit(1e0) / col("df")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+  }
+
   /** One micro-batch of incremental drift-monitor maintenance — the
     * streaming half of q_drift_psi: each arriving slice contributes its
     * per-(source, length-bucket) counts as an append-only `batch=<id>`

@@ -333,6 +333,38 @@ class StreamingSpec extends SparkSpec {
     assert(snap == expected, "replay must be idempotent")
   }
 
+  test("incremental document-frequency table folds to the one-shot " +
+    "vocabulary, idf derived at read time, replay included") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("df_table")
+    val docs = Tables(spark, sfDir, "documents")
+    (0 until 3).foreach { w =>
+      Streaming.dfIngestBatch(
+        docs.filter(col("doc_id") % 3 === w), w.toLong, table)
+    }
+    def snap: Map[String, (Long, Long, Long)] =
+      Streaming.dfTable(spark, table).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // one-shot derivation over the union corpus: same df, N, idf
+    val n = docs.count()
+    val expected = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro",
+        floor(log(lit(n) * lit(1e0) / col("df")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), n, r.getLong(2))).toMap
+    val s1 = snap
+    assert(s1 == expected,
+      "folded df table must equal the one-shot vocabulary derivation")
+    // replay one wave: idempotent overwrite, nothing double-counts
+    Streaming.dfIngestBatch(
+      docs.filter(col("doc_id") % 3 === 2), 2L, table)
+    assert(snap == expected, "replay must be idempotent")
+  }
+
   test("incremental manifest over an incremental dedup corpus equals the " +
     "one-shot manifest of the final corpus") {
     import org.apache.spark.sql.functions.{col, length}
