@@ -151,4 +151,47 @@ class ExtensionsSpec extends SparkSpec {
       ext.conf.unset("graft.rebalanceGenerate.threshold")
     }
   }
+
+  test("SQL-defined scalar functions compose with engine queries") {
+    // Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr): the
+    // user-facing extension surface that needs NO Scala — the body is
+    // a catalyst expression, so it inlines into whole-stage codegen
+    // instead of the JVM-lambda boundary a registered udf() pays
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_disc_price")
+    spark.sql(
+      """CREATE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+    val viaUdf = spark.sql(
+      s"""SELECT sum(graft_disc_price(l_extendedprice, l_discount)) AS r
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+      .collect()(0).getDouble(0)
+    val direct = Tables(spark, sfDir, "lineitem")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaUdf - direct) < 1e-6 * math.abs(direct))
+    // the body INLINES: no ScalaUDF / BatchEvalPython node in the plan
+    val p = spark.sql(
+      s"""SELECT graft_disc_price(l_extendedprice, l_discount)
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p.take(800))
+  }
+
+  test("parameterized spark.sql binds named parameters without string " +
+    "interpolation") {
+    // named-parameter binding (Spark 4): literals arrive as PARAMETERS,
+    // not spliced text — the SQL-injection-proof entry path for a
+    // service wrapping this engine
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM parquet.`" + sfDir +
+        "/orders.parquet` WHERE o_orderpriority = :prio AND " +
+        "o_totalprice > :floor",
+      Map("prio" -> "1-URGENT", "floor" -> 50000))
+      .collect()(0).getLong(0)
+    val direct = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 50000)
+      .count()
+    assert(n == direct && n > 0, s"param=$n direct=$direct")
+  }
 }
