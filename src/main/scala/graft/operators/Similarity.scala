@@ -1094,14 +1094,19 @@ object Similarity {
         transform(col("arr"),
           _ => lit(1.0) / sqrt(size(col("arr")).cast("double"))).as("v"))
       // PC1: identical three rounds to q_embed_pca, tracking the last
-      // UN-normalized aggregate for the Rayleigh eigenvalue estimate
+      // UN-normalized aggregate for the Rayleigh eigenvalue estimate.
+      // Each round's 1-row aggregate is eagerly localCheckpoint-ed:
+      // v3/lam are re-referenced by EVERY deflation round below, and
+      // without truncation each reference re-executes the whole PC1
+      // chain (~4 s benched; checkpointed the corpus is scanned once
+      // per round, the cost the header promises).
       val (v3, s3) = (1 to 3).foldLeft((v0, v0)) { case ((v, _), _) =>
         val sRel = centered.crossJoin(broadcast(v))
           .withColumn("d", pcaDot(col("xc"), col("v")))
           .select(posexplode(transform(col("xc"), e => e * col("d")))
             .as(Seq("pos", "sv")))
           .groupBy(col("pos")).agg(sum(col("sv")).as("sv"))
-        val sArr = pcaAsArray(sRel, "sv")
+        val sArr = pcaAsArray(sRel, "sv").localCheckpoint()
         (sArr.select(transform(col("arr"),
           e => e / sqrt(pcaSumSq(col("arr")))).as("v")), sArr)
       }
@@ -1126,6 +1131,7 @@ object Similarity {
             (sv, v1) => sv - col("l") * v1 * col("proj")).as("arr"))
         deflated.select(transform(col("arr"),
           e => e / sqrt(pcaSumSq(col("arr")))).as("w"))
+          .localCheckpoint() // 1-row; truncate before the next round
       }
       v3.crossJoin(broadcast(w3))
         .select(posexplode(zip_with(col("v"), col("w"),

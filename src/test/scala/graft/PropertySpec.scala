@@ -293,6 +293,51 @@ class PropertySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("WAV encode→decode roundtrip recovers exact stats on random signals") {
+    import graft.operators.Multimodal
+    val rnd = new Random(23)
+    // adversarial shapes: empty-ish, mono/stereo/5.1, extreme samples
+    val cases = (0 until 40).map { i =>
+      val ch = Seq(1, 2, 6)(rnd.nextInt(3))
+      val frames = rnd.nextInt(200) + 1
+      val rate = Seq(8000, 16000, 44100, 48000)(rnd.nextInt(4))
+      val samples = Array.fill[Short](frames * ch)(
+        if (rnd.nextInt(10) == 0)
+          Seq(Short.MinValue, Short.MaxValue, 0.toShort)(rnd.nextInt(3))
+        else rnd.nextInt(65536).toShort)
+      (i, rate, ch, frames, samples)
+    }
+    cases.foreach { case (i, rate, ch, frames, samples) =>
+      val d = Multimodal.decodeWav(Multimodal.encodeWav(rate, ch, samples))
+      assert(d.sample_rate == rate && d.channels == ch
+        && d.n_frames == frames, s"case $i: $d")
+      assert(d.dur_ms == frames.toLong * 1000 / rate, s"case $i dur")
+      assert(d.sample_sum == samples.map(_.toLong).sum, s"case $i sum")
+      val peak = if (samples.isEmpty) 0
+        else samples.map(v => math.abs(v.toInt)).max
+      assert(d.peak == peak, s"case $i peak ${d.peak} want $peak")
+    }
+  }
+
+  test("PPM and BMP encode→decode roundtrip on random images, including " +
+    "padding-sensitive widths") {
+    import graft.operators.Multimodal
+    val rnd = new Random(29)
+    (0 until 30).foreach { i =>
+      // widths 1..9 hit every BMP 4-byte row-padding residue
+      val w = rnd.nextInt(9) + 1
+      val h = rnd.nextInt(9) + 1
+      val pix = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val expect = pix.map(_.toLong).sum
+      val (pw, ph, _, ps) = Multimodal.decodePpm(
+        Multimodal.encodePpm(w, h, k => pix(k)))
+      assert((pw, ph, ps) == ((w, h, expect)), s"ppm case $i")
+      val (bw, bh, bs) = Multimodal.decodeBmp(
+        Multimodal.encodeBmp(w, h, k => pix(k)))
+      assert((bw, bh, bs) == ((w, h, expect)), s"bmp case $i")
+    }
+  }
+
   test("graft_topk equals sort-take-k on random scores, ties included") {
     import spark.implicits._
     graft.functions.TopK.register(spark)
