@@ -234,6 +234,172 @@ object TpchExtra {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q6 (forecasting revenue change) — the canonical PUSHDOWN
+    // benchmark: no joins at all, just three range predicates that must
+    // all reach the parquet scan (date window, discount band, quantity
+    // cap) feeding a single-row sum. At 100 TB this query IS its scan:
+    // with the filters pushed, row groups outside the ship-date year
+    // never leave storage; PlanSpec pins all three in PushedFilters.
+    QueryDef(
+      "q_tpch_q6",
+      s"""SELECT ${Num.sql("sum(l_extendedprice * l_discount)", 2)}
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(Num.r(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q8 (national market share): of the promo-part trade flowing
+    // into ASIA customers over two years, what share did NATION_3's
+    // suppliers carry, per order year? The deepest join tree in the
+    // suite (part, supplier, lineitem, orders, customer, nation×2,
+    // region) with the Q7/Q10 scale layering: part and supplier→nation
+    // resolve into broadcasts BEFORE the single lineitem⋈orders SMJ,
+    // volume is pre-aggregated to (custkey, year, supp_nation) — far
+    // below line grain — and only then does the customer→nation→region
+    // membership filter attach. The share is a conditional-sum ratio in
+    // one final tiny aggregate, never two passes.
+    QueryDef(
+      "q_tpch_q8",
+      s"""SELECT o_year,
+        |  ${Num.sql(
+          "sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) " +
+            "/ sum(volume)", 6)} AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND p_type = 'PROMO') all_nations
+        |GROUP BY o_year""".stripMargin) { (s, dir) =>
+      val part = t(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val nat = t(s, dir, "nation")
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey"),
+          col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("volume"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val asiaCust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("o_year"), col("nation"))
+        .agg(sum(col("volume")).as("vol"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_year"))
+        .agg(Num.r(
+          sum(when(col("nation") === "NATION_3", col("vol")).otherwise(0.0))
+            / sum(col("vol")), 6).as("mkt_share"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q13 (customer order-count distribution): how many customers
+    // placed 0, 1, 2, … qualifying orders? (The official o_comment
+    // NOT-LIKE exclusion maps to an order-priority exclusion — same
+    // role, a right-side predicate that must live INSIDE the left
+    // join.) The defining shape: a LEFT OUTER join whose right-side
+    // filter must NOT drop order-less customers, then TWO stacked
+    // aggregations — per-customer counts, then the distribution of
+    // those counts. Both aggregates are map-combinable and the second
+    // runs on at-most-|distinct counts| groups.
+    QueryDef(
+      "q_tpch_q13",
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1) c_orders
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+      // the right-side predicate pre-filters orders — equivalent to the
+      // ON-clause placement for a LEFT join, and it pushes to the scan
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_orderkey"), col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    // equals the maximum — the aggregate-then-scalar-max shape. Revenue
+    // is ROUNDED before the max comparison in BOTH engines: the
+    // winner's identity must not hinge on sub-cent summation-order
+    // noise, and ties at the rounded value surface identically (the
+    // official query has the same tie semantics). One map-combinable
+    // revenue aggregate, a 1-row max broadcast back over it, and the
+    // supplier dim attaches to the (usually single-row) winner set.
+    QueryDef(
+      "q_tpch_q15",
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"""
+        .stripMargin) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+
+    // ------------------------------------------------------------------
     // TPC-H Q22 (global sales opportunity): well-funded customers who
     // never ordered, grouped by geography. (`c_nationkey` plays the
     // official `substring(c_phone,1,2)` country code — same role, a

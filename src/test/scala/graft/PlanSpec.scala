@@ -360,6 +360,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1500))
   }
 
+  test("q_tpch_q6 pushes all three range predicates to the scan") {
+    // Q6 IS its scan: date window, discount band, quantity cap must all
+    // reach PushedFilters or the 100 TB read touches every row group.
+    // The default 100-char metadata render truncates the filter list —
+    // widen it for this assertion only
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan("q_tpch_q6")
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+      assert(p.contains("GreaterThanOrEqual(l_discount"), p.take(2000))
+      assert(p.contains("LessThan(l_quantity"), p.take(2000))
+      assert(!p.contains("Join"), p.take(2000))
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("q_tpch_q8 runs two grain-reducing SMJs under the deepest join tree") {
+    val p = plan("q_tpch_q8")
+    // exactly two big exchanges: lineitem⋈orders at line grain, then —
+    // AFTER volume pre-aggregates to (custkey, year, nation) — the
+    // customer region-membership join at CUSTOMER grain. Both sides of
+    // the second join grow with the data, so SMJ (not broadcast) is the
+    // honest 100 TB shape; everything else is a schema-bounded broadcast
+    assert("SortMergeJoin".r.findAllIn(p).length == 2, p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(1500))
+    assert(p.contains("EqualTo(p_type,PROMO)"), p.take(1500))
+  }
+
   test("q_tpch_q17 runs ONE lineitem scan with the brand filter reaching " +
     "the part scan") {
     val p = plan("q_tpch_q17")
@@ -520,6 +547,7 @@ class PlanSpec extends SparkSpec {
       // a literal — the corpus IS one group), leaving a 1-row BNLJ
       "q_subquery_scalar", // scalar subquery = 1-row broadcast join
       "q_tpch_q22", // uncorrelated scalar AVG = 1-row broadcast join
+      "q_tpch_q15", // 1-row max-revenue broadcast over the revenue agg
       "q_embed_pca", // per-round crossJoin(broadcast(1-row iterate array))
       "q_embed_centroids", // bounded L² nested loop over L centroid rows
       "q_embed_pca2", // per-round crossJoins of 1-row iterate/λ/v1 arrays
