@@ -234,6 +234,42 @@ object TpchExtra {
     },
 
     // ------------------------------------------------------------------
+    // TPC-H Q4 (order-priority checking): orders in a quarter with at
+    // least one LATE line, counted by priority. (The official lateness
+    // test l_commitdate < l_receiptdate maps to shipping >60 days after
+    // the order — the same role, a per-line lateness predicate
+    // correlated with the order.) The defining shape: a correlated
+    // EXISTS that must plan as a LEFT SEMI join — the fact table probes
+    // once, no line ever duplicates an order row, and the quarter
+    // filter prunes orders at the scan before the semi probe.
+    QueryDef(
+      "q_tpch_q4",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ------------------------------------------------------------------
     // TPC-H Q6 (forecasting revenue change) — the canonical PUSHDOWN
     // benchmark: no joins at all, just three range predicates that must
     // all reach the parquet scan (date window, discount band, quantity
