@@ -31,7 +31,18 @@ object Tables {
       //     unchanged and DuckDB's naive TIMESTAMP read matches).
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.LongType
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw =
+        try spark.read.parquet(s"$dir/$name.parquet")
+        catch {
+          case e: Exception
+              if String.valueOf(e.getMessage).contains("NANOS") =>
+            // keep the actionable guidance the old require() carried:
+            // NANOS-generation testdata needs the legacy flag to read
+            throw new IllegalStateException(
+              "events.parquet uses TIMESTAMP(NANOS): set " +
+                "spark.sql.legacy.parquet.nanosAsLong=true at " +
+                "SparkSession build time", e)
+        }
       raw.schema("ts").dataType match {
         case LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -737,15 +737,19 @@ object TextAnalysis {
     // the rank comes from chunkedRank (groups × chunks parallel sorts +
     // broadcast prefix offsets, the q_agg_spearman machinery), with
     // (n_chars, doc_id) total order for determinism. The oracle ranks
-    // with the textbook single window, so the hash match re-proves
-    // chunked ≡ native on this query too. Output is the per-language
+    // with the textbook single window — NULLS FIRST spelled out, since
+    // chunkedRank ranks NULL values first (chunk −1) while DuckDB's
+    // default ORDER BY is NULLS LAST; the testdata has no NULL n_chars
+    // today, but the parity must not depend on that. The hash match
+    // re-proves chunked ≡ native on this query too. Output is the
+    // per-language
     // admission report: kept count, realized threshold, kept chars.
     QueryDef(
       "q_curate_percentile",
       """WITH r AS (
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY n_chars, doc_id) - 1 AS idx,
+        |      ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS idx,
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS kept,

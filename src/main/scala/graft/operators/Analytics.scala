@@ -1250,8 +1250,9 @@ object Analytics {
     // label from doc features in a curation pipeline). regr_* stops at
     // one feature; with two the normal equations are a 3×3 symmetric
     // solve, and the 100 TB shape is unchanged: the ONLY corpus pass is
-    // one map-combinable aggregate of p(p+3)/2+1 = 9 moments, then the
-    // solve is scalar algebra on a single row. Cross-engine parity is
+    // one map-combinable aggregate of 2 + 2p + p(p+1)/2 moments (count
+    // and y-sum, p feature sums and p xy-sums, p(p+1)/2 cross-moments —
+    // 9 for p = 2), then the solve is scalar algebra on a single row. Cross-engine parity is
     // engineered the q_agg_skew way: every moment is an exact BIGINT
     // (features integer-scaled first: qty is integral, disc/price carry
     // two decimals → ×100), so integer addition's order-insensitivity

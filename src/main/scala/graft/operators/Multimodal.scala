@@ -230,24 +230,33 @@ object Multimodal {
     while (o + 8 <= b.length) {
       val id = tag(o); val size = le32(o + 4)
       val body = o + 8
-      require(body + size <= b.length, s"truncated $id chunk")
+      // size is attacker-controlled: a negative or huge value must fail
+      // here, not loop forever (o += negative) or index past the array
+      // (body + size overflowing int) — compare in Long
+      require(size >= 0 && body.toLong + size <= b.length,
+        s"truncated or malformed $id chunk (size=$size)")
       id match {
         case "fmt " =>
           require(le16(body) == 1 && le16(body + 14) == 16, "only PCM16 WAV")
           channels = le16(body + 2)
           rate = le32(body + 4)
+          require(channels > 0 && rate > 0,
+            s"malformed fmt chunk (channels=$channels, rate=$rate)")
           sawFmt = true
         case "data" =>
           require(sawFmt, "data chunk before fmt")
-          nInterleaved = size / 2
+          // accumulate: a multi-data-chunk file must keep n_frames
+          // consistent with the sum/peak population, not last-chunk-wins
+          val nChunk = size / 2
           var k = 0
-          while (k < nInterleaved) {
+          while (k < nChunk) {
             val v = (le16(body + 2 * k) << 16) >> 16 // sign-extend int16
             sum += v
             val a = math.abs(v)
             if (a > peak) peak = a
             k += 1
           }
+          nInterleaved += nChunk
           sawData = true
         case _ => // LIST and friends: skip by declared size
       }
@@ -438,7 +447,12 @@ object Multimodal {
     // FILENAME, recovered with regexp_extract — media pipelines key on
     // paths, not embedded ids. Decoded rows hash-check against the
     // same doc_id arithmetic as q_multimodal_decode, so the whole
-    // files→rows→decode chain is oracle-verified.
+    // files→rows→decode chain is oracle-verified. FIXTURE CAVEAT: the
+    // local-filesystem /tmp staging is the single-JVM test stand-in
+    // for the shared object store — on a real cluster the write and
+    // the binaryFile read MUST both point at shared storage (s3://…),
+    // or executors write files the driver-side listing never sees;
+    // only the staging path changes, the plan shape is identical.
     QueryDef(
       "q_multimodal_ingest",
       """SELECT doc_id, 'ppm' AS fmt,

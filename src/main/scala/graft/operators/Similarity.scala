@@ -955,35 +955,30 @@ object Similarity {
         |${(1 to 3).map(r => pcaRoundSql(r, s"v${r - 1}")).mkString(",\n")}
         |SELECT pos, ${Num.sql("v", 6)} AS loading FROM v3""".stripMargin) {
       (s, dir) =>
-        def dot(a: Column, b: Column): Column = aggregate(
-          zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        def sumSq(a: Column): Column = aggregate(
-          transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
-        // 64-slot relation → ordered 1-row array (broadcastable iterate)
-        def asArray(rel: DataFrame, valueCol: String): DataFrame = rel.agg(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col(valueCol)))),
-            e => e.getField(valueCol)).as("arr"))
+        // shared helpers: pcaDot / pcaSumSq / pcaAsArray (one
+        // definition serves this query, q_embed_pca2, and the
+        // centroid audit — they must never drift apart)
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("x"))
         val mean = emb.select(posexplode(col("x")).as(Seq("pos", "xv")))
           .groupBy(col("pos")).agg(avg(col("xv")).as("mx"))
         val centered = emb.crossJoin(broadcast(
-            asArray(mean, "mx").withColumnRenamed("arr", "m")))
+            pcaAsArray(mean, "mx").withColumnRenamed("arr", "m")))
           .select(col("vec_id"),
             zip_with(col("x"), col("m"), (a, b) => a - b).as("xc"))
-        val v0 = asArray(mean, "mx").select(
+        val v0 = pcaAsArray(mean, "mx").select(
           transform(col("arr"),
             _ => lit(1.0) / sqrt(size(col("arr")).cast("double"))).as("v"))
         val vFinal = (1 to 3).foldLeft(v0) { (v, _) =>
           val sRel = centered.crossJoin(broadcast(v))
-            .withColumn("d", dot(col("xc"), col("v")))
+            .withColumn("d", pcaDot(col("xc"), col("v")))
             .select(posexplode(transform(col("xc"), e => e * col("d")))
               .as(Seq("pos", "sv")))
             .groupBy(col("pos")).agg(sum(col("sv")).as("sv"))
-          asArray(sRel, "sv").select(
-            transform(col("arr"), e => e / sqrt(sumSq(col("arr")))).as("v"))
+          pcaAsArray(sRel, "sv").select(
+            transform(col("arr"),
+              e => e / sqrt(pcaSumSq(col("arr")))).as("v"))
         }
         vFinal.select(posexplode(col("v")).as(Seq("pos", "lv")))
           .select(col("pos"), Num.r(col("lv"), 6).as("loading"))
@@ -1020,8 +1015,6 @@ object Similarity {
         |FROM p
         |JOIN c ca ON label_a = ca.label
         |JOIN c cb ON label_b = cb.label""".stripMargin) { (s, dir) =>
-      def dot(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       val emb = t(s, dir, "embeddings").select(col("label"),
         transform(col("embedding"), _.cast("double")).as("x"))
       val lm = emb.select(col("label"), posexplode(col("x")).as(Seq("pos", "xv")))
@@ -1037,9 +1030,9 @@ object Similarity {
         col("n").as("n_b"))
       a.join(broadcast(b), col("label_a") < col("label_b"))
         .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-          Num.r(dot(col("ma"), col("mb")) /
-            sqrt(dot(col("ma"), col("ma"))) /
-            sqrt(dot(col("mb"), col("mb"))), 6).as("cos"))
+          Num.r(pcaDot(col("ma"), col("mb")) /
+            sqrt(pcaDot(col("ma"), col("ma"))) /
+            sqrt(pcaDot(col("mb"), col("mb"))), 6).as("cos"))
     },
 
     // ------------------------------------------------------------------

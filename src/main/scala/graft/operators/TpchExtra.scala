@@ -117,7 +117,11 @@ object TpchExtra {
         .agg(
           sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
             .as("high_line_count"),
-          sum(when(col("o_orderpriority").isin(hi: _*), 0).otherwise(1))
+          // mirrors the oracle's NOT IN ... THEN 1 ELSE 0 exactly: a
+          // NULL priority is NULL under !isin → ELSE 0 in both engines
+          // (the complementary otherwise(1) would count NULLs here
+          // while the oracle's NOT IN would not)
+          sum(when(!col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
             .as("low_line_count"))
     },
 
@@ -446,9 +450,10 @@ object TpchExtra {
     // row.) Three classic shapes in one query,
     // each with its scale story: the uncorrelated scalar AVG is a 1-row
     // broadcast (never a re-scan per row); the NOT EXISTS is a LEFT
-    // ANTI join against orders — at 100 TB that anti probe shuffles on
-    // custkey, the partitioning the subsequent aggregate reuses; and
-    // the final per-nation rollup is map-combinable. Counts CAST to
+    // ANTI join against orders shuffling on custkey; and the final
+    // per-nation rollup is its own (map-combinable) exchange to ~25
+    // groups — a different key than the anti join's, but the partial
+    // aggregation means only ~25·partitions rows move. Counts CAST to
     // BIGINT in the oracle (HUGEINT armor).
     QueryDef(
       "q_tpch_q22",

@@ -133,6 +133,40 @@ class MultimodalSpec extends SparkSpec {
     val bad = Multimodal.encodeWav(8000, 1, Array[Short](1))
     bad(20) = 3 // IEEE float
     intercept[IllegalArgumentException] { Multimodal.decodeWav(bad) }
+    // a NEGATIVE declared chunk size must fail, not loop forever
+    // (o += negative) — and a huge size must fail, not overflow the
+    // int bound check and index past the array
+    val neg = Multimodal.encodeWav(8000, 1, Array[Short](1, 2))
+    neg(16) = 0xf8.toByte; neg(17) = 0xff.toByte
+    neg(18) = 0xff.toByte; neg(19) = 0xff.toByte // fmt size = -8
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(neg) }
+    val huge = Multimodal.encodeWav(8000, 1, Array[Short](1, 2))
+    huge(16) = 0xff.toByte; huge(17) = 0xff.toByte
+    huge(18) = 0xff.toByte; huge(19) = 0x7f.toByte // fmt size = MaxInt
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(huge) }
+    // zero channels / zero rate from a malformed fmt chunk must be a
+    // typed rejection, not an ArithmeticException at the division
+    val zch = Multimodal.encodeWav(8000, 1, Array[Short](1))
+    zch(22) = 0; zch(23) = 0 // channels = 0
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(zch) }
+  }
+
+  test("WAV decode accumulates across multiple data chunks consistently") {
+    // two data chunks: n_frames must cover BOTH populations (matching
+    // sum/peak), not last-chunk-wins
+    val one = Multimodal.encodeWav(8000, 1, Array[Short](5, -3))
+    val two = Multimodal.encodeWav(8000, 1, Array[Short](7))
+    // append two's data chunk (last 8 + 2 bytes) to one, patching RIFF size
+    val dataTwo = two.takeRight(8 + 2)
+    val merged = new Array[Byte](one.length + dataTwo.length)
+    System.arraycopy(one, 0, merged, 0, one.length)
+    System.arraycopy(dataTwo, 0, merged, one.length, dataTwo.length)
+    val sz = merged.length - 8
+    merged(4) = (sz & 0xff).toByte; merged(5) = ((sz >> 8) & 0xff).toByte
+    merged(6) = ((sz >> 16) & 0xff).toByte
+    merged(7) = ((sz >> 24) & 0xff).toByte
+    val d = Multimodal.decodeWav(merged)
+    assert(d.n_frames == 3 && d.sample_sum == 9 && d.peak == 7, d.toString)
   }
 
   test("binaryFile ingestion decodes exactly the corpus' fixture files") {
