@@ -514,6 +514,52 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Zipf-law fit — the corpus-health macro-signal: per language, the
+    // least-squares slope of log(frequency) against log(rank) over the
+    // top-100 token ranks. Natural text sits near slope −1 (Zipf 1949);
+    // machine-generated or template-heavy corpora bend away from it, so
+    // the fit (plus r²) is a one-row-per-language drift alarm on the
+    // vocabulary SHAPE, complementing q_text_repetition's per-document
+    // signals. One corpus pass builds exact (lang, token) counts
+    // (map-combinable); ranking then runs over the VOCABULARY, not the
+    // corpus — bounded here, and at 100 TB the top-100 cut would ride a
+    // frequency-threshold prefilter from a heavy-hitters sketch
+    // (q_agg_heavyhitters) so the window never sees the long tail. The
+    // regression consumes 100 (ln rank, ln freq) points per language via
+    // the built-in regr_* aggregates — identical doubles both engines,
+    // Num-rounded.
+    QueryDef(
+      "q_text_zipf",
+      s"""WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC)
+        |      AS rnk
+        |  FROM f)
+        |SELECT lang, count(*) AS n_ranks,
+        |  CAST(max(CASE WHEN rnk = 1 THEN c END) AS BIGINT) AS top_freq,
+        |  ${Num.sql("regr_slope(ln(c), ln(rnk))", 4)} AS slope,
+        |  ${Num.sql("regr_intercept(ln(c), ln(rnk))", 4)} AS icept,
+        |  ${Num.sql("regr_r2(ln(c), ln(rnk))", 4)} AS r2
+        |FROM r WHERE rnk <= 100 GROUP BY lang""".stripMargin) { (s, dir) =>
+      val f = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val wRank = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("w").asc)
+      f.withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_ranks"),
+          max(when(col("rnk") === 1, col("c"))).as("top_freq"),
+          Num.r(regr_slope(log(col("c")), log(col("rnk"))), 4).as("slope"),
+          Num.r(regr_intercept(log(col("c")), log(col("rnk"))), 4).as("icept"),
+          Num.r(regr_r2(log(col("c")), log(col("rnk"))), 4).as("r2"))
+    },
+
+    // ------------------------------------------------------------------
     // Sequence packing: assign documents to fixed-capacity training bins
     // (512 tokens) by their start offset in a per-language concatenated
     // stream — the step that turns a curated corpus into training

@@ -705,6 +705,52 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // Weighted sampling without replacement — sequential Poisson sampling
+    // (Ohlsson, "Sequential Poisson Sampling", J. Official Statistics
+    // 1998): each document draws a deterministic uniform u from its id
+    // hash, its priority is u / weight (longer documents ⇒ smaller
+    // priority ⇒ more likely sampled — the length-weighted draw a token-
+    // budgeted corpus mix wants), and the k smallest priorities per
+    // source win. No RNG state and no transcendentals: u is an exact
+    // integer hash scaled by one IEEE division, pri is one more division
+    // — correctly-rounded identical doubles on both engines, so the
+    // SAMPLE ITSELF is hash-checked, not just its size (contrast
+    // q_sample_stratified, whose engine RNG forces a verdict oracle).
+    // Scale shape: priorities are a pure projection; the per-source
+    // selection is the map-combinable TopK aggregate on negated priority
+    // (≤ k·P rows shuffle, never a per-source sort) — the same plan that
+    // serves q_knn_brute.
+    QueryDef(
+      "q_sample_weighted",
+      s"""WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |    (${graft.functions.TextAnalysis.h32sql(
+             "'wsamp:' || CAST(doc_id AS VARCHAR)")} + 1) / 4294967296e0 AS u
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, u / n_chars AS pri FROM k),
+        |r AS (
+        |  SELECT source, doc_id, pri,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY pri, doc_id) AS rnk
+        |  FROM p)
+        |SELECT source, doc_id, rnk, ${Num.sql("pri", 9)} AS pri
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      graft.functions.TopK.register(s)
+      val u = (graft.functions.TextAnalysis.h32(
+        concat(lit("wsamp:"), col("doc_id").cast("string"))) + 1) /
+        lit(4294967296e0)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (u / col("n_chars")).as("pri"))
+        .groupBy(col("source"))
+        .agg(expr("graft_topk(-pri, doc_id, 5)").as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          (col("pos") + 1).as("rnk"),
+          Num.r(-col("col.score"), 9).as("pri"))
+    },
+
+    // ------------------------------------------------------------------
     // Uncorrelated scalar subquery: Catalyst evaluates it once and folds
     // it in as a literal (no per-row re-execution).
     QueryDef(

@@ -735,7 +735,9 @@ object Behavior {
     QueryDef(
       "q_drift_psi",
       s"""WITH b AS (
-        |  SELECT source, doc_id % 2 AS half,
+        |  SELECT source,
+        |    ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 AS half,
         |    least(n_chars // 100, 4) AS bucket
         |  FROM documents),
         |c AS (
@@ -757,7 +759,13 @@ object Behavior {
         |  ${Num.sql("sum((p - q) * ln(p / q))", 6)} AS psi
         |FROM pq GROUP BY 1""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "documents")
-        .select(col("source"), (col("doc_id") % 2).as("half"),
+        // hash-derived half (not parity): the testdata's source is a
+        // function of doc_id mod 20, so parity halves are degenerate —
+        // one empty half per source would make every PSI a vacuous
+        // max-drift reading (same fix as q_drift_ks; shared salt "ks:")
+        .select(col("source"),
+          (graft.functions.TextAnalysis.h32(
+            concat(lit("ks:"), col("doc_id").cast("string"))) % 2).as("half"),
           least(expr("n_chars div 100"), lit(4L)).as("bucket"))
         .groupBy(col("source"), col("bucket"))
         .agg(count(when(col("half") === 0, 1)).as("c0"),
@@ -773,6 +781,67 @@ object Behavior {
         .agg(min(col("n0")).as("n0"), min(col("n1")).as("n1"),
           Num.r(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
             .as("psi"))
+    },
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov drift statistic — PSI's
+    // nonparametric sibling: per source, D = sup_x |F₀(x) − F₁(x)|
+    // between the two snapshot halves' length distributions. Where PSI
+    // needs a bucketing choice, KS compares the full empirical CDFs —
+    // the detector a curation pipeline runs when it cannot assume where
+    // drift will show up. EXACT, no approximation: counts per distinct
+    // value are ONE map-combinable aggregate (the only corpus pass);
+    // the CDFs are running sums over the (source × distinct-value)
+    // relation, whose size is bounded by the VALUE DOMAIN, not the
+    // corpus — doc-length-style metrics have a bounded domain (or get
+    // pre-binned), so the window input stays tiny at 100 TB. Sources
+    // with an empty half are excluded (KS undefined), symmetrically on
+    // both engines, rather than emitting an engine-dependent inf.
+    QueryDef(
+      "q_drift_ks",
+      s"""WITH g AS (
+        |  SELECT source, n_chars AS x,
+        |    count(CASE WHEN ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 THEN 1 END) AS ca,
+        |    count(CASE WHEN ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 1 THEN 1 END) AS cb
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, x,
+        |    sum(ca) OVER (PARTITION BY source ORDER BY x) AS fa,
+        |    sum(cb) OVER (PARTITION BY source ORDER BY x) AS fb,
+        |    sum(ca) OVER (PARTITION BY source) AS na,
+        |    sum(cb) OVER (PARTITION BY source) AS nb
+        |  FROM g),
+        |c2 AS (SELECT * FROM c WHERE na > 0 AND nb > 0)
+        |SELECT source, CAST(min(na) AS BIGINT) AS n0,
+        |  CAST(min(nb) AS BIGINT) AS n1,
+        |  ${Num.sql("max(abs(fa * 1e0 / na - fb * 1e0 / nb))", 6)} AS ks
+        |FROM c2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      // halves split by an id HASH, not parity: the testdata's source IS
+      // a function of doc_id mod 20, so raw parity is constant per
+      // source and the "snapshots" would be vacuously disjoint
+      val half = graft.functions.TextAnalysis.h32(
+        concat(lit("ks:"), col("doc_id").cast("string"))) % 2
+      val g = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(when(half === 0, 1)).as("ca"),
+          count(when(half === 1, 1)).as("cb"))
+      val wRun = Window.partitionBy(col("source")).orderBy(col("x"))
+      val wAll = Window.partitionBy(col("source"))
+      g.select(col("source"),
+          sum(col("ca")).over(wRun).as("fa"),
+          sum(col("cb")).over(wRun).as("fb"),
+          sum(col("ca")).over(wAll).as("na"),
+          sum(col("cb")).over(wAll).as("nb"))
+        // drop empty-half sources BEFORE the division: KS is undefined
+        // there, and ANSI mode rightly refuses the inf the naive plan
+        // would produce
+        .filter(col("na") > 0 && col("nb") > 0)
+        .groupBy(col("source"))
+        .agg(min(col("na")).as("n0"), min(col("nb")).as("n1"),
+          Num.r(max(abs(col("fa") * lit(1e0) / col("na") -
+            col("fb") * lit(1e0) / col("nb"))), 6).as("ks"))
     },
 
     // ------------------------------------------------------------------

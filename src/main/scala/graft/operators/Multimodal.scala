@@ -40,12 +40,14 @@ final case class DecodedAudio(
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The decode kernel is REAL for uncompressed formats: [[decodeImage]]
-  * parses PPM (P6, including comment/whitespace header handling) and BMP
-  * (BITMAPINFOHEADER 24bpp, including 4-byte row padding) straight from
-  * the bytes — header → dimensions, pixel array → exact checksum. The
-  * container has no codec libraries, so COMPRESSED formats (JPEG/PNG/...)
-  * still route to [[decodeStub]], a clearly-marked deterministic fake.
+  * The decode kernel is REAL: [[decodeImage]] parses PPM (P6, including
+  * comment/whitespace header handling) and BMP (BITMAPINFOHEADER 24bpp,
+  * including 4-byte row padding) straight from the bytes — header →
+  * dimensions, pixel array → exact checksum — and PNG, a genuinely
+  * COMPRESSED format, through the full chunk/CRC-32/zlib-inflate/
+  * filter-reconstruction pipeline ([[decodePng]], pure `java.util.zip`).
+  * Codec-library formats (JPEG/...) still route to [[decodeStub]], a
+  * clearly-marked deterministic fake.
   * The batch shape is identical for both: per-partition iterators
   * (`mapPartitions`, the Scala analogue of a Pandas-UDF batch) so a real
   * codec binding amortizes its init across the batch.
@@ -158,10 +160,181 @@ object Multimodal {
     (w, h, s)
   }
 
-  /** REAL decode kernel for uncompressed formats, dispatched on magic
-    * bytes, in the same per-partition batch shape as [[decodeStub]].
-    * Unknown/compressed formats throw — a production pipeline routes
-    * those to its codec binding (here: [[decodeStub]]). */
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG scanline predictor (RFC 2083 §6.6): nearest of left/up/upper-left
+    * by the Paeth heuristic, ties broken left → up → upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Minimal REAL PNG encoder (RFC 2083): 8-bit truecolor (color type 2),
+    * non-interlaced; scanlines filtered with `filterOf(row) ∈ 0..4`
+    * (None/Sub/Up/Average/Paeth), zlib-compressed with
+    * `java.util.zip.Deflater`, CRC-32 per chunk. IDAT is split into
+    * ≤64-byte chunks so every fixture exercises the decoder's
+    * multi-IDAT reassembly, exactly as real encoders stream it. */
+  def encodePng(w: Int, h: Int, pix: Int => Int,
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    val stride = w * 3
+    val raw = Array.tabulate(h * stride)(k => (pix(k) & 0xff).toByte)
+    // filter: one type byte + `stride` filtered bytes per scanline
+    val filtered = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val f = filterOf(r) % 5
+      filtered(r * (1 + stride)) = f.toByte
+      var c = 0
+      while (c < stride) {
+        val x = raw(r * stride + c) & 0xff
+        val a = if (c >= 3) raw(r * stride + c - 3) & 0xff else 0
+        val b = if (r > 0) raw((r - 1) * stride + c) & 0xff else 0
+        val uc = if (r > 0 && c >= 3) raw((r - 1) * stride + c - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, uc)
+        }
+        filtered(r * (1 + stride) + 1 + c) = ((x - pred) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    // zlib-wrap (Deflater's default framing is exactly PNG's stream format)
+    val defl = new Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val t = tag.getBytes("US-ASCII")
+      out.write(be32(data.length)); out.write(t); out.write(data)
+      val crc = new CRC32(); crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(PngSig)
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    var off = 0
+    while (off < z.length) { // stream IDAT in small chunks
+      val n = math.min(64, z.length - off)
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, off, off + n))
+      off += n
+    }
+    if (z.isEmpty) chunk("IDAT", Array.emptyByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real PNG decode (8-bit truecolor, non-interlaced): chunk walk with
+    * CRC-32 verification, multi-IDAT reassembly, `Inflater` decompression,
+    * and full filter reconstruction (None/Sub/Up/Average/Paeth) — then an
+    * exact sum over the reconstructed pixel bytes. Throws on bad
+    * signature, CRC mismatch, unsupported color layout, or truncated /
+    * over-long compressed data. */
+  def decodePng(b: Array[Byte]): (Int, Int, Long) = {
+    import java.util.zip.{CRC32, Inflater}
+    require(b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i)),
+      "not a PNG")
+    def be32(o: Int): Int = (b(o) & 0xff) << 24 | (b(o + 1) & 0xff) << 16 |
+      (b(o + 2) & 0xff) << 8 | (b(o + 3) & 0xff)
+    var o = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false; var sawEnd = false
+    while (!sawEnd) {
+      require(o + 8 <= b.length, "truncated PNG chunk header")
+      val len = be32(o)
+      val tag = new String(b, o + 4, 4, "US-ASCII")
+      // length is attacker-controlled: bound-check in Long before indexing
+      require(len >= 0 && o + 12L + len <= b.length,
+        s"truncated or malformed $tag chunk (len=$len)")
+      val crc = new CRC32(); crc.update(b, o + 4, 4 + len)
+      require(crc.getValue.toInt == be32(o + 8 + len), s"$tag CRC mismatch")
+      tag match {
+        case "IHDR" =>
+          require(len == 13, "malformed IHDR")
+          w = be32(o + 8); h = be32(o + 12)
+          require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+          require(b(o + 16) == 8 && b(o + 17) == 2 && b(o + 20) == 0,
+            "only 8-bit truecolor non-interlaced PNG")
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "IDAT before IHDR")
+          idat.write(b, o + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunks (tEXt, ...): skip, CRC still checked
+      }
+      o += 12 + len
+    }
+    require(sawIhdr, "no IHDR chunk")
+    val stride = w * 3
+    val expect = h * (1 + stride)
+    val filtered = new Array[Byte](expect)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    var step = 1 // inflate() may return in pieces; loop until it stalls
+    while (!inf.finished() && step > 0 && got < expect) {
+      step = inf.inflate(filtered, got, expect - got)
+      got += step
+    }
+    if (got == expect && !inf.finished()) {
+      // buffer exactly full: confirm stream end (an over-long stream
+      // would yield more bytes here and must fail, not silently truncate)
+      step = inf.inflate(new Array[Byte](1))
+      require(step == 0 && inf.finished(), "IDAT inflates past expected size")
+    }
+    require(got == expect && inf.finished(),
+      s"IDAT inflates to $got bytes, expected $expect")
+    inf.end()
+    // reconstruct scanlines in place into `raw`
+    val raw = new Array[Byte](h * stride)
+    var r = 0
+    var s = 0L
+    while (r < h) {
+      val f = filtered(r * (1 + stride)) & 0xff
+      require(f <= 4, s"unknown filter type $f")
+      var c = 0
+      while (c < stride) {
+        val x = filtered(r * (1 + stride) + 1 + c) & 0xff
+        val a = if (c >= 3) raw(r * stride + c - 3) & 0xff else 0
+        val up = if (r > 0) raw((r - 1) * stride + c) & 0xff else 0
+        val uc = if (r > 0 && c >= 3) raw((r - 1) * stride + c - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 => paeth(a, up, uc)
+        }
+        val v = (x + pred) & 0xff
+        raw(r * stride + c) = v.toByte
+        s += v
+        c += 1
+      }
+      r += 1
+    }
+    (w, h, s)
+  }
+
+  /** REAL decode kernel dispatched on magic bytes, in the same
+    * per-partition batch shape as [[decodeStub]]: PPM and BMP parse
+    * straight off the bytes; PNG — a genuinely COMPRESSED format — goes
+    * through the full chunk/CRC/inflate/filter pipeline ([[decodePng]],
+    * pure `java.util.zip`, no external codec). Other compressed formats
+    * (JPEG, ...) still throw — a production pipeline routes those to its
+    * codec binding (here: [[decodeStub]]). */
   def decodeImage(assets: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -172,6 +345,10 @@ object Multimodal {
         } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
           val (w, h, s) = decodeBmp(bytes)
           DecodedImage(id, "bmp", w, h, w.toLong * h * 3, s)
+        } else if (bytes.length >= 8 && bytes(0) == PngSig(0)
+            && bytes(1) == 'P') {
+          val (w, h, s) = decodePng(bytes)
+          DecodedImage(id, "png", w, h, w.toLong * h * 3, s)
         } else {
           throw new IllegalArgumentException(
             s"asset $id: unsupported format (route to a codec binding)")
@@ -365,6 +542,43 @@ object Multimodal {
           val w = (id % 8).toInt + 1
           val h = (id % 6).toInt + 1
           (id, encodePpm(w, h, k => ((id + k) % 256).toInt))
+        }
+      decodeImage(assets).toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // REAL COMPRESSED decode end-to-end: each document becomes an actual
+    // PNG (zlib-deflated IDAT split into 64-byte chunks, per-chunk
+    // CRC-32, scanline filter type rotating (doc_id + row) % 5 so every
+    // document exercises Sub/Up/Average/Paeth reconstruction, not just
+    // the identity filter), and [[decodePng]] walks it all back: chunk
+    // reassembly → CRC verify → inflate → unfilter → exact pixel sum.
+    // The oracle recomputes width/height/checksum arithmetically from
+    // doc_id — compression is invisible to it because decode(encode(x))
+    // must reproduce x's bytes exactly, which is precisely the property
+    // being hash-checked. A decoder with a wrong Paeth tie-break, a
+    // dropped filter byte, or an off-by-one in multi-IDAT reassembly
+    // mismatches immediately. Same 100 TB shape as the PPM kernel: the
+    // payloads live and die on the executors; only decoded rows move.
+    QueryDef(
+      "q_multimodal_png",
+      """SELECT doc_id, 'png' AS fmt,
+        |  CAST((doc_id % 7) + 1 AS INTEGER) AS width,
+        |  CAST((doc_id % 5) + 1 AS INTEGER) AS height,
+        |  CAST(((doc_id % 7) + 1) * ((doc_id % 5) + 1) * 3 AS BIGINT)
+        |    AS n_pix_bytes,
+        |  CAST(list_sum(list_transform(
+        |    range(0, ((doc_id % 7) + 1) * ((doc_id % 5) + 1) * 3),
+        |    k -> (doc_id * 5 + k * 3) % 256)) AS BIGINT) AS pix_sum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 7).toInt + 1
+          val h = (id % 5).toInt + 1
+          (id, encodePng(w, h, k => ((id * 5 + k * 3) % 256).toInt,
+            r => ((id + r) % 5).toInt))
         }
       decodeImage(assets).toDF()
     },

@@ -261,6 +261,110 @@ object Similarity {
     (head +: rounds).mkString(",\n")
   }
 
+  private val PqM = 4          // product-quantization subspaces
+  private val PqSub = Dim / PqM // dims per subspace
+  private val PqK = 4          // codes per subspace codebook
+  private val PqIters = 2      // Lloyd rounds per subspace
+
+  /** Squared L2 between two double arrays, folded left-to-right from 0.0
+    * (≡ the oracle's `list_sum(list_transform(...))`). */
+  private def sqDist(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-subspace slices (vec_id, m, sv), the PQ working relation. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    toDoubleVectors(emb)
+      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSub + 1, PqSub).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+
+  /** PQ assignment after `iters` Lloyd rounds per subspace: one row per
+    * (vec_id, m) with the chosen `code` and its squared-L2 residual `d`.
+    * Training is the same deterministic recipe as [[kmeansCentroids]],
+    * seeded from the first [[PqK]] sub-vectors of each subspace. */
+  private[graft] def pqCode(emb: DataFrame, iters: Int): DataFrame = {
+    val subs = pqSubvectors(emb).cache()
+    var cb = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        col("sv").as("cemb"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assign = subs.join(broadcast(cb), "m")
+        .withColumn("d", sqDist(col("sv"), col("cemb")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
+      val means = assign.join(subs, Seq("vec_id", "m"))
+        .select(col("m"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(Num.r(avg(col("col")), 9).as("mu"))
+        .groupBy(col("m"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          e => e.getField("mu")).as("cemb2"))
+        .select(col("m").as("m2"), col("cell"), col("cemb2"))
+      cb = cb.join(means,
+          cb("m") === col("m2") && cb("cid") === col("cell"), "left")
+        .select(cb("m"), col("cid"),
+          coalesce(col("cemb2"), col("cemb")).as("cemb"))
+        .localCheckpoint()
+    }
+    val coded = subs.join(broadcast(cb), "m")
+      .withColumn("d", sqDist(col("sv"), col("cemb")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("cid"), col("d")),
+        struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.cid").as("code"), col("best.d").as("d"))
+    subs.unpersist()
+    coded
+  }
+
+  /** The PQ training replay as DuckDB CTEs: `sub` (per-subspace slices),
+    * `p0` (seed codebooks), and per round i the score/argmin/mean CTEs
+    * producing `p{i+1}` — [[lloydSql]]'s shape, parameterized by
+    * subspace. Distances are L2 (classic PQ), folded left-to-right. */
+  private def pqSql(iters: Int): String = {
+    val s1 = PqSub + 1
+    def dist(c: String) =
+      s"""list_sum(list_transform(range(1, $s1),
+         |      k -> (sub.sv[k] - $c.cemb[k]) * (sub.sv[k] - $c.cemb[k])))""".stripMargin
+    val head =
+      s"""ed AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, mm.m AS m,
+         |    list_transform(range(mm.m * $PqSub + 1, mm.m * $PqSub + $s1),
+         |      k -> ed.v[k]) AS sv
+         |  FROM ed, (SELECT unnest(range(0, $PqM)) AS m) mm),
+         |p0 AS (
+         |  SELECT m, CAST(vec_id AS INTEGER) AS cid, sv AS cemb
+         |  FROM sub WHERE vec_id < $PqK)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      s"""ps$i AS (
+         |  SELECT sub.vec_id, sub.m, c.cid, ${dist("c")} AS d
+         |  FROM sub JOIN p$i c ON sub.m = c.m),
+         |pa$i AS (
+         |  SELECT vec_id, m, cid AS cell FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS r
+         |    FROM ps$i) WHERE r = 1),
+         |pm$i AS (
+         |  SELECT a.m, a.cell AS cid, p.pos, ${Num.sql("avg(sub.sv[p.pos])", 9)} AS mu
+         |  FROM pa$i a JOIN sub USING (vec_id, m),
+         |    (SELECT unnest(range(1, $s1)) AS pos) p
+         |  GROUP BY 1, 2, 3),
+         |p${i + 1} AS (
+         |  SELECT c.m, c.cid, coalesce(g.lst, c.cemb) AS cemb
+         |  FROM p$i c LEFT JOIN (
+         |    SELECT m, cid, list(mu ORDER BY pos) AS lst FROM pm$i
+         |    GROUP BY m, cid) g
+         |    USING (m, cid))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -921,6 +1025,52 @@ object Similarity {
           (dot(col("ov"), col("dq")) /
             sqrt(dot(col("ov"), col("ov"))) /
             sqrt(dot(col("dq"), col("dq"))) >= 0.999).as("fidelity_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // Product quantization (Jégou, Douze & Schmid, "Product Quantization
+    // for Nearest Neighbor Search", TPAMI 2011) — the 64×-compression
+    // tier below int8: the 64-dim vector splits into 4 subspaces of 16
+    // dims, each subspace trains its own K-code codebook (the same
+    // deterministic Lloyd recipe as the IVF quantizer, seeded from the
+    // first K sub-vectors), and a vector stores only its 4 code ids
+    // plus nothing else — M·log2(K) bits. The query emits each vector's
+    // code tuple and its reconstruction MSE against the trained
+    // codebooks. 100 TB shape: the codebook is M·K·(Dim/M) doubles —
+    // broadcast; training and assignment stream the corpus through a
+    // per-(vector, subspace) argmin whose groupBy is map-side
+    // combinable, so only (vec_id, m, code) rows shuffle, never
+    // sub-vectors; codebook lineage is localCheckpoint-truncated per
+    // round (the iterative-plan lesson). The oracle replays the entire
+    // training — seeds, rounded means, argmin tie-breaks — as generated
+    // CTEs, so codes AND error are hash-checked end-to-end.
+    QueryDef(
+      "q_embed_pq",
+      s"""WITH ${pqSql(PqIters)},
+        |fs AS (
+        |  SELECT sub.vec_id, sub.m, c.cid,
+        |    list_sum(list_transform(range(1, ${PqSub + 1}),
+        |      k -> (sub.sv[k] - c.cemb[k]) * (sub.sv[k] - c.cemb[k]))) AS d
+        |  FROM sub JOIN p$PqIters c ON sub.m = c.m),
+        |fa AS (
+        |  SELECT vec_id, m, cid, d FROM (
+        |    SELECT vec_id, m, cid, d,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS r
+        |    FROM fs) WHERE r = 1)
+        |SELECT vec_id,
+        |  max(CASE WHEN m = 0 THEN cid END) AS code0,
+        |  max(CASE WHEN m = 1 THEN cid END) AS code1,
+        |  max(CASE WHEN m = 2 THEN cid END) AS code2,
+        |  max(CASE WHEN m = 3 THEN cid END) AS code3,
+        |  ${Num.sql(s"sum(d) / $Dim", 6)} AS mse
+        |FROM fa GROUP BY vec_id""".stripMargin) { (s, dir) =>
+      pqCode(t(s, dir, "embeddings"), PqIters).groupBy(col("vec_id"))
+        .agg(
+          max(when(col("m") === 0, col("code"))).as("code0"),
+          max(when(col("m") === 1, col("code"))).as("code1"),
+          max(when(col("m") === 2, col("code"))).as("code2"),
+          max(when(col("m") === 3, col("code"))).as("code3"),
+          Num.r(sum(col("d")) / Dim, 6).as("mse"))
     },
 
     // ------------------------------------------------------------------

@@ -70,6 +70,33 @@ class KmeansSpec extends SparkSpec {
       Similarity.kmeansObjective(emb, seeds) - 1e-6)
   }
 
+  test("PQ: training reduces total reconstruction error, codes are bounded") {
+    // Lloyd on L2 quantization error is monotone: the assignment step
+    // minimizes each residual given codebooks, the mean update minimizes
+    // the sum given assignments — so trained total error ≤ seed error
+    // (1e-6 slack for the 9-decimal centroid rounding)
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).cache()
+    def totalErr(iters: Int): Double =
+      Similarity.pqCode(emb, iters).agg(sum(col("d"))).head().getDouble(0)
+    val seedErr = totalErr(0)
+    val trainedErr = totalErr(2)
+    assert(trainedErr <= seedErr + 1e-6,
+      s"PQ training regressed error: $seedErr -> $trainedErr")
+    assert(trainedErr < seedErr, "PQ training had no effect")
+    // every vector gets exactly one code per subspace, codes in [0, K)
+    val coded = Similarity.pqCode(emb, 2).cache()
+    val n = emb.count()
+    assert(coded.count() == n * 4)
+    assert(coded.filter(col("code") < 0 || col("code") >= 4).count() == 0)
+    assert(coded.filter(col("d") < 0).count() == 0)
+    // deterministic: two trainings agree bit for bit
+    val again = Similarity.pqCode(emb, 2)
+    assert(coded.except(again).count() == 0 &&
+      again.except(coded).count() == 0)
+    coded.unpersist(); emb.unpersist()
+  }
+
   test("PCA deflation: components are unit and mutually orthogonal") {
     // properties the q_embed_pca2 hash match alone wouldn't state: the
     // oracle replays the same arithmetic, so a deflation-formula bug

@@ -169,6 +169,58 @@ class MultimodalSpec extends SparkSpec {
     assert(d.n_frames == 3 && d.sample_sum == 9 && d.peak == 7, d.toString)
   }
 
+  test("real PNG roundtrip survives every filter type and multi-IDAT") {
+    // each shape pins one filter type on every row, plus the rotating mix;
+    // 23x9 makes the zlib stream span several 64-byte IDAT chunks
+    for (f <- 0 to 4; (w, h) <- Seq((1, 1), (4, 3), (23, 9))) {
+      val png = Multimodal.encodePng(w, h, k => (k * 7 + 13) % 256, _ => f)
+      val (dw, dh, sum) = Multimodal.decodePng(png)
+      val expect = (0 until w * h * 3).map(k => (k * 7 + 13) % 256).sum.toLong
+      assert(dw == w && dh == h && sum == expect,
+        s"filter=$f ${w}x$h: got $sum want $expect")
+    }
+    val mixed = Multimodal.encodePng(5, 7, k => (k * 11) % 256, r => r % 5)
+    assert(Multimodal.decodePng(mixed)._3 ==
+      (0 until 5 * 7 * 3).map(k => (k * 11) % 256).sum.toLong)
+  }
+
+  test("PNG decode verifies CRCs and rejects malformed streams") {
+    val png = Multimodal.encodePng(4, 4, k => k % 256, _ % 5)
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val corrupt = png.clone()
+    val idatOff = { // first IDAT chunk: sig(8) + IHDR(12+13) bytes in
+      var o = 8
+      while (!"IDAT".equals(new String(corrupt, o + 4, 4, "US-ASCII"))) {
+        o += 12 + (((corrupt(o) & 0xff) << 24) | ((corrupt(o + 1) & 0xff) << 16)
+          | ((corrupt(o + 2) & 0xff) << 8) | (corrupt(o + 3) & 0xff))
+      }
+      o + 8
+    }
+    corrupt(idatOff) = (corrupt(idatOff) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodePng(corrupt) }
+    // bad signature
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("notapng!".getBytes("US-ASCII"))
+    }
+    // truncated mid-chunk
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(png.dropRight(20))
+    }
+    // IDAT shorter than the scanline geometry requires: 2x2 pixel data
+    // presented under a 4x4 header must fail the inflate-size check, not
+    // sum garbage
+    val small = Multimodal.encodePng(2, 2, k => k % 256, _ => 0)
+    val resized = small.clone()
+    // IHDR data starts at offset 16: patch width/height 2→4 and fix CRC
+    resized(19) = 4; resized(23) = 4
+    val crc = new java.util.zip.CRC32()
+    crc.update(resized, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    resized(29) = (cv >>> 24).toByte; resized(30) = (cv >>> 16).toByte
+    resized(31) = (cv >>> 8).toByte; resized(32) = cv.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodePng(resized) }
+  }
+
   test("binaryFile ingestion decodes exactly the corpus' fixture files") {
     val out = SparkEntry.queries("q_multimodal_ingest")(spark, sfDir)
       .collect()
