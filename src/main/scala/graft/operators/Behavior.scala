@@ -845,6 +845,63 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Mann–Whitney U — the rank-based member of the drift family (PSI =
+    // binned divergence, KS = CDF distance, U = stochastic dominance):
+    // per source, U counts how often a half-0 length exceeds a half-1
+    // length (ties half-weighted), and U/(n0·n1) is the common-language
+    // effect size P(X > Y) + ½P(X = Y) — the "are the new documents
+    // systematically longer?" alarm. EXACT with tied data and EXACTLY
+    // cross-engine: midranks are computed in DOUBLED integer units
+    // (2·rank is always whole), so the rank sum is an order-free integer
+    // aggregate — no float fold anywhere before the final two divisions.
+    // Same scale shape as q_drift_ks: one map-combinable counts pass,
+    // then windows over the bounded distinct-value domain.
+    QueryDef(
+      "q_drift_mwu",
+      s"""WITH g AS (
+        |  SELECT source, n_chars AS x,
+        |    count(CASE WHEN ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 THEN 1 END) AS ca,
+        |    count(CASE WHEN ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 1 THEN 1 END) AS cb
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, ca, cb,
+        |    sum(ca + cb) OVER (PARTITION BY source ORDER BY x)
+        |      - (ca + cb) AS pre
+        |  FROM g),
+        |u AS (
+        |  SELECT source,
+        |    CAST(sum(ca) AS BIGINT) AS n0, CAST(sum(cb) AS BIGINT) AS n1,
+        |    CAST(sum(ca * (2 * pre + ca + cb + 1)) AS BIGINT) AS r2a
+        |  FROM c GROUP BY 1)
+        |SELECT source, n0, n1,
+        |  ${Num.sql("(r2a - n0 * (n0 + 1)) / 2e0", 1)} AS u,
+        |  ${Num.sql("(r2a - n0 * (n0 + 1)) / (2e0 * n0 * n1)", 6)} AS cles
+        |FROM u WHERE n0 > 0 AND n1 > 0""".stripMargin) { (s, dir) =>
+      val half = graft.functions.TextAnalysis.h32(
+        concat(lit("ks:"), col("doc_id").cast("string"))) % 2
+      val g = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(when(half === 0, 1)).as("ca"),
+          count(when(half === 1, 1)).as("cb"))
+      val wRun = Window.partitionBy(col("source")).orderBy(col("x"))
+      g.select(col("source"), col("ca"), col("cb"),
+          (sum(col("ca") + col("cb")).over(wRun) - (col("ca") + col("cb")))
+            .as("pre"))
+        .groupBy(col("source"))
+        .agg(sum(col("ca")).as("n0"), sum(col("cb")).as("n1"),
+          sum(col("ca") * (lit(2) * col("pre") + col("ca") + col("cb") + 1))
+            .as("r2a"))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .select(col("source"), col("n0"), col("n1"),
+          Num.r((col("r2a") - col("n0") * (col("n0") + 1)) / lit(2e0), 1)
+            .as("u"),
+          Num.r((col("r2a") - col("n0") * (col("n0") + 1)) /
+            (lit(2e0) * col("n0") * col("n1")), 6).as("cles"))
+    },
+
+    // ------------------------------------------------------------------
     // The per-source corpus health report — the dashboard query a
     // curator runs daily: volume, exact-duplicate rate, language mix
     // entropy, and token-length profile, per source, in one output.

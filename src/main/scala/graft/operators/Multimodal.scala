@@ -24,6 +24,17 @@ final case class DecodedImage(
     n_pix_bytes: Long,
     pix_sum: Long)
 
+/** Header-sniffed media metadata: dimensions and layout read from the
+  * container WITHOUT decoding the payload — the cheap first pass a media
+  * pipeline runs on every asset before deciding what to decode. */
+final case class SniffedMeta(
+    doc_id: Long,
+    fmt: String,
+    width: Int,
+    height: Int,
+    progressive: Boolean,
+    n_comp: Int)
+
 /** A decoded audio row: real header-parsed format parameters plus exact
   * integer sample statistics. */
 final case class DecodedAudio(
@@ -328,6 +339,100 @@ object Multimodal {
     (w, h, s)
   }
 
+  /** Structurally-valid JPEG shell encoder — fixture generator for the
+    * header-sniff path. Emits the real marker sequence (SOI, APP0/JFIF,
+    * a COM the sniffer must skip, DQT, SOF0 or SOF2, DHT, SOS +
+    * byte-stuffed entropy data, EOI) with true dimensions in the SOF.
+    * The entropy payload is deterministic filler (not a decodable
+    * image — that needs a codec library); every marker/length field is
+    * spec-correct, which is exactly what a dimension sniffer exercises. */
+  def encodeJpegShell(w: Int, h: Int, progressive: Boolean,
+      entropy: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff); b(marker); be16(payload.length + 2); out.write(payload)
+    }
+    b(0xff); b(0xd8) // SOI
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, "graft fixture".getBytes("US-ASCII")) // COM: must be skipped
+    seg(0xdb, Array.tabulate[Byte](65)(i => if (i == 0) 0 else 16)) // DQT
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write(h >> 8); sof.write(h & 0xff)
+    sof.write(w >> 8); sof.write(w & 0xff)
+    sof.write(3) // components
+    for (c <- 1 to 3) { sof.write(c); sof.write(0x11); sof.write(0) }
+    seg(if (progressive) 0xc2 else 0xc0, sof.toByteArray)
+    seg(0xc4, Array.tabulate[Byte](17 + 1)(i => if (i == 0) 0 else 1)) // DHT
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(3)
+    for (c <- 1 to 3) { sos.write(c); sos.write(0) }
+    sos.write(0); sos.write(63); sos.write(0)
+    seg(0xda, sos.toByteArray)
+    // entropy-coded filler, 0xFF byte-stuffed per the spec (FF 00)
+    entropy.foreach { v =>
+      b(v); if ((v & 0xff) == 0xff) b(0x00)
+    }
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real JPEG header sniff (ITU T.81 §B): marker walk — variable-length
+    * segments skipped by their declared big-endian size, fill bytes and
+    * standalone markers handled, SOS entropy data scanned with
+    * byte-stuffing (FF 00) and restart markers (FF D0–D7) honored —
+    * until a SOF marker yields (width, height, progressive?, n_comp).
+    * Throws on non-JPEG, truncated segments, or a missing SOF. */
+  def decodeJpegDims(b: Array[Byte]): (Int, Int, Boolean, Int) = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "not a JPEG")
+    var i = 2
+    def u8(o: Int): Int = b(o) & 0xff
+    def be16(o: Int): Int = u8(o) << 8 | u8(o + 1)
+    while (i + 1 < b.length) {
+      // fill bytes: any number of FFs may pad before a marker
+      while (i < b.length && u8(i) == 0xff && i + 1 < b.length
+        && u8(i + 1) == 0xff) i += 1
+      require(i + 1 < b.length && u8(i) == 0xff, "marker expected")
+      val m = u8(i + 1)
+      i += 2
+      m match {
+        case 0xd9 => // EOI without SOF
+          throw new IllegalArgumentException("no SOF marker before EOI")
+        case _ if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+        // standalone markers: no length field
+        case 0xda => // SOS: scan entropy data for the next true marker
+          require(i + 2 <= b.length, "truncated SOS header")
+          i += be16(i)
+          var done = false
+          while (!done) {
+            require(i + 1 < b.length, "truncated entropy data")
+            if (u8(i) == 0xff && u8(i + 1) != 0x00
+              && !(u8(i + 1) >= 0xd0 && u8(i + 1) <= 0xd7)) done = true
+            else i += 1
+          }
+        case sof if (sof >= 0xc0 && sof <= 0xcf)
+            && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          require(i + 2 <= b.length && i + be16(i) <= b.length,
+            "truncated SOF")
+          val h = be16(i + 3); val w = be16(i + 5)
+          val nc = u8(i + 7)
+          require(w > 0 && h > 0 && nc > 0, s"bad SOF ${w}x$h/$nc")
+          return (w, h, sof == 0xc2, nc)
+        case _ => // variable-length segment: skip by declared size
+          require(i + 2 <= b.length, s"truncated marker 0x${m.toHexString}")
+          val len = be16(i)
+          require(len >= 2 && i + len <= b.length,
+            s"truncated segment 0x${m.toHexString} (len=$len)")
+          i += len
+      }
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
   /** REAL decode kernel dispatched on magic bytes, in the same
     * per-partition batch shape as [[decodeStub]]: PPM and BMP parse
     * straight off the bytes; PNG — a genuinely COMPRESSED format — goes
@@ -581,6 +686,46 @@ object Multimodal {
             r => ((id + r) % 5).toInt))
         }
       decodeImage(assets).toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // Header SNIFFING on a codec-library format: each document becomes a
+    // structurally-valid JPEG shell (real marker stream — APP0, a COM
+    // the walk must skip by declared size, DQT, SOF0/SOF2 alternating,
+    // DHT, SOS with byte-stuffed entropy filler), and [[decodeJpegDims]]
+    // walks T.81 markers to the SOF for dimensions/layout WITHOUT
+    // decoding — the first-pass filter (resolution, progressive?) a
+    // media pipeline applies to every asset before spending decode
+    // cycles. The oracle recomputes the metadata arithmetically from
+    // doc_id, so a sniffer that misreads a segment length, trips on
+    // byte stuffing, or confuses DHT (0xC4) with a SOF mismatches
+    // immediately. Entropy payloads are deterministic filler: full
+    // pixel decode needs a codec library (the [[decodeStub]] route);
+    // header sniffing is the real, library-free 99%-of-assets path.
+    QueryDef(
+      "q_multimodal_jpeg",
+      """SELECT doc_id, 'jpeg' AS fmt,
+        |  CAST((doc_id % 9) * 100 + 16 AS INTEGER) AS width,
+        |  CAST((doc_id % 4) * 100 + 16 AS INTEGER) AS height,
+        |  doc_id % 2 = 1 AS progressive,
+        |  CAST(3 AS INTEGER) AS n_comp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 9).toInt * 100 + 16
+          val h = (id % 4).toInt * 100 + 16
+          val entropy = Array.tabulate[Byte]((id % 37).toInt + 5)(
+            k => ((id * 13 + k * 17) % 256).toByte)
+          (id, encodeJpegShell(w, h, progressive = id % 2 == 1, entropy))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, prog, nc) = decodeJpegDims(bytes)
+          SniffedMeta(id, "jpeg", w, h, prog, nc)
+        }
+      }.toDF()
     },
 
     // ------------------------------------------------------------------

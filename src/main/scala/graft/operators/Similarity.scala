@@ -279,12 +279,9 @@ object Similarity {
           slice(col("v"), m * PqSub + 1, PqSub).as("sv"))): _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
 
-  /** PQ assignment after `iters` Lloyd rounds per subspace: one row per
-    * (vec_id, m) with the chosen `code` and its squared-L2 residual `d`.
-    * Training is the same deterministic recipe as [[kmeansCentroids]],
-    * seeded from the first [[PqK]] sub-vectors of each subspace. */
-  private[graft] def pqCode(emb: DataFrame, iters: Int): DataFrame = {
-    val subs = pqSubvectors(emb).cache()
+  /** The trained per-subspace codebooks (m, cid, cemb) after `iters`
+    * Lloyd rounds over an already-materialized subvector relation. */
+  private def pqTrainOnSubs(subs: DataFrame, iters: Int): DataFrame = {
     var cb = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         col("sv").as("cemb"))
@@ -309,6 +306,16 @@ object Similarity {
           coalesce(col("cemb2"), col("cemb")).as("cemb"))
         .localCheckpoint()
     }
+    cb
+  }
+
+  /** PQ assignment after `iters` Lloyd rounds per subspace: one row per
+    * (vec_id, m) with the chosen `code` and its squared-L2 residual `d`.
+    * Training is the same deterministic recipe as [[kmeansCentroids]],
+    * seeded from the first [[PqK]] sub-vectors of each subspace. */
+  private[graft] def pqCode(emb: DataFrame, iters: Int): DataFrame = {
+    val subs = pqSubvectors(emb).cache()
+    val cb = pqTrainOnSubs(subs, iters)
     val coded = subs.join(broadcast(cb), "m")
       .withColumn("d", sqDist(col("sv"), col("cemb")))
       .groupBy(col("vec_id"), col("m"))
@@ -1071,6 +1078,79 @@ object Similarity {
           max(when(col("m") === 2, col("code"))).as("code2"),
           max(when(col("m") === 3, col("code"))).as("code3"),
           Num.r(sum(col("d")) / Dim, 6).as("mse"))
+    },
+
+    // ------------------------------------------------------------------
+    // PQ serving path — asymmetric distance computation (ADC, Jégou,
+    // Douze & Schmid 2011 §IV): the query stays uncompressed, the
+    // database exists ONLY as code tuples, and distance is the sum of
+    // per-subspace lookups into the query's precomputed distance table.
+    // This is what the q_embed_pq codes are FOR: at serving time the
+    // plan touches the 4-small-int code rows and a broadcast Q·M·K
+    // distance table — never a raw database vector. Cross-engine (and
+    // cross-partition-order) determinism: per-subspace distances round
+    // to integer nano-units BEFORE the per-candidate sum, so the fold
+    // is an exact order-free integer add (the LM-surprisal trick) —
+    // vectors sharing a code tuple get bitwise-identical distances and
+    // the id tie-break decides, identically everywhere. Top-3 per query
+    // via the map-combinable TopK aggregate (≤ k·P rows shuffle).
+    QueryDef(
+      "q_knn_pq_adc",
+      s"""WITH ${pqSql(PqIters)},
+        |qd AS (
+        |  SELECT sub.vec_id AS query_id, sub.m, c.cid,
+        |    CAST(floor(list_sum(list_transform(range(1, ${PqSub + 1}),
+        |      k -> (sub.sv[k] - c.cemb[k]) * (sub.sv[k] - c.cemb[k])))
+        |      * 1000000000e0 + 0.5) AS BIGINT) AS dqi
+        |  FROM sub JOIN p$PqIters c ON sub.m = c.m
+        |  WHERE sub.vec_id < 10),
+        |cod AS (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT sub.vec_id, sub.m, c.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+        |        ORDER BY list_sum(list_transform(range(1, ${PqSub + 1}),
+        |          k -> (sub.sv[k] - c.cemb[k]) * (sub.sv[k] - c.cemb[k]))),
+        |          c.cid) AS r
+        |    FROM sub JOIN p$PqIters c ON sub.m = c.m) WHERE r = 1),
+        |s AS (
+        |  SELECT qd.query_id, cod.vec_id AS neighbor_id,
+        |    CAST(sum(qd.dqi) AS BIGINT) AS adci
+        |  FROM cod JOIN qd ON cod.m = qd.m AND cod.cid = qd.cid
+        |  WHERE cod.vec_id <> qd.query_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, neighbor_id, adci,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY adci, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, ${Num.sql("adci / 1000000000e0", 6)}
+        |  AS adc
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      graft.functions.TopK.register(s)
+      val subs = pqSubvectors(t(s, dir, "embeddings")).cache()
+      val cb = pqTrainOnSubs(subs, PqIters)
+      // per-query distance table: Q·M·K integer nano-unit entries
+      val qd = subs.filter(col("vec_id") < 10).join(broadcast(cb), "m")
+        .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+          floor(sqDist(col("sv"), col("cemb")) * lit(1000000000e0) +
+            lit(0.5)).cast("long").as("dqi"))
+      val cod = subs.join(broadcast(cb), "m")
+        .withColumn("d", sqDist(col("sv"), col("cemb")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+      val scored = cod.join(broadcast(qd), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dqi")).as("adci"))
+      subs.unpersist()
+      scored
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(-CAST(adci AS DOUBLE), neighbor_id, 3)")
+          .as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"),
+          Num.r(-col("col.score") / lit(1000000000e0), 6).as("adc"))
     },
 
     // ------------------------------------------------------------------

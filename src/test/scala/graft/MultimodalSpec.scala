@@ -221,6 +221,49 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodePng(resized) }
   }
 
+  test("JPEG sniff reads SOF dims through skipped segments and stuffing") {
+    // 16-bit dims, entropy filler containing 0xFF runs (stuffed by the
+    // encoder), both baseline and progressive SOFs
+    for ((w, h, prog) <- Seq((816, 316, false), (1, 1, true), (65535, 2, true))) {
+      val entropy = Array.tabulate[Byte](64)(k =>
+        if (k % 3 == 0) 0xff.toByte else (k * 7).toByte)
+      val jpg = Multimodal.encodeJpegShell(w, h, prog, entropy)
+      val (dw, dh, dp, nc) = Multimodal.decodeJpegDims(jpg)
+      assert(dw == w && dh == h && dp == prog && nc == 3,
+        s"${w}x$h prog=$prog got ${dw}x$dh prog=$dp")
+    }
+    // restart markers inside entropy data must not terminate the scan:
+    // splice FF D0 into the entropy region and re-walk
+    val base = Multimodal.encodeJpegShell(40, 30, progressive = false,
+      Array.tabulate[Byte](20)(_.toByte))
+    val eoi = base.length - 2
+    val withRst = base.take(eoi) ++ Array(0xff.toByte, 0xd0.toByte) ++
+      Array.tabulate[Byte](8)(k => (k + 1).toByte) ++ base.drop(eoi)
+    assert(Multimodal.decodeJpegDims(withRst) == ((40, 30, false, 3)))
+    // malformed inputs are typed rejections, not misreads
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpegDims("noJPEG!!".getBytes("US-ASCII"))
+    }
+    // truncation INSIDE a declared segment
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpegDims(base.take(12))
+    }
+    // EOI with no SOF: strip everything between COM and EOI
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    val noSof = soi ++ Array(0xff.toByte, 0xd9.toByte)
+    intercept[IllegalArgumentException] { Multimodal.decodeJpegDims(noSof) }
+    // DHT (0xC4) must NOT be parsed as a SOF: a shell whose only
+    // C-range marker is DHT still fails with "no SOF", not bogus dims
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    out.write(0xff); out.write(0xc4); out.write(0); out.write(4)
+    out.write(0); out.write(1)
+    out.write(0xff); out.write(0xd9)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpegDims(out.toByteArray)
+    }
+  }
+
   test("binaryFile ingestion decodes exactly the corpus' fixture files") {
     val out = SparkEntry.queries("q_multimodal_ingest")(spark, sfDir)
       .collect()
