@@ -1074,6 +1074,45 @@ object Dedup {
         .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
         .select(col("name_a"), col("name_b"),
           levenshtein(col("name_a"), col("name_b")).as("dist"))
+    },
+
+    // ------------------------------------------------------------------
+    // Jaro–Winkler record linkage — the prefix-weighted comparator the
+    // record-linkage literature pairs with edit distance (Winkler's
+    // census work): q_link_fuzzy's blocked-join plan, scored by the
+    // native [[graft.functions.JaroWinkler]] codegen expression instead
+    // of levenshtein. The oracle is DuckDB's BUILTIN
+    // jaro_winkler_similarity — no replay SQL at all — which only works
+    // because the expression pins DuckDB's exact semantics (byte-level
+    // comparison, integer half-transpositions, 0.7 boost threshold,
+    // empty⇒0.0; JaroWinklerSpec holds the probed constants). Same
+    // scale guards as the levenshtein twin: distinct names, block-keyed
+    // equi-join, `<` halves the matrix — the comparator only ever runs
+    // inside blocks.
+    QueryDef(
+      "q_link_jaro",
+      s"""WITH names AS (
+        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  ${Num.sql("jaro_winkler_similarity(a.p_name, b.p_name)", 6)} AS jw
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88""".stripMargin) {
+      (s, dir) =>
+      graft.functions.JaroWinkler.register(s)
+      val names = t(s, dir, "part")
+        .select(col("p_name"),
+          element_at(split(col("p_name"), " "), 2).as("blk"))
+        .distinct()
+      val a = names.select(col("p_name").as("name_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw_raw", expr("graft_jaro_winkler(name_a, name_b)"))
+        .filter(col("jw_raw") >= 0.88)
+        .select(col("name_a"), col("name_b"),
+          Num.r(col("jw_raw"), 6).as("jw"))
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics beyond connected components ([[Dedup.connectedComponents]]):
@@ -55,6 +56,20 @@ object Graph {
       |  JOIN pr${k - 1} p ON e.src = p.node
       |  JOIN deg d ON e.src = d.src, nn
       |  GROUP BY 1)""".stripMargin
+
+  private val corePeels = 3
+  private val coreQ = 0.2 // k = this quantile of the initial degrees
+
+  /** One peel generation as DuckDB CTEs over the previous edge set:
+    * degrees, survivors (deg ≥ k), and the edge set induced on them
+    * (the symmetric graph makes src-side degree THE degree). */
+  private def peelSql(i: Int): String =
+    s"""dg$i AS (SELECT src AS node, count(*) AS d FROM ed$i GROUP BY 1),
+      |sv$i AS (SELECT node FROM dg$i, kk WHERE d >= k),
+      |ed${i + 1} AS (
+      |  SELECT e.src, e.dst FROM ed$i e
+      |  JOIN sv$i a ON e.src = a.node
+      |  JOIN sv$i b ON e.dst = b.node)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -225,6 +240,84 @@ object Graph {
         .select(col("node"), col("n_tri"),
           Num.r(col("n_tri") * lit(2.0) / (col("d") * (col("d") - 1)), 6)
             .as("cc"))
+    },
+
+    // ------------------------------------------------------------------
+    // k-core peeling (Seidman, "Network structure and minimum degree",
+    // Social Networks 1983): iteratively remove nodes of degree < k
+    // until the k-core remains — the dense-subgraph extractor that
+    // separates well-connected entities from the sparse periphery (in a
+    // corpus link graph: the stably-interlinked sources worth trusting).
+    // k is DATA-DERIVED (the 20th-percentile initial degree, picked by
+    // exact sorted position so both engines choose the identical
+    // element) — a fixed literal k would be scale-fragile on this
+    // uniformly-dense TPC-H graph: trivial at one sf, graph-erasing at
+    // another. FIXED peel generations (the pagerank/k-means
+    // discipline), 3 peels — convergence at the tested scales is
+    // pinned by GraphSpec re-deriving the induced core independently.
+    // Scale shape per peel: degree is a map-combinable count; the
+    // survivor filter comes back as TWO keyed semi-joins (src side,
+    // dst side) — everything keyed, nothing quadratic; k broadcasts as
+    // a 1-row relation (the q_active_trailing horizon pattern; at
+    // 100 TB the exact |V|-sort quantile swaps for approx_percentile
+    // or a chunked rank — only the 1-row k changes producer). The edge
+    // relation is localCheckpoint-truncated per generation because
+    // each generation references its predecessor THREE times (directly
+    // + via both survivor sides) — exactly the multiplied-lineage case
+    // the q_pref_btl lesson warns about: untreated, the plan tree
+    // grows 3^rounds.
+    QueryDef(
+      "q_graph_kcore",
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ed0 AS (
+        |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM e0
+        |  UNION ALL
+        |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM e0),
+        |dg AS (SELECT src AS node, count(*) AS d FROM ed0 GROUP BY 1),
+        |kk AS (
+        |  SELECT d AS k FROM (
+        |    SELECT d, row_number() OVER (ORDER BY d, node) AS r,
+        |      count(*) OVER () AS n
+        |    FROM dg)
+        |  WHERE r = 1 + CAST(floor($coreQ * (n - 1)) AS BIGINT)),
+        |${(0 until corePeels).map(peelSql).mkString(",\n")},
+        |dgf AS (SELECT src AS node, count(*) AS d FROM ed$corePeels
+        |        GROUP BY 1)
+        |SELECT node, d AS deg, kk.k AS k FROM dgf, kk
+        |WHERE d >= kk.k""".stripMargin) {
+      (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      var edges = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val dg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val nRel = dg.agg(count(lit(1)).as("n"))
+      val kRel = dg.crossJoin(broadcast(nRel))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("d"), col("src"))))
+        .filter(col("r") ===
+          lit(1) + floor(lit(coreQ) * (col("n") - 1)).cast("long"))
+        .select(col("d").as("k"))
+      for (_ <- 0 until corePeels) {
+        val sv = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .crossJoin(broadcast(kRel))
+          .filter(col("d") >= col("k")).select(col("src"))
+        edges = edges
+          .join(sv.hint("shuffle_hash"), Seq("src"), "left_semi")
+          .join(sv.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+      }
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kRel))
+        .filter(col("deg") >= col("k"))
+        .select(col("src").as("node"), col("deg"), col("k"))
     }
   )
 }

@@ -443,6 +443,49 @@ object Streaming {
           .cast("long"))
   }
 
+  /** One micro-batch of incremental weighted-sample maintenance — the
+    * streaming half of q_sample_weighted (sequential Poisson sampling):
+    * each batch computes its documents' deterministic priorities
+    * (hash-uniform / weight, the batch query's exact formula) and
+    * stores its own per-source k-smallest as an append-only
+    * `batch=<id>` partial (idempotent overwrite, the sketch/manifest
+    * pattern). k-smallest-by-priority is a SEMILATTICE — top-k of a
+    * union equals top-k of the per-part top-ks — so the table folds
+    * batch-order-free and each partial is at most sources×k rows, not
+    * the batch. */
+  def sampleIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String, k: Int = 5): Unit = {
+    graft.functions.TopK.register(batch.sparkSession)
+    val u = (graft.functions.TextAnalysis.h32(
+      concat(lit("wsamp:"), col("doc_id").cast("string"))) + 1) /
+      lit(4294967296e0)
+    batch.select(col("source"), col("doc_id"),
+        (u / col("n_chars")).as("pri"))
+      .groupBy(col("source"))
+      .agg(expr(s"graft_topk(-pri, doc_id, $k)").as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.id").as("doc_id"),
+        (-col("e.score")).as("pri"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+  }
+
+  /** Read-side fold of [[sampleIngestBatch]]'s partials: the per-source
+    * k smallest priorities across every batch — equal to the one-shot
+    * q_sample_weighted over the union corpus, independent of arrival
+    * order or batch boundaries (StreamingSpec proves it, incl. replay).
+    * Emits the batch query's exact schema (rnk, Num-rounded pri). */
+  def sampleTable(
+      spark: SparkSession, tableDir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopK.register(spark)
+    spark.read.parquet(tableDir)
+      .groupBy(col("source"))
+      .agg(expr(s"graft_topk(-pri, doc_id, $k)").as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).as("rnk"),
+        graft.Num.r(-col("col.score"), 9).as("pri"))
+  }
+
   /** One micro-batch of incremental drift-monitor maintenance — the
     * streaming half of q_drift_psi: each arriving slice contributes its
     * per-(source, length-bucket) counts as an append-only `batch=<id>`

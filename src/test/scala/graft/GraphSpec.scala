@@ -96,4 +96,36 @@ class GraphSpec extends SparkSpec {
         "closure must intersect out-neighborhoods in-expression")
     } finally df.unpersist()
   }
+
+  test("q_graph_kcore: data-derived k, peels reach the core fixed point") {
+    val rows = SparkEntry.queries("q_graph_kcore")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture graph must have a non-empty core")
+    val k = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == k), "k must be one global threshold")
+    val core = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.values.forall(_ >= k), s"core nodes must have deg >= $k")
+    // rebuild the full graph, induce it on the core, re-derive degrees:
+    // they must match the query's reported degrees exactly, and the
+    // peeling must actually have REMOVED the sparse periphery
+    import org.apache.spark.sql.functions._
+    val e0 = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val sym = e0.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+    val edges = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nAll = edges.map(_._1).distinct.length
+    assert(core.size < nAll,
+      s"k=$k peeled nothing ($nAll nodes): threshold too low to bite")
+    val keep = core.keySet
+    val induced = edges.filter { case (s, d) => keep(s) && keep(d) }
+    val degrees = induced.groupBy(_._1)
+      .map { case (n, es) => n -> es.length.toLong }
+    assert(degrees == core,
+      "query degrees must equal independently induced core degrees")
+    // fixed point: one more peel over the induced core removes nothing
+    assert(degrees.values.forall(_ >= k),
+      s"induced core is not a $k-core: the fixed rounds did not converge")
+  }
 }

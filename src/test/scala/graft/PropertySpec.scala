@@ -319,6 +319,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PNG encode→decode roundtrip on random images and filter plans") {
+    import graft.operators.Multimodal
+    val rnd = new Random(31)
+    (0 until 30).foreach { i =>
+      val w = rnd.nextInt(24) + 1
+      val h = rnd.nextInt(16) + 1
+      val pix = Array.fill(w * h * 3)(rnd.nextInt(256))
+      // random per-row filter choice: every decode must reconstruct the
+      // same bytes regardless of the encoder's filter plan
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val png = Multimodal.encodePng(w, h, pix(_), filters(_))
+      val (dw, dh, sum) = Multimodal.decodePng(png)
+      assert(dw == w && dh == h, s"case $i dims")
+      assert(sum == pix.map(_.toLong).sum, s"case $i checksum (filters " +
+        s"${filters.mkString(",")})")
+    }
+  }
+
+  test("Jaro-Winkler invariants on random byte strings") {
+    import graft.functions.JaroWinkler
+    val rnd = new Random(37)
+    def randStr(): Array[Byte] =
+      Array.fill(rnd.nextInt(16))((rnd.nextInt(26) + 'a').toByte)
+    (0 until 300).foreach { i =>
+      val a = randStr(); val b = randStr()
+      val j = JaroWinkler.jaro(a, b)
+      val w = JaroWinkler.similarity(a, b)
+      assert(j >= 0.0 && j <= 1.0 && w >= 0.0 && w <= 1.0, s"case $i range")
+      assert(w + 1e-15 >= j, s"case $i: winkler bonus must not reduce")
+      // symmetry of jaro (winkler prefix is symmetric too)
+      assert(JaroWinkler.jaro(b, a) == j, s"case $i symmetry")
+      assert(JaroWinkler.similarity(b, a) == w, s"case $i symmetry w")
+      if (a.nonEmpty) {
+        assert(JaroWinkler.similarity(a, a) == 1.0, s"case $i identity")
+      }
+    }
+  }
+
   test("PPM and BMP encode→decode roundtrip on random images, including " +
     "padding-sensitive widths") {
     import graft.operators.Multimodal

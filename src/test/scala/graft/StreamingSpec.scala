@@ -365,6 +365,41 @@ class StreamingSpec extends SparkSpec {
     assert(snap == expected, "replay must be idempotent")
   }
 
+  test("incremental weighted sample folds to the one-shot batch sample, " +
+    "replay and arrival order included") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    def snap(table: String): Set[(String, Long, Int, Double)] =
+      Streaming.sampleTable(spark, table).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+    val expected = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    // three disjoint arrival waves fold to the one-shot sample
+    val table = tmpDir("wsample_table")
+    (0 until 3).foreach { w =>
+      Streaming.sampleIngestBatch(
+        docs.filter(col("doc_id") % 3 === w), w.toLong, table)
+    }
+    assert(snap(table) == expected,
+      "folded sample must equal the one-shot weighted sample")
+    // replay one wave: idempotent overwrite, nothing double-counts
+    Streaming.sampleIngestBatch(
+      docs.filter(col("doc_id") % 3 === 2), 2L, table)
+    assert(snap(table) == expected, "replay must be idempotent")
+    // a DIFFERENT batch split folds to the same sample (semilattice:
+    // the fold is invariant to how the corpus was sliced)
+    val table2 = tmpDir("wsample_table2")
+    (0 until 2).foreach { w =>
+      Streaming.sampleIngestBatch(
+        docs.filter(col("doc_id") % 2 === w), w.toLong, table2)
+    }
+    assert(snap(table2) == expected,
+      "fold must be invariant to batch boundaries")
+  }
+
   test("incremental manifest over an incremental dedup corpus equals the " +
     "one-shot manifest of the final corpus") {
     import org.apache.spark.sql.functions.{col, length}
