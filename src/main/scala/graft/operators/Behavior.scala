@@ -622,6 +622,47 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Source-concentration audit — the one-row imbalance alarm a mixing
+    // pipeline gates on: Gini coefficient (sorted-rank formula), HHI
+    // (Herfindahl–Hirschman index), and the top source's share, over
+    // per-source character mass. A mix drifting toward one crawl shows
+    // up here before it shows up in model behavior. Everything derives
+    // from EXACT integer aggregates (mass, rank-weighted mass, squared
+    // mass — all < 2^53, so the final few float ops run on identical
+    // operands in both engines); the sort-rank runs over the SOURCES
+    // relation (schema-bounded), and Σi·x is tie-insensitive because
+    // equal masses commute. The corpus cost is one map-combinable sum.
+    QueryDef(
+      "q_mix_gini",
+      s"""WITH sc AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM sc),
+        |a AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(i * x) AS BIGINT) AS s2,
+        |    CAST(sum(x * x) AS BIGINT) AS sq, max(x) AS mx
+        |  FROM r)
+        |SELECT n AS n_sources, s1 AS total_chars,
+        |  ${Num.sql("(2e0 * s2) / (n * s1) - (n + 1) * 1e0 / n", 6)} AS gini,
+        |  ${Num.sql("sq * 1e0 / (s1 * s1)", 6)} AS hhi,
+        |  ${Num.sql("mx * 1e0 / s1", 6)} AS top_share
+        |FROM a""".stripMargin) { (s, dir) =>
+      val sc = t(s, dir, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+      val r = sc.select(col("x"),
+        row_number().over(Window.orderBy(col("x"), col("source"))).as("i"))
+      r.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("i") * col("x")).as("s2"),
+          sum(col("x") * col("x")).as("sq"), max(col("x")).as("mx"))
+        .select(col("n").as("n_sources"), col("s1").as("total_chars"),
+          Num.r(lit(2e0) * col("s2") / (col("n") * col("s1")) -
+            (col("n") + 1) * lit(1e0) / col("n"), 6).as("gini"),
+          Num.r(col("sq") * lit(1e0) / (col("s1") * col("s1")), 6).as("hhi"),
+          Num.r(col("mx") * lit(1e0) / col("s1"), 6).as("top_share"))
+    },
+
+    // ------------------------------------------------------------------
     // The per-source corpus health report — the dashboard query a
     // curator runs daily: volume, exact-duplicate rate, language mix
     // entropy, and token-length profile, per source, in one output.

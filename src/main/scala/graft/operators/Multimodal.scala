@@ -433,6 +433,73 @@ object Multimodal {
     throw new IllegalArgumentException("no SOF marker found")
   }
 
+  /** Minimal structurally-valid GIF shell (GIF89a): signature, logical
+    * screen descriptor with true dimensions, a 2-entry global color
+    * table, an image descriptor, a token LZW data block, trailer. Like
+    * the JPEG shell: every header field is spec-correct (the sniffing
+    * surface); the pixel stream is filler (full LZW needs a codec). */
+  def encodeGifShell(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b(v); b(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h) // logical screen descriptor
+    b(0x80) // GCT present, 1 bit/pixel → 2 entries
+    b(0); b(0) // background color, aspect
+    (0 until 2 * 3).foreach(_ => b(0)) // global color table
+    b(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h); b(0)
+    b(2) // LZW minimum code size
+    b(1); b(0x44) // one token data sub-block
+    b(0) // block terminator
+    b(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Real GIF dimension parse: signature (87a or 89a accepted) and the
+    * little-endian logical screen descriptor. */
+  def decodeGifDims(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 10, "truncated GIF")
+    val sig = new String(b, 0, 6, "US-ASCII")
+    require(sig == "GIF89a" || sig == "GIF87a", "not a GIF")
+    val w = (b(6) & 0xff) | (b(7) & 0xff) << 8
+    val h = (b(8) & 0xff) | (b(9) & 0xff) << 8
+    require(w > 0 && h > 0, s"bad GIF dimensions ${w}x$h")
+    (w, h)
+  }
+
+  /** PNG dimension SNIFF — IHDR only, CRC-verified, no inflate: the
+    * cheap header pass ([[decodePng]] is the full decode). */
+  def sniffPngDims(b: Array[Byte]): (Int, Int) = {
+    import java.util.zip.CRC32
+    require(b.length >= 33 && PngSig.indices.forall(i => b(i) == PngSig(i)),
+      "not a PNG")
+    def be32(o: Int): Int = (b(o) & 0xff) << 24 | (b(o + 1) & 0xff) << 16 |
+      (b(o + 2) & 0xff) << 8 | (b(o + 3) & 0xff)
+    require(be32(8) == 13 &&
+      new String(b, 12, 4, "US-ASCII") == "IHDR", "IHDR must lead")
+    val crc = new CRC32(); crc.update(b, 12, 17)
+    require(crc.getValue.toInt == be32(29), "IHDR CRC mismatch")
+    val w = be32(16); val h = be32(20)
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    (w, h)
+  }
+
+  /** Heterogeneous container sniff: dispatch on magic bytes to the
+    * per-format header parsers — the shape of the first pass over a
+    * mixed media corpus (every asset sniffed, almost none decoded). */
+  def sniffDims(bytes: Array[Byte]): (String, Int, Int) =
+    if (bytes.length >= 8 && bytes(0) == PngSig(0) && bytes(1) == 'P') {
+      val (w, h) = sniffPngDims(bytes); ("png", w, h)
+    } else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff
+        && (bytes(1) & 0xff) == 0xd8) {
+      val (w, h, _, _) = decodeJpegDims(bytes); ("jpeg", w, h)
+    } else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I') {
+      val (w, h) = decodeGifDims(bytes); ("gif", w, h)
+    } else {
+      throw new IllegalArgumentException("unknown container")
+    }
+
   /** REAL decode kernel dispatched on magic bytes, in the same
     * per-partition batch shape as [[decodeStub]]: PPM and BMP parse
     * straight off the bytes; PNG — a genuinely COMPRESSED format — goes
@@ -726,6 +793,48 @@ object Multimodal {
           SniffedMeta(id, "jpeg", w, h, prog, nc)
         }
       }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // HETEROGENEOUS corpus sniff: the asset table mixes PNG, JPEG, and
+    // GIF payloads (fmt rotates with doc_id), and [[sniffDims]]
+    // dispatches each on its magic bytes to the matching header parser
+    // — PNG via a CRC-checked IHDR-only path (no inflate: sniffing must
+    // not pay decode), JPEG via the T.81 marker walk, GIF via the
+    // little-endian logical screen descriptor. This mixed-dispatch pass
+    // is THE first stage over a real media crawl: every asset touched
+    // once, dimensions/format recovered, nothing decompressed. The
+    // oracle recomputes format and dimensions arithmetically from
+    // doc_id (the dims formula is format-independent by construction,
+    // so one CASE covers all three).
+    QueryDef(
+      "q_multimodal_sniff",
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    ELSE 'gif' END AS fmt,
+        |  CAST((doc_id % 11) * 40 + 7 AS INTEGER) AS width,
+        |  CAST((doc_id % 6) * 30 + 9 AS INTEGER) AS height
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 11).toInt * 40 + 7
+          val h = (id % 6).toInt * 30 + 9
+          val bytes = (id % 3) match {
+            case 0 => encodePng(w, h, k => (k % 251).toInt, r => (r % 5).toInt)
+            case 1 => encodeJpegShell(w, h, progressive = id % 2 == 1,
+              Array.tabulate[Byte]((id % 23).toInt + 4)(k => (k * 11).toByte))
+            case _ => encodeGifShell(w, h)
+          }
+          (id, bytes)
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (fmt, w, h) = sniffDims(bytes)
+          (id, fmt, w, h)
+        }
+      }.toDF("doc_id", "fmt", "width", "height")
     },
 
     // ------------------------------------------------------------------

@@ -372,6 +372,20 @@ object Similarity {
     (head +: rounds).mkString(",\n")
   }
 
+  private val NdcgK = 10
+
+  /** Rank discount 1/log2(i+1), computed ONCE in Scala: [[dcgWtD]] is
+    * the double the Spark plan uses; [[dcgWt]] its shortest-roundtrip
+    * decimal for the oracle SQL — the same bits after DuckDB's
+    * correctly-rounding parse, so neither engine's log2 is trusted. */
+  private def dcgWtD(i: Int): Double = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+  private def dcgWt(i: Int): String = dcgWtD(i).toString
+
+  /** Ideal DCG@k for graded gains k..1 — one literal on both sides. */
+  private val idcgD: Double =
+    (1 to NdcgK).map(j => (NdcgK + 1 - j) * dcgWtD(j)).sum
+  private val idcgLit: String = idcgD.toString
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1151,6 +1165,99 @@ object Similarity {
         .select(col("query_id"), col("col.id").as("neighbor_id"),
           (col("pos") + 1).as("rnk"),
           Num.r(-col("col.score") / lit(1000000000e0), 6).as("adc"))
+    },
+
+    // ------------------------------------------------------------------
+    // nDCG@10 ranking-quality audit of the LSH index — recall@k
+    // (q_knn_recall) says how many true neighbors the index returns;
+    // nDCG says whether it returns them in a USEFUL ORDER, discounting
+    // by rank position (Järvelin & Kekäläinen, TOIS 2002) — the number
+    // a retrieval team actually tunes against. Graded relevance = the
+    // exact ranking's position (true rank r ⇒ gain 11−r, 0 beyond 10);
+    // the candidate list is the sign-LSH bucket ranking. Cross-engine
+    // determinism without trusting either engine's log2: the 1/log2(i+1)
+    // discounts and the ideal-DCG normalizer are EMITTED AS LITERALS
+    // from one Scala computation into both the Spark plan and the
+    // oracle SQL (shortest-roundtrip decimal ⇒ identical doubles), so
+    // the only float folds are ≤10-term Num-rounded sums. Scale shape:
+    // both rankings are keyed joins + bounded windows per query; the
+    // audit's cost is the baseline's cost (it contains the exact
+    // ranking by definition — run it on a query SAMPLE at 100 TB).
+    QueryDef(
+      "q_knn_ndcg",
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    ${bucketSql("embedding")} AS bucket
+        |  FROM embeddings),
+        |ts AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosSql AS c
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |tr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY c DESC, neighbor_id ASC) AS trk
+        |  FROM ts),
+        |truth AS (SELECT * FROM tr WHERE trk <= $NdcgK),
+        |cs AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosSql AS c
+        |  FROM e q JOIN e n
+        |    ON q.bucket = n.bucket AND q.vec_id < 10
+        |    AND n.vec_id <> q.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |  FROM cs),
+        |scored AS (
+        |  SELECT c.query_id,
+        |    CASE WHEN t.trk IS NULL THEN 0 ELSE ${NdcgK + 1} - t.trk END
+        |      * CASE c.rnk ${(1 to NdcgK).map(i =>
+             s"WHEN $i THEN ${dcgWt(i)}").mkString(" ")} END AS g
+        |  FROM cand c LEFT JOIN truth t
+        |    ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        |  WHERE c.rnk <= $NdcgK)
+        |SELECT query_id, count(*) AS n_cand,
+        |  ${Num.sql("sum(g)", 6)} AS dcg,
+        |  ${Num.sql(s"sum(g) / $idcgLit", 6)} AS ndcg
+        |FROM scored GROUP BY query_id""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket"))
+        .cache() // feeds the exact ranking, the query set, and the bucket join
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val n = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("bucket"))
+      val wTrue = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id").asc)
+      val truth = n.join(broadcast(q.select(col("query_id"), col("q_emb"))),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("c", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("trk", row_number().over(wTrue))
+        .filter(col("trk") <= NdcgK)
+        .select(col("query_id"), col("neighbor_id"), col("trk"))
+      val cand = n.join(broadcast(q),
+          col("q_bucket") === col("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("c", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("rnk", row_number().over(wTrue))
+        .filter(col("rnk") <= NdcgK)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      val wt = (1 to NdcgK).foldLeft(lit(null).cast("double")) {
+        case (acc, i) => when(col("rnk") === i, lit(dcgWtD(i))).otherwise(acc)
+      }
+      cand.join(truth, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rel",
+          when(col("trk").isNull, lit(0)).otherwise(lit(NdcgK + 1) - col("trk")))
+        .withColumn("g", col("rel") * wt)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          Num.r(sum(col("g")), 6).as("dcg"),
+          Num.r(sum(col("g")) / lit(idcgD), 6).as("ndcg"))
     },
 
     // ------------------------------------------------------------------

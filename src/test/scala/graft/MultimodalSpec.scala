@@ -264,6 +264,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("container sniffing dispatches on magic bytes and stays cheap") {
+    // GIF: little-endian LSD dims, both signature generations
+    val gif = Multimodal.encodeGifShell(321, 45)
+    assert(Multimodal.decodeGifDims(gif) == ((321, 45)))
+    val gif87 = gif.clone(); gif87(4) = '7'
+    assert(Multimodal.decodeGifDims(gif87) == ((321, 45)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifDims("GIF99a....".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGifDims(gif.take(8))
+    }
+    // PNG sniff: IHDR-only, CRC still enforced
+    val png = Multimodal.encodePng(40, 30, _ % 256, _ => 0)
+    assert(Multimodal.sniffPngDims(png) == ((40, 30)))
+    val bad = png.clone(); bad(17) = (bad(17) ^ 1).toByte // corrupt width
+    intercept[IllegalArgumentException] { Multimodal.sniffPngDims(bad) }
+    // dispatch
+    assert(Multimodal.sniffDims(png) == (("png", 40, 30)))
+    assert(Multimodal.sniffDims(gif) == (("gif", 321, 45)))
+    val jpg = Multimodal.encodeJpegShell(88, 66, progressive = false,
+      Array[Byte](1, 2, 3))
+    assert(Multimodal.sniffDims(jpg) == (("jpeg", 88, 66)))
+    intercept[IllegalArgumentException] {
+      Multimodal.sniffDims("????????".getBytes("US-ASCII"))
+    }
+  }
+
   test("binaryFile ingestion decodes exactly the corpus' fixture files") {
     val out = SparkEntry.queries("q_multimodal_ingest")(spark, sfDir)
       .collect()

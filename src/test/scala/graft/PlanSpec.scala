@@ -553,7 +553,8 @@ class PlanSpec extends SparkSpec {
       "q_embed_pca2", // per-round crossJoins of 1-row iterate/λ/v1 arrays
       "q_label_kappa", // crossJoin of 1-row total/agree/chance aggregates
       "q_pref_btl", // per-MM-round crossJoin(broadcast(1-row norm total))
-      "q_graph_kcore") // crossJoin(broadcast(1-row degree-quantile k))
+      "q_graph_kcore", // crossJoin(broadcast(1-row degree-quantile k))
+      "q_knn_ndcg") // contains q_knn_brute's exact baseline by definition
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
