@@ -1397,6 +1397,181 @@ object Behavior {
       wins.join(p, "i")
         .select(col("i").as("item"), col("wi").as("wins"),
           col("ni").as("n_matches"), Num.r(col("p"), 9).as("rating"))
+    },
+
+    // ------------------------------------------------------------------
+    // First-order Markov transition matrix over per-user event
+    // sequences — the sequence model behind next-action prediction and
+    // the session-flow sankey every product team draws. Two shapes, one
+    // shuffle each: the lag window is partitioned by user_id (the same
+    // exchange every behavioral query here reuses), and the transition
+    // table it feeds is at most |event_types|² rows, so the
+    // probability normalization window runs over a relation that fits
+    // in one task at ANY corpus scale — the classic big-data → small
+    // model-state collapse. (ts, event_id) ordering makes the sequence
+    // deterministic under timestamp ties, the q_scd2 discipline.
+    QueryDef(
+      "q_markov",
+      s"""WITH seq AS (
+        |  SELECT event_type AS curr,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, curr, count(*) AS n FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, curr, n,
+        |  ${Num.sql("n * 1e0 / sum(n) OVER (PARTITION BY prev)", 6)} AS p
+        |FROM c""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = t(s, dir, "events")
+        .select(col("event_type").as("curr"),
+          lag(col("event_type"), 1).over(byUser).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("curr"))
+        .agg(count(lit(1)).as("n"))
+      val byPrev = Window.partitionBy(col("prev"))
+      c.select(col("prev"), col("curr"), col("n"),
+        Num.r(col("n") * lit(1e0) / sum(col("n")).over(byPrev), 6).as("p"))
+    },
+
+    // ------------------------------------------------------------------
+    // Autocorrelation function of the daily event-count series — the
+    // seasonality / burstiness diagnostic run before any forecasting or
+    // anomaly model. The corpus-sized work is ONE map-combinable daily
+    // rollup; after that the series is bounded by the calendar horizon
+    // (days, not events), so the lagged self-join — pairs matched on
+    // CALENDAR distance (d, d - k), which skips gap days instead of
+    // silently sliding ranks across them — moves only day rows, with
+    // the 3-row lag relation broadcast. corr() is the same float
+    // aggregate both engines define (Pearson over the paired series);
+    // Num-rounding at 1e-6 absorbs fold-order jitter, the q_agg_corr
+    // contract.
+    QueryDef(
+      "q_ts_acf",
+      s"""WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT 1 AS lag UNION ALL SELECT 2 UNION ALL SELECT 3),
+        |pairs AS (
+        |  SELECT l.lag, a.y AS ya, b.y AS yb
+        |  FROM lags l CROSS JOIN daily a
+        |  JOIN daily b ON b.d = a.d - l.lag)
+        |SELECT lag, count(*) AS n, ${Num.sql("corr(ya, yb)", 6)} AS acf
+        |FROM pairs GROUP BY 1""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("y"))
+      val lags = s.range(1, 4).select(col("id").cast("int").as("lag"))
+      val a = daily.select(col("d"), col("y").as("ya"))
+      val b = daily.select(col("d").as("db"), col("y").as("yb"))
+      a.crossJoin(broadcast(lags))
+        .join(b, expr("db = date_sub(d, lag)"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), Num.r(corr(col("ya"), col("yb")), 6)
+          .as("acf"))
+    },
+
+    // ------------------------------------------------------------------
+    // Welch's two-sample t-test over a hash-randomized A/B assignment —
+    // the experimentation readout (where the drift family asks "did the
+    // data change?", this asks "did the treatment change the metric?").
+    // Assignment is h32(user_id) parity: a pure deterministic function
+    // of the unit id, exactly how real experiment systems bucket users,
+    // and cross-engine reproducible. Shape: ONE map-combinable pass
+    // computes n/avg/var_samp per arm (Welch needs nothing else), the
+    // 2-row arm table self-joins broadcast, and the t statistic plus
+    // Welch–Satterthwaite df come out as scalar arithmetic on those six
+    // numbers — corpus cost is a single aggregate regardless of scale.
+    QueryDef(
+      "q_ab_ttest",
+      s"""WITH g AS (
+        |  SELECT ${graft.functions.TextAnalysis.h32sql(
+          "'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS v, value
+        |  FROM events),
+        |st AS (
+        |  SELECT v, count(*) AS n, avg(value) AS m, var_samp(value) AS s2
+        |  FROM g GROUP BY 1)
+        |SELECT a.n AS n0, b.n AS n1,
+        |  ${Num.sql("a.m", 6)} AS m0, ${Num.sql("b.m", 6)} AS m1,
+        |  ${Num.sql("(a.m - b.m) / sqrt(a.s2/a.n + b.s2/b.n)", 4)} AS t,
+        |  ${Num.sql(
+          "pow(a.s2/a.n + b.s2/b.n, 2) / " +
+            "(pow(a.s2/a.n, 2)/(a.n - 1) + pow(b.s2/b.n, 2)/(b.n - 1))",
+          2)} AS df
+        |FROM st a JOIN st b ON a.v = 0 AND b.v = 1""".stripMargin) {
+      (s, dir) =>
+      val v = graft.functions.TextAnalysis.h32(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2
+      val st = t(s, dir, "events")
+        .select(v.as("v"), col("value"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+          var_samp(col("value")).as("s2"))
+      val a = st.filter(col("v") === 0)
+        .select(col("n").as("n0"), col("m").as("ma"), col("s2").as("sa"))
+      val b = st.filter(col("v") === 1)
+        .select(col("n").as("n1"), col("m").as("mb"), col("s2").as("sb"))
+      val se2 = col("sa") / col("n0") + col("sb") / col("n1")
+      a.crossJoin(broadcast(b))
+        .select(col("n0"), col("n1"),
+          Num.r(col("ma"), 6).as("m0"), Num.r(col("mb"), 6).as("m1"),
+          Num.r((col("ma") - col("mb")) / sqrt(se2), 4).as("t"),
+          Num.r(pow(se2, 2) / (pow(col("sa") / col("n0"), 2) / (col("n0") - 1)
+            + pow(col("sb") / col("n1"), 2) / (col("n1") - 1)), 2).as("df"))
+    },
+
+    // ------------------------------------------------------------------
+    // ROC AUC of a scalar score against a real label — the classifier-
+    // eval primitive (every quality-filter threshold in a curation
+    // pipeline is chosen off this number). Here: does document length
+    // predict English? (label = lang, score = n_chars, per source.)
+    // AUC is computed by the exact rank-sum identity AUC =
+    // (R⁺ - n⁺(n⁺+1)/2) / (n⁺·n⁻) with midranks for ties — the same
+    // doubled-integer-midrank machinery q_drift_mwu established (AUC
+    // IS the common-language effect size of the score between classes),
+    // so every pre-division quantity is an order-free INTEGER aggregate:
+    // no float fold anywhere, bit-identical cross-engine. Scale shape:
+    // one map-combinable (source, score) cell count, then windows over
+    // the bounded distinct-score domain — corpus-sized work is pass one
+    // only.
+    QueryDef(
+      "q_eval_auc",
+      s"""WITH g AS (
+        |  SELECT source, n_chars AS x,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS cp,
+        |    count(CASE WHEN lang <> 'en' THEN 1 END) AS cn
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, cp, cn,
+        |    sum(cp + cn) OVER (PARTITION BY source ORDER BY x)
+        |      - (cp + cn) AS pre
+        |  FROM g),
+        |u AS (
+        |  SELECT source,
+        |    CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+        |    CAST(sum(cp * (2 * pre + cp + cn + 1)) AS BIGINT) AS r2p
+        |  FROM c GROUP BY 1)
+        |SELECT source, np AS n_pos, nn AS n_neg,
+        |  ${Num.sql("(r2p - np * (np + 1)) / (2e0 * np * nn)", 6)} AS auc
+        |FROM u WHERE np > 0 AND nn > 0""".stripMargin) { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(when(col("lang") === "en", 1)).as("cp"),
+          count(when(col("lang") =!= "en", 1)).as("cn"))
+      val wRun = Window.partitionBy(col("source")).orderBy(col("x"))
+      g.select(col("source"), col("cp"), col("cn"),
+          (sum(col("cp") + col("cn")).over(wRun) - (col("cp") + col("cn")))
+            .as("pre"))
+        .groupBy(col("source"))
+        .agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+          sum(col("cp") * (lit(2) * col("pre") + col("cp") + col("cn") + 1))
+            .as("r2p"))
+        .filter(col("np") > 0 && col("nn") > 0)
+        .select(col("source"), col("np").as("n_pos"), col("nn").as("n_neg"),
+          Num.r((col("r2p") - col("np") * (col("np") + 1)) /
+            (lit(2e0) * col("np") * col("nn")), 6).as("auc"))
     }
   )
 }

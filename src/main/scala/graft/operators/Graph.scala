@@ -60,6 +60,22 @@ object Graph {
   private val corePeels = 3
   private val coreQ = 0.2 // k = this quantile of the initial degrees
 
+  private val bfsRounds = 3
+  private val linkCapP = 25 // hub cap: max suppliers per part in linkpred
+  private val linkMinCommon = 2
+
+  /** One BFS round as DuckDB CTEs over the previous frontier/visited
+    * pair: new frontier = neighbors of the old frontier not yet
+    * visited; visited grows by the new frontier at distance k. */
+  private def bfsSql(k: Int): String =
+    s"""f$k AS (
+      |  SELECT DISTINCT e.dst AS node FROM edges e
+      |  JOIN f${k - 1} f ON e.src = f.node
+      |  WHERE e.dst NOT IN (SELECT node FROM r${k - 1})),
+      |r$k AS (
+      |  SELECT node, dist FROM r${k - 1}
+      |  UNION ALL SELECT node, $k FROM f$k)""".stripMargin
+
   /** One peel generation as DuckDB CTEs over the previous edge set:
     * degrees, survivors (deg ≥ k), and the edge set induced on them
     * (the symmetric graph makes src-side degree THE degree). */
@@ -318,6 +334,129 @@ object Graph {
         .crossJoin(broadcast(kRel))
         .filter(col("deg") >= col("k"))
         .select(col("src").as("node"), col("deg"), col("k"))
+    },
+
+    // ------------------------------------------------------------------
+    // Multi-source BFS / shortest hop distance — the reachability query
+    // of the graph family (pagerank = centrality, k-core = density,
+    // triangles = closure, BFS = distance): every node's minimum hop
+    // count from a seed set, here the every-7th supplier. In a corpus
+    // link graph this is "how far is each page from a trusted seed" —
+    // TrustRank's first stage. Spark shape is frontier expansion, the
+    // canonical bounded-iteration keyed plan:
+    //   - the symmetric adjacency is hash-partitioned by src once and
+    //     cached (the pagerank discipline) — every round's expansion
+    //     reuses that one exchange;
+    //   - a round = frontier ⋈ edges (shuffle_hash on src, build = the
+    //     frontier side, which only ever holds each node once) →
+    //     distinct dst → anti-join against the visited set. All keyed,
+    //     cost per round ∝ edges incident to the frontier, never |V|²;
+    //   - the round count is FIXED (3, unrolled into one lazy plan —
+    //     building the query runs no jobs), which caps the plan depth
+    //     the way pagerank's fixed k does. An open-ended BFS would add
+    //     the components loop's checkpoint machinery; on this dense
+    //     bipartite graph the 3-hop ball already covers everything
+    //     reachable, which GraphSpec pins independently.
+    // The oracle replays the identical rounds as unrolled CTEs (the
+    // pagerank/k-means replay pattern): same seeds, same NOT-IN
+    // frontier subtraction, so the exact (node, dist) labeling — not
+    // just the reached set — is hash-checked cross-engine.
+    QueryDef(
+      "q_graph_bfs",
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (
+        |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM e0
+        |  UNION ALL
+        |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM e0),
+        |f0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % 14 = 1),
+        |r0 AS (SELECT node, 0 AS dist FROM f0),
+        |${(1 to bfsRounds).map(bfsSql).mkString(",\n")}
+        |SELECT node, dist FROM r$bfsRounds""".stripMargin) { (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // cached src-partitioned adjacency (pagerank pattern; consumers
+      // clearCache after their action)
+      val edges = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+        .repartition(col("src"))
+        .cache()
+      var frontier = edges.filter(col("src") % 14 === 1)
+        .select(col("src").as("node")).distinct()
+      var reached = frontier.select(col("node"), lit(0).as("dist"))
+      for (k <- 1 to bfsRounds) {
+        val next = edges
+          .join(frontier.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(reached.select(col("node")), Seq("node"), "left_anti")
+        reached = reached.union(next.select(col("node"), lit(k).as("dist")))
+        frontier = next
+      }
+      reached
+    },
+
+    // ------------------------------------------------------------------
+    // Link prediction by common-neighbor count + Jaccard over the
+    // bipartite supplier↔part graph: two suppliers are "similar" in
+    // proportion to the parts they both supply — the collaborative-
+    // filtering / you-may-also-link signal, and in a corpus graph the
+    // "mirrors of the same upstream site" detector. The quadratic
+    // danger is hub parts (a part supplied by S suppliers yields S²/2
+    // pairs), so parts keep only 2..$linkCapP suppliers — the capByDf
+    // hot-key discipline, applied symmetrically to BOTH the pair
+    // explode and the Jaccard degrees so the metric stays internally
+    // consistent under the cap (pairs and denominators live in the
+    // same capped universe). Spark shape is the triangles idiom: ONE
+    // shuffle groups each part's sorted supplier set, pairs explode
+    // in-place as a half-matrix (a < b by construction, inside
+    // codegen), and the tiny supplier-degree table broadcasts onto the
+    // pair aggregate. Nothing self-joins the fact table; cost is
+    // Σ min(deg, cap)² over parts — linear in |E| with the cap.
+    QueryDef(
+      "q_graph_linkpred",
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |pc AS (SELECT pk, count(*) AS c FROM e0 GROUP BY 1),
+        |ec AS (
+        |  SELECT e0.pk, e0.sk FROM e0 JOIN pc ON e0.pk = pc.pk
+        |  WHERE pc.c BETWEEN 2 AND $linkCapP),
+        |cn AS (
+        |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS common
+        |  FROM ec a JOIN ec b ON a.pk = b.pk AND a.sk < b.sk
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT sk, count(*) AS d FROM ec GROUP BY 1)
+        |SELECT s1, s2, common,
+        |  ${Num.sql("common * 1e0 / (d1.d + d2.d - common)", 6)} AS jaccard
+        |FROM cn JOIN deg d1 ON cn.s1 = d1.sk JOIN deg d2 ON cn.s2 = d2.sk
+        |WHERE common >= $linkMinCommon""".stripMargin) { (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      // one shuffle: per-part sorted supplier set, hub parts capped
+      val perPart = e0.groupBy(col("pk"))
+        .agg(array_sort(collect_set(col("sk"))).as("sks"))
+        .filter(size(col("sks")).between(2, linkCapP))
+      // the capped edge set feeds BOTH the half-matrix pairs and the
+      // degrees, so Jaccard's numerator and denominator agree
+      val ec = perPart.select(col("pk"), explode(col("sks")).as("sk"))
+      val pairsCol = flatten(transform(col("sks"), (x, i) =>
+        transform(slice(col("sks"), i + lit(2), size(col("sks"))),
+          y => struct(x.as("s1"), y.as("s2")))))
+      val cn = perPart.select(explode(pairsCol).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= linkMinCommon)
+      val deg = ec.groupBy(col("sk")).agg(count(lit(1)).as("d"))
+      cn.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))),
+          "s1")
+        .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))),
+          "s2")
+        .select(col("s1"), col("s2"), col("common"),
+          Num.r(col("common") * lit(1e0) /
+            (col("d1") + col("d2") - col("common")), 6).as("jaccard"))
     }
   )
 }

@@ -128,4 +128,49 @@ class GraphSpec extends SparkSpec {
     assert(degrees.values.forall(_ >= k),
       s"induced core is not a $k-core: the fixed rounds did not converge")
   }
+
+  test("q_graph_bfs: exact shortest-hop labeling (seeds at 0, every other " +
+    "distance = 1 + min neighbor distance)") {
+    import org.apache.spark.sql.functions._
+    val bfs = SparkEntry.queries("q_graph_bfs")(spark, sfDir).cache()
+    try {
+      val dists = bfs.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // rebuild the graph independently
+      val e0 = Tables(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = e0.collect()
+        .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+        .flatMap { case (p, sN) => Seq(p -> sN, sN -> p) }
+      val nbrs = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+      // seeds (supplier nodes ≡ 1 mod 14 present in the graph) are 0;
+      // everything else obeys the Bellman condition exactly — which IS
+      // shortest-hop correctness, not just reachability
+      nbrs.keys.foreach { n =>
+        if (n % 14 == 1) assert(dists(n) == 0, s"seed $n not at distance 0")
+        else dists.get(n).foreach { d =>
+          val m = nbrs(n).flatMap(dists.get).min
+          assert(d == m + 1, s"node $n labeled $d but min neighbor is $m")
+        }
+      }
+      // 3 rounds cover this dense bipartite graph — the fixed unroll is
+      // a converged BFS here, not a truncation
+      assert(dists.size == nbrs.size,
+        s"${nbrs.size - dists.size} nodes unreached: rounds insufficient")
+    } finally bfs.unpersist()
+  }
+
+  test("q_graph_linkpred: canonical pairs, common bounded by degrees, " +
+    "jaccard consistent with the capped universe") {
+    val rows = SparkEntry.queries("q_graph_linkpred")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "dense fixture graph must produce candidate pairs")
+    rows.foreach { r =>
+      val (s1, s2, c, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(s1 < s2, s"pair ($s1,$s2) not canonical")
+      assert(c >= 2 && j > 0 && j <= 1, s"($s1,$s2): common=$c jaccard=$j")
+    }
+    // pairs are unique — the half-matrix explode must not double-count
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "duplicate pairs emitted")
+  }
 }
