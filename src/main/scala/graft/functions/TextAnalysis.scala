@@ -978,6 +978,71 @@ object TextAnalysis {
           col("ch").as("chance_w"),
           ((col("n") * col("d") - col("ch")).cast("double")
             / (col("n") * col("n") - col("ch")).cast("double")).as("kappa"))
+    },
+
+    // ------------------------------------------------------------------
+    // Winnowing fingerprint SELECTION (Schleimer, Wilkerson, Aiken,
+    // "Winnowing: local algorithms for document fingerprinting",
+    // SIGMOD 2003 — the MOSS algorithm): slide a window of w=4
+    // consecutive k=3-token shingle hashes and keep each window's
+    // minimum. Where q_text_fingerprint's win_min keeps ONE global
+    // minimum per document, winnowing keeps a position-distributed SET
+    // with the paper's guarantee: any shared run of ≥ w+k-1 tokens
+    // between two documents shares at least one selected fingerprint
+    // (the index a substring-level dedup actually builds), at an
+    // expected density of 2/(w+1) instead of all n shingles. Plan
+    // shape: everything happens INSIDE one projection — token hashes,
+    // shingle composition, per-window array minima, distinct — all
+    // whole-stage-codegen'd array ops over each row, no shuffle until
+    // the per-doc 1-row outputs aggregate nothing at all. Per-doc
+    // output keeps the selected-set size and its order-free XOR so the
+    // hash check pins the exact SET, not just its size. At 100 TB this
+    // is a pure map pass whose output is ~2n/(w+1) longs per doc — the
+    // posting list you then exchange by fingerprint for matching, a
+    // keyed join like every near-dup path here (never all-pairs).
+    QueryDef(
+      "q_text_winnow",
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), t -> ${h32sql("t")})
+        |      AS hs
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(hs) - 1),
+        |      i -> ((hs[i] * 31 + hs[i+1]) * 31 + hs[i+2])
+        |             % 999999999999989) AS sh
+        |  FROM h),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(sh) - 2),
+        |      j -> list_min(list_slice(sh, j, j + 3)))) AS fps
+        |  FROM g)
+        |SELECT doc_id, len(fps) AS n_fps,
+        |  list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor,
+        |  list_min(fps) AS fp_min
+        |FROM sel""".stripMargin) { (s, dir) =>
+      val W = 4 // winnow window (in shingles)
+      val M = 999999999999989L
+      val toks = split(col("text"), " ")
+      val sh = transform(
+        sequence(lit(1), size(col("hs")) - 2),
+        i => ((element_at(col("hs"), i) * 31
+          + element_at(col("hs"), i + 1)) * 31
+          + element_at(col("hs"), i + 2)) % M)
+      t(s, dir, "documents")
+        .repartition(col("doc_id")) // parallelize the array fan-out
+        .filter(size(toks) >= 6)
+        .select(col("doc_id"), transform(toks, w => h32(w)).as("hs"))
+        .select(col("doc_id"), sh.as("sh"))
+        .select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), size(col("sh")) - (W - 1)),
+            j => array_min(slice(col("sh"), j, lit(W))))).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          aggregate(col("fps"), lit(0L),
+            (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
+          array_min(col("fps")).as("fp_min"))
     }
   )
 }

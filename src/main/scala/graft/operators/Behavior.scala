@@ -1572,6 +1572,68 @@ object Behavior {
         .select(col("source"), col("np").as("n_pos"), col("nn").as("n_neg"),
           Num.r((col("r2p") - col("np") * (col("np") + 1)) /
             (lit(2e0) * col("np") * col("nn")), 6).as("auc"))
+    },
+
+    // ------------------------------------------------------------------
+    // Fractional-epoch UPSAMPLING — the other half of data mixing
+    // (q_mix_sources / q_mix_temperature downsample; scarce
+    // high-quality sources get repeated): tier f ∈ {1.0, 1.5, 2.25,
+    // 3.5} epochs per source, realized per document as floor(f) full
+    // copies plus one extra copy iff the id-hash clears the fractional
+    // threshold — thresholds are exact integer literals (frac·2³²)
+    // against the 32-bit hash, so admission is a pure integer
+    // predicate: reproducible cross-engine and stable as the corpus
+    // grows (a document's copy count never changes on re-run, the
+    // q_split property — which is what makes multi-epoch training
+    // checkpoints resumable). The Spark side BUILDS the actual
+    // training-row stream — explode(sequence(1, copies)), a map-side
+    // generator with no shuffle, each copy tagged with its epoch — and
+    // then audits it; the oracle recomputes the same totals
+    // arithmetically, so any off-by-one in the explode is a hash
+    // mismatch. At 100 TB the exploded stream IS the sink write; the
+    // audit rides it as one map-combinable agg.
+    QueryDef(
+      "q_mix_epochs",
+      s"""WITH rated AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN idx < 10 THEN 1 WHEN idx < 15 THEN 2 ELSE 3 END
+        |      AS base,
+        |    CASE WHEN idx < 5 THEN 0 WHEN idx < 10 THEN 2147483648
+        |         WHEN idx < 15 THEN 1073741824 ELSE 2147483648 END AS thr,
+        |    h
+        |  FROM (
+        |    SELECT source, n_chars,
+        |      CAST(substr(source, 4) AS INTEGER) AS idx,
+        |      ${graft.functions.TextAnalysis.h32sql(
+          "'ep:' || CAST(doc_id AS VARCHAR)")} AS h
+        |    FROM documents)),
+        |cp AS (
+        |  SELECT source, n_chars,
+        |    base + CASE WHEN h < thr THEN 1 ELSE 0 END AS copies,
+        |    CASE WHEN h < thr THEN 1 END AS extra
+        |  FROM rated)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(copies) AS BIGINT) AS n_emitted,
+        |  count(extra) AS n_extra,
+        |  CAST(sum(copies * n_chars) AS BIGINT) AS chars_emitted
+        |FROM cp GROUP BY 1""".stripMargin) { (s, dir) =>
+      val idx = expr("substring(source, 4)").cast("int")
+      val base = when(idx < 10, 1).when(idx < 15, 2).otherwise(3)
+      val thr = when(idx < 5, 0L).when(idx < 10, 2147483648L)
+        .when(idx < 15, 1073741824L).otherwise(2147483648L)
+      val h = graft.functions.TextAnalysis.h32(
+        concat(lit("ep:"), col("doc_id").cast("string")))
+      // the real exploded training stream: one row per (doc, epoch)
+      val stream = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), base.as("base"),
+          (base + when(h < thr, 1).otherwise(0)).as("copies"))
+        .select(col("source"), col("n_chars"), col("base"),
+          explode(sequence(lit(1), col("copies"))).as("epoch"))
+      stream.groupBy(col("source"))
+        .agg(count(when(col("epoch") === 1, 1)).as("n_docs"),
+          count(lit(1)).as("n_emitted"),
+          count(when(col("epoch") > col("base"), 1)).as("n_extra"),
+          sum(col("n_chars")).as("chars_emitted"))
     }
   )
 }

@@ -24,4 +24,43 @@ class TextSpec extends SparkSpec {
     // cells are unique (grouped output)
     assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
   }
+
+  test("q_text_winnow selects per the SIGMOD'03 guarantee: every window " +
+    "of w shingles contributes its minimum, nothing else is selected") {
+    val W = 4
+    val M = 999999999999989L
+    val out = SparkEntry.queries("q_text_winnow")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent recompute in plain Scala on a sample of documents,
+    // reusing the library's own portable h32 ONLY through SQL (so the
+    // reference path is the oracle formula, not the query's code)
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .selectExpr("doc_id", "text",
+        "transform(split(text, ' '), " +
+          "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)) hs")
+      .collect()
+    var checked = 0
+    docs.foreach { r =>
+      val hs = r.getSeq[Long](2)
+      if (hs.length >= 6) {
+        val sh = (0 to hs.length - 3)
+          .map(i => ((hs(i) * 31 + hs(i + 1)) * 31 + hs(i + 2)) % M)
+        val expected =
+          sh.sliding(W).map(_.min).toSeq.distinct
+        val (n, x, mn) = out(r.getLong(0))
+        assert(n == expected.length, s"doc ${r.getLong(0)}: $n fps, " +
+          s"expected ${expected.length}")
+        assert(x == expected.reduce(_ ^ _) && mn == expected.min,
+          s"doc ${r.getLong(0)}: selected set diverges")
+        // density sanity: winnowing must actually THIN dense shingle
+        // streams (selected ≤ window count, and strictly fewer than all
+        // shingles once there are enough windows to overlap)
+        if (sh.length >= 3 * W) assert(expected.length < sh.length)
+        checked += 1
+      }
+    }
+    assert(checked > 10, s"only $checked docs checked — sample too thin")
+  }
 }
