@@ -1043,6 +1043,114 @@ object TextAnalysis {
           aggregate(col("fps"), lit(0L),
             (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
           array_min(col("fps")).as("fp_min"))
+    },
+
+    // ------------------------------------------------------------------
+    // Winsorization audit — two-sided outlier clipping at the exact
+    // per-source [P10, P90] positions: where q_curate_percentile DROPS
+    // the tail, winsorizing KEEPS every document but clamps the metric
+    // — the robust-mean treatment feature pipelines apply before
+    // normalizing. Thresholds are exact sorted-position selections
+    // (floor(q·(n−1)), the q_graph_kcore rule — both engines pick the
+    // identical element, no quantile interpolation), computed through
+    // chunkedRank so no per-source single-task sort exists; they come
+    // back onto the scan as a broadcast 20-row threshold table. The
+    // clipped mean is the only float and rounds through Num.
+    QueryDef(
+      "q_winsorize",
+      s"""WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |th AS (
+        |  SELECT source,
+        |    min(CASE WHEN idx = CAST(floor(0.1 * (n - 1)) AS BIGINT)
+        |        THEN n_chars END) AS lo,
+        |    min(CASE WHEN idx = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+        |        THEN n_chars END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT d.source, count(*) AS n, min(t.lo) AS lo, min(t.hi) AS hi,
+        |  count(CASE WHEN d.n_chars < t.lo THEN 1 END) AS n_clip_lo,
+        |  count(CASE WHEN d.n_chars > t.hi THEN 1 END) AS n_clip_hi,
+        |  ${Num.sql(
+          "avg(CASE WHEN d.n_chars < t.lo THEN t.lo " +
+            "WHEN d.n_chars > t.hi THEN t.hi ELSE d.n_chars END * 1e0)",
+          6)} AS mean_wins
+        |FROM documents d JOIN th t ON d.source = t.source
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val th = graft.operators.Analytics
+        .chunkedRank(docs, "source", "n_chars", Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          min(when(col("idx") === floor(lit(0.1) * (col("n") - 1))
+            .cast("long"), col("n_chars"))).as("lo"),
+          min(when(col("idx") === floor(lit(0.9) * (col("n") - 1))
+            .cast("long"), col("n_chars"))).as("hi"))
+      val clipped = when(col("n_chars") < col("lo"), col("lo"))
+        .when(col("n_chars") > col("hi"), col("hi"))
+        .otherwise(col("n_chars"))
+      docs.join(broadcast(th), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"),
+          count(when(col("n_chars") < col("lo"), 1)).as("n_clip_lo"),
+          count(when(col("n_chars") > col("hi"), 1)).as("n_clip_hi"),
+          Num.r(avg(clipped * lit(1e0)), 6).as("mean_wins"))
+    },
+
+    // ------------------------------------------------------------------
+    // Tokenizer vocabulary coverage — the OOV-rate report: fix the
+    // top-100 corpus vocabulary (count desc, token tie-break — the
+    // deterministic rank), then measure what fraction of each source's
+    // token stream falls OUTSIDE it. This is the tokenizer-health
+    // number a pipeline checks before committing to a vocab (a source
+    // whose OOV rate spikes will fragment into bytes at training
+    // time). The global token-count relation is vocab-sized
+    // (Heaps-sublinear in the corpus), its top-100 rank runs through
+    // chunkedRank on negated counts (no single-task vocab sort), and
+    // the 100-row vocabulary broadcast-joins back onto the token
+    // stream — the corpus is scanned twice (count pass, probe pass),
+    // both scan-local, nothing else shuffles.
+    QueryDef(
+      "q_vocab_oov",
+      s"""WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tc AS (
+        |  SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk
+        |    FROM tc)
+        |  WHERE rk <= 100)
+        |SELECT source, count(*) AS n_tokens,
+        |  count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov,
+        |  ${Num.sql(
+          "count(CASE WHEN v.w IS NULL THEN 1 END) * 1e0 / count(*)",
+          6)} AS oov_rate
+        |FROM tok LEFT JOIN vocab v ON tok.w = v.w
+        |WHERE tok.w <> ''
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tc = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("negc", -col("c"))
+        .withColumn("__all", lit("all"))
+      val vocab = graft.operators.Analytics
+        .chunkedRank(tc, "__all", "negc", Seq("w"))
+        .filter(col("idx") < 100)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("w"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+          Num.r(count(when(col("in_vocab").isNull, 1)) * lit(1e0)
+            / count(lit(1)), 6).as("oov_rate"))
     }
   )
 }

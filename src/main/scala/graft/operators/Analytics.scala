@@ -1394,6 +1394,61 @@ object Analytics {
         Num.r(col("det0") / col("det"), 6).as("w_icept"),
         Num.r(col("det1") / col("det"), 6).as("w_qty"),
         Num.r(col("det2") / col("det"), 6).as("w_disc"))
+    },
+
+    // ------------------------------------------------------------------
+    // Rule-table-driven validation — the declarative "expectations"
+    // engine (the dbt-tests / Great-Expectations shape): data-quality
+    // rules live as ROWS in a rule table, not as code, so adding a
+    // check is an insert, not a deploy. Engine shape: the audited
+    // columns unpivot ONCE via stack() into a (col_name, value) stream
+    // — one scan covers every rule, the q_unpivot_profile discipline —
+    // and the tiny rule table broadcast-joins onto it by column name;
+    // a NULL or out-of-range value is a violation. Both checked and
+    // violated counts come back per rule, so a disabled-by-typo rule
+    // (n_checked = 0) is visible, not silently green. At 100 TB the
+    // cost is one fact-table scan regardless of how many rules audit
+    // the same columns.
+    QueryDef(
+      "q_audit_rules",
+      """WITH rules(rule_id, col_name, lo, hi) AS (
+        |  VALUES
+        |    ('totalprice_floor', 'o_totalprice', 0e0, 1e9),
+        |    ('totalprice_cap',   'o_totalprice', 0e0, 300000e0),
+        |    ('custkey_range',    'o_custkey',    1e0, 2e5),
+        |    ('orderkey_pos',     'o_orderkey',   1e0, 1e18)),
+        |m AS (
+        |  SELECT 'o_totalprice' AS col_name, o_totalprice AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', CAST(o_orderkey AS DOUBLE) FROM orders)
+        |SELECT rule_id, r.col_name, count(*) AS n_checked,
+        |  count(CASE WHEN v IS NULL OR v < lo OR v > hi THEN 1 END)
+        |    AS n_viol
+        |FROM m JOIN rules r ON m.col_name = r.col_name
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rules = Seq(
+        ("totalprice_floor", "o_totalprice", 0e0, 1e9),
+        ("totalprice_cap", "o_totalprice", 0e0, 300000e0),
+        ("custkey_range", "o_custkey", 1e0, 2e5),
+        ("orderkey_pos", "o_orderkey", 1e0, 1e18))
+        .toDF("rule_id", "col_name", "lo", "hi")
+      t(s, dir, "orders")
+        .select(expr(
+          """stack(3,
+            |  'o_totalprice', o_totalprice,
+            |  'o_custkey', CAST(o_custkey AS DOUBLE),
+            |  'o_orderkey', CAST(o_orderkey AS DOUBLE))
+            |AS (col_name, v)""".stripMargin))
+        .join(broadcast(rules), "col_name")
+        .groupBy(col("rule_id"), col("col_name"))
+        .agg(count(lit(1)).as("n_checked"),
+          count(when(col("v").isNull || col("v") < col("lo")
+            || col("v") > col("hi"), 1)).as("n_viol"))
+        .select(col("rule_id"), col("col_name"), col("n_checked"),
+          col("n_viol"))
     }
   )
 }

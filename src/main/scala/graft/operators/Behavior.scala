@@ -1634,6 +1634,48 @@ object Behavior {
           count(lit(1)).as("n_emitted"),
           count(when(col("epoch") > col("base"), 1)).as("n_extra"),
           sum(col("n_chars")).as("chars_emitted"))
+    },
+
+    // ------------------------------------------------------------------
+    // Last-touch conversion attribution — the marketing-warehouse
+    // workhorse: every purchase is credited to the user's most recent
+    // PRIOR non-purchase event (view/click/signup), falling back to
+    // 'direct' when the purchase opens the history. ONE user-keyed
+    // window does all the work: a running last(ignoreNulls) over
+    // [unbounded, -1) carries the candidate channel forward, so there
+    // is no per-conversion lookback self-join — the plan is a single
+    // shuffle by user_id plus a channel-grained aggregate, and at
+    // 100 TB cost scales with the event count exactly like q_scd2.
+    // Conversion value totals are kept EXACT: floor(value·100 + 0.5)
+    // cents as BIGINT (the Num op sequence with an integer landing),
+    // so the money column hash-checks without rounding armor.
+    QueryDef(
+      "q_attribution",
+      """WITH o AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+        |               END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM events)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  count(*) AS conversions,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("channel"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
     }
   )
 }
