@@ -1151,6 +1151,80 @@ object TextAnalysis {
           count(when(col("in_vocab").isNull, 1)).as("n_oov"),
           Num.r(count(when(col("in_vocab").isNull, 1)) * lit(1e0)
             / count(lit(1)), 6).as("oov_rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // PMI collocations (Church & Hanks 1990) — the top word-bigram
+    // associations: pmi(a,b) = ln( (c_ab/N_bg) / ((c_a/N_u)·(c_b/N_u)) ),
+    // the phrase-mining primitive (tokenizer merge candidates, entity
+    // pre-chunking) one level above q_text_bpe's character pairs.
+    // Adjacent pairs explode in place from each document's token array
+    // (tokens are space-free by the corpus format, so 'a b' is a safe
+    // bigram key); both count tables are map-combinable and
+    // vocab-bounded; the two unigram re-joins hit the bigram table — a
+    // support-thresholded (≥5) relation that is corpus-frequency-
+    // bounded at N_bg/5 rows — never the token stream. Totals ride as
+    // broadcast 1-row aggregates. Ranking runs on the ROUNDED pmi (the
+    // BM25 discipline: float ulps must not flip ranks) with the bigram
+    // string tie-break, through chunkedRank so no global sort task.
+    QueryDef(
+      "q_text_pmi",
+      s"""WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS ab
+        |  FROM d),
+        |bgc AS (SELECT ab, count(*) AS c_ab FROM bg GROUP BY 1),
+        |nb AS (SELECT sum(c_ab) AS n_bg FROM bgc),
+        |uni AS (
+        |  SELECT unnest(w) AS u FROM d),
+        |uc AS (SELECT u, count(*) AS c_u FROM uni WHERE u <> '' GROUP BY 1),
+        |nu AS (SELECT sum(c_u) AS n_u FROM uc),
+        |j AS (
+        |  SELECT ab, c_ab,
+        |    ${Num.sql(
+          "ln((c_ab * 1e0 / n_bg) / ((ca.c_u * 1e0 / n_u) * (cb.c_u * 1e0 / n_u)))",
+          4)} AS pmi
+        |  FROM bgc CROSS JOIN nb CROSS JOIN nu
+        |  JOIN uc ca ON split_part(ab, ' ', 1) = ca.u
+        |  JOIN uc cb ON split_part(ab, ' ', 2) = cb.u
+        |  WHERE c_ab >= 5)
+        |SELECT ab, c_ab, pmi,
+        |  row_number() OVER (ORDER BY pmi DESC, ab) AS rk
+        |FROM j ORDER BY pmi DESC, ab LIMIT 20""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select(split(col("text"), " ").as("w"))
+      val bgc = d.select(explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("ab"))
+        .groupBy(col("ab")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uc = d.select(explode(col("w")).as("u"))
+        .filter(col("u") =!= "")
+        .groupBy(col("u")).agg(count(lit(1)).as("c_u"))
+      // totals BEFORE the support filter (PMI normalizes by the full
+      // corpus mass, not the surviving bigrams')
+      val nb = d.select((size(col("w")) - 1).as("k"))
+        .agg(sum(col("k")).as("n_bg"))
+      val nu = uc.agg(sum(col("c_u")).as("n_u"))
+      val j = bgc
+        .join(uc.select(col("u"), col("c_u").as("ca")),
+          substring_index(col("ab"), " ", 1) === col("u")).drop("u")
+        .join(uc.select(col("u"), col("c_u").as("cb")),
+          substring_index(col("ab"), " ", -1) === col("u")).drop("u")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("ab"), col("c_ab"),
+          Num.r(log((col("c_ab") * lit(1e0) / col("n_bg")) /
+            ((col("ca") * lit(1e0) / col("n_u"))
+              * (col("cb") * lit(1e0) / col("n_u")))), 4).as("pmi"))
+        .withColumn("negpmi", -col("pmi"))
+      graft.operators.Analytics
+        .chunkedRank(j.withColumn("__all", lit("all")),
+          "__all", "negpmi", Seq("ab"))
+        .filter(col("idx") < 20)
+        .select(col("ab"), col("c_ab"), col("pmi"),
+          (col("idx") + 1).as("rk"))
     }
   )
 }

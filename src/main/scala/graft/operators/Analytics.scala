@@ -1449,6 +1449,77 @@ object Analytics {
             || col("v") > col("hi"), 1)).as("n_viol"))
         .select(col("rule_id"), col("col_name"), col("n_checked"),
           col("n_viol"))
+    },
+
+    // ------------------------------------------------------------------
+    // Skyline / Pareto frontier (Börzsönyi, Kossmann, Stocker, "The
+    // Skyline Operator", ICDE 2001): the parts no other part beats on
+    // BOTH price (minimize) and size (maximize) — multi-objective
+    // shortlisting, the "best trade-offs only" query. The sequential
+    // formulation is a single ordered sweep, which would serialize into
+    // one task; the Spark plan is the paper's divide-and-conquer made
+    // shuffle-shaped:
+    //   1. collapse to distinct (price, size) points with multiplicity
+    //      (map-combinable — at 100 TB the point table, not the fact
+    //      table, is what everything after touches);
+    //   2. per price keep only the max-size point (keyed window);
+    //   3. LOCAL skylines inside 32 price-range chunks — chunk bounds
+    //      from a broadcast 1-row min/max aggregate, sweep = a keyed
+    //      running max per chunk. A local sweep can only DELETE
+    //      dominated points (every global-skyline point survives its
+    //      chunk), so the union of local skylines is a superset of the
+    //      answer;
+    //   4. the global sweep runs over that reduced union — the one
+    //      ordered pass left, on skyline-of-chunks-sized data.
+    // The oracle is the textbook single-window sweep, so the hash match
+    // IS the proof that chunked division ≡ the sequential definition
+    // (the chunkedRank play, applied to dominance).
+    QueryDef(
+      "q_skyline",
+      """WITH p0 AS (
+        |  SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |p1 AS (
+        |  SELECT price, size, n_parts,
+        |    row_number() OVER (PARTITION BY price ORDER BY size DESC) AS rn
+        |  FROM p0),
+        |s AS (
+        |  SELECT price, size, n_parts,
+        |    max(size) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bp
+        |  FROM p1 WHERE rn = 1)
+        |SELECT price, size, n_parts FROM s
+        |WHERE bp IS NULL OR size > bp""".stripMargin) { (s, dir) =>
+      val p0 = t(s, dir, "part")
+        .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val byPrice = Window.partitionBy(col("price"))
+        .orderBy(col("size").desc)
+      val pts = p0.withColumn("rn", row_number().over(byPrice))
+        .filter(col("rn") === 1).drop("rn")
+      // chunk bounds: broadcast 1-row min/max (the q_active_trailing
+      // control-plane pattern) — no jobs at build time
+      val bounds = pts.agg(min(col("price")).as("plo"),
+        max(col("price")).as("phi"))
+      val chunks = 32
+      val chunked = pts.crossJoin(broadcast(bounds))
+        .withColumn("chunk",
+          when(col("phi") > col("plo"),
+            least(floor((col("price") - col("plo")) * chunks /
+              (col("phi") - col("plo"))), lit(chunks - 1L)))
+            .otherwise(lit(0L)))
+      val wLocal = Window.partitionBy(col("chunk")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = chunked
+        .withColumn("bp", max(col("size")).over(wLocal))
+        .filter(col("bp").isNull || col("size") > col("bp"))
+      // global sweep over the reduced union of local skylines only
+      val wGlobal = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      local.select(col("price"), col("size"), col("n_parts"))
+        .withColumn("bp", max(col("size")).over(wGlobal))
+        .filter(col("bp").isNull || col("size") > col("bp"))
+        .select(col("price"), col("size"), col("n_parts"))
     }
   )
 }

@@ -561,6 +561,45 @@ object Multimodal {
     b
   }
 
+  /** The same RIFF/PCM16 chunk walk as [[decodeWav]], returning the raw
+    * interleaved int16 samples instead of whole-file statistics — the
+    * extraction step under frame-level feature kernels
+    * (q_multimodal_audio_frames). Same validation contract: throws on
+    * non-RIFF/WAVE, non-PCM16, or truncated/malformed chunk sizes. */
+  def wavSamples(b: Array[Byte]): Array[Int] = {
+    require(b.length >= 12, "truncated WAV")
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    def le32(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
+      (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+    def le16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
+    var o = 12
+    var sawFmt = false
+    val out = Array.newBuilder[Int]
+    while (o + 8 <= b.length) {
+      val id = tag(o); val size = le32(o + 4)
+      val body = o + 8
+      require(size >= 0 && body.toLong + size <= b.length,
+        s"truncated or malformed $id chunk (size=$size)")
+      id match {
+        case "fmt " =>
+          require(le16(body) == 1 && le16(body + 14) == 16, "only PCM16 WAV")
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, "data chunk before fmt")
+          var k = 0
+          val nChunk = size / 2
+          while (k < nChunk) {
+            out += (le16(body + 2 * k) << 16) >> 16 // sign-extend int16
+            k += 1
+          }
+        case _ => // skip by declared size
+      }
+      o = body + size + (size & 1)
+    }
+    out.result()
+  }
+
   /** Real WAV (RIFF/PCM16) parse: chunk walk — `fmt ` → (rate, channels,
     * bits), unknown chunks (LIST, ...) skipped by their declared size —
     * then exact integer statistics over the `data` samples. Throws on
@@ -903,6 +942,79 @@ object Multimodal {
       assets.mapPartitions { it =>
         it.map { case (id, bytes) => decodeWav(bytes).copy(doc_id = id) }
       }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // Frame-level audio features — the feature-extraction pass one level
+    // below q_multimodal_audio's whole-file statistics: the interleaved
+    // PCM16 stream frames into fixed 64-sample windows (last frame
+    // ragged), and each frame reports exact INTEGER features — sample
+    // count, energy (Σs², bounded by 64·2³⁰ < 2³⁶, no overflow), peak
+    // |s|, and the zero-crossing count (strict sign boundary between
+    // consecutive in-frame samples) — the classic cheap VAD/music-vs-
+    // speech signals. Same fixture arithmetic as q_multimodal_audio, so
+    // the oracle replays every frame from doc_id alone: a kernel that
+    // frames off-by-one, drops the ragged tail, or counts crossings
+    // across frame boundaries hash-mismatches. Scale shape: the decode
+    // + framing is per-row executor work (flatMap — the batch kernel
+    // pattern), output is frames·4 ints per asset, and nothing
+    // shuffles; downstream models consume the frame table keyed however
+    // they like.
+    QueryDef(
+      "q_multimodal_audio_frames",
+      {
+        val ni = "(((doc_id % 50) + 10) * (1 + doc_id % 2))"
+        def smp(k: String) = s"((doc_id * 31 + ($k) * 7) % 65536 - 32768)"
+        s"""WITH f AS (
+          |  SELECT doc_id,
+          |    unnest(range(0, ($ni + 63) // 64)) AS frame_idx
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, frame_idx, frame_idx * 64 AS lo,
+          |    least((frame_idx + 1) * 64, $ni) AS hi
+          |  FROM f)
+          |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          |  CAST(hi - lo AS INTEGER) AS n_samp,
+          |  CAST(list_sum(list_transform(range(lo, hi),
+          |    k -> ${smp("k")} * ${smp("k")})) AS BIGINT) AS energy,
+          |  CAST(list_max(list_transform(range(lo, hi),
+          |    k -> abs(${smp("k")}))) AS INTEGER) AS peak,
+          |  CAST(coalesce(list_sum(list_transform(range(lo, hi - 1),
+          |    k -> CASE WHEN (${smp("k")} < 0) <> (${smp("k + 1")} < 0)
+          |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zcr
+          |FROM b""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val frameLen = 64
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val ch = 1 + (id % 2).toInt
+          val rate = 8000 + (id % 3).toInt * 4000
+          val n = (id % 50).toInt + 10
+          val samples = Array.tabulate[Short](n * ch)(
+            k => (((id * 31 + k * 7) % 65536) - 32768).toShort)
+          (id, encodeWav(rate, ch, samples))
+        }
+      assets.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val s = wavSamples(bytes)
+          (0 until (s.length + frameLen - 1) / frameLen).map { f =>
+            val lo = f * frameLen
+            val hi = math.min(lo + frameLen, s.length)
+            var energy = 0L; var peak = 0; var zcr = 0L
+            var k = lo
+            while (k < hi) {
+              val v = s(k)
+              energy += v.toLong * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (k < hi - 1 && ((v < 0) != (s(k + 1) < 0))) zcr += 1
+              k += 1
+            }
+            (id, f, hi - lo, energy, peak, zcr)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "n_samp", "energy", "peak", "zcr")
     },
 
     // ------------------------------------------------------------------

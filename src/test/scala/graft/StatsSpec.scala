@@ -27,4 +27,25 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(ku - ref(g)._2) < 1e-5, s"$g kurt: $ku vs ${ref(g)._2}")
     }
   }
+
+  test("q_skyline: output is exactly the non-dominated set (brute-force " +
+    "dominance check, both directions)") {
+    import org.apache.spark.sql.functions._
+    val sky = SparkEntry.queries("q_skyline")(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    assert(sky.nonEmpty)
+    val all = Tables(spark, sfDir, "part")
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).distinct
+    def dominates(a: (Double, Int), b: (Double, Int)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    // soundness: no point anywhere dominates a skyline point
+    sky.foreach { s =>
+      assert(!all.exists(p => dominates(p, s)), s"$s is dominated")
+    }
+    // completeness: every non-dominated point IS in the skyline
+    val expected = all.filter(p => !all.exists(q => dominates(q, p))).toSet
+    assert(sky.toSet == expected,
+      s"skyline ${sky.length} points != brute-force ${expected.size}")
+  }
 }
