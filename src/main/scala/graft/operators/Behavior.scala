@@ -1676,6 +1676,104 @@ object Behavior {
         .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
         .agg(count(lit(1)).as("conversions"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    },
+
+    // ------------------------------------------------------------------
+    // RFM segmentation — the classic customer scoring (Recency ×
+    // Frequency × Monetary quintiles) every CRM warehouse computes:
+    // here as exact RANK-based quintiles, not ntile (whose uneven-
+    // remainder distribution is an engine implementation detail):
+    // q = floor(rank·5/n) with a (metric, custkey) total order, so the
+    // bucketing is bit-deterministic cross-engine. The corpus-sized
+    // work is ONE customer-grained aggregate (count, exact cents via
+    // the floor(x·100+0.5) landing, last-order date against a
+    // broadcast 1-row anchor); the three rank passes then run on the
+    // customer table through chunkedRank — parallel chunk sorts, no
+    // global single-task window on the engine side (the oracle uses
+    // the textbook three windows, so the hash match proves chunked ≡
+    // windowed, three metrics at once). Output is the ≤125-cell
+    // segment table with customer counts and money mass.
+    QueryDef(
+      "q_rfm",
+      """WITH anchor AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS ad FROM orders),
+        |c AS (
+        |  SELECT o_custkey AS ck, count(*) AS f,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS m_cents,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)), min(ad))
+        |      AS r_days
+        |  FROM orders CROSS JOIN anchor GROUP BY 1),
+        |r AS (
+        |  SELECT ck, m_cents,
+        |    row_number() OVER (ORDER BY r_days, ck) - 1 AS ri,
+        |    row_number() OVER (ORDER BY f, ck) - 1 AS fi,
+        |    row_number() OVER (ORDER BY m_cents, ck) - 1 AS mi,
+        |    count(*) OVER () AS n
+        |  FROM c)
+        |SELECT CAST((ri*5//n)*100 + (fi*5//n)*10 + (mi*5//n) AS INTEGER)
+        |    AS segment,
+        |  count(*) AS n_cust,
+        |  CAST(sum(m_cents) AS BIGINT) AS cents
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val anchor = orders
+        .agg(max(col("o_orderdate").cast("date")).as("ad"))
+      val c = orders.crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("f"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("m_cents"),
+          datediff(min(col("ad")), max(col("o_orderdate").cast("date")))
+            .as("r_days"))
+        .withColumn("__all", lit("all"))
+      def rankOf(vcol: String, as: String): DataFrame =
+        Analytics.chunkedRank(
+          c.select(col("ck"), col(vcol), col("__all")), "__all", vcol,
+          Seq("ck"))
+          .select(col("ck"), col("idx").as(as), col("n"))
+      val r = rankOf("r_days", "ri").drop("n")
+        .join(rankOf("f", "fi").drop("n"), "ck")
+        .join(rankOf("m_cents", "mi"), "ck")
+        .join(c.select(col("ck"), col("m_cents")), "ck")
+      r.groupBy((expr("ri * 5 div n") * 100 + expr("fi * 5 div n") * 10
+          + expr("mi * 5 div n")).cast("int").as("segment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("m_cents")).as("cents"))
+    },
+
+    // ------------------------------------------------------------------
+    // Calibration / reliability bins — the companion readout to
+    // q_eval_auc: AUC says the score RANKS the label; calibration says
+    // what the positive rate actually IS per score decile (the
+    // reliability diagram a threshold gets picked from). Deciles are
+    // exact global ranks (floor(rank·10/n), (score, doc_id) total
+    // order) through chunkedRank — same engine-vs-textbook-window
+    // equivalence play as q_rfm — and every output is an exact integer
+    // or a single rounded ratio.
+    QueryDef(
+      "q_calibration",
+      s"""WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT CAST(idx*10//n AS INTEGER) AS decile, count(*) AS n_docs,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS n_pos,
+        |  ${Num.sql("count(CASE WHEN lang = 'en' THEN 1 END) * 1e0 / count(*)",
+          6)} AS pos_rate,
+        |  min(n_chars) AS chars_lo, max(n_chars) AS chars_hi
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("__all", lit("all"))
+      Analytics.chunkedRank(docs, "__all", "n_chars", Seq("doc_id"))
+        .groupBy(expr("idx * 10 div n").cast("int").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("lang") === "en", 1)).as("n_pos"),
+          Num.r(count(when(col("lang") === "en", 1)) * lit(1e0)
+            / count(lit(1)), 6).as("pos_rate"),
+          min(col("n_chars")).as("chars_lo"),
+          max(col("n_chars")).as("chars_hi"))
     }
   )
 }

@@ -457,6 +457,78 @@ object Graph {
         .select(col("s1"), col("s2"), col("common"),
           Num.r(col("common") * lit(1e0) /
             (col("d1") + col("d2") - col("common")), 6).as("jaccard"))
+    },
+
+    // ------------------------------------------------------------------
+    // Degree assortativity (Newman, "Assortative mixing in networks",
+    // PRL 2002): the Pearson correlation of endpoint degrees across
+    // edges — does this graph wire hubs to hubs (assortative, > 0, the
+    // social-network signature) or hubs to leaves (disassortative,
+    // < 0, the web/biology signature)? A one-number structural health
+    // check next to pagerank/k-core, and a spam signal in corpus link
+    // graphs (link farms read strongly assortative). Exactness: every
+    // Pearson term is an exact BIGINT power sum over edges (deg ≤ 10⁴,
+    // deg²·|E| ≈ 10¹⁴ ≪ 2⁶³ — the q_agg_skew integer-moment trick),
+    // so the only float op is the final quotient, identical IEEE in
+    // both engines under the shared Num rounding. Plan: degree is one
+    // map-combinable count; both endpoint joins hit the broadcast
+    // |V|-row degree table; the moment fold is a 1-row aggregate —
+    // cost is one pass over |E| at any scale.
+    QueryDef(
+      "q_graph_assortativity",
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (
+        |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM e0
+        |  UNION ALL
+        |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+        |j AS (
+        |  SELECT da.d AS x, db.d AS y FROM edges e
+        |  JOIN deg da ON e.src = da.node
+        |  JOIN deg db ON e.dst = db.node),
+        |mm AS (
+        |  SELECT count(*) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM j)
+        |SELECT m AS n_edges,
+        |  ${Num.sql(
+          "(m * 1e0 * sxy - sx * 1e0 * sy) / " +
+            "(sqrt(m * 1e0 * sxx - sx * 1e0 * sx) * " +
+            "sqrt(m * 1e0 * syy - sy * 1e0 * sy))", 6)}
+        |    AS assortativity
+        |FROM mm""".stripMargin) { (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val j = edges
+        .join(broadcast(deg.select(col("src"), col("d").as("x"))), "src")
+        .join(broadcast(deg.select(col("src").as("dst"), col("d").as("y"))),
+          "dst")
+      val mm = j.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      // the identical double op sequence as the oracle: promote each
+      // factor via ·1e0 BEFORE multiplying (exact ≤2⁵³ integers, then
+      // one IEEE product) — BIGINT products would overflow near 2⁶³ on
+      // larger graphs, on either engine
+      val m1 = col("m") * lit(1e0)
+      val sx1 = col("sx") * lit(1e0)
+      val sy1 = col("sy") * lit(1e0)
+      mm.select(col("m").as("n_edges"),
+        Num.r((m1 * col("sxy") - sx1 * col("sy"))
+          / (sqrt(m1 * col("sxx") - sx1 * col("sx"))
+            * sqrt(m1 * col("syy") - sy1 * col("sy"))), 6)
+          .as("assortativity"))
     }
   )
 }

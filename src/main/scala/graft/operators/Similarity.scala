@@ -1468,6 +1468,58 @@ object Similarity {
           (a, b) => struct(a.as("l1"), b.as("l2")))).as(Seq("pos", "pc")))
         .select(col("pos"), Num.r(col("pc.l1"), 6).as("pc1"),
           Num.r(col("pc.l2"), 6).as("pc2"))
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-space outlier pruning — the semantic-outlier filter a
+    // curation pipeline runs before clustering or dedup trusts the
+    // vectors: distance² to the global centroid, flagged past
+    // mean + 2σ. Three broadcast-coupled passes, every one
+    // map-combinable: (1) the Dim-sized centroid (per-position means),
+    // (2) per-vector d² against the broadcast centroid — one codegen'd
+    // zip_with fold per row, vectors never shuffle — feeding the 1-row
+    // d² moments, (3) the flag pass with the broadcast threshold,
+    // reduced per label. The boundary comparison runs on Num-ROUNDED
+    // d² against the Num-rounded threshold, so the two engines compare
+    // IDENTICAL doubles and fold-order ulps cannot flip a count — the
+    // q_knn family's rounded-rank discipline applied to a cutoff.
+    QueryDef(
+      "q_embed_outliers",
+      s"""WITH u AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |m AS (SELECT pos, avg(x) AS mx FROM u GROUP BY 1),
+        |d AS (
+        |  SELECT vec_id, label,
+        |    ${Num.sql("sum((x - mx) * (x - mx))", 6)} AS d2
+        |  FROM u JOIN m ON u.pos = m.pos GROUP BY 1, 2),
+        |s AS (
+        |  SELECT ${Num.sql("avg(d2) + 2 * stddev_samp(d2)", 6)} AS thr
+        |  FROM d)
+        |SELECT label, count(*) AS n,
+        |  count(CASE WHEN d2 > thr THEN 1 END) AS n_out,
+        |  ${Num.sql("avg(d2)", 4)} AS mean_d2,
+        |  ${Num.sql("max(d2)", 4)} AS max_d2
+        |FROM d CROSS JOIN s GROUP BY 1""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("x"))
+      val m = emb.select(posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy(col("pos")).agg(avg(col("xv")).as("mx"))
+      val cent = pcaAsArray(m, "mx").select(col("arr").as("cm"))
+      val d = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"),
+          Num.r(aggregate(zip_with(col("x"), col("cm"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v), 6)
+            .as("d2"))
+      val thr = d.agg(
+        Num.r(avg(col("d2")) + lit(2) * stddev_samp(col("d2")), 6).as("thr"))
+      d.crossJoin(broadcast(thr))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("d2") > col("thr"), 1)).as("n_out"),
+          Num.r(avg(col("d2")), 4).as("mean_d2"),
+          Num.r(max(col("d2")), 4).as("max_d2"))
     }
   )
 }
