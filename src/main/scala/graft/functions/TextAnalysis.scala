@@ -1225,6 +1225,43 @@ object TextAnalysis {
         .filter(col("idx") < 20)
         .select(col("ab"), col("c_ab"), col("pmi"),
           (col("idx") + 1).as("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // Feature hashing (the "hashing trick", Weinberger et al. ICML
+    // 2009): tokens route to a FIXED 256-dim feature space by hash —
+    // the vectorizer that needs no vocabulary table at all, which is
+    // why streaming/online pipelines reach for it first. Per document:
+    // token mass, occupied buckets (nnz), and two order-free integer
+    // checksums of the sparse vector (Σ(bucket+1)·count and Σcount²)
+    // that pin the EXACT bucket→count map cross-engine — a hash-seed
+    // or modulo mismatch flips both. Everything is one map-combinable
+    // (doc, bucket) count followed by a per-doc fold; nothing but
+    // (doc_id, 4 ints) ever shuffles, and D=256 bounds the per-doc
+    // state no matter how the corpus grows — the property that lets
+    // the same plan vectorize 100 TB straight into a trainer.
+    QueryDef(
+      "q_text_hashtf",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, ${h32sql("w")} % 256 AS b
+        |  FROM tok WHERE w <> ''),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS nnz,
+        |  CAST(sum((b + 1) * c) AS BIGINT) AS chk_pos,
+        |  CAST(sum(c * c) AS BIGINT) AS chk_sq
+        |FROM bc GROUP BY 1""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"), (h32(col("w")) % 256).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("nnz"),
+          sum((col("b") + 1) * col("c")).as("chk_pos"),
+          sum(col("c") * col("c")).as("chk_sq"))
     }
   )
 }

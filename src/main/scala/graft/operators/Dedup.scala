@@ -1113,6 +1113,73 @@ object Dedup {
         .filter(col("jw_raw") >= 0.88)
         .select(col("name_a"), col("name_b"),
           Num.r(col("jw_raw"), 6).as("jw"))
+    },
+
+    // ------------------------------------------------------------------
+    // Entity resolution end-to-end: q_link_fuzzy's blocked edit-distance
+    // pairs → connected components → one GOLDEN RECORD per entity
+    // cluster — the master-data step that turns "these records
+    // resemble each other" into "these are the same thing, keep this
+    // one". Cluster identity comes from the same min-label propagation
+    // as the document near-dup path ([[connectedComponents]] on h60
+    // name ids); the canonical record is the cluster's LABEL node
+    // joined back to its name (a pure function of the cluster, no
+    // arbitrary pick), and each entity reports its variant count plus
+    // how many fact rows (part occurrences) it absorbs — the dedup
+    // savings a master-data merge actually delivers. The oracle
+    // replays the closure recursively over the identical hashed pair
+    // set (the q_dedup_components pattern), so Spark's O(log d)
+    // pointer-jumping is hash-checked against textbook transitive
+    // closure on this second, independent pair family too.
+    QueryDef(
+      "q_link_cluster",
+      s"""WITH names AS (
+        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS blk
+        |  FROM part),
+        |pr AS (
+        |  SELECT ${h60sql("a.p_name")} AS id_a, ${h60sql("b.p_name")} AS id_b
+        |  FROM names a JOIN names b
+        |    ON a.blk = b.blk AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pr
+        |      UNION ALL SELECT id_b, id_a FROM pr),
+        |r AS (
+        |  WITH RECURSIVE reach(a, b) AS (
+        |    SELECT a, b FROM e
+        |    UNION
+        |    SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+        |  SELECT * FROM reach),
+        |comp AS (SELECT a AS node, min(b) AS c FROM r GROUP BY a),
+        |hn AS (SELECT p_name, ${h60sql("p_name")} AS h FROM names),
+        |pc AS (SELECT p_name, count(*) AS np FROM part GROUP BY 1),
+        |cl AS (
+        |  SELECT comp.c, hn.p_name, pc.np FROM comp
+        |  JOIN hn ON comp.node = hn.h
+        |  JOIN pc ON hn.p_name = pc.p_name)
+        |SELECT cn.p_name AS canonical, count(*) AS n_variants,
+        |  CAST(sum(cl.np) AS BIGINT) AS n_part_rows
+        |FROM cl JOIN hn cn ON cl.c = cn.h
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val names = t(s, dir, "part")
+        .select(col("p_name"),
+          element_at(split(col("p_name"), " "), 2).as("blk"))
+        .distinct()
+      val a = names.select(col("p_name").as("name_a"), col("blk"))
+      val b = names.select(col("p_name").as("name_b"), col("blk"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(h60(col("name_a")).as("id_a"), h60(col("name_b")).as("id_b"))
+      val cc = connectedComponents(pairs)
+      val hn = names.select(col("p_name"), h60(col("p_name")).as("h"))
+      val pc = t(s, dir, "part").groupBy(col("p_name"))
+        .agg(count(lit(1)).as("np"))
+      cc.join(broadcast(hn), col("node") === col("h"))
+        .join(pc, "p_name")
+        .join(broadcast(hn.select(col("p_name").as("canonical"),
+          col("h").as("hc"))), col("component") === col("hc"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_variants"), sum(col("np")).as("n_part_rows"))
     }
   )
 }

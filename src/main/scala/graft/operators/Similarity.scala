@@ -1520,6 +1520,55 @@ object Similarity {
           count(when(col("d2") > col("thr"), 1)).as("n_out"),
           Num.r(avg(col("d2")), 4).as("mean_d2"),
           Num.r(max(col("d2")), 4).as("max_d2"))
+    },
+
+    // ------------------------------------------------------------------
+    // FILTERED vector search — top-k under a metadata predicate (the
+    // "similar documents from THIS collection only" query every vector
+    // store serves; filtered ANN is its own research problem because a
+    // post-filtered index can return < k). Here the filter is exact and
+    // PRE-applied: label = 2 restricts the candidate side BEFORE any
+    // distance math, so the predicate pushes to the parquet scan
+    // (PushedFilters) and the engine scores only the surviving ~1/10 of
+    // the corpus — the filtered-brute reference an IVF post-filter
+    // would be recall-audited against. Same distributed shape as
+    // q_knn_brute: broadcast query set, map-side graft_topk partials,
+    // never a full-rank window.
+    QueryDef(
+      "q_knn_filtered",
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosSql AS c
+        |  FROM e q JOIN e n
+        |    ON q.vec_id < 10 AND n.label = 2 AND n.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, c,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk, ${Num.sql("c", 6)} AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      graft.functions.TopK.register(s)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      // the metadata predicate lands on the SCAN of the candidate side
+      val n = e.filter(col("label") === 2)
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"))
+      n.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).as("rnk"),
+          Num.r(col("col.score"), 6).as("cos"))
     }
   )
 }

@@ -206,6 +206,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("IsNotNull"), p)
   }
 
+  test("q_knn_filtered pushes the metadata predicate to the candidate scan " +
+    "(filtered search scores survivors only)") {
+    val p = plan("q_knn_filtered")
+    // the label filter must reach the parquet scan of the candidate
+    // side, not run as a post-scan (let alone post-distance) filter
+    assert(p.contains("EqualTo(label,2)"), p)
+  }
+
   test("scans prune columns: q_project_cast reads only what it projects") {
     val p = plan("q_project_cast")
     assert(p.contains("ReadSchema"), p)
@@ -554,7 +562,16 @@ class PlanSpec extends SparkSpec {
       "q_label_kappa", // crossJoin of 1-row total/agree/chance aggregates
       "q_pref_btl", // per-MM-round crossJoin(broadcast(1-row norm total))
       "q_graph_kcore", // crossJoin(broadcast(1-row degree-quantile k))
-      "q_knn_ndcg") // contains q_knn_brute's exact baseline by definition
+      "q_knn_ndcg", // contains q_knn_brute's exact baseline by definition
+      "q_knn_filtered", // q_knn_brute's broadcast-query shape + label filter
+      "q_skyline", // crossJoin(broadcast(1-row chunk-bounds aggregate))
+      "q_ab_ttest", // crossJoin of the two 1-row arm aggregates
+      "q_embed_outliers", // 1-row centroid array + 1-row threshold broadcasts
+      "q_text_pmi", // 1-row N_bg/N_u totals + constant-group chunkedRank
+      "q_vocab_oov", // constant-group chunkedRank bounds (global vocab rank)
+      "q_rfm", // 1-row anchor date + constant-group chunkedRank ×3
+      "q_calibration", // constant-group chunkedRank (global decile rank)
+      "q_ts_acf") // day-rollup × broadcast 3-row lag relation (bounded fan-out)
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
