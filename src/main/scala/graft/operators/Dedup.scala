@@ -1180,6 +1180,119 @@ object Dedup {
           col("h").as("hc"))), col("component") === col("hc"))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_variants"), sum(col("np")).as("n_part_rows"))
+    },
+
+    // ------------------------------------------------------------------
+    // LSH band-parameter SWEEP — the tuning table behind every MinHash
+    // deployment: with 16 hashes, (bands, rows) ∈ {(8,2), (4,4),
+    // (2,8)} trade candidate volume against recall along the S-curve
+    // P(candidate) = 1 − (1 − J^r)^b, and this query measures the trade
+    // ON THIS CORPUS — per config, the candidate-pair count, how many
+    // exact-Jaccard-≥0.8 pairs the banding catches, and the resulting
+    // recall/precision against the exact n-gram ground truth
+    // (q_dedup_ngram's pair pipeline, shared code). The number a
+    // practitioner reads off before committing a 100 TB dedup run to
+    // one config. Scale shape: signatures computed ONCE (cached, the
+    // q_dedup_minhash derivation), each config's candidates come from
+    // the same keyed band-equi-join — never all-pairs on the engine
+    // side; the oracle DOES go all-pairs over signatures (oracle-scale
+    // "never do this at 100 TB", the components precedent) which is
+    // exactly why the hash match proves the banded join finds the
+    // same candidate sets. Empty-config rows survive via the cfg LEFT
+    // JOIN / always-one-row aggregate pairing, so a config that
+    // produces zero candidates reads 0, not absent.
+    QueryDef(
+      "q_dedup_lsh_sweep",
+      s"""WITH $shinglesSql,
+        |shm AS (
+        |  SELECT doc_id,
+        |    md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1,
+        |    md5('2:' || shingle) AS m2, md5('3:' || shingle) AS m3
+        |  FROM sh),
+        |mh AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST('0x' || substr(
+        |      CASE seed // 4 WHEN 0 THEN m0 WHEN 1 THEN m1
+        |                     WHEN 2 THEN m2 ELSE m3 END,
+        |      (seed % 4) * 8 + 1, 8) AS BIGINT)) AS h
+        |  FROM shm, (SELECT unnest(range(0, 16)) AS seed)
+        |  GROUP BY doc_id, seed),
+        |sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig
+        |        FROM mh GROUP BY doc_id),
+        |cfg(b, r) AS (VALUES (8, 2), (4, 4), (2, 8)),
+        |cand AS (
+        |  SELECT c.b, c.r, a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM cfg c CROSS JOIN sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        |  WHERE len(list_filter(range(0, c.b),
+        |    i -> a.sig[i*c.r + 1 : i*c.r + c.r]
+        |         = b2.sig[i*c.r + 1 : i*c.r + c.r])) >= 1),
+        |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+        |cntj AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+        |pj AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT id_a, id_b FROM pj
+        |  JOIN cntj ca ON pj.id_a = ca.doc_id
+        |  JOIN cntj cb ON pj.id_b = cb.doc_id
+        |  WHERE pj.shared * 1.0 / (ca.n + cb.n - pj.shared) >= 0.8),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |ag AS (
+        |  SELECT c.b, c.r, count(*) AS n_cand, count(t.id_a) AS n_hits
+        |  FROM cand c LEFT JOIN truth t
+        |    ON c.id_a = t.id_a AND c.id_b = t.id_b
+        |  GROUP BY 1, 2)
+        |SELECT cfg.b AS bands, cfg.r AS rows_per_band,
+        |  coalesce(ag.n_cand, 0) AS n_cand,
+        |  coalesce(ag.n_hits, 0) AS n_hits, nt.n_truth AS n_truth,
+        |  CASE WHEN nt.n_truth = 0 THEN 0e0 ELSE
+        |    ${Num.sql("coalesce(ag.n_hits, 0) * 1e0 / nt.n_truth", 6)} END
+        |    AS recall,
+        |  CASE WHEN coalesce(ag.n_cand, 0) = 0 THEN 0e0 ELSE
+        |    ${Num.sql("coalesce(ag.n_hits, 0) * 1e0 / ag.n_cand", 6)} END
+        |    AS precision
+        |FROM cfg LEFT JOIN ag ON cfg.b = ag.b AND cfg.r = ag.r
+        |CROSS JOIN nt""".stripMargin) { (s, dir) =>
+      val sig = minhashSignatures(t(s, dir, "documents")).cache()
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid"))
+      val truth = jaccardPairs(sh).select(col("id_a"), col("id_b")).cache()
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val perConfig = Seq((8, 2), (4, 4), (2, 8)).map { case (bN, r) =>
+        val keys = sig.select(col("doc_id"),
+          posexplode(array((0 until bN).map(i => concat_ws("_",
+            (1 to r).map(j => element_at(col("sig"), i * r + j)): _*)): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_key")
+        val cand = keys
+          .select(col("doc_id").as("id_a"), col("band"), col("band_key"))
+          .join(keys.select(col("doc_id").as("id_b"),
+            col("band").as("band_b"), col("band_key").as("band_key_b")),
+            col("band") === col("band_b")
+              && col("band_key") === col("band_key_b")
+              && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        // one aggregate pass per config: a no-groupBy agg always emits
+        // its row, so an empty config reads (0, 0) — mirroring the
+        // oracle's cfg LEFT JOIN
+        cand.join(truth.withColumn("hit", lit(1)), Seq("id_a", "id_b"),
+            "left")
+          .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_hits"))
+          .select(lit(bN).as("bands"), lit(r).as("rows_per_band"),
+            col("n_cand"), col("n_hits"))
+      }
+      perConfig.reduce(_ unionByName _)
+        .crossJoin(broadcast(nt))
+        .select(col("bands"), col("rows_per_band"), col("n_cand"),
+          col("n_hits"), col("n_truth"),
+          when(col("n_truth") === 0, lit(0e0))
+            .otherwise(Num.r(col("n_hits") * lit(1e0) / col("n_truth"), 6))
+            .as("recall"),
+          when(col("n_cand") === 0, lit(0e0))
+            .otherwise(Num.r(col("n_hits") * lit(1e0) / col("n_cand"), 6))
+            .as("precision"))
     }
   )
 }
