@@ -1520,6 +1520,87 @@ object Analytics {
         .withColumn("bp", max(col("size")).over(wGlobal))
         .filter(col("bp").isNull || col("size") > col("bp"))
         .select(col("price"), col("size"), col("n_parts"))
+    },
+
+    // ------------------------------------------------------------------
+    // Market-basket association rules (Agrawal & Srikant, "Fast
+    // algorithms for mining association rules", VLDB 1994 — the
+    // support/confidence/lift framework): which parts co-occur in
+    // orders beyond chance? Top rules by lift, the recommender /
+    // assortment signal. Plan shape is the triangles edge-build: ONE
+    // shuffle groups each order's sorted part set, pairs explode
+    // in-place as a half-matrix (never a fact-table self-join), item
+    // supports broadcast onto the support-thresholded pair table
+    // (min-support 2 prunes the pair relation to ~3% before any join),
+    // and both rule directions come from the same symmetric pair row.
+    // Confidence and lift are single divisions of exact BIGINTs;
+    // ranking runs on the ROUNDED lift through chunkedRank with the
+    // (antecedent, consequent) tie-break — the BM25 discipline.
+    QueryDef(
+      "q_basket_rules",
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS n FROM li),
+        |sup AS (SELECT pk, count(*) AS s FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.pk AS a, b.pk AS b, count(*) AS c
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |pf AS (SELECT a, b, c FROM pr WHERE c >= 2),
+        |rules AS (
+        |  SELECT a AS antecedent, b AS consequent, c FROM pf
+        |  UNION ALL
+        |  SELECT b, a, c FROM pf),
+        |sc AS (
+        |  SELECT antecedent, consequent, c AS n_pair,
+        |    ${Num.sql("c * 1e0 / sa.s", 6)} AS conf,
+        |    ${Num.sql("c * 1e0 * nb.n / (sa.s * sb.s)", 4)} AS lift
+        |  FROM rules CROSS JOIN nb
+        |  JOIN sup sa ON rules.antecedent = sa.pk
+        |  JOIN sup sb ON rules.consequent = sb.pk),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |    (ORDER BY lift DESC, antecedent, consequent) AS rk
+        |  FROM sc)
+        |SELECT antecedent, consequent, n_pair, conf, lift, rk
+        |FROM rk WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nb = li.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+      val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+      // one shuffle: per-order sorted part set, half-matrix explode (the
+      // q_graph_triangles edge build)
+      val parts = li.groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("pk"))).as("pks"))
+        .filter(size(col("pks")) >= 2)
+      val pairsCol = flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val pf = parts.select(explode(pairsCol).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val rules = pf.select(col("a").as("antecedent"),
+          col("b").as("consequent"), col("c"))
+        .unionByName(pf.select(col("b").as("antecedent"),
+          col("a").as("consequent"), col("c")))
+      val sc = rules.crossJoin(broadcast(nb))
+        .join(broadcast(sup.select(col("pk").as("antecedent"),
+          col("s").as("sa"))), "antecedent")
+        .join(broadcast(sup.select(col("pk").as("consequent"),
+          col("s").as("sb"))), "consequent")
+        .select(col("antecedent"), col("consequent"), col("c").as("n_pair"),
+          Num.r(col("c") * lit(1e0) / col("sa"), 6).as("conf"),
+          Num.r(col("c") * lit(1e0) * col("n") / (col("sa") * col("sb")), 4)
+            .as("lift"))
+        .withColumn("neglift", -col("lift"))
+        .withColumn("__all", lit("all"))
+      chunkedRank(sc, "__all", "neglift",
+          Seq("antecedent", "consequent"))
+        .filter(col("idx") < 20)
+        .select(col("antecedent"), col("consequent"), col("n_pair"),
+          col("conf"), col("lift"), (col("idx") + 1).as("rk"))
     }
   )
 }

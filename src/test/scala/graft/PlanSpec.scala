@@ -571,7 +571,9 @@ class PlanSpec extends SparkSpec {
       "q_vocab_oov", // constant-group chunkedRank bounds (global vocab rank)
       "q_rfm", // 1-row anchor date + constant-group chunkedRank ×3
       "q_calibration", // constant-group chunkedRank (global decile rank)
-      "q_ts_acf") // day-rollup × broadcast 3-row lag relation (bounded fan-out)
+      "q_ts_acf", // day-rollup × broadcast 3-row lag relation (bounded fan-out)
+      "q_dedup_lsh_sweep", // crossJoin(broadcast(1-row ground-truth count))
+      "q_basket_rules") // crossJoin(broadcast(1-row basket count))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
