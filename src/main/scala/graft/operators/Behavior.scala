@@ -1437,6 +1437,44 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Top event PATHS (order-2 sequence mining) — where q_markov models
+    // one-step transitions, this ranks the actual three-step journeys
+    // (signup>view>click, view>click>purchase, …) users most often
+    // walk: the "top paths" report of product analytics. Two lags over
+    // the SAME user-keyed window — one shuffle, Catalyst reuses the
+    // sort — and the path relation is |event_types|³-bounded (≤125
+    // rows here), so its rank window is scale-safe by construction,
+    // the q_text_bpe alphabet argument.
+    QueryDef(
+      "q_path_trigrams",
+      """WITH seq AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER w AS a,
+        |    lag(event_type, 1) OVER w AS b,
+        |    event_type AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+        |  FROM seq WHERE a IS NOT NULL GROUP BY 1)
+        |SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+        |FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val p = t(s, dir, "events")
+        .select(lag(col("event_type"), 2).over(w).as("a"),
+          lag(col("event_type"), 1).over(w).as("b"),
+          col("event_type").as("c"))
+        .filter(col("a").isNotNull)
+        .groupBy(concat_ws(">", col("a"), col("b"), col("c")).as("path"))
+        .agg(count(lit(1)).as("n"))
+      // rank window over the |types|³-bounded path table
+      p.withColumn("rk",
+          row_number().over(Window.orderBy(col("n").desc, col("path"))))
+        .filter(col("rk") <= 10)
+    },
+
+    // ------------------------------------------------------------------
     // Autocorrelation function of the daily event-count series — the
     // seasonality / burstiness diagnostic run before any forecasting or
     // anomaly model. The corpus-sized work is ONE map-combinable daily

@@ -997,6 +997,64 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Streaming LAST-TOUCH attribution — the live twin of the batch
+    * `q_attribution` window: state is the user's most recent
+    * non-purchase event type (ONE small string per user — RocksDB-backed
+    * at 100 TB, the same bounded-state argument as [[FunnelProcessor]]),
+    * and each purchase emits (user, credited channel, value_cents) at
+    * the moment it arrives — the real-time revenue-by-channel feed.
+    * Rows apply in (event-time, event_id) order within a batch (the
+    * funnel discipline: state must not depend on shuffle arrival order),
+    * which makes the sequential machine EXACTLY the batch window's lag
+    * semantics as long as batches respect event-time order per user —
+    * StreamingSpec proves bit-equality with q_attribution's aggregate
+    * over the full corpus fed in ts-ordered waves. */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long, Long), (Long, String, Long)] {
+    @transient private var channel:
+        org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      channel = getHandle.getValueState[String]("channel",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      val out = List.newBuilder[(Long, String, Long)]
+      // (ts, event_id) order — the batch window's exact tie-break
+      rows.toList.sortBy(r => (r._3, r._4)).foreach {
+        case (_, et, _, _, cents) =>
+          if (et == "purchase") {
+            val c = if (channel.exists()) channel.get() else "direct"
+            out += ((user, c, cents))
+          } else channel.update(et)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming attribution over (user_id, event_type, ts_us, event_id,
+    * value_cents) rows: emits (user_id, channel, value_cents) per
+    * purchase. Requires the RocksDB state store provider. */
+  def attributeLastTouch(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Purchase←click attribution: each purchase joins the same user's
     * clicks from the preceding 10 minutes. ONE definition for both
     * execution modes — q_stream_join runs it in batch under the DuckDB

@@ -559,6 +559,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState attribution equals the batch q_attribution " +
+    "aggregate over the corpus fed in ts-ordered waves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, String, Long, Long, Long)]
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.attributeLastTouch(mem.toDS())
+        .writeStream.format("memory").queryName("attr_test")
+        .option("checkpointLocation", tmpDir("attr_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .as[(Long, String, Long, Long, Long)]
+        .collect().sortBy(r => (r._3, r._4))
+      // three waves cut strictly BETWEEN distinct timestamps, so
+      // per-user event-time order holds across batch boundaries and
+      // same-ts ties never straddle a boundary
+      val cuts = {
+        val ts = rows.map(_._3).distinct.sorted
+        Seq(ts(ts.length / 3), ts(2 * ts.length / 3))
+      }
+      val waves = Seq(
+        rows.filter(_._3 <= cuts(0)),
+        rows.filter(r => r._3 > cuts(0) && r._3 <= cuts(1)),
+        rows.filter(_._3 > cuts(1)))
+      waves.foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("attr_test")
+        .groupBy(col("_2").as("channel"))
+        .agg(count(lit(1)).as("conversions"), sum(col("_3")).as("cents"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val batch = SparkEntry.queries("q_attribution")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(streamed == batch,
+        s"streaming attribution diverged:\n  stream=$streamed\n  batch=$batch")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers close idle sessions from the " +
     "watermark, not from new per-user events") {
     import spark.implicits._
