@@ -438,6 +438,226 @@ object Multimodal {
     * table, an image descriptor, a token LZW data block, trailer. Like
     * the JPEG shell: every header field is spec-correct (the sniffing
     * surface); the pixel stream is filler (full LZW needs a codec). */
+  /** GIF-variant LZW compression of an index stream (the real thing:
+    * variable-width codes starting at m+1 bits, clear prefix, EOI
+    * suffix, dictionary growth to 4096 then freeze, LSB-first bit
+    * packing). Width discipline — derived, and pinned by the
+    * round-trip property in MultimodalSpec: the encoder adds its entry
+    * ONE code ahead of the decoder (emit-then-add vs read-then-add),
+    * so the encoder bumps when `next - 1` reaches 2^width while the
+    * decoder bumps when `next` does; the off-by-one in the rules
+    * cancels the one-entry lag and both sides read/emit every code at
+    * the same width. */
+  private[graft] def lzwCompress(indices: Array[Int], m: Int): Array[Byte] = {
+    require(indices.nonEmpty && m >= 2, "empty stream or bad code size")
+    val clear = 1 << m; val eoi = clear + 1
+    var width = m + 1
+    var next = eoi + 1
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    def write(code: Int): Unit = {
+      acc |= code.toLong << nBits; nBits += width
+      while (nBits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    write(clear)
+    var cur = indices(0)
+    require(cur >= 0 && cur < clear, s"index $cur out of palette")
+    var k = 1
+    while (k < indices.length) {
+      val x = indices(k)
+      require(x >= 0 && x < clear, s"index $x out of palette")
+      dict.get((cur, x)) match {
+        case Some(c) => cur = c
+        case None =>
+          write(cur)
+          if (next < 4096) {
+            dict((cur, x)) = next
+            next += 1
+            if (next - 1 == (1 << width) && width < 12) width += 1
+          }
+          cur = x
+      }
+      k += 1
+    }
+    write(cur)
+    // the decoder allocates one more entry after reading the final data
+    // code (its adds lag the encoder's by one code, and the final code
+    // has no encoder-side add to re-sync on) — mirror that allocation
+    // virtually, or an EOI landing exactly on a width boundary is
+    // written one bit narrower than the decoder reads it. A
+    // single-data-code stream triggers no decoder add (the first code
+    // is a bare root), so the mirror applies only when ≥2 codes exist.
+    if (indices.length >= 2 && next < 4096) {
+      next += 1
+      if (next - 1 == (1 << width) && width < 12) width += 1
+    }
+    write(eoi)
+    if (nBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Inverse of [[lzwCompress]]: decode a GIF LZW code stream back to
+    * its palette-index stream. Handles the KwKwK case (a code equal to
+    * the pending entry), mid-stream clear codes, and the 4096-entry
+    * freeze; throws on truncated streams, out-of-range codes, or a
+    * missing EOI. */
+  private[graft] def lzwDecode(data: Array[Byte], m: Int): Array[Int] = {
+    val clear = 1 << m; val eoi = clear + 1
+    var width = m + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var prev = -1
+    val out = Array.newBuilder[Int]
+    var acc = 0L; var nBits = 0; var pos = 0
+    def read(): Int = {
+      while (nBits < width) {
+        require(pos < data.length, "truncated LZW stream (no EOI)")
+        acc |= (data(pos) & 0xffL) << nBits; nBits += 8; pos += 1
+      }
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>= width; nBits -= width
+      c
+    }
+    // expand a code's string; returns its FIRST index (needed for the
+    // entry the decoder is one step behind on)
+    val stack = new Array[Int](4096)
+    def expand(code: Int): Int = {
+      var top = 0
+      var c = code
+      while (c >= clear + 2) {
+        require(c < next, s"code $c references an unassigned entry")
+        stack(top) = suffix(c); top += 1; c = prefix(c)
+      }
+      require(c < clear, s"dangling code chain at $c")
+      stack(top) = c; top += 1
+      val first = c
+      while (top > 0) { top -= 1; out += stack(top) }
+      first
+    }
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == clear) {
+        next = eoi + 1; width = m + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, s"first code $code is not a root")
+        out += code
+        prev = code
+      } else {
+        val first =
+          if (code < next) expand(code)
+          else {
+            require(code == next, s"code $code skips the pending entry")
+            // KwKwK: str(prev) + first(str(prev))
+            val f = firstOf(prev, prefix, clear)
+            expand(prev)
+            out += f
+            f
+          }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out.result()
+  }
+
+  private def firstOf(code: Int, prefix: Array[Int], clear: Int): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
+  }
+
+  /** A real GIF89a: logical screen descriptor, 4-entry global color
+    * table (palette j → (40j+5, 40j+10, 40j+15)), image descriptor,
+    * and the pixel indices ACTUALLY LZW-compressed by [[lzwCompress]]
+    * into ≤255-byte sub-blocks — unlike [[encodeGifShell]]'s
+    * header-only shell, this round-trips through a full decode. */
+  def encodeGif(w: Int, h: Int, idx: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { b(v); b(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    b(0x81) // GCT present, 2 bits/pixel → 4 entries
+    b(0); b(0)
+    (0 until 4).foreach { j => b(j * 40 + 5); b(j * 40 + 10); b(j * 40 + 15) }
+    b(0x2c)
+    le16(0); le16(0); le16(w); le16(h); b(0) // no LCT, not interlaced
+    b(2) // LZW minimum code size
+    val lzw = lzwCompress(Array.tabulate(w * h)(idx), 2)
+    var o = 0
+    while (o < lzw.length) {
+      val n = math.min(255, lzw.length - o)
+      b(n); out.write(lzw, o, n); o += n
+    }
+    b(0) // block terminator
+    b(0x3b)
+    out.toByteArray
+  }
+
+  /** Full GIF decode: header + logical screen descriptor + global color
+    * table, extension blocks skipped by their sub-block lengths, image
+    * descriptor, sub-blocks reassembled, [[lzwDecode]] run, and exact
+    * integer statistics over the decoded indices — pixel count,
+    * Σindex, and ΣRGB through the palette READ FROM THE FILE (not
+    * assumed). Throws on non-GIF magic, interlaced/local-palette
+    * images (not in this fixture family), size mismatches, or
+    * truncation. */
+  def decodeGif(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    require(bytes.length >= 13, "truncated GIF")
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    require(magic == "GIF89a" || magic == "GIF87a", s"not a GIF: $magic")
+    def le16(o: Int): Int = (bytes(o) & 0xff) | (bytes(o + 1) & 0xff) << 8
+    val w = le16(6); val h = le16(8)
+    val packed = bytes(10) & 0xff
+    var o = 13
+    var palette: Array[Int] = Array.empty
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      palette = Array.tabulate(n) { j =>
+        (bytes(o + 3 * j) & 0xff) + (bytes(o + 3 * j + 1) & 0xff) +
+          (bytes(o + 3 * j + 2) & 0xff)
+      }
+      o += 3 * n
+    }
+    // walk blocks to the first image descriptor
+    while ((bytes(o) & 0xff) == 0x21) { // extension: label + sub-blocks
+      o += 2
+      while ((bytes(o) & 0xff) != 0) o += 1 + (bytes(o) & 0xff)
+      o += 1
+    }
+    require((bytes(o) & 0xff) == 0x2c, "no image descriptor")
+    val iw = le16(o + 5); val ih = le16(o + 7)
+    val ipacked = bytes(o + 9) & 0xff
+    require((ipacked & 0x80) == 0, "local color tables unsupported here")
+    require((ipacked & 0x40) == 0, "interlaced GIFs unsupported here")
+    require(iw == w && ih == h, "frame does not fill the screen")
+    o += 10
+    val m = bytes(o) & 0xff; o += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while ({ require(o < bytes.length, "truncated GIF data"); (bytes(o) & 0xff) != 0 }) {
+      val n = bytes(o) & 0xff
+      require(o + 1 + n <= bytes.length, "truncated GIF sub-block")
+      data.write(bytes, o + 1, n); o += 1 + n
+    }
+    val idx = lzwDecode(data.toByteArray, m)
+    require(idx.length == w * h,
+      s"decoded ${idx.length} pixels for a $w×$h frame")
+    var iSum = 0L; var rgbSum = 0L
+    idx.foreach { i =>
+      require(i < palette.length, s"index $i outside the color table")
+      iSum += i; rgbSum += palette(i)
+    }
+    (w, h, idx.length.toLong, iSum, rgbSum)
+  }
+
   def encodeGifShell(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def b(v: Int): Unit = out.write(v & 0xff)
@@ -1015,6 +1235,54 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "frame_idx", "n_samp", "energy", "peak", "zcr")
+    },
+
+    // ------------------------------------------------------------------
+    // REAL GIF decode end-to-end — the third genuinely-compressed
+    // format next to PNG (zlib inflate) and the codec sniff family:
+    // each document becomes a real GIF89a whose pixel indices are
+    // LZW-COMPRESSED by [[lzwCompress]] (variable-width codes, clear /
+    // EOI, dictionary growth — the round-trip property in
+    // MultimodalSpec pins the codec on adversarial random streams, and
+    // the width-rule derivation lives on the encoder), and
+    // [[decodeGif]] walks the container — screen descriptor, global
+    // color table, extension skip, sub-block reassembly — then decodes
+    // and reports exact integer statistics with ΣRGB resolved through
+    // the palette READ FROM THE FILE. The oracle recomputes everything
+    // arithmetically from doc_id: a codec that mis-widens a code
+    // boundary, drops the KwKwK case, or mis-walks a sub-block
+    // hash-mismatches. Same executor-local batch shape as every kernel
+    // here: only (doc_id, 5 ints) ever leaves the executors.
+    QueryDef(
+      "q_multimodal_gif",
+      """SELECT doc_id, 'gif' AS fmt,
+        |  CAST((doc_id % 8) + 2 AS INTEGER) AS width,
+        |  CAST((doc_id % 5) + 3 AS INTEGER) AS height,
+        |  CAST(((doc_id % 8) + 2) * ((doc_id % 5) + 3) AS BIGINT) AS n_pix,
+        |  CAST(list_sum(list_transform(
+        |    range(0, ((doc_id % 8) + 2) * ((doc_id % 5) + 3)),
+        |    k -> (doc_id * 7 + k) % 4)) AS BIGINT) AS idx_sum,
+        |  CAST(120 * list_sum(list_transform(
+        |    range(0, ((doc_id % 8) + 2) * ((doc_id % 5) + 3)),
+        |    k -> (doc_id * 7 + k) % 4))
+        |    + 30 * ((doc_id % 8) + 2) * ((doc_id % 5) + 3) AS BIGINT)
+        |    AS rgb_sum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 8).toInt + 2
+          val h = (id % 5).toInt + 3
+          (id, encodeGif(w, h, k => ((id * 7 + k) % 4).toInt))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, n, iSum, rgbSum) = decodeGif(bytes)
+          (id, "gif", w, h, n, iSum, rgbSum)
+        }
+      }.toDF("doc_id", "fmt", "width", "height", "n_pix", "idx_sum",
+        "rgb_sum")
     },
 
     // ------------------------------------------------------------------

@@ -292,6 +292,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GIF LZW round-trips adversarial random index streams (width " +
+    "growth, KwKwK, long repeats)") {
+    import graft.operators.Multimodal.{lzwCompress, lzwDecode}
+    val rnd = new scala.util.Random(42)
+    // random streams grow the dictionary fast (deep width bumps);
+    // constant and cyclic streams exercise KwKwK and long matches
+    val cases: Seq[Array[Int]] =
+      Seq(Array(0), Array(3, 3, 3, 3, 3, 3, 3)) ++
+        (1 to 30).map(n => Array.tabulate(n * 7)(k => k % 4)) ++
+        (1 to 20).map(n => Array.fill(n * 97)(rnd.nextInt(4)))
+    cases.foreach { in =>
+      val out = lzwDecode(lzwCompress(in, 2), 2)
+      assert(out.sameElements(in),
+        s"round-trip diverged at n=${in.length}: " +
+          s"got ${out.take(20).mkString(",")}")
+    }
+  }
+
+  test("GIF container decode matches the generator and rejects damage") {
+    import graft.operators.Multimodal.{encodeGif, decodeGif}
+    for (id <- 0L to 40L) {
+      val w = (id % 8).toInt + 2
+      val h = (id % 5).toInt + 3
+      val g = encodeGif(w, h, k => ((id * 7 + k) % 4).toInt)
+      val (dw, dh, n, iSum, rgbSum) = decodeGif(g)
+      val expIdx = (0 until w * h).map(k => (id * 7 + k) % 4)
+      assert((dw, dh, n) == (w, h, w.toLong * h))
+      assert(iSum == expIdx.sum)
+      // palette j sums to 120j + 30 — ΣRGB must come through the GCT
+      assert(rgbSum == 120 * expIdx.sum + 30L * w * h)
+      // truncation anywhere in the data stream must throw, not return
+      intercept[IllegalArgumentException] {
+        decodeGif(g.dropRight(6))
+      }
+    }
+  }
+
   test("binaryFile ingestion decodes exactly the corpus' fixture files") {
     val out = SparkEntry.queries("q_multimodal_ingest")(spark, sfDir)
       .collect()
