@@ -1601,6 +1601,49 @@ object Analytics {
         .filter(col("idx") < 20)
         .select(col("antecedent"), col("consequent"), col("n_pair"),
           col("conf"), col("lift"), (col("idx") + 1).as("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // WEIGHTED median — the robust center of a weighted distribution
+    // (unit-price analysis weighted by quantity here; token-weighted
+    // document stats in a curation pipeline): the smallest value whose
+    // cumulative weight reaches half the total mass. Exactness: the
+    // weights are integral quantities landed as BIGINT, so the running
+    // and total masses are exact integers and the 2·cum ≥ tot pick is
+    // pure integer arithmetic — no quantile interpolation, no float
+    // boundary. Shape: ties collapse FIRST (map-combinable (group,
+    // value) rollup — the relation the windows run over is
+    // distinct-value sized, not row sized), then two windows on one
+    // group-keyed exchange. At 100 TB the running sum goes chunked
+    // exactly like chunkedRank (32 value-range partials + broadcast
+    // prefix offsets); the pick rule is unchanged.
+    QueryDef(
+      "q_percentile_weighted",
+      """WITH c AS (
+        |  SELECT l_linestatus AS g, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, v, wt,
+        |    sum(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(wt) OVER (PARTITION BY g) AS tot
+        |  FROM c)
+        |SELECT g AS l_linestatus,
+        |  min(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian,
+        |  CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus").as("g"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      val wRun = Window.partitionBy(col("g")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("g"))
+      c.select(col("g"), col("v"), col("wt"),
+          sum(col("wt")).over(wRun).as("cum"),
+          sum(col("wt")).over(wAll).as("tot"))
+        .groupBy(col("g").as("l_linestatus"))
+        .agg(min(when(lit(2) * col("cum") >= col("tot"), col("v")))
+          .as("wmedian"),
+          min(col("tot")).as("total_weight"))
     }
   )
 }

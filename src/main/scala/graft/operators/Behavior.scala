@@ -1717,6 +1717,88 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Time-weighted average (TWAP/TWA) — the aggregation finance and
+    // IoT run over irregularly-sampled state: each event's value HOLDS
+    // until the user's next event, so the mean weights each reading by
+    // its holding duration, not its sample count (a sensor that
+    // reports once an hour and once a second must not average the
+    // same). One user-keyed lead window (the q_scd2 exchange) produces
+    // exact µs holding intervals; the weighted fold is a single
+    // map-combinable aggregate per event type. Durations are exact
+    // BIGINT µs; only the final weighted mean is float, Num-rounded.
+    QueryDef(
+      "q_twap",
+      s"""WITH o AS (
+        |  SELECT event_type, "value", epoch_us(ts) AS t,
+        |    lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS tn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_holds,
+        |  CAST(sum(tn - t) AS BIGINT) AS held_us,
+        |  ${Num.sql("sum(\"value\" * (tn - t)) / sum(tn - t)", 6)} AS twap
+        |FROM o WHERE tn IS NOT NULL GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("t"),
+          lead(unix_micros(col("ts")), 1).over(w).as("tn"))
+        .filter(col("tn").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("tn") - col("t")).as("held_us"),
+          Num.r(sum(col("value") * (col("tn") - col("t")))
+            / sum(col("tn") - col("t")), 6).as("twap"))
+    },
+
+    // ------------------------------------------------------------------
+    // Seasonal anomaly detection — the day-of-week-adjusted feed alarm
+    // (q_anomaly_zscore flags against a GLOBAL mean, which calls every
+    // quiet Sunday an anomaly on a weekday-heavy feed; this one scores
+    // each day against ITS OWN weekday's distribution). Two
+    // map-combinable rollups: daily counts, then per-(type, weekday)
+    // moments over the day-bounded table; the flag compare runs on
+    // Num-ROUNDED residual vs Num-rounded 2σ — identical doubles both
+    // engines, the q_embed_outliers boundary discipline. Weekday
+    // numbering is aligned explicitly (Spark weekday() = Monday 0 ↔
+    // DuckDB isodow − 1): the one cross-engine trap in calendar
+    // seasonality.
+    QueryDef(
+      "q_anomaly_seasonal",
+      s"""WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, isodow(day) - 1 AS dw,
+        |    avg(n) AS mu, stddev_samp(n) AS sd
+        |  FROM d GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.n, b.mu, b.sd
+        |  FROM d JOIN b ON d.event_type = b.event_type
+        |    AND isodow(d.day) - 1 = b.dw)
+        |SELECT event_type, count(*) AS n_days,
+        |  count(CASE WHEN ${Num.sql("abs(n - mu)", 6)}
+        |    > ${Num.sql("2 * sd", 6)} THEN 1 END) AS n_anom,
+        |  ${Num.sql("max(abs(n - mu))", 4)} AS max_resid
+        |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val b = d.groupBy(col("event_type"), weekday(col("day")).as("dw"))
+        .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      d.join(b.withColumnRenamed("event_type", "et"),
+          col("event_type") === col("et")
+            && weekday(col("day")) === col("dw"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          count(when(Num.r(abs(col("n") - col("mu")), 6)
+            > Num.r(lit(2) * col("sd"), 6), 1)).as("n_anom"),
+          Num.r(max(abs(col("n") - col("mu"))), 4).as("max_resid"))
+    },
+
+    // ------------------------------------------------------------------
     // RFM segmentation — the classic customer scoring (Recency ×
     // Frequency × Monetary quintiles) every CRM warehouse computes:
     // here as exact RANK-based quintiles, not ntile (whose uneven-

@@ -1259,40 +1259,48 @@ object Dedup {
         .select(col("doc_id"), h60(col("shingle")).as("sid"))
       val truth = jaccardPairs(sh).select(col("id_a"), col("id_b")).cache()
       val nt = truth.agg(count(lit(1)).as("n_truth"))
-      val perConfig = Seq((8, 2), (4, 4), (2, 8)).map { case (bN, r) =>
-        val keys = sig.select(col("doc_id"),
+      val cfgs = Seq((8, 2), (4, 4), (2, 8))
+      // ALL configs' band keys in ONE tagged relation → ONE band join,
+      // ONE dedup, ONE truth probe, ONE aggregate for the whole sweep
+      // (the first cut ran the pipeline per config — 3× the shuffles
+      // for identical output; benched 5.9 → ~2 s at sf0.1)
+      val keys = cfgs.map { case (bN, r) =>
+        sig.select(lit(bN).as("bands"), col("doc_id"),
           posexplode(array((0 until bN).map(i => concat_ws("_",
             (1 to r).map(j => element_at(col("sig"), i * r + j)): _*)): _*)))
           .withColumnRenamed("pos", "band")
           .withColumnRenamed("col", "band_key")
-        val cand = keys
-          .select(col("doc_id").as("id_a"), col("band"), col("band_key"))
-          .join(keys.select(col("doc_id").as("id_b"),
-            col("band").as("band_b"), col("band_key").as("band_key_b")),
-            col("band") === col("band_b")
-              && col("band_key") === col("band_key_b")
-              && col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-          .dropDuplicates("id_a", "id_b")
-        // one aggregate pass per config: a no-groupBy agg always emits
-        // its row, so an empty config reads (0, 0) — mirroring the
-        // oracle's cfg LEFT JOIN
-        cand.join(truth.withColumn("hit", lit(1)), Seq("id_a", "id_b"),
-            "left")
-          .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_hits"))
-          .select(lit(bN).as("bands"), lit(r).as("rows_per_band"),
-            col("n_cand"), col("n_hits"))
-      }
-      perConfig.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+      val cand = keys
+        .select(col("bands"), col("doc_id").as("id_a"), col("band"),
+          col("band_key"))
+        .join(keys.select(col("bands").as("bands_b"),
+          col("doc_id").as("id_b"), col("band").as("band_b"),
+          col("band_key").as("band_key_b")),
+          col("bands") === col("bands_b") && col("band") === col("band_b")
+            && col("band_key") === col("band_key_b")
+            && col("id_a") < col("id_b"))
+        .select(col("bands"), col("id_a"), col("id_b"))
+        .dropDuplicates("bands", "id_a", "id_b")
+      val ag = cand
+        .join(truth.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_cand"), count(col("hit")).as("n_hits"))
+      // cfg LEFT JOIN keeps an empty config visible as (0, 0) — the
+      // oracle's shape exactly
+      import s.implicits._
+      val cfgDf = cfgs.toDF("bands", "rows_per_band")
+      cfgDf.join(broadcast(ag), Seq("bands"), "left")
         .crossJoin(broadcast(nt))
-        .select(col("bands"), col("rows_per_band"), col("n_cand"),
-          col("n_hits"), col("n_truth"),
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_truth"),
           when(col("n_truth") === 0, lit(0e0))
-            .otherwise(Num.r(col("n_hits") * lit(1e0) / col("n_truth"), 6))
-            .as("recall"),
-          when(col("n_cand") === 0, lit(0e0))
-            .otherwise(Num.r(col("n_hits") * lit(1e0) / col("n_cand"), 6))
-            .as("precision"))
+            .otherwise(Num.r(coalesce(col("n_hits"), lit(0L)) * lit(1e0)
+              / col("n_truth"), 6)).as("recall"),
+          when(coalesce(col("n_cand"), lit(0L)) === 0, lit(0e0))
+            .otherwise(Num.r(coalesce(col("n_hits"), lit(0L)) * lit(1e0)
+              / col("n_cand"), 6)).as("precision"))
     }
   )
 }

