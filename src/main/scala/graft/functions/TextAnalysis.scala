@@ -1228,6 +1228,89 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Bigram language model with interpolated ABSOLUTE DISCOUNTING
+    // (the Kneser–Ney construction, Ney–Essen–Kneser 1994; Chen &
+    // Goodman 1999) — one level above q_text_lmscore's unigram
+    // surprisal, and the shape of the real thing: CCNet-style
+    // pipelines gate training data on exactly this kind of n-gram LM
+    // perplexity. The model is fit in-engine from the corpus itself:
+    //   P(w2|w1) = max(c12 − D, 0)/c1 + D·n1+(w1)/c1 · Pcont(w2),
+    // D = 0.75, with Pcont the continuation probability (in how many
+    // DISTINCT contexts does w2 appear) — the Kneser–Ney insight that
+    // "Francisco" is frequent but predictable. Every model quantity is
+    // an exact integer count over the DISTINCT-bigram table (vocab-
+    // bounded, Heaps-sublinear like the BPE trainer); P is a fixed
+    // scalar op sequence over those integers, identical IEEE
+    // cross-engine; and each bigram's surprisal lands as integer
+    // MICRONATS at the ln() boundary (the q_text_lmscore discipline)
+    // so per-doc folds are order-free exact sums. Scoring joins the
+    // doc bigram stream to the model KEYED on the bigram — at 100 TB
+    // the model table shuffles once, the corpus streams through.
+    // Train = score corpus here, so every scored bigram has c12 ≥ 1
+    // and no OOV back-off path is exercised (documented contract).
+    QueryDef(
+      "q_text_lm_bigram",
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS ab
+        |  FROM d),
+        |c12 AS (SELECT ab, count(*) AS c FROM bg GROUP BY 1),
+        |c1 AS (
+        |  SELECT split_part(ab, ' ', 1) AS w1,
+        |    CAST(sum(c) AS BIGINT) AS cw1, count(*) AS n1p
+        |  FROM c12 GROUP BY 1),
+        |cont AS (
+        |  SELECT split_part(ab, ' ', 2) AS w2, count(*) AS nc
+        |  FROM c12 GROUP BY 1),
+        |nbt AS (SELECT count(*) AS nbig FROM c12),
+        |p AS (
+        |  SELECT ab,
+        |    greatest(c - 0.75, 0) / cw1
+        |      + ((0.75 * n1p) / cw1) * ((nc * 1e0) / nbig) AS prob
+        |  FROM c12 CROSS JOIN nbt
+        |  JOIN c1 ON split_part(ab, ' ', 1) = c1.w1
+        |  JOIN cont ON split_part(ab, ' ', 2) = cont.w2),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(-ln(prob) * 1000000 + 0.5) AS BIGINT) AS unat
+        |  FROM bg JOIN p ON bg.ab = p.ab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(unat) AS BIGINT) AS surprisal_unat,
+        |  ${Num.sql("sum(unat) / (count(*) * 1e6)", 4)} AS mean_nats
+        |FROM sc GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bg = d.select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("ab"))
+      val c12 = bg.groupBy(col("ab")).agg(count(lit(1)).as("c"))
+      val c1 = c12.groupBy(substring_index(col("ab"), " ", 1).as("w1"))
+        .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1p"))
+      val cont = c12.groupBy(substring_index(col("ab"), " ", -1).as("w2"))
+        .agg(count(lit(1)).as("nc"))
+      val nbt = c12.agg(count(lit(1)).as("nbig"))
+      val prob = greatest(col("c") - 0.75, lit(0)) / col("cw1") +
+        ((lit(0.75) * col("n1p")) / col("cw1")) *
+          ((col("nc") * lit(1e0)) / col("nbig"))
+      val p = c12.crossJoin(broadcast(nbt))
+        .join(c1, substring_index(col("ab"), " ", 1) === col("w1"))
+        .join(cont, substring_index(col("ab"), " ", -1) === col("w2"))
+        .select(col("ab"), prob.as("prob"))
+      bg.join(p, "ab")
+        .select(col("doc_id"),
+          floor(-log(col("prob")) * 1000000 + 0.5).cast("long").as("unat"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("unat")).as("surprisal_unat"),
+          Num.r(sum(col("unat")) / (count(lit(1)) * lit(1e6)), 4)
+            .as("mean_nats"))
+    },
+
+    // ------------------------------------------------------------------
     // Feature hashing (the "hashing trick", Weinberger et al. ICML
     // 2009): tokens route to a FIXED 256-dim feature space by hash —
     // the vectorizer that needs no vocabulary table at all, which is

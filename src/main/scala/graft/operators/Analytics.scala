@@ -174,6 +174,85 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // NEAREST as-of join — the fourth member of the as-of family
+    // (backward-bounded, backward-unbounded, native) and the one
+    // sensor-alignment actually wants: each purchase pairs with its
+    // closest click in EITHER direction, ties broken backward. Same
+    // single user-keyed sort as q_join_asof2 — the backward candidate
+    // is a running last(ignoreNulls), the forward one a mirrored
+    // first(ignoreNulls) over the following frame, and BOTH windows
+    // share the one (ts, kind, event_id) exchange (Catalyst reuses the
+    // sort). Gap arithmetic is exact BIGINT µs; no candidate
+    // explosion, no bound parameter, O(n) per partition.
+    QueryDef(
+      "q_join_asof_near",
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS kind, event_id FROM events
+        |  WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS kind, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, kind, event_id,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |      OVER wb AS b_id,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wb AS b_ts,
+        |    first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |      OVER wf AS f_id,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+        |      OVER wf AS f_ts
+        |  FROM u
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |g AS (
+        |  SELECT event_id AS purchase_id,
+        |    epoch_us(ts) - epoch_us(b_ts) AS gb,
+        |    epoch_us(f_ts) - epoch_us(ts) AS gf, b_id, f_id
+        |  FROM w WHERE kind = 1 AND (b_id IS NOT NULL OR f_id IS NOT NULL))
+        |SELECT purchase_id,
+        |  CASE WHEN gf IS NULL OR (gb IS NOT NULL AND gb <= gf)
+        |       THEN b_id ELSE f_id END AS click_id,
+        |  CAST(CASE WHEN gf IS NULL OR (gb IS NOT NULL AND gb <= gf)
+        |       THEN gb ELSE gf END AS BIGINT) AS gap_us,
+        |  CASE WHEN gf IS NULL OR (gb IS NOT NULL AND gb <= gf)
+        |       THEN 'backward' ELSE 'forward' END AS dir
+        |FROM g""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickId = when(col("kind") === 0, col("event_id"))
+      val clickTs = when(col("kind") === 0, col("ts"))
+      val g = clicks.unionByName(purchases)
+        .withColumn("b_id", last(clickId, ignoreNulls = true).over(wb))
+        .withColumn("b_ts", last(clickTs, ignoreNulls = true).over(wb))
+        .withColumn("f_id", first(clickId, ignoreNulls = true).over(wf))
+        .withColumn("f_ts", first(clickTs, ignoreNulls = true).over(wf))
+        .filter(col("kind") === 1
+          && (col("b_id").isNotNull || col("f_id").isNotNull))
+        .select(col("event_id").as("purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("b_ts"))).as("gb"),
+          (unix_micros(col("f_ts")) - unix_micros(col("ts"))).as("gf"),
+          col("b_id"), col("f_id"))
+      val backward = col("gf").isNull ||
+        (col("gb").isNotNull && col("gb") <= col("gf"))
+      g.select(col("purchase_id"),
+        when(backward, col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(backward, col("gb")).otherwise(col("gf")).cast("long")
+          .as("gap_us"),
+        when(backward, "backward").otherwise("forward").as("dir"))
+    },
+
+    // ------------------------------------------------------------------
     // The NATIVE as-of join (plans/AsOfJoin.scala): same unbounded
     // semantics as q_join_asof2, but as a custom logical node + planner
     // strategy + physical streaming merge — one pass per co-partitioned
