@@ -1717,6 +1717,47 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Wilson score interval — the 95% CI every experiment dashboard
+    // should put next to a rate (the naive Wald interval collapses at
+    // small n / extreme p; Wilson stays honest): per event type, the
+    // high-value rate (value > 100) with its interval. k and n are the
+    // ONLY statistics — one map-combinable conditional count — and the
+    // interval is a fixed scalar op sequence over (k, n, z=1.959964)
+    // literals, bit-identical cross-engine under the shared rounding.
+    QueryDef(
+      "q_rate_ci",
+      {
+        val z = "1.959964"
+        val ctr = s"(p + $z*$z/(2*n)) / (1 + $z*$z/n)"
+        val hw = s"($z * sqrt(p*(1 - p)/n + $z*$z/(4*n*n))) / (1 + $z*$z/n)"
+        s"""WITH c AS (
+          |  SELECT event_type, count(*) AS n,
+          |    count(CASE WHEN "value" > 100 THEN 1 END) AS k
+          |  FROM events GROUP BY 1),
+          |p0 AS (SELECT event_type, n, k, k * 1e0 / n AS p FROM c)
+          |SELECT event_type, n, k, ${Num.sql("p", 6)} AS rate,
+          |  ${Num.sql(s"$ctr - $hw", 6)} AS ci_lo,
+          |  ${Num.sql(s"$ctr + $hw", 6)} AS ci_hi
+          |FROM p0""".stripMargin
+      }) { (s, dir) =>
+      val zl = lit(1.959964)
+      val c = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") > 100, 1)).as("k"))
+        .withColumn("p", col("k") * lit(1e0) / col("n"))
+      val ctr = (col("p") + zl * zl / (lit(2) * col("n"))) /
+        (lit(1) + zl * zl / col("n"))
+      val hw = (zl * sqrt(col("p") * (lit(1) - col("p")) / col("n")
+        + zl * zl / (lit(4) * col("n") * col("n")))) /
+        (lit(1) + zl * zl / col("n"))
+      c.select(col("event_type"), col("n"), col("k"),
+        Num.r(col("p"), 6).as("rate"),
+        Num.r(ctr - hw, 6).as("ci_lo"),
+        Num.r(ctr + hw, 6).as("ci_hi"))
+    },
+
+    // ------------------------------------------------------------------
     // Time-weighted average (TWAP/TWA) — the aggregation finance and
     // IoT run over irregularly-sampled state: each event's value HOLDS
     // until the user's next event, so the mean weights each reading by

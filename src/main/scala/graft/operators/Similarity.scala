@@ -1523,6 +1523,53 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Maximum inner-product search (MIPS) — the recommender-serving
+    // objective (user·item score), deliberately NOT cosine: popular
+    // items earn large norms and cosine would normalize exactly the
+    // signal away. Same distributed chassis as q_knn_brute — broadcast
+    // query set, per-row sequential-fold dot (aggregate ∘ zip_with ≡
+    // DuckDB list_sum ∘ list_transform, the PCA parity contract),
+    // map-combinable graft_topk — ranked on the ROUNDED score with id
+    // tie-breaks. At scale the standard reduction (augment items with
+    // √(M²−‖x‖²) and run cosine ANN) plugs the IVF/LSH paths in; this
+    // exact form is their recall baseline.
+    QueryDef(
+      "q_knn_mips",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS item_id,
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      k -> CAST(q.embedding[k] AS DOUBLE)
+        |           * CAST(n.embedding[k] AS DOUBLE))) AS dot
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, item_id, dot,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dot DESC, item_id ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, item_id, rnk, ${Num.sql("dot", 6)} AS dot
+        |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      graft.functions.TopK.register(s)
+      val e = t(s, dir, "embeddings")
+      val dd = transform(col("n_emb"), _.cast("double"))
+      val qd = transform(col("q_emb"), _.cast("double"))
+      val dot = aggregate(zip_with(qd, dd, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val n = e.select(col("vec_id").as("item_id"),
+        col("embedding").as("n_emb"))
+      n.join(broadcast(q), col("query_id") =!= col("item_id"))
+        .withColumn("dot", dot)
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(dot, item_id, 5)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("item_id"),
+          (col("pos") + 1).as("rnk"),
+          Num.r(col("col.score"), 6).as("dot"))
+    },
+
+    // ------------------------------------------------------------------
     // FILTERED vector search — top-k under a metadata predicate (the
     // "similar documents from THIS collection only" query every vector
     // store serves; filtered ANN is its own research problem because a

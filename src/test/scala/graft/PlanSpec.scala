@@ -574,7 +574,8 @@ class PlanSpec extends SparkSpec {
       "q_ts_acf", // day-rollup × broadcast 3-row lag relation (bounded fan-out)
       "q_dedup_lsh_sweep", // crossJoin(broadcast(1-row ground-truth count))
       "q_basket_rules", // crossJoin(broadcast(1-row basket count))
-      "q_text_lm_bigram") // crossJoin(broadcast(1-row distinct-bigram total))
+      "q_text_lm_bigram", // crossJoin(broadcast(1-row distinct-bigram total))
+      "q_knn_mips") // q_knn_brute's broadcast-query exact-baseline shape
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
