@@ -199,6 +199,63 @@ object Approx {
         .select(col("n_both"),
           (abs(col("est") - col("n_both")) <= col("n_both") * 0.05)
             .as("theta_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // Count-min sketch (Cormode & Muthukrishnan 2005) built DECLARATIVELY
+    // as a table — the "sketch as relation" pattern: d=4 hash rows ×
+    // w=256 buckets, cell (i,b) = Σ counts of tokens with h_i(tok)=b,
+    // point estimate = min_i cell(i, h_i(tok)). Because the hash
+    // functions are the repo's deterministic md5-based h60, the whole
+    // sketch — construction AND every estimate — is a pure function of
+    // the data, so the oracle replays it exactly instead of settling
+    // for an accuracy verdict: the output pins n_tokens whose estimate
+    // is exact, the total and max overestimate (CM never underestimates
+    // — a hash mismatch here would catch either engine breaking the
+    // one-sided guarantee). Scale shape: the corpus collapses to vocab
+    // counts first (map-combinable, Heaps-sublinear output); the 4×
+    // fan-out, the 1024-cell sketch, and the probe join all run over
+    // the vocabulary, never the corpus; the sketch table itself is 1024
+    // rows at ANY corpus size — the point of the structure.
+    QueryDef(
+      "q_agg_cmsketch",
+      s"""WITH wt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM wt WHERE w <> '' GROUP BY 1),
+        |fan AS (
+        |  SELECT w, c, i,
+        |    ${TextAnalysis.h60sql(
+            "'cm' || CAST(i AS VARCHAR) || ':' || w")} % 256 AS b
+        |  FROM wc, (SELECT unnest([0, 1, 2, 3]) AS i) hs),
+        |cm AS (SELECT i, b, CAST(sum(c) AS BIGINT) AS s
+        |       FROM fan GROUP BY 1, 2),
+        |est AS (
+        |  SELECT f.w, f.c, min(cm.s) AS e
+        |  FROM fan f JOIN cm ON f.i = cm.i AND f.b = cm.b
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_tokens,
+        |  count(CASE WHEN e = c THEN 1 END) AS n_exact,
+        |  CAST(sum(e - c) AS BIGINT) AS total_over,
+        |  max(e - c) AS max_over
+        |FROM est""".stripMargin) { (s, dir) =>
+      val wc = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // 4-way hash fan-out over the vocabulary (NOT the corpus)
+      val fan = wc.select(col("w"), col("c"),
+          explode(sequence(lit(0), lit(3))).as("i"))
+        .withColumn("b",
+          TextAnalysis.h60(concat(lit("cm"), col("i").cast("string"),
+            lit(":"), col("w"))) % 256)
+      val cm = fan.groupBy(col("i"), col("b")).agg(sum(col("c")).as("s"))
+      // probe every vocab token back through the sketch; min over rows
+      val est = fan.join(cm, Seq("i", "b"))
+        .groupBy(col("w"), col("c")).agg(min(col("s")).as("e"))
+      est.agg(count(lit(1)).as("n_tokens"),
+        count(when(col("e") === col("c"), 1)).as("n_exact"),
+        sum(col("e") - col("c")).as("total_over"),
+        max(col("e") - col("c")).as("max_over"))
     }
   )
 }

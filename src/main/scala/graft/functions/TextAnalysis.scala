@@ -47,6 +47,47 @@ object TextAnalysis {
   private val stopwords = Seq("a", "the", "and", "of", "in")
   private val stopSqlList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private val bpeRounds = 3
+
+  /** DuckDB replay of q_text_bpe_train: the identical three merge
+    * rounds as generated CTEs (the k-means/PageRank oracle pattern).
+    * Round k: tokenize the previous encoding, count adjacent pairs,
+    * pick the (freq desc, a, b) argmax, apply it with replace(). */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to bpeRounds).map { k =>
+      s"""t$k AS (SELECT w, c, enc,
+        |  string_split(substr(enc, 2, length(enc) - 2), ')(') AS ts
+        |  FROM w${k - 1}),
+        |p$k AS (
+        |  SELECT ts[CAST(i AS INTEGER)] AS a,
+        |    ts[CAST(i AS INTEGER) + 1] AS b,
+        |    CAST(sum(c) AS BIGINT) AS freq
+        |  FROM (SELECT ts, c, unnest(range(1, len(ts))) AS i FROM t$k) u
+        |  GROUP BY 1, 2),
+        |b$k AS (SELECT a, b, freq FROM p$k ORDER BY freq DESC, a, b LIMIT 1),
+        |w$k AS (
+        |  SELECT t.w, t.c,
+        |    replace(t.enc, '(' || b.a || ')(' || b.b || ')',
+        |      '(' || b.a || b.b || ')') AS enc
+        |  FROM t$k t, b$k b),
+        |r$k AS (
+        |  SELECT $k AS round, b.a, b.b, b.freq, s.vocab_toks
+        |  FROM b$k b, (
+        |    SELECT CAST(sum(c * (length(enc) -
+        |      length(replace(enc, '(', '')))) AS BIGINT) AS vocab_toks
+        |    FROM w$k) s)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to bpeRounds)
+      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"""WITH wt AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS c FROM wt WHERE w <> '' GROUP BY 1),
+      |w0 AS (SELECT w, c,
+      |  regexp_replace(w, '(.)', '(\\1)', 'g') || '(_)' AS enc FROM wc),
+      |$rounds
+      |$union""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -905,6 +946,64 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(sum(col("c")).as("freq"))
         .withColumn("rk", row_number().over(rw))
         .filter(col("rk") <= 20)
+    },
+
+    // ------------------------------------------------------------------
+    // BPE tokenizer TRAINING — three full merge rounds (Sennrich et al.
+    // 2016), one level above q_text_bpe's single pair count: each round
+    // picks the globally most frequent adjacent symbol pair
+    // (deterministic tie-break: freq desc, then lexicographic) and
+    // APPLIES the merge to every word before recounting. Token
+    // sequences are encoded as "(t1)(t2)…(tn)(_)" — each symbol
+    // individually wrapped — so applying a merge is a plain left-to-
+    // right non-overlapping string replace, which is exactly the greedy
+    // semantics reference BPE trainers use ("aaa" + merge a+a → [aa, a],
+    // not [a, aa]); both engines' replace() share that contract, and the
+    // per-round post-merge corpus token count in the output pins it
+    // (pair FREQUENCY counts overlaps, applied merges don't, so the
+    // count catches any divergence the merge table alone would miss).
+    // Scale shape is the real trainers': the corpus collapses ONCE to
+    // word counts (map-combinable, Heaps-sublinear vocab), then every
+    // round — pair explode, 1-row argmax, broadcast merge, replace —
+    // runs over the vocabulary only, cost independent of corpus size;
+    // per-round eager localCheckpoints truncate the growing lineage
+    // exactly like the k-means/PageRank loops. The oracle replays all
+    // three rounds as generated CTEs.
+    QueryDef("q_text_bpe_train", bpeTrainOracle) { (s, dir) =>
+      val wc = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      def nTok(e: Column): Column =
+        length(e) - length(replace(e, lit("("), lit("")))
+      var cur = wc.select(col("w"), col("c"),
+          concat(regexp_replace(col("w"), "(.)", "($1)"), lit("(_)"))
+            .as("enc"))
+        .localCheckpoint()
+      val rounds = (1 to bpeRounds).map { k =>
+        val ts = split(col("enc").substr(lit(2), length(col("enc")) - 2),
+          "\\)\\(")
+        val pairs = cur.select(col("c"), ts.as("ts"))
+          .select(col("c"), col("ts"),
+            explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+          .select(element_at(col("ts"), col("i")).as("a"),
+            element_at(col("ts"), col("i") + 1).as("b"), col("c"))
+          .groupBy(col("a"), col("b")).agg(sum(col("c")).as("freq"))
+        // total order (freq, a, b) makes the 1-row argmax deterministic
+        val best = pairs.orderBy(col("freq").desc, col("a"), col("b"))
+          .limit(1)
+        cur = cur.crossJoin(broadcast(best))
+          .select(col("w"), col("c"),
+            replace(col("enc"),
+              concat(lit("("), col("a"), lit(")("), col("b"), lit(")")),
+              concat(lit("("), col("a"), col("b"), lit(")"))).as("enc"))
+          .localCheckpoint()
+        val tot = cur.agg(sum(col("c") * nTok(col("enc")))
+          .as("vocab_toks"))
+        best.select(lit(k).as("round"), col("a"), col("b"), col("freq"))
+          .crossJoin(broadcast(tot))
+      }
+      rounds.reduce(_ unionByName _)
     },
 
     // ------------------------------------------------------------------

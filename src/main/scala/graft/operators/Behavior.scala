@@ -1935,6 +1935,100 @@ object Behavior {
             / count(lit(1)), 6).as("pos_rate"),
           min(col("n_chars")).as("chars_lo"),
           max(col("n_chars")).as("chars_hi"))
+    },
+
+    // ------------------------------------------------------------------
+    // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    // 2006) — the governance gate a dataset passes before release or
+    // training use: group records by their QUASI-IDENTIFIER tuple
+    // (here nation × market segment — the linkable attributes), and
+    // report, per equivalence-class size k, how many classes and rows
+    // sit at that size plus the worst l-diversity (distinct sensitive
+    // values — the account-balance band) any class of that size offers.
+    // The smallest class_k in the output IS the dataset's k-anonymity;
+    // rows in small-k classes are the re-identifiable ones. Everything
+    // is an exact integer, so the report hash-checks bit-for-bit.
+    // Scale shape: one corpus-sized hash aggregate keyed on the QI
+    // tuple (map-combinable counts; the distinct-sensitive count
+    // expands per class, bounded by the sensitive domain), then a
+    // second aggregate over the class table — which has at most
+    // |QI domain| rows, corpus-independent. Nothing else touches the
+    // raw records: at 100 TB the audit costs one shuffle by QI.
+    QueryDef(
+      "q_anonymity",
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS k,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT k AS class_k, count(*) AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_rows, min(l) AS min_l
+        |FROM cls GROUP BY 1""".stripMargin) { (s, dir) =>
+      val cls = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(floor(col("c_acctbal") / 1000).cast("int")).as("l"))
+      cls.groupBy(col("k").as("class_k"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_rows"),
+          min(col("l")).as("min_l"))
+    },
+
+    // ------------------------------------------------------------------
+    // CUSUM changepoint detection (Page 1954) on the per-type daily
+    // event series — "which day did this feed's level shift?", the
+    // question behind every ingestion-volume alarm. The textbook CUSUM
+    // S_d = Σ_{i≤d}(x_i − x̄) needs the float mean; multiplying through
+    // by n makes it EXACT integer arithmetic: n·S_d = n·prefix_d − d·T
+    // (prefix_d = running count sum, T = total, d = day index), so the
+    // argmax day and the peak statistic hash-check bit-for-bit with no
+    // rounding armor. The changepoint estimate is the day maximizing
+    // |n·S_d| (tie → earliest day). Scale shape: the corpus collapses
+    // to (type, day) counts in one map-combinable aggregate; every
+    // window and the final argmax then run on the day-bounded rollup,
+    // all sharing the ONE hash(event_type) shuffle. The Spark argmax is
+    // the map-combinable max(struct(s, −day)) aggregate; the oracle
+    // uses the textbook row_number window, so the hash match is another
+    // aggregate≡window equivalence proof.
+    QueryDef(
+      "q_ts_cusum",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT event_type, d,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS ps,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM daily),
+        |sc AS (SELECT event_type, d, n, tot,
+        |         abs(n * ps - i * tot) AS s FROM cs)
+        |SELECT event_type, n AS n_days, tot AS total,
+        |  d AS cp_day, s AS cusum_max
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY s DESC, d) AS rn FROM sc) r
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("event_type"))
+      val cs = daily.select(col("event_type"), col("d"),
+        row_number().over(wo).as("i"),
+        sum(col("x")).over(wr).as("ps"),
+        count(lit(1)).over(wp).as("n"),
+        sum(col("x")).over(wp).as("tot"))
+      cs.select(col("event_type"), col("d"), col("n"), col("tot"),
+          abs(col("n") * col("ps") - col("i") * col("tot")).as("s"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("s"), (-unix_date(col("d"))).as("nd"),
+          col("d"), col("n"), col("tot"))).as("m"))
+        .select(col("event_type"), col("m.n").as("n_days"),
+          col("m.tot").as("total"), col("m.d").as("cp_day"),
+          col("m.s").as("cusum_max"))
     }
   )
 }

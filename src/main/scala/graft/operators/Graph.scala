@@ -539,6 +539,95 @@ object Graph {
           / (sqrt(m1 * col("sxx") - sx1 * col("sx"))
             * sqrt(m1 * col("syy") - sy1 * col("sy"))), 6)
           .as("assortativity"))
+    },
+
+    // ------------------------------------------------------------------
+    // Label-propagation community detection (Raghavan et al. 2007) over
+    // the bulk co-purchase graph — the near-linear-time community
+    // algorithm corpus pipelines use to group related sources/documents
+    // before per-community sampling. Made deterministic (the classic
+    // LPA pitfall is order-dependence): SYNCHRONOUS rounds, fixed k=3,
+    // and the update is an exact argmax — each node adopts the label
+    // most frequent among its neighbors, ties broken by SMALLEST label.
+    // The Spark argmax is a map-combinable max(struct(cnt, −lbl))
+    // aggregate, not a per-node window — partial aggregation collapses
+    // the neighbor-label counts map-side, so the per-round shuffle
+    // carries (node, label) partials, never raw |E| rows twice. One
+    // round = adjacency ⋈ |V|-sized label table (the PageRank join
+    // shape) + two hash aggregates; per-round localCheckpoints truncate
+    // the unrolled lineage. The oracle replays the same three rounds as
+    // generated CTEs (row_number argmax — the hash match doubles as an
+    // aggregate≡window equivalence proof). Output is the community
+    // roster (label, size) after round 3.
+    QueryDef("q_graph_labelprop", labelPropOracle) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      // same one-shuffle edge build as q_graph_triangles: per-order
+      // sorted part set, half-matrix pair explode in place (a < b)
+      val parts = li.groupBy(col("okey"))
+        .agg(array_sort(collect_set(col("pk"))).as("pks"))
+        .filter(size(col("pks")) >= 2)
+      val pairsCol = flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val sym = parts.select(explode(pairsCol).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+        .select(array(struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst"))).as("both"))
+        .select(explode(col("both")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .cache() // reused by all three rounds (the PageRank discipline)
+      var labels = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint()
+      for (_ <- 1 to lpaRounds) {
+        val cnt = sym
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        labels = cnt
+          .groupBy(col("src").as("node"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
     }
   )
+
+  // a def, not a val: it is referenced from labelPropOracle during the
+  // object's own `defs` initialization, where a later-declared val would
+  // still read 0
+  private def lpaRounds = 3
+
+  /** DuckDB replay of q_graph_labelprop: identical synchronous rounds;
+    * the argmax is the textbook row_number window form. */
+  private def labelPropOracle: String = {
+    val rounds = (1 to lpaRounds).map { k =>
+      s"""c$k AS (
+        |  SELECT s.src, l.lbl, count(*) AS cnt
+        |  FROM sym s JOIN l${k - 1} l ON s.dst = l.node GROUP BY 1, 2),
+        |l$k AS (
+        |  SELECT src AS node, lbl FROM (
+        |    SELECT src, lbl,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY cnt DESC, lbl) AS rn
+        |    FROM c$k) rr
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity >= 30),
+      |e AS (
+      |  SELECT DISTINCT x.pk AS a, y.pk AS b
+      |  FROM li x JOIN li y ON x.okey = y.okey AND x.pk < y.pk),
+      |sym AS (SELECT a AS src, b AS dst FROM e
+      |        UNION ALL SELECT b AS src, a AS dst FROM e),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+      |$rounds
+      |SELECT lbl AS community, count(*) AS n_nodes
+      |FROM l$lpaRounds GROUP BY 1""".stripMargin
+  }
 }
