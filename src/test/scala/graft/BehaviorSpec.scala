@@ -331,4 +331,48 @@ class BehaviorSpec extends SparkSpec {
       assert(w >= 0 && w <= n, s"${r.getString(0)}: wins $w outside [0,$n]")
     }
   }
+
+  test("q_ts_cusum matches a sequential changepoint re-derivation") {
+    val rows = SparkEntry.queries("q_ts_cusum")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.keySet == daily.keySet, "one changepoint row per type")
+    daily.foreach { case (et, recs) =>
+      val series = recs.map(t => (t._2, t._3)).sortBy(_._1)
+      val n = series.length.toLong
+      val tot = series.map(_._2).sum
+      // n·S_d = n·prefix_d − d·T, argmax |·| with earliest-day tie-break
+      var ps = 0L
+      val scored = series.zipWithIndex.map { case ((day, x), i0) =>
+        ps += x
+        (day, math.abs(n * ps - (i0 + 1) * tot))
+      }
+      val (cpDay, cpS) = scored.minBy { case (day, s) => (-s, day) }
+      val r = rows(et)
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("total") == tot,
+        s"$et: series shape")
+      assert(r.getAs[java.sql.Date]("cp_day").toString == cpDay,
+        s"$et: changepoint ${r.getAs[java.sql.Date]("cp_day")} != $cpDay")
+      assert(r.getAs[Long]("cusum_max") == cpS, s"$et: peak statistic")
+    }
+  }
+
+  test("q_anonymity histogram partitions the customer table") {
+    val rows = SparkEntry.queries("q_anonymity")(spark, sfDir).collect()
+    val nCust = Tables(spark, sfDir, "customer").count()
+    // every customer sits in exactly one equivalence class
+    assert(rows.map(r => r.getAs[Long]("n_rows")).sum == nCust)
+    assert(rows.map(r => r.getAs[Long]("class_k") *
+      r.getAs[Long]("n_classes")).sum == nCust)
+    rows.foreach { r =>
+      val (k, l) = (r.getAs[Long]("class_k"), r.getAs[Long]("min_l"))
+      // a class of size k offers between 1 and k sensitive values
+      assert(l >= 1 && l <= k, s"k=$k: min_l $l outside [1,$k]")
+    }
+  }
 }

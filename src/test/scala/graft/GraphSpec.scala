@@ -173,4 +173,34 @@ class GraphSpec extends SparkSpec {
     val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length, "duplicate pairs emitted")
   }
+
+  test("q_graph_labelprop conserves nodes, emits node-id labels, and is " +
+    "deterministic") {
+    val lp = SparkEntry.queries("q_graph_labelprop")(spark, sfDir).cache()
+    try {
+      // rebuild the node set from the same edge rule: parts sharing a
+      // qty>=30 order with at least one other part
+      val li = Tables(spark, sfDir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      val nodes = li.groupBy(col("okey"))
+        .agg(collect_set(col("pk")).as("pks"))
+        .filter(size(col("pks")) >= 2)
+        .select(explode(col("pks")).as("node")).distinct().cache()
+      // every node appears in exactly one community
+      val total = lp.agg(sum(col("n_nodes"))).head.getLong(0)
+      assert(total == nodes.count(), s"roster covers $total nodes")
+      // community labels are propagated node ids — never invented values
+      val alien = lp.join(nodes,
+        lp("community") === nodes("node"), "left_anti").count()
+      assert(alien == 0, s"$alien non-node community labels")
+      // propagation must actually coarsen: fewer communities than nodes
+      assert(lp.count() < nodes.count(), "no label ever propagated")
+      // synchronous deterministic rounds ⇒ bit-identical reruns
+      val again = SparkEntry.queries("q_graph_labelprop")(spark, sfDir)
+      assert(lp.except(again).isEmpty && again.except(lp).isEmpty,
+        "rerun diverged — update not deterministic")
+      nodes.unpersist()
+    } finally lp.unpersist()
+  }
 }

@@ -63,4 +63,43 @@ class TextSpec extends SparkSpec {
     }
     assert(checked > 10, s"only $checked docs checked — sample too thin")
   }
+
+  test("q_text_bpe_train matches a sequential reference trainer") {
+    // re-derive the three merge rounds imperatively from the same word
+    // counts: pair counting includes overlaps, the applied merge is
+    // greedy left-to-right (consumes both symbols) — the exact contract
+    // the (t)(t) replace-encoding must honor
+    val rows = SparkEntry.queries("q_text_bpe_train")(spark, sfDir)
+      .orderBy("round").collect()
+    assert(rows.length == 3)
+    val wc = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var words: Seq[(List[String], Long)] =
+      wc.toSeq.map { case (w, c) => (w.split("").toList :+ "_") -> c }
+    for (k <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, c) <- words; p <- toks.sliding(2) if p.length == 2)
+        pc((p.head, p(1))) = pc.getOrElse((p.head, p(1)), 0L) + c
+      val ((ba, bb), bf) =
+        pc.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+      def merge(ts: List[String]): List[String] = ts match {
+        case x :: y :: rest if x == ba && y == bb => (x + y) :: merge(rest)
+        case x :: rest => x :: merge(rest)
+        case Nil => Nil
+      }
+      words = words.map { case (ts, c) => merge(ts) -> c }
+      val vt = words.map { case (ts, c) => ts.size * c }.sum
+      val r = rows(k - 1)
+      assert(r.getAs[String]("a") == ba && r.getAs[String]("b") == bb,
+        s"round $k merge (${r.getAs[String]("a")},${r.getAs[String]("b")})" +
+          s" != sequential ($ba,$bb)")
+      assert(r.getAs[Long]("freq") == bf, s"round $k freq")
+      assert(r.getAs[Long]("vocab_toks") == vt,
+        s"round $k post-merge token count ${r.getAs[Long]("vocab_toks")}" +
+          s" != sequential $vt — merge application diverged")
+    }
+  }
 }
