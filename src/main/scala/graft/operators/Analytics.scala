@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Num, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1723,6 +1723,87 @@ object Analytics {
         .agg(min(when(lit(2) * col("cum") >= col("tot"), col("v")))
           .as("wmedian"),
           min(col("tot")).as("total_weight"))
+    },
+
+    // ------------------------------------------------------------------
+    // Pairwise Pearson correlation MATRIX over the fact table's numeric
+    // columns — the feature-profiling pass run before any model uses
+    // them (collinearity screening). One map-combinable aggregate
+    // computes ALL 15 moments (n, 4 sums, 4 sum-of-squares, 6 cross
+    // sums) in a single corpus scan; the 6 correlations are then scalar
+    // algebra on that 1-row table. Exactness engineering: every value
+    // becomes integer CENTS first (the q_attribution floor(x·100+0.5)
+    // landing), and the sums accumulate in DECIMAL(38)/HUGEINT — exact
+    // at any corpus size, converted once (correctly rounded in both
+    // engines) to double for the q_graph_assortativity op-sequence
+    // mirror. At 100 TB this is ONE pass producing 15 numbers — the
+    // cheapest possible profile of a 4-column fact table.
+    QueryDef("q_corr_matrix", corrMatrixOracle) { (s, dir) =>
+      def cents(c: Column): Column =
+        floor(c * 100 + 0.5).cast("decimal(19,0)")
+      val base = t(s, dir, "lineitem").select(
+        cents(col("l_quantity")).as("q"),
+        cents(col("l_extendedprice")).as("p"),
+        cents(col("l_discount")).as("d"),
+        cents(col("l_tax")).as("x"))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        corrCols.map(c => sum(col(c)).as(s"s_$c")) ++
+        corrCols.map(c => sum(col(c) * col(c)).as(s"s_$c$c")) ++
+        corrPairs.map { case (a, b) =>
+          sum(col(a) * col(b)).as(s"s_$a$b")
+        }
+      val m = base.agg(aggs.head, aggs.tail: _*)
+      def dd(name: String): Column = col(name).cast("double")
+      def corrOf(a: String, b: String): Column =
+        Num.r((dd("n") * dd(s"s_$a$b") - dd(s"s_$a") * dd(s"s_$b"))
+          / (sqrt(dd("n") * dd(s"s_$a$a") - dd(s"s_$a") * dd(s"s_$a"))
+            * sqrt(dd("n") * dd(s"s_$b$b") - dd(s"s_$b") * dd(s"s_$b"))),
+          6)
+      val withC = m.select(corrPairs.map { case (a, b) =>
+        corrOf(a, b).as(s"c_$a$b")
+      }: _*)
+      val stackExpr = "stack(6, " + corrPairs.map { case (a, b) =>
+        s"'${corrNames(a)}', '${corrNames(b)}', c_$a$b"
+      }.mkString(", ") + ") AS (xcol, ycol, corr_v)"
+      withC.select(expr(stackExpr))
     }
   )
+
+  private def corrCols = Seq("q", "p", "d", "x")
+  private def corrPairs = Seq(("q", "p"), ("q", "d"), ("q", "x"),
+    ("p", "d"), ("p", "x"), ("d", "x"))
+  private def corrNames = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+    "d" -> "l_discount", "x" -> "l_tax")
+
+  /** DuckDB twin of q_corr_matrix: HUGEINT moments (exact, like Spark's
+    * DECIMAL(38)), then the identical double op sequence per pair. */
+  private def corrMatrixOracle: String = {
+    val srcCols = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "x" -> "l_tax")
+    val centsSel = corrCols.map(c =>
+      s"CAST(floor(${srcCols(c)} * 100 + 0.5) AS HUGEINT) AS $c")
+      .mkString(", ")
+    val moments = (corrCols.map(c => s"sum($c) AS s_$c") ++
+      corrCols.map(c => s"sum($c * $c) AS s_$c$c") ++
+      corrPairs.map { case (a, b) => s"sum($a * $b) AS s_$a$b" })
+      .mkString(", ")
+    def dd(n: String) = s"CAST($n AS DOUBLE)"
+    val corrSel = corrPairs.map { case (a, b) =>
+      Num.sql(s"(${dd("n")} * ${dd(s"s_$a$b")} - ${dd(s"s_$a")} * " +
+        s"${dd(s"s_$b")}) / (sqrt(${dd("n")} * ${dd(s"s_$a$a")} - " +
+        s"${dd(s"s_$a")} * ${dd(s"s_$a")}) * sqrt(${dd("n")} * " +
+        s"${dd(s"s_$b$b")} - ${dd(s"s_$b")} * ${dd(s"s_$b")}))", 6) +
+        s" AS c_$a$b"
+    }.mkString(",\n  ")
+    val rows = corrPairs.map { case (a, b) =>
+      s"SELECT '${srcCols(a)}' AS xcol, '${srcCols(b)}' AS ycol, " +
+        s"c_$a$b AS corr_v FROM f"
+    }.mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT $centsSel FROM lineitem),
+      |m AS (SELECT count(*) AS n, $moments FROM c),
+      |f AS (SELECT
+      |  $corrSel
+      |FROM m)
+      |$rows""".stripMargin
+  }
 }

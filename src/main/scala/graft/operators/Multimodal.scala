@@ -47,6 +47,19 @@ final case class DecodedAudio(
     sample_sum: Long,
     peak: Int)
 
+/** A parsed FLAC STREAMINFO row: format parameters recovered from the
+  * bit-packed header plus the metadata-block walk's structural counts. */
+final case class DecodedFlac(
+    doc_id: Long,
+    fmt: String,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    total_samples: Long,
+    dur_ms: Long,
+    n_meta_blocks: Int,
+    n_audio_bytes: Int)
+
 /** Multimodal column plumbing (SURVEY.md §2B north star): media as opaque
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
@@ -876,6 +889,79 @@ object Multimodal {
       nFrames.toLong * 1000L / rate, sum, peak)
   }
 
+  /** Structurally valid FLAC shell: "fLaC" magic, a bit-packed
+    * STREAMINFO first (per spec), then a PADDING and a last-flagged
+    * APPLICATION block the walk must skip by their 24-bit big-endian
+    * lengths, then `audioLen` frame filler bytes. */
+  def encodeFlacShell(rate: Int, channels: Int, bits: Int,
+      totalSamples: Long, audioLen: Int): Array[Byte] = {
+    val app = "grftFLAC".getBytes("US-ASCII")
+    val b = new Array[Byte](4 + (4 + 34) + (4 + 4) + (4 + app.length)
+      + audioLen)
+    var o = 0
+    def put(v: Int): Unit = { b(o) = v.toByte; o += 1 }
+    def be24(v: Int): Unit = { put(v >> 16); put((v >> 8) & 0xff); put(v & 0xff) }
+    def be16(v: Int): Unit = { put(v >> 8); put(v & 0xff) }
+    "fLaC".getBytes("US-ASCII").foreach(c => put(c))
+    // STREAMINFO (type 0, not last), length 34
+    put(0x00); be24(34)
+    be16(4096); be16(4096) // min/max block size
+    be24(0); be24(0) // min/max frame size (0 = unknown)
+    // [rate:20][channels-1:3][bps-1:5][total:36] big-endian
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | totalSamples
+    (7 to 0 by -1).foreach(k => put(((packed >> (8 * k)) & 0xff).toInt))
+    (0 until 16).foreach(_ => put(0)) // MD5 placeholder
+    // PADDING (type 1, not last)
+    put(0x01); be24(4); (0 until 4).foreach(_ => put(0))
+    // APPLICATION (type 2, LAST)
+    put(0x80 | 0x02); be24(app.length); app.foreach(c => put(c))
+    // frame filler
+    (0 until audioLen).foreach(k => put(k * 7 + 1))
+    b
+  }
+
+  /** Real FLAC STREAMINFO parse: magic check, metadata-block walk
+    * (24-bit big-endian lengths, last-flag termination, STREAMINFO
+    * required first per spec), bit-field unpack of the 64-bit
+    * rate/channels/bps/total word. No frame decode — exactly the
+    * header pass a media pipeline runs on every asset before spending
+    * codec cycles. Throws on truncation or a non-first STREAMINFO. */
+  def decodeFlacStreamInfo(b: Array[Byte]): DecodedFlac = {
+    require(b.length >= 4 + 4 + 34, "truncated FLAC")
+    require(new String(b, 0, 4, "US-ASCII") == "fLaC", "not a FLAC file")
+    def be24(o: Int): Int = (b(o) & 0xff) << 16 | (b(o + 1) & 0xff) << 8 |
+      (b(o + 2) & 0xff)
+    var o = 4
+    var nBlocks = 0
+    var last = false
+    var rate = 0; var channels = 0; var bits = 0; var total = 0L
+    while (!last) {
+      require(o + 4 <= b.length, "truncated block header")
+      val hdr = b(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = be24(o + 1)
+      val body = o + 4
+      require(body.toLong + len <= b.length,
+        s"truncated or malformed block type=$typ (len=$len)")
+      if (nBlocks == 0) {
+        require(typ == 0 && len == 34, "STREAMINFO must be first")
+        var packed = 0L
+        (0 until 8).foreach(k => packed = packed << 8 | (b(body + 10 + k) & 0xff))
+        rate = (packed >>> 44).toInt
+        channels = ((packed >>> 41) & 0x7).toInt + 1
+        bits = ((packed >>> 36) & 0x1f).toInt + 1
+        total = packed & 0xfffffffffL
+        require(rate > 0, "malformed STREAMINFO (rate=0)")
+      }
+      nBlocks += 1
+      o = body + len
+    }
+    DecodedFlac(0L, "flac", rate, channels, bits, total,
+      total * 1000L / rate, nBlocks, b.length - o)
+  }
+
   /** STUB decode kernel — swap for a real codec binding in production.
     * Deterministic: "features" are simple byte statistics, "dimensions"
     * derive from the length. Runs per-partition so a real decoder could
@@ -1344,6 +1430,57 @@ object Multimodal {
           .cast("long").as("_1"),
         col("content").as("_2")).as[(Long, Array[Byte])]
       decodeImage(assets).toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // FLAC STREAMINFO parse — the lossless-audio sibling of the JPEG
+    // header sniff: every document becomes a structurally valid FLAC
+    // shell (magic, bit-packed STREAMINFO first per spec, then PADDING
+    // and a last-flagged APPLICATION block the walk must skip by their
+    // 24-bit big-endian lengths, then frame filler), and
+    // [[decodeFlacStreamInfo]] recovers sample rate (20 bits), channels
+    // (3), bit depth (5), and the 36-bit total-sample count from the
+    // packed 64-bit word — plus the block-walk's structural counts.
+    // Frame decode needs a codec; THIS header pass is what a media
+    // pipeline runs on 100% of assets to route/filter them, and it is
+    // fully real. The oracle recomputes every field arithmetically from
+    // doc_id, so a mis-shifted bit field, a wrong block length, or a
+    // broken last-flag walk mismatches immediately. Duration is exact
+    // integer math: total·1000 / rate floored identically in both
+    // engines.
+    QueryDef(
+      "q_multimodal_flac",
+      """SELECT doc_id, 'flac' AS fmt,
+        |  CAST(CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |    WHEN 3 THEN 32000 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS INTEGER) AS bits,
+        |  CAST((doc_id % 1000) * 100 + 1000 AS BIGINT) AS total_samples,
+        |  CAST(((doc_id % 1000) * 100 + 1000) * 1000
+        |    // (CASE CAST(doc_id % 5 AS INTEGER)
+        |       WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |       WHEN 3 THEN 32000 ELSE 44100 END) AS BIGINT) AS dur_ms,
+        |  CAST(3 AS INTEGER) AS n_meta_blocks,
+        |  CAST(doc_id % 50 + 10 AS INTEGER) AS n_audio_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rates = Array(8000, 16000, 22050, 32000, 44100)
+      val depths = Array(8, 16, 24)
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, encodeFlacShell(
+            rates((id % 5).toInt), (id % 2).toInt + 1,
+            depths((id % 3).toInt), (id % 1000) * 100 + 1000,
+            (id % 50).toInt + 10))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeFlacStreamInfo(bytes).copy(doc_id = id)
+        }
+      }.toDF()
     }
   )
 }

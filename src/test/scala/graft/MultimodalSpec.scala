@@ -338,4 +338,34 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(again.length == 60)
   }
+
+  test("FLAC STREAMINFO round-trips bit-packed params and rejects damage") {
+    import graft.operators.Multimodal.{decodeFlacStreamInfo, encodeFlacShell}
+    // bit-field boundaries: max 20-bit-ish rates, 1..8 channels, 4..32
+    // bit depths, 36-bit-scale totals must all survive the pack/unpack
+    val cases = Seq(
+      (8000, 1, 8, 0L), (44100, 2, 16, 1234567L),
+      (96000, 8, 32, (1L << 36) - 1), (655350, 3, 24, 42L))
+    cases.foreach { case (r, c, bt, n) =>
+      val f = decodeFlacStreamInfo(encodeFlacShell(r, c, bt, n, 20))
+      assert((f.sample_rate, f.channels, f.bits, f.total_samples) ==
+        ((r, c, bt, n)), s"round-trip diverged for ($r,$c,$bt,$n)")
+      assert(f.n_meta_blocks == 3 && f.n_audio_bytes == 20)
+      assert(f.dur_ms == n * 1000L / r)
+    }
+    val good = encodeFlacShell(44100, 2, 16, 1000L, 30)
+    // magic damage
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](decodeFlacStreamInfo(bad))
+    // truncation inside the block walk
+    intercept[IllegalArgumentException](
+      decodeFlacStreamInfo(good.take(4 + 4 + 10)))
+    // STREAMINFO not first: flip the first block's type to PADDING
+    val swapped = good.clone(); swapped(4) = 0x01.toByte
+    intercept[IllegalArgumentException](decodeFlacStreamInfo(swapped))
+    // a block length running past the buffer must fail, not wrap
+    val overrun = good.clone()
+    overrun(5) = 0x7f.toByte // STREAMINFO len high byte -> huge
+    intercept[IllegalArgumentException](decodeFlacStreamInfo(overrun))
+  }
 }
