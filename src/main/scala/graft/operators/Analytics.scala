@@ -1766,6 +1766,61 @@ object Analytics {
         s"'${corrNames(a)}', '${corrNames(b)}', c_$a$b"
       }.mkString(", ") + ") AS (xcol, ycol, corr_v)"
       withC.select(expr(stackExpr))
+    },
+
+    // ------------------------------------------------------------------
+    // Quantile normalization across sources — the batch-effect
+    // correction a feature pipeline applies when per-source metric
+    // distributions must be made comparable (here: each document's
+    // n_chars is replaced by the GLOBAL value at the same quantile
+    // position its rank holds within its source). Kept fully exact: the
+    // mapped position is the integer midpoint formula
+    //   gi = ((2·si + 1) · N) div (2·n_s)
+    // over exact ranks (si = within-source rank, n_s = source size,
+    // N = corpus size) — no float quantiles, no interpolation, so every
+    // normalized value is a real corpus value and the rows hash-check.
+    // (The BIGINT product caps out near N ≈ 3·10⁹ docs; past that,
+    // promote the midpoint ratio to double — position resolution, not
+    // correctness, is what degrades.) Scale shape: BOTH rank passes run
+    // through chunkedRank (chunks × groups parallel sorts, broadcast
+    // prefix offsets — never one task per source, never one global sort
+    // task), the corpus total is a 1-row broadcast, and the position
+    // join is a plain integer equi-join. The oracle uses the textbook
+    // row_number windows, so the hash match re-proves chunked ≡ native
+    // on a third rank family.
+    QueryDef(
+      "q_quantile_norm",
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) - 1 AS si,
+        |    count(*) OVER (PARTITION BY source) AS sn
+        |  FROM documents),
+        |g AS (
+        |  SELECT n_chars AS norm_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gi
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ((2 * si + 1) * (SELECT count(*) FROM documents))
+        |      // (2 * sn) AS gi
+        |  FROM d)
+        |SELECT t.source, t.doc_id, t.n_chars, g.norm_chars
+        |FROM t JOIN g USING (gi)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val bySource = chunkedRank(docs, "source", "n_chars", Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("idx").as("si"), col("n").as("sn"))
+      val glob = chunkedRank(docs.withColumn("__all", lit("all")),
+        "__all", "n_chars", Seq("doc_id"))
+        .select(col("n_chars").as("norm_chars"), col("idx").as("gi"))
+      val tot = docs.agg(count(lit(1)).as("gn"))
+      bySource.crossJoin(broadcast(tot))
+        .withColumn("gi", expr("((2 * si + 1) * gn) div (2 * sn)"))
+        .join(glob, "gi")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("norm_chars"))
     }
   )
 

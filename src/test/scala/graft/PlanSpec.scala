@@ -575,7 +575,9 @@ class PlanSpec extends SparkSpec {
       "q_dedup_lsh_sweep", // crossJoin(broadcast(1-row ground-truth count))
       "q_basket_rules", // crossJoin(broadcast(1-row basket count))
       "q_text_lm_bigram", // crossJoin(broadcast(1-row distinct-bigram total))
-      "q_knn_mips") // q_knn_brute's broadcast-query exact-baseline shape
+      "q_knn_mips", // q_knn_brute's broadcast-query exact-baseline shape
+      "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
+      "q_quantile_norm") // crossJoin(broadcast(1-row corpus total))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
