@@ -752,6 +752,33 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Ordered string aggregation — Spark 4's ANSI listagg(... ) WITHIN
+    // GROUP (ORDER BY ...) ≡ DuckDB's string_agg(... ORDER BY ...): the
+    // lookup-table serialization shape (denormalize a dimension into
+    // one delimited attribute per parent). Deterministic ONLY because
+    // the order-by key is total within each group — an unordered
+    // listagg is partition-order-dependent and can never hash-check.
+    // State discipline: like collect_set, listagg buffers its group's
+    // values — run it on dimension-bounded inputs only (here region ×
+    // nation); an unbounded-group serialization belongs to graft_topk
+    // (q_agg_sort2) instead.
+    QueryDef(
+      "q_agg_listagg",
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"),
+          count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
     // Rollup.
     QueryDef(
       "q_agg_rollup",

@@ -1616,6 +1616,72 @@ object Similarity {
         .select(col("query_id"), col("col.id").as("neighbor_id"),
           (col("pos") + 1).as("rnk"),
           Num.r(col("col.score"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with a ±1
+    // sign matrix (Achlioptas 2003's database-friendly construction) —
+    // the cheap dimensionality reducer in front of clustering/ANN when
+    // even PQ is too much machinery. The matrix is DETERMINISTIC md5
+    // parity, embedded as plan-time literals in both engines (the
+    // q_text_classify literal-model pattern), and the projection runs
+    // on integer-scaled components (floor(x·10⁶+0.5), the q_agg_skew
+    // landing) — so every projected coordinate is an exact BIGINT and
+    // the per-dimension count/XOR/sum fingerprint pins the ENTIRE
+    // projected matrix bit-for-bit, not a rounded summary. Scale shape:
+    // a pure per-row codegen projection (no shuffle until the 16-group
+    // fingerprint aggregate, which is map-combinable); at 100 TB this
+    // is scan-speed work, and the fingerprint doubles as the export
+    // checksum for the projected table.
+    QueryDef("q_embed_rp", rpOracle) { (s, dir) =>
+      val xi = transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), xi.as("xi"))
+      val yCols = (0 until RpDims).map { j =>
+        val sgn = array(rpSigns(j).map(lit): _*)
+        aggregate(zip_with(col("xi"), sgn, (x, sg) => x * sg),
+          lit(0L), (a, x) => a + x).as(s"y$j")
+      }
+      val stacked = base.select(col("vec_id") +: yCols: _*)
+        .select(expr("stack(" + RpDims + ", " +
+          (0 until RpDims).map(j => s"$j, y$j").mkString(", ") +
+          ") AS (dim, y)"))
+      stacked.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(y)").as("y_xor"),
+          sum(col("y")).as("y_sum"))
     }
   )
+
+  private def RpDims = 16
+
+  /** Deterministic ±1 JL signs: parity of the first md5 byte of
+    * "rp:j:i" — plan-time constants mirrored into the oracle. */
+  private def rpSigns: Array[Array[Long]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims, Dim) { (j, i) =>
+      val b = md.digest(s"rp:$j:$i".getBytes("UTF-8"))(0)
+      if ((b & 1) == 1) 1L else -1L
+    }
+  }
+
+  /** DuckDB replay of q_embed_rp: identical literal sign lists, the
+    * identical integer scaling, one UNION ALL branch per dimension. */
+  private def rpOracle: String = {
+    val branches = (0 until RpDims).map { j =>
+      val lits = rpSigns(j).mkString("[", ", ", "]")
+      s"""SELECT $j AS dim, list_sum(list_transform(range(1, ${Dim + 1}),
+        |  k -> ($lits)[k] * xi[k])) AS y FROM x""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH x AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000e0 + 0.5) AS BIGINT))
+      |    AS xi
+      |  FROM embeddings),
+      |u AS ($branches)
+      |SELECT dim, count(*) AS n, bit_xor(y) AS y_xor,
+      |  CAST(sum(y) AS BIGINT) AS y_sum
+      |FROM u GROUP BY 1""".stripMargin
+  }
 }
