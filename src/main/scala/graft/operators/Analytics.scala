@@ -1306,6 +1306,34 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // SQL pipe syntax (Spark 4.0's |> operators, SPARK-49555; the
+    // GoogleSQL/ZetaSQL linearized form) — filter → aggregate →
+    // post-aggregation filter written as a pipeline instead of nested
+    // SELECTs. Semantically identical to the classic form (the oracle
+    // IS the classic form, so the hash match proves it); the pipe
+    // stages lower onto the same partial+final hash aggregate with the
+    // shipdate predicate pushed to the scan — surface syntax, not a
+    // different plan. Exercised through the spark.sql() entry path like
+    // q_sql_recursive.
+    QueryDef(
+      "q_sql_pipe",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  ${Num.sql("sum(l_quantity)", 2)} AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_pipe")
+      s.sql(s"""
+        FROM graft_li_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n,
+             ${Num.sql("sum(l_quantity)", 2)} AS qty
+             GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 100""")
+    },
+
+    // ------------------------------------------------------------------
     // Deterministic MODE (most-frequent value) per group — the data-
     // profiling aggregate, built from counts instead of the engine
     // mode() builtin precisely because builtins tie-break arbitrarily

@@ -2029,6 +2029,53 @@ object Behavior {
         .select(col("event_type"), col("m.n").as("n_days"),
           col("m.tot").as("total"), col("m.d").as("cp_day"),
           col("m.s").as("cusum_max"))
+    },
+
+    // ------------------------------------------------------------------
+    // Delta-of-delta bit-width profile (Gorilla, Pelkonen VLDB'15; the
+    // same structure parquet's DELTA_BINARY_PACKED exploits) — the
+    // storage-layout question "how well will this timestamp column
+    // compress if I sort by (user, ts)?" answered IN-ENGINE before any
+    // layout is committed: per user, first differences of the epoch-µs
+    // timestamps, then second differences zigzag-mapped to non-negative
+    // (Gorilla's trick — regular cadences make d² ≈ 0), then the exact
+    // bit width of each value via length(bin(x)) — an INTEGER identity
+    // in both engines, where floor(log2)+1 would wobble at exact powers
+    // of two. Output is the bit-width histogram: its mass at small
+    // widths IS the compression win. Scale shape: both lag windows and
+    // the tie-break share ONE hash(user_id) shuffle (same sort), and
+    // the histogram aggregate is map-combinable over ≤64 groups.
+    QueryDef(
+      "q_delta_bits",
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+        |d1 AS (
+        |  SELECT user_id, t, event_id,
+        |    t - lag(t) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS d
+        |  FROM o),
+        |d2 AS (
+        |  SELECT d - lag(d) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS dd
+        |  FROM d1 WHERE d IS NOT NULL)
+        |SELECT
+        |  CAST(length(bin(CASE WHEN dd >= 0 THEN 2 * dd
+        |    ELSE -2 * dd - 1 END)) AS INTEGER) AS width,
+        |  count(*) AS n
+        |FROM d2 WHERE dd IS NOT NULL GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val d1 = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"))
+        .withColumn("d", col("t") - lag(col("t"), 1).over(w))
+      val d2 = d1.filter(col("d").isNotNull)
+        .withColumn("dd", col("d") - lag(col("d"), 1).over(w))
+        .filter(col("dd").isNotNull)
+      val zz = when(col("dd") >= 0, col("dd") * 2)
+        .otherwise(col("dd") * -2 - 1)
+      d2.select(length(bin(zz)).cast("int").as("width"))
+        .groupBy(col("width")).agg(count(lit(1)).as("n"))
     }
   )
 }
