@@ -1080,6 +1080,94 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Per-class precision / recall / F1 of the langid heuristic against
+    // the declared labels — the metric sheet next to q_label_kappa's
+    // chance-corrected agreement and q_eval_auc's ranking quality:
+    // per label language L, tp / fp = colsum−tp / fn = rowsum−tp come
+    // from ONE corpus-sized confusion aggregate plus two marginal
+    // rollups of the |labels|²-bounded cell table (the kappa plan,
+    // re-aimed). The 'unknown' prediction column participates in fn
+    // (a miss is a miss) but is not itself a reported class. Ratios
+    // guard their zero denominators explicitly — identical CASEs in
+    // both engines — and land Num-rounded.
+    QueryDef(
+      "q_eval_f1",
+      s"""WITH s AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN en_s >= de_s AND en_s >= fr_s AND en_s > 0 THEN 'en'
+        |      WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |      WHEN fr_s > 0 THEN 'fr'
+        |      ELSE 'unknown'
+        |    END AS predicted
+        |  FROM (
+        |    SELECT lang,
+        |      len(list_filter(string_split(text, ' '), w -> list_contains(['the', 'a', 'and'], w))) AS en_s,
+        |      len(list_filter(string_split(text, ' '), w -> list_contains(['der', 'und', 'das'], w))) AS de_s,
+        |      len(list_filter(string_split(text, ' '), w -> list_contains(['le', 'et', 'la'], w))) AS fr_s
+        |    FROM documents)),
+        |cm AS (SELECT lang, predicted, count(*) AS n FROM s GROUP BY 1, 2),
+        |rm AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS r FROM cm GROUP BY 1),
+        |cl AS (SELECT predicted AS k, CAST(sum(n) AS BIGINT) AS c FROM cm GROUP BY 1),
+        |tp AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS tp FROM cm
+        |       WHERE lang = predicted GROUP BY 1),
+        |f AS (
+        |  SELECT rm.k AS lang, coalesce(tp.tp, 0) AS tp,
+        |    coalesce(cl.c, 0) - coalesce(tp.tp, 0) AS fp,
+        |    rm.r - coalesce(tp.tp, 0) AS fn
+        |  FROM rm LEFT JOIN tp ON rm.k = tp.k
+        |  LEFT JOIN cl ON rm.k = cl.k)
+        |SELECT lang, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN 0e0
+        |    ELSE ${Num.sql("tp * 1e0 / (tp + fp)", 6)} END AS prec_v,
+        |  CASE WHEN tp + fn = 0 THEN 0e0
+        |    ELSE ${Num.sql("tp * 1e0 / (tp + fn)", 6)} END AS rec_v,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0e0
+        |    ELSE ${Num.sql("2e0 * tp / (2 * tp + fp + fn)", 6)} END AS f1_v
+        |FROM f""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      def score(markers: Seq[String]): Column =
+        size(filter(toks, w => array_contains(array(markers.map(lit): _*), w)))
+      val scored = t(s, dir, "documents").select(
+        col("lang"),
+        score(Seq("the", "a", "and")).as("en_s"),
+        score(Seq("der", "und", "das")).as("de_s"),
+        score(Seq("le", "et", "la")).as("fr_s"))
+      val cm = scored.select(
+          col("lang"),
+          when(col("en_s") >= col("de_s") && col("en_s") >= col("fr_s")
+            && col("en_s") > 0, "en")
+            .when(col("de_s") >= col("fr_s") && col("de_s") > 0, "de")
+            .when(col("fr_s") > 0, "fr")
+            .otherwise("unknown").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val rm = cm.groupBy(col("lang").as("k")).agg(sum(col("n")).as("r"))
+      val cl = cm.groupBy(col("predicted").as("k")).agg(sum(col("n")).as("c"))
+      val tp = cm.filter(col("lang") === col("predicted"))
+        .groupBy(col("lang").as("k")).agg(sum(col("n")).as("tp0"))
+      val f = rm
+        .join(broadcast(tp), Seq("k"), "left")
+        .join(broadcast(cl.withColumnRenamed("c", "c0")), Seq("k"), "left")
+        .select(col("k").as("lang"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          (coalesce(col("c0"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fp"),
+          (col("r") - coalesce(col("tp0"), lit(0L))).as("fn"))
+      f.select(col("lang"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0e0))
+          .otherwise(Num.r(col("tp") * lit(1e0) / (col("tp") + col("fp")), 6))
+          .as("prec_v"),
+        when(col("tp") + col("fn") === 0, lit(0e0))
+          .otherwise(Num.r(col("tp") * lit(1e0) / (col("tp") + col("fn")), 6))
+          .as("rec_v"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0e0))
+          .otherwise(Num.r(lit(2e0) * col("tp")
+            / (lit(2) * col("tp") + col("fp") + col("fn")), 6))
+          .as("f1_v"))
+    },
+
+    // ------------------------------------------------------------------
     // Winnowing fingerprint SELECTION (Schleimer, Wilkerson, Aiken,
     // "Winnowing: local algorithms for document fingerprinting",
     // SIGMOD 2003 — the MOSS algorithm): slide a window of w=4

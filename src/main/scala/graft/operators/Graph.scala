@@ -579,9 +579,12 @@ object Graph {
         .select(explode(col("both")).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .cache() // reused by all three rounds (the PageRank discipline)
+      // each round references the previous label table exactly ONCE
+      // (the neighbor join), so lineage grows linearly and the loop
+      // stays fully lazy — no per-round checkpoint needed (the
+      // pagerank/PC1 regime, not the BPE/BTL doubling regime)
       var labels = sym.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
-        .localCheckpoint()
       for (_ <- 1 to lpaRounds) {
         val cnt = sym
           .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -590,7 +593,6 @@ object Graph {
           .groupBy(col("src").as("node"))
           .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
           .select(col("node"), (-col("m.nl")).as("lbl"))
-          .localCheckpoint()
       }
       labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_nodes"))

@@ -47,6 +47,18 @@ final case class DecodedAudio(
     sample_sum: Long,
     peak: Int)
 
+/** A parsed TIFF IFD row: dimensions and sample layout recovered from
+  * the tag walk, plus the byte order the file declared. */
+final case class DecodedTiff(
+    doc_id: Long,
+    fmt: String,
+    width: Int,
+    height: Int,
+    bits: Int,
+    big_endian: Boolean,
+    n_entries: Int,
+    n_strip_bytes: Int)
+
 /** A parsed FLAC STREAMINFO row: format parameters recovered from the
   * bit-packed header plus the metadata-block walk's structural counts. */
 final case class DecodedFlac(
@@ -889,6 +901,91 @@ object Multimodal {
       nFrames.toLong * 1000L / rate, sum, peak)
   }
 
+  /** Minimal baseline TIFF in EITHER byte order: II/MM magic + 42, one
+    * IFD at offset 8 with six entries (width, height, bits, compression,
+    * strip offset/count), a zero next-IFD pointer, then the strip. */
+  def encodeTiff(w: Int, h: Int, bits: Int, bigEndian: Boolean,
+      stripLen: Int): Array[Byte] = {
+    val nEntries = 6
+    val ifdBytes = 2 + nEntries * 12 + 4
+    val stripOff = 8 + ifdBytes
+    val b = new Array[Byte](stripOff + stripLen)
+    var o = 0
+    def put(v: Int): Unit = { b(o) = v.toByte; o += 1 }
+    def u16(v: Int): Unit =
+      if (bigEndian) { put(v >> 8); put(v & 0xff) }
+      else { put(v & 0xff); put(v >> 8) }
+    def u32(v: Int): Unit =
+      if (bigEndian) { put(v >>> 24); put((v >> 16) & 0xff); put((v >> 8) & 0xff); put(v & 0xff) }
+      else { put(v & 0xff); put((v >> 8) & 0xff); put((v >> 16) & 0xff); put(v >>> 24) }
+    // SHORT values sit left-justified in the 4-byte value field, in the
+    // file's own byte order (the TIFF 6.0 packing rule)
+    def entryShort(tag: Int, v: Int): Unit = { u16(tag); u16(3); u32(1); u16(v); u16(0) }
+    def entryLong(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+    val magic = if (bigEndian) "MM" else "II"
+    magic.getBytes("US-ASCII").foreach(c => put(c))
+    u16(42); u32(8) // IFD offset
+    u16(nEntries)
+    entryLong(256, w) // ImageWidth
+    entryLong(257, h) // ImageLength
+    entryShort(258, bits) // BitsPerSample
+    entryShort(259, 1) // Compression = none
+    entryLong(273, stripOff) // StripOffsets
+    entryLong(279, stripLen) // StripByteCounts
+    u32(0) // next IFD: none
+    (0 until stripLen).foreach(k => put(k * 11 + 3))
+    b
+  }
+
+  /** Real TIFF IFD walk handling BOTH byte orders: II/MM dispatch, the
+    * 42 check, entry iteration with SHORT-vs-LONG value extraction per
+    * the left-justified packing rule, and strip-bounds validation.
+    * Throws on a bad magic, a wrong version word, a truncated IFD, or
+    * an unsupported (compressed) image. */
+  def decodeTiffMeta(b: Array[Byte]): DecodedTiff = {
+    require(b.length >= 8, "truncated TIFF")
+    val magic = new String(b, 0, 2, "US-ASCII")
+    require(magic == "II" || magic == "MM", "not a TIFF file")
+    val be = magic == "MM"
+    def u16(o: Int): Int =
+      if (be) (b(o) & 0xff) << 8 | (b(o + 1) & 0xff)
+      else (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    def u32(o: Int): Int =
+      if (be) (b(o) & 0xff) << 24 | (b(o + 1) & 0xff) << 16 |
+        (b(o + 2) & 0xff) << 8 | (b(o + 3) & 0xff)
+      else (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
+        (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
+    require(u16(2) == 42, s"bad TIFF version word ${u16(2)}")
+    val ifd = u32(4)
+    require(ifd >= 8 && ifd + 2 <= b.length, "IFD offset out of bounds")
+    val n = u16(ifd)
+    require(ifd + 2 + n * 12 + 4 <= b.length, "truncated IFD")
+    var width = -1; var height = -1; var bits = -1; var comp = -1
+    var stripOff = -1; var stripLen = -1
+    (0 until n).foreach { k =>
+      val e = ifd + 2 + k * 12
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      // SHORT (3) = first two bytes of the value field in file order;
+      // LONG (4) = all four
+      val v = if (typ == 3) u16(e + 8) else u32(e + 8)
+      tag match {
+        case 256 => width = v
+        case 257 => height = v
+        case 258 => bits = v
+        case 259 => comp = v
+        case 273 => stripOff = v
+        case 279 => stripLen = v
+        case _ => // unknown tags are legal; skip
+      }
+    }
+    require(width > 0 && height > 0 && bits > 0, "missing geometry tags")
+    require(comp == 1, s"unsupported compression $comp")
+    require(stripOff >= 0 && stripLen >= 0 &&
+      stripOff.toLong + stripLen <= b.length, "strip out of bounds")
+    DecodedTiff(0L, "tiff", width, height, bits, be, n, stripLen)
+  }
+
   /** Structurally valid FLAC shell: "fLaC" magic, a bit-packed
     * STREAMINFO first (per spec), then a PADDING and a last-flagged
     * APPLICATION block the walk must skip by their 24-bit big-endian
@@ -1479,6 +1576,43 @@ object Multimodal {
       assets.mapPartitions { it =>
         it.map { case (id, bytes) =>
           decodeFlacStreamInfo(bytes).copy(doc_id = id)
+        }
+      }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // TIFF IFD walk — the one header format where BYTE ORDER itself is
+    // data: files declare II (little) or MM (big) and every
+    // multi-byte value, including the left-justified SHORT packing
+    // inside the 4-byte IFD value field, follows that declaration. The
+    // corpus alternates endianness by doc_id, so a parser that
+    // hard-codes either order fails half the table instantly.
+    // [[decodeTiffMeta]] dispatches on the magic, checks the 42 word,
+    // walks the six-entry IFD (geometry, sample layout, compression,
+    // strip bounds), and validates the strip against the file length.
+    // Like the other header kernels this is scan-speed per-asset work;
+    // the oracle recomputes everything arithmetically from doc_id.
+    QueryDef(
+      "q_multimodal_tiff",
+      """SELECT doc_id, 'tiff' AS fmt,
+        |  CAST(doc_id % 31 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 23 + 1 AS INTEGER) AS height,
+        |  CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS bits,
+        |  doc_id % 2 = 1 AS big_endian,
+        |  CAST(6 AS INTEGER) AS n_entries,
+        |  CAST(doc_id % 40 + 5 AS INTEGER) AS n_strip_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, encodeTiff((id % 31).toInt + 1, (id % 23).toInt + 1,
+            8 + (id % 2).toInt * 8, bigEndian = id % 2 == 1,
+            (id % 40).toInt + 5))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeTiffMeta(bytes).copy(doc_id = id)
         }
       }.toDF()
     }

@@ -368,4 +368,34 @@ class MultimodalSpec extends SparkSpec {
     overrun(5) = 0x7f.toByte // STREAMINFO len high byte -> huge
     intercept[IllegalArgumentException](decodeFlacStreamInfo(overrun))
   }
+
+  test("TIFF IFD walk handles both byte orders and rejects damage") {
+    import graft.operators.Multimodal.{decodeTiffMeta, encodeTiff}
+    for (be <- Seq(false, true); bits <- Seq(8, 16)) {
+      val t = decodeTiffMeta(encodeTiff(640, 480, bits, be, 33))
+      assert((t.width, t.height, t.bits, t.big_endian,
+        t.n_entries, t.n_strip_bytes) == ((640, 480, bits, be, 6, 33)),
+        s"be=$be bits=$bits: $t")
+    }
+    val good = encodeTiff(10, 7, 8, bigEndian = false, 12)
+    // bad magic
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](decodeTiffMeta(bad))
+    // wrong version word (the 42 check)
+    val v = good.clone(); v(2) = 43.toByte
+    intercept[IllegalArgumentException](decodeTiffMeta(v))
+    // truncated IFD
+    intercept[IllegalArgumentException](decodeTiffMeta(good.take(20)))
+    // compressed images are out of scope for the header kernel:
+    // entry 3 (Compression, tag 259) value -> 5 (LZW)
+    val comp = good.clone()
+    val entry3ValueOff = 8 + 2 + 3 * 12 + 8
+    comp(entry3ValueOff) = 5.toByte
+    intercept[IllegalArgumentException](decodeTiffMeta(comp))
+    // a strip running past the file must fail, not index out
+    val strip = good.clone()
+    val entry6ValueOff = 8 + 2 + 5 * 12 + 8
+    strip(entry6ValueOff) = 0x7f.toByte
+    intercept[IllegalArgumentException](decodeTiffMeta(strip))
+  }
 }
