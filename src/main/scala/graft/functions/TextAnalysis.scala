@@ -49,6 +49,45 @@ object TextAnalysis {
 
   private val bpeRounds = 3
 
+  private def trRounds = 2
+
+  /** DuckDB replay of q_text_textrank: the identical two integer-µunit
+    * rounds — per-edge integer division, order-free BIGINT sums. */
+  private def textrankOracle: String = {
+    val rounds = (1 to trRounds).map { k =>
+      s"""s$k AS (
+        |  SELECT e.v AS word, CAST(sum((p.pr * e.w) // d.wdeg) AS BIGINT)
+        |    AS s
+        |  FROM edges e JOIN p${k - 1} p ON e.u = p.word
+        |  JOIN deg d ON e.u = d.u
+        |  GROUP BY 1),
+        |p$k AS (
+        |  SELECT d.u AS word,
+        |    150000 + (85 * coalesce(s.s, 0)) // 100 AS pr
+        |  FROM deg d LEFT JOIN s$k s ON d.u = s.word)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents),
+      |adj AS (
+      |  SELECT ts[CAST(i AS INTEGER)] AS a, ts[CAST(i AS INTEGER) + 1] AS b
+      |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks) u
+      |  WHERE ts[CAST(i AS INTEGER)] <> ts[CAST(i AS INTEGER) + 1]
+      |    AND ts[CAST(i AS INTEGER)] <> '' AND ts[CAST(i AS INTEGER) + 1] <> ''),
+      |edges AS (
+      |  SELECT u, v, count(*) AS w FROM (
+      |    SELECT a AS u, b AS v FROM adj
+      |    UNION ALL SELECT b AS u, a AS v FROM adj)
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY 1),
+      |p0 AS (SELECT u AS word, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      |$rounds
+      |SELECT word, pr FROM (
+      |  SELECT word, pr,
+      |    row_number() OVER (ORDER BY pr DESC, word) AS rk
+      |  FROM p$trRounds) rr
+      |WHERE rk <= 10""".stripMargin
+  }
+
   /** DuckDB replay of q_text_bpe_train: the identical three merge
     * rounds as generated CTEs (the k-means/PageRank oracle pattern).
     * Round k: tokenize the previous encoding, count adjacent pairs,
@@ -1165,6 +1204,55 @@ object TextAnalysis {
           .otherwise(Num.r(lit(2e0) * col("tp")
             / (lit(2) * col("tp") + col("fp") + col("fn")), 6))
           .as("f1_v"))
+    },
+
+    // ------------------------------------------------------------------
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    // PageRank over the word co-occurrence graph, the unsupervised
+    // keyword scorer — recast in EXACT INTEGER µ-units: ranks live as
+    // BIGINT millionths, each edge contributes (pr_u·w_uv) div wdeg_u
+    // (a per-edge integer division), and the damping update is
+    // 150000 + (85·Σ) div 100. Integer sums are order-free, so unlike
+    // float PageRank no summation-order noise exists ANYWHERE — the
+    // top-10 table hash-checks with zero rounding armor (the
+    // integer-µnat lesson from q_text_lmscore applied to an iterative
+    // rank). Scale shape: the corpus collapses to the vocab²-sparse
+    // adjacency (bigram counts, one map-combinable agg); each round is
+    // one edges⋈ranks keyed join + one BIGINT sum — the PageRank loop
+    // over vocabulary-sized state; the final top-10 ranks on the
+    // vocab-bounded relation via chunkedRank. Two rounds, lazily
+    // unrolled (each round touches the previous iterate once).
+    QueryDef("q_text_textrank", textrankOracle) { (s, dir) =>
+      val ts = split(col("text"), " ")
+      val adj = t(s, dir, "documents")
+        .select(ts.as("ts"))
+        .select(col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("a"),
+          element_at(col("ts"), col("i") + 1).as("b"))
+        .filter(col("a") =!= col("b") && col("a") =!= "" && col("b") =!= "")
+      val edges = adj.select(col("a").as("u"), col("b").as("v"))
+        .union(adj.select(col("b").as("u"), col("a").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      val deg = edges.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+      var pr = deg.select(col("u").as("word"), lit(1000000L).as("pr"))
+      for (_ <- 1 to trRounds) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("word", "u"), "u")
+          .join(deg, "u")
+          .select(col("v").as("word"),
+            expr("(pr * w) div wdeg").as("c"))
+          .groupBy(col("word")).agg(sum(col("c")).as("s"))
+        pr = deg.select(col("u").as("word"))
+          .join(contrib, Seq("word"), "left")
+          .select(col("word"),
+            (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+      }
+      graft.operators.Analytics
+        .chunkedRank(pr.withColumn("__all", lit("all"))
+          .withColumn("negpr", -col("pr")), "__all", "negpr", Seq("word"))
+        .filter(col("idx") < 10)
+        .select(col("word"), col("pr"))
     },
 
     // ------------------------------------------------------------------

@@ -1334,6 +1334,29 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // GROUP BY ALL (Spark 4 / DuckDB both ship it) — the analyst
+    // shorthand that infers the grouping keys from the non-aggregate
+    // SELECT items. The oracle spells the keys out, so the hash match
+    // proves the inference resolves to exactly the explicit form; the
+    // plan is the same partial+final hash aggregate either way.
+    // Quantity sums ride as BIGINT (integral values), the repo's
+    // sum-type armor.
+    QueryDef(
+      "q_sql_groupby_all",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_gba")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM graft_orders_gba
+        GROUP BY ALL""")
+    },
+
+    // ------------------------------------------------------------------
     // Deterministic MODE (most-frequent value) per group — the data-
     // profiling aggregate, built from counts instead of the engine
     // mode() builtin precisely because builtins tie-break arbitrarily
