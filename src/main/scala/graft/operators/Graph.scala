@@ -596,8 +596,94 @@ object Graph {
       }
       labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // ------------------------------------------------------------------
+    // Borůvka phase (1926; the contraction step of every parallel MST
+    // algorithm, and single-linkage clustering's first merge round):
+    // every node selects its minimum-weight incident edge, and with a
+    // TOTAL edge order — deterministic md5 pseudo-weights tie-broken by
+    // (w, a, b) — the selected edge set is provably a FOREST (a cycle
+    // would need some node to pick a non-minimal edge). The query
+    // returns the phase summary and asserts the forest invariant
+    // in-row: n_nodes − n_components = n_selected_edges, with
+    // components of the selected forest derived by the repo's verified
+    // min-label/pointer-jumping loop and REPLAYED by the oracle's
+    // recursive closure — a third independent pair family re-proving
+    // that machinery. Scale shape: the per-node argmin is one
+    // map-combinable min(struct(w, a, b)) aggregate over the
+    // symmetrized edges (the LPA/PageRank exchange), selection dedup is
+    // a |V|-bounded distinct, and the component loop runs on the
+    // forest's ≤ |V|−1 edges, not the graph's |E|.
+    QueryDef("q_graph_boruvka", boruvkaOracle) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      val parts = li.groupBy(col("okey"))
+        .agg(array_sort(collect_set(col("pk"))).as("pks"))
+        .filter(size(col("pks")) >= 2)
+      val pairsCol = flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val ew = parts.select(explode(pairsCol).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+        .withColumn("w",
+          graft.functions.TextAnalysis.h60(concat(lit("mst:"),
+            col("a").cast("string"), lit(":"), col("b").cast("string")))
+            % 100000)
+      val sym = ew.select(col("a").as("node"), col("a"), col("b"), col("w"))
+        .union(ew.select(col("b").as("node"), col("a"), col("b"), col("w")))
+      val sel = sym.groupBy(col("node"))
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+        .distinct()
+      val comp = Dedup.connectedComponents(
+        sel.select(col("a").as("id_a"), col("b").as("id_b")))
+      val nn = sym.agg(countDistinct(col("node")).as("n"))
+      val ns = sel.agg(count(lit(1)).as("c"), sum(col("w")).as("tw"))
+      val nc = comp.agg(countDistinct(col("component")).as("k"))
+      nn.crossJoin(broadcast(ns)).crossJoin(broadcast(nc))
+        .select(col("n").as("n_nodes"), col("c").as("n_selected"),
+          col("k").as("n_components"), col("tw").as("total_weight"),
+          (col("n") - col("k") === col("c")).as("forest_ok"))
     }
   )
+
+  /** DuckDB replay of q_graph_boruvka: the same total-order argmin via
+    * a row_number window, components via the recursive closure. */
+  private def boruvkaOracle: String = {
+    val wExpr = graft.functions.TextAnalysis
+      .h60sql("'mst:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+      |  FROM lineitem WHERE l_quantity >= 30),
+      |e AS (
+      |  SELECT DISTINCT x.pk AS a, y.pk AS b
+      |  FROM li x JOIN li y ON x.okey = y.okey AND x.pk < y.pk),
+      |ew AS (SELECT a, b, $wExpr % 100000 AS w FROM e),
+      |sym AS (SELECT a AS node, a, b, w FROM ew
+      |        UNION ALL SELECT b AS node, a, b, w FROM ew),
+      |sel AS (
+      |  SELECT DISTINCT a, b, w FROM (
+      |    SELECT a, b, w, row_number() OVER (PARTITION BY node
+      |      ORDER BY w, a, b) AS rn
+      |    FROM sym) rr WHERE rn = 1),
+      |se AS (SELECT a, b FROM sel UNION ALL SELECT b, a FROM sel),
+      |r AS (
+      |  WITH RECURSIVE reach(a, b) AS (
+      |    SELECT a, b FROM se
+      |    UNION
+      |    SELECT reach.a, se.b FROM reach JOIN se ON reach.b = se.a)
+      |  SELECT * FROM reach),
+      |comp AS (SELECT a AS node, min(b) AS label FROM r GROUP BY 1),
+      |nn AS (SELECT count(DISTINCT node) AS n FROM sym),
+      |ns AS (SELECT count(*) AS c, CAST(sum(w) AS BIGINT) AS tw FROM sel),
+      |nc AS (SELECT count(DISTINCT label) AS k FROM comp)
+      |SELECT nn.n AS n_nodes, ns.c AS n_selected, nc.k AS n_components,
+      |  ns.tw AS total_weight, nn.n - nc.k = ns.c AS forest_ok
+      |FROM nn, ns, nc""".stripMargin
+  }
 
   // a def, not a val: it is referenced from labelPropOracle during the
   // object's own `defs` initialization, where a later-declared val would

@@ -577,7 +577,9 @@ class PlanSpec extends SparkSpec {
       "q_text_lm_bigram", // crossJoin(broadcast(1-row distinct-bigram total))
       "q_knn_mips", // q_knn_brute's broadcast-query exact-baseline shape
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
-      "q_quantile_norm") // crossJoin(broadcast(1-row corpus total))
+      "q_quantile_norm", // crossJoin(broadcast(1-row corpus total))
+      "q_graph_boruvka", // crossJoin of three 1-row phase-summary aggregates
+      "q_text_textrank") // constant-group chunkedRank bounds (global top-10)
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
