@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Num, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2076,6 +2076,75 @@ object Behavior {
         .otherwise(col("dd") * -2 - 1)
       d2.select(length(bin(zz)).cast("int").as("width"))
         .groupBy(col("width")).agg(count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
+    // Windowed funnel (ClickHouse's windowFunnel, strict-order mode) —
+    // q_funnel asks "did the stages ever happen in order"; this asks
+    // the product question "did they happen in order WITHIN 7 DAYS of
+    // the signup": t₂ = first view after t₁, t₃ = first click after
+    // t₂, t₄ = first purchase after t₃, every tᵢ capped at t₁ + W.
+    // Each stage is one stage-filtered, user-keyed min-aggregate
+    // joined to the previous stage's row — K passes whose inputs
+    // SHRINK monotonically (the funnel property), every shuffle on
+    // user_id, timestamps in exact epoch-µs BIGINTs so the window cap
+    // is integer arithmetic. Output is the depth histogram the growth
+    // team reads. Sequential mins are genuinely different from
+    // q_funnel's one-pass first-occurrence flags: a click BEFORE the
+    // first view doesn't count here even if a later view exists.
+    QueryDef(
+      "q_window_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(t) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND t > t1
+        |    AND t <= t1 + 604800000000 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(t) AS t3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'click' AND t > t2
+        |    AND t <= t1 + 604800000000 GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, min(t) AS t4
+        |  FROM e JOIN s1 USING (user_id) JOIN s3 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > t3
+        |    AND t <= t1 + 604800000000 GROUP BY 1),
+        |d AS (
+        |  SELECT s1.user_id,
+        |    CAST(1 + (s2.t2 IS NOT NULL)::INTEGER
+        |      + (s3.t3 IS NOT NULL)::INTEGER
+        |      + (s4.t4 IS NOT NULL)::INTEGER AS INTEGER) AS depth
+        |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |  LEFT JOIN s4 ON s1.user_id = s4.user_id)
+        |SELECT depth, count(*) AS n_users FROM d GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+      val W = 604800000000L // 7 days in µs
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      def next(prev: DataFrame, prevT: String, stage: String,
+          out: String): DataFrame =
+        e.filter(col("event_type") === stage)
+          .join(prev, "user_id")
+          .filter(col("t") > col(prevT) && col("t") <= col("t1") + W)
+          .groupBy(col("user_id")).agg(min(col("t")).as(out))
+      val s2 = next(s1, "t1", "view", "t2")
+      val s3 = next(s1.join(s2, "user_id"), "t2", "click", "t3")
+      val s4 = next(s1.join(s3, "user_id"), "t3", "purchase", "t4")
+      val flag = (c: Column) => when(c.isNotNull, 1).otherwise(0)
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .join(s4, Seq("user_id"), "left")
+        .select((lit(1) + flag(col("t2")) + flag(col("t3"))
+          + flag(col("t4"))).cast("int").as("depth"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
     }
   )
 }

@@ -47,6 +47,16 @@ final case class DecodedAudio(
     sample_sum: Long,
     peak: Int)
 
+/** A parsed ZIP central-directory row: structural counts recovered by a
+  * hand-written EOCD/central-directory walk over a library-built zip. */
+final case class DecodedZip(
+    doc_id: Long,
+    fmt: String,
+    n_entries: Int,
+    total_uncompressed: Long,
+    name_chars: Long,
+    all_stored: Boolean)
+
 /** A parsed TIFF IFD row: dimensions and sample layout recovered from
   * the tag walk, plus the byte order the file declared. */
 final case class DecodedTiff(
@@ -901,6 +911,81 @@ object Multimodal {
       nFrames.toLong * 1000L / rate, sum, peak)
   }
 
+  /** A real zip built by `java.util.zip.ZipOutputStream` (STORED
+    * entries with pre-computed CRCs, so sizes are deterministic):
+    * `n` members named "m<k>.txt" whose bodies are a fixed function of
+    * (id, k). The ENCODER is the JDK library; the decoder below is the
+    * hand-written parser — fixture and kernel come from independent
+    * implementations. */
+  def encodeZip(id: Long, n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    (0 until n).foreach { k =>
+      val body = Array.tabulate[Byte]((id % 17).toInt + 3 + k)(
+        j => ((id + 31 * k + j) % 256).toByte)
+      val e = new java.util.zip.ZipEntry(s"m$k.txt")
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(body.length)
+      e.setCompressedSize(body.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      e.setCrc(crc.getValue)
+      zos.putNextEntry(e)
+      zos.write(body)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Hand-written ZIP read path (PKWARE APPNOTE layout): scan backwards
+    * for the end-of-central-directory signature (0x06054b50, allowing
+    * a trailing comment), then walk the central directory records
+    * (0x02014b50) — entry count cross-checked against the EOCD field,
+    * name lengths honored, extra/comment fields skipped by their
+    * declared sizes. No java.util.zip on the read side. Throws on a
+    * missing EOCD, a signature mismatch, or a truncated record. */
+  def decodeZipDirectory(b: Array[Byte]): DecodedZip = {
+    def u16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    def u32(o: Int): Long = ((b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
+      (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24) & 0xffffffffL
+    // EOCD is at least 22 bytes and within 64 KiB + 22 of the end
+    var eocd = -1
+    var o = b.length - 22
+    val floor = math.max(0, b.length - 22 - 0xffff)
+    while (eocd < 0 && o >= floor) {
+      if (u32(o) == 0x06054b50L) eocd = o else o -= 1
+    }
+    require(eocd >= 0, "no end-of-central-directory record")
+    val nEntries = u16(eocd + 10)
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    require(cdOff + cdSize <= eocd,
+      s"central directory [$cdOff, +$cdSize) overlaps the EOCD at $eocd")
+    var p = cdOff.toInt
+    var seen = 0
+    var totalUnc = 0L
+    var nameChars = 0L
+    var allStored = true
+    while (seen < nEntries) {
+      require(p + 46 <= b.length && u32(p) == 0x02014b50L,
+        s"bad central-directory record at $p")
+      val method = u16(p + 10)
+      val unc = u32(p + 24)
+      val nameLen = u16(p + 28)
+      val extraLen = u16(p + 30)
+      val commentLen = u16(p + 32)
+      if (method != 0) allStored = false
+      totalUnc += unc
+      nameChars += nameLen
+      p += 46 + nameLen + extraLen + commentLen
+      seen += 1
+    }
+    require(p == cdOff + cdSize,
+      s"central directory walked to $p, expected ${cdOff + cdSize}")
+    DecodedZip(0L, "zip", nEntries, totalUnc, nameChars, allStored)
+  }
+
   /** Minimal baseline TIFF in EITHER byte order: II/MM magic + 42, one
     * IFD at offset 8 with six entries (width, height, bits, compression,
     * strip offset/count), a zero next-IFD pointer, then the strip. */
@@ -1613,6 +1698,40 @@ object Multimodal {
       assets.mapPartitions { it =>
         it.map { case (id, bytes) =>
           decodeTiffMeta(bytes).copy(doc_id = id)
+        }
+      }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // ZIP central-directory walk — the container format corpus archives
+    // actually arrive in. Unlike the arithmetic shells, the FIXTURE
+    // here is written by an independent implementation (the JDK's
+    // ZipOutputStream, STORED entries) and the KERNEL is a hand-written
+    // PKWARE APPNOTE parser: backwards EOCD signature scan, central
+    // directory record walk with declared name/extra/comment skipping,
+    // and an exact end-position cross-check against the EOCD's size
+    // field — so encoder and decoder can't share a bug. The oracle
+    // recomputes entry counts and byte totals arithmetically from
+    // doc_id. This is the manifest pass an archive-ingest pipeline runs
+    // before extracting anything: per-asset, scan-speed, no
+    // decompression.
+    QueryDef(
+      "q_multimodal_zip",
+      """SELECT doc_id, 'zip' AS fmt,
+        |  CAST(doc_id % 4 + 1 AS INTEGER) AS n_entries,
+        |  CAST((doc_id % 4 + 1) * (doc_id % 17 + 3)
+        |    + ((doc_id % 4 + 1) * (doc_id % 4)) // 2 AS BIGINT)
+        |    AS total_uncompressed,
+        |  CAST(6 * (doc_id % 4 + 1) AS BIGINT) AS name_chars,
+        |  true AS all_stored
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, encodeZip(id, (id % 4).toInt + 1)))
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeZipDirectory(bytes).copy(doc_id = id)
         }
       }.toDF()
     }

@@ -398,4 +398,35 @@ class MultimodalSpec extends SparkSpec {
     strip(entry6ValueOff) = 0x7f.toByte
     intercept[IllegalArgumentException](decodeTiffMeta(strip))
   }
+
+  test("ZIP directory walk reads JDK-written archives and rejects damage") {
+    import graft.operators.Multimodal.{decodeZipDirectory, encodeZip}
+    // encoder is java.util.zip, decoder is the hand-written APPNOTE
+    // walk — independent implementations must agree on the manifest
+    for (id <- Seq(0L, 7L, 123L, 9999L)) {
+      val n = (id % 4).toInt + 1
+      val z = decodeZipDirectory(encodeZip(id, n))
+      val expectedUnc = (0 until n).map(k => (id % 17) + 3 + k).sum
+      assert((z.n_entries, z.total_uncompressed, z.name_chars,
+        z.all_stored) == ((n, expectedUnc, 6L * n, true)), s"id=$id: $z")
+    }
+    val good = encodeZip(42L, 3)
+    // an archive comment after the EOCD must not break the signature scan
+    val commented = good ++ "trailing archive comment".getBytes("US-ASCII")
+    // (comment length field now disagrees, but the EOCD itself is found
+    // and the directory is intact — the walk must still succeed)
+    assert(decodeZipDirectory(commented).n_entries == 3)
+    // EOCD removed entirely
+    intercept[IllegalArgumentException](
+      decodeZipDirectory(good.take(good.length - 22)))
+    // corrupt the central-directory signature: locate it via the EOCD
+    def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xff) | (b(o + 1) & 0xff) << 8 | (b(o + 2) & 0xff) << 16 |
+        (b(o + 3) & 0xff) << 24) & 0xffffffffL
+    val eocd = good.length - 22
+    assert(u32(good, eocd) == 0x06054b50L)
+    val cdOff = u32(good, eocd + 16).toInt
+    val badSig = good.clone(); badSig(cdOff) = 0x00.toByte
+    intercept[IllegalArgumentException](decodeZipDirectory(badSig))
+  }
 }
