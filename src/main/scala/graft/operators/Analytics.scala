@@ -1872,6 +1872,113 @@ object Analytics {
         .join(glob, "gi")
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("norm_chars"))
+    },
+
+    // ------------------------------------------------------------------
+    // Functional-dependency discovery (the Metanome/profiling question
+    // "does A determine B?") over a fixed candidate list: A → B holds
+    // exactly when |distinct A| = |distinct (A, B)| — two distinct
+    // counts in ONE aggregate per candidate, each a single
+    // map-combinable pass over its table (Spark plans multi-distinct
+    // via Expand; at 100 TB run one candidate per pass or switch to
+    // approx sketches for screening). The verdict lands as data:
+    // schema keys (orderkey → custkey, nationkey → regionkey) must
+    // hold, behavioral non-keys must not — a regression test FOR the
+    // testdata generator as much as a profiling operator.
+    QueryDef(
+      "q_profile_fd",
+      """SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |  count(DISTINCT o_orderkey) AS n_lhs,
+        |  count(DISTINCT (o_orderkey, o_custkey)) AS n_pair,
+        |  count(DISTINCT o_orderkey) = count(DISTINCT (o_orderkey, o_custkey))
+        |    AS fd_holds
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_custkey', 'o_orderpriority',
+        |  count(DISTINCT o_custkey),
+        |  count(DISTINCT (o_custkey, o_orderpriority)),
+        |  count(DISTINCT o_custkey) = count(DISTINCT (o_custkey, o_orderpriority))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+        |  count(DISTINCT l_orderkey),
+        |  count(DISTINCT (l_orderkey, l_returnflag)),
+        |  count(DISTINCT l_orderkey) = count(DISTINCT (l_orderkey, l_returnflag))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'nation', 'n_nationkey', 'n_regionkey',
+        |  count(DISTINCT n_nationkey),
+        |  count(DISTINCT (n_nationkey, n_regionkey)),
+        |  count(DISTINCT n_nationkey) = count(DISTINCT (n_nationkey, n_regionkey))
+        |FROM nation
+        |UNION ALL
+        |SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+        |  count(DISTINCT c_nationkey),
+        |  count(DISTINCT (c_nationkey, c_mktsegment)),
+        |  count(DISTINCT c_nationkey) = count(DISTINCT (c_nationkey, c_mktsegment))
+        |FROM customer""".stripMargin) { (s, dir) =>
+      def fd(tbl: String, lhs: String, rhs: String): DataFrame = {
+        val nl = countDistinct(col(lhs))
+        val np = countDistinct(col(lhs), col(rhs))
+        t(s, dir, tbl).agg(nl.as("n_lhs"), np.as("n_pair"),
+            (nl === np).as("fd_holds"))
+          .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"), col("n_lhs"), col("n_pair"),
+            col("fd_holds"))
+      }
+      Seq(
+        fd("orders", "o_orderkey", "o_custkey"),
+        fd("orders", "o_custkey", "o_orderpriority"),
+        fd("lineitem", "l_orderkey", "l_returnflag"),
+        fd("nation", "n_nationkey", "n_regionkey"),
+        fd("customer", "c_nationkey", "c_mktsegment"))
+        .reduce(_ unionByName _)
+    },
+
+    // ------------------------------------------------------------------
+    // Time-decay attribution at day grain — q_attribution credits the
+    // single last touch; this spreads each purchase's credit over ALL
+    // touches in a 7-day lookback with exponentially decaying weight.
+    // Exactness trick: decay = 1000000 >> age_days — halving IS a
+    // right-shift, so every credit is an exact BIGINT µ-unit and the
+    // per-channel totals hash-check with no float anywhere. Scale
+    // shape is q_active_trailing's bounded explode: each touch emits
+    // exactly 8 (user, target_day, weight) rows, purchases pre-
+    // aggregate to per-(user, day) counts, and the credit join is a
+    // plain keyed equi-join — shuffle ∝ 8·|touches|, independent of
+    // the lookback's event density.
+    QueryDef(
+      "q_attribution_decay",
+      """WITH t0 AS (
+        |  SELECT user_id, event_type,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |  FROM events),
+        |p AS (SELECT user_id, d, count(*) AS np FROM t0
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |x AS (
+        |  SELECT user_id, event_type, d + i AS td, 1000000 >> i AS w
+        |  FROM t0, (SELECT unnest(range(0, 8)) AS i) ii
+        |  WHERE event_type <> 'purchase')
+        |SELECT x.event_type,
+        |  CAST(sum(x.w * p.np) AS BIGINT) AS credit_u,
+        |  count(*) AS n_pairs
+        |FROM x JOIN p ON x.user_id = p.user_id AND x.td = p.d
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val t0 = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_date(col("ts").cast("date")).as("d"))
+      val p = t0.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("d")).agg(count(lit(1)).as("np"))
+      val x = t0.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type"), col("d"),
+          explode(sequence(lit(0), lit(7))).as("i"))
+        .select(col("user_id"), col("event_type"),
+          (col("d") + col("i")).as("td"),
+          expr("shiftright(1000000, i)").as("w"))
+      x.join(p, x("user_id") === p("user_id") && col("td") === p("d"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("w") * col("np")).as("credit_u"),
+          count(lit(1)).as("n_pairs"))
     }
   )
 
