@@ -1979,6 +1979,36 @@ object Analytics {
         .groupBy(col("event_type"))
         .agg(sum(col("w") * col("np")).as("credit_u"),
           count(lit(1)).as("n_pairs"))
+    },
+
+    // ------------------------------------------------------------------
+    // Relational DIVISION (Codd's ÷, the "FOR ALL" query): customers
+    // whose orders span EVERY order priority that exists. The classic
+    // rewrite — per-divisor distinct count equals the divisor's
+    // cardinality — turns the universal quantifier into one
+    // map-combinable count-distinct per customer plus a 1-row
+    // broadcast of the divisor size; no double NOT EXISTS, no
+    // anti-join cascade. At 100 TB the per-key distinct is bounded by
+    // the divisor domain (5 priorities), so partial aggregation
+    // collapses it map-side.
+    QueryDef(
+      "q_division",
+      """WITH dv AS (
+        |  SELECT count(DISTINCT o_orderpriority) AS k FROM orders),
+        |c AS (
+        |  SELECT o_custkey, count(DISTINCT o_orderpriority) AS np,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT c.o_custkey, c.np, CAST(c.n_orders AS BIGINT) AS n_orders
+        |FROM c, dv WHERE c.np = dv.k""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val dv = o.agg(countDistinct(col("o_orderpriority")).as("k"))
+      o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("np"),
+          count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(dv))
+        .filter(col("np") === col("k"))
+        .select(col("o_custkey"), col("np"), col("n_orders"))
     }
   )
 

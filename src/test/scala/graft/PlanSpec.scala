@@ -579,7 +579,8 @@ class PlanSpec extends SparkSpec {
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
       "q_quantile_norm", // crossJoin(broadcast(1-row corpus total))
       "q_graph_boruvka", // crossJoin of three 1-row phase-summary aggregates
-      "q_text_textrank") // constant-group chunkedRank bounds (global top-10)
+      "q_text_textrank", // constant-group chunkedRank bounds (global top-10)
+      "q_division") // crossJoin(broadcast(1-row divisor cardinality))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
