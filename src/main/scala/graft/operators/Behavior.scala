@@ -2079,6 +2079,63 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Rendezvous (highest-random-weight) shard rebalance audit —
+    // THE property that justifies HRW/consistent hashing over plain
+    // `key mod N`: growing 8 → 9 shards moves only ~1/9 of documents
+    // (mod-N would reshuffle ~8/9 of them). Both assignments are pure
+    // per-row projections — shard(d, N) = argmax over s < N of
+    // h60('rdz:'||s||':'||d), computed as an in-codegen array argmax
+    // (array_position of the max ⇒ first-max, ties impossible at 60
+    // bits) — and the output is the full 8×9-bounded movement matrix,
+    // so the hash check pins every document's placement under BOTH
+    // cluster sizes. The oracle derives each argmax via the explode +
+    // row_number window instead, making the match an
+    // array-formula ≡ window-argmax equivalence proof. At 100 TB this
+    // is the rebalance PLAN for a storage layer: scan-speed, zero
+    // shuffles before the tiny matrix aggregate.
+    QueryDef(
+      "q_shard_rendezvous",
+      s"""WITH x8 AS (
+        |  SELECT doc_id, i AS s,
+        |    ${graft.functions.TextAnalysis.h60sql(
+            "'rdz:' || CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+        |    AS sc
+        |  FROM documents, (SELECT unnest(range(0, 8)) AS i) ii),
+        |a8 AS (
+        |  SELECT doc_id, s AS s8 FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY sc DESC, s) AS rn
+        |    FROM x8) r WHERE rn = 1),
+        |x9 AS (
+        |  SELECT doc_id, i AS s,
+        |    ${graft.functions.TextAnalysis.h60sql(
+            "'rdz:' || CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+        |    AS sc
+        |  FROM documents, (SELECT unnest(range(0, 9)) AS i) ii),
+        |a9 AS (
+        |  SELECT doc_id, s AS s9 FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY sc DESC, s) AS rn
+        |    FROM x9) r WHERE rn = 1)
+        |SELECT CAST(a8.s8 AS BIGINT) AS s8, CAST(a9.s9 AS BIGINT) AS s9,
+        |  count(*) AS n
+        |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      def shardOf(n: Int): Column = {
+        val scores = transform(sequence(lit(0), lit(n - 1)),
+          sc => graft.functions.TextAnalysis.h60(
+            concat(lit("rdz:"), sc.cast("string"), lit(":"),
+              col("doc_id").cast("string"))))
+        array_position(scores, array_max(scores)) - 1
+      }
+      t(s, dir, "documents")
+        .select(shardOf(8).as("s8"), shardOf(9).as("s9"))
+        .groupBy(col("s8"), col("s9")).agg(count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
     // Windowed funnel (ClickHouse's windowFunnel, strict-order mode) —
     // q_funnel asks "did the stages ever happen in order"; this asks
     // the product question "did they happen in order WITHIN 7 DAYS of

@@ -362,6 +362,25 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("q_shard_rendezvous: movers go ONLY to the new shard") {
+    val rows = SparkEntry.queries("q_shard_rendezvous")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("s8"), r.getAs[Long]("s9"),
+        r.getAs[Long]("n")))
+    val total = rows.map(_._3).sum
+    assert(total == Tables(spark, sfDir, "documents").count())
+    // THE rendezvous property: adding shard 8 moves a document only if
+    // the new shard's score wins — every (s8 != s9) row must land on 8
+    rows.filter { case (s8, s9, _) => s8 != s9 }.foreach {
+      case (s8, s9, n) =>
+        assert(s9 == 8L, s"($s8 -> $s9, n=$n) moved to an OLD shard")
+    }
+    // and the stable majority stays put (movement ≈ 1/9, bound loosely)
+    val moved = rows.filter(r => r._1 != r._2).map(_._3).sum
+    assert(moved * 3 < total, s"$moved/$total moved — far above 1/9")
+    assert(moved > 0, "no movement at all — shard 9 never wins?")
+  }
+
   test("q_anonymity histogram partitions the customer table") {
     val rows = SparkEntry.queries("q_anonymity")(spark, sfDir).collect()
     val nCust = Tables(spark, sfDir, "customer").count()
