@@ -632,12 +632,19 @@ object Graph {
           graft.functions.TextAnalysis.h60(concat(lit("mst:"),
             col("a").cast("string"), lit(":"), col("b").cast("string")))
             % 100000)
+      // cached: the co-purchase edge build is the expensive pass and
+      // THREE consumers read it (node count, selection, and through
+      // the selection the component loop) — uncached, each one re-runs
+      // the groupBy+explode build (measured 7.0 s; the rebuilds were
+      // most of it)
       val sym = ew.select(col("a").as("node"), col("a"), col("b"), col("w"))
         .union(ew.select(col("b").as("node"), col("a"), col("b"), col("w")))
+        .cache()
       val sel = sym.groupBy(col("node"))
         .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
         .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
         .distinct()
+        .cache() // feeds the component loop AND the phase summary
       val comp = Dedup.connectedComponents(
         sel.select(col("a").as("id_a"), col("b").as("id_b")))
       val nn = sym.agg(countDistinct(col("node")).as("n"))
