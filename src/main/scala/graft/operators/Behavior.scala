@@ -2079,6 +2079,83 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Jensen–Shannon divergence between every pair of sources' unigram
+    // distributions — the symmetric, bounded (≤ ln 2) info-theoretic
+    // distance that completes the drift family (PSI needs reference
+    // buckets, KS needs an ordering, chi² tests association; JSD
+    // compares whole DISTRIBUTIONS pairwise). Exactness is the
+    // q_text_lmscore discipline: each vocabulary term's contribution
+    // p·ln(p/m) + q·ln(q/m) is computed with the IDENTICAL double op
+    // sequence in both engines, floored to integer µnats, and only the
+    // exact BIGINT µnat sums cross the engine boundary — so summation
+    // order cannot flip the hash. Scale shape: ONE map-combinable
+    // (source, word) count pass over the corpus; everything after runs
+    // on the |sources|²·|vocab|-bounded grid (pairs × vocabulary),
+    // corpus-independent.
+    QueryDef(
+      "q_drift_jsd",
+      s"""WITH wt AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT source, w, count(*) AS c FROM wt
+        |       WHERE w <> '' GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |       FROM wc GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+        |  FROM ns a JOIN ns b ON a.source < b.source),
+        |v AS (SELECT DISTINCT w FROM wc),
+        |grid AS (
+        |  SELECT pr.*, v.w,
+        |    coalesce(ca.c, 0) AS c1, coalesce(cb.c, 0) AS c2
+        |  FROM pr CROSS JOIN v
+        |  LEFT JOIN wc ca ON ca.source = pr.src_a AND ca.w = v.w
+        |  LEFT JOIN wc cb ON cb.source = pr.src_b AND cb.w = v.w),
+        |terms AS (
+        |  SELECT src_a, src_b, c1, c2,
+        |    CAST(c1 AS DOUBLE) / na AS p, CAST(c2 AS DOUBLE) / nb AS q
+        |  FROM grid WHERE c1 + c2 > 0),
+        |ju AS (
+        |  SELECT src_a, src_b, c1, c2,
+        |    CAST(floor((
+        |      (CASE WHEN c1 > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0e0 END)
+        |      + (CASE WHEN c2 > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0e0 END)
+        |    ) * 1000000e0 + 0.5) AS BIGINT) AS u
+        |  FROM terms)
+        |SELECT src_a, src_b, CAST(sum(u) AS BIGINT) AS jsd_u,
+        |  count(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 END) AS n_shared
+        |FROM ju GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wc = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val ns = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val pr = ns.select(col("source").as("src_a"), col("n").as("na"))
+        .join(ns.select(col("source").as("src_b"), col("n").as("nb")),
+          col("src_a") < col("src_b"))
+      val v = wc.select(col("w")).distinct()
+      val grid = pr.crossJoin(broadcast(v))
+        .join(wc.select(col("source").as("src_a"), col("w"),
+          col("c").as("c1")), Seq("src_a", "w"), "left")
+        .join(wc.select(col("source").as("src_b"), col("w"),
+          col("c").as("c2")), Seq("src_b", "w"), "left")
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+        .filter(col("c1") + col("c2") > 0)
+      val p = col("c1").cast("double") / col("na")
+      val q = col("c2").cast("double") / col("nb")
+      val m = (p + q) / lit(2)
+      val j = when(col("c1") > 0, p * log(p / m)).otherwise(lit(0e0)) +
+        when(col("c2") > 0, q * log(q / m)).otherwise(lit(0e0))
+      grid.select(col("src_a"), col("src_b"), col("c1"), col("c2"),
+          floor(j * lit(1000000e0) + lit(0.5)).cast("long").as("u"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("u")).as("jsd_u"),
+          count(when(col("c1") > 0 && col("c2") > 0, 1)).as("n_shared"))
+    },
+
+    // ------------------------------------------------------------------
     // Rendezvous (highest-random-weight) shard rebalance audit —
     // THE property that justifies HRW/consistent hashing over plain
     // `key mod N`: growing 8 → 9 shards moves only ~1/9 of documents

@@ -560,42 +560,49 @@ object Graph {
     // aggregate≡window equivalence proof). Output is the community
     // roster (label, size) after round 3.
     QueryDef("q_graph_labelprop", labelPropOracle) { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      // same one-shuffle edge build as q_graph_triangles: per-order
-      // sorted part set, half-matrix pair explode in place (a < b)
-      val parts = li.groupBy(col("okey"))
-        .agg(array_sort(collect_set(col("pk"))).as("pks"))
-        .filter(size(col("pks")) >= 2)
-      val pairsCol = flatten(transform(col("pks"), (x, i) =>
-        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
-          y => struct(x.as("a"), y.as("b")))))
-      val sym = parts.select(explode(pairsCol).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
-        .select(array(struct(col("a").as("src"), col("b").as("dst")),
-          struct(col("b").as("src"), col("a").as("dst"))).as("both"))
-        .select(explode(col("both")).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .cache() // reused by all three rounds (the PageRank discipline)
-      // each round references the previous label table exactly ONCE
-      // (the neighbor join), so lineage grows linearly and the loop
-      // stays fully lazy — no per-round checkpoint needed (the
-      // pagerank/PC1 regime, not the BPE/BTL doubling regime)
-      var labels = sym.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to lpaRounds) {
-        val cnt = sym
-          .join(labels.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        labels = cnt
-          .groupBy(col("src").as("node"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("lbl"))
-      }
+      val (_, labels) = lpaLabels(s, dir)
       labels.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // ------------------------------------------------------------------
+    // Newman modularity of the label-propagation partition — the
+    // quality score that says whether those communities MEAN anything
+    // (Q ≈ 0: no better than random wiring; Q ≳ 0.3: real structure).
+    // Exactness: multiply the textbook Q = Σ_c (e_c/m − (d_c/2m)²)
+    // through by 4m² — Q·4m² = Σ_c (4m·e_c − d_c²) is pure BIGINT
+    // arithmetic over intra-community edge counts and community degree
+    // masses, so everything up to the single final division is exact
+    // and order-free (the TextRank discipline applied to a graph
+    // statistic). Scale shape: two label joins on the |E| edge list
+    // (keyed, the LPA exchange re-aimed), one |V|-sized degree join,
+    // then community-bounded aggregates; the final Q is scalar algebra
+    // on three 1-row broadcasts.
+    QueryDef("q_graph_modularity", modularityOracle) { (s, dir) =>
+      val (sym, labels) = lpaLabels(s, dir)
+      // undirected edges once (a < b), labels attached to both ends
+      val e = sym.filter(col("src") < col("dst"))
+      val lab = (side: String) => labels
+        .select(col("node").as(side), col("lbl").as(s"lbl_$side"))
+      val tagged = e.join(lab("src"), "src").join(lab("dst"), "dst")
+      val mm = e.agg(count(lit(1)).as("m"))
+      val ec = tagged.filter(col("lbl_src") === col("lbl_dst"))
+        .groupBy(col("lbl_src").as("c")).agg(count(lit(1)).as("ec"))
+      val dc = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("lbl").as("c")).agg(sum(col("d")).as("dc"))
+      val parts = dc.join(ec, Seq("c"), "left")
+        .select(col("c"), coalesce(col("ec"), lit(0L)).as("ec"),
+          col("dc"))
+      val nCom = parts.agg(count(lit(1)).as("k"))
+      val qnum = parts.crossJoin(broadcast(mm))
+        .agg(sum(lit(4) * col("m") * col("ec") - col("dc") * col("dc"))
+          .as("qnum"))
+      mm.crossJoin(broadcast(nCom)).crossJoin(broadcast(qnum))
+        .select(col("m").as("n_edges"), col("k").as("n_communities"),
+          col("qnum").as("q_scaled"),
+          (col("qnum").cast("double")
+            / (lit(4.0) * col("m") * col("m"))).as("modularity"))
     },
 
     // ------------------------------------------------------------------
@@ -697,9 +704,50 @@ object Graph {
   // still read 0
   private def lpaRounds = 3
 
-  /** DuckDB replay of q_graph_labelprop: identical synchronous rounds;
-    * the argmax is the textbook row_number window form. */
-  private def labelPropOracle: String = {
+  /** Shared by q_graph_labelprop and q_graph_modularity: the cached
+    * symmetric co-purchase adjacency (same one-shuffle edge build as
+    * q_graph_triangles — per-order sorted part set, half-matrix pair
+    * explode, a < b) and the synchronous label table after
+    * [[lpaRounds]] deterministic rounds. Each round references the
+    * previous labels exactly ONCE (the neighbor join), so lineage
+    * grows linearly and the loop stays fully lazy — the pagerank/PC1
+    * regime, not the BPE/BTL doubling regime. */
+  private def lpaLabels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+    val parts = li.groupBy(col("okey"))
+      .agg(array_sort(collect_set(col("pk"))).as("pks"))
+      .filter(size(col("pks")) >= 2)
+    val pairsCol = flatten(transform(col("pks"), (x, i) =>
+      transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val sym = parts.select(explode(pairsCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+      .select(array(struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst"))).as("both"))
+      .select(explode(col("both")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache() // reused by all rounds (the PageRank discipline)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to lpaRounds) {
+      val cnt = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      labels = cnt
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    (sym, labels)
+  }
+
+  /** The labelprop CTE chain (li/e/sym/l0..l3) shared by the
+    * labelprop and modularity oracles. */
+  private def lpaCtes: String = {
     val rounds = (1 to lpaRounds).map { k =>
       s"""c$k AS (
         |  SELECT s.src, l.lbl, count(*) AS cnt
@@ -712,7 +760,7 @@ object Graph {
         |    FROM c$k) rr
         |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (
+    s"""li AS (
       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
       |  FROM lineitem WHERE l_quantity >= 30),
       |e AS (
@@ -721,8 +769,39 @@ object Graph {
       |sym AS (SELECT a AS src, b AS dst FROM e
       |        UNION ALL SELECT b AS src, a AS dst FROM e),
       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay of q_graph_labelprop: identical synchronous rounds;
+    * the argmax is the textbook row_number window form. */
+  private def labelPropOracle: String =
+    s"""WITH $lpaCtes
       |SELECT lbl AS community, count(*) AS n_nodes
       |FROM l$lpaRounds GROUP BY 1""".stripMargin
-  }
+
+  /** DuckDB replay of q_graph_modularity over the same labelprop CTEs:
+    * Q·4m² in exact BIGINTs, one final division. */
+  private def modularityOracle: String =
+    s"""WITH $lpaCtes,
+      |lf AS (SELECT node, lbl FROM l$lpaRounds),
+      |mm AS (SELECT count(*) AS m FROM e),
+      |ecc AS (
+      |  SELECT la.lbl AS c, count(*) AS ec
+      |  FROM e JOIN lf la ON e.a = la.node JOIN lf lb ON e.b = lb.node
+      |  WHERE la.lbl = lb.lbl GROUP BY 1),
+      |dcc AS (
+      |  SELECT lf.lbl AS c, CAST(sum(dg.d) AS BIGINT) AS dc
+      |  FROM (SELECT src, count(*) AS d FROM sym GROUP BY 1) dg
+      |  JOIN lf ON dg.src = lf.node GROUP BY 1),
+      |parts AS (
+      |  SELECT dcc.c, coalesce(ecc.ec, 0) AS ec, dcc.dc
+      |  FROM dcc LEFT JOIN ecc ON dcc.c = ecc.c),
+      |nc AS (SELECT count(*) AS k FROM parts),
+      |qn AS (
+      |  SELECT CAST(sum(4 * mm.m * parts.ec - parts.dc * parts.dc)
+      |    AS BIGINT) AS qnum
+      |  FROM parts, mm)
+      |SELECT mm.m AS n_edges, nc.k AS n_communities, qn.qnum AS q_scaled,
+      |  CAST(qn.qnum AS DOUBLE) / (4e0 * mm.m * mm.m) AS modularity
+      |FROM mm, nc, qn""".stripMargin
 }

@@ -580,7 +580,9 @@ class PlanSpec extends SparkSpec {
       "q_quantile_norm", // crossJoin(broadcast(1-row corpus total))
       "q_graph_boruvka", // crossJoin of three 1-row phase-summary aggregates
       "q_text_textrank", // constant-group chunkedRank bounds (global top-10)
-      "q_division") // crossJoin(broadcast(1-row divisor cardinality))
+      "q_division", // crossJoin(broadcast(1-row divisor cardinality))
+      "q_graph_modularity", // crossJoins of 1-row m/k/Qnum aggregates
+      "q_drift_jsd") // pairs x vocabulary grid: bounded crossJoin(broadcast(vocab))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
