@@ -398,4 +398,36 @@ class PropertySpec extends SparkSpec {
     }.sortBy(t => (t._1, t._2))
     assert(got.toSeq == naive, s"got=${got.toSeq}\nnaive=$naive")
   }
+
+  test("header kernels round-trip random parameters (TIFF both orders, " +
+    "FLAC bit boundaries, ZIP via the JDK writer)") {
+    import graft.operators.Multimodal._
+    val rnd = new Random(41)
+    (1 to 60).foreach { _ =>
+      // TIFF: random geometry/depth under both byte orders
+      val (w, h) = (rnd.nextInt(70000) + 1, rnd.nextInt(70000) + 1)
+      val bits = Seq(1, 8, 16, 24, 32)(rnd.nextInt(5))
+      val be = rnd.nextBoolean()
+      val strip = rnd.nextInt(200)
+      val tf = decodeTiffMeta(encodeTiff(w, h, bits, be, strip))
+      assert((tf.width, tf.height, tf.bits, tf.big_endian,
+        tf.n_strip_bytes) == ((w, h, bits, be, strip)))
+      // FLAC: random rates up to the 20-bit ceiling, 36-bit totals
+      val rate = rnd.nextInt((1 << 20) - 1) + 1
+      val ch = rnd.nextInt(8) + 1
+      val bps = rnd.nextInt(32) + 1
+      val total = math.abs(rnd.nextLong()) % (1L << 36)
+      val fl = decodeFlacStreamInfo(
+        encodeFlacShell(rate, ch, bps, total, rnd.nextInt(100)))
+      assert((fl.sample_rate, fl.channels, fl.bits, fl.total_samples) ==
+        ((rate, ch, bps, total)))
+      // ZIP: random member counts through the independent JDK writer
+      val id = math.abs(rnd.nextLong()) % 100000
+      val n = rnd.nextInt(6) + 1
+      val z = decodeZipDirectory(encodeZip(id, n))
+      assert(z.n_entries == n && z.all_stored)
+      assert(z.total_uncompressed ==
+        (0 until n).map(k => (id % 17) + 3 + k).sum)
+    }
+  }
 }
