@@ -47,6 +47,17 @@ final case class DecodedAudio(
     sample_sum: Long,
     peak: Int)
 
+/** A parsed MP4/ISO-BMFF row: brand and movie-header timing recovered
+  * from the nested box walk. */
+final case class DecodedMp4(
+    doc_id: Long,
+    fmt: String,
+    brand: String,
+    timescale: Long,
+    duration_ms: Long,
+    n_top_boxes: Int,
+    mdat_bytes: Int)
+
 /** A parsed ZIP central-directory row: structural counts recovered by a
   * hand-written EOCD/central-directory walk over a library-built zip. */
 final case class DecodedZip(
@@ -911,6 +922,84 @@ object Multimodal {
       nFrames.toLong * 1000L / rate, sum, peak)
   }
 
+  /** Minimal ISO-BMFF (MP4) shell, built bottom-up from pure byte
+    * arrays (box sizes fall out of the composition — no mutable
+    * writer state, safe under executor concurrency): ftyp(brand), a
+    * free box the walk must skip, moov[mvhd(v0: timescale, duration)
+    * + a udta sibling], mdat payload. All sizes 32-bit big-endian. */
+  def encodeMp4Shell(brand: String, timescale: Long, duration: Long,
+      mdatLen: Int): Array[Byte] = {
+    require(brand.length == 4, "brand is a 4CC")
+    def u32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def cc(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ cc(typ) ++ body
+    val ftyp = box("ftyp", cc("isom") ++ u32(0) ++ cc(brand))
+    val free = box("free", new Array[Byte](12))
+    // mvhd v0: version/flags, creation, modification, then timescale
+    // and duration at their spec offsets (12 and 16 into the body)
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++ u32(duration))
+    val udta = box("udta", Array.fill(4)(7.toByte))
+    val moov = box("moov", mvhd ++ udta)
+    val mdat = box("mdat",
+      Array.tabulate(mdatLen)(k => ((k * 3 + 1) & 0xff).toByte))
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  /** Real ISO-BMFF box walk: iterate top-level size/type boxes, recover
+    * the major brand from ftyp, descend into moov to its mvhd child
+    * (version 0: timescale at body offset 12, duration at 16), count
+    * top-level boxes, and size the mdat payload. Duration converts to
+    * exact integer ms (·1000 / timescale). Throws on a file not
+    * starting with ftyp, a zero/negative box size, a truncated box, or
+    * a moov without mvhd. */
+  def decodeMp4Meta(b: Array[Byte]): DecodedMp4 = {
+    def u32(o: Int): Long = ((b(o) & 0xff).toLong << 24) |
+      ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    def cc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 16 && cc(4) == "ftyp", "not an ISO-BMFF file")
+    var o = 0
+    var nTop = 0
+    var brand = ""; var timescale = -1L; var duration = -1L
+    var mdatBytes = -1
+    while (o < b.length) {
+      require(o + 8 <= b.length, "truncated box header")
+      val size = u32(o)
+      val typ = cc(o + 4)
+      require(size >= 8 && o + size <= b.length,
+        s"bad $typ box size $size at $o")
+      typ match {
+        case "ftyp" =>
+          // major brand (skipped: 'isom') + minor version, then the
+          // compatible-brand list — the fixture stores ours first there
+          brand = cc(o + 16)
+        case "moov" =>
+          // child walk within [o+8, o+size)
+          var c = o + 8
+          while (c < o + size) {
+            val cs = u32(c)
+            require(cs >= 8 && c + cs <= o + size,
+              s"bad moov child size $cs at $c")
+            if (cc(c + 4) == "mvhd") {
+              timescale = u32(c + 8 + 12)
+              duration = u32(c + 8 + 16)
+            }
+            c += cs.toInt
+          }
+          require(timescale > 0, "moov without a v0 mvhd")
+        case "mdat" => mdatBytes = size.toInt - 8
+        case _ => // free and friends: skip by declared size
+      }
+      nTop += 1
+      o += size.toInt
+    }
+    require(mdatBytes >= 0, "no mdat box")
+    DecodedMp4(0L, "mp4", brand, timescale,
+      duration * 1000L / timescale, nTop, mdatBytes)
+  }
+
   /** A real zip built by `java.util.zip.ZipOutputStream` (STORED
     * entries with pre-computed CRCs, so sizes are deterministic):
     * `n` members named "m<k>.txt" whose bodies are a fixed function of
@@ -1732,6 +1821,51 @@ object Multimodal {
       assets.mapPartitions { it =>
         it.map { case (id, bytes) =>
           decodeZipDirectory(bytes).copy(doc_id = id)
+        }
+      }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // MP4 / ISO-BMFF box walk — the VIDEO container, completing the
+    // media-class coverage (image: PPM/BMP/PNG/GIF/TIFF/JPEG; audio:
+    // WAV/FLAC; archive: ZIP; video: this). The kernel iterates
+    // size/type boxes, recovers the brand from ftyp, descends into
+    // moov for the mvhd timescale/duration pair at their spec offsets
+    // (skipping udta siblings and a top-level free box), and converts
+    // duration to exact integer milliseconds — the routing metadata a
+    // video-ingest pipeline needs before any codec runs. Arithmetic
+    // oracle per doc; the encoder composes boxes bottom-up from pure
+    // byte arrays, so there is no shared writer state to race under
+    // executor parallelism.
+    QueryDef(
+      "q_multimodal_mp4",
+      """SELECT doc_id, 'mp4' AS fmt,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'mp41' WHEN 1 THEN 'mp42' WHEN 2 THEN 'avc1'
+        |    WHEN 3 THEN 'dash' ELSE 'iso5' END AS brand,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 90000
+        |    ELSE 44100 END AS BIGINT) AS timescale,
+        |  CAST(((doc_id % 9000) * 100 + 600) * 1000
+        |    // (CASE CAST(doc_id % 4 AS INTEGER)
+        |       WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 90000
+        |       ELSE 44100 END) AS BIGINT) AS duration_ms,
+        |  CAST(4 AS INTEGER) AS n_top_boxes,
+        |  CAST(doc_id % 60 + 4 AS INTEGER) AS mdat_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val brands = Array("mp41", "mp42", "avc1", "dash", "iso5")
+      val scales = Array(600L, 1000L, 90000L, 44100L)
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, encodeMp4Shell(brands((id % 5).toInt),
+            scales((id % 4).toInt), (id % 9000) * 100 + 600,
+            (id % 60).toInt + 4))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeMp4Meta(bytes).copy(doc_id = id)
         }
       }.toDF()
     }

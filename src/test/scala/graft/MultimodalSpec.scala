@@ -429,4 +429,22 @@ class MultimodalSpec extends SparkSpec {
     val badSig = good.clone(); badSig(cdOff) = 0x00.toByte
     intercept[IllegalArgumentException](decodeZipDirectory(badSig))
   }
+
+  test("MP4 box walk recovers mvhd timing through skipped boxes and " +
+    "rejects damage") {
+    import graft.operators.Multimodal.{decodeMp4Meta, encodeMp4Shell}
+    val m = decodeMp4Meta(encodeMp4Shell("mp42", 90000L, 450000L, 33))
+    assert((m.brand, m.timescale, m.duration_ms, m.n_top_boxes,
+      m.mdat_bytes) == (("mp42", 90000L, 5000L, 4, 33)))
+    val good = encodeMp4Shell("avc1", 600L, 1200L, 10)
+    // not BMFF: first box must be ftyp
+    val bad = good.clone(); bad(4) = 'x'.toByte
+    intercept[IllegalArgumentException](decodeMp4Meta(bad))
+    // a zero box size would loop forever — must throw instead
+    val zero = good.clone()
+    zero(0) = 0; zero(1) = 0; zero(2) = 0; zero(3) = 0
+    intercept[IllegalArgumentException](decodeMp4Meta(zero))
+    // truncation inside the top-level walk
+    intercept[IllegalArgumentException](decodeMp4Meta(good.dropRight(5)))
+  }
 }
