@@ -2079,6 +2079,82 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Max-min fair (water-filling) budget allocation with caps — the
+    // allocator q_mix_allocate cannot express: sources DEMAND their
+    // char mass, the budget is half the corpus, and fairness means no
+    // source gets more than the level L while any smaller demand is
+    // unmet: a_s = min(d_s, L) with Σa = B exactly. Everything is
+    // integer arithmetic: the satisfied prefix k* falls out of the
+    // monotone predicate d_k·(n−k+1) + prefix_{k−1} ≤ B (monotone
+    // because consecutive differences are (n−k)·(d_{k+1}−d_k) ≥ 0, so
+    // a SUM over the sorted relation counts it), L = (B − p_k) div
+    // (n−k), and the division slack tops up the first `slack`
+    // unsatisfied sources in (demand, source) order — the
+    // largest-remainder discipline, so the allocations sum to B
+    // bit-exactly. Scale shape: one corpus-sized map-combinable
+    // aggregate; the sort, windows, and scan all run on the
+    // |sources|-bounded relation; levels are 1-row broadcasts.
+    QueryDef(
+      "q_mix_waterfill",
+      """WITH d AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS dem
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dem) AS BIGINT) AS td,
+        |               count(*) AS n FROM d),
+        |b AS (SELECT td // 2 AS bud, n FROM tot),
+        |r AS (
+        |  SELECT source, dem,
+        |    row_number() OVER (ORDER BY dem, source) AS rk,
+        |    CAST(sum(dem) OVER (ORDER BY dem, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+        |  FROM d),
+        |sat AS (
+        |  SELECT r.*, b.bud, b.n,
+        |    CASE WHEN dem * (b.n - rk + 1) + (pfx - dem) <= b.bud
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM r, b),
+        |k AS (
+        |  SELECT CAST(coalesce(sum(ok), 0) AS BIGINT) AS kk,
+        |    max(bud) AS bud, max(n) AS n,
+        |    CAST(coalesce(sum(CASE WHEN ok = 1 THEN dem END), 0)
+        |      AS BIGINT) AS pk
+        |  FROM sat),
+        |lvl AS (SELECT kk, (bud - pk) // (n - kk) AS lv,
+        |               (bud - pk) % (n - kk) AS slack FROM k)
+        |SELECT s.source, s.dem AS demand,
+        |  CASE WHEN s.rk <= l.kk THEN s.dem
+        |    ELSE l.lv + CASE WHEN s.rk - l.kk <= l.slack
+        |      THEN 1 ELSE 0 END END AS alloc,
+        |  s.rk > l.kk AS capped
+        |FROM sat s, lvl l""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("dem"))
+      val tot = d.agg(sum(col("dem")).as("td"), count(lit(1)).as("n"))
+      val b = tot.select(expr("td div 2").as("bud"), col("n"))
+      val wo = Window.orderBy(col("dem"), col("source"))
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = d.select(col("source"), col("dem"),
+        row_number().over(wo).as("rk"), sum(col("dem")).over(wr).as("pfx"))
+      val sat = r.crossJoin(broadcast(b))
+        .withColumn("ok",
+          when(col("dem") * (col("n") - col("rk") + 1)
+            + (col("pfx") - col("dem")) <= col("bud"), 1).otherwise(0))
+      val lvl = sat.agg(
+          coalesce(sum(col("ok")), lit(0L)).cast("long").as("kk"),
+          max(col("bud")).as("b2"), max(col("n")).as("n2"),
+          coalesce(sum(when(col("ok") === 1, col("dem"))), lit(0L))
+            .as("pk"))
+        .select(col("kk"), expr("(b2 - pk) div (n2 - kk)").as("lv"),
+          expr("(b2 - pk) % (n2 - kk)").as("slack"))
+      sat.crossJoin(broadcast(lvl))
+        .select(col("source"), col("dem").as("demand"),
+          when(col("rk") <= col("kk"), col("dem"))
+            .otherwise(col("lv") + when(col("rk") - col("kk")
+              <= col("slack"), 1).otherwise(0)).as("alloc"),
+          (col("rk") > col("kk")).as("capped"))
+    },
+
+    // ------------------------------------------------------------------
     // Jensen–Shannon divergence between every pair of sources' unigram
     // distributions — the symmetric, bounded (≤ ln 2) info-theoretic
     // distance that completes the drift family (PSI needs reference

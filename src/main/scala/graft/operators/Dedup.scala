@@ -842,6 +842,61 @@ object Dedup {
     // At 100 TB the hot-span cap (capByDf) composes exactly as in the
     // 3-gram suite.
     QueryDef(
+      "q_text_novelty",
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g8 AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM d WHERE len(w) >= 8),
+        |gh AS (SELECT doc_id, source, ${h60sql("g")} AS gid FROM g8),
+        |seen AS (SELECT DISTINCT gid FROM gh WHERE doc_id % 2 = 0),
+        |nw AS (
+        |  SELECT source, count(*) AS n_spans,
+        |    count(CASE WHEN s.gid IS NULL THEN 1 END) AS n_novel
+        |  FROM gh LEFT JOIN seen s ON gh.gid = s.gid
+        |  WHERE gh.doc_id % 2 = 1
+        |  GROUP BY 1)
+        |SELECT source, n_spans, n_novel,
+        |  ${Num.sql("n_novel * 1.0 / n_spans", 6)} AS novelty
+        |FROM nw""".stripMargin) { (s, dir) =>
+      // --------------------------------------------------------------
+      // Corpus NOVELTY rate — "how much genuinely new content does the
+      // next crawl wave add?", the datapoint behind dedup ROI and
+      // crawl-scheduling decisions: treat even doc_ids as the existing
+      // corpus, odd ids as the incoming wave, and measure the fraction
+      // of the wave's distinct 8-gram spans absent from the existing
+      // span set, per source. Plan shape: the q_dedup_passage span
+      // derivation (in-place array slices, per-doc distinct) feeds ONE
+      // keyed left join on the 60-bit span hash — the existing side is
+      // a DISTINCT span relation, so fan-in per key is 1 and the probe
+      // never amplifies; at 100 TB "seen" is the persisted span table
+      // the incremental ingest already maintains
+      // (Streaming.nearDupIngestBatch's band-table sibling).
+      val toks = split(col("text"), " ")
+      val gh = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .filter(size(toks) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(toks) - 7),
+            i => concat_ws(" ", slice(toks, i, lit(8)))))).as("g"))
+        .select(col("doc_id"), col("source"), h60(col("g")).as("gid"))
+      val seen = gh.filter(col("doc_id") % 2 === 0)
+        .select(col("gid")).distinct()
+        .withColumn("seen", lit(1))
+      gh.filter(col("doc_id") % 2 === 1)
+        .join(seen, Seq("gid"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("seen").isNull, 1)).as("n_novel"))
+        .select(col("source"), col("n_spans"), col("n_novel"),
+          Num.r(col("n_novel") * lit(1.0) / col("n_spans"), 6)
+            .as("novelty"))
+    },
+
+    QueryDef(
       "q_dedup_passage",
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g8 AS (

@@ -381,6 +381,27 @@ class BehaviorSpec extends SparkSpec {
     assert(moved > 0, "no movement at all — shard 9 never wins?")
   }
 
+  test("q_mix_waterfill: allocations exhaust the budget max-min fairly") {
+    val rows = SparkEntry.queries("q_mix_waterfill")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("demand"), r.getAs[Long]("alloc"),
+        r.getAs[Boolean]("capped")))
+    val totalDemand = rows.map(_._1).sum
+    // exact budget exhaustion: Σ alloc = ⌊Σ demand / 2⌋, bit-exact
+    assert(rows.map(_._2).sum == totalDemand / 2)
+    // feasibility: nobody gets more than they asked for
+    rows.foreach { case (d, a, _) => assert(a <= d, s"alloc $a > demand $d") }
+    // max-min fairness: capped sources sit within one unit of a common
+    // level, and every uncapped demand is below every capped allocation
+    val capped = rows.filter(_._3).map(_._2)
+    assert(capped.nonEmpty, "budget = half the mass must cap someone")
+    assert(capped.max - capped.min <= 1, s"level not flat: $capped")
+    val uncapped = rows.filterNot(_._3).map(_._1)
+    if (uncapped.nonEmpty)
+      assert(uncapped.max <= capped.min + 1,
+        "an unmet smaller demand would violate max-min fairness")
+  }
+
   test("q_anonymity histogram partitions the customer table") {
     val rows = SparkEntry.queries("q_anonymity")(spark, sfDir).collect()
     val nCust = Tables(spark, sfDir, "customer").count()

@@ -582,7 +582,8 @@ class PlanSpec extends SparkSpec {
       "q_text_textrank", // constant-group chunkedRank bounds (global top-10)
       "q_division", // crossJoin(broadcast(1-row divisor cardinality))
       "q_graph_modularity", // crossJoins of 1-row m/k/Qnum aggregates
-      "q_drift_jsd") // pairs x vocabulary grid: bounded crossJoin(broadcast(vocab))
+      "q_drift_jsd", // pairs x vocabulary grid: bounded crossJoin(broadcast(vocab))
+      "q_mix_waterfill") // 1-row budget/level broadcasts over the source table
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
