@@ -606,6 +606,52 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // HITS hubs & authorities (Kleinberg 1999) on the directed
+    // part→supplier purchase graph — the OTHER link-centrality model:
+    // PageRank ranks by random-surfer mass, HITS separates "points at
+    // good things" (hubs = parts) from "is pointed at by good things"
+    // (authorities = suppliers), the right frame for bipartite
+    // commerce/citation data. Recast in exact integer µ-units (the
+    // TextRank discipline): scores start at 10⁶, each half-step is an
+    // order-free BIGINT sum over the edge list, and the normalization
+    // divides by the current MAXIMUM (a 1-row broadcast) via integer
+    // division — so both engines walk identical integers and the
+    // output needs zero rounding armor. Two full rounds, lazily
+    // unrolled; each iterate is touched once per step (linear lineage,
+    // no checkpoints). Output: top-10 hubs and top-10 authorities via
+    // chunkedRank over the |V|-bounded score relation.
+    QueryDef("q_graph_hits", hitsOracle) { (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = e0.select((col("l_partkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v")).cache()
+      var hub = edges.select(col("u")).distinct()
+        .select(col("u"), lit(1000000L).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to hitsRounds) {
+        val aRaw = edges.join(hub, "u")
+          .groupBy(col("v")).agg(sum(col("h")).as("ar"))
+        val aMax = aRaw.agg(max(col("ar")).as("am"))
+        auth = aRaw.crossJoin(broadcast(aMax))
+          .select(col("v"), expr("ar * 1000000 div am").as("a"))
+        val hRaw = edges.join(auth, "v")
+          .groupBy(col("u")).agg(sum(col("a")).as("hr"))
+        val hMax = hRaw.agg(max(col("hr")).as("hm"))
+        hub = hRaw.crossJoin(broadcast(hMax))
+          .select(col("u"), expr("hr * 1000000 div hm").as("h"))
+      }
+      val both = hub.select(lit("hub").as("kind"), col("u").as("node"),
+          col("h").as("score"))
+        .unionByName(auth.select(lit("authority").as("kind"),
+          col("v").as("node"), col("a").as("score")))
+      graft.operators.Analytics
+        .chunkedRank(both.withColumn("neg", -col("score")),
+          "kind", "neg", Seq("node"))
+        .filter(col("idx") < 10)
+        .select(col("kind"), col("node"), col("score"))
+    },
+
+    // ------------------------------------------------------------------
     // Borůvka phase (1926; the contraction step of every parallel MST
     // algorithm, and single-linkage clustering's first merge round):
     // every node selects its minimum-weight incident edge, and with a
@@ -663,6 +709,38 @@ object Graph {
           (col("n") - col("k") === col("c")).as("forest_ok"))
     }
   )
+
+  private def hitsRounds = 2
+
+  /** DuckDB replay of q_graph_hits: identical integer µ-unit rounds —
+    * BIGINT sums, max normalization by integer division. */
+  private def hitsOracle: String = {
+    val rounds = (1 to hitsRounds).map { k =>
+      s"""ar$k AS (SELECT e.v, CAST(sum(h.h) AS BIGINT) AS ar
+        |  FROM edges e JOIN h${k - 1} h ON e.u = h.u GROUP BY 1),
+        |am$k AS (SELECT max(ar) AS am FROM ar$k),
+        |a$k AS (SELECT v, ar * 1000000 // am AS a FROM ar$k, am$k),
+        |hr$k AS (SELECT e.u, CAST(sum(a.a) AS BIGINT) AS hr
+        |  FROM edges e JOIN a$k a ON e.v = a.v GROUP BY 1),
+        |hm$k AS (SELECT max(hr) AS hm FROM hr$k),
+        |h$k AS (SELECT u, hr * 1000000 // hm AS h FROM hr$k, hm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |edges AS (SELECT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+      |          FROM e0),
+      |h0 AS (SELECT DISTINCT u, CAST(1000000 AS BIGINT) AS h
+      |       FROM edges),
+      |$rounds,
+      |scored AS (
+      |  SELECT 'hub' AS kind, u AS node, h AS score FROM h$hitsRounds
+      |  UNION ALL
+      |  SELECT 'authority', v, a FROM a$hitsRounds)
+      |SELECT kind, node, score FROM (
+      |  SELECT kind, node, score,
+      |    row_number() OVER (PARTITION BY kind
+      |      ORDER BY score DESC, node) AS rk
+      |  FROM scored) rr WHERE rk <= 10""".stripMargin
+  }
 
   /** DuckDB replay of q_graph_boruvka: the same total-order argmin via
     * a row_number window, components via the recursive closure. */
