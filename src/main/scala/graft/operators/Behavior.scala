@@ -2079,6 +2079,62 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // Forecast BACKTEST: seasonal-naive (same weekday last week) vs
+    // persistence (yesterday) over the final observed week of each
+    // event type's daily series — the methodology question every
+    // forecasting pipeline answers first ("is there weekly structure
+    // worth modeling?") reduced to two exact integer error masses:
+    // Σ|x_d − x_{d−7}| vs Σ|x_d − x_{d−1}| on the held-out days, a
+    // missing calendar day forecasting 0 (documented, deterministic).
+    // Scale shape: the corpus collapses to (type, day) counts once;
+    // both forecast joins are keyed calendar-date self-joins of the
+    // day-bounded rollup; the backtest horizon is a 1-row broadcast.
+    QueryDef(
+      "q_ts_backtest",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |hz AS (SELECT max(d) AS dmax FROM daily),
+        |bt AS (SELECT daily.* FROM daily, hz
+        |       WHERE d > dmax - INTERVAL 7 DAY),
+        |j AS (
+        |  SELECT bt.event_type, bt.d, bt.x,
+        |    coalesce(s7.x, 0) AS f7, coalesce(s1.x, 0) AS f1
+        |  FROM bt
+        |  LEFT JOIN daily s7 ON s7.event_type = bt.event_type
+        |    AND s7.d = bt.d - INTERVAL 7 DAY
+        |  LEFT JOIN daily s1 ON s1.event_type = bt.event_type
+        |    AND s1.d = bt.d - INTERVAL 1 DAY)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(abs(x - f7)) AS BIGINT) AS err_seasonal,
+        |  CAST(sum(abs(x - f1)) AS BIGINT) AS err_persist,
+        |  sum(abs(x - f7)) < sum(abs(x - f1)) AS seasonal_better
+        |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val hz = daily.agg(max(col("d")).as("dmax"))
+      val bt = daily.crossJoin(broadcast(hz))
+        .filter(col("d") > date_sub(col("dmax"), 7))
+        .select(col("event_type"), col("d"), col("x"))
+      def lagJoin(days: Int, out: String): DataFrame = daily.select(
+        col("event_type"), date_add(col("d"), days).as("d"),
+        col("x").as(out))
+      val j = bt
+        .join(lagJoin(7, "f7"), Seq("event_type", "d"), "left")
+        .join(lagJoin(1, "f1"), Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("x"),
+          coalesce(col("f7"), lit(0L)).as("f7"),
+          coalesce(col("f1"), lit(0L)).as("f1"))
+      j.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("x") - col("f7"))).as("err_seasonal"),
+          sum(abs(col("x") - col("f1"))).as("err_persist"),
+          (sum(abs(col("x") - col("f7")))
+            < sum(abs(col("x") - col("f1")))).as("seasonal_better"))
+    },
+
+    // ------------------------------------------------------------------
     // Max-min fair (water-filling) budget allocation with caps — the
     // allocator q_mix_allocate cannot express: sources DEMAND their
     // char mass, the budget is half the corpus, and fairness means no
