@@ -1357,6 +1357,24 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // SELECT * EXCEPT — star expansion minus named columns, the wide-
+    // table ergonomics feature (drop the payload, keep the metadata)
+    // Spark 4 and DuckDB both ship (DuckDB spells it EXCLUDE). The
+    // oracle enumerates the surviving columns explicitly, so the hash
+    // match pins the expansion order AND the exclusion; column pruning
+    // still reaches the scan because the projection resolves before
+    // planning (no "SELECT *" penalty — the unreferenced text column
+    // is never read).
+    QueryDef(
+      "q_sql_star_except",
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE n_chars > 500""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_se")
+      s.sql("""
+        SELECT * EXCEPT (text) FROM graft_docs_se WHERE n_chars > 500""")
+    },
+
+    // ------------------------------------------------------------------
     // Deterministic MODE (most-frequent value) per group — the data-
     // profiling aggregate, built from counts instead of the engine
     // mode() builtin precisely because builtins tie-break arbitrarily
