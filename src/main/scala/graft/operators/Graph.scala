@@ -616,10 +616,13 @@ object Graph {
     // order-free BIGINT sum over the edge list, and the normalization
     // divides by the current MAXIMUM (a 1-row broadcast) via integer
     // division — so both engines walk identical integers and the
-    // output needs zero rounding armor. Two full rounds, lazily
-    // unrolled; each iterate is touched once per step (linear lineage,
-    // no checkpoints). Output: top-10 hubs and top-10 authorities via
-    // chunkedRank over the |V|-bounded score relation.
+    // output needs zero rounding armor. Two full rounds; unlike
+    // PageRank's linear lineage, every raw half-step here is read
+    // TWICE (max + normalize), so each is eagerly localCheckpointed —
+    // without that the plan doubles per half-step (measured 60 s → 2 s
+    // at sf0.1, the q_pref_btl lesson re-learned). Output: top-10 hubs
+    // and top-10 authorities via chunkedRank over the |V|-bounded
+    // score relation.
     QueryDef("q_graph_hits", hitsOracle) { (s, dir) =>
       val e0 = Tables(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -629,13 +632,20 @@ object Graph {
         .select(col("u"), lit(1000000L).as("h"))
       var auth: DataFrame = null
       for (_ <- 1 to hitsRounds) {
+        // each raw half-step feeds TWO consumers (its max and the
+        // normalization), so without truncation the plan doubles per
+        // half-step — the q_pref_btl/BPE doubling regime, measured at
+        // 60 s before these checkpoints and ~2 s after. The
+        // checkpointed relations are |V|-sized score tables.
         val aRaw = edges.join(hub, "u")
           .groupBy(col("v")).agg(sum(col("h")).as("ar"))
+          .localCheckpoint()
         val aMax = aRaw.agg(max(col("ar")).as("am"))
         auth = aRaw.crossJoin(broadcast(aMax))
           .select(col("v"), expr("ar * 1000000 div am").as("a"))
         val hRaw = edges.join(auth, "v")
           .groupBy(col("u")).agg(sum(col("a")).as("hr"))
+          .localCheckpoint()
         val hMax = hRaw.agg(max(col("hr")).as("hm"))
         hub = hRaw.crossJoin(broadcast(hMax))
           .select(col("u"), expr("hr * 1000000 div hm").as("h"))
