@@ -203,4 +203,25 @@ class GraphSpec extends SparkSpec {
       nodes.unpersist()
     } finally lp.unpersist()
   }
+
+  test("q_graph_hits: max normalization pins both score classes to 1e6") {
+    val rows = SparkEntry.queries("q_graph_hits")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byKind = rows.groupBy(_._1)
+    assert(byKind.keySet == Set("hub", "authority"))
+    byKind.foreach { case (kind, rs) =>
+      assert(rs.length == 10, s"$kind: expected top-10, got ${rs.length}")
+      // the last normalization divides by the class maximum, so the top
+      // score of each class is EXACTLY 1e6 and nothing exceeds it
+      assert(rs.map(_._3).max == 1000000L, s"$kind max off")
+      rs.foreach { case (_, node, score) =>
+        assert(score > 0 && score <= 1000000L, s"$kind/$node: $score")
+      }
+      // hubs are even part ids, authorities odd supplier ids
+      val parity = if (kind == "hub") 0 else 1
+      rs.foreach { case (_, node, _) =>
+        assert(node % 2 == parity, s"$kind contains node $node")
+      }
+    }
+  }
 }

@@ -428,6 +428,14 @@ class PropertySpec extends SparkSpec {
       assert(z.n_entries == n && z.all_stored)
       assert(z.total_uncompressed ==
         (0 until n).map(k => (id % 17) + 3 + k).sum)
+      // MP4: random brand/timescale/duration through the box walk
+      val brand = Seq("mp41", "avc1", "dash", "hev1")(rnd.nextInt(4))
+      val ts = rnd.nextInt(100000) + 1
+      val dur = math.abs(rnd.nextLong()) % (1L << 32)
+      val mp = decodeMp4Meta(encodeMp4Shell(brand, ts, dur,
+        rnd.nextInt(80)))
+      assert((mp.brand, mp.timescale, mp.duration_ms) ==
+        ((brand, ts.toLong, dur * 1000L / ts)))
     }
   }
 }
