@@ -88,6 +88,17 @@ object TextAnalysis {
       |WHERE rk <= 10""".stripMargin
   }
 
+  /** Symbol-wrapper delimiters for the BPE-train replace-encoding:
+    * U+001E / U+001F control characters, NOT '(' / ')' — a token
+    * containing a paren (e.g. the single char ')' encodes as "())")
+    * made the paren encoding ambiguous, so a merge could corrupt
+    * symbol boundaries (r7 ADVICE). Control separators cannot appear
+    * in whitespace-split tokens of any sane corpus; both engines use
+    * the identical bytes (Verify's JSON escaper \\u-escapes them on
+    * the way to the driver). */
+  private val bpeO = "\u001e"
+  private val bpeC = "\u001f"
+
   /** DuckDB replay of q_text_bpe_train: the identical three merge
     * rounds as generated CTEs (the k-means/PageRank oracle pattern).
     * Round k: tokenize the previous encoding, count adjacent pairs,
@@ -95,7 +106,7 @@ object TextAnalysis {
   private def bpeTrainOracle: String = {
     val rounds = (1 to bpeRounds).map { k =>
       s"""t$k AS (SELECT w, c, enc,
-        |  string_split(substr(enc, 2, length(enc) - 2), ')(') AS ts
+        |  string_split(substr(enc, 2, length(enc) - 2), '$bpeC$bpeO') AS ts
         |  FROM w${k - 1}),
         |p$k AS (
         |  SELECT ts[CAST(i AS INTEGER)] AS a,
@@ -106,14 +117,14 @@ object TextAnalysis {
         |b$k AS (SELECT a, b, freq FROM p$k ORDER BY freq DESC, a, b LIMIT 1),
         |w$k AS (
         |  SELECT t.w, t.c,
-        |    replace(t.enc, '(' || b.a || ')(' || b.b || ')',
-        |      '(' || b.a || b.b || ')') AS enc
+        |    replace(t.enc, '$bpeO' || b.a || '$bpeC$bpeO' || b.b || '$bpeC',
+        |      '$bpeO' || b.a || b.b || '$bpeC') AS enc
         |  FROM t$k t, b$k b),
         |r$k AS (
         |  SELECT $k AS round, b.a, b.b, b.freq, s.vocab_toks
         |  FROM b$k b, (
         |    SELECT CAST(sum(c * (length(enc) -
-        |      length(replace(enc, '(', '')))) AS BIGINT) AS vocab_toks
+        |      length(replace(enc, '$bpeO', '')))) AS BIGINT) AS vocab_toks
         |    FROM w$k) s)""".stripMargin
     }.mkString(",\n")
     val union = (1 to bpeRounds)
@@ -122,7 +133,8 @@ object TextAnalysis {
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |wc AS (SELECT w, count(*) AS c FROM wt WHERE w <> '' GROUP BY 1),
       |w0 AS (SELECT w, c,
-      |  regexp_replace(w, '(.)', '(\\1)', 'g') || '(_)' AS enc FROM wc),
+      |  regexp_replace(w, '(.)', '$bpeO\\1$bpeC', 'g') || '${bpeO}_$bpeC'
+      |    AS enc FROM wc),
       |$rounds
       |$union""".stripMargin
   }
@@ -993,8 +1005,10 @@ object TextAnalysis {
     // picks the globally most frequent adjacent symbol pair
     // (deterministic tie-break: freq desc, then lexicographic) and
     // APPLIES the merge to every word before recounting. Token
-    // sequences are encoded as "(t1)(t2)…(tn)(_)" — each symbol
-    // individually wrapped — so applying a merge is a plain left-to-
+    // sequences are encoded as "⟨t1⟩⟨t2⟩…⟨tn⟩⟨_⟩" with U+001E/U+001F
+    // wrappers (control separators no whitespace-split token contains —
+    // parens were ambiguous, r7 ADVICE) — each symbol individually
+    // wrapped — so applying a merge is a plain left-to-
     // right non-overlapping string replace, which is exactly the greedy
     // semantics reference BPE trainers use ("aaa" + merge a+a → [aa, a],
     // not [a, aa]); both engines' replace() share that contract, and the
@@ -1014,14 +1028,14 @@ object TextAnalysis {
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       def nTok(e: Column): Column =
-        length(e) - length(replace(e, lit("("), lit("")))
+        length(e) - length(replace(e, lit(bpeO), lit("")))
       var cur = wc.select(col("w"), col("c"),
-          concat(regexp_replace(col("w"), "(.)", "($1)"), lit("(_)"))
-            .as("enc"))
+          concat(regexp_replace(col("w"), "(.)", bpeO + "$1" + bpeC),
+            lit(bpeO + "_" + bpeC)).as("enc"))
         .localCheckpoint()
       val rounds = (1 to bpeRounds).map { k =>
         val ts = split(col("enc").substr(lit(2), length(col("enc")) - 2),
-          "\\)\\(")
+          java.util.regex.Pattern.quote(bpeC + bpeO))
         val pairs = cur.select(col("c"), ts.as("ts"))
           .select(col("c"), col("ts"),
             explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
@@ -1034,8 +1048,9 @@ object TextAnalysis {
         cur = cur.crossJoin(broadcast(best))
           .select(col("w"), col("c"),
             replace(col("enc"),
-              concat(lit("("), col("a"), lit(")("), col("b"), lit(")")),
-              concat(lit("("), col("a"), col("b"), lit(")"))).as("enc"))
+              concat(lit(bpeO), col("a"), lit(bpeC + bpeO), col("b"),
+                lit(bpeC)),
+              concat(lit(bpeO), col("a"), col("b"), lit(bpeC))).as("enc"))
           .localCheckpoint()
         val tot = cur.agg(sum(col("c") * nTok(col("enc")))
           .as("vocab_toks"))

@@ -973,7 +973,12 @@ object Multimodal {
       typ match {
         case "ftyp" =>
           // major brand (skipped: 'isom') + minor version, then the
-          // compatible-brand list — the fixture stores ours first there
+          // compatible-brand list — the fixture stores ours first there.
+          // The brand read is 4 bytes at body offset 8, so the box must
+          // be ≥ 20 bytes; a smaller (still ≥8) ftyp would otherwise
+          // read into the NEXT box's bytes (r7 ADVICE) — reject it like
+          // every other malformed structure here.
+          require(size >= 20, s"ftyp box too small for a brand list: $size")
           brand = cc(o + 16)
         case "moov" =>
           // child walk within [o+8, o+size)

@@ -251,4 +251,63 @@ class ConvertSpec extends SparkSpec {
     // Spark ANSI-off cast wraps like Go's int32→int8 truncation
     assert(v == (300.toByte) || v == null)
   }
+
+  test("GraftConfig mirrors the reference env contract (CheckEnv panic-if-unset)") {
+    // infra/env.go:9-15 — unset OR empty panics with the exact message
+    val e1 = intercept[IllegalStateException](
+      GraftConfig.checkEnv("Poller", Map.empty))
+    assert(e1.getMessage == "Not able to find Poller in environment")
+    val e2 = intercept[IllegalStateException](
+      GraftConfig.checkEnv("Poller", Map("Poller" -> "")))
+    assert(e2.getMessage == "Not able to find Poller in environment")
+    assert(GraftConfig.checkEnv("Poller", Map("Poller" -> "3")) == "3")
+    // infra/utils.go:6-12 — Str_Int panics on a malformed count
+    assert(GraftConfig.strInt("4") == 4)
+    intercept[IllegalStateException](GraftConfig.strInt("four"))
+    // cmd/convertor/main.go:22-31 — the full startup read, including the
+    // presence-only credential checks
+    val env = Map(
+      "Poller" -> "2", "Worker" -> "3",
+      "AWS_SQS" -> "/q", "AWS_S3" -> "/b",
+      "AWS_ACCESS_KEY_ID" -> "k", "AWS_SECRET_ACCESS_KEY" -> "s",
+      "AWS_DEFAULT_REGION" -> "r")
+    val cfg = GraftConfig.fromEnv(env)
+    assert(cfg == GraftConfig(2, 3, "/q", "/b"))
+    // ≤10 messages per poll per poller (convertor.go:52)
+    assert(cfg.filesPerTrigger == 20)
+    val e3 = intercept[IllegalStateException](
+      GraftConfig.fromEnv(env - "AWS_SECRET_ACCESS_KEY"))
+    assert(e3.getMessage.contains("AWS_SECRET_ACCESS_KEY"))
+  }
+
+  test("GraftConfig feeds the notification-driven service's parallelism") {
+    import graft.streaming.Streaming
+    val notify = tmpDir("cfg_notify")
+    val objects = tmpDir("cfg_objects")
+    val ckpt = tmpDir("cfg_ckpt")
+    val cfg = GraftConfig.fromEnv(Map(
+      "Poller" -> "1", "Worker" -> "2",
+      "AWS_SQS" -> notify, "AWS_S3" -> objects,
+      "AWS_ACCESS_KEY_ID" -> "k", "AWS_SECRET_ACCESS_KEY" -> "s",
+      "AWS_DEFAULT_REGION" -> "r"))
+    for (i <- 0 until 3)
+      writePerson(objects, s"c$i.json",
+        s"""{ "ID": "$i", "name": "C$i", "nationality": "US", "age": ${30 + i} }""")
+    val records = (0 until 3)
+      .map(i => s"""{"s3":{"object":{"key":"c$i.json","size":1}}}""")
+      .mkString("""{"Records":[""", ",", "]}")
+    Files.writeString(Paths.get(notify, "n1.json"), records)
+    // the reference writes back to the SAME bucket at <key>.parquet
+    // (convertor.go:171) — cfg.s3Bucket is object root AND sink
+    val q = Streaming.notificationDrivenStream(
+      spark, cfg.sqsName, cfg.s3Bucket, cfg.s3Bucket, ckpt, Some(cfg))
+    try {
+      q.processAllAvailable()
+      for (i <- 0 until 3) {
+        val df = spark.read.parquet(s"$objects/c$i.json.parquet")
+        assert(df.count() == 1)
+        assert(df.select("name").collect()(0).getString(0) == s"C$i")
+      }
+    } finally q.stop()
+  }
 }

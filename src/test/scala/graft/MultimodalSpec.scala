@@ -446,5 +446,15 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeMp4Meta(zero))
     // truncation inside the top-level walk
     intercept[IllegalArgumentException](decodeMp4Meta(good.dropRight(5)))
+    // an ftyp of size 8–19 has no room for the compatible-brand read at
+    // body offset 8 — the walk must reject it with the documented
+    // throw, never read past the box for a brand (r7 ADVICE). A
+    // 16-byte ftyp (major + minor version, empty brand list) is valid
+    // ISO-BMFF structure, so only the explicit size guard catches it.
+    val shortFtyp =
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0, 0)
+    val e = intercept[IllegalArgumentException](decodeMp4Meta(shortFtyp))
+    assert(e.getMessage.contains("ftyp box too small"), e.getMessage)
   }
 }

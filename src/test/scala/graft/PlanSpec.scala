@@ -594,6 +594,69 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no query plans an unpartitioned window over unbounded input") {
+    // the CartesianGuard idiom for single-task sorts: a WindowExec with
+    // an EMPTY partitionSpec moves ALL its input rows to one task — fine
+    // when the input is bounded by construction, a cluster-wide
+    // serialization point when it is corpus-sized. Any query planning
+    // one must be allowlisted here WITH the boundedness argument; a new
+    // query (or a Spark upgrade) that silently adds a global sort fails
+    // this sweep, not the 100 TB run. (The corpus-sized global ranks all
+    // go through Analytics.chunkedRank — its only empty-partition window
+    // runs over the per-(group,chunk) COUNT table, ≤ shuffle.partitions
+    // rows by construction, which is the dominant allowlist entry.)
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // this list is EXACT, not defensive: every entry verifiably plans at
+    // least one empty-partitionSpec window today (grouped chunkedRank
+    // callers like q_curate_percentile partition their offsets window by
+    // the real group key and do NOT appear). Constant-group chunkedRank
+    // shows up here because Catalyst constant-folds the literal group
+    // column out of the partitionSpec — the window that remains runs
+    // over the per-chunk COUNT table, ≤ shuffle.partitions rows.
+    val bounded = Map(
+      // constant-group chunkedRank prefix offsets: ≤ #chunks rows
+      "chunked-rank offsets" -> Set(
+        "q_histogram_eqdepth", "q_profile_skew", "q_vocab_oov",
+        "q_text_pmi", "q_text_textrank", "q_rfm", "q_calibration",
+        "q_quantile_norm", "q_basket_rules", "q_graph_kcore",
+        "q_search_hybrid"),
+      // BPE's adjacent-pair table ≤ alphabet² rows
+      "BPE pair table" -> Set("q_text_bpe"),
+      // allocation sweeps run over the SOURCES relation (schema-bounded
+      // handful of rows); gini's chunkedRank input is the same relation
+      "sources relation" -> Set(
+        "q_mix_waterfill", "q_mix_allocate", "q_mix_gini"),
+      // |event types|³-bounded path table
+      "path table" -> Set("q_path_trigrams"),
+      // skyline's global sweep runs over 32 chunk-local frontiers
+      "skyline frontier" -> Set("q_skyline"))
+    val allow: Set[String] = bounded.values.flatten.toSet
+    def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq(w.nodeName)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          Seq(w.nodeName)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(emptyPartWindows)
+    }
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      if !allow(name)
+      w = emptyPartWindows(fn(spark, sfDir).queryExecution.executedPlan)
+      if w.nonEmpty
+    } yield s"$name: ${w.mkString(", ")}"
+    assert(offenders.isEmpty,
+      "queries planning an unpartitioned window without a boundedness " +
+        s"allowlist entry:\n${offenders.mkString("\n")}")
+  }
+
   test("writeBloomFiltered stores working per-row-group bloom filters in the footer") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -1284,4 +1284,54 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("session_start"), col("n_events"))
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+
+  test("incremental component maintenance equals the batch re-cluster " +
+    "after waves, merges bridged clusters, and is replay-idempotent") {
+    import spark.implicits._
+    val compDir = tmpDir("comp_state") + "/components"
+    def pairsDf(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
+    def table() = Streaming.componentTable(spark, compDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def batchCc(ps: Seq[(Long, Long)]) =
+      graft.operators.Dedup.connectedComponents(pairsDf(ps))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // wave 1: two separate clusters
+    val w1 = Seq(1L -> 2L, 5L -> 6L)
+    Streaming.componentIngestBatch(pairsDf(w1), compDir)
+    assert(table() == Set((1L, 1L, 2L), (2L, 1L, 2L), (5L, 5L, 2L),
+      (6L, 5L, 2L)))
+    // wave 2: an unrelated third cluster
+    val w2 = Seq(3L -> 4L)
+    Streaming.componentIngestBatch(pairsDf(w2), compDir)
+    assert(table() == batchCc(w1 ++ w2))
+    // wave 3: one pair BRIDGES the wave-1 clusters — the incremental
+    // merge must collapse both stored stars into one min-label component
+    val w3 = Seq(2L -> 5L)
+    Streaming.componentIngestBatch(pairsDf(w3), compDir)
+    val all = w1 ++ w2 ++ w3
+    assert(table() == batchCc(all))
+    assert(table().filter(_._1 != 3L).filter(_._1 != 4L)
+      .forall { case (_, c, sz) => c == 1L && sz == 4L })
+    // replay wave 3 (at-least-once redelivery): the table cannot change
+    Streaming.componentIngestBatch(pairsDf(w3), compDir)
+    assert(table() == batchCc(all))
+    // real pair family: the q_dedup_components exact-Jaccard pairs over
+    // the corpus, split into two arbitrary waves — final state must
+    // equal the one-shot batch re-cluster of the full pair graph
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = graft.operators.Dedup.shinglesOf(docs)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.h60(col("shingle")).as("sid"))
+    val corpus = graft.operators.Dedup.jaccardPairs(sh)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(corpus.nonEmpty, "corpus pair graph unexpectedly empty")
+    val (cw1, cw2) = corpus.partition { case (a, _) => a % 2 == 0 }
+    val compDir2 = tmpDir("comp_state2") + "/components"
+    Streaming.componentIngestBatch(pairsDf(cw1), compDir2)
+    Streaming.componentIngestBatch(pairsDf(cw2), compDir2)
+    val got = Streaming.componentTable(spark, compDir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batchCc(corpus))
+  }
 }

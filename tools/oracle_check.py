@@ -49,6 +49,25 @@ def main():
         assert not unknown, f"--only names not in oracle_sql.json: {unknown}"
         oracles = {k: v for k, v in oracles.items() if k in only}
     fails = 0
+    # Oracle-schema type sweep: the driver's hasher canonicalizes
+    # DuckDB HUGEINT differently than BIGINT even when every value
+    # matches (r6 q_split: sum→HUGEINT; r7 q_embed_rp:
+    # bit_xor(list_sum(..))→HUGEINT — both value-identical, both red).
+    # DESCRIBE every oracle and fail on any HUGEINT/UHUGEINT output
+    # column so the class is structurally impossible going forward.
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE exception {e}")
+            fails += 1
+            continue
+        bad = [(c, t) for c, t, *_ in desc
+               if "HUGEINT" in t.upper()]
+        if bad:
+            print(f"FAIL {name}: HUGEINT oracle output column(s) {bad} "
+                  f"— add CAST(... AS BIGINT) in the oracle SQL")
+            fails += 1
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
