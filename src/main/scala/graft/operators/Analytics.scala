@@ -2027,8 +2027,125 @@ object Analytics {
         .crossJoin(broadcast(dv))
         .filter(col("np") === col("k"))
         .select(col("o_custkey"), col("np"), col("n_orders"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic POISSON BOOTSTRAP confidence interval for each
+    // source's mean document length — the error bar an eval pipeline
+    // should report next to any corpus statistic (Efron 1979;
+    // Poisson-ized for distributed data à la Chamandy et al., Google
+    // 2012: resample weights are per-ROW independent draws, so no
+    // global N or per-resample pass over an index is needed). Made
+    // hash-checkable by the q_split discipline: resample b gives each
+    // doc weight w ~ Poisson(1) via the inverse CDF over the doc's
+    // 60-bit md5 hash — the CDF breakpoints are plan-time LONG literals
+    // shared with the oracle, so both engines draw the IDENTICAL
+    // weights. Per (source, b): exact BIGINT Σw·x / Σw, one double
+    // division (bit-identical cross-engine); the CI bounds are ORDER
+    // STATISTICS (2nd smallest / 2nd largest of B=32 resample means) —
+    // rank selection, no float quantile interpolation to diverge.
+    // Scale shape: the B-way explode is map-side (shuffle ∝ B·|sources|
+    // after the partial agg, NOT B·corpus), the per-(source, b) agg is
+    // map-combinable, and the rank window runs over 32 rows per source.
+    QueryDef("q_stats_bootstrap", bootstrapOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val h = graft.functions.TextAnalysis.h60(concat(
+        lit("bs:"), col("b").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+      val w = bootThresholds.zipWithIndex
+        .foldRight(lit(bootThresholds.length): Column) {
+          case ((thr, k), rest) => when(h < lit(thr), lit(k)).otherwise(rest)
+        }
+      val res = docs
+        .select(col("source"), col("n_chars"),
+          explode(sequence(lit(0), lit(bootB - 1))).as("b"), col("doc_id"))
+        .select(col("source"), col("b"), col("n_chars"), w.as("w"))
+        .groupBy(col("source"), col("b"))
+        .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"))
+        // sw = 0 needs every doc of a source at weight 0 — probability
+        // e^(-n_docs), structurally impossible on this corpus; the
+        // oracle divides unguarded too, so a guard here would diverge
+        .select(col("source"), col("b"),
+          (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+      val rw = Window.partitionBy(col("source"))
+        .orderBy(col("m"), col("b"))
+      val ranked = res.withColumn("rn", row_number().over(rw))
+      val ci = ranked.groupBy(col("source")).agg(
+        min(when(col("rn") === 2, col("m"))).as("lo_raw"),
+        min(when(col("rn") === bootB - 1, col("m"))).as("hi_raw"))
+      val est = docs.groupBy(col("source")).agg(
+        (sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("est_raw"))
+      est.join(ci, Seq("source"))
+        .select(col("source"), lit(bootB).as("n_resamples"),
+          Num.r(col("est_raw"), 6).as("est_mean"),
+          Num.r(col("lo_raw"), 6).as("ci_lo"),
+          Num.r(col("hi_raw"), 6).as("ci_hi"))
     }
   )
+
+  /** Poisson bootstrap resample count: 32 keeps the per-source rank
+    * relation trivially bounded while giving the CI ~3% resolution. */
+  private def bootB = 32
+
+  /** Inverse-CDF breakpoints for Poisson(1) draws over the 60-bit hash
+    * space: weight k iff h < floor(CDF(k)·2⁶⁰), k = 0..3, else 4.
+    * Computed ONCE here and interpolated as LONG literals into both
+    * engines, so the draws cannot drift. */
+  private lazy val bootThresholds: Array[Long] = {
+    // Poisson(1): p(k) = e⁻¹/k!; cdf(k) = Σ_{j≤k} p(j)
+    val cdf = Array.tabulate(4) { k =>
+      (0 to k).map(j => math.exp(-1.0) /
+        (1 to j).foldLeft(1.0)(_ * _)).sum
+    }
+    cdf.map(c => (c * math.pow(2.0, 60)).toLong)
+  }
+
+  /** DuckDB replay of q_stats_bootstrap: identical hash draws (shared
+    * h60 + the same LONG breakpoints), identical exact-integer sums,
+    * identical rank-selection CI. */
+  private def bootstrapOracle: String = {
+    import graft.functions.TextAnalysis.h60sql
+    val t = bootThresholds
+    val hs = h60sql("'bs:' || b || ':' || doc_id")
+    s"""WITH r AS (
+      |  SELECT source, n_chars, doc_id, unnest(range(0, $bootB)) AS b
+      |  FROM documents),
+      |wts AS (
+      |  SELECT source, b,
+      |    CASE WHEN $hs < ${t(0)} THEN 0
+      |         WHEN $hs < ${t(1)} THEN 1
+      |         WHEN $hs < ${t(2)} THEN 2
+      |         WHEN $hs < ${t(3)} THEN 3
+      |         ELSE 4 END AS w,
+      |    n_chars FROM r),
+      |res AS (
+      |  SELECT source, b,
+      |    CAST(CAST(sum(w * n_chars) AS BIGINT) AS DOUBLE)
+      |      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m
+      |  FROM wts GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, m,
+      |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn
+      |  FROM res),
+      |ci AS (
+      |  SELECT source,
+      |    min(CASE WHEN rn = 2 THEN m END) AS lo_raw,
+      |    min(CASE WHEN rn = ${bootB - 1} THEN m END) AS hi_raw
+      |  FROM rk GROUP BY 1),
+      |est AS (
+      |  SELECT source,
+      |    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS est_raw
+      |  FROM documents GROUP BY 1)
+      |SELECT est.source, $bootB AS n_resamples,
+      |  ${Num.sql("est_raw", 6)} AS est_mean,
+      |  ${Num.sql("lo_raw", 6)} AS ci_lo,
+      |  ${Num.sql("hi_raw", 6)} AS ci_hi
+      |FROM est JOIN ci ON est.source = ci.source""".stripMargin
+  }
 
   private def corrCols = Seq("q", "p", "d", "x")
   private def corrPairs = Seq(("q", "p"), ("q", "d"), ("q", "x"),

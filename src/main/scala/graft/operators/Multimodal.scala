@@ -93,6 +93,20 @@ final case class DecodedFlac(
     n_meta_blocks: Int,
     n_audio_bytes: Int)
 
+/** A parsed MP3 (MPEG-1 Layer III) stream row: CBR parameters and
+  * structural counts recovered by a frame-header walk — no entropy
+  * decode, the routing pass a media pipeline runs on every audio asset. */
+final case class DecodedMp3(
+    doc_id: Long,
+    fmt: String,
+    sample_rate: Int,
+    bitrate_kbps: Int,
+    n_frames: Int,
+    n_padded: Int,
+    dur_ms: Long,
+    id3_bytes: Int,
+    audio_bytes: Int)
+
 /** Multimodal column plumbing (SURVEY.md §2B north star): media as opaque
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
@@ -1238,6 +1252,90 @@ object Multimodal {
       total * 1000L / rate, nBlocks, b.length - o)
   }
 
+  /** MPEG-1 Layer III bitrate table (kbps), indices 1–14; 0 is "free"
+    * and 15 is forbidden — both rejected by the walk. (ISO/IEC 11172-3
+    * Table B.2, the public constant every MP3 parser carries.) */
+  private[operators] val mp3Bitrates: Array[Int] = Array(
+    -1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by the 2-bit header index; 3 is reserved. */
+  private[operators] val mp3Rates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Structurally valid CBR MP3: an ID3v2.3 tag (10-byte header +
+    * `id3Body` bytes, size in the spec's 7-bit syncsafe encoding) the
+    * walk must skip, then `nFrames` MPEG-1 Layer III frames sharing one
+    * bitrate/samplerate with the PADDING BIT alternating by
+    * (id + frame) parity — frame k's length is
+    * 144000·kbps/rate + pad(k) (integer division, the spec formula),
+    * header bytes per ISO 11172-3, body filled deterministically. */
+  def encodeMp3(id: Long, bIdx: Int, srIdx: Int, nFrames: Int,
+      id3Body: Int): Array[Byte] = {
+    require(bIdx >= 1 && bIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val base = 144000 * mp3Bitrates(bIdx) / mp3Rates(srIdx)
+    val bos = new java.io.ByteArrayOutputStream()
+    // ID3v2.3 header: magic, version, flags, 28-bit syncsafe size
+    bos.write('I'); bos.write('D'); bos.write('3')
+    bos.write(3); bos.write(0); bos.write(0)
+    bos.write((id3Body >> 21) & 0x7f); bos.write((id3Body >> 14) & 0x7f)
+    bos.write((id3Body >> 7) & 0x7f); bos.write(id3Body & 0x7f)
+    (0 until id3Body).foreach(k => bos.write((k * 31 + 7) & 0xff))
+    for (k <- 0 until nFrames) {
+      val pad = ((id + k) % 2).toInt
+      bos.write(0xff) // sync
+      bos.write(0xfb) // sync(3) + MPEG-1(11) + Layer III(01) + no-CRC(1)
+      bos.write((bIdx << 4) | (srIdx << 2) | (pad << 1))
+      bos.write(0x44) // channel mode etc — not parsed by the walk
+      val len = base + pad
+      (4 until len).foreach(j => bos.write((j * 7 + k + 1) & 0xff))
+    }
+    bos.toByteArray
+  }
+
+  /** Real MP3 frame walk: skip an optional ID3v2 tag by its syncsafe
+    * size, then iterate frame headers — sync check, MPEG-1/Layer-III
+    * version+layer bits, bitrate/samplerate table lookup with the
+    * spec's forbidden indices rejected, frame length from the
+    * 144000·kbps/rate + padding formula — requiring CBR consistency
+    * across frames and an exact landing on EOF (trailing garbage is a
+    * malformed file, not a frame). Duration is exact integer ms from
+    * the 1152-samples-per-frame constant. No entropy decode. */
+  def decodeMp3Meta(b: Array[Byte]): DecodedMp3 = {
+    var o = 0
+    var id3 = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      id3 = 10 + size
+      require(id3 <= b.length, s"ID3 tag overruns the file ($id3)")
+      o = id3
+    }
+    var n = 0; var nPad = 0
+    var kbps = -1; var rate = -1
+    while (o < b.length) {
+      require(o + 4 <= b.length, "truncated frame header")
+      require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0,
+        s"lost frame sync at $o")
+      require((b(o + 1) & 0x18) == 0x18, "not MPEG-1")
+      require((b(o + 1) & 0x06) == 0x02, "not Layer III")
+      val bIdx = (b(o + 2) & 0xf0) >> 4
+      val srIdx = (b(o + 2) & 0x0c) >> 2
+      require(bIdx >= 1 && bIdx <= 14, s"forbidden bitrate index $bIdx")
+      require(srIdx <= 2, "reserved sample-rate index")
+      val pad = (b(o + 2) & 0x02) >> 1
+      val k = mp3Bitrates(bIdx); val r = mp3Rates(srIdx)
+      if (n == 0) { kbps = k; rate = r }
+      else require(k == kbps && r == rate, s"VBR stream at frame $n")
+      val len = 144000 * k / r + pad
+      require(o + len <= b.length, s"truncated frame $n (len=$len)")
+      n += 1; nPad += pad
+      o += len
+    }
+    require(n > 0, "no MPEG frames")
+    DecodedMp3(0L, "mp3", rate, kbps, n, nPad,
+      n.toLong * 1152L * 1000L / rate, id3,
+      b.length - id3)
+  }
+
   /** STUB decode kernel — swap for a real codec binding in production.
     * Deterministic: "features" are simple byte statistics, "dimensions"
     * derive from the length. Runs per-partition so a real decoder could
@@ -1757,6 +1855,55 @@ object Multimodal {
           decodeFlacStreamInfo(bytes).copy(doc_id = id)
         }
       }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // MP3 frame walk — the streaming-audio container completing the
+    // audio class next to WAV (raw PCM) and FLAC (metadata blocks):
+    // MPEG frames are SELF-DELIMITING (each header encodes its own
+    // length via the 144000·kbps/rate+pad formula), so the structural
+    // pass is a chained header walk through an ID3v2 tag skip — the
+    // exact pass a pipeline runs to get duration/bitrate before any
+    // codec spends cycles. The fixture varies bitrate (14 values),
+    // sample rate (3), frame count, padding parity, and ID3 size per
+    // doc_id; the oracle recomputes every output arithmetically,
+    // including the padded-frame count's parity algebra and the
+    // integer-division frame length — any off-by-one in the walk (tag
+    // skip, padding, trailing-garbage tolerance) is a hash mismatch.
+    // Per-asset scan-speed work; payloads never shuffle.
+    {
+      val rateSql = """(CASE CAST(doc_id % 3 AS INTEGER)
+        | WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)"""
+        .stripMargin.replace("\n", "")
+      val kbpsSql = ("(CASE CAST(doc_id % 14 AS INTEGER) " +
+        mp3Bitrates.drop(1).zipWithIndex
+          .map { case (k, i) => s"WHEN $i THEN $k" }.dropRight(1)
+          .mkString(" ") + s" ELSE ${mp3Bitrates.last} END)")
+      val nSql = "(doc_id % 9 + 3)"
+      val npSql = s"($nSql // 2 + ($nSql % 2) * (doc_id % 2))"
+      QueryDef(
+        "q_multimodal_mp3",
+        s"""SELECT doc_id, 'mp3' AS fmt,
+          |  CAST($rateSql AS INTEGER) AS sample_rate,
+          |  CAST($kbpsSql AS INTEGER) AS bitrate_kbps,
+          |  CAST($nSql AS INTEGER) AS n_frames,
+          |  CAST($npSql AS INTEGER) AS n_padded,
+          |  CAST($nSql * 1152 * 1000 // $rateSql AS BIGINT) AS dur_ms,
+          |  CAST(10 + doc_id % 100 + 10 AS INTEGER) AS id3_bytes,
+          |  CAST($nSql * (144000 * $kbpsSql // $rateSql) + $npSql
+          |    AS INTEGER) AS audio_bytes
+          |FROM documents""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val assets = Tables(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            (id, encodeMp3(id, (id % 14).toInt + 1, (id % 3).toInt,
+              (id % 9).toInt + 3, (id % 100).toInt + 10))
+          }
+        assets.mapPartitions { it =>
+          it.map { case (id, bytes) => decodeMp3Meta(bytes).copy(doc_id = id) }
+        }.toDF()
+      }
     },
 
     // ------------------------------------------------------------------

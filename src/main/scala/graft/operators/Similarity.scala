@@ -632,6 +632,86 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // SIMPLIFIED SILHOUETTE over the trained quantizer (Rousseeuw 1987's
+    // silhouette with centroid distances standing in for mean pairwise
+    // distances — the O(N·K) form production clustering audits run,
+    // since the textbook O(N²) is exactly what clustering exists to
+    // avoid): per point, a = distance to OWN centroid (1 − cos, the
+    // spherical k-means geometry), b = distance to the nearest OTHER
+    // centroid (= 1 − second-largest cos, which handles argmax ties
+    // exactly), s = (b − a)/max(a, b). The per-point s is floored to
+    // integer µ-units BEFORE any aggregation (the TextRank/µnat
+    // discipline), so per-cell means are exact-integer sums divided
+    // once, and min/max are exact BIGINTs — no float fold crosses the
+    // engine boundary. Scale: one N×K broadcast scoring pass (shared
+    // with assignment), one K-row collect per point (K-bounded array),
+    // one map-combinable per-cell aggregate; the training replays in
+    // the oracle as the generated Lloyd CTEs, so clustering AND audit
+    // hash-check end to end. This is the "is K right / did training
+    // converge somewhere sane" gate that runs before any SemDeDup or
+    // IVF job trusts the cells.
+    QueryDef(
+      "q_embed_silhouette",
+      s"""WITH ${lloydSql(IvfIters)},
+        |sA AS (
+        |  SELECT ed.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, ${Dim + 1}),
+        |      k -> ed.v[k] * c.cemb[k])) / sqrt(ed.n2 * c.cn2) AS cs
+        |  FROM ed, c$IvfIters c),
+        |r AS (
+        |  SELECT vec_id, cid, cs,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY cs DESC, cid) AS r
+        |  FROM sA),
+        |pt AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN r = 1 THEN cid END) AS cell,
+        |    max(CASE WHEN r = 1 THEN cs END) AS cs1,
+        |    max(CASE WHEN r = 2 THEN cs END) AS cs2
+        |  FROM r GROUP BY 1),
+        |sil AS (
+        |  SELECT cell,
+        |    CAST(floor((CASE WHEN greatest(1 - cs1, 1 - cs2) = 0e0 THEN 0e0
+        |      ELSE ((1 - cs2) - (1 - cs1)) / greatest(1 - cs1, 1 - cs2)
+        |      END) * 1000000e0 + 0.5e0) AS BIGINT) AS s_u
+        |  FROM pt)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+        |  ${Num.sql(
+          "CAST(CAST(sum(s_u) AS BIGINT) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000e0)",
+          6)} AS mean_sil,
+        |  CAST(min(s_u) AS BIGINT) AS min_sil_u,
+        |  CAST(max(s_u) AS BIGINT) AS max_sil_u
+        |FROM sil GROUP BY 1""".stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val eD = toDoubleVectors(
+        t(s, dir, "embeddings").repartition(col("vec_id"))
+          .select(col("vec_id"), col("embedding"))).cache()
+      val cents = kmeansCentroidsOnVectors(eD, IvfK, IvfIters)
+      val scored = eD.crossJoin(broadcast(cents)).withColumn("cs", centCos)
+      // ascending sort of (cs, -cid) structs: the LAST element is the
+      // argmax with the oracle's smallest-cid tie-break, the one before
+      // it carries the second-largest cos value (ties included)
+      val arr = sort_array(collect_list(struct(col("cs"),
+        (-col("cid")).as("nc"))))
+      val pt = scored.groupBy(col("vec_id")).agg(arr.as("a"))
+        .select(
+          (-element_at(col("a"), -1).getField("nc")).as("cell"),
+          (lit(1) - element_at(col("a"), -1).getField("cs")).as("da"),
+          (lit(1) - element_at(col("a"), -2).getField("cs")).as("db"))
+      val sRaw = when(greatest(col("da"), col("db")) === lit(0e0), lit(0e0))
+        .otherwise((col("db") - col("da")) / greatest(col("da"), col("db")))
+      pt.select(col("cell"),
+          floor(sRaw * lit(1000000e0) + lit(0.5e0)).cast("long").as("s_u"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          Num.r(sum(col("s_u")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1000000e0)), 6)
+            .as("mean_sil"),
+          min(col("s_u")).as("min_sil_u"),
+          max(col("s_u")).as("max_sil_u"))
+    },
+
+    // ------------------------------------------------------------------
     // Semantic deduplication (SemDeDup shape: Abbas, Tirumala, Simig,
     // Ganguli & Morcos, "SemDeDup: Data-efficient learning at web-scale
     // through semantic deduplication", 2023): cluster embeddings with

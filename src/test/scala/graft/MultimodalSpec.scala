@@ -430,6 +430,45 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeZipDirectory(badSig))
   }
 
+  test("MP3 frame walk skips ID3, counts padded frames, and rejects damage") {
+    import graft.operators.Multimodal.{decodeMp3Meta, encodeMp3}
+    // id=5: srIdx=2 (32000 Hz), bIdx=6 (80 kbps), 4 frames, pads at odd
+    // (5+k) parity → k ∈ {0, 2} → 2 padded frames
+    val good = encodeMp3(5L, 6, 2, 4, 20)
+    val m = decodeMp3Meta(good)
+    assert((m.sample_rate, m.bitrate_kbps, m.n_frames, m.n_padded,
+      m.id3_bytes) == ((32000, 80, 4, 2, 30)))
+    assert(m.dur_ms == 4L * 1152 * 1000 / 32000)
+    assert(m.audio_bytes == 4 * (144000 * 80 / 32000) + 2)
+    // a tagless stream is legal: same frames, id3_bytes = 0
+    val bare = decodeMp3Meta(good.drop(m.id3_bytes))
+    assert(bare.n_frames == 4 && bare.id3_bytes == 0 &&
+      bare.audio_bytes == m.audio_bytes)
+    // lost sync at the first frame header
+    val badSync = good.clone(); badSync(m.id3_bytes) = 0x00.toByte
+    intercept[IllegalArgumentException](decodeMp3Meta(badSync))
+    // forbidden bitrate index 15
+    val badBr = good.clone()
+    badBr(m.id3_bytes + 2) = (0xf0 | (badBr(m.id3_bytes + 2) & 0x0f)).toByte
+    intercept[IllegalArgumentException](decodeMp3Meta(badBr))
+    // reserved sample-rate index 3
+    val badSr = good.clone()
+    badSr(m.id3_bytes + 2) = ((badSr(m.id3_bytes + 2) & 0xf0) | 0x0c).toByte
+    intercept[IllegalArgumentException](decodeMp3Meta(badSr))
+    // truncated inside the last frame
+    intercept[IllegalArgumentException](decodeMp3Meta(good.dropRight(3)))
+    // trailing garbage after the last frame is not silently tolerated
+    intercept[IllegalArgumentException](decodeMp3Meta(good :+ 0x00.toByte))
+    // ID3 size field overrunning the file
+    val badId3 = good.clone(); badId3(9) = 0x7f.toByte
+    intercept[IllegalArgumentException](decodeMp3Meta(badId3))
+    // a VBR stream (second frame at a different bitrate) is rejected by
+    // the CBR-consistency check
+    val f1 = encodeMp3(0L, 6, 2, 1, 0).drop(10) // id3Body=0 → 10-byte tag
+    val f2 = encodeMp3(0L, 9, 2, 1, 0).drop(10)
+    intercept[IllegalArgumentException](decodeMp3Meta(f1 ++ f2))
+  }
+
   test("MP4 box walk recovers mvhd timing through skipped boxes and " +
     "rejects damage") {
     import graft.operators.Multimodal.{decodeMp4Meta, encodeMp4Shell}

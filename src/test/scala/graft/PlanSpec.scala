@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
 
+  test("q_tpch_q2 plans all-broadcast dims with a distributed top-100") {
+    val p = plan("q_tpch_q2")
+    // the correlated-min de-correlation must stay joins + one
+    // map-combinable min agg: no SMJ (every relation here is a dim or
+    // the keyed partsupp probe), no single-task global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_tpch_q9 plans one fact-fact SMJ with the color filter pushed") {
+    val p = plan("q_tpch_q9")
+    // the only fact-grain sort is the merge-hinted lineitem⋈orders join;
+    // partsupp and all dims attach as hash joins
+    assert("SortMergeJoin".r.findAllIn(p).length == 1, p)
+    // p_name LIKE 'red%' reaches the part scan as a StartsWith
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+  }
+
+  test("q_tpch_q20 pushes the color prefix and keeps semi-join shape") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("dynamic partition pruning injects a runtime filter on the partitioned scan") {
     import org.apache.spark.sql.functions._
     // hive-partitioned fact + selectively-filtered dim joined on the
@@ -543,6 +568,7 @@ class PlanSpec extends SparkSpec {
       "q_graph_pagerank", // crossJoin(broadcast(single-row |V| aggregate))
       "q_knn_recall", // q_knn_ivf's N×K assignment feeding the recall audit
       "q_dedup_semantic", // the Lloyd rounds' N×K broadcast centroid assignment
+      "q_embed_silhouette", // the same N×K broadcast scoring pass
       "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
       "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
       "q_mix_allocate", // crossJoin(broadcast(single-row grand-total aggregate))
@@ -556,6 +582,7 @@ class PlanSpec extends SparkSpec {
       "q_subquery_scalar", // scalar subquery = 1-row broadcast join
       "q_tpch_q22", // uncorrelated scalar AVG = 1-row broadcast join
       "q_tpch_q15", // 1-row max-revenue broadcast over the revenue agg
+      "q_tpch_q11", // 1-row total/part-count broadcast threshold
       "q_embed_pca", // per-round crossJoin(broadcast(1-row iterate array))
       "q_embed_centroids", // bounded L² nested loop over L centroid rows
       "q_embed_pca2", // per-round crossJoins of 1-row iterate/λ/v1 arrays

@@ -48,4 +48,40 @@ class StatsSpec extends SparkSpec {
     assert(sky.toSet == expected,
       s"skyline ${sky.length} points != brute-force ${expected.size}")
   }
+
+  test("q_stats_bootstrap: intervals are ordered, bracket the point " +
+    "estimate, and the Poisson weights have unit mean") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_stats_bootstrap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, est, lo, hi) =>
+      assert(lo <= hi, s"$src: lo $lo > hi $hi")
+      // with 32 resamples the 2nd/31st order statistics bracket the
+      // sample mean unless the metric distribution is pathological —
+      // on this corpus every source must bracket
+      assert(lo <= est && est <= hi, s"$src: est $est outside [$lo, $hi]")
+    }
+    // the deterministic inverse-CDF draw must actually BE Poisson(1):
+    // mean weight ≈ 1 (law of large numbers over docs × resamples)
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val cdf = Array.tabulate(4) { k =>
+      (0 to k).map(j => math.exp(-1.0) /
+        (1 to j).foldLeft(1.0)(_ * _)).sum
+    }.map(c => (c * math.pow(2.0, 60)).toLong)
+    val ws = for (id <- docs; b <- 0 until 32) yield {
+      val h = h60(s"bs:$b:$id")
+      cdf.indexWhere(h < _) match { case -1 => 4; case k => k }
+    }
+    val mean = ws.map(_.toLong).sum.toDouble / ws.length
+    assert(math.abs(mean - 1.0) < 0.05, s"weight mean $mean far from 1")
+  }
 }
