@@ -1444,6 +1444,60 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // Vocabulary COVERAGE CURVE — the tokenizer-sizing datapoint one
+    // level above q_vocab_oov's fixed top-100: what fraction of the
+    // corpus token MASS does a top-k vocabulary cover, for k across
+    // three decades? (Zipf's law makes this curve concave; where it
+    // flattens is where growing the vocab stops paying — the number a
+    // tokenizer design review actually reads.) Exactness: the vocab
+    // table is ranked once through chunkedRank on negated counts (no
+    // single-task sort), cumulative masses at each threshold come from
+    // ONE conditional aggregate over the vocab-sized relation, and
+    // coverage is emitted in exact integer µ-units (mass·1000000 div
+    // total) — every output column is a BIGINT. The corpus pays one
+    // counting scan; everything else is vocab-sized.
+    QueryDef(
+      "q_vocab_coverage",
+      s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |tc AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1),
+        |rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) - 1 AS idx
+        |  FROM tc),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tm,
+        |               CAST(count(*) AS BIGINT) AS v FROM rk),
+        |ks AS (SELECT unnest([10, 30, 100, 300]) AS k)
+        |SELECT k,
+        |  CAST(least(k, tot.v) AS BIGINT) AS vocab_size,
+        |  CAST(sum(CASE WHEN idx < k THEN c ELSE 0 END) AS BIGINT) AS mass,
+        |  CAST(sum(CASE WHEN idx < k THEN c ELSE 0 END) * 1000000
+        |    // tot.tm AS BIGINT) AS cov_u
+        |FROM ks, rk, tot
+        |GROUP BY k, tot.v, tot.tm""".stripMargin) { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tc = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("negc", -col("c"))
+        .withColumn("__all", lit("all"))
+      val rk = graft.operators.Analytics
+        .chunkedRank(tc, "__all", "negc", Seq("w"))
+        .select(col("c"), col("idx"))
+      val tot = rk.agg(sum(col("c")).as("tm"), count(lit(1)).as("v"))
+      val ks = Seq(10, 30, 100, 300)
+      rk.crossJoin(broadcast(tot))
+        .select(col("c"), col("idx"), col("tm"), col("v"),
+          explode(array(ks.map(lit): _*)).as("k"))
+        .groupBy(col("k"), col("v"), col("tm"))
+        .agg(sum(when(col("idx") < col("k"), col("c")).otherwise(0L))
+          .as("mass0"))
+        .select(col("k"),
+          least(col("k").cast("long"), col("v")).as("vocab_size"),
+          col("mass0").as("mass"),
+          expr("mass0 * 1000000 div tm").as("cov_u"))
+    },
+
+    // ------------------------------------------------------------------
     // PMI collocations (Church & Hanks 1990) — the top word-bigram
     // associations: pmi(a,b) = ln( (c_ab/N_bg) / ((c_a/N_u)·(c_b/N_u)) ),
     // the phrase-mining primitive (tokenizer merge candidates, entity

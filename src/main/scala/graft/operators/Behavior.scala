@@ -4,6 +4,7 @@ import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis => TA}
 
 /** Event-log / warehouse behavioral analytics over the `events` table:
   * conversion funnel, cohort retention, SCD-2 change history, and
@@ -2411,6 +2412,50 @@ object Behavior {
         .select((lit(1) + flag(col("t2")) + flag(col("t3"))
           + flag(col("t4"))).cast("int").as("depth"))
         .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic PSEUDONYMIZATION with a referential-integrity
+    // proof — the governance step between q_anonymity's audit and an
+    // actual data release: replace the customer key with a keyed
+    // md5-derived token (same key → same token, consistently across
+    // tables) and show analytics still work on the masked data. The
+    // cross-derivation IS the proof: the Spark side joins orders to
+    // customers ON THE TOKENS, the oracle joins on the RAW keys and
+    // derives tokens only for output — so the hash match certifies the
+    // masked join produced exactly the raw join's rows (a token
+    // collision would duplicate rows and mismatch instantly), and
+    // n_cust = n_tok per nation pins injectivity directly. Money in
+    // exact integer cents. Scale: tokenization is a pushable per-row
+    // projection; the masked join hashes on the token exactly as the
+    // raw join hashes on the key — same shuffle, same plan shape.
+    QueryDef(
+      "q_mask_pseudo",
+      s"""WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    ${TA.h60sql("'pk:' || c_custkey")} AS tok
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tok,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS price_c
+        |FROM orders JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      def tok(c: Column) = TA.h60(concat(lit("pk:"), c.cast("string")))
+      val cust = t(s, dir, "customer")
+        .select(tok(col("c_custkey")).as("tok_c"), col("c_custkey"),
+          col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .select(tok(col("o_custkey")).as("tok_o"), col("o_totalprice"))
+      ord.join(cust, col("tok_o") === col("tok_c"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("tok_c")).as("n_tok"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("price_c"))
     }
   )
 }

@@ -1356,6 +1356,146 @@ object Dedup {
           when(coalesce(col("n_cand"), lit(0L)) === 0, lit(0e0))
             .otherwise(Num.r(coalesce(col("n_hits"), lit(0L)) * lit(1e0)
               / col("n_cand"), 6)).as("precision"))
+    },
+
+    // ------------------------------------------------------------------
+    // EXTERNAL clustering evaluation of the near-dup components against
+    // the documents' source labels — purity and normalized mutual
+    // information (Manning/Raghavan/Schütze IR ch.16's standard pair):
+    // "do near-dup clusters stay within a source?" is both a dedup
+    // sanity check (cross-source clusters suggest boilerplate, not
+    // provenance) and the template for ANY cluster-vs-label audit
+    // (entity resolution vs golden ids, semantic cells vs topics).
+    // Exactness discipline: purity is one integer division (Σ per-
+    // cluster majority counts / N); the information quantities are
+    // per-cell/per-marginal DOUBLE terms computed with the IDENTICAL
+    // op spelling in both engines, floored to integer µnats, then
+    // summed exactly (the q_drift_jsd contract) — so MI/H(C)/H(L)
+    // cross the engine boundary as BIGINTs and only the final NMI
+    // ratio is rounded. Scale: the component derivation is the
+    // verified pointer-jumping loop; everything downstream runs on the
+    // (component × label) CELL table, bounded by clusters·labels, via
+    // map-combinable counts. The oracle replays the closure recursively
+    // over the identical hashed pairs — a fourth independent re-proof
+    // of pointer-jumping ≡ transitive closure, this time feeding an
+    // information-theoretic reduction.
+    QueryDef("q_dedup_purity", purityOracle) { (s, dir) =>
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
+      val pairs = jaccardPairs(sh).select(col("id_a"), col("id_b")).cache()
+      val cc = connectedComponents(pairs)
+        .select(col("node"), col("component"))
+      val cl = cc.join(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")),
+          col("node") === col("doc_id"))
+        .select(col("component"), col("source"))
+      val cell = cl.groupBy(col("component"), col("source"))
+        .agg(count(lit(1)).as("n_cl"))
+      val byC = cell.groupBy(col("component"))
+        .agg(sum(col("n_cl")).as("n_c"), max(col("n_cl")).as("max_l"))
+      val byL = cell.groupBy(col("source")).agg(sum(col("n_cl")).as("n_l"))
+      val tot = cell.agg(sum(col("n_cl")).as("nn"))
+      def d(c: Column) = c.cast("double")
+      def unats(x: Column) = floor(x * lit(1000000e0) + lit(0.5e0))
+        .cast("long")
+      val miTerm = unats((d(col("n_cl")) / d(col("nn"))) *
+        log(d(col("nn")) * d(col("n_cl")) / (d(col("n_c")) * d(col("n_l")))))
+      val mi = cell
+        .join(broadcast(byC.select(col("component").as("cc2"), col("n_c"))),
+          col("component") === col("cc2"))
+        .join(broadcast(byL.select(col("source").as("sl2"), col("n_l"))),
+          col("source") === col("sl2"))
+        .crossJoin(broadcast(tot))
+        .agg(sum(miTerm).as("mi_u"))
+      def entU(rel: DataFrame, cnt: String) = rel.crossJoin(broadcast(tot))
+        .agg(sum(unats(-(d(col(cnt)) / d(col("nn"))) *
+          log(d(col(cnt)) / d(col("nn"))))).as("h_u"),
+          count(lit(1)).as("k"))
+      val hc = entU(byC, "n_c")
+        .select(col("h_u").as("hc_u"), col("k").as("n_clusters"))
+      val hl = entU(byL, "n_l")
+        .select(col("h_u").as("hl_u"), col("k").as("n_labels"))
+      val pur = byC.crossJoin(broadcast(tot))
+        .agg(first(col("nn")).as("n_docs"),
+          Num.r(d(sum(col("max_l"))) / d(first(col("nn"))), 6).as("purity"))
+      pur.crossJoin(broadcast(mi)).crossJoin(broadcast(hc))
+        .crossJoin(broadcast(hl))
+        .select(col("n_docs"), col("n_clusters"), col("n_labels"),
+          col("purity"), col("mi_u"), col("hc_u"), col("hl_u"),
+          when(col("hc_u") <= 0 || col("hl_u") <= 0, lit(0e0))
+            .otherwise(Num.r(d(col("mi_u")) /
+              sqrt(d(col("hc_u")) * d(col("hl_u"))), 6)).as("nmi"))
     }
   )
+
+  /** DuckDB replay of q_dedup_purity: identical hashed pairs, recursive
+    * transitive closure (the q_dedup_components oracle pattern), then
+    * the identical µnat information terms over the cell table. */
+  private def purityOracle: String =
+    s"""WITH $shinglesSql,
+      |shh AS (SELECT doc_id, ${h60sql("shingle")} AS sid FROM sh),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM shh a JOIN shh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cand p
+      |  JOIN cnt ca ON p.id_a = ca.doc_id
+      |  JOIN cnt cb ON p.id_b = cb.doc_id
+      |  WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.8),
+      |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |r AS (
+      |  WITH RECURSIVE reach(a, b) AS (
+      |    SELECT a, b FROM e
+      |    UNION
+      |    SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+      |  SELECT * FROM reach),
+      |comp AS (SELECT a AS node, min(b) AS component FROM r GROUP BY a),
+      |cl AS (
+      |  SELECT comp.component, d.source FROM comp
+      |  JOIN documents d ON comp.node = d.doc_id),
+      |cell AS (SELECT component, source, count(*) AS n_cl
+      |         FROM cl GROUP BY 1, 2),
+      |byc AS (SELECT component, CAST(sum(n_cl) AS BIGINT) AS n_c,
+      |               CAST(max(n_cl) AS BIGINT) AS max_l
+      |        FROM cell GROUP BY 1),
+      |byl AS (SELECT source, CAST(sum(n_cl) AS BIGINT) AS n_l
+      |        FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS nn FROM cell),
+      |mi AS (
+      |  SELECT CAST(sum(CAST(floor(
+      |    (CAST(n_cl AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |    ln(CAST(nn AS DOUBLE) * CAST(n_cl AS DOUBLE)
+      |       / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE)))
+      |    * 1000000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS mi_u
+      |  FROM cell
+      |  JOIN byc USING (component) JOIN byl USING (source), tot),
+      |hc AS (
+      |  SELECT CAST(sum(CAST(floor(
+      |    -(CAST(n_c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |     ln(CAST(n_c AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    * 1000000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS hc_u,
+      |    CAST(count(*) AS BIGINT) AS n_clusters
+      |  FROM byc, tot),
+      |hl AS (
+      |  SELECT CAST(sum(CAST(floor(
+      |    -(CAST(n_l AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |     ln(CAST(n_l AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    * 1000000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS hl_u,
+      |    CAST(count(*) AS BIGINT) AS n_labels
+      |  FROM byl, tot),
+      |pur AS (
+      |  SELECT max(nn) AS n_docs,
+      |    ${Num.sql(
+        "CAST(CAST(sum(max_l) AS BIGINT) AS DOUBLE) / CAST(max(nn) AS DOUBLE)",
+        6)} AS purity
+      |  FROM byc, tot)
+      |SELECT n_docs, n_clusters, n_labels, purity, mi_u, hc_u, hl_u,
+      |  CASE WHEN hc_u <= 0 OR hl_u <= 0 THEN 0e0
+      |    ELSE ${Num.sql(
+        "CAST(mi_u AS DOUBLE) / sqrt(CAST(hc_u AS DOUBLE) * CAST(hl_u AS DOUBLE))",
+        6)} END AS nmi
+      |FROM pur, mi, hc, hl""".stripMargin
 }

@@ -471,6 +471,87 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // MEAN-RECIPROCAL-RANK audit of the sign-LSH index — the
+    // first-relevant-position metric completing the IR-evaluation
+    // triple next to q_knn_recall (set overlap) and q_knn_ndcg (graded
+    // discounts): for each query, WHERE does the true nearest neighbor
+    // land in the approximate ranking? rank is an exact integer (both
+    // engines rank the bitwise-identical raw cosines with id
+    // tie-breaks), the reciprocal is emitted in exact integer µ-units
+    // (1000000 div rank), and a truth vector absent from the query's
+    // bucket scores 0 — so the whole audit hash-checks with zero float
+    // armor. Scale: truth is the labeled brute-force baseline (10
+    // broadcast queries), the approximate leg is the same keyed bucket
+    // join the index serves, and the rank lookup is one left join on
+    // (query, neighbor).
+    QueryDef(
+      "q_knn_mrr",
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2,
+        |    ${bucketSql("embedding")} AS bucket
+        |  FROM embeddings),
+        |bt AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosSql AS c
+        |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id AS true_nbr FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY c DESC, neighbor_id ASC) AS r
+        |    FROM bt) WHERE r = 1),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cosSql AS c
+        |  FROM e q JOIN e n
+        |    ON q.bucket = n.bucket AND q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY c DESC, neighbor_id ASC) AS rnk
+        |  FROM s)
+        |SELECT t.query_id, t.true_nbr,
+        |  CAST(coalesce(r.rnk, 0) AS BIGINT) AS rank_lsh,
+        |  CAST(CASE WHEN r.rnk IS NULL THEN 0
+        |    ELSE 1000000 // r.rnk END AS BIGINT) AS rr_u
+        |FROM truth t LEFT JOIN r
+        |  ON r.query_id = t.query_id AND r.neighbor_id = t.true_nbr"""
+        .stripMargin) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket"))
+        .cache() // bucket fold feeds the brute truth AND the LSH leg
+      val q = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+      val n = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("bucket"))
+      val truth = n.crossJoin(broadcast(q.drop("q_bucket")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("c", expr("graft_cosine(q_emb, n_emb)"))
+        .groupBy(col("query_id"))
+        .agg(max_by(col("neighbor_id"),
+          struct(col("c"), -col("neighbor_id"))).as("true_nbr"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id").asc)
+      val ranked = n.join(broadcast(q),
+          col("q_bucket") === col("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("c", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("rnk", row_number().over(w))
+        .select(col("query_id").as("rq"), col("neighbor_id").as("rn"),
+          col("rnk"))
+      truth.join(ranked,
+          col("rq") === col("query_id") && col("rn") === col("true_nbr"),
+          "left")
+        .select(col("query_id"), col("true_nbr"),
+          coalesce(col("rnk"), lit(0)).cast("long").as("rank_lsh"),
+          when(col("rnk").isNull, lit(0L))
+            .otherwise(expr("1000000 div rnk")).as("rr_u"))
+    },
+
+    // ------------------------------------------------------------------
     // IVF (inverted-file) top-3: K deterministic centroids (the first K
     // vectors — a stand-in for k-means output, which would be a separate
     // offline job at scale), every vector assigned to its nearest cell,

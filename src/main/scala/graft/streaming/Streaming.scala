@@ -454,6 +454,51 @@ object Streaming {
       .agg(expr("hll_union_agg(sk)").as("sk"))
       .withColumn("estimate", expr("hll_sketch_estimate(sk)"))
 
+  /** One micro-batch of incremental BLOOM-FILTER maintenance — the
+    * streaming half of q_decontam_bloom's prefilter: as new benchmark
+    * shingles (or any blocklist keys) arrive, each batch contributes
+    * one fixed-size bloom partial under the sketch-table pattern
+    * (deterministic `batch=<id>` overwrite, append-only history).
+    * Bit-set union is a commutative idempotent monoid — the EXACT
+    * reason the filter is incrementally maintainable AND replay-proof:
+    * re-ingesting a batch ORs in bits already set. [[bloomTable]]
+    * folds the partials into the single serialized filter the scan-side
+    * `graft_bloom_contains` probe broadcasts, bit-identical to a
+    * one-shot `graft_bloom` over the union of all batches (same hash
+    * positions, same OR — StreamingSpec pins byte equality and
+    * no-false-negative probes). `numBits`/`numHashes` must stay fixed
+    * across batches; the read side enforces it via the serialized
+    * header. */
+  def bloomIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String,
+      keyCol: String, numBits: Int, numHashes: Int): Unit = {
+    graft.functions.BloomSketch.register(batch.sparkSession)
+    batch
+      .agg(expr(s"graft_bloom($keyCol, $numBits, $numHashes)").as("bloom"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+  }
+
+  /** Read-side fold of [[bloomIngestBatch]] partials into ONE serialized
+    * filter (8-byte size header + OR of the bit words — the same merge
+    * the UDAF's own combiner runs). The collect is control-plane: B
+    * one-row partials of numBits/8 bytes each; the result broadcasts
+    * into the probe expression. */
+  def bloomTable(spark: SparkSession, tableDir: String): Array[Byte] = {
+    val parts = spark.read.parquet(tableDir)
+      .collect().map(_.getAs[Array[Byte]]("bloom"))
+    require(parts.nonEmpty, s"no bloom partials under $tableDir")
+    val out = parts.head.clone()
+    parts.tail.foreach { p =>
+      require(p.length == out.length &&
+        p.take(8).sameElements(out.take(8)),
+        "bloom partials disagree on numBits/numHashes — the filter " +
+          "parameters must stay fixed across batches")
+      var i = 8
+      while (i < out.length) { out(i) = (out(i) | p(i)).toByte; i += 1 }
+    }
+    out
+  }
+
   /** One micro-batch of incremental export-manifest maintenance — the
     * streaming twin of q_export_manifest, on the sketch-table pattern
     * (append-only `batch=<id>` partials, idempotent per-batch

@@ -569,6 +569,7 @@ class PlanSpec extends SparkSpec {
       "q_knn_recall", // q_knn_ivf's N×K assignment feeding the recall audit
       "q_dedup_semantic", // the Lloyd rounds' N×K broadcast centroid assignment
       "q_embed_silhouette", // the same N×K broadcast scoring pass
+      "q_dedup_purity", // 1-row N/MI/H broadcasts over the cell table
       "q_decontam_bloom", // crossJoin(broadcast(single-row bloom sketch))
       "q_mix_temperature", // crossJoin(broadcast(single-row min-chars aggregate))
       "q_mix_allocate", // crossJoin(broadcast(single-row grand-total aggregate))
@@ -590,12 +591,14 @@ class PlanSpec extends SparkSpec {
       "q_pref_btl", // per-MM-round crossJoin(broadcast(1-row norm total))
       "q_graph_kcore", // crossJoin(broadcast(1-row degree-quantile k))
       "q_knn_ndcg", // contains q_knn_brute's exact baseline by definition
+      "q_knn_mrr", // same labeled brute-force truth baseline
       "q_knn_filtered", // q_knn_brute's broadcast-query shape + label filter
       "q_skyline", // crossJoin(broadcast(1-row chunk-bounds aggregate))
       "q_ab_ttest", // crossJoin of the two 1-row arm aggregates
       "q_embed_outliers", // 1-row centroid array + 1-row threshold broadcasts
       "q_text_pmi", // 1-row N_bg/N_u totals + constant-group chunkedRank
       "q_vocab_oov", // constant-group chunkedRank bounds (global vocab rank)
+      "q_vocab_coverage", // same vocab rank + 1-row total broadcast
       "q_rfm", // 1-row anchor date + constant-group chunkedRank ×3
       "q_calibration", // constant-group chunkedRank (global decile rank)
       "q_ts_acf", // day-rollup × broadcast 3-row lag relation (bounded fan-out)
@@ -644,6 +647,7 @@ class PlanSpec extends SparkSpec {
       // constant-group chunkedRank prefix offsets: ≤ #chunks rows
       "chunked-rank offsets" -> Set(
         "q_histogram_eqdepth", "q_profile_skew", "q_vocab_oov",
+        "q_vocab_coverage",
         "q_text_pmi", "q_text_textrank", "q_rfm", "q_calibration",
         "q_quantile_norm", "q_basket_rules", "q_graph_kcore",
         "q_search_hybrid"),

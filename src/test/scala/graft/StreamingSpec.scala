@@ -1285,6 +1285,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("incremental bloom maintenance equals the one-shot filter " +
+    "bit-for-bit and keeps the no-false-negative guarantee") {
+    import spark.implicits._
+    graft.functions.BloomSketch.register(spark)
+    val dir = tmpDir("bloom_state")
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"))
+    val waves = (0 until 3).map(w => docs.filter(col("doc_id") % 3 === w))
+    waves.zipWithIndex.foreach { case (wv, i) =>
+      Streaming.bloomIngestBatch(wv, i.toLong, dir, "doc_id", 1 << 14, 5)
+    }
+    val merged = Streaming.bloomTable(spark, dir)
+    val oneShot = docs
+      .agg(expr("graft_bloom(doc_id, 16384, 5)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, oneShot),
+      "OR-fold of batch partials diverged from the one-shot filter")
+    // replaying a batch is a no-op: OR is idempotent
+    Streaming.bloomIngestBatch(waves(1), 1L, dir, "doc_id", 1 << 14, 5)
+    assert(java.util.Arrays.equals(Streaming.bloomTable(spark, dir), oneShot))
+    // no false negatives: every ingested key probes true against the
+    // folded filter (carried as a literal binary column, the broadcast
+    // shape the decontamination scan uses)
+    val nMiss = docs.withColumn("bf", lit(merged))
+      .filter(!expr("graft_bloom_contains(bf, doc_id)")).count()
+    assert(nMiss == 0, s"$nMiss ingested keys probed false")
+    // mismatched parameters across batches must be rejected, not merged
+    Streaming.bloomIngestBatch(waves(0), 99L, dir, "doc_id", 1 << 15, 5)
+    intercept[IllegalArgumentException](Streaming.bloomTable(spark, dir))
+  }
+
   test("incremental component maintenance equals the batch re-cluster " +
     "after waves, merges bridged clusters, and is replay-idempotent") {
     import spark.implicits._
