@@ -610,6 +610,47 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // Per-community CONDUCTANCE of the label-propagation partition —
+    // the diagnostic companion to q_graph_modularity's single global
+    // score: φ(c) = cut(c) / min(vol(c), 2m − vol(c)) names WHICH
+    // communities leak (a well-separated community has φ near 0; a
+    // community that is just a slice of a hub's neighborhood has φ
+    // near 1) — the per-community number a spam-farm hunt or a
+    // clustering post-mortem actually reads. Everything is exact
+    // BIGINT arithmetic over the modularity machinery's relations:
+    // vol from the degree table, cut = vol − same-label directed
+    // edges (so intra = same2 div 2 exactly — sym counts each
+    // undirected edge twice), φ in integer µ-units via one integer
+    // division, zero rounding armor. Scale: the same two keyed |E|
+    // label joins LPA itself runs per round; outputs are
+    // community-bounded.
+    QueryDef("q_graph_conductance", conductanceOracle) { (s, dir) =>
+      val (sym, labels) = lpaLabels(s, dir)
+      val volC = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("lbl").as("community")).agg(sum(col("d")).as("vol"))
+      val lab = (side: String) => labels
+        .select(col("node").as(side), col("lbl").as(s"lbl_$side"))
+      val same2 = sym.join(lab("src"), "src").join(lab("dst"), "dst")
+        .filter(col("lbl_src") === col("lbl_dst"))
+        .groupBy(col("lbl_src").as("c2")).agg(count(lit(1)).as("same2"))
+      val nNodes = labels.groupBy(col("lbl").as("c3"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val m2 = sym.agg(count(lit(1)).as("m2")) // = 2m
+      volC.join(nNodes, col("community") === col("c3"))
+        .join(same2, col("community") === col("c2"), "left")
+        .crossJoin(broadcast(m2))
+        .withColumn("intra", expr("coalesce(same2, 0) div 2"))
+        .withColumn("cut", expr("vol - coalesce(same2, 0)"))
+        .withColumn("cond_u", expr(
+          """CASE WHEN least(vol, m2 - vol) = 0 THEN 0
+            |ELSE cut * 1000000 div least(vol, m2 - vol) END"""
+            .stripMargin.replace("\n", " ")))
+        .select(col("community"), col("n_nodes"), col("vol"),
+          col("intra"), col("cut"), col("cond_u"))
+    },
+
+    // ------------------------------------------------------------------
     // HITS hubs & authorities (Kleinberg 1999) on the directed
     // part→supplier purchase graph — the OTHER link-centrality model:
     // PageRank ranks by random-surfer mass, HITS separates "points at
@@ -870,6 +911,32 @@ object Graph {
     s"""WITH $lpaCtes
       |SELECT lbl AS community, count(*) AS n_nodes
       |FROM l$lpaRounds GROUP BY 1""".stripMargin
+
+  /** DuckDB replay of q_graph_conductance over the same labelprop CTEs:
+    * exact BIGINT cut/volume algebra, φ in integer µ-units. */
+  private def conductanceOracle: String =
+    s"""WITH $lpaCtes,
+      |lf AS (SELECT node, lbl FROM l$lpaRounds),
+      |vc AS (
+      |  SELECT lf.lbl AS community, CAST(sum(dg.d) AS BIGINT) AS vol
+      |  FROM (SELECT src, count(*) AS d FROM sym GROUP BY 1) dg
+      |  JOIN lf ON dg.src = lf.node GROUP BY 1),
+      |sl AS (
+      |  SELECT la.lbl AS c2, CAST(count(*) AS BIGINT) AS same2
+      |  FROM sym s JOIN lf la ON s.src = la.node
+      |  JOIN lf lb ON s.dst = lb.node
+      |  WHERE la.lbl = lb.lbl GROUP BY 1),
+      |nn AS (SELECT lbl AS c3, CAST(count(*) AS BIGINT) AS n_nodes
+      |       FROM lf GROUP BY 1),
+      |m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym)
+      |SELECT community, n_nodes, vol,
+      |  coalesce(same2, 0) // 2 AS intra,
+      |  vol - coalesce(same2, 0) AS cut,
+      |  CASE WHEN least(vol, m2 - vol) = 0 THEN 0
+      |    ELSE (vol - coalesce(same2, 0)) * 1000000
+      |      // least(vol, m2 - vol) END AS cond_u
+      |FROM vc JOIN nn ON community = c3
+      |LEFT JOIN sl ON community = c2, m2t""".stripMargin
 
   /** DuckDB replay of q_graph_modularity over the same labelprop CTEs:
     * Q·4m² in exact BIGINTs, one final division. */

@@ -107,6 +107,17 @@ final case class DecodedMp3(
     id3_bytes: Int,
     audio_bytes: Int)
 
+/** A parsed OGG container row: stream identity and structural counts
+  * recovered from a CRC-verified page walk — no codec decode. */
+final case class DecodedOgg(
+    doc_id: Long,
+    fmt: String,
+    serial: Int,
+    n_pages: Int,
+    n_segs: Int,
+    body_bytes: Int,
+    last_granule: Long)
+
 /** Multimodal column plumbing (SURVEY.md §2B north star): media as opaque
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
@@ -1336,6 +1347,119 @@ object Multimodal {
       b.length - id3)
   }
 
+  /** OGG's page CRC: CRC-32 with polynomial 0x04C11DB7, MSB-first
+    * (unreflected), init 0, no final XOR — NOT the zlib/PNG variant
+    * (RFC 3533 §6). Computed over the whole page with the CRC field
+    * zeroed. Bitwise (table-free) — fixture-scale pages only. */
+  private def oggCrc(b: Array[Byte], from: Int, len: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < from + len) {
+      crc ^= (b(i) & 0xff) << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+              else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Structurally valid OGG stream (RFC 3533): `nPages` pages sharing
+    * one serial, sequence numbers 0.., BOS flag on the first page and
+    * EOS on the last, deterministic lacing tables and body fill, REAL
+    * page CRCs (poly 0x04C11DB7, field zeroed during computation).
+    * Page k carries (id+k)%3+1 segments of (id+k+j)%20+5 bytes and
+    * granule (k+1)·100 + id%50. */
+  def encodeOgg(id: Long, nPages: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    for (k <- 0 until nPages) {
+      val nSeg = ((id + k) % 3).toInt + 1
+      val lacing = Array.tabulate(nSeg)(j => ((id + k + j) % 20).toInt + 5)
+      val bodyLen = lacing.sum
+      val page = new Array[Byte](27 + nSeg + bodyLen)
+      "OggS".getBytes("US-ASCII").copyToArray(page, 0)
+      page(4) = 0 // stream structure version
+      page(5) = (if (k == 0) 0x02 else if (k == nPages - 1) 0x04 else 0x00)
+        .toByte
+      val granule = (k + 1) * 100L + id % 50
+      var o = 6
+      def le(v: Long, n: Int): Unit = {
+        var i = 0
+        while (i < n) { page(o) = ((v >> (8 * i)) & 0xff).toByte; o += 1; i += 1 }
+      }
+      le(granule, 8)
+      le(id & 0x7fffffffL, 4) // serial
+      le(k.toLong, 4) // page sequence number
+      le(0L, 4) // CRC placeholder
+      page(o) = nSeg.toByte; o += 1
+      lacing.foreach { s => page(o) = s.toByte; o += 1 }
+      var j = 0
+      while (j < bodyLen) { page(o + j) = ((j * 11 + k) & 0xff).toByte; j += 1 }
+      val crc = oggCrc(page, 0, page.length)
+      page(22) = crc.toByte; page(23) = (crc >> 8).toByte
+      page(24) = (crc >> 16).toByte; page(25) = (crc >> 24).toByte
+      bos.write(page)
+    }
+    bos.toByteArray
+  }
+
+  /** Real OGG page walk (RFC 3533): capture-pattern and version checks,
+    * little-endian header fields, lacing-table body sizing, CRC
+    * verification with the field zeroed (the spec's own algorithm and
+    * polynomial — a zlib CRC here would reject every valid file),
+    * sequence-number continuity, single-serial enforcement, BOS/EOS
+    * placement. The routing/integrity pass before any Vorbis/Opus
+    * codec work; throws on any structural damage. */
+  def decodeOggMeta(b: Array[Byte]): DecodedOgg = {
+    require(b.length >= 27, "truncated OGG")
+    var o = 0
+    var page = 0
+    var serial = -1L
+    var nSegs = 0; var bodyBytes = 0; var granule = -1L
+    var sawEos = false
+    def le(off: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    while (o < b.length) {
+      require(!sawEos, "pages after the EOS page")
+      require(o + 27 <= b.length, s"truncated page header at $o")
+      require(new String(b, o, 4, "US-ASCII") == "OggS",
+        s"lost capture pattern at $o")
+      require(b(o + 4) == 0, "unknown stream structure version")
+      val htype = b(o + 5) & 0xff
+      val s = le(o + 14, 4)
+      if (page == 0) serial = s
+      else require(s == serial, "serial changed mid-stream")
+      require(le(o + 18, 4) == page, s"page sequence broken at $page")
+      require(((htype & 0x02) != 0) == (page == 0), "misplaced BOS flag")
+      if ((htype & 0x04) != 0) sawEos = true
+      val nSeg = b(o + 26) & 0xff
+      require(o + 27 + nSeg <= b.length, "truncated lacing table")
+      var bl = 0
+      var j = 0
+      while (j < nSeg) { bl += b(o + 27 + j) & 0xff; j += 1 }
+      val total = 27 + nSeg + bl
+      require(o + total <= b.length, s"truncated page body at $page")
+      // CRC: recompute with the field zeroed (RFC 3533 §6)
+      val declared = le(o + 22, 4)
+      val tmp = java.util.Arrays.copyOfRange(b, o, o + total)
+      tmp(22) = 0; tmp(23) = 0; tmp(24) = 0; tmp(25) = 0
+      require((oggCrc(tmp, 0, total) & 0xffffffffL) == declared,
+        s"CRC mismatch on page $page")
+      granule = le(o + 6, 8)
+      nSegs += nSeg; bodyBytes += bl; page += 1
+      o += total
+    }
+    require(page > 0, "no pages")
+    require(sawEos, "stream has no EOS page")
+    DecodedOgg(0L, "ogg", serial.toInt, page, nSegs, bodyBytes, granule)
+  }
+
   /** STUB decode kernel — swap for a real codec binding in production.
     * Deterministic: "features" are simple byte statistics, "dimensions"
     * derive from the length. Runs per-partition so a real decoder could
@@ -1902,6 +2026,44 @@ object Multimodal {
           }
         assets.mapPartitions { it =>
           it.map { case (id, bytes) => decodeMp3Meta(bytes).copy(doc_id = id) }
+        }.toDF()
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // OGG page walk — the general-purpose streaming container (Vorbis/
+    // Opus/Theora all ride it) completing the container class next to
+    // ZIP (archive) and MP4 (ISO-BMFF): pages are CRC-PROTECTED with
+    // OGG's OWN CRC-32 variant (poly 0x04C11DB7, unreflected, init 0 —
+    // a zlib CRC rejects every valid file, the classic implementation
+    // trap), sized by lacing tables, and ordered by explicit sequence
+    // numbers with BOS/EOS placement rules. The kernel verifies all of
+    // it — capture pattern, version, CRC with the field zeroed,
+    // continuity, single-serial, EOS-terminated — per RFC 3533; the
+    // fixture varies page count, segment counts, lacing values, and
+    // granules per doc_id and the oracle recomputes every output with
+    // nested range/list_transform arithmetic. Scan-speed per-asset
+    // work; payloads never shuffle.
+    {
+      val npSql = "(doc_id % 4 + 2)"
+      QueryDef(
+        "q_multimodal_ogg",
+        s"""SELECT doc_id, 'ogg' AS fmt,
+          |  CAST(doc_id AS INTEGER) AS serial,
+          |  CAST($npSql AS INTEGER) AS n_pages,
+          |  CAST(list_sum(list_transform(range(0, $npSql),
+          |    k -> (doc_id + k) % 3 + 1)) AS INTEGER) AS n_segs,
+          |  CAST(list_sum(list_transform(range(0, $npSql),
+          |    k -> list_sum(list_transform(range(0, (doc_id + k) % 3 + 1),
+          |      j -> (doc_id + k + j) % 20 + 5)))) AS INTEGER) AS body_bytes,
+          |  CAST($npSql * 100 + doc_id % 50 AS BIGINT) AS last_granule
+          |FROM documents""".stripMargin) { (s, dir) =>
+        import s.implicits._
+        val assets = Tables(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, encodeOgg(id, (id % 4).toInt + 2)))
+        assets.mapPartitions { it =>
+          it.map { case (id, bytes) => decodeOggMeta(bytes).copy(doc_id = id) }
         }.toDF()
       }
     },

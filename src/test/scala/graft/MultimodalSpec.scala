@@ -430,6 +430,45 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeZipDirectory(badSig))
   }
 
+  test("OGG page walk verifies the spec CRC, continuity, and BOS/EOS placement") {
+    import graft.operators.Multimodal.{decodeOggMeta, encodeOgg}
+    // id=7: 3 pages; segs per page k: (7+k)%3+1 → 2,3,1
+    val good = encodeOgg(7L, 3)
+    val m = decodeOggMeta(good)
+    assert((m.serial, m.n_pages, m.n_segs) == ((7, 3, 6)))
+    assert(m.last_granule == 3L * 100 + 7)
+    // page body corruption must be caught by the page CRC — OGG's OWN
+    // CRC-32 variant (0x04C11DB7 unreflected); the kernel recomputes
+    // with the field zeroed per RFC 3533 §6
+    val badBody = good.clone(); badBody(good.length - 1) =
+      (badBody(good.length - 1) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](decodeOggMeta(badBody))
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    // lost capture pattern
+    val badCap = good.clone(); badCap(0) = 'X'.toByte
+    intercept[IllegalArgumentException](decodeOggMeta(badCap))
+    // a stream whose last page lacks the EOS flag is incomplete
+    val twoOfThree = java.util.Arrays.copyOfRange(good, 0, {
+      // length of first two pages: re-walk via the encoder's sizes
+      val segs = Seq(0, 1).map(k => (7 + k) % 3 + 1)
+      val bodies = Seq(0, 1).map(k => (0 until (7 + k) % 3 + 1)
+        .map(j => (7 + k + j) % 20 + 5).sum)
+      segs.zip(bodies).map { case (sg, bd) => 27 + sg + bd }.sum
+    })
+    val e2 = intercept[IllegalArgumentException](decodeOggMeta(twoOfThree))
+    assert(e2.getMessage.contains("EOS"), e2.getMessage)
+    // sequence-number damage: page 1's seq field set to 5 — rejected
+    // (the continuity check, or the page CRC the edit also breaks;
+    // either rejection is the correct contract)
+    val p0len = 27 + 2 + (0 until 2).map(j => (7 + j) % 20 + 5).sum
+    val reseq = good.clone()
+    reseq(p0len + 18) = 5
+    intercept[IllegalArgumentException](decodeOggMeta(reseq))
+    // version byte must be 0
+    val badVer = good.clone(); badVer(4) = 1
+    intercept[IllegalArgumentException](decodeOggMeta(badVer))
+  }
+
   test("MP3 frame walk skips ID3, counts padded frames, and rejects damage") {
     import graft.operators.Multimodal.{decodeMp3Meta, encodeMp3}
     // id=5: srIdx=2 (32000 Hz), bIdx=6 (80 kbps), 4 frames, pads at odd

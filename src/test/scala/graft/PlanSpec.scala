@@ -612,6 +612,7 @@ class PlanSpec extends SparkSpec {
       "q_text_textrank", // constant-group chunkedRank bounds (global top-10)
       "q_division", // crossJoin(broadcast(1-row divisor cardinality))
       "q_graph_modularity", // crossJoins of 1-row m/k/Qnum aggregates
+      "q_graph_conductance", // crossJoin(broadcast(1-row 2m total))
       "q_drift_jsd", // pairs x vocabulary grid: bounded crossJoin(broadcast(vocab))
       "q_mix_waterfill", // 1-row budget/level broadcasts over the source table
       "q_graph_hits", // per-half-step crossJoin(broadcast(1-row max)) normalizers
