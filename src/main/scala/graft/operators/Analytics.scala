@@ -1733,11 +1733,14 @@ object Analytics {
           col("b").as("consequent"), col("c"))
         .unionByName(pf.select(col("b").as("antecedent"),
           col("a").as("consequent"), col("c")))
+      // sup is one row per part — ∝SF (200k·SF), so both support
+      // attaches are unhinted keyed joins (AQE broadcasts while the
+      // side fits); only the 1-row basket count keeps its hint
       val sc = rules.crossJoin(broadcast(nb))
-        .join(broadcast(sup.select(col("pk").as("antecedent"),
-          col("s").as("sa"))), "antecedent")
-        .join(broadcast(sup.select(col("pk").as("consequent"),
-          col("s").as("sb"))), "consequent")
+        .join(sup.select(col("pk").as("antecedent"),
+          col("s").as("sa")), "antecedent")
+        .join(sup.select(col("pk").as("consequent"),
+          col("s").as("sb")), "consequent")
         .select(col("antecedent"), col("consequent"), col("c").as("n_pair"),
           Num.r(col("c") * lit(1e0) / col("sa"), 6).as("conf"),
           Num.r(col("c") * lit(1e0) * col("n") / (col("sa") * col("sb")), 4)

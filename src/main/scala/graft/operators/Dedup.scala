@@ -205,8 +205,12 @@ object Dedup {
           s"($nEdges edges) — pointer jumping should need O(log d) rounds")
       // singletons never enter the pair graph, so every node here has ≥1
       // edge; sizes come from the final labels
+      // sizes is |components| rows — ∝ corpus, so the size-attach join
+      // is shuffle_hash (hash table from the component side, keyed on
+      // the label both relations already shuffle by), never a forced
+      // broadcast that would driver-OOM on a 100 TB pair graph
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
-      labels.join(broadcast(sizes), "label")
+      labels.join(sizes.hint("shuffle_hash"), "label")
         .select(col("node"), col("label").as("component"),
           col("sz").as("cluster_size"))
       // labels is checkpointed, so the result never re-reads the edge
@@ -1229,10 +1233,13 @@ object Dedup {
       val hn = names.select(col("p_name"), h60(col("p_name")).as("h"))
       val pc = t(s, dir, "part").groupBy(col("p_name"))
         .agg(count(lit(1)).as("np"))
-      cc.join(broadcast(hn), col("node") === col("h"))
+      // hn is one row per DISTINCT part name — ∝SF, so both name
+      // resolutions are unhinted keyed joins (AQE broadcasts while the
+      // side fits, SMJ beyond), never a forced broadcast
+      cc.join(hn, col("node") === col("h"))
         .join(pc, "p_name")
-        .join(broadcast(hn.select(col("p_name").as("canonical"),
-          col("h").as("hc"))), col("component") === col("hc"))
+        .join(hn.select(col("p_name").as("canonical"),
+          col("h").as("hc")), col("component") === col("hc"))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_variants"), sum(col("np")).as("n_part_rows"))
     },
@@ -1400,8 +1407,13 @@ object Dedup {
         .cast("long")
       val miTerm = unats((d(col("n_cl")) / d(col("nn"))) *
         log(d(col("nn")) * d(col("n_cl")) / (d(col("n_c")) * d(col("n_l")))))
+      // byC is |components| rows — ∝ corpus, so its marginal attaches
+      // shuffle_hash on the component key the cell table already
+      // carries; byL (per-source, schema-bounded) and tot (1-row) stay
+      // broadcast
       val mi = cell
-        .join(broadcast(byC.select(col("component").as("cc2"), col("n_c"))),
+        .join(byC.select(col("component").as("cc2"), col("n_c"))
+            .hint("shuffle_hash"),
           col("component") === col("cc2"))
         .join(broadcast(byL.select(col("source").as("sl2"), col("n_l"))),
           col("source") === col("sl2"))

@@ -212,9 +212,14 @@ object Graph {
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
         .cache() // feeds degrees, orientation, and the closing probe
-      // |V|-sized degree table — broadcastable at any corpus scale.
-      // Cached: it feeds two orientation broadcasts plus the final cc
-      // join, and each broadcast is its own job — uncached, every one
+      // |V|-sized degree table — GROWS WITH THE CORPUS (nodes are
+      // parts, 200k·SF), so it joins shuffle_hash, never broadcast: a
+      // forced broadcast of a ∝SF side bypasses
+      // autoBroadcastJoinThreshold and driver-OOMs at 100× (the
+      // pagerank rule from this file's header, now applied uniformly).
+      // shuffle_hash builds the hash table from the |V| side only and
+      // co-partitions with the edge relation. Cached: it feeds two
+      // orientation joins plus the final cc join — uncached, every one
       // re-derives the degree aggregation from the edge relation
       val deg = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node")))
@@ -225,16 +230,17 @@ object Graph {
       val lowFirst = col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b"))
       val oriented = edges
-        .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))),
-          "a")
-        .join(broadcast(deg.select(col("node").as("b"), col("d").as("db"))),
-          "b")
+        .join(deg.select(col("node").as("a"), col("d").as("da"))
+          .hint("shuffle_hash"), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db"))
+          .hint("shuffle_hash"), "b")
         .select(
           when(lowFirst, col("a")).otherwise(col("b")).as("src"),
           when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
-      // per-node out-neighbor arrays (|V| rows × O(√m) longs — a few MB
-      // per billion edges of the HEAVY endpoints' ids only). Cached for
-      // the same reason as deg: two broadcast consumers, one derivation
+      // per-node out-neighbor arrays (|V| rows × O(√m) longs) — also
+      // ∝ corpus, so both closure probes are shuffle_hash on the edge
+      // endpoint keys. Cached for the same reason as deg: two join
+      // consumers, one derivation
       val adj = oriented.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("nbrs"))
         .cache()
@@ -243,15 +249,16 @@ object Graph {
       // the generated loop, and an edge whose dst has no out-neighbors
       // is correctly dropped by the inner join (it can close nothing)
       val closed = oriented
-        .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-        .join(broadcast(adj.select(col("src").as("dst"),
-          col("nbrs").as("nv"))), "dst")
+        .join(adj.select(col("src"), col("nbrs").as("nu"))
+          .hint("shuffle_hash"), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv"))
+          .hint("shuffle_hash"), "dst")
         .select(col("src"), col("dst").as("v"),
           explode(array_intersect(col("nu"), col("nv"))).as("w"))
       val perNode = closed
         .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      perNode.join(broadcast(deg), "node")
+      perNode.join(deg.hint("shuffle_hash"), "node")
         .select(col("node"), col("n_tri"),
           Num.r(col("n_tri") * lit(2.0) / (col("d") * (col("d") - 1)), 6)
             .as("cc"))
@@ -464,10 +471,12 @@ object Graph {
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= linkMinCommon)
       val deg = ec.groupBy(col("sk")).agg(count(lit(1)).as("d"))
-      cn.join(broadcast(deg.select(col("sk").as("s1"), col("d").as("d1"))),
-          "s1")
-        .join(broadcast(deg.select(col("sk").as("s2"), col("d").as("d2"))),
-          "s2")
+      // deg is |suppliers| rows — ∝SF, so shuffle_hash (build the |V|
+      // side's table per partition), never a forced broadcast
+      cn.join(deg.select(col("sk").as("s1"), col("d").as("d1"))
+          .hint("shuffle_hash"), "s1")
+        .join(deg.select(col("sk").as("s2"), col("d").as("d2"))
+          .hint("shuffle_hash"), "s2")
         .select(col("s1"), col("s2"), col("common"),
           Num.r(col("common") * lit(1e0) /
             (col("d1") + col("d2") - col("common")), 6).as("jaccard"))
@@ -485,9 +494,10 @@ object Graph {
     // deg²·|E| ≈ 10¹⁴ ≪ 2⁶³ — the q_agg_skew integer-moment trick),
     // so the only float op is the final quotient, identical IEEE in
     // both engines under the shared Num rounding. Plan: degree is one
-    // map-combinable count; both endpoint joins hit the broadcast
-    // |V|-row degree table; the moment fold is a 1-row aggregate —
-    // cost is one pass over |E| at any scale.
+    // map-combinable count; both endpoint joins hit the |V|-row degree
+    // table shuffle_hash (∝SF — never a forced broadcast); the moment
+    // fold is a 1-row aggregate — cost is one pass over |E| at any
+    // scale.
     QueryDef(
       "q_graph_assortativity",
       s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
@@ -522,10 +532,12 @@ object Graph {
         .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
           (col("l_partkey") * 2).as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      // |V|-row degree table, ∝SF — both endpoint joins shuffle_hash
       val j = edges
-        .join(broadcast(deg.select(col("src"), col("d").as("x"))), "src")
-        .join(broadcast(deg.select(col("src").as("dst"), col("d").as("y"))),
-          "dst")
+        .join(deg.select(col("src"), col("d").as("x"))
+          .hint("shuffle_hash"), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("y"))
+          .hint("shuffle_hash"), "dst")
       val mm = j.agg(count(lit(1)).as("m"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),

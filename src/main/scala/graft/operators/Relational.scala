@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   * executes them under whole-stage codegen.
   *
   * Scale notes (100 TB design):
-  *   - fact⋈dim joins broadcast the dim side explicitly (`broadcast(part)`);
+  *   - explicit `broadcast()` hints only on SCHEMA-BOUNDED dims
+  *     (nation/region) and 1-row aggregates: a forced hint bypasses
+  *     autoBroadcastJoinThreshold, so hinting an SF-proportional side
+  *     (part/supplier/customer) driver-OOMs at 100× where the unhinted
+  *     plan degrades to a keyed join. AQE runtime-broadcasts growing
+  *     sides while they actually fit. Sole exception: q_join_bhj, the
+  *     broadcast-join OPERATOR PIN itself (allowlisted in PlanSpec's
+  *     broadcast-boundedness sweep);
   *   - fact⋈fact equi-joins rely on sort-merge + AQE (skew split / coalesce);
   *   - theta joins keep the broadcastable side small by construction;
   *   - every aggregate is a partial (map-side) + final HashAggregate — no
@@ -63,8 +70,13 @@ object Relational {
       // shape this query exists to pin; at 100 TB SMJ is what stats
       // would pick anyway
       li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        // customer and supplier grow ∝SF (150k·SF / 10k·SF) — UNHINTED:
+        // a forced broadcast() bypasses autoBroadcastJoinThreshold and
+        // driver-OOMs at TPC-H 100×; AQE runtime-broadcasts while each
+        // side fits and degrades to a keyed join beyond. Only the
+        // schema-bounded nation/region dims keep explicit hints.
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -106,9 +118,11 @@ object Relational {
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
       // same MERGE-hint rationale as q_tpch_q5: keep the fact⋈fact SMJ
-      // visible at test scale; the customer side broadcasts by schema
+      // visible at test scale; the segment-filtered customer side is
+      // ∝SF, so its join is UNHINTED and AQE broadcasts it at runtime
+      // only while it fits the threshold
       li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(Num.r(sum(col("rev")), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
@@ -193,7 +207,9 @@ object Relational {
       li.join(winners, Seq("l_orderkey"), "left_semi")
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice")), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // customer grows ∝SF — unhinted; the winner-scoped left side is
+        // tiny post-semi-join, so AQE broadcasts whichever side fits
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_name"), col("o_orderkey"),
           Num.r(col("o_totalprice"), 2).as("oprice"))
         .agg(Num.r(sum(col("l_quantity")), 2).as("total_qty"))
@@ -349,8 +365,13 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
-    // Broadcast hash join: fact (lineitem) ⋈ small dim (part). At 100 TB the
-    // dim side stays broadcastable; revenue per brand aggregates map-side.
+    // Broadcast hash join: fact (lineitem) ⋈ small dim (part) — the
+    // OPERATOR PIN for the broadcast strategy itself, so the hint is the
+    // thing under test (PlanSpec asserts BroadcastHashJoin appears).
+    // Honest scale note: part grows 200k·SF, so a deployment would hint
+    // only dims known to fit; this query is allowlisted in the
+    // broadcast-boundedness sweep for exactly that reason. Revenue per
+    // brand aggregates map-side either way.
     QueryDef(
       "q_join_bhj",
       s"""SELECT p.p_brand,
@@ -560,9 +581,14 @@ object Relational {
 
     // ------------------------------------------------------------------
     // Theta (non-equi) join → BroadcastNestedLoopJoin: supplier vs customer
-    // balances across different nations. The broadcast side (supplier) is
-    // the small one by construction — at 100 TB this stays a BNLJ with a
-    // bounded broadcast, never a full cross shuffle.
+    // balances across different nations. A pure theta join has exactly two
+    // physical shapes — broadcast one side, or a full cross shuffle — so
+    // the smaller side (supplier, 10k·SF vs customer's 150k·SF) is the
+    // honest broadcast choice; it IS still ∝SF, which is inherent to the
+    // operator, not this plan (allowlisted in the boundedness sweep with
+    // that argument). At a scale where supplier stops fitting, the
+    // deployment answer is banding the inequality (the q_join_range2
+    // bin trick), not a different join strategy.
     QueryDef(
       "q_join_theta",
       s"""SELECT s.s_suppkey,

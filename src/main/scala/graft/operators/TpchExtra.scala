@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
   * substitution.
   *
   * Scale notes (100 TB design): every query here keeps exactly one
-  * fact-grain shuffle (the lineitem⋈orders SMJ or a per-key window/agg),
-  * broadcasts only schema-bounded or 1-row relations, and pre-aggregates
-  * the fact grain BEFORE attaching growing dimensions (the Q10 move).
+  * fact-grain shuffle (the lineitem⋈orders SMJ or a per-key window/agg)
+  * and pre-aggregates the fact grain BEFORE attaching growing dimensions
+  * (the Q10 move). Explicit `broadcast()` hints appear ONLY on
+  * schema-bounded relations (nation/region, 25/5 rows forever) and 1-row
+  * global aggregates. Everything whose lineage traces to
+  * part/supplier/customer/partsupp — relations that grow ∝SF — joins
+  * UNHINTED: a forced hint bypasses `autoBroadcastJoinThreshold`, so at
+  * TPC-H 100× it driver-OOMs where the unhinted plan degrades to a keyed
+  * SMJ/SHJ; AQE + the ANALYZE-backed CBO pick broadcast at runtime
+  * whenever the side actually fits (PlanSpec's final-plan pins show it
+  * does at test scale). The suite-wide broadcast-boundedness sweep in
+  * PlanSpec enforces this rule for every query in the repo.
   */
 object TpchExtra {
 
@@ -112,7 +121,10 @@ object TpchExtra {
         .select(col("c_custkey"), col("c_nationkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("cust_nation"))
-      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      // supp is supplier⋈nation filtered to the two pair nations — still
+      // ∝SF (10k·SF/12.5 rows), so no forced broadcast; AQE picks one at
+      // runtime while the side fits the threshold
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
         .hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"), col("supp_nation"), col("l_year"))
         .agg(sum(col("volume")).as("vol"))
@@ -167,10 +179,11 @@ object TpchExtra {
     // TPC-H Q14 (promotion effect): what fraction of a month's revenue
     // came from promo parts? (`p_type` here is a flat category, so the
     // official `LIKE 'PROMO%'` is equality.) Shape: a month-pruned
-    // lineitem scan ⋈ broadcast part, closed by ONE global conditional
-    // aggregate producing a single row — numerator and denominator in
-    // the same pass, never two scans. At 100 TB the part broadcast is
-    // the only data movement besides the pruned scan itself.
+    // lineitem scan ⋈ part, closed by ONE global conditional aggregate
+    // producing a single row — numerator and denominator in the same
+    // pass, never two scans. At 100 TB the part join is the only data
+    // movement besides the pruned scan itself — runtime-broadcast while
+    // part fits, degrading to a partkey SHJ beyond.
     QueryDef(
       "q_tpch_q14",
       s"""SELECT ${Num.sql(
@@ -187,7 +200,8 @@ object TpchExtra {
           .select(col("l_partkey"),
             (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
         val part = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        // part grows 200k·SF — unhinted, AQE broadcasts while it fits
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .agg(Num.r(
             lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
               .otherwise(0.0)) / sum(col("rev")), 6).as("promo_revenue"))
@@ -200,7 +214,7 @@ object TpchExtra {
     // for the official `p_container` bucket). The textbook form is a
     // correlated scalar subquery per lineitem row — the oracle runs
     // exactly that. The scale plan dissolves it into ONE window: after
-    // the broadcast part filter restricts lines to the brand's parts,
+    // the part filter restricts lines to the brand's parts,
     // `avg(l_quantity) OVER (PARTITION BY l_partkey)` computes every
     // per-part threshold in a single partkey shuffle (per-part groups
     // are bounded by order multiplicity, so no skew ceiling), and the
@@ -222,7 +236,8 @@ object TpchExtra {
         val li = t(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
         val w = Window.partitionBy(col("l_partkey"))
-        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        // filtered part is still ∝SF — unhinted join, AQE decides
+        li.join(part, col("l_partkey") === col("p_partkey"))
           .withColumn("avg_q", avg(col("l_quantity")).over(w))
           .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
           .agg(Num.r(sum(col("l_extendedprice")) / lit(7.0), 2)
@@ -236,11 +251,12 @@ object TpchExtra {
     // through and prunes each side. (`p_size` ranges stand in for the
     // official `p_container` lists; `l_shipmode/shipinstruct` have no
     // analogue and are dropped from every arm equally.) The plan to
-    // demand: the part-only half of the disjunction prunes the
-    // broadcast BEFORE the join, the equi-key (partkey) stays a hash
-    // join key — never a nested loop over the OR — and the mixed
-    // part×lineitem arms evaluate as a post-join filter inside the same
-    // codegen stage, closing to a single-row conditional sum.
+    // demand: the part-only half of the disjunction prunes the part
+    // side BEFORE the join, the equi-key (partkey) stays a hash join
+    // key — never a nested loop over the OR — and the mixed
+    // part×lineitem arms evaluate as a join-condition filter inside the
+    // same codegen stage, closing to a single-row conditional sum. The
+    // filtered part side is ∝SF, so the join is unhinted.
     QueryDef(
       "q_tpch_q19",
       s"""SELECT ${Num.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
@@ -270,7 +286,7 @@ object TpchExtra {
               col("l_quantity") >= 10 && col("l_quantity") <= 25) ||
             (col("p_brand") === "Brand#7" && col("p_size").between(20, 50) &&
               col("l_quantity") >= 20 && col("l_quantity") <= 35)
-        li.join(broadcast(part),
+        li.join(part,
             col("l_partkey") === col("p_partkey") && mixedPred)
           .agg(Num.r(sum(col("rev")), 2).as("revenue"))
     },
@@ -381,8 +397,10 @@ object TpchExtra {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("volume"))
-        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        // part (PROMO-filtered) and supp (supplier⋈nation) both grow
+        // ∝SF — unhinted; AQE runtime-broadcasts while they fit
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -469,10 +487,12 @@ object TpchExtra {
         .agg(Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           2).as("total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
-      rev.crossJoin(broadcast(mx))
+      rev.crossJoin(broadcast(mx)) // mx is a 1-row aggregate — bounded
         .filter(col("total_revenue") === col("mx"))
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_name"))),
+        // supplier grows 10k·SF — unhinted (the winner set is the tiny
+        // side here anyway; AQE broadcasts IT at runtime)
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name")),
           col("supplier_no") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     },
@@ -533,11 +553,14 @@ object TpchExtra {
     // and the Spark side dissolves it into ONE map-combinable per-part
     // min over the region-restricted candidates plus an equi-join back
     // (the q17/q21 de-correlation discipline), so the hash match is the
-    // rewrite's equivalence proof. Scale: part/supplier/nation/region
-    // are all broadcast dims; partsupp pays one keyed pass for the min
-    // and one for the probe; the top-100 is a distributed
-    // TakeOrderedAndProject under a TOTAL order (s_name and p_partkey
-    // uniquify ties), never a global sort.
+    // rewrite's equivalence proof. Scale: only region→nation is a
+    // forced broadcast (schema-bounded); the filtered part, the EUROPE
+    // suppliers, and the partsupp-derived per-part min table all grow
+    // ∝SF, so their joins are UNHINTED partkey/suppkey equi-joins —
+    // AQE broadcasts whichever side fits at runtime and degrades to a
+    // keyed SMJ beyond, instead of driver-OOMing on a forced hint; the
+    // top-100 is a distributed TakeOrderedAndProject under a TOTAL
+    // order (s_name and p_partkey uniquify ties), never a global sort.
     QueryDef(
       "q_tpch_q2",
       s"""WITH $partsuppSql
@@ -570,11 +593,11 @@ object TpchExtra {
         .filter(col("p_size") === 15 && col("p_type").like("%ALL"))
         .select(col("p_partkey"), col("p_name"))
       val cand = partsupp(s, dir)
-        .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
-        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .join(pf, col("ps_partkey") === col("p_partkey"))
+        .join(supp, col("ps_suppkey") === col("s_suppkey"))
       val minc = cand.groupBy(col("ps_partkey").as("mk"))
         .agg(min(col("ps_cost_c")).as("min_c"))
-      cand.join(broadcast(minc),
+      cand.join(minc,
           col("ps_partkey") === col("mk") &&
             col("ps_cost_c") === col("min_c"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -587,25 +610,33 @@ object TpchExtra {
     // ------------------------------------------------------------------
     // TPC-H Q9 (product-type profit) over the derived partsupp: profit
     // by supplier nation × order year for parts of one color family.
-    // amount = revenue − supply cost · quantity, with the cost side in
-    // exact cents so only the revenue leg carries float noise (rounded
-    // per the q7 contract). Scale shape: the color predicate prunes the
-    // part BROADCAST before the fact join; partsupp attaches on the
+    // amount is carried in EXACT INTEGER CENTS end to end: the revenue
+    // leg rounds per-row to cents (floor(x·100+0.5) — a deterministic
+    // double op both engines evaluate bit-identically) and the cost leg
+    // ps_cost_c·l_quantity is integral by construction, so every fold
+    // is associative BIGINT addition and the hash match cannot hinge on
+    // summation order — Spark pre-aggregates per (l_suppkey, o_year)
+    // while the oracle sums straight into (nation, o_year), and exact
+    // arithmetic makes the two association orders provably equal; a
+    // single /100 at output restores dollars. Scale shape: the color
+    // predicate prunes part before the fact join (unhinted — part is
+    // ∝SF; AQE broadcasts while it fits); partsupp attaches on the
     // composite (partkey, suppkey) key — ONE fact-grain exchange — and
     // the order year arrives through the single lineitem⋈orders SMJ
-    // every flagship here budgets for; supplier→nation resolves as a
-    // broadcast AFTER the per-(suppkey, year) pre-aggregation, so the
-    // growing fact never carries nation strings.
+    // every flagship here budgets for; supplier→nation attaches AFTER
+    // the per-(suppkey, year) pre-aggregation, so the growing fact
+    // never carries nation strings.
     QueryDef(
       "q_tpch_q9",
       s"""WITH $partsuppSql
         |SELECT n_name AS nation, o_year,
-        |  ${Num.sql("sum(amount)", 2)} AS sum_profit
+        |  CAST(sum(amount_c) AS BIGINT) / 100e0 AS sum_profit
         |FROM (
         |  SELECT l_suppkey,
         |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |    l_extendedprice * (1 - l_discount)
-        |      - ps_cost_c * l_quantity / 100.0 AS amount
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100e0 + 0.5)
+        |        AS BIGINT)
+        |      - CAST(ps_cost_c * l_quantity AS BIGINT) AS amount_c
         |  FROM lineitem
         |  JOIN part ON p_partkey = l_partkey
         |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -617,44 +648,52 @@ object TpchExtra {
       val pf = t(s, dir, "part").filter(col("p_name").like("red%"))
         .select(col("p_partkey"))
       val li = t(s, dir, "lineitem")
-        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(pf, col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       val wps = li.join(partsupp(s, dir),
           col("l_partkey") === col("ps_partkey") &&
             col("l_suppkey") === col("ps_suppkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("ps_cost_c") * col("l_quantity") / lit(100.0)).as("amount"))
+          (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              lit(100.0) + lit(0.5)).cast("long") -
+            (col("ps_cost_c") * col("l_quantity")).cast("long"))
+            .as("amount_c"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
       val preAgg = wps.hint("merge")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_suppkey"), col("o_year"))
-        .agg(sum(col("amount")).as("amt"))
+        .agg(sum(col("amount_c")).as("amt_c"))
       val sn = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name"))
-      preAgg.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      preAgg.join(sn, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("n_name").as("nation"), col("o_year"))
-        .agg(Num.r(sum(col("amt")), 2).as("sum_profit"))
+        .agg((sum(col("amt_c")) / lit(100.0)).as("sum_profit"))
     },
 
     // ------------------------------------------------------------------
     // TPC-H Q11 (important stock) over the derived partsupp: parts
     // whose stock value held by one nation's suppliers exceeds a share
-    // threshold of that nation's total. Everything is EXACT BIGINT
-    // arithmetic — value = ps_cost_c · ps_availqty (≤1e9 per row), and
-    // the official `> fraction · total` becomes the integer predicate
-    // `value · n_parts > 2 · total` ("more than twice the average
-    // part's share"), which unlike a fixed fraction stays selective at
-    // every scale factor. Scale: the nation's suppliers are a broadcast
-    // semi-join, the per-part sum is map-combinable, and the threshold
-    // is a 1-row broadcast — the fact table is scanned once. (The
-    // value·n_parts product needs ~2e17 at sf0.1; at 100 TB switch
-    // the final compare to doubles, the sums stay exact far beyond.)
+    // threshold of that nation's total. The SUMS are EXACT BIGINT
+    // arithmetic — value = ps_cost_c · ps_availqty (≤1e9 per row) — and
+    // the official `> fraction · total` becomes "more than twice the
+    // average part's share", which unlike a fixed fraction stays
+    // selective at every scale factor. The threshold COMPARE runs in
+    // doubles (`value_c > 2·tot/np`): the algebraically-equal integer
+    // form `value_c·np > 2·tot` multiplies two BIGINTs already at
+    // ~2e17 at sf0.1 and overflows Long at larger SFs (wrap-around
+    // with ANSI off, crash with ANSI on); the double form is scale-safe
+    // — both engines promote the same exact integers through the same
+    // IEEE ops, so the predicate stays bit-deterministic while the
+    // hash-checked value_c output remains exact. Scale: the nation's
+    // suppliers are an UNHINTED semi-join (suppliers grow ∝SF; AQE
+    // broadcasts while they fit), the per-part sum is map-combinable,
+    // and the threshold is a genuine 1-row broadcast — the fact table
+    // is scanned once.
     QueryDef(
       "q_tpch_q11",
       s"""WITH $partsuppSql,
@@ -669,7 +708,7 @@ object TpchExtra {
         |              CAST(count(DISTINCT ps_partkey) AS BIGINT) AS np
         |       FROM pss)
         |SELECT ps_partkey, value_c
-        |FROM pv, st WHERE value_c * np > 2 * tot""".stripMargin) {
+        |FROM pv, st WHERE value_c > 2e0 * tot / np""".stripMargin) {
       (s, dir) =>
       val natSupp = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")
@@ -677,7 +716,7 @@ object TpchExtra {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val pss = partsupp(s, dir)
-        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"),
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"),
           "left_semi")
         .select(col("ps_partkey"),
           (col("ps_cost_c") * col("ps_availqty")).as("v"))
@@ -685,7 +724,7 @@ object TpchExtra {
       val st = pss.agg(sum(col("v")).as("tot"),
         countDistinct(col("ps_partkey")).as("np"))
       pv.crossJoin(broadcast(st))
-        .filter(col("value_c") * col("np") > lit(2) * col("tot"))
+        .filter(col("value_c") > lit(2.0) * col("tot") / col("np"))
         .select(col("ps_partkey"), col("value_c"))
     },
 
@@ -696,11 +735,12 @@ object TpchExtra {
     // family and a supplier blocklist. (The official blocklist is a
     // comment LIKE '%Customer%Complaints%'; this schema's stand-in for
     // "flagged supplier" is a negative account balance — same role, a
-    // supplier-attribute exclusion set.) Shape: broadcast part filter,
-    // LEFT ANTI against the broadcast blocklist, then one count-
-    // distinct aggregate over the (brand, type, size)-bounded group
-    // space. The distinct runs inside the aggregate (two-phase
-    // partial_count(distinct ...)), never a self-join.
+    // supplier-attribute exclusion set.) Shape: part filter join, LEFT
+    // ANTI against the blocklist — both UNHINTED (filtered part and
+    // flagged suppliers grow ∝SF; AQE runtime-broadcasts while they
+    // fit) — then one count-distinct aggregate over the (brand, type,
+    // size)-bounded group space. The distinct runs inside the aggregate
+    // (two-phase partial_count(distinct ...)), never a self-join.
     QueryDef(
       "q_tpch_q16",
       s"""WITH $partsuppSql
@@ -721,8 +761,8 @@ object TpchExtra {
       val flagged = t(s, dir, "supplier")
         .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
       partsupp(s, dir)
-        .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
-        .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"),
+        .join(pf, col("ps_partkey") === col("p_partkey"))
+        .join(flagged, col("ps_suppkey") === col("s_suppkey"),
           "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
@@ -765,8 +805,9 @@ object TpchExtra {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("qty"))
+      // red-filtered part grows ∝SF/25 — unhinted semi-probe
       val excess = partsupp(s, dir)
-        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"),
+        .join(redParts, col("ps_partkey") === col("p_partkey"),
           "left_semi")
         .join(shipped, col("ps_partkey") === col("l_partkey") &&
           col("ps_suppkey") === col("l_suppkey"))

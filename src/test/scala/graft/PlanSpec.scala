@@ -49,14 +49,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
 
-  test("q_tpch_q2 plans all-broadcast dims with a distributed top-100") {
+  test("q_tpch_q2 keeps keyed joins + a distributed top-100, dims broadcast") {
     val p = plan("q_tpch_q2")
-    // the correlated-min de-correlation must stay joins + one
-    // map-combinable min agg: no SMJ (every relation here is a dim or
-    // the keyed partsupp probe), no single-task global sort
+    // the correlated-min de-correlation must stay keyed joins + one
+    // map-combinable min agg with no single-task global sort. Since r9
+    // the SF-proportional sides (filtered part, EUROPE suppliers, the
+    // partsupp-derived min table) join UNHINTED — a forced broadcast()
+    // would bypass autoBroadcastJoinThreshold and driver-OOM at 100× —
+    // so the static plan may show SMJ/SHJ for those probes (AQE
+    // converts them back to broadcasts at runtime while they fit);
+    // what must never appear is a cartesian/nested-loop shape.
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // region→nation dims
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q_tpch_q9 plans one fact-fact SMJ with the color filter pushed") {
@@ -623,6 +629,159 @@ class PlanSpec extends SparkSpec {
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name planned an unintended non-equi join:\n$p")
     }
+  }
+
+  test("no query force-broadcasts an SF-proportional relation") {
+    // the third CartesianGuard-idiom sweep (joins: cartesian sweep
+    // above; windows: unpartitioned-window sweep below; now broadcast
+    // hints). An explicit broadcast() BYPASSES
+    // autoBroadcastJoinThreshold — Spark builds the hash relation on
+    // the driver no matter how big the side got — so a hint on a
+    // relation that grows with the corpus (part/supplier/customer at
+    // TPC-H 100×, or anything documents/embeddings/events-derived)
+    // trades a graceful SMJ degradation for a driver OOM. The rule this
+    // sweep enforces: a broadcast hint's subtree must be PROVABLY
+    // bounded — leaf scans only of schema-bounded dims (nation: 25
+    // rows, region: 5, local/range relations), or every path to a fact
+    // leaf cut by a GLOBAL aggregate (empty grouping ⇒ exactly 1 row).
+    // Three more patterns are recognized structurally: (a) an upper
+    // bound on a DENSE UNIQUE KEY (`vec_id < 10`, `doc_id IN (...)`) —
+    // vec_id/doc_id are contiguous keys per TESTDATA.md, so a literal
+    // ceiling bounds the row count by the literal at every SF (the knn
+    // query-set/centroid idiom); (b) LIMIT k; (c) chunkedRank's
+    // internal `__`-prefixed statistics tables (bounds: |groups| rows,
+    // offsets: |groups|·shuffle.partitions — the reserved __ prefix is
+    // that helper's contract, and the unpartitioned-window sweep below
+    // already polices its callers' group-key boundedness). Anything
+    // else (e.g. a groupBy over a bounded key space, whose boundedness
+    // Catalyst cannot see) must be allowlisted here WITH the
+    // boundedness argument, or the build fails.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val factTables = Set("lineitem", "orders", "customer", "part",
+      "supplier", "documents", "embeddings", "events")
+    // name -> why the hinted side is bounded despite touching a fact.
+    // Two recurring argument families: DIMENSION-BOUNDED pre-aggs
+    // (grouping key is a schema-bounded categorical — source, lang,
+    // event_type, l_returnflag/linestatus — so the table has a fixed
+    // row count at every SF) and VOCAB-BOUNDED model tables (per-term
+    // aggregates; |vocab| grows sublinearly by Heaps' law and the
+    // SCALING.md discipline df-caps or rank-caps the hot tail).
+    val allow: Map[String, String] = Map(
+      "q_join_bhj" ->
+        "the broadcast-join OPERATOR PIN: the hint IS the thing under test",
+      "q_join_theta" ->
+        ("theta join: broadcast-or-cartesian are the only two shapes; " +
+          "supplier is the smaller side by construction"),
+      "q_ab_ttest" -> "per-arm aggregates; the arm key is hash%2 = 2 rows",
+      "q_agg_approx" ->
+        "per-l_returnflag sketch table; 3 flag values at every SF",
+      "q_agg_approx_pct" ->
+        "pricePercentiles bracketing rows: 2 per percentile per linestatus",
+      "q_agg_corr" ->
+        "same pricePercentiles bracketing-row table (2 rows per group)",
+      "q_winsorize" ->
+        "same pricePercentiles bracketing-row table (2 rows per group)",
+      "q_agg_chi2" ->
+        "contingency marginals grouped by source / lang — schema-bounded",
+      "q_agg_spearman" ->
+        ("per-(linestatus, quantity) rank table; l_quantity is integral " +
+          "1..50, so the table is domain-bounded (the price-side rank " +
+          "table is fact-sized and correctly joins unhinted)"),
+      "q_anomaly_zscore" ->
+        "per-event_type mean/stddev table — schema-bounded categories",
+      "q_anomaly_mad" ->
+        "per-event_type median/MAD tables — schema-bounded categories",
+      "q_curate_report" ->
+        "per-source funnel totals/entropy — |sources| schema-bounded",
+      "q_dedup_lsh_sweep" ->
+        "per-(bands, rows) sweep aggregate — the fixed banding config grid",
+      "q_dedup_purity" ->
+        ("per-source marginal byL — |sources| schema-bounded (the " +
+          "∝corpus per-component marginal byC joins shuffle_hash)"),
+      "q_drift_psi" ->
+        "per-(source, decile-bin) histogram — fixed bins × sources",
+      "q_drift_jsd" ->
+        "pair × union-vocabulary grid — vocab-bounded (Heaps' law)",
+      "q_embed_centroids" ->
+        "per-label centroid/count tables — |labels| schema-bounded",
+      "q_eval_f1" ->
+        "confusion-matrix marginals — |langs|+1 rows",
+      "q_knn_recall" ->
+        ("query-side tables under a Window ABOVE the vec_id<10 ceiling " +
+          "(10 queries x probes rows); the Window hides the Filter from " +
+          "the static key-ceiling rule"),
+      "q_mix_temperature" ->
+        "per-source sampling thresholds — |sources| schema-bounded",
+      "q_search_hybrid" ->
+        "per-term document-frequency table — vocab-bounded (Heaps' law)",
+      "q_source_overlap" ->
+        "per-source shingle totals — |sources| schema-bounded",
+      "q_text_tfidf" ->
+        "per-term document-frequency table — vocab-bounded (Heaps' law)",
+      "q_text_bm25" ->
+        "per-term document-frequency table — vocab-bounded (Heaps' law)",
+      "q_text_lmscore" ->
+        "per-token unigram LM table — vocab-bounded (Heaps' law)",
+      "q_text_nb" ->
+        "per-(lang, token) NB model — |langs| x vocab, Heaps-bounded",
+      "q_vocab_oov" ->
+        "rank-capped top-K vocabulary table — K rows by construction")
+    def isFactScan(l: LogicalRelation): Boolean = l.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.exists(p =>
+        factTables.exists(t => p.toString.contains(s"/$t")))
+      case _ => false
+    }
+    val denseKeys = Set("vec_id", "doc_id")
+    // type coercion wraps one side in Cast (vec_id < CAST(10 AS BIGINT))
+    def strip(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
+      case o => o
+    }
+    def isKey(e: Expression): Boolean = strip(e) match {
+      case a: AttributeReference => denseKeys(a.name)
+      case _ => false
+    }
+    def isLit(e: Expression): Boolean = strip(e).isInstanceOf[Literal] ||
+      strip(e).foldable
+    def keyCeiling(e: Expression): Boolean = e match {
+      case LessThan(a, l) => isKey(a) && isLit(l)
+      case LessThanOrEqual(a, l) => isKey(a) && isLit(l)
+      case EqualTo(a, l) => isKey(a) && isLit(l)
+      case In(a, vs) => isKey(a) && vs.forall(isLit)
+      // one bounding conjunct bounds the whole AND; an OR does not bound
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        keyCeiling(l) || keyCeiling(r)
+      case _ => false
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      // a global aggregate emits EXACTLY one row — bounded no matter
+      // what it scans (the dominant legitimate pattern:
+      // crossJoin(broadcast(df.agg(...))))
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // chunkedRank's reserved-prefix statistics tables (contract above)
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.name.startsWith("__")) => true
+      case f: Filter if keyCeiling(f.condition) => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case l: LogicalRelation => !isFactScan(l)
+      case _: LocalRelation | _: Range | _: OneRowRelation => true
+      case o => o.children.forall(bounded)
+    }
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      if !allow.contains(name)
+      plan = fn(spark, sfDir).queryExecution.analyzed
+      h <- plan.collectWithSubqueries {
+        case r: ResolvedHint if r.hints.strategy.contains(BROADCAST) &&
+          !bounded(r.child) => r
+      }
+    } yield s"$name: broadcast hint over ${h.child.nodeName} subtree " +
+      "scanning a fact table without a global-aggregate cut"
+    assert(offenders.isEmpty,
+      "queries force-broadcasting an SF-proportional side without a " +
+        s"boundedness allowlist entry:\n${offenders.distinct.mkString("\n")}")
   }
 
   test("no query plans an unpartitioned window over unbounded input") {
