@@ -52,9 +52,12 @@ object GraftConfig {
 
   /** `infra.Str_Int` (`infra/utils.go:6-12`): Atoi that panics on a
     * malformed value (the reference panics inside the helper despite
-    * also returning an error — the error path is dead code). */
+    * also returning an error — the error path is dead code). No
+    * whitespace trimming: Go's `strconv.Atoi` rejects `" 3 "`, so a
+    * padded value must fail here exactly as it does in the reference
+    * (Scala's `String.toInt` is equally strict). */
   def strInt(str: String): Int =
-    try str.trim.toInt
+    try str.toInt
     catch {
       case e: NumberFormatException =>
         throw new IllegalStateException(

@@ -1382,8 +1382,12 @@ object Multimodal {
       val page = new Array[Byte](27 + nSeg + bodyLen)
       "OggS".getBytes("US-ASCII").copyToArray(page, 0)
       page(4) = 0 // stream structure version
-      page(5) = (if (k == 0) 0x02 else if (k == nPages - 1) 0x04 else 0x00)
-        .toByte
+      // BOS and EOS are independent bits, not an either/or: a one-page
+      // stream must carry BOS|EOS = 0x06 per RFC 3533 §6 (an else-if
+      // chain here would emit BOS only and decodeOggMeta would reject
+      // the encoder's own nPages=1 output with "no EOS page")
+      page(5) = ((if (k == 0) 0x02 else 0x00) |
+        (if (k == nPages - 1) 0x04 else 0x00)).toByte
       val granule = (k + 1) * 100L + id % 50
       var o = 6
       def le(v: Long, n: Int): Unit = {

@@ -159,22 +159,18 @@ object Streaming {
     * MemoryStream). */
   def upsertBatch(batch: DataFrame, tablePath: String, key: String): Unit = {
     val s = batch.sparkSession
-    val dir = new java.io.File(tablePath)
-    // Crash recovery FIRST (ADVICE r3): a crash between the two moves in
-    // the swap below leaves the table ABSENT with the only surviving copy
-    // at `.old`. Restore it before merging — otherwise this replayed
-    // batch would read an empty table and silently rebuild from the batch
-    // alone, exactly the data-loss mode the swap ordering exists to
-    // prevent. (A `.old` alongside a PRESENT table is a leftover from a
-    // crash after the second move — stale, dropped inside the swap.)
-    locally {
-      import java.nio.file.{Files, Paths}
-      val aside = new java.io.File(tablePath + ".old")
-      if (!dir.exists() && aside.exists())
-        Files.move(Paths.get(aside.getPath), Paths.get(tablePath))
-    }
+    // Crash recovery FIRST (ADVICE r3): a crash between the two renames
+    // in the swap below leaves the table ABSENT with the only surviving
+    // copy at `.old`. Restore it before merging — otherwise this
+    // replayed batch would read an empty table and silently rebuild from
+    // the batch alone, exactly the data-loss mode the swap ordering
+    // exists to prevent. (A `.old` alongside a PRESENT table is a
+    // leftover from a crash after the second rename — stale, dropped
+    // inside the swap.)
+    recoverFromAside(s, tablePath)
+    val (fs, tableP) = tableFs(s, tablePath)
     val existing =
-      if (dir.exists()) s.read.parquet(tablePath)
+      if (fs.exists(tableP)) s.read.parquet(tablePath)
       else s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     val w = org.apache.spark.sql.expressions.Window
@@ -184,26 +180,55 @@ object Streaming {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__prio", "__rn")
-    val tmp = tablePath + ".tmp"
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tablePath + ".tmp")
+    asideSwap(s, tablePath)
+  }
+
+  /** Hadoop `FileSystem` + `Path` for a table location, resolved from
+    * the session's Hadoop conf — so the swap helpers below work on ANY
+    * Spark-writable filesystem (local, HDFS, S3A object stores), not
+    * just `java.io`-visible local disk (ADVICE r8). */
+  private def tableFs(s: SparkSession, tablePath: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** Crash-recovery half of the aside-swap contract shared by
+    * [[upsertBatch]] and [[componentIngestBatch]]: if the table is
+    * absent but `.old` survives, a crash happened between the swap's
+    * two renames — restore the aside copy before reading. */
+  private def recoverFromAside(s: SparkSession, tablePath: String): Unit = {
+    val (fs, p) = tableFs(s, tablePath)
+    val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    if (!fs.exists(p) && fs.exists(aside)) fs.rename(aside, p)
+  }
+
+  /** Swap half: move the freshly-written `<table>.tmp` into place.
+    * Rename order matters for the redelivery contract: the OLD table
+    * moves ASIDE (never deleted first), so at every instant a full copy
+    * of the pre- or post-merge table exists on disk; the entry-point
+    * [[recoverFromAside]] closes the one window (between the two
+    * renames) where that copy lives at `.old` rather than the table
+    * path. `FileSystem.delete` on a missing path is a no-op `false`,
+    * never an NPE — unlike `File.listFiles`, which the previous local
+    * implementation could NPE on. SINGLE-WRITER contract (one
+    * streaming query owns one table — the foreachBatch execution
+    * model): a concurrent READER between the two renames can observe
+    * the table briefly absent; a concurrent second WRITER is undefined
+    * behavior, exactly as it is for any non-transactional parquet
+    * directory. */
+  private def asideSwap(s: SparkSession, tablePath: String): Unit = {
+    val (fs, p) = tableFs(s, tablePath)
+    val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+    if (fs.exists(p)) {
+      fs.delete(aside, true)
+      fs.rename(p, aside)
     }
-    // Swap order matters for the redelivery contract: the OLD table is
-    // moved ASIDE (not deleted) before the new one moves in, so at every
-    // instant a full copy of the pre- or post-merge table exists on disk;
-    // the entry-point recovery above closes the one window (between the
-    // two moves) where that copy lives at `.old` rather than the table
-    // path. The stale `.old` is only removed while the table is PRESENT.
-    import java.nio.file.{Files, Paths}
-    val aside = tablePath + ".old"
-    if (dir.exists()) {
-      rm(new java.io.File(aside))
-      Files.move(Paths.get(tablePath), Paths.get(aside))
-    }
-    Files.move(Paths.get(tmp), Paths.get(tablePath))
-    rm(new java.io.File(aside))
+    fs.rename(tmp, p)
+    fs.delete(aside, true)
   }
 
   /** One micro-batch of incremental corpus ingestion with CROSS-BATCH
@@ -389,34 +414,17 @@ object Streaming {
     * clusters are sparse) — and would live PK-bucketed by node. */
   def componentIngestBatch(pairs: DataFrame, compDir: String): Unit = {
     val s = pairs.sparkSession
-    val dir = new java.io.File(compDir)
-    locally {
-      import java.nio.file.{Files, Paths}
-      val aside = new java.io.File(compDir + ".old")
-      if (!dir.exists() && aside.exists())
-        Files.move(Paths.get(aside.getPath), Paths.get(compDir))
-    }
+    recoverFromAside(s, compDir)
+    val (fs, compP) = tableFs(s, compDir)
     val oldEdges =
-      if (dir.exists())
+      if (fs.exists(compP))
         s.read.parquet(compDir)
           .select(col("node").as("id_a"), col("component").as("id_b"))
       else pairs.select(col("id_a"), col("id_b")).limit(0)
     val merged = graft.operators.Dedup.connectedComponents(
       pairs.select(col("id_a"), col("id_b")).unionByName(oldEdges))
-    val tmp = compDir + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    import java.nio.file.{Files, Paths}
-    val aside = compDir + ".old"
-    if (dir.exists()) {
-      rm(new java.io.File(aside))
-      Files.move(Paths.get(compDir), Paths.get(aside))
-    }
-    Files.move(Paths.get(tmp), Paths.get(compDir))
-    rm(new java.io.File(aside))
+    merged.write.mode(SaveMode.Overwrite).parquet(compDir + ".tmp")
+    asideSwap(s, compDir)
   }
 
   /** Read side of [[componentIngestBatch]]: the current (node,

@@ -261,9 +261,12 @@ class ConvertSpec extends SparkSpec {
       GraftConfig.checkEnv("Poller", Map("Poller" -> "")))
     assert(e2.getMessage == "Not able to find Poller in environment")
     assert(GraftConfig.checkEnv("Poller", Map("Poller" -> "3")) == "3")
-    // infra/utils.go:6-12 — Str_Int panics on a malformed count
+    // infra/utils.go:6-12 — Str_Int panics on a malformed count,
+    // INCLUDING surrounding whitespace (strconv.Atoi rejects " 3 ";
+    // a .trim here would silently accept what the reference panics on)
     assert(GraftConfig.strInt("4") == 4)
     intercept[IllegalStateException](GraftConfig.strInt("four"))
+    intercept[IllegalStateException](GraftConfig.strInt(" 3 "))
     // cmd/convertor/main.go:22-31 — the full startup read, including the
     // presence-only credential checks
     val env = Map(

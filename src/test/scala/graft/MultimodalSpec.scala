@@ -467,6 +467,13 @@ class MultimodalSpec extends SparkSpec {
     // version byte must be 0
     val badVer = good.clone(); badVer(4) = 1
     intercept[IllegalArgumentException](decodeOggMeta(badVer))
+    // single-page boundary (ADVICE r8): BOS and EOS are independent
+    // bits, so a one-page stream must carry BOS|EOS = 0x06 and decode —
+    // an either/or flag chain in the encoder broke its own round-trip
+    val one = encodeOgg(7L, 1)
+    assert((one(5) & 0x06) == 0x06, f"header_type=0x${one(5)}%02x")
+    val m1 = decodeOggMeta(one)
+    assert((m1.serial, m1.n_pages) == ((7, 1)))
   }
 
   test("MP3 frame walk skips ID3, counts padded frames, and rejects damage") {
