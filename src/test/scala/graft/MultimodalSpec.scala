@@ -542,4 +542,97 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](decodeMp4Meta(shortFtyp))
     assert(e.getMessage.contains("ftyp box too small"), e.getMessage)
   }
+
+  test("baseline JPEG decode round-trips constant blocks exactly, " +
+    "including partial MCUs, 3 components, and restart resync") {
+    import graft.operators.Multimodal.{decodeJpegBaseline, jpegFixture}
+    // id=12: grayscale (12%2=0), 2 blocks x 2 blocks... actually
+    // bw=12%4+2=2? no: 12%4=0 -> bw=2, bh=12%3+2=2, w=16-12%5=14,
+    // h=16-0=16, ri=2 (12%3=0): partial right blocks + restarts
+    val d12 = decodeJpegBaseline(jpegFixture(12L))
+    assert((d12.w, d12.h, d12.nComp, d12.ri) == ((14, 16, 1, 2)))
+    for (by <- 0 until 2; bx <- 0 until 2) {
+      val v = ((12L * 31 + by * 7 + bx * 3) % 256).toInt
+      for (y <- by * 8 until math.min(by * 8 + 8, d12.h);
+           x <- bx * 8 until math.min(bx * 8 + 8, d12.w))
+        assert(d12.planes(0)(y * d12.w + x) == v, s"($x,$y)")
+    }
+    // id=7: 3 components 4:4:4 (7%2=1), bw=7%4+2=5, bh=7%3+2=3,
+    // w=40-7%5=38, h=24-1=23, no restarts (7%3=1)
+    val d7 = decodeJpegBaseline(jpegFixture(7L))
+    assert((d7.w, d7.h, d7.nComp, d7.ri) == ((38, 23, 3, 0)))
+    for (c <- 0 until 3; by <- 0 until 3; bx <- 0 until 5) {
+      val v = ((7L * 31 + c * 17 + by * 7 + bx * 3) % 256).toInt
+      for (y <- by * 8 until math.min(by * 8 + 8, d7.h);
+           x <- bx * 8 until math.min(bx * 8 + 8, d7.w))
+        assert(d7.planes(c)(y * d7.w + x) == v, s"c$c ($x,$y)")
+    }
+  }
+
+  test("baseline JPEG AC path: runs, ZRL, EOB, and high-frequency " +
+    "coefficients reconstruct through Huffman + dequant + IDCT") {
+    import graft.operators.Multimodal.{decodeJpegBaseline,
+      encodeJpegBaseline, jQLuma}
+    // one 8x8 block with a deliberately adversarial zigzag layout:
+    // DC, an AC at k=1, a >15-zero run forcing ZRL, negative values
+    // (EXTEND sign path), and a nonzero at the LAST position (k=63,
+    // no trailing EOB)
+    val zz = new Array[Int](64)
+    zz(0) = 13; zz(1) = 5; zz(2) = -7; zz(20) = 3; zz(40) = -2
+    zz(63) = 1
+    val bytesJ = encodeJpegBaseline(8, 8, 1, 0, Array(jQLuma),
+      (_, _, _) => zz.clone())
+    val d = decodeJpegBaseline(bytesJ)
+    // independent reference: direct 2-D IDCT of the dequantized block
+    // (the decoder inverse-zigzags internally; this path re-derives the
+    // natural-order block from the same zigzag map, then applies the
+    // A.3.3 formula with a separately-written double loop)
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val f = new Array[Double](64)
+    for (k <- 0 until 64) f(zigzag(k)) = zz(k).toDouble * jQLuma(k)
+    def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += cc(u) * cc(v) * f(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      val expect = math.max(0, math.min(255,
+        math.round(s / 4.0 + 128.0).toInt))
+      assert(d.planes(0)(y * 8 + x) == expect, s"($x,$y)")
+    }
+  }
+
+  test("baseline JPEG decoder rejects damage loudly") {
+    import graft.operators.Multimodal.{decodeJpegBaseline,
+      encodeJpegShell, jpegFixture}
+    val good = jpegFixture(12L) // has restarts (12%3=0)
+    // truncated entropy data
+    val cut = java.util.Arrays.copyOfRange(good, 0, good.length - 6)
+    intercept[IllegalArgumentException](decodeJpegBaseline(cut))
+    // progressive stream must be rejected by THIS decoder (the sniffer
+    // q_multimodal_jpeg accepts it - different contract)
+    val prog = encodeJpegShell(16, 16, progressive = true,
+      Array[Byte](1, 2, 3))
+    val e1 = intercept[IllegalArgumentException](decodeJpegBaseline(prog))
+    assert(e1.getMessage.contains("progressive"), e1.getMessage)
+    // wrong restart marker sequence: find the first RST0 (FF D0) in the
+    // entropy data and renumber it - the resync check must throw
+    var i = 2
+    var found = -1
+    while (found < 0 && i + 1 < good.length) {
+      if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xd0)
+        found = i
+      i += 1
+    }
+    assert(found > 0, "fixture should contain an RST0")
+    val reseq = good.clone(); reseq(found + 1) = 0xd5.toByte
+    val e2 = intercept[IllegalArgumentException](decodeJpegBaseline(reseq))
+    assert(e2.getMessage.contains("RST") ||
+      e2.getMessage.contains("marker"), e2.getMessage)
+  }
 }
