@@ -886,6 +886,78 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Streaming LAST-OBSERVATION as-of enrichment on transformWithState
+    * VALUE state — the streaming twin of q_join_asof2 (and of the
+    * native AsOfJoinExec's batch semantics), closing the one join
+    * regime the as-of family didn't cover incrementally (r8 VERDICT
+    * item 7). Each user's state is a single (ts_us, click_id) pair —
+    * the latest click observed so far — so per-user state is O(1) BY
+    * CONSTRUCTION (16 B), unlike the watermarked stream-stream join
+    * whose state holds every in-window click. A purchase enriches from
+    * the current last click and emits (purchase_id, click_id, gap_us);
+    * a click advances the state under the exact q_join_asof2 total
+    * order ((ts, kind, event_id) with clicks before purchases at equal
+    * ts, larger event_id winning click ties), applied lexicographically
+    * so replays and equal-ts boundary rows across batches cannot
+    * regress the state. Contract: waves arrive ts-ordered per user
+    * (the micro-batch analogue of the batch window's sort) — the
+    * processor sorts WITHIN a batch, and cross-batch order is the
+    * source's watermark discipline. */
+  class AsOfLastProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Long), (Long, Long, Long)] {
+    @transient private var lastClick:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastClick = getHandle.getValueState[(Long, Long)]("lastClick",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var last: (Long, Long) = // (ts_us, click_id), null = none yet
+        if (lastClick.exists()) lastClick.get() else null
+      val out = List.newBuilder[(Long, Long, Long)]
+      rows.toList.sortBy { case (_, kind, id, ts) =>
+        (ts, if (kind == "click") 0 else 1, id)
+      }.foreach { case (_, kind, id, ts) =>
+        if (kind == "click") {
+          if (last == null || ts > last._1 ||
+            (ts == last._1 && id > last._2)) last = (ts, id)
+        } else if (last != null) {
+          out += ((id, last._2, ts - last._1))
+        }
+      }
+      if (last != null) lastClick.update(last)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming as-of enrichment over interleaved (user_id, kind,
+    * event_id, ts_us) rows, kind ∈ {click, purchase}: emits
+    * (purchase_id, click_id, gap_us) matching q_join_asof2 row for row
+    * when waves are ts-ordered. O(1) state per user; requires the
+    * RocksDB state store provider, like [[quotaAdmit]]. */
+  def asofEnrichStream(
+      events: org.apache.spark.sql.Dataset[(Long, String, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new AsOfLastProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Per-user behavioral profile on transformWithState MAP state — the
     * fourth and last TWS state surface (value, list, timers, map): a
     * running count per event_type per user, maintained by POINT

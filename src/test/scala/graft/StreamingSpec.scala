@@ -1363,4 +1363,53 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == batchCc(corpus))
   }
+
+  test("transformWithState as-of enrichment equals q_join_asof2 over " +
+    "ts-ordered waves with O(1) per-user state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.asofEnrichStream(mem.toDS())
+        .writeStream.format("memory").queryName("asof_enrich_test")
+        .option("checkpointLocation", tmpDir("asof_enrich_ckpt"))
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      // the real corpus in THREE ts-ordered waves: clicks carried as
+      // state from wave k must enrich purchases in wave k+1, and the
+      // wave boundaries land mid-user so the O(1) ValueState is what
+      // bridges them (a processor that rebuilt state per batch fails)
+      val ev = Tables(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(e => (e._4, if (e._2 == "click") 0 else 1, e._3))
+      ev.grouped((ev.length + 2) / 3).foreach { wave =>
+        mem.addData(wave.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_enrich_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin: the oracle-checked last-observation window plan
+      val twin = SparkEntry.queries("q_join_asof2")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == twin,
+        s"only-stream=${streamed.diff(twin).take(5)} " +
+          s"only-twin=${twin.diff(streamed).take(5)}")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
