@@ -609,6 +609,124 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // The theta join DISSOLVED into order statistics — q_join_theta's
+    // scale twin, added after the r9 sf0.1→sf1 probe measured the BNLJ
+    // at 35× on 10× data (all-pairs work grows quadratically by the
+    // operator's nature; SCALING_PROBE.md). The inequality side of the
+    // predicate is a running count/sum over the acctbal order, and the
+    // <>-nation side is inclusion–exclusion:
+    //   n_richer(s) = #cust(bal < s) − #cust(bal < s, nation = s.nat)
+    // so the whole join becomes ONE value-chunked merged sweep — the
+    // chunkedRank machinery generalized from ranks to prefix sums:
+    // customers and suppliers bucket into `parts` acctbal chunks
+    // (bounds from a 1-row broadcast aggregate), per-chunk customer
+    // totals (≤ parts rows, the reserved-__ chunk-table contract)
+    // prefix across chunks, and a per-chunk window (suppliers BEFORE
+    // equal-cents customers, making < strict) finishes within-chunk.
+    // O(n log n) work, parallel over chunks × nations, no pair ever
+    // materializes. Money in EXACT CENTS end to end (the q9 r9 lesson):
+    // for 2-decimal money, cent order ≡ double order, so the oracle's
+    // textbook quadratic join over the same cents proves the rewrite;
+    // PlanSpec additionally pins theta ≡ theta2 in-engine.
+    QueryDef(
+      "q_join_theta2",
+      """SELECT s.s_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_richer,
+        |  CAST(sum(CAST(floor(c.c_acctbal * 100e0 + 0.5) AS BIGINT))
+        |      AS BIGINT) * 1e0 / count(*) / 100e0 AS avg_cust_bal
+        |FROM supplier s JOIN customer c
+        |  ON floor(s.s_acctbal * 100e0 + 0.5)
+        |       > floor(c.c_acctbal * 100e0 + 0.5)
+        |  AND s.s_nationkey <> c.c_nationkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val parts = s.sessionState.conf.numShufflePartitions
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * lit(100.0) + lit(0.5)).cast("long")
+      val cust = t(s, dir, "customer").select(
+        col("c_nationkey").as("nat"), cents(col("c_acctbal")).as("cents"),
+        lit(0).as("kind"), lit(null).cast("long").as("s_suppkey"))
+      val supp = t(s, dir, "supplier").select(
+        col("s_nationkey").as("nat"), cents(col("s_acctbal")).as("cents"),
+        lit(1).as("kind"), col("s_suppkey"))
+      // customer-value bounds: 1-row broadcast (sweep-allowlisted shape)
+      val bounds = cust.agg(min(col("cents")).as("__lo"),
+        max(col("cents")).as("__hi"))
+      val chunkOf = greatest(lit(0L), least(
+        floor((col("cents") - col("__lo")).cast("double") * parts /
+          (col("__hi") - col("__lo") + 1).cast("double")).cast("long"),
+        lit(parts - 1L)))
+      val u = cust.unionByName(supp)
+        .crossJoin(broadcast(bounds))
+        .withColumn("__chunk", chunkOf)
+        .drop("__lo", "__hi")
+      // cross-chunk prefixes: global (≤ parts rows) and per-nation
+      // (≤ |nations|·parts rows) customer totals — the reserved-__
+      // chunk-statistics contract the broadcast sweep recognizes. The
+      // prefix spines are DENSE over every (nation ×) chunk — a
+      // supplier landing in a chunk with no customers must still see
+      // every earlier chunk's totals, so the per-chunk aggregates
+      // left-join onto a range/dim grid and missing cells fill 0. The
+      // global prefix window is unpartitioned over ≤ parts rows
+      // (windows-sweep allowlist entry, same argument as chunkedRank).
+      val wg = Window.orderBy(col("__gc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gAgg = u.filter(col("kind") === 0)
+        .groupBy(col("__chunk")).agg(count(lit(1)).as("__cn"),
+          sum(col("cents")).as("__cs"))
+      val gPre = s.range(parts).select(col("id").as("__gc"))
+        .join(gAgg, col("__gc") === col("__chunk"), "left")
+        .select(col("__gc"), coalesce(col("__cn"), lit(0L)).as("__cn"),
+          coalesce(col("__cs"), lit(0L)).as("__cs"))
+        .select(col("__gc"),
+          coalesce(sum(col("__cn")).over(wg), lit(0L)).as("__gpn"),
+          coalesce(sum(col("__cs")).over(wg), lit(0L)).as("__gps"))
+      val wn = Window.partitionBy(col("__nn")).orderBy(col("__nc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nAgg = u.filter(col("kind") === 0)
+        .groupBy(col("nat"), col("__chunk")).agg(count(lit(1)).as("__cn"),
+          sum(col("cents")).as("__cs"))
+      val nPre = t(s, dir, "nation")
+        .select(col("n_nationkey").as("__nn"))
+        .crossJoin(s.range(parts).select(col("id").as("__nc")))
+        .join(nAgg, col("__nn") === col("nat") &&
+          col("__nc") === col("__chunk"), "left")
+        .select(col("__nn"), col("__nc"),
+          coalesce(col("__cn"), lit(0L)).as("__cn"),
+          coalesce(col("__cs"), lit(0L)).as("__cs"))
+        .select(col("__nn"), col("__nc"),
+          coalesce(sum(col("__cn")).over(wn), lit(0L)).as("__npn"),
+          coalesce(sum(col("__cs")).over(wn), lit(0L)).as("__nps"))
+      // within-chunk merged sweep: suppliers sort BEFORE equal-cents
+      // customers (kind desc), so the running customer count at a
+      // supplier row realizes the STRICT < of the original predicate
+      val runW = Window.partitionBy(col("__chunk"))
+        .orderBy(col("cents").asc, col("kind").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runN = Window.partitionBy(col("nat"), col("__chunk"))
+        .orderBy(col("cents").asc, col("kind").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isC = when(col("kind") === 0, 1L).otherwise(0L)
+      val cC = when(col("kind") === 0, col("cents")).otherwise(0L)
+      u.withColumn("__rn", sum(isC).over(runW))
+        .withColumn("__rs", sum(cC).over(runW))
+        .withColumn("__rnn", sum(isC).over(runN))
+        .withColumn("__rns", sum(cC).over(runN))
+        .filter(col("kind") === 1)
+        .join(broadcast(gPre), col("__chunk") === col("__gc"))
+        .join(broadcast(nPre),
+          col("nat") === col("__nn") && col("__chunk") === col("__nc"))
+        .select(col("s_suppkey"),
+          (col("__gpn") + col("__rn") - col("__npn") - col("__rnn"))
+            .as("n_richer"),
+          (col("__gps") + col("__rs") - col("__nps") - col("__rns"))
+            .as("sum_c"))
+        .filter(col("n_richer") > 0)
+        .select(col("s_suppkey"), col("n_richer"),
+          (col("sum_c") * lit(1.0) / col("n_richer") / lit(100.0))
+            .as("avg_cust_bal"))
+    },
+
+    // ------------------------------------------------------------------
     // Range/interval join: purchases within 10 minutes after a click by the
     // same user. Equi on user_id bounds the pair space; the ts range is a
     // post-join predicate — at scale this stays a shuffled equi-join keyed

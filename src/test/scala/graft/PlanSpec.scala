@@ -475,6 +475,25 @@ class PlanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("q_join_theta2 (order statistics) equals q_join_theta (nested loop)") {
+    // the r9 probe measured the BNLJ at 35× on 10× data; the twin must
+    // reproduce it without materializing a single pair. n_richer is
+    // exact; the averages compare within a cent (theta folds raw
+    // doubles, theta2 exact cents — both round to the same money value)
+    val a = SparkEntry.queries("q_join_theta")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = SparkEntry.queries("q_join_theta2")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a.keySet == b.keySet,
+      s"supplier sets differ: ${(a.keySet diff b.keySet).take(5)} / " +
+        s"${(b.keySet diff a.keySet).take(5)}")
+    a.foreach { case (k, (n, avg)) =>
+      assert(b(k)._1 == n, s"supplier $k n_richer ${b(k)._1} != $n")
+      assert(math.abs(b(k)._2 - avg) <= 0.01,
+        s"supplier $k avg ${b(k)._2} vs $avg")
+    }
+  }
+
   test("q_window_ntile2 (chunked ranks) equals q_window_ntile (native window)") {
     val a = SparkEntry.queries("q_window_ntile")(spark, sfDir)
     val b = SparkEntry.queries("q_window_ntile2")(spark, sfDir)
@@ -561,6 +580,9 @@ class PlanSpec extends SparkSpec {
       "q_knn_ivf", // N×K centroid assignment (K = 8, broadcast)
       "q_knn_ivf_trained", // same N×K assignment, per Lloyd round
       "q_join_theta", // a theta join IS a nested loop by definition
+      "q_join_theta2", // its order-statistics twin: 1-row bounds
+      // broadcast + the nation×range prefix spine (25·parts rows) —
+      // every cross here is dimension/parts-bounded, never data×data
       "q_join_range", // non-equi interval join
       "q_join_asof", // bounded range join + rank (asof2 is the O(n) path)
       "q_dedup_embed", // all-pairs ground truth (embed_lsh is the scale path)
@@ -820,7 +842,10 @@ class PlanSpec extends SparkSpec {
       // |event types|³-bounded path table
       "path table" -> Set("q_path_trigrams"),
       // skyline's global sweep runs over 32 chunk-local frontiers
-      "skyline frontier" -> Set("q_skyline"))
+      "skyline frontier" -> Set("q_skyline"),
+      // theta2's cross-chunk prefix runs over the DENSE ≤ parts-row
+      // chunk spine (the chunkedRank offsets argument, sums not ranks)
+      "theta2 chunk prefix" -> Set("q_join_theta2"))
     val allow: Set[String] = bounded.values.flatten.toSet
     def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = {
