@@ -155,7 +155,10 @@ object Bench {
     // three raw pass samples (pretty-printed, one query per line, so
     // git diffs rank regressions directly) — same guarded write as
     // BENCH_LOCAL.json: a disk failure must not kill the stdout channel.
-    try {
+    // Skipped on SPARK_GRAFT_ONLY subset runs: the committed artifact
+    // represents the FULL suite, and a 3-query dev loop must not
+    // clobber it (it did once — the restore commit after dccfaaa).
+    if (only.isEmpty) try {
       val perQuery = qlist.map { case (name, _) =>
         val samples = passes.map(_.find(_._1 == name).get._2)
         val raw = samples.map(s => ms(s._1)).mkString("[", ",", "]")
