@@ -676,15 +676,21 @@ object Multimodal {
 
   /** Baseline JFIF encoder over QUANTIZED-COEFFICIENT blocks: the
     * fixture generator hands `coefs(c, bx, by)` → 64 zigzag-order
-    * quantized values, and this writes the real byte stream — SOI,
-    * APP0, one DQT per table, SOF0 (1×1 sampling), the four Annex K
-    * DHTs, optional DRI + RSTn resync with DC-predictor reset, SOS,
-    * stuffed entropy data, EOI. Components 0 use table/Huffman set 0
-    * (luma), components 1+ set 1 (chroma). */
+    * quantized values (bx/by in the component's SUBSAMPLED block
+    * grid), and this writes the real byte stream — SOI, APP0, one DQT
+    * per table, SOF0, the four Annex K DHTs, optional DRI + RSTn
+    * resync with DC-predictor reset, SOS, interleaved-MCU stuffed
+    * entropy data, EOI. `sampling` packs H<<4|V per component (null =
+    * all 1×1); components 0 use table/Huffman set 0 (luma),
+    * components 1+ set 1 (chroma). */
   def encodeJpegBaseline(w: Int, h: Int, nComp: Int, restartInterval: Int,
       qTabs: Array[Array[Int]],
-      coefs: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      coefs: (Int, Int, Int) => Array[Int],
+      sampling: Array[Int] = null): Array[Byte] = {
     require(nComp == 1 || nComp == 3, s"nComp=$nComp")
+    val samp = if (sampling == null) Array.fill(nComp)(0x11) else sampling
+    val sH = samp.map(_ >> 4); val sV = samp.map(_ & 0x0f)
+    val hmax = sH.max; val vmax = sV.max
     val out = new java.io.ByteArrayOutputStream()
     def b(v: Int): Unit = out.write(v & 0xff)
     def be16(v: Int): Unit = { b(v >> 8); b(v) }
@@ -701,7 +707,7 @@ object Multimodal {
     sof.write(8); sof.write(h >> 8); sof.write(h & 0xff)
     sof.write(w >> 8); sof.write(w & 0xff); sof.write(nComp)
     for (c <- 0 until nComp) {
-      sof.write(c + 1); sof.write(0x11)
+      sof.write(c + 1); sof.write(samp(c))
       sof.write(if (c == 0) 0 else math.min(1, qTabs.length - 1))
     }
     seg(0xc0, sof.toByteArray)
@@ -722,19 +728,21 @@ object Multimodal {
     seg(0xda, sos.toByteArray)
     val dcC = jHuffCodes(jDcLumaSpec); val acC = jHuffCodes(jAcLumaSpec)
     val dcK = jHuffCodes(jDcChromaSpec); val acK = jHuffCodes(jAcChromaSpec)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val wtr = new JBitW(out)
     val preds = new Array[Int](nComp)
     var mcu = 0; var rst = 0
-    for (by <- 0 until bh; bx <- 0 until bw) {
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         wtr.pad()
         b(0xff); b(0xd0 + rst)
         rst = (rst + 1) % 8
         java.util.Arrays.fill(preds, 0)
       }
-      for (c <- 0 until nComp)
-        preds(c) = jEncodeBlock(wtr, coefs(c, bx, by), preds(c),
+      for (c <- 0 until nComp; bv <- 0 until sV(c); bu <- 0 until sH(c))
+        preds(c) = jEncodeBlock(wtr,
+          coefs(c, mx * sH(c) + bu, my * sV(c) + bv), preds(c),
           if (c == 0) dcC else dcK, if (c == 0) acC else acK)
       mcu += 1
     }
@@ -744,19 +752,25 @@ object Multimodal {
   }
 
   /** Decoded baseline JPEG: true dims, restart interval as parsed from
-    * DRI (0 = none), one w·h pixel plane (0..255) per component. */
+    * DRI (0 = none), one w·h pixel plane (0..255) per component —
+    * subsampled chroma planes are upsampled to full resolution by
+    * sample replication (the nearest-neighbor reconstruction JFIF
+    * implies when no fancy upsampling filter is specified). */
   case class DecodedJpeg(w: Int, h: Int, nComp: Int, ri: Int,
       planes: Array[Array[Int]])
 
-  /** Baseline sequential JPEG DECODER (scope: 8-bit precision, 1×1
-    * sampling — 4:4:4 or grayscale; progressive/subsampled streams are
-    * rejected loudly, they need the codec-library route). Full pipeline:
-    * marker walk collecting DQT (multi-table segments)/DHT/DRI/SOF0,
-    * canonical-Huffman entropy decode through the byte-stuffed reader,
-    * RSTn resync (byte-aligned, DC predictors reset, marker sequence
-    * checked), DC prediction, EXTEND sign recovery (F.2.2.1),
-    * dequantize + inverse zigzag, float IDCT (A.3.3), +128 level shift,
-    * clamp, and partial-MCU crop to the SOF dimensions. */
+  /** Baseline sequential JPEG DECODER (scope: 8-bit precision; luma
+    * sampling 1×1 / 2×1 / 1×2 / 2×2 with 1×1 chroma — i.e. 4:4:4,
+    * 4:2:2, 4:4:0, 4:2:0, and grayscale; progressive streams are
+    * rejected loudly, they need the codec-library route). Full
+    * pipeline: marker walk collecting DQT (multi-table
+    * segments)/DHT/DRI/SOF0, canonical-Huffman entropy decode through
+    * the byte-stuffed reader, interleaved MCU order (A.2.3: each MCU
+    * carries Hc×Vc data units per component), RSTn resync
+    * (byte-aligned, DC predictors reset, marker sequence checked), DC
+    * prediction, EXTEND sign recovery (F.2.2.1), dequantize + inverse
+    * zigzag, float IDCT (A.3.3), +128 level shift, clamp, per-component
+    * crop to the A.1.1 subsampled dims, and replication upsampling. */
   def decodeJpegBaseline(bytes: Array[Byte]): DecodedJpeg = {
     def u8(o: Int): Int = bytes(o) & 0xff
     def be16(o: Int): Int = u8(o) << 8 | u8(o + 1)
@@ -766,6 +780,7 @@ object Multimodal {
     val dcT = new Array[JHuffDec](4); val acT = new Array[JHuffDec](4)
     var w = -1; var h = -1; var nComp = 0; var ri = 0
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null; var compV: Array[Int] = null
     var compDc: Array[Int] = null; var compAc: Array[Int] = null
     var i = 2
     var sosAt = -1
@@ -800,9 +815,16 @@ object Multimodal {
           h = be16(i + 3); w = be16(i + 5); nComp = u8(i + 7)
           require(w > 0 && h > 0, s"bad dims ${w}x$h")
           compQ = new Array[Int](nComp)
+          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
           for (c <- 0 until nComp) {
-            require(u8(i + 9 + 3 * c) == 0x11,
-              "subsampled stream: baseline decoder requires 1x1 sampling")
+            val samp = u8(i + 9 + 3 * c)
+            compH(c) = samp >> 4; compV(c) = samp & 0x0f
+            if (c == 0) require(compH(0) >= 1 && compH(0) <= 2 &&
+              compV(0) >= 1 && compV(0) <= 2,
+              s"luma sampling ${compH(0)}x${compV(0)}: baseline decoder " +
+                "supports 1-2 in each axis")
+            else require(samp == 0x11,
+              "chroma sampling beyond 1x1: needs the codec-library route")
             compQ(c) = u8(i + 10 + 3 * c)
           }
           i += be16(i)
@@ -858,12 +880,17 @@ object Multimodal {
     val cosT = Array.tabulate(8, 8)((x, u) =>
       math.cos((2 * x + 1) * u * math.Pi / 16))
     val cu = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    val hmax = compH.max; val vmax = compV.max
+    // per-component subsampled dims (A.1.1: ceil(dim·sampling/max))
+    val cw = Array.tabulate(nComp)(c => (w * compH(c) + hmax - 1) / hmax)
+    val ch = Array.tabulate(nComp)(c => (h * compV(c) + vmax - 1) / vmax)
+    val sub = Array.tabulate(nComp)(c => new Array[Int](cw(c) * ch(c)))
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val preds = new Array[Int](nComp)
     val blk = new Array[Int](64)
     var mcu = 0; var rstExpect = 0
-    for (by <- 0 until bh; bx <- 0 until bw) {
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       if (ri > 0 && mcu > 0 && mcu % ri == 0) {
         nb = 0 // byte-align (B.2.1.2)
         // an all-ones pad byte is emitted STUFFED (FF 00) — step over
@@ -877,7 +904,10 @@ object Multimodal {
         rstExpect = (rstExpect + 1) % 8
         java.util.Arrays.fill(preds, 0)
       }
-      for (c <- 0 until nComp) {
+      // interleaved data-unit order (A.2.3): Hc×Vc blocks per
+      // component per MCU, components in SOF order
+      for (c <- 0 until nComp; bv <- 0 until compV(c);
+           bu <- 0 until compH(c)) {
         val q = qt(compQ(c))
         require(q != null, s"missing quant table ${compQ(c)}")
         val dct = dcT(compDc(c)); val act = acT(compAc(c))
@@ -899,13 +929,17 @@ object Multimodal {
             k += 1
           }
         }
-        // IDCT + level shift + clamp, cropped to the true dims
-        val x0 = bx * 8; val y0 = by * 8
-        val plane = planes(c)
+        // IDCT + level shift + clamp into the component's SUBSAMPLED
+        // plane, cropped to its A.1.1 dims (edge-padding blocks of a
+        // partial MCU are decoded — the spec requires it — then fall
+        // outside the crop)
+        val x0 = (mx * compH(c) + bu) * 8
+        val y0 = (my * compV(c) + bv) * 8
+        val plane = sub(c)
         var y = 0
-        while (y < 8 && y0 + y < h) {
+        while (y < 8 && y0 + y < ch(c)) {
           var x = 0
-          while (x < 8 && x0 + x < w) {
+          while (x < 8 && x0 + x < cw(c)) {
             var s = 0.0
             var u = 0
             while (u < 8) {
@@ -918,7 +952,7 @@ object Multimodal {
               u += 1
             }
             val p = math.round(s / 4.0 + 128.0).toInt
-            plane((y0 + y) * w + (x0 + x)) =
+            plane((y0 + y) * cw(c) + (x0 + x)) =
               math.max(0, math.min(255, p))
             x += 1
           }
@@ -926,6 +960,25 @@ object Multimodal {
         }
       }
       mcu += 1
+    }
+    // replication upsampling to full resolution (identity when the
+    // component is full-rate)
+    val planes = Array.tabulate(nComp) { c =>
+      if (cw(c) == w && ch(c) == h) sub(c)
+      else {
+        val out = new Array[Int](w * h)
+        val sx = hmax / compH(c); val sy = vmax / compV(c)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = sub(c)((y / sy) * cw(c) + (x / sx))
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
     }
     DecodedJpeg(w, h, nComp, ri, planes)
   }
@@ -949,6 +1002,29 @@ object Multimodal {
         zz(0) = v - 128 // quantized DC: 8·(v−128)/Q00 = v−128 exactly
         zz
       })
+  }
+
+  /** q_multimodal_jpeg420's fixture: a 4:2:0 baseline JPEG (luma 2×2,
+    * chroma 1×1 — the layout virtually every camera/web JPEG uses).
+    * Luma is per-8×8-block constant on its FULL-RES grid; each chroma
+    * is per-MCU constant on its SUBSAMPLED grid, so replication
+    * upsampling reproduces it exactly and the whole decode stays
+    * lossless under the Q(0,0)=8 contract. Dims are non-multiples of
+    * 16, exercising partial-MCU padding blocks on both axes. */
+  def jpegFixture420(id: Long): Array[Byte] = {
+    val mw = (id % 3).toInt + 1; val mh = (id % 2).toInt + 1
+    val w = 16 * mw - (id % 7).toInt; val h = 16 * mh - (id % 5).toInt
+    val ri = if (id % 3 == 0) 2 else 0
+    encodeJpegBaseline(w, h, 3, ri, Array(jQLuma, jQChroma),
+      (c, bx, by) => {
+        val v =
+          if (c == 0) ((id * 31 + by * 7 + bx * 3) % 256).toInt
+          else ((id * 31 + c * 17 + by * 7 + bx * 3) % 256).toInt
+        val zz = new Array[Int](64)
+        zz(0) = v - 128
+        zz
+      },
+      sampling = Array(0x22, 0x11, 0x11))
   }
 
   /** Minimal structurally-valid GIF shell (GIF89a): signature, logical
@@ -2148,6 +2224,90 @@ object Multimodal {
       val assets = Tables(s, dir, "documents")
         .select(col("doc_id")).as[Long]
         .map(id => (id, jpegFixture(id)))
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = decodeJpegBaseline(bytes)
+          var sum = 0L; var sumsq = 0L; var wsum = 0L
+          var mx = 0; var mn = 255
+          var c = 0
+          while (c < d.nComp) {
+            val pl = d.planes(c)
+            var y = 0
+            while (y < d.h) {
+              var x = 0
+              while (x < d.w) {
+                val v = pl(y * d.w + x)
+                sum += v; sumsq += v.toLong * v
+                wsum += v.toLong * ((x / 8) + 2 * (y / 8) + 3 * c + 1)
+                if (v > mx) mx = v
+                if (v < mn) mn = v
+                x += 1
+              }
+              y += 1
+            }
+            c += 1
+          }
+          (id, d.w, d.h, d.nComp, d.ri,
+            d.nComp.toLong * d.w * d.h, sum, sumsq, wsum, mx, mn)
+        }
+      }.toDF("doc_id", "w", "h", "n_comp", "ri", "n_px",
+        "sum_px", "sumsq_px", "wsum_px", "max_px", "min_px")
+    },
+
+    // ------------------------------------------------------------------
+    // 4:2:0 SUBSAMPLED baseline decode — the layout virtually every
+    // camera/web JPEG actually uses (luma 2×2, chroma 1×1), exercising
+    // the interleaved-MCU data-unit order (4 luma + 2 chroma blocks
+    // per MCU), per-component A.1.1 crop dims, partial-MCU padding
+    // blocks on both axes, restart intervals counted in MCUs (not
+    // blocks), and replication upsampling. The exactness contract
+    // extends cleanly: luma is per-block constant on the full-res
+    // grid, chroma per-MCU constant on the subsampled grid, so
+    // dequant+IDCT+upsample is lossless and the oracle recomputes each
+    // full-res 8×8 cell's value arithmetically — luma from (bx, by),
+    // chroma from (bx div 2, by div 2), since a full-res cell never
+    // straddles a chroma block. A decoder with the wrong data-unit
+    // order, a chroma crop off-by-one, or a block-counted restart
+    // hash-mismatches.
+    QueryDef(
+      "q_multimodal_jpeg420",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    16 * (doc_id % 3 + 1) - doc_id % 7 AS w,
+        |    16 * (doc_id % 2 + 1) - doc_id % 5 AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS ri
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, ri,
+        |    flatten(flatten(list_transform(range(3), c ->
+        |      list_transform(range((h + 7) // 8), by ->
+        |        list_transform(range((w + 7) // 8), bx -> struct_pack(
+        |          v := CASE WHEN c = 0
+        |            THEN (doc_id * 31 + by * 7 + bx * 3) % 256
+        |            ELSE (doc_id * 31 + c * 17
+        |              + (by // 2) * 7 + (bx // 2) * 3) % 256 END,
+        |          cnt := least(8, w - bx * 8) * least(8, h - by * 8),
+        |          wt := bx + 2 * by + 3 * c + 1)))))) AS cs
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |  CAST(3 AS INTEGER) AS n_comp, CAST(ri AS INTEGER) AS ri,
+        |  CAST(3 * w * h AS BIGINT) AS n_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.v * s.cnt)) AS BIGINT)
+        |    AS sum_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.v * s.v * s.cnt))
+        |    AS BIGINT) AS sumsq_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.v * s.wt * s.cnt))
+        |    AS BIGINT) AS wsum_px,
+        |  CAST(list_max(list_transform(cs, s -> s.v)) AS INTEGER)
+        |    AS max_px,
+        |  CAST(list_min(list_transform(cs, s -> s.v)) AS INTEGER)
+        |    AS min_px
+        |FROM cells""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, jpegFixture420(id)))
       assets.mapPartitions { it =>
         it.map { case (id, bytes) =>
           val d = decodeJpegBaseline(bytes)

@@ -635,4 +635,38 @@ class MultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("RST") ||
       e2.getMessage.contains("marker"), e2.getMessage)
   }
+
+  test("4:2:0 baseline JPEG decode round-trips exactly: interleaved MCU " +
+    "order, chroma crop, replication upsampling, MCU-counted restarts") {
+    import graft.operators.Multimodal.{decodeJpegBaseline,
+      encodeJpegBaseline, jQChroma, jQLuma, jpegFixture420}
+    // id=6: mw=1? no: 6%3=0 -> mw=1, mh=6%2=0 -> 1, w=16-6=10, h=16-1=15,
+    // ri=2 (6%3=0): single partial MCU both axes WITH restarts armed
+    // (ri=2 > 1 MCU so no RST emitted - boundary case) 
+    val d6 = decodeJpegBaseline(jpegFixture420(6L))
+    assert((d6.w, d6.h, d6.nComp, d6.ri) == ((10, 15, 3, 2)))
+    // id=7: mw=2, mh=2, w=32-0=32, h=32-2=30, ri=0: 4 MCUs, full luma
+    // grid 4x4 blocks, chroma 2x2 blocks
+    val d7 = decodeJpegBaseline(jpegFixture420(7L))
+    assert((d7.w, d7.h, d7.nComp, d7.ri) == ((32, 30, 3, 0)))
+    // id=9: 9%3=0 -> mw=1, mh=9%2=1 -> mh=2, w=16-2=14, h=32-4=28, ri=2:
+    // 2 MCUs vertically -> ONE RST0 between them, DC preds reset
+    val d9 = decodeJpegBaseline(jpegFixture420(9L))
+    assert((d9.w, d9.h, d9.nComp, d9.ri) == ((14, 28, 3, 2)))
+    for ((id, d) <- Seq((6L, d6), (7L, d7), (9L, d9));
+         c <- 0 until 3; y <- 0 until d.h; x <- 0 until d.w) {
+      val expect =
+        if (c == 0) ((id * 31 + (y / 8) * 7 + (x / 8) * 3) % 256).toInt
+        else ((id * 31 + c * 17 + (y / 16) * 7 + (x / 16) * 3) % 256).toInt
+      assert(d.planes(c)(y * d.w + x) == expect, s"id=$id c=$c ($x,$y)")
+    }
+    // chroma sampling beyond 1x1 must be rejected loudly, not misread
+    val zz = new Array[Int](64)
+    val badChroma = encodeJpegBaseline(16, 16, 3, 0,
+      Array(jQLuma, jQChroma), (_, _, _) => zz.clone(),
+      sampling = Array(0x22, 0x21, 0x11))
+    val e = intercept[IllegalArgumentException](
+      decodeJpegBaseline(badChroma))
+    assert(e.getMessage.contains("chroma sampling"), e.getMessage)
+  }
 }
