@@ -688,6 +688,67 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // DYNAMIC-BATCHING padding audit — the other half of the packing
+    // story (q_text_pack concatenates; inference/fine-tuning serving
+    // BATCHES): documents bucket by length (fixed 32-token boundaries,
+    // scale-invariant — no corpus statistic decides the bucket), each
+    // bucket's docs sort by (len, doc_id) and group into batches of 16,
+    // and every batch pays padding = n·max_len − Σlen. The per-bucket
+    // report (batches, tokens, padding, padded fraction of batch
+    // capacity) is the number that says whether the bucketing is worth
+    // its shuffle — unbucketed batching wastes 30-60% of compute on
+    // pad tokens; 8 buckets typically cut that to a few percent. Scale
+    // shape: the within-bucket order comes from chunkedRank (groups ×
+    // chunks parallel sorts — never one task per bucket, the same
+    // machinery as every global rank here), the batch rollup is
+    // map-combinable, and the final report is 8 rows. The oracle runs
+    // the textbook row_number form, so the hash match re-proves
+    // chunkedRank ≡ native ranking on a fourth ordering domain.
+    QueryDef(
+      "q_batch_padding",
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS len
+        |  FROM documents),
+        |b AS (SELECT doc_id, len, least(len // 32, 7) AS bucket FROM d),
+        |r AS (
+        |  SELECT bucket, len,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY len, doc_id)
+        |      - 1 AS idx
+        |  FROM b),
+        |pb AS (
+        |  SELECT bucket, idx // 16 AS batch, count(*) AS nd,
+        |    max(len) AS mx, sum(len) AS sl
+        |  FROM r GROUP BY 1, 2)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(sl) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nd * mx - sl) AS BIGINT) AS total_padding,
+        |  ${Num.sql("CAST(sum(nd * mx - sl) AS BIGINT) * 1e0 / " +
+           "CAST(sum(nd * mx) AS BIGINT)", 6)} AS pad_frac
+        |FROM pb GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+        .withColumn("bucket", least(expr("len div 32"), lit(7L)))
+      val ranked = graft.operators.Analytics.chunkedRank(
+        d, "bucket", "len", Seq("doc_id"))
+      val perBatch = ranked
+        .withColumn("batch", expr("idx div 16"))
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("nd"), max(col("len")).as("mx"),
+          sum(col("len")).as("sl"))
+      perBatch.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("nd")).as("n_docs"),
+          sum(col("sl")).as("total_tokens"),
+          sum(col("nd") * col("mx") - col("sl")).as("total_padding"),
+          Num.r(sum(col("nd") * col("mx") - col("sl")) * lit(1e0) /
+            sum(col("nd") * col("mx")), 6).as("pad_frac"))
+    },
+
+    // ------------------------------------------------------------------
     // The curation funnel end-to-end: quality gate → exact dedup (keep
     // the smallest doc_id per content hash) → language selection — the
     // composition a real corpus build runs, as ONE declarative plan.

@@ -2339,6 +2339,97 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
+    // YCbCr → RGB color conversion on the decoded 4:2:0 planes — the
+    // step that turns "JPEG decode" into pixels a vision model eats.
+    // FIXED-POINT arithmetic end to end (the JFIF/BT.601 constants
+    // scaled by 2¹⁶: 1.402→91881, 0.344136→22554, 0.714136→46802,
+    // 1.772→116130), with the >>16 floor mirrored in the oracle as
+    // floor(v/65536e0) — division by a power of two is EXACT in
+    // doubles, and DuckDB's `//` truncates toward zero (≠ floor on
+    // negatives), so the float-floor spelling is the cross-engine-safe
+    // one. Cell-constant inputs make every RGB value cell-constant, so
+    // the oracle recomputes the conversion arithmetically on the same
+    // grid as q_multimodal_jpeg420. A converter with swapped Cb/Cr,
+    // truncate-vs-floor rounding, or a missing clamp hash-mismatches.
+    QueryDef(
+      "q_multimodal_jpeg_rgb",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    16 * (doc_id % 3 + 1) - doc_id % 7 AS w,
+        |    16 * (doc_id % 2 + 1) - doc_id % 5 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h,
+        |    flatten(list_transform(range((h + 7) // 8), by ->
+        |      list_transform(range((w + 7) // 8), bx -> struct_pack(
+        |        y := (doc_id * 31 + by * 7 + bx * 3) % 256,
+        |        cb := (doc_id * 31 + 17
+        |          + (by // 2) * 7 + (bx // 2) * 3) % 256,
+        |        cr := (doc_id * 31 + 34
+        |          + (by // 2) * 7 + (bx // 2) * 3) % 256,
+        |        cnt := least(8, w - bx * 8) * least(8, h - by * 8),
+        |        wt := bx + 2 * by + 1)))) AS cs
+        |  FROM p),
+        |rgb AS (
+        |  SELECT doc_id, w, h,
+        |    list_transform(cs, s -> struct_pack(
+        |      r := greatest(0, least(255, s.y + CAST(floor(
+        |        (91881 * (s.cr - 128) + 32768) / 65536e0) AS BIGINT))),
+        |      g := greatest(0, least(255, s.y - CAST(floor(
+        |        (22554 * (s.cb - 128) + 46802 * (s.cr - 128) + 32768)
+        |          / 65536e0) AS BIGINT))),
+        |      b := greatest(0, least(255, s.y + CAST(floor(
+        |        (116130 * (s.cb - 128) + 32768) / 65536e0) AS BIGINT))),
+        |      cnt := s.cnt, wt := s.wt)) AS cs
+        |  FROM cells)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.r * s.cnt)) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(list_sum(list_transform(cs, s -> s.g * s.cnt)) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(list_sum(list_transform(cs, s -> s.b * s.cnt)) AS BIGINT)
+        |    AS sum_b,
+        |  CAST(list_sum(list_transform(cs, s ->
+        |    (s.r + 2 * s.g + 3 * s.b) * s.wt * s.cnt)) AS BIGINT)
+        |    AS wsum_rgb
+        |FROM rgb""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, jpegFixture420(id)))
+      assets.mapPartitions { it =>
+        def clamp(v: Long): Long = math.max(0L, math.min(255L, v))
+        it.map { case (id, bytes) =>
+          val d = decodeJpegBaseline(bytes)
+          val (py, pcb, pcr) = (d.planes(0), d.planes(1), d.planes(2))
+          var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+          var y = 0
+          while (y < d.h) {
+            var x = 0
+            while (x < d.w) {
+              val i = y * d.w + x
+              val yy = py(i).toLong
+              val cb = pcb(i).toLong - 128
+              val cr = pcr(i).toLong - 128
+              val r = clamp(yy + ((91881 * cr + 32768) >> 16))
+              val g = clamp(yy - ((22554 * cb + 46802 * cr + 32768) >> 16))
+              val b = clamp(yy + ((116130 * cb + 32768) >> 16))
+              val wt = (x / 8) + 2 * (y / 8) + 1
+              sr += r; sg += g; sb += b
+              ws += (r + 2 * g + 3 * b) * wt
+              x += 1
+            }
+            y += 1
+          }
+          (id, d.w, d.h, d.w.toLong * d.h, sr, sg, sb, ws)
+        }
+      }.toDF("doc_id", "w", "h", "n_px", "sum_r", "sum_g", "sum_b",
+        "wsum_rgb")
+    },
+
+    // ------------------------------------------------------------------
     // HETEROGENEOUS corpus sniff: the asset table mixes PNG, JPEG, and
     // GIF payloads (fmt rotates with doc_id), and [[sniffDims]]
     // dispatches each on its magic bytes to the matching header parser
