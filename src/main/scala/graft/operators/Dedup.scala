@@ -305,6 +305,91 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // EXACT-SUBSTRING span dedup (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+    // operation): instead of dropping whole near-dup DOCUMENTS, excise
+    // the duplicated SPANS and keep the unique remainder — the
+    // treatment for boilerplate/licenses/templates that contaminate
+    // otherwise-unique documents. Suffix-array machinery reduces, in
+    // the fixed-window regime, to: hash every 4-token span, find spans
+    // occurring in ≥2 distinct documents, and drop every token covered
+    // by a duplicated span (token i is covered iff a duplicated span
+    // starts in [i−3, i]). Output is the REWRITTEN text plus exact
+    // removal counts — the cleaned corpus a pipeline feeds forward.
+    // Scale shape: the span table is a keyed explode (8-byte hashed
+    // ids, the shingle discipline), the ≥2-docs span set stays a keyed
+    // semi-join (corpus-sized — never broadcast), and the only
+    // per-doc state is the sorted duplicated-start array, bounded by
+    // the document's own token count (the listagg/collect_set
+    // doc-bounded contract); coverage + rewrite run inside one codegen
+    // array projection. The oracle replays every step in DuckDB list
+    // algebra, so a coverage off-by-one (a 3-vs-4 window slip) or a
+    // join that drops span multiplicity hash-mismatches on the
+    // rewritten STRINGS themselves.
+    QueryDef(
+      "q_dedup_substr",
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, n - 2),
+        |    i -> struct_pack(s := i, sid := ${h60sql(
+             "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")}
+        |    ))) AS u
+        |  FROM d WHERE n >= 4),
+        |sp AS (SELECT doc_id, u.s AS s, u.sid AS sid FROM sp0),
+        |dup AS (SELECT sid FROM sp GROUP BY sid
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |ds AS (
+        |  SELECT sp.doc_id, list_sort(list(sp.s)) AS dups
+        |  FROM sp JOIN dup USING (sid) GROUP BY 1),
+        |o AS (
+        |  SELECT d.doc_id, d.n, d.w,
+        |    list_filter(range(1, d.n + 1),
+        |      i -> len(list_filter(coalesce(ds.dups, CAST([] AS BIGINT[])),
+        |        s -> s >= i - 3 AND s <= i)) = 0) AS keepidx
+        |  FROM d LEFT JOIN ds ON d.doc_id = ds.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n - len(keepidx) AS BIGINT) AS n_removed,
+        |  -- a FULLY-removed doc: DuckDB's array_to_string(empty) is
+        |  -- NULL where Spark's array_join is '' — coalesce to match
+        |  coalesce(array_to_string(list_transform(keepidx, i -> w[i]),
+        |    ' '), '') AS cleaned,
+        |  ${Num.sql("(n - len(keepidx)) * 1e0 / n", 6)} AS removed_frac
+        |FROM o""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+      val spanStruct = transform(sequence(lit(1), col("n") - 3),
+        i => struct(i.as("s"),
+          h60(concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3))).as("sid")))
+      val sp = d.filter(col("n") >= 4)
+        .select(col("doc_id"), explode(spanStruct).as("u"))
+        .select(col("doc_id"), col("u.s").as("s"), col("u.sid").as("sid"))
+      val dup = sp.groupBy(col("sid"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("sid"))
+      val ds = sp.join(dup, Seq("sid"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("s"))).as("dups"))
+      val keepIdx = filter(sequence(lit(1), col("n")),
+        i => !exists(col("dups"), sc => sc >= i - 3 && sc <= i))
+      d.join(ds, Seq("doc_id"), "left")
+        .withColumn("dups",
+          coalesce(col("dups"), array().cast("array<int>")))
+        .withColumn("keepidx", keepIdx)
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          (col("n") - size(col("keepidx"))).cast("long").as("n_removed"),
+          array_join(transform(col("keepidx"),
+            i => element_at(col("w"), i)), " ").as("cleaned"),
+          Num.r((col("n") - size(col("keepidx"))) * lit(1e0) / col("n"), 6)
+            .as("removed_frac"))
+    },
+
+    // ------------------------------------------------------------------
     // Exact n-gram Jaccard near-dup: candidates share ≥1 shingle (any pair
     // with J ≥ 0.8 must), exact J computed from shared/total counts. The
     // join key is the 60-bit md5 of the shingle, not the string — an 8-byte
