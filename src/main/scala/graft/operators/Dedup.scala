@@ -240,6 +240,43 @@ object Dedup {
     * exact J computed from shared/total counts. Used by the uncapped and
     * df-capped n-gram queries — same plan, different shingle relation —
     * and by CurationPipelineSpec's end-to-end funnel. */
+  /** Exact-substring span dedup core over a (doc_id, text) relation —
+    * q_dedup_substr's pipeline factored out so DedupSpec can pin the
+    * coverage semantics on hand-built documents (window off-by-ones
+    * are invisible at corpus scale). See the QueryDef header for the
+    * algorithm and scale argument. */
+  private[graft] def substrDedup(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+    val spanStruct = transform(sequence(lit(1), col("n") - 3),
+      i => struct(i.as("s"),
+        h60(concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+          element_at(col("w"), i + 3))).as("sid")))
+    val sp = d.filter(col("n") >= 4)
+      .select(col("doc_id"), explode(spanStruct).as("u"))
+      .select(col("doc_id"), col("u.s").as("s"), col("u.sid").as("sid"))
+    val dup = sp.groupBy(col("sid"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("sid"))
+    val ds = sp.join(dup, Seq("sid"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("dups"))
+    val keepIdx = filter(sequence(lit(1), col("n")),
+      i => !exists(col("dups"), sc => sc >= i - 3 && sc <= i))
+    d.join(ds, Seq("doc_id"), "left")
+      .withColumn("dups",
+        coalesce(col("dups"), array().cast("array<int>")))
+      .withColumn("keepidx", keepIdx)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("keepidx"))).cast("long").as("n_removed"),
+        array_join(transform(col("keepidx"),
+          i => element_at(col("w"), i)), " ").as("cleaned"),
+        Num.r((col("n") - size(col("keepidx"))) * lit(1e0) / col("n"), 6)
+          .as("removed_frac"))
+  }
+
   private[graft] def jaccardPairs(sh: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("sid"))
@@ -358,35 +395,7 @@ object Dedup {
         |    ' '), '') AS cleaned,
         |  ${Num.sql("(n - len(keepidx)) * 1e0 / n", 6)} AS removed_frac
         |FROM o""".stripMargin) { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .withColumn("n", size(col("w")))
-      val spanStruct = transform(sequence(lit(1), col("n") - 3),
-        i => struct(i.as("s"),
-          h60(concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2),
-            element_at(col("w"), i + 3))).as("sid")))
-      val sp = d.filter(col("n") >= 4)
-        .select(col("doc_id"), explode(spanStruct).as("u"))
-        .select(col("doc_id"), col("u.s").as("s"), col("u.sid").as("sid"))
-      val dup = sp.groupBy(col("sid"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("sid"))
-      val ds = sp.join(dup, Seq("sid"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("s"))).as("dups"))
-      val keepIdx = filter(sequence(lit(1), col("n")),
-        i => !exists(col("dups"), sc => sc >= i - 3 && sc <= i))
-      d.join(ds, Seq("doc_id"), "left")
-        .withColumn("dups",
-          coalesce(col("dups"), array().cast("array<int>")))
-        .withColumn("keepidx", keepIdx)
-        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-          (col("n") - size(col("keepidx"))).cast("long").as("n_removed"),
-          array_join(transform(col("keepidx"),
-            i => element_at(col("w"), i)), " ").as("cleaned"),
-          Num.r((col("n") - size(col("keepidx"))) * lit(1e0) / col("n"), 6)
-            .as("removed_frac"))
+      substrDedup(t(s, dir, "documents").select(col("doc_id"), col("text")))
     },
 
     // ------------------------------------------------------------------

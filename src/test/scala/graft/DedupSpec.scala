@@ -83,4 +83,32 @@ class DedupSpec extends SparkSpec {
     val exceptN = c.except(o).count()
     assert(inter + exceptN == c.count())
   }
+
+  test("exact-substring dedup removes every token a duplicated 4-gram " +
+    "covers, and only those") {
+    import spark.implicits._
+    // "a b c d" is the one span in >= 2 distinct docs: it covers
+    // tokens 1-4 of doc 1 (start 1), tokens 2-5 of doc 2 (start 2),
+    // and ALL of doc 4 (fully removed -> cleaned ''). Doc 3 is shorter
+    // than a window and must pass through untouched; every other span
+    // ("b c d e", "x a b c", ...) is unique and removes nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "p q r"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.substrDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((6L, 4L, "e f")), out(1L).toString)
+    assert(out(2L) == ((6L, 4L, "x y")), out(2L).toString)
+    assert(out(3L) == ((3L, 0L, "p q r")), out(3L).toString)
+    assert(out(4L) == ((4L, 4L, "")), out(4L).toString)
+    // a WITHIN-document repeat is not cross-document duplication:
+    // the >= 2 DISTINCT docs rule leaves a self-repeating doc intact
+    val solo = Seq((9L, "m n o p m n o p")).toDF("doc_id", "text")
+    val soloOut = graft.operators.Dedup.substrDedup(solo)
+      .collect().map(r => (r.getLong(2), r.getString(3))).head
+    assert(soloOut == ((0L, "m n o p m n o p")), soloOut.toString)
+  }
 }
