@@ -245,7 +245,12 @@ object Dedup {
     * coverage semantics on hand-built documents (window off-by-ones
     * are invisible at corpus scale). See the QueryDef header for the
     * algorithm and scale argument. */
-  private[graft] def substrDedup(docs: DataFrame): DataFrame = {
+  /** The (doc_id, start, sid) 4-token span relation over a (doc_id,
+    * text) input — one row per span occurrence, sid the shared 60-bit
+    * hash. Shared by [[substrDedup]] and the streaming span-table
+    * ingest ([[graft.streaming.Streaming.spanIngestBatch]]), so batch
+    * and incremental paths hash identical spans by construction. */
+  private[graft] def spanRelation(docs: DataFrame): DataFrame = {
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
@@ -254,9 +259,16 @@ object Dedup {
         h60(concat_ws(" ", element_at(col("w"), i),
           element_at(col("w"), i + 1), element_at(col("w"), i + 2),
           element_at(col("w"), i + 3))).as("sid")))
-    val sp = d.filter(col("n") >= 4)
+    d.filter(col("n") >= 4)
       .select(col("doc_id"), explode(spanStruct).as("u"))
       .select(col("doc_id"), col("u.s").as("s"), col("u.sid").as("sid"))
+  }
+
+  private[graft] def substrDedup(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+    val sp = spanRelation(docs)
     val dup = sp.groupBy(col("sid"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("sid"))

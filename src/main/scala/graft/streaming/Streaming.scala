@@ -551,6 +551,38 @@ object Streaming {
     * monoids, derive the statistic). The corpus doc count rides under
     * the reserved NULL token — real tokens are never NULL because
     * split() yields strings — so one table carries both monoids. */
+  /** One micro-batch of SPAN-TABLE maintenance for exact-substring
+    * dedup (q_dedup_substr's 100 TB incremental story): derive the
+    * batch's distinct (doc, span-hash) pairs through the SAME
+    * [[graft.operators.Dedup.spanRelation]] the batch query uses,
+    * collapse to per-span distinct-doc counts, and write them as a
+    * DETERMINISTIC `batch=<id>` partial — the sketch-table pattern
+    * ([[sketchIngestBatch]]): a replayed batch overwrites its own
+    * directory, never double-counts, and the hot path appends
+    * fixed-width (sid, n_docs) rows without rewriting history. Sums of
+    * per-batch DISTINCT-doc counts equal global distinct-doc counts
+    * because a document arrives whole in exactly one batch (the
+    * document-stream contract every ingest here shares). Read side:
+    * [[dupSpanTable]] merges partials and keeps spans seen in ≥2
+    * documents — exactly the batch pipeline's duplicated-span set, so
+    * incoming documents can be span-rewritten against the CURRENT
+    * corpus without ever re-deriving history's span table. */
+  def spanIngestBatch(batch: DataFrame, batchId: Long,
+      spanDir: String): Unit = {
+    graft.operators.Dedup.spanRelation(batch)
+      .select(col("doc_id"), col("sid")).distinct()
+      .groupBy(col("sid")).agg(count(lit(1)).as("n_docs"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$spanDir/batch=$batchId")
+  }
+
+  /** Read side of [[spanIngestBatch]]: the duplicated-span set (spans
+    * in ≥2 distinct documents across every ingested batch). */
+  def dupSpanTable(spark: SparkSession, spanDir: String): DataFrame =
+    spark.read.parquet(spanDir)
+      .groupBy(col("sid")).agg(sum(col("n_docs")).as("nd"))
+      .filter(col("nd") >= 2).select(col("sid"))
+
   def dfIngestBatch(
       batch: DataFrame, batchId: Long, tableDir: String): Unit = {
     val toks = batch

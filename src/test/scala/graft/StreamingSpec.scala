@@ -1412,4 +1412,46 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental span-table ingest folds to the batch duplicated-span " +
+    "set, replay included") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val table = tmpDir("span_table")
+    // three disjoint arrival waves (documents arrive whole, the ingest
+    // family's shared contract)
+    (0 until 3).foreach { w =>
+      Streaming.spanIngestBatch(
+        docs.filter(col("doc_id") % 3 === w), w.toLong, table)
+    }
+    def snap: Set[Long] = Streaming.dupSpanTable(spark, table)
+      .collect().map(_.getLong(0)).toSet
+    // one-shot derivation over the union corpus: spans in >= 2 docs
+    val expected = graft.operators.Dedup.spanRelation(docs)
+      .select(col("doc_id"), col("sid")).distinct()
+      .groupBy(col("sid")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture corpus should contain dup spans")
+    assert(snap == expected,
+      "folded span table must equal the one-shot duplicated-span set")
+    // replay a wave under its own batch id: idempotent overwrite
+    Streaming.spanIngestBatch(
+      docs.filter(col("doc_id") % 3 === 1), 1L, table)
+    assert(snap == expected, "replay must be idempotent")
+    // and the CURRENT dup set drives the same rewrite the batch query
+    // produces: a span duplicated across waves is excised either way
+    val dup = Streaming.dupSpanTable(spark, table)
+    val viaTable = graft.operators.Dedup.spanRelation(docs)
+      .join(dup, Seq("sid"), "left_semi")
+      .select(col("doc_id"), col("s")).distinct().count()
+    val viaBatch = graft.operators.Dedup.spanRelation(docs)
+      .groupBy(col("sid"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("sid"))
+      .join(graft.operators.Dedup.spanRelation(docs), Seq("sid"))
+      .select(col("doc_id"), col("s")).distinct().count()
+    assert(viaTable == viaBatch)
+  }
 }
