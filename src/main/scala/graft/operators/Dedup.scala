@@ -268,7 +268,12 @@ object Dedup {
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
-    val sp = spanRelation(docs)
+    // the span relation feeds BOTH the dup derivation and the per-doc
+    // start collection — cache so the explode + 4-gram md5 pass runs
+    // once (the jaccardPairs sh-cache discipline; modest here —
+    // 2.4→2.2 s at sf0.1, the joins dominate — but it keeps the
+    // second consumer from rescanning documents at 100 TB)
+    val sp = spanRelation(docs).cache()
     val dup = sp.groupBy(col("sid"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("sid"))
