@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** One timed execution of one query in one pass: wall seconds,
+    * success flag, and the task-metric deltas attributed to it by the
+    * suite-wide listener (shuffle write/read bytes, memory/disk spill).
+    * The byte fields turn PLAN_AUDIT's static exchange counts into
+    * measured exchange VOLUMES (r9 VERDICT item 6) and make
+    * shuffle-creep regressions visible even when wall-clock noise
+    * hides them. */
+  final case class Sample(sec: Double, ok: Boolean,
+      shufWrite: Long, shufRead: Long, spillMem: Long, spillDisk: Long)
+
+  /** Accumulates task metrics across the whole run; Bench snapshots the
+    * counters around each query (after draining the listener bus) and
+    * differences them. Counters are monotone, so attribution is exact
+    * once the bus is drained. */
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new AtomicLong; val shufRead = new AtomicLong
+    val spillMem = new AtomicLong; val spillDisk = new AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot(): (Long, Long, Long, Long) =
+      (shufWrite.get, shufRead.get, spillMem.get, spillDisk.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,6 +71,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drain(): Unit =
+      org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
     // Warm the JVM once before timing: scheduler + codegen + parquet
     // footer/metadata caches, so query 1 doesn't pay session start-up.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
@@ -48,10 +86,12 @@ object Bench {
     // would report success. Each sample carries an ok flag; failures
     // are reported per query in the emitted JSON.
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+        => org.apache.spark.sql.DataFrame): Sample = {
       // each invocation caches fresh self-join intermediates; clear so
       // dead blocks from prior runs can't pollute the timing
       spark.catalog.clearCache()
+      drain()
+      val (w0, r0, m0, d0) = metrics.snapshot()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -60,26 +100,22 @@ object Bench {
             String.valueOf(e.getMessage).take(200))
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      val (w1, r1, m1, d1) = metrics.snapshot()
+      Sample(sec, ok, w1 - w0, r1 - r0, m1 - m0, d1 - d0)
     }
-    // min-of-3, with the three samples INTERLEAVED across the suite:
-    // pass 1 runs every query once, then pass 2, then pass 3, and the
-    // reported number is the min per query across passes. The r4 driver
-    // artifact showed why back-to-back sampling is not noise-proof: a
-    // sustained (~minute-long) host-steal window covers all three
-    // consecutive samples of the same query and inflates its min by
-    // 10-30×. With the passes spread over the whole suite (~30s each),
-    // a contiguous noise window can poison at most ONE sample of any
-    // given query, and the min discards it.
     // name-sorted Seq (a Map would re-hash the order away) so the
     // emitted per-query map diffs cleanly across rounds
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Host-noise fingerprint: loadavg and the cumulative steal ticks
-    // (/proc/stat cpu field 8) bracket the run. A driver artifact whose
-    // totals disagree with a judge re-run (r4, r6: uniform ~1.3×
-    // inflation) is then self-diagnosing — high loadavg / a large steal
-    // delta in the JSON says "noisy host", no re-run needed.
+    // (/proc/stat cpu field 8) bracket the run AND each pass. The r9
+    // committed artifact carried 31k suite-wide steal ticks and read as
+    // a 1.12× regression that a controlled quiet-host A/B disproved —
+    // per-PASS steal (r9 VERDICT item 1) makes a stolen pass
+    // identifiable post hoc: a noisy pass shows its own tick count, and
+    // the min-of-3 discipline discards it.
     def loadavg(): String =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim
@@ -94,38 +130,58 @@ object Bench {
       } catch { case _: Exception => -1L }
     val loadStart = loadavg()
     val stealStart = stealTicks()
-    val passes = Seq.fill(3)(qlist.map { case (name, fn) => name -> timeOne(name, fn) })
+    // min-of-3, with the three samples INTERLEAVED across the suite:
+    // pass 1 runs every query once, then pass 2, then pass 3, and the
+    // reported number is the min per query across passes. The r4 driver
+    // artifact showed why back-to-back sampling is not noise-proof: a
+    // sustained (~minute-long) host-steal window covers all three
+    // consecutive samples of the same query and inflates its min by
+    // 10-30×. With the passes spread over the whole suite (~30s each),
+    // a contiguous noise window can poison at most ONE sample of any
+    // given query, and the min discards it.
+    val passData = (1 to 3).map { _ =>
+      val s0 = stealTicks()
+      val res = qlist.map { case (name, fn) => name -> timeOne(name, fn) }
+      val s1 = stealTicks()
+      (res, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L, loadavg())
+    }
+    val passes = passData.map(_._1)
+    val passSteal = passData.map(_._2)
+    val passLoad = passData.map(_._3)
     val loadEnd = loadavg()
     val stealDelta =
       { val e = stealTicks(); if (e >= 0 && stealStart >= 0) e - stealStart else -1L }
     // per-pass wall totals (successful or not — this is a noise probe,
     // not a score): if pass totals spread far beyond the min-based
     // headline, the host was unstable during the run
-    val passTotals = passes.map(_.map(_._2._1).sum)
+    val passTotals = passes.map(_.map(_._2.sec).sum)
     // min over SUCCESSFUL samples only; a query with zero successes
     // keeps its (meaningless) fastest failure time but lands on the
     // failed list, so the artifact can never read as a clean run.
     val results = qlist.map { case (name, _) =>
       val samples = passes.map(_.find(_._1 == name).get._2)
-      val okTimes = samples.collect { case (t, true) => t }
-      name -> (if (okTimes.nonEmpty) okTimes.min else samples.map(_._1).min)
+      val okSamples = samples.filter(_.ok)
+      name -> (if (okSamples.nonEmpty) okSamples.minBy(_.sec)
+               else samples.minBy(_.sec))
     }
     // any failed sample puts the query on the list — a crash is signal
     // (noise slows queries down, it doesn't throw), even if another
     // pass succeeded and supplied a valid min
     val failed = qlist.map(_._1).filter { name =>
-      passes.exists(_.find(_._1 == name).get._2._2 == false)
+      passes.exists(_.find(_._1 == name).get._2.ok == false)
     }
     // values rounded to ms so the single JSON line stays short — the
     // driver tail-captures stdout and must see the whole map
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v.sec) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passesJson = passTotals.map(ms).mkString("[", ",", "]")
+    val passStealJson = passSteal.mkString("[", ",", "]")
+    val passLoadJson = passLoad.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noise =
-      s""""passes":$passesJson,"load_start":"$loadStart","load_end":"$loadEnd","steal_ticks":$stealDelta"""
+      s""""passes":$passesJson,"pass_steal":$passStealJson,"pass_load":$passLoadJson,"load_start":"$loadStart","load_end":"$loadEnd","steal_ticks":$stealDelta"""
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$noise,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver tail-captures stdout; r2/r3/r4 all had the full line's
@@ -153,7 +209,8 @@ object Bench {
     // leaving the heavy q_graph_*/q_dedup_* families invisible in
     // round-over-round comparisons. Persist EVERY query's min AND all
     // three raw pass samples (pretty-printed, one query per line, so
-    // git diffs rank regressions directly) — same guarded write as
+    // git diffs rank regressions directly) plus the task-metric bytes
+    // from the min-winning sample — same guarded write as
     // BENCH_LOCAL.json: a disk failure must not kill the stdout channel.
     // Skipped on SPARK_GRAFT_ONLY subset runs: the committed artifact
     // represents the FULL suite, and a 3-query dev loop must not
@@ -161,12 +218,15 @@ object Bench {
     if (only.isEmpty) try {
       val perQuery = qlist.map { case (name, _) =>
         val samples = passes.map(_.find(_._1 == name).get._2)
-        val raw = samples.map(s => ms(s._1)).mkString("[", ",", "]")
-        val okAll = samples.forall(_._2)
-        val mn = results.find(_._1 == name).get._2
-        s"""  "$name": {"min":${ms(mn)},"passes":$raw,"ok":$okAll}"""
+        val raw = samples.map(s => ms(s.sec)).mkString("[", ",", "]")
+        val okAll = samples.forall(_.ok)
+        val best = results.find(_._1 == name).get._2
+        s"""  "$name": {"min":${ms(best.sec)},"passes":$raw,"ok":$okAll,""" +
+          s""""shuffle_write_bytes":${best.shufWrite},"shuffle_read_bytes":${best.shufRead},""" +
+          s""""spill_mem_bytes":${best.spillMem},"spill_disk_bytes":${best.spillDisk}}"""
       }.mkString(",\n")
       val body = s"""{"sf":"$sfDir","unit":"sec","steal_ticks":$stealDelta,
+        |"pass_steal":$passStealJson,"pass_load":$passLoadJson,
         |"queries":{
         |$perQuery
         |}}""".stripMargin
@@ -177,7 +237,7 @@ object Bench {
       System.err.println(
         s"[bench] bench_per_query.json not written: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"passes":$passesJson,"steal_ticks":$stealDelta,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"passes":$passesJson,"pass_steal":$passStealJson,"steal_ticks":$stealDelta,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -90,6 +90,20 @@ object Num {
   *     summation-order differences between engines cannot flip a hash;
   *   - results must be deterministic as a SET (total tie-breaks on any
   *     top-k / limit).
+  *
+  * CACHE CONTRACT (r9 VERDICT task 7): a query builder may `.cache()`
+  * an intermediate that feeds ≥2 consumers in its OWN plan (span/
+  * shingle relations, signature tables, bucket folds). Builders return
+  * LAZY DataFrames, so they cannot unpersist before the caller
+  * materializes — release is the CALLER's job: Bench and Verify run
+  * `spark.catalog.clearCache()` around every query, and a long-lived
+  * library session should do the same after materializing a result
+  * (or `df.unpersist()` the handles it keeps). Cached blocks are
+  * MEMORY_AND_DISK and evictable, never pinned, so the failure mode of
+  * a caller that skips release is eviction pressure — not OOM. Eager
+  * INTERNAL loops (connectedComponents, LPA, Lloyd, Borůvka) manage
+  * their own round state with localCheckpoint + finally-unpersist and
+  * are exempt from caller release.
   */
 final case class QueryDef(
     name: String,

@@ -452,7 +452,8 @@ object Similarity {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           bucketCol(col("embedding")).as("bucket"))
-        .cache() // bucket fold feeds both join sides
+        .cache() // bucket fold feeds both join sides; caller releases
+                 // (QueryDef cache contract — Tables.scala)
       val q = e.filter(col("vec_id") < 10).select(
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -521,7 +522,8 @@ object Similarity {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           bucketCol(col("embedding")).as("bucket"))
-        .cache() // bucket fold feeds the brute truth AND the LSH leg
+        .cache() // bucket fold feeds the brute truth AND the LSH leg;
+                 // caller releases (QueryDef cache contract)
       val q = e.filter(col("vec_id") < 10).select(
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -602,7 +604,8 @@ object Similarity {
         |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
         |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
       CosineSimilarity.register(s)
-      // feeds assignment, the query side, and the candidate side
+      // feeds assignment, the query side, and the candidate side;
+      // caller releases (QueryDef cache contract)
       val e = t(s, dir, "embeddings").repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding")).cache()
       val cents = e.filter(col("vec_id") < IvfK)

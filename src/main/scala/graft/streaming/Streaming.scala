@@ -195,14 +195,34 @@ object Streaming {
     (p.getFileSystem(s.sessionState.newHadoopConf()), p)
   }
 
+  /** Hadoop `FileSystem.rename` signals failure by RETURNING FALSE, not
+    * by throwing (HDFS semantics; S3A's non-atomic directory rename is
+    * the textbook producer of the false branch). A swap step that
+    * shrugs at `false` can reach the aside-delete with the only
+    * surviving table copy still at `.old` — silent data loss (ADVICE
+    * r9). Every rename in the swap protocol goes through this check. */
+  private def renameOrThrow(
+      fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+      step: String): Unit = {
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"$step: FileSystem.rename($from -> $to) returned false; " +
+          "table swap aborted with all existing copies left in place")
+  }
+
   /** Crash-recovery half of the aside-swap contract shared by
     * [[upsertBatch]] and [[componentIngestBatch]]: if the table is
     * absent but `.old` survives, a crash happened between the swap's
-    * two renames — restore the aside copy before reading. */
+    * two renames — restore the aside copy before reading. A FALSE
+    * rename here must throw, not fall through: proceeding would read
+    * an empty table and silently rebuild from the batch alone — the
+    * exact data-loss mode this recovery exists to prevent. */
   private def recoverFromAside(s: SparkSession, tablePath: String): Unit = {
     val (fs, p) = tableFs(s, tablePath)
     val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
-    if (!fs.exists(p) && fs.exists(aside)) fs.rename(aside, p)
+    if (!fs.exists(p) && fs.exists(aside))
+      renameOrThrow(fs, aside, p, "recoverFromAside")
   }
 
   /** Swap half: move the freshly-written `<table>.tmp` into place.
@@ -224,11 +244,20 @@ object Streaming {
     val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
     val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
     if (fs.exists(p)) {
-      fs.delete(aside, true)
-      fs.rename(p, aside)
+      // A stale `.old` (crash after the final rename of a previous
+      // swap) must clear before the current table can move aside. A
+      // FALSE delete of an EXISTING aside would make the next rename
+      // fail or merge-into — stop here with both copies intact.
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(
+          s"asideSwap: FileSystem.delete($aside) returned false; " +
+            "swap aborted before touching the live table")
+      renameOrThrow(fs, p, aside, "asideSwap(old->aside)")
     }
-    fs.rename(tmp, p)
-    fs.delete(aside, true)
+    renameOrThrow(fs, tmp, p, "asideSwap(tmp->table)")
+    // Belt over the rename's braces: only retire the aside copy once
+    // the new table is VERIFIED present at the target path.
+    if (fs.exists(p)) fs.delete(aside, true)
   }
 
   /** One micro-batch of incremental corpus ingestion with CROSS-BATCH
@@ -568,8 +597,9 @@ object Streaming {
     * incoming documents can be span-rewritten against the CURRENT
     * corpus without ever re-deriving history's span table. */
   def spanIngestBatch(batch: DataFrame, batchId: Long,
-      spanDir: String): Unit = {
-    graft.operators.Dedup.spanRelation(batch)
+      spanDir: String,
+      window: Int = graft.operators.Dedup.substrWindow): Unit = {
+    graft.operators.Dedup.spanRelation(batch, window)
       .select(col("doc_id"), col("sid")).distinct()
       .groupBy(col("sid")).agg(count(lit(1)).as("n_docs"))
       .write.mode(SaveMode.Overwrite)

@@ -111,4 +111,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getString(3))).head
     assert(soloOut == ((0L, "m n o p m n o p")), soloOut.toString)
   }
+
+  test("exact-substring window parameter generalizes beyond the 4-token " +
+    "default (W=2 and W=5 pinned by hand)") {
+    import spark.implicits._
+    // W=2: the only cross-doc bigram is "a b". Coverage [i-1, i]:
+    // doc 1 (start 1) loses tokens 1-2, doc 2 (start 2) loses 2-3;
+    // doc 3 is shorter than the window and passes through. An
+    // implementation that silently kept the 4-token arithmetic would
+    // find NO duplicated span here (no shared 4-gram) and remove
+    // nothing — so these expectations fail loudly on regression.
+    val w2docs = Seq(
+      (1L, "a b c"),
+      (2L, "z a b"),
+      (3L, "c")).toDF("doc_id", "text")
+    val w2 = graft.operators.Dedup.substrDedup(w2docs, window = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(w2(1L) == ((3L, 2L, "c")), w2(1L).toString)
+    assert(w2(2L) == ((3L, 2L, "z")), w2(2L).toString)
+    assert(w2(3L) == ((1L, 0L, "c")), w2(3L).toString)
+    // W=5: shared span "a b c d e" (doc 1 start 1, doc 2 start 2);
+    // coverage [i-4, i] removes tokens 1-5 of doc 1 and 2-6 of doc 2.
+    // Under the DEFAULT W=4 this corpus shares "a b c d" AND
+    // "b c d e" and doc 2 would also lose token 1 — distinct output,
+    // so a parameter ignored in either direction is caught.
+    val w5docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "q a b c d e")).toDF("doc_id", "text")
+    val w5 = graft.operators.Dedup.substrDedup(w5docs, window = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(w5(1L) == ((7L, 5L, "f g")), w5(1L).toString)
+    assert(w5(2L) == ((6L, 5L, "q")), w5(2L).toString)
+  }
 }
