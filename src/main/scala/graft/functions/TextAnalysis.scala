@@ -99,11 +99,15 @@ object TextAnalysis {
   private val bpeO = "\u001e"
   private val bpeC = "\u001f"
 
-  /** DuckDB replay of q_text_bpe_train: the identical three merge
-    * rounds as generated CTEs (the k-means/PageRank oracle pattern).
-    * Round k: tokenize the previous encoding, count adjacent pairs,
-    * pick the (freq desc, a, b) argmax, apply it with replace(). */
-  private def bpeTrainOracle: String = {
+  /** The shared CTE prefix replaying q_text_bpe_train's merge rounds
+    * in DuckDB (the k-means/PageRank oracle pattern). Round k:
+    * tokenize the previous encoding, count adjacent pairs, pick the
+    * (freq desc, a, b) argmax, apply it with replace(). Ends at
+    * `w<bpeRounds>` (the trained word encodings) plus the per-round
+    * `r<k>` summary rows — q_text_bpe_train unions the latter,
+    * q_text_bpe_apply tokenizes the corpus against the former (DuckDB
+    * drops unused CTEs, so sharing the full prefix costs nothing). */
+  private def bpeCtePrefix: String = {
     val rounds = (1 to bpeRounds).map { k =>
       s"""t$k AS (SELECT w, c, enc,
         |  string_split(substr(enc, 2, length(enc) - 2), '$bpeC$bpeO') AS ts
@@ -127,16 +131,100 @@ object TextAnalysis {
         |      length(replace(enc, '$bpeO', '')))) AS BIGINT) AS vocab_toks
         |    FROM w$k) s)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to bpeRounds)
-      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
     s"""WITH wt AS (
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |wc AS (SELECT w, count(*) AS c FROM wt WHERE w <> '' GROUP BY 1),
       |w0 AS (SELECT w, c,
       |  regexp_replace(w, '(.)', '$bpeO\\1$bpeC', 'g') || '${bpeO}_$bpeC'
       |    AS enc FROM wc),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to bpeRounds)
+      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"""$bpeCtePrefix
       |$union""".stripMargin
+  }
+
+  /** DuckDB replay of q_text_bpe_apply: tokenize every word with the
+    * trained encoding (w<bpeRounds>), rank the post-merge vocabulary
+    * into ids by (corpus frequency desc, token), fingerprint each
+    * word's id sequence, and roll the fingerprints up per document. */
+  private def bpeApplyOracle: String =
+    s"""$bpeCtePrefix,
+      |tok AS (
+      |  SELECT w, c,
+      |    string_split(substr(enc, 2, length(enc) - 2), '$bpeC$bpeO') AS ts
+      |  FROM w$bpeRounds),
+      |vocab AS (
+      |  SELECT tokn, CAST(sum(c) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(ts) AS tokn, c FROM tok) v GROUP BY 1),
+      |vid AS (
+      |  SELECT tokn,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, tokn) AS BIGINT)
+      |      AS id
+      |  FROM vocab),
+      |wfp AS (
+      |  SELECT x.w, count(*) AS n_toks, CAST(sum(id) AS BIGINT) AS id_sum,
+      |    bit_xor(id) AS id_xor
+      |  FROM (SELECT w, unnest(ts) AS tokn FROM tok) x
+      |  JOIN vid USING (tokn) GROUP BY 1),
+      |dw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(id_sum) AS BIGINT) AS id_sum,
+      |  bit_xor(id_xor) AS id_xor
+      |FROM dw JOIN wfp USING (w)
+      |GROUP BY 1""".stripMargin
+
+  /** The shared Spark-side BPE training loop (Sennrich et al. 2016 —
+    * see q_text_bpe_train's header for the greedy-replace semantics
+    * and scale argument): corpus → word counts, then bpeRounds merge
+    * rounds, each a vocab-sized pair explode + deterministic 1-row
+    * argmax + broadcast replace, localCheckpointed per round. Returns
+    * the per-round (round, a, b, freq, vocab_toks) summary rows
+    * (q_text_bpe_train's output) AND the final (w, c, enc) word
+    * encoding (q_text_bpe_apply's tokenizer). */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val wc = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def nTok(e: Column): Column =
+      length(e) - length(replace(e, lit(bpeO), lit("")))
+    var cur = wc.select(col("w"), col("c"),
+        concat(regexp_replace(col("w"), "(.)", bpeO + "$1" + bpeC),
+          lit(bpeO + "_" + bpeC)).as("enc"))
+      .localCheckpoint()
+    val rounds = (1 to bpeRounds).map { k =>
+      val ts = split(col("enc").substr(lit(2), length(col("enc")) - 2),
+        java.util.regex.Pattern.quote(bpeC + bpeO))
+      val pairs = cur.select(col("c"), ts.as("ts"))
+        .select(col("c"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("a"),
+          element_at(col("ts"), col("i") + 1).as("b"), col("c"))
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("freq"))
+      // total order (freq, a, b) makes the 1-row argmax deterministic
+      val best = pairs.orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1)
+      cur = cur.crossJoin(broadcast(best))
+        .select(col("w"), col("c"),
+          replace(col("enc"),
+            concat(lit(bpeO), col("a"), lit(bpeC + bpeO), col("b"),
+              lit(bpeC)),
+            concat(lit(bpeO), col("a"), col("b"), lit(bpeC))).as("enc"))
+        .localCheckpoint()
+      val tot = cur.agg(sum(col("c") * nTok(col("enc")))
+        .as("vocab_toks"))
+      best.select(lit(k).as("round"), col("a"), col("b"), col("freq"))
+        .crossJoin(broadcast(tot))
+    }
+    (rounds, cur)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1084,41 +1172,55 @@ object TextAnalysis {
     // exactly like the k-means/PageRank loops. The oracle replays all
     // three rounds as generated CTEs.
     QueryDef("q_text_bpe_train", bpeTrainOracle) { (s, dir) =>
-      val wc = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
+      bpeTrain(s, dir)._1.reduce(_ unionByName _)
+    },
+
+    // ------------------------------------------------------------------
+    // BPE APPLY — the serving half of tokenization (r9 VERDICT task 4):
+    // encode the corpus with the merge list q_text_bpe_train produces,
+    // assign each post-merge vocabulary symbol an id by (corpus
+    // frequency desc, token) — the frequency-ranked id convention
+    // reference tokenizers ship — and emit per-document token counts
+    // plus order-free id fingerprints (count + sum + multiset-xor, the
+    // q_text_hashtf discipline: they pin the exact id multiset without
+    // materializing per-token rows in the output). Scale shape: the
+    // expensive work (train + tokenize + rank) runs entirely on the
+    // VOCAB-sized word table (Heaps-sublinear — the q_text_bpe
+    // argument; ids via chunkedRank, never a one-task window); the
+    // corpus pays ONE explode to word grain and ONE w-keyed equi-join
+    // against the per-word fingerprint table (unhinted: the word table
+    // is corpus-derived, so AQE must pick the strategy — the r9
+    // broadcast-boundedness rule). Σ n_tokens over documents equals
+    // the trainer's round-3 vocab_toks by construction — TextSpec
+    // asserts that reconciliation, tying serving to training.
+    QueryDef("q_text_bpe_apply", bpeApplyOracle) { (s, dir) =>
+      val enc = bpeTrain(s, dir)._2
+      val ts = split(col("enc").substr(lit(2), length(col("enc")) - 2),
+        java.util.regex.Pattern.quote(bpeC + bpeO))
+      val wordToks = enc.select(col("w"), col("c"), ts.as("ts"))
+      val vocab = wordToks
+        .select(explode(col("ts")).as("tokn"), col("c"))
+        .groupBy(col("tokn")).agg(sum(col("c")).as("freq"))
+      val vid = graft.operators.Analytics
+        .chunkedRank(vocab.withColumn("__all", lit("all"))
+          .withColumn("negfreq", -col("freq")), "__all", "negfreq",
+          Seq("tokn"))
+        .select(col("tokn"), (col("idx") + 1).cast("long").as("id"))
+      val wfp = wordToks
+        .select(col("w"), explode(col("ts")).as("tokn"))
+        .join(vid, "tokn")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("id")).as("id_sum"),
+          expr("bit_xor(id)").as("id_xor"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      def nTok(e: Column): Column =
-        length(e) - length(replace(e, lit(bpeO), lit("")))
-      var cur = wc.select(col("w"), col("c"),
-          concat(regexp_replace(col("w"), "(.)", bpeO + "$1" + bpeC),
-            lit(bpeO + "_" + bpeC)).as("enc"))
-        .localCheckpoint()
-      val rounds = (1 to bpeRounds).map { k =>
-        val ts = split(col("enc").substr(lit(2), length(col("enc")) - 2),
-          java.util.regex.Pattern.quote(bpeC + bpeO))
-        val pairs = cur.select(col("c"), ts.as("ts"))
-          .select(col("c"), col("ts"),
-            explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
-          .select(element_at(col("ts"), col("i")).as("a"),
-            element_at(col("ts"), col("i") + 1).as("b"), col("c"))
-          .groupBy(col("a"), col("b")).agg(sum(col("c")).as("freq"))
-        // total order (freq, a, b) makes the 1-row argmax deterministic
-        val best = pairs.orderBy(col("freq").desc, col("a"), col("b"))
-          .limit(1)
-        cur = cur.crossJoin(broadcast(best))
-          .select(col("w"), col("c"),
-            replace(col("enc"),
-              concat(lit(bpeO), col("a"), lit(bpeC + bpeO), col("b"),
-                lit(bpeC)),
-              concat(lit(bpeO), col("a"), col("b"), lit(bpeC))).as("enc"))
-          .localCheckpoint()
-        val tot = cur.agg(sum(col("c") * nTok(col("enc")))
-          .as("vocab_toks"))
-        best.select(lit(k).as("round"), col("a"), col("b"), col("freq"))
-          .crossJoin(broadcast(tot))
-      }
-      rounds.reduce(_ unionByName _)
+        .join(wfp, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("id_sum")).as("id_sum"),
+          expr("bit_xor(id_xor)").as("id_xor"))
     },
 
     // ------------------------------------------------------------------

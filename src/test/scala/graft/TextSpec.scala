@@ -102,4 +102,25 @@ class TextSpec extends SparkSpec {
           s" != sequential $vt — merge application diverged")
     }
   }
+
+  test("q_text_bpe_apply reconciles with training: corpus token total " +
+    "equals the trainer's final post-merge count") {
+    // the serving half must tokenize the corpus EXACTLY as the last
+    // training round left it — Σ per-doc n_tokens re-derives the
+    // trainer's round-3 vocab_toks through a completely different plan
+    // (per-word fingerprints + doc join vs the word-table length fold)
+    val applied = SparkEntry.queries("q_text_bpe_apply")(spark, sfDir)
+    val total = applied.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val trained = SparkEntry.queries("q_text_bpe_train")(spark, sfDir)
+      .orderBy(col("round").desc).select(col("vocab_toks"))
+      .collect()(0).getLong(0)
+    assert(total == trained,
+      s"applied token total $total != trained vocab_toks $trained")
+    // id fingerprints are consistent: every id_sum is at least n_tokens
+    // (ids are 1-based) and xor stays within the id range's bit span
+    applied.collect().foreach { r =>
+      assert(r.getAs[Long]("id_sum") >= r.getAs[Long]("n_tokens"),
+        s"doc ${r.get(0)}: id_sum below n_tokens — ids not 1-based?")
+    }
+  }
 }
