@@ -669,4 +669,115 @@ class MultimodalSpec extends SparkSpec {
       decodeJpegBaseline(badChroma))
     assert(e.getMessage.contains("chroma sampling"), e.getMessage)
   }
+
+  test("progressive JPEG decode equals baseline decode of the SAME " +
+    "coefficient blocks — dense AC, sparse EOB runs, refinement " +
+    "correction bits, ZRL, 4:2:0, restarts") {
+    import graft.operators.Multimodal.{decodeJpegBaseline,
+      decodeJpegProgressive, encodeJpegBaseline, encodeJpegProgressive,
+      jQChroma, jQLuma}
+    // both pipelines dequantize IDENTICAL coefficients, so their
+    // decoded planes must match bit-for-bit — including irrational AC
+    // reconstructions, which never cross an engine boundary here. The
+    // seeded generator mixes: all-zero-AC blocks (long EOB runs across
+    // blocks — EOBRUN > 1 and its bits(r) path), a >16-zero gap (ZRL
+    // with and without folding), |v| ≥ 4 (history coefficients taking
+    // refinement correction bits), |v| ∈ {1..3} (coefficients born in
+    // the first or the refinement pass), negative values (sign paths),
+    // and a hit at k=63 (no trailing EOB).
+    val shapes = Seq(
+      // (w, h, nComp, ri, sampling)
+      (8, 8, 1, 0, null),
+      (50, 27, 1, 0, null), // 7x4 block grid: EOB runs up to 28
+      (24, 21, 3, 2, null), // 4:4:4 with restarts every 2 MCUs
+      (35, 29, 3, 3, Array(0x22, 0x11, 0x11))) // 4:2:0 + restarts
+    for (((w, h, nc, ri, samp), si) <- shapes.zipWithIndex) {
+      val rnd = new scala.util.Random(0xBEEF + si)
+      val cache = scala.collection.mutable.Map
+        .empty[(Int, Int, Int), Array[Int]]
+      def coefs(c: Int, bx: Int, by: Int): Array[Int] =
+        cache.getOrElseUpdate((c, bx, by), {
+          val zz = new Array[Int](64)
+          zz(0) = rnd.nextInt(201) - 100
+          val mode = rnd.nextInt(4)
+          if (mode == 1) { // sparse: lone mid-band hit after a long gap
+            zz(20 + rnd.nextInt(4)) = rnd.nextInt(9) - 4
+            zz(63) = if (rnd.nextBoolean()) 1 else 0
+          } else if (mode == 2) { // dense low band + refinement fodder
+            for (k <- 1 to 10) zz(k) = rnd.nextInt(41) - 20
+            zz(40) = rnd.nextInt(7) - 3
+          } // mode 0, 3: all-zero AC — consecutive blocks build EOB runs
+          zz
+        }).clone()
+      val q = if (nc == 1) Array(jQLuma) else Array(jQLuma, jQChroma)
+      val base = decodeJpegBaseline(
+        encodeJpegBaseline(w, h, nc, ri, q, coefs,
+          sampling = samp.asInstanceOf[Array[Int]]))
+      val prog = decodeJpegProgressive(
+        encodeJpegProgressive(w, h, nc, ri, q, coefs,
+          sampling = samp.asInstanceOf[Array[Int]]))
+      assert((prog.w, prog.h, prog.nComp, prog.ri) ==
+        ((base.w, base.h, base.nComp, base.ri)), s"shape $si meta")
+      for (c <- 0 until nc)
+        assert(java.util.Arrays.equals(prog.planes(c), base.planes(c)),
+          s"shape $si component $c planes diverge")
+    }
+  }
+
+  test("progressive and baseline JPEG decoders reject each other's " +
+    "frames and name unsupported SOFn types") {
+    import graft.operators.Multimodal.{decodeJpegBaseline,
+      decodeJpegProgressive, jpegFixture, jpegFixtureProg}
+    val baseBytes = jpegFixture(5L)
+    val progBytes = jpegFixtureProg(5L)
+    // cross-feeding: each decoder names the other
+    val e1 = intercept[IllegalArgumentException](
+      decodeJpegBaseline(progBytes))
+    assert(e1.getMessage.contains("decodeJpegProgressive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      decodeJpegProgressive(baseBytes))
+    assert(e2.getMessage.contains("decodeJpegBaseline"), e2.getMessage)
+    // the REST of the SOFn family rejects BY NAME in both decoders
+    // (r9 ADVICE): patch the fixture's SOF0 marker to SOF3 (lossless)
+    def patchSof(bytes: Array[Byte], from: Int, to: Int): Array[Byte] = {
+      val out = bytes.clone()
+      var i = 2; var found = false
+      while (!found && i + 1 < out.length) {
+        if ((out(i) & 0xff) == 0xff && (out(i + 1) & 0xff) == from) {
+          out(i + 1) = to.toByte; found = true
+        }
+        i += 1
+      }
+      assert(found, f"marker 0xff$from%02x not found"); out
+    }
+    val lossless = patchSof(baseBytes, 0xc0, 0xc3)
+    val e3 = intercept[IllegalArgumentException](
+      decodeJpegBaseline(lossless))
+    assert(e3.getMessage.contains("SOF3"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      decodeJpegProgressive(lossless))
+    assert(e4.getMessage.contains("SOF3"), e4.getMessage)
+    val arith = patchSof(progBytes, 0xc2, 0xca)
+    val e5 = intercept[IllegalArgumentException](
+      decodeJpegProgressive(arith))
+    assert(e5.getMessage.contains("SOF10"), e5.getMessage)
+    // truncated mid-scan entropy data
+    val cut = java.util.Arrays.copyOfRange(progBytes, 0,
+      progBytes.length - 8)
+    intercept[IllegalArgumentException](decodeJpegProgressive(cut))
+    // resequenced restart marker inside a progressive scan
+    val withRst = jpegFixtureProg(6L) // 6%3=0 -> ri=2
+    var i = 2; var found = -1
+    while (found < 0 && i + 1 < withRst.length) {
+      if ((withRst(i) & 0xff) == 0xff && (withRst(i + 1) & 0xff) == 0xd0)
+        found = i
+      i += 1
+    }
+    assert(found > 0, "progressive fixture with ri=2 should carry RST0")
+    val reseq = withRst.clone(); reseq(found + 1) = 0xd4.toByte
+    val e6 = intercept[IllegalArgumentException](
+      decodeJpegProgressive(reseq))
+    assert(e6.getMessage.contains("RST") || e6.getMessage.contains("marker"),
+      e6.getMessage)
+  }
 }
