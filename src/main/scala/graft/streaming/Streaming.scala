@@ -606,12 +606,101 @@ object Streaming {
       .parquet(s"$spanDir/batch=$batchId")
   }
 
+  /** The span table's live part directories: the NEWEST compacted base
+    * (if any) plus every batch partial beyond it. Leftover source dirs
+    * from a crash mid-[[spanCompact]] (batches ≤ the base, older
+    * compact dirs) are INVISIBLE to readers rather than double-counted
+    * — the property that makes compaction idempotent. */
+  private def spanPartDirs(
+      spark: SparkSession, spanDir: String): Seq[String] = {
+    val (fs, root) = tableFs(spark, spanDir)
+    val st = fs.listStatus(root)
+    def ids(prefix: String) = st.toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.drop(prefix.length).toLong -> s.getPath)
+    val compacts = ids("compact=")
+    val base = compacts.sortBy(-_._1).headOption
+    val k = base.map(_._1).getOrElse(Long.MinValue)
+    (base.map(_._2).toSeq ++
+      ids("batch=").filter(_._1 > k).map(_._2)).map(_.toString)
+  }
+
   /** Read side of [[spanIngestBatch]]: the duplicated-span set (spans
     * in ≥2 distinct documents across every ingested batch). */
   def dupSpanTable(spark: SparkSession, spanDir: String): DataFrame =
-    spark.read.parquet(spanDir)
+    spark.read.parquet(spanPartDirs(spark, spanDir): _*)
       .groupBy(col("sid")).agg(sum(col("n_docs")).as("nd"))
       .filter(col("nd") >= 2).select(col("sid"))
+
+  /** COMPACTION for the incremental span table (r9 VERDICT task 8).
+    * Retention semantics are deliberately unchanged: a singleton span
+    * is NOT dropped — it can still become duplicated by a future
+    * document, so discarding it would silently under-count retroactive
+    * duplication (the exact trap the verdict flagged). What compaction
+    * buys is BOUNDS: the raw table grows one row per (batch, distinct
+    * span) forever; the compacted base is one row per distinct span —
+    * corpus-span-cardinality, independent of batch count — and the
+    * per-read fold shrinks to base + recent partials.
+    *
+    * Crash safety via the idempotent-directory pattern: fold the
+    * current base plus batch partials ≤ `upToBatch` into a hidden
+    * staging dir, RENAME it to `compact=<upToBatch>` (checked — the
+    * asideSwap rename discipline), and only then delete the folded
+    * sources. A crash at ANY point leaves a readable table:
+    * [[spanPartDirs]] reads the newest base plus newer batches only,
+    * so un-deleted sources are invisible, and re-running the
+    * compaction folds exactly the visible inputs again (sums are
+    * associative — bit-identical result). Single-writer contract, as
+    * for every non-transactional directory table here. */
+  def spanCompact(
+      spark: SparkSession, spanDir: String, upToBatch: Long): Unit = {
+    val (fs, root) = tableFs(spark, spanDir)
+    val live = spanPartDirs(spark, spanDir)
+    // a base newer than the requested horizon would be orphaned by the
+    // source deletes below while still being what readers prefer —
+    // compaction horizons must only move forward
+    live.map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter(_.startsWith("compact=")).map(_.drop(8).toLong)
+      .foreach(k => require(upToBatch >= k,
+        s"spanCompact: horizon $upToBatch behind existing base $k"))
+    val inputs = live.filter { p =>
+      val name = new org.apache.hadoop.fs.Path(p).getName
+      !name.startsWith("batch=") || name.drop(6).toLong <= upToBatch
+    }
+    if (inputs.nonEmpty) {
+      val staged = new org.apache.hadoop.fs.Path(spanDir, ".compact_staging")
+      val target = new org.apache.hadoop.fs.Path(spanDir,
+        s"compact=$upToBatch")
+      spark.read.parquet(inputs: _*)
+        .groupBy(col("sid")).agg(sum(col("n_docs")).as("n_docs"))
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      // a leftover target from a crashed identical run is safe to
+      // clear: its content is a pure fold of the same inputs
+      if (fs.exists(target) && !fs.delete(target, true))
+        throw new java.io.IOException(
+          s"spanCompact: could not clear stale $target")
+      renameOrThrow(fs, staged, target, "spanCompact(stage->base)")
+      // retire EVERYTHING the new base supersedes LAST — batch partials
+      // ≤ horizon and older bases, including already-invisible crash
+      // leftovers (correctness never depends on these deletes — readers
+      // ignore the dirs — but leaving them silently would hide the
+      // space win, so a false delete is loud). Strict `<` on compact
+      // ids keeps the just-written target out of its own delete list
+      // when a horizon is re-run.
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        val stale =
+          (name.startsWith("batch=") && name.drop(6).toLong <= upToBatch) ||
+            (name.startsWith("compact=") && name.drop(8).toLong < upToBatch)
+        if (stale && !fs.delete(s.getPath, true))
+          throw new java.io.IOException(
+            s"spanCompact: superseded ${s.getPath} not deleted")
+      }
+    }
+    // root-level listing junk (_SUCCESS markers from staged writes)
+    fs.delete(new org.apache.hadoop.fs.Path(spanDir, ".compact_staging"),
+      true)
+  }
 
   def dfIngestBatch(
       batch: DataFrame, batchId: Long, tableDir: String): Unit = {

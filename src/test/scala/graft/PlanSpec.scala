@@ -635,6 +635,8 @@ class PlanSpec extends SparkSpec {
       "q_text_lm_bigram", // crossJoin(broadcast(1-row distinct-bigram total))
       "q_knn_mips", // q_knn_brute's broadcast-query exact-baseline shape
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
+      "q_text_bpe_apply", // shares the trainer's per-round 1-row argmax
+                          // broadcasts; serving side adds only keyed joins
       "q_quantile_norm", // crossJoin(broadcast(1-row corpus total))
       "q_graph_boruvka", // crossJoin of three 1-row phase-summary aggregates
       "q_text_textrank", // constant-group chunkedRank bounds (global top-10)
@@ -832,6 +834,9 @@ class PlanSpec extends SparkSpec {
         "q_vocab_coverage",
         "q_text_pmi", "q_text_textrank", "q_rfm", "q_calibration",
         "q_quantile_norm", "q_basket_rules", "q_graph_kcore",
+        // bpe_apply's vocab-id rank: constant-group chunkedRank over
+        // the post-merge VOCABULARY (Heaps-sublinear, model-sized)
+        "q_text_bpe_apply",
         "q_search_hybrid"),
       // BPE's adjacent-pair table ≤ alphabet² rows
       "BPE pair table" -> Set("q_text_bpe"),

@@ -8,6 +8,28 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
+/** A local filesystem that FAILS renames into paths matching a suffix
+  * by returning FALSE — Hadoop `FileSystem.rename`'s real failure mode
+  * (S3A non-atomic directory renames, HDFS lease conflicts). Registered
+  * under the `graftfail:` scheme so upsertBatch's table-swap protocol
+  * can be driven through a rename failure at each swap step (the r9
+  * ADVICE data-loss scenario). Targeting by DESTINATION suffix leaves
+  * the parquet committer's own renames (into `.tmp/...`) untouched. */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfail"
+  override def getUri: java.net.URI = java.net.URI.create("graftfail:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val suffix = FlakyRenameFs.failDstSuffix.get()
+    if (suffix != null && dst.toString.endsWith(suffix)) false
+    else super.rename(src, dst)
+  }
+}
+object FlakyRenameFs {
+  val failDstSuffix =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+}
+
 /** Streaming semantics the batch oracle can't check: incremental file
   * discovery, watermark-driven late-data drop, stateful dedup —
   * exercised with MemoryStream / the real file source. */
@@ -1028,6 +1050,50 @@ class StreamingSpec extends SparkSpec {
     assert(!NF.exists(NP.get(table + ".old")), "stale .old not cleaned up")
   }
 
+  test("a FALSE FileSystem.rename aborts the table swap with every " +
+    "existing copy intact — no silent data loss (r9 ADVICE)") {
+    import spark.implicits._
+    import java.nio.file.{Files => NF, Paths => NP}
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfail.impl", classOf[FlakyRenameFs].getName)
+    val local = tmpDir("upsert_flaky") + "/t"
+    val table = "graftfail:" + local
+    def names: Set[Long] = spark.read.parquet(table)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    try {
+      Streaming.upsertBatch(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table, "id")
+      assert(names == Set(1L, 2L))
+      // failure at swap step 1 — old table CANNOT move aside: the
+      // swap must throw before touching the live table at all
+      FlakyRenameFs.failDstSuffix.set(".old")
+      val e1 = intercept[java.io.IOException](Streaming.upsertBatch(
+        Seq((3L, "c")).toDF("id", "name"), table, "id"))
+      assert(e1.getMessage.contains("rename"), e1.getMessage)
+      assert(names == Set(1L, 2L), "live table touched by aborted swap")
+      // failure at swap step 2 — new table cannot move in AFTER the
+      // old moved aside: the only surviving copy lives at .old and
+      // MUST NOT be deleted (the silent-data-loss mode: the pre-fix
+      // code fell through to fs.delete(aside) here)
+      FlakyRenameFs.failDstSuffix.set("/t")
+      val e2 = intercept[java.io.IOException](Streaming.upsertBatch(
+        Seq((3L, "c")).toDF("id", "name"), table, "id"))
+      assert(e2.getMessage.contains("rename"), e2.getMessage)
+      assert(!NF.exists(NP.get(local)), "table should be mid-swap absent")
+      assert(NF.exists(NP.get(local + ".old")),
+        "the surviving aside copy was deleted — data loss")
+      // recovery: the next delivery restores from .old and completes
+      FlakyRenameFs.failDstSuffix.set(null)
+      Streaming.upsertBatch(
+        Seq((3L, "c")).toDF("id", "name"), table, "id")
+      assert(names == Set(1L, 2L, 3L), "recovery lost pre-crash keys")
+      assert(!NF.exists(NP.get(local + ".old")), "stale .old left behind")
+    } finally {
+      FlakyRenameFs.failDstSuffix.set(null)
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftfail.impl")
+    }
+  }
+
   test("watermark drops late events from windowed aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1453,5 +1519,54 @@ class StreamingSpec extends SparkSpec {
       .join(graft.operators.Dedup.spanRelation(docs), Seq("sid"))
       .select(col("doc_id"), col("s")).distinct().count()
     assert(viaTable == viaBatch)
+  }
+
+  test("span-table compaction preserves the duplicated-span set exactly " +
+    "and leftover source dirs stay invisible (crash idempotence)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files => NF, Paths => NP}
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val table = tmpDir("span_compact")
+    (0 until 3).foreach { w =>
+      Streaming.spanIngestBatch(
+        docs.filter(col("doc_id") % 3 === w), w.toLong, table)
+    }
+    def snap: Set[Long] = Streaming.dupSpanTable(spark, table)
+      .collect().map(_.getLong(0)).toSet
+    val before = snap
+    assert(before.nonEmpty, "fixture corpus should contain dup spans")
+    // compact the first two waves into one base: read unchanged,
+    // sources gone, batch 2 still a live partial
+    Streaming.spanCompact(spark, table, upToBatch = 1L)
+    assert(snap == before, "compaction changed the duplicated-span set")
+    assert(NF.exists(NP.get(s"$table/compact=1")), "base missing")
+    assert(!NF.exists(NP.get(s"$table/batch=0")) &&
+      !NF.exists(NP.get(s"$table/batch=1")), "folded sources not retired")
+    assert(NF.exists(NP.get(s"$table/batch=2")), "live partial retired")
+    // crash simulation: a folded source left behind (delete never ran)
+    // must be INVISIBLE to readers, not double-counted — rebuild one
+    // by replaying wave 1 under its old batch id
+    Streaming.spanIngestBatch(
+      docs.filter(col("doc_id") % 3 === 1), 1L, table)
+    assert(snap == before,
+      "leftover pre-horizon batch dir was double-counted")
+    // re-running the same compaction folds the visible inputs again —
+    // idempotent, and it clears the leftover
+    Streaming.spanCompact(spark, table, upToBatch = 1L)
+    assert(snap == before)
+    assert(!NF.exists(NP.get(s"$table/batch=1")), "leftover not cleared")
+    // the horizon only moves forward
+    Streaming.spanIngestBatch(
+      docs.filter(col("doc_id") % 3 === 0), 3L, table)
+    Streaming.spanCompact(spark, table, upToBatch = 3L)
+    assert(NF.exists(NP.get(s"$table/compact=3")) &&
+      !NF.exists(NP.get(s"$table/compact=1")), "old base not retired")
+    intercept[IllegalArgumentException](
+      Streaming.spanCompact(spark, table, upToBatch = 2L))
+    // wave-0 docs ingested twice (batch 0 folded + batch 3) — the
+    // distinct-doc per-batch counts legitimately double for their
+    // spans, which can only ADD duplicated spans, never lose one
+    assert(before.subsetOf(snap), "compacted table lost duplicated spans")
   }
 }
