@@ -133,10 +133,11 @@ final case class DecodedOgg(
   * entropy decode, restarts, dequant, IDCT), joined in r10 by
   * PROGRESSIVE JPEG ([[decodeJpegProgressive]]: SOF2 multi-scan
   * spectral selection + successive approximation, EOB-run and
-  * correction-bit coding). Only formats whose decode genuinely needs
-  * a codec library (arithmetic-coded/lossless JPEG, video codecs)
-  * still route to [[decodeStub]], a clearly-marked deterministic
-  * fake.
+  * correction-bit coding) and LOSSLESS JPEG
+  * ([[decodeJpegLossless]]: SOF3 Annex H predictive coding — exact by
+  * definition). Only formats whose decode genuinely needs a codec
+  * library (arithmetic-coded JPEG profiles, video codecs) still route
+  * to [[decodeStub]], a clearly-marked deterministic fake.
   * The batch shape is identical for both: per-partition iterators
   * (`mapPartitions`, the Scala analogue of a Pandas-UDF batch) so a real
   * codec binding amortizes its init across the batch.
@@ -847,16 +848,19 @@ object Multimodal {
         case 0xc2 =>
           throw new IllegalArgumentException(
             "progressive JPEG: use decodeJpegProgressive")
-        // the REST of the SOFn family (extended sequential, lossless,
-        // arithmetic-coded — 0xc1, 0xc3, 0xc5-0xc7, 0xc9-0xcb,
-        // 0xcd-0xcf) must reject BY NAME, not fall through the
-        // length-skip arm into a misleading "SOS before SOF" (r9
+        case 0xc3 =>
+          throw new IllegalArgumentException(
+            "lossless JPEG: use decodeJpegLossless")
+        // the REST of the SOFn family (extended sequential,
+        // differential, arithmetic-coded — 0xc1, 0xc5-0xc7,
+        // 0xc9-0xcb, 0xcd-0xcf) must reject BY NAME, not fall through
+        // the length-skip arm into a misleading "SOS before SOF" (r9
         // ADVICE); 0xc4/0xc8/0xcc are DHT/JPG/DAC, not frame types
         case sof if sof >= 0xc1 && sof <= 0xcf &&
           sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
           throw new IllegalArgumentException(
             f"unsupported JPEG frame type SOF${sof - 0xc0}%d " +
-              f"(marker 0xff$sof%02x): extended-sequential/lossless/" +
+              f"(marker 0xff$sof%02x): extended-sequential/" +
               "arithmetic streams need the codec-library route")
         case 0xdd => ri = be16(i + 2); i += be16(i)
         case 0xda =>
@@ -1385,11 +1389,14 @@ object Multimodal {
         case 0xc0 =>
           throw new IllegalArgumentException(
             "baseline JPEG: use decodeJpegBaseline")
+        case 0xc3 =>
+          throw new IllegalArgumentException(
+            "lossless JPEG: use decodeJpegLossless")
         case sof if sof >= 0xc1 && sof <= 0xcf &&
           sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
           throw new IllegalArgumentException(
             f"unsupported JPEG frame type SOF${sof - 0xc0}%d " +
-              f"(marker 0xff$sof%02x): extended-sequential/lossless/" +
+              f"(marker 0xff$sof%02x): extended-sequential/" +
               "arithmetic streams need the codec-library route")
         case 0xdd => ri = be16(i + 2); i += be16(i)
         case 0xda =>
@@ -1651,6 +1658,244 @@ object Multimodal {
       }
     }
     DecodedJpeg(w, h, nComp, ri, planes)
+  }
+
+  /** T.81 Annex H lossless prediction: neighbors a (left), b (above),
+    * c (above-left); boundary rules H.1.1 — the very first sample
+    * predicts 2^(P−Pt−1), the rest of the first line predicts from a,
+    * each later line's first sample from b. Shared by the lossless
+    * encoder and decoder so the two sides cannot diverge. */
+  private def jPredict(a: Int, b: Int, c: Int, x: Int, y: Int,
+      psel: Int, p: Int, pt: Int): Int =
+    if (y == 0 && x == 0) 1 << (p - pt - 1)
+    else if (y == 0) a
+    else if (x == 0) b
+    else psel match {
+      case 1 => a
+      case 2 => b
+      case 3 => c
+      case 4 => a + b - c
+      case 5 => a + ((b - c) >> 1)
+      case 6 => b + ((a - c) >> 1)
+      case 7 => (a + b) >> 1
+      case _ => throw new IllegalArgumentException(s"predictor $psel")
+    }
+
+  /** LOSSLESS JPEG encoder (SOF3, T.81 Annex H): no DCT, no
+    * quantization — each sample's prediction residual (selected
+    * predictor 1-7 in the scan header's Ss field, optional point
+    * transform in Al) is Huffman-coded with the DC
+    * category+magnitude-bits machinery. 8-bit precision, 1×1
+    * sampling, interleaved raster MCU order (one sample per component
+    * per MCU). The profile medical/astronomy archives actually used
+    * before JPEG-LS. */
+  def encodeJpegLossless(w: Int, h: Int, nComp: Int, predictor: Int,
+      pix: (Int, Int, Int) => Int, pt: Int = 0): Array[Byte] = {
+    require(nComp == 1 || nComp == 3, s"nComp=$nComp")
+    require(predictor >= 1 && predictor <= 7, s"predictor=$predictor")
+    require(pt >= 0 && pt < 8, s"point transform $pt")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      b(0xff); b(marker); be16(payload.length + 2); out.write(payload)
+    }
+    b(0xff); b(0xd8)
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8); sof.write(h >> 8); sof.write(h & 0xff)
+    sof.write(w >> 8); sof.write(w & 0xff); sof.write(nComp)
+    for (c <- 0 until nComp) {
+      sof.write(c + 1); sof.write(0x11); sof.write(0) // Tq unused (H.1)
+    }
+    seg(0xc3, sof.toByteArray)
+    def dht(cls: Int, id: Int, spec: (Array[Int], Array[Int])): Unit =
+      seg(0xc4, Array[Byte](((cls << 4) | id).toByte) ++
+        spec._1.map(_.toByte) ++ spec._2.map(_.toByte))
+    dht(0, 0, jDcLumaSpec)
+    if (nComp > 1) dht(0, 1, jDcChromaSpec)
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(nComp)
+    for (c <- 0 until nComp) {
+      sos.write(c + 1); sos.write(if (c == 0) 0x00 else 0x10)
+    }
+    sos.write(predictor); sos.write(0); sos.write(pt)
+    seg(0xda, sos.toByteArray)
+    val dcC = jHuffCodes(jDcLumaSpec); val dcK = jHuffCodes(jDcChromaSpec)
+    def mag(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val wtr = new JBitW(out)
+    val prev = Array.ofDim[Int](nComp, w)
+    val cur = Array.ofDim[Int](nComp, w)
+    for (y <- 0 until h) {
+      for (x <- 0 until w; c <- 0 until nComp) {
+        val s = (pix(c, x, y) & 0xff) >> pt
+        val a = if (x > 0) cur(c)(x - 1) else 0
+        val bb = if (y > 0) prev(c)(x) else 0
+        val cc = if (x > 0 && y > 0) prev(c)(x - 1) else 0
+        val px = jPredict(a, bb, cc, x, y, predictor, 8, pt)
+        cur(c)(x) = s
+        val diff = s - px
+        val t = mag(diff)
+        val (cd, ln) = (if (c == 0) dcC else dcK)(t)
+        wtr.put(cd, ln)
+        if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      }
+      for (c <- 0 until nComp) Array.copy(cur(c), 0, prev(c), 0, w)
+    }
+    wtr.pad()
+    b(0xff); b(0xd9)
+    out.toByteArray
+  }
+
+  /** LOSSLESS JPEG decoder (SOF3) — predictive reconstruction per
+    * T.81 Annex H over the shared [[jPredict]] rules, residuals
+    * through the same canonical-Huffman/EXTEND machinery as the DC
+    * path, mod-2¹⁶ reconstruction, point-transform upscale on output.
+    * By definition EXACT: every decoded sample equals the encoder's
+    * input bit-for-bit, so the cross-engine oracle can pin ARBITRARY
+    * pixel content, not just the DCT fixtures' per-block constants.
+    * Scope: 8-bit precision, 1×1 sampling, single interleaved scan,
+    * no restarts (a DRI in a lossless stream rejects loudly — the
+    * spec's restart-reset rules for lossless are a codec-library
+    * corner this sandbox has no fixture source for). */
+  def decodeJpegLossless(bytes: Array[Byte]): DecodedJpeg = {
+    def u8(o: Int): Int = {
+      require(o >= 0 && o < bytes.length, s"truncated JPEG at $o")
+      bytes(o) & 0xff
+    }
+    def be16(o: Int): Int = u8(o) << 8 | u8(o + 1)
+    require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+      "not a JPEG")
+    val dcT = new Array[JHuffDec](4)
+    var w = -1; var h = -1; var nComp = 0; var prec = -1
+    var i = 2
+    var sosAt = -1
+    var scanDc: Array[Int] = null
+    var psel = -1; var pt = -1
+    while (sosAt < 0) {
+      require(i + 1 < bytes.length && u8(i) == 0xff, "marker expected")
+      while (i + 2 < bytes.length && u8(i + 1) == 0xff) i += 1
+      val m = u8(i + 1); i += 2
+      m match {
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case 0xc4 =>
+          val end = i + be16(i); var o = i + 2
+          while (o < end) {
+            val cls = u8(o) >> 4; val id = u8(o) & 0x0f
+            val bits = Array.tabulate(16)(k => u8(o + 1 + k))
+            val n = bits.sum
+            val vals = Array.tabulate(n)(k => u8(o + 17 + k))
+            if (cls == 0) dcT(id) = new JHuffDec(bits, vals)
+            o += 17 + n
+          }
+          i = end
+        case 0xc3 =>
+          prec = u8(i + 2)
+          require(prec == 8, s"only 8-bit lossless (precision $prec)")
+          h = be16(i + 3); w = be16(i + 5); nComp = u8(i + 7)
+          require(w > 0 && h > 0, s"bad dims ${w}x$h")
+          for (c <- 0 until nComp)
+            require(u8(i + 9 + 3 * c) == 0x11,
+              "lossless decoder supports 1x1 sampling only")
+          i += be16(i)
+        case 0xc0 | 0xc2 =>
+          throw new IllegalArgumentException(
+            "DCT JPEG: use decodeJpegBaseline/decodeJpegProgressive")
+        case sof if sof >= 0xc1 && sof <= 0xcf &&
+          sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG frame type SOF${sof - 0xc0}%d " +
+              f"(marker 0xff$sof%02x): extended-sequential/" +
+              "arithmetic streams need the codec-library route")
+        case 0xdd =>
+          throw new IllegalArgumentException(
+            "restart intervals in lossless JPEG: codec-library route")
+        case 0xda =>
+          require(nComp > 0, "SOS before SOF")
+          val ns = u8(i + 2)
+          require(ns == nComp, "lossless decoder expects one full scan")
+          scanDc = new Array[Int](ns)
+          for (c <- 0 until ns) scanDc(c) = u8(i + 4 + 2 * c) >> 4
+          psel = u8(i + 3 + 2 * ns)
+          pt = u8(i + 5 + 2 * ns) & 0x0f
+          require(psel >= 1 && psel <= 7, s"predictor $psel")
+          sosAt = i + be16(i)
+          i = sosAt
+        case _ if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+        case _ => i += be16(i)
+      }
+    }
+    var pos = sosAt
+    var acc = 0; var nb = 0
+    def bit(): Int = {
+      if (nb == 0) {
+        require(pos < bytes.length, "truncated entropy data")
+        val v = u8(pos); pos += 1
+        if (v == 0xff) {
+          require(pos < bytes.length, "truncated after FF")
+          val nxt = u8(pos)
+          require(nxt == 0x00,
+            f"marker 0xff$nxt%02x inside entropy-coded data")
+          pos += 1
+        }
+        acc = v; nb = 8
+      }
+      nb -= 1; (acc >> nb) & 1
+    }
+    def bits(n: Int): Int = { var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }; v }
+    def decodeSym(t: JHuffDec): Int = {
+      var code = bit(); var len = 1
+      while (!(t.maxCode(len) >= 0 && code <= t.maxCode(len))) {
+        require(len < 16, "invalid Huffman code")
+        code = (code << 1) | bit(); len += 1
+      }
+      t.vals(t.valPtr(len) + code - t.minCode(len))
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0
+      else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    val prev = Array.ofDim[Int](nComp, w)
+    val cur = Array.ofDim[Int](nComp, w)
+    val maxV = (1 << (8 - pt)) - 1
+    for (y <- 0 until h) {
+      for (x <- 0 until w; c <- 0 until nComp) {
+        val dct = dcT(scanDc(c))
+        require(dct != null, "missing Huffman table")
+        val t = decodeSym(dct)
+        // category 16 (16-bit profiles) carries no magnitude bits and
+        // means +32768 (H.1.2.2); unreachable at 8-bit but spec-true
+        val diff = if (t == 16) 32768 else extend(bits(t), t)
+        val a = if (x > 0) cur(c)(x - 1) else 0
+        val bb = if (y > 0) prev(c)(x) else 0
+        val cc = if (x > 0 && y > 0) prev(c)(x - 1) else 0
+        val px = jPredict(a, bb, cc, x, y, psel, 8, pt)
+        val v = (px + diff) & 0xffff // mod-2^16 reconstruction (H.1.2.1)
+        require(v <= maxV, s"reconstructed sample $v out of range at " +
+          s"($x,$y) c$c — corrupt stream or predictor mismatch")
+        cur(c)(x) = v
+        planes(c)(y * w + x) = v << pt
+      }
+      for (c <- 0 until nComp) Array.copy(cur(c), 0, prev(c), 0, w)
+    }
+    DecodedJpeg(w, h, nComp, 0, planes)
+  }
+
+  /** q_multimodal_jpeg_lossless's fixture: a real SOF3 stream whose
+    * pixels are an ARBITRARY deterministic function of
+    * (doc_id, c, x, y) — lossless decode owes back every bit, so no
+    * constant-block contract is needed and every one of the seven
+    * Annex H predictors (doc_id-selected) is exercised cross-engine:
+    * a predictor slip anywhere breaks the exact pixel statistics. */
+  def jpegFixtureLossless(id: Long): Array[Byte] = {
+    val w = (id % 5).toInt * 6 + 9
+    val h = (id % 4).toInt * 5 + 8
+    val nComp = if (id % 2 == 0) 1 else 3
+    val psel = (id % 7).toInt + 1
+    encodeJpegLossless(w, h, nComp, psel,
+      (c, x, y) => ((id * 13 + c * 29 + y * 7 + x * 3) % 256).toInt)
   }
 
   /** q_multimodal_jpeg_prog's fixture: a real PROGRESSIVE JPEG
@@ -2638,9 +2883,10 @@ object Multimodal {
   }
 
   /** STUB decode kernel — swap for a real codec binding in production.
-    * Remaining scope after r9/r10 (baseline + 4:2:0 + progressive JPEG
-    * decode are real): arithmetic-coded/lossless JPEG and true video
-    * codecs, the formats a pure-JVM sandbox genuinely cannot decode.
+    * Remaining scope after r9/r10 (baseline + 4:2:0 + progressive +
+    * LOSSLESS JPEG decode are all real): arithmetic-coded JPEG
+    * profiles and true video codecs, the formats a pure-JVM sandbox
+    * genuinely cannot decode.
     * Deterministic: "features" are simple byte statistics, "dimensions"
     * derive from the length. Runs per-partition so a real decoder could
     * amortize codec init across the batch exactly like a Pandas UDF. */
@@ -2990,6 +3236,85 @@ object Multimodal {
             d.nComp.toLong * d.w * d.h, sum, sumsq, wsum, mx, mn)
         }
       }.toDF("doc_id", "w", "h", "n_comp", "ri", "n_px",
+        "sum_px", "sumsq_px", "wsum_px", "max_px", "min_px")
+    },
+
+    // ------------------------------------------------------------------
+    // LOSSLESS JPEG decode (SOF3, T.81 Annex H) — the predictive
+    // profile with no DCT and no quantization, through
+    // [[decodeJpegLossless]]: per-sample prediction (all SEVEN Annex H
+    // predictors exercised, doc_id-selected), residuals through the
+    // canonical-Huffman/EXTEND machinery, mod-2^16 reconstruction.
+    // Because the codec owes back EVERY bit, the fixture needs no
+    // constant-block contract: pixels are an arbitrary deterministic
+    // function of (doc_id, c, x, y) and the oracle recomputes the
+    // exact integer statistics directly — the strongest cross-engine
+    // pixel check in the family (a predictor slip, boundary-rule
+    // error, or EXTEND sign bug anywhere shifts sums immediately).
+    // Same 100 TB shape as every codec kernel: per-row executor
+    // decode, zero shuffle, only (doc_id, 9 ints) rows move.
+    QueryDef(
+      "q_multimodal_jpeg_lossless",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id % 5) * 6 + 9 AS w,
+        |    (doc_id % 4) * 5 + 8 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nc
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, nc,
+        |    flatten(flatten(list_transform(range(nc), c ->
+        |      list_transform(range(h), y ->
+        |        list_transform(range(w), x -> struct_pack(
+        |          v := (doc_id * 13 + c * 29 + y * 7 + x * 3) % 256,
+        |          wt := x + 2 * y + 3 * c + 1)))))) AS cs
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |  CAST(nc AS INTEGER) AS n_comp,
+        |  CAST(nc * w * h AS BIGINT) AS n_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.v)) AS BIGINT)
+        |    AS sum_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.v * s.v)) AS BIGINT)
+        |    AS sumsq_px,
+        |  CAST(list_sum(list_transform(cs, s -> s.v * s.wt)) AS BIGINT)
+        |    AS wsum_px,
+        |  CAST(list_max(list_transform(cs, s -> s.v)) AS INTEGER)
+        |    AS max_px,
+        |  CAST(list_min(list_transform(cs, s -> s.v)) AS INTEGER)
+        |    AS min_px
+        |FROM px""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, jpegFixtureLossless(id)))
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = decodeJpegLossless(bytes)
+          var sum = 0L; var sumsq = 0L; var wsum = 0L
+          var mx = 0; var mn = 255
+          var c = 0
+          while (c < d.nComp) {
+            val pl = d.planes(c)
+            var y = 0
+            while (y < d.h) {
+              var x = 0
+              while (x < d.w) {
+                val v = pl(y * d.w + x)
+                sum += v; sumsq += v.toLong * v
+                wsum += v.toLong * (x + 2 * y + 3 * c + 1)
+                if (v > mx) mx = v
+                if (v < mn) mn = v
+                x += 1
+              }
+              y += 1
+            }
+            c += 1
+          }
+          (id, d.w, d.h, d.nComp, d.nComp.toLong * d.w * d.h,
+            sum, sumsq, wsum, mx, mn)
+        }
+      }.toDF("doc_id", "w", "h", "n_comp", "n_px",
         "sum_px", "sumsq_px", "wsum_px", "max_px", "min_px")
     },
 

@@ -750,13 +750,18 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(found, f"marker 0xff$from%02x not found"); out
     }
-    val lossless = patchSof(baseBytes, 0xc0, 0xc3)
+    val diffSeq = patchSof(baseBytes, 0xc0, 0xc5)
     val e3 = intercept[IllegalArgumentException](
-      decodeJpegBaseline(lossless))
-    assert(e3.getMessage.contains("SOF3"), e3.getMessage)
+      decodeJpegBaseline(diffSeq))
+    assert(e3.getMessage.contains("SOF5"), e3.getMessage)
     val e4 = intercept[IllegalArgumentException](
-      decodeJpegProgressive(lossless))
-    assert(e4.getMessage.contains("SOF3"), e4.getMessage)
+      decodeJpegProgressive(diffSeq))
+    assert(e4.getMessage.contains("SOF5"), e4.getMessage)
+    // SOF3 routes BY NAME to the lossless decoder
+    val toLossless = patchSof(baseBytes, 0xc0, 0xc3)
+    val e4b = intercept[IllegalArgumentException](
+      decodeJpegBaseline(toLossless))
+    assert(e4b.getMessage.contains("decodeJpegLossless"), e4b.getMessage)
     val arith = patchSof(progBytes, 0xc2, 0xca)
     val e5 = intercept[IllegalArgumentException](
       decodeJpegProgressive(arith))
@@ -779,5 +784,59 @@ class MultimodalSpec extends SparkSpec {
       decodeJpegProgressive(reseq))
     assert(e6.getMessage.contains("RST") || e6.getMessage.contains("marker"),
       e6.getMessage)
+  }
+
+  test("lossless JPEG round-trips every Annex H predictor exactly, " +
+    "honors the point transform, and rejects damage loudly") {
+    import graft.operators.Multimodal.{decodeJpegLossless,
+      encodeJpegLossless, jpegFixtureLossless}
+    // per-predictor exact round-trip on a seeded random image — a
+    // boundary-rule or EXTEND slip in any predictor path shows up as
+    // a pixel mismatch at a specific (x, y)
+    for (psel <- 1 to 7; nc <- Seq(1, 3)) {
+      val rnd = new scala.util.Random(911 * psel + nc)
+      val w = 13; val h = 9
+      val img = Array.tabulate(nc, h * w)((_, _) => rnd.nextInt(256))
+      val d = decodeJpegLossless(encodeJpegLossless(w, h, nc, psel,
+        (c, x, y) => img(c)(y * w + x)))
+      assert((d.w, d.h, d.nComp) == ((w, h, nc)))
+      for (c <- 0 until nc)
+        assert(java.util.Arrays.equals(d.planes(c), img(c)),
+          s"predictor $psel nc=$nc planes diverge")
+    }
+    // point transform Pt=1: samples code at 7 bits, reconstruction
+    // returns them upscaled — every decoded value is the input with
+    // its low bit cleared
+    val rnd = new scala.util.Random(77)
+    val img = Array.tabulate(11 * 7)(_ => rnd.nextInt(256))
+    val dp = decodeJpegLossless(encodeJpegLossless(11, 7, 1, 4,
+      (_, x, y) => img(y * 11 + x), pt = 1))
+    for (k <- img.indices)
+      assert(dp.planes(0)(k) == (img(k) >> 1) << 1, s"pt=1 at $k")
+    // damage: truncation mid-entropy
+    val good = jpegFixtureLossless(3L)
+    intercept[IllegalArgumentException](decodeJpegLossless(
+      java.util.Arrays.copyOfRange(good, 0, good.length - 5)))
+    // damage: a DRI segment in a lossless stream rejects loudly (the
+    // lossless restart-reset rules are out of scope by contract)
+    var sos = -1; var i = 2
+    while (sos < 0 && i + 1 < good.length) {
+      if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda) sos = i
+      i += 1
+    }
+    assert(sos > 0)
+    val withDri = new Array[Byte](good.length + 6)
+    System.arraycopy(good, 0, withDri, 0, sos)
+    Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x02).zipWithIndex
+      .foreach { case (v, k) => withDri(sos + k) = v.toByte }
+    System.arraycopy(good, sos, withDri, sos + 6, good.length - sos)
+    val e = intercept[IllegalArgumentException](
+      decodeJpegLossless(withDri))
+    assert(e.getMessage.contains("restart"), e.getMessage)
+    // cross-routing: a DCT frame fed to the lossless decoder names
+    // the right decoder
+    val e2 = intercept[IllegalArgumentException](
+      decodeJpegLossless(graft.operators.Multimodal.jpegFixture(4L)))
+    assert(e2.getMessage.contains("decodeJpegBaseline"), e2.getMessage)
   }
 }
