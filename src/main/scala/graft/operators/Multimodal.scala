@@ -703,8 +703,13 @@ object Multimodal {
   def encodeJpegBaseline(w: Int, h: Int, nComp: Int, restartInterval: Int,
       qTabs: Array[Array[Int]],
       coefs: (Int, Int, Int) => Array[Int],
-      sampling: Array[Int] = null): Array[Byte] = {
+      sampling: Array[Int] = null,
+      sofMarker: Int = 0xc0): Array[Byte] = {
     require(nComp == 1 || nComp == 3, s"nComp=$nComp")
+    // SOF1 (extended sequential, Huffman) at 8 bits is byte-compatible
+    // with baseline apart from the frame marker — the fixture rotates
+    // it in so the decoder's SOF1 route is exercised cross-engine
+    require(sofMarker == 0xc0 || sofMarker == 0xc1, f"SOF 0x$sofMarker%02x")
     val samp = if (sampling == null) Array.fill(nComp)(0x11) else sampling
     val sH = samp.map(_ >> 4); val sV = samp.map(_ & 0x0f)
     val hmax = sH.max; val vmax = sV.max
@@ -727,7 +732,7 @@ object Multimodal {
       sof.write(c + 1); sof.write(samp(c))
       sof.write(if (c == 0) 0 else math.min(1, qTabs.length - 1))
     }
-    seg(0xc0, sof.toByteArray)
+    seg(sofMarker, sof.toByteArray)
     def dht(cls: Int, id: Int, spec: (Array[Int], Array[Int])): Unit =
       seg(0xc4, Array[Byte](((cls << 4) | id).toByte) ++
         spec._1.map(_.toByte) ++ spec._2.map(_.toByte))
@@ -827,7 +832,12 @@ object Multimodal {
             o += 17 + n
           }
           i = end
-        case 0xc0 =>
+        // SOF1 (extended sequential, Huffman) differs from baseline
+        // only in the limits it lifts — 12-bit precision (rejected
+        // below, same as SOF0's 8-bit gate) and a 4-table budget the
+        // table arrays here already hold — so the 8-bit profile
+        // decodes on the exact SOF0 path
+        case 0xc0 | 0xc1 =>
           require(u8(i + 2) == 8, "only 8-bit precision")
           h = be16(i + 3); w = be16(i + 5); nComp = u8(i + 7)
           require(w > 0 && h > 0, s"bad dims ${w}x$h")
@@ -1032,7 +1042,12 @@ object Multimodal {
         val zz = new Array[Int](64)
         zz(0) = v - 128 // quantized DC: 8·(v−128)/Q00 = v−128 exactly
         zz
-      })
+      },
+      // every 7th stream carries the SOF1 (extended sequential)
+      // frame marker — same 8-bit payload, so the oracle's pixel
+      // algebra is untouched while the decoder's SOF1 route runs
+      // cross-engine
+      sofMarker = if (id % 7 == 0) 0xc1 else 0xc0)
   }
 
   /** q_multimodal_jpeg420's fixture: a 4:2:0 baseline JPEG (luma 2×2,
@@ -1386,9 +1401,9 @@ object Multimodal {
           coefs = Array.tabulate(nComp)(c =>
             new Array[Int](padW(c) * padH(c) * 64))
           i += be16(i)
-        case 0xc0 =>
+        case 0xc0 | 0xc1 =>
           throw new IllegalArgumentException(
-            "baseline JPEG: use decodeJpegBaseline")
+            "sequential JPEG: use decodeJpegBaseline")
         case 0xc3 =>
           throw new IllegalArgumentException(
             "lossless JPEG: use decodeJpegLossless")
@@ -1799,7 +1814,7 @@ object Multimodal {
             require(u8(i + 9 + 3 * c) == 0x11,
               "lossless decoder supports 1x1 sampling only")
           i += be16(i)
-        case 0xc0 | 0xc2 =>
+        case 0xc0 | 0xc1 | 0xc2 =>
           throw new IllegalArgumentException(
             "DCT JPEG: use decodeJpegBaseline/decodeJpegProgressive")
         case sof if sof >= 0xc1 && sof <= 0xcf &&
@@ -3072,7 +3087,10 @@ object Multimodal {
     // image-family stub route: each document becomes an actual T.81
     // byte stream (Annex K Huffman tables, byte-stuffed entropy data,
     // RSTn restarts on every third doc, grayscale / 4:4:4 alternating,
-    // non-multiple-of-8 dims exercising the partial-MCU crop), decoded
+    // SOF1 extended-sequential frame markers on every 7th doc (r10 —
+    // byte-compatible with baseline at 8 bits, decoded on the SOF0
+    // path), non-multiple-of-8 dims exercising the partial-MCU crop),
+    // decoded
     // through the full marker/Huffman/dequant/IDCT pipeline to pixel
     // planes, reduced to exact integer statistics. The fixture is
     // per-block constant with Q(0,0)=8, which makes the lossy pipeline
