@@ -989,6 +989,181 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // DSIR — Data Selection via Importance Resampling (Xie et al.,
+    // NeurIPS 2023): select raw documents whose hashed n-gram feature
+    // distribution looks like a TARGET corpus, the
+    // distribution-matching selection step modern pretraining
+    // pipelines run after the cheap quality gates. Target here is the
+    // lang='en' slice standing in for "high-quality reference"; the
+    // feature space is word bigrams hashed into 128 buckets (the
+    // paper's hashed n-grams, the q_text_hashtf routing trick). Per
+    // bucket, the smoothed log-likelihood ratio
+    //   λ_b = ln( ((ct+1)·(totr+B)) / ((tott+B)·(cr+1)) )
+    // lands as integer µnats via the one-ln-of-a-ratio spelling (all
+    // four operands exact integers, products forced through double
+    // identically in both engines), so each document's importance
+    // weight Σ c_db·λ_b is an exact BIGINT fold — order-free
+    // cross-engine. Selection is the paper's resampling made
+    // deterministic: top quarter per source by (weight desc, doc_id).
+    // Scale shape: the λ model is a 128-row broadcast (fixed modulus —
+    // domain-bounded at any SF); the corpus pays one bigram explode
+    // and one broadcast probe; ranking is per-source chunkedRank.
+    // Docs with <2 tokens have no features and are unscored (both
+    // engines drop them identically).
+    QueryDef(
+      "q_text_dsir",
+      s"""WITH d AS (
+        |  SELECT doc_id, source, lang, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, lang,
+        |    ${h32sql(
+             "w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]")}
+        |      % 128 AS bucket
+        |  FROM (SELECT doc_id, source, lang, w,
+        |        unnest(range(1, n)) AS i FROM d WHERE n >= 2) u),
+        |tb AS (
+        |  SELECT bucket,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS ct,
+        |    count(*) AS cr
+        |  FROM bg GROUP BY 1),
+        |tot AS (
+        |  SELECT count(CASE WHEN lang = 'en' THEN 1 END) AS tott,
+        |    count(*) AS totr
+        |  FROM bg),
+        |lam AS (
+        |  SELECT bucket,
+        |    CAST(floor(ln(((ct + 1) * 1e0 * (totr + 128)) /
+        |      ((tott + 128) * 1e0 * (cr + 1))) * 1000000e0 + 0.5)
+        |      AS BIGINT) AS lam
+        |  FROM tb, tot),
+        |wd AS (
+        |  SELECT bg.doc_id, bg.source, count(*) AS n_feat,
+        |    CAST(sum(lam) AS BIGINT) AS weight_unat
+        |  FROM bg JOIN lam USING (bucket)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, source, n_feat, weight_unat,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY weight_unat DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM wd)
+        |SELECT doc_id, source, n_feat, weight_unat,
+        |  rn - 1 < ns // 4 AS keep
+        |FROM r""".stripMargin) { (s, dir) =>
+      val ts = split(col("text"), " ")
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), ts.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"), col("lang"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          (h32(concat(element_at(col("w"), col("i")), lit(" "),
+            element_at(col("w"), col("i") + 1))) % 128).as("bucket"))
+      val tb = bg.groupBy(col("bucket")).agg(
+        count(when(col("lang") === "en", 1)).as("ct"),
+        count(lit(1)).as("cr"))
+      val tot = bg.agg(
+        count(when(col("lang") === "en", 1)).as("tott"),
+        count(lit(1)).as("totr"))
+      val lam = tb.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          floor(log(((col("ct") + 1) * lit(1e0) * (col("totr") + 128)) /
+            ((col("tott") + 128) * lit(1e0) * (col("cr") + 1)))
+            * lit(1e6) + lit(0.5)).cast("long").as("lam"))
+      val wd = bg.join(broadcast(lam), "bucket")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("lam")).as("weight_unat"))
+      val ranked = graft.operators.Analytics.chunkedRank(
+        wd.withColumn("negw", -col("weight_unat")),
+        "source", "negw", Seq("doc_id"))
+      val ns = wd.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      ranked.join(broadcast(ns), "source")
+        .select(col("doc_id"), col("source"), col("n_feat"),
+          col("weight_unat"), (col("idx") < expr("ns div 4")).as("keep"))
+    },
+
+    // ------------------------------------------------------------------
+    // CCNet perplexity buckets (Wenzek et al., LREC 2020): shard each
+    // language's documents into head/middle/tail TERCILES by LM
+    // perplexity — the sharding CommonCrawl pipelines publish and
+    // downstream mixers consume ("train on head+middle"). Per-doc
+    // surprisal is q_text_lmscore's exact integer-µnat mean under the
+    // corpus unigram LM; the tercile boundary is a pure RANK rule
+    // ((rn−1)·3 < k·n_lang), so bucket membership is exact-integer
+    // deterministic — no quantile interpolation can flip a document
+    // across engines. Output is the per-(lang, bucket) shard manifest:
+    // doc/char mass + exact surprisal extremes. Scale shape: one
+    // corpus explode + vocab-bounded LM broadcast (the lmscore
+    // argument), one doc-grained rollup, per-lang chunkedRank, then
+    // arithmetic on |langs|×3 rows.
+    QueryDef(
+      "q_text_ppl_buckets",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(ln(n.n * 1e0 / f.c) * 1000000e0 + 0.5) AS BIGINT)
+        |      AS s
+        |  FROM t JOIN f USING (tok) CROSS JOIN n),
+        |ds AS (
+        |  SELECT doc_id, CAST(sum(s) // count(*) AS BIGINT) AS ppl
+        |  FROM s GROUP BY 1),
+        |dl AS (
+        |  SELECT ds.doc_id, ds.ppl, d.lang, d.n_chars
+        |  FROM ds JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT lang, n_chars, ppl,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ppl, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nl
+        |  FROM dl)
+        |SELECT lang,
+        |  CASE WHEN (rn - 1) * 3 < nl THEN 'head'
+        |       WHEN (rn - 1) * 3 < 2 * nl THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(min(ppl) AS BIGINT) AS min_ppl,
+        |  CAST(max(ppl) AS BIGINT) AS max_ppl,
+        |  CAST(sum(ppl) AS BIGINT) AS sum_ppl
+        |FROM r GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val perDoc = toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("s",
+          floor(log(col("n") * lit(1e0) / col("c")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(s) div count(1)").as("ppl"))
+      val dl = perDoc.join(docs.select(col("doc_id"), col("lang"),
+        col("n_chars")), "doc_id")
+      val ranked = graft.operators.Analytics.chunkedRank(
+        dl, "lang", "ppl", Seq("doc_id"))
+      val nl = dl.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      ranked.join(broadcast(nl), "lang")
+        .withColumn("bucket",
+          when(col("idx") * 3 < col("nl"), "head")
+            .when(col("idx") * 3 < col("nl") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("ppl")).as("min_ppl"),
+          max(col("ppl")).as("max_ppl"),
+          sum(col("ppl")).as("sum_ppl"))
+    },
+
+    // ------------------------------------------------------------------
     // Domain-balancing quota, batch form: admit each source's documents
     // in doc_id order until the source's char budget is spent (soft cap:
     // the document that crosses the line is still admitted whole). One

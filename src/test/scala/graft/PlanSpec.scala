@@ -633,6 +633,8 @@ class PlanSpec extends SparkSpec {
       "q_dedup_lsh_sweep", // crossJoin(broadcast(1-row ground-truth count))
       "q_basket_rules", // crossJoin(broadcast(1-row basket count))
       "q_text_lm_bigram", // crossJoin(broadcast(1-row distinct-bigram total))
+      "q_text_dsir", // crossJoin(broadcast(1-row target/raw totals))
+      "q_text_ppl_buckets", // lmscore's 1-row corpus-total broadcast
       "q_knn_mips", // q_knn_brute's broadcast-query exact-baseline shape
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
       "q_text_bpe_apply", // shares the trainer's per-round 1-row argmax
@@ -748,6 +750,12 @@ class PlanSpec extends SparkSpec {
         "per-term document-frequency table — vocab-bounded (Heaps' law)",
       "q_text_lmscore" ->
         "per-token unigram LM table — vocab-bounded (Heaps' law)",
+      "q_text_dsir" ->
+        ("λ model grouped by hash%128 — fixed-modulus bucket key, 128 " +
+          "rows at every SF; per-source selection counts schema-bounded"),
+      "q_text_ppl_buckets" ->
+        ("lmscore's vocab-bounded unigram LM broadcast + per-lang doc " +
+          "counts — |langs| schema-bounded"),
       "q_text_nb" ->
         "per-(lang, token) NB model — |langs| x vocab, Heaps-bounded",
       "q_vocab_oov" ->
