@@ -227,6 +227,37 @@ object TextAnalysis {
     (rounds, cur)
   }
 
+  /** DSIR's hashed-bigram feature stream over a (doc_id, source,
+    * lang, text) relation: one row per bigram occurrence, bucket =
+    * h32(bigram) % 128. Shared by the q_text_dsir batch query and the
+    * streaming model ingest ([[graft.streaming.Streaming
+    * .dsirIngestBatch]]) so both hash identical features. */
+  private[graft] def dsirBuckets(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), col("source"), col("lang"), ts.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (h32(concat(element_at(col("w"), col("i")), lit(" "),
+          element_at(col("w"), col("i") + 1))) % 128).as("bucket"))
+  }
+
+  /** DSIR's λ model from a per-bucket (bucket, ct, cr) count table:
+    * totals derived by exact re-aggregation (so an incrementally
+    * folded count table yields the IDENTICAL model as the one-shot —
+    * the λ spelling is the single ln-of-exact-integer-ratio both
+    * engines and both maintenance paths share). */
+  private[graft] def dsirLambda(tb: DataFrame): DataFrame = {
+    val tot = tb.agg(sum(col("ct")).as("tott"), sum(col("cr")).as("totr"))
+    tb.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor(log(((col("ct") + 1) * lit(1e0) * (col("totr") + 128)) /
+          ((col("tott") + 128) * lit(1e0) * (col("cr") + 1)))
+          * lit(1e6) + lit(0.5)).cast("long").as("lam"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1052,26 +1083,10 @@ object TextAnalysis {
         |SELECT doc_id, source, n_feat, weight_unat,
         |  rn - 1 < ns // 4 AS keep
         |FROM r""".stripMargin) { (s, dir) =>
-      val ts = split(col("text"), " ")
-      val bg = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), ts.as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("source"), col("lang"), col("w"),
-          explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
-        .select(col("doc_id"), col("source"), col("lang"),
-          (h32(concat(element_at(col("w"), col("i")), lit(" "),
-            element_at(col("w"), col("i") + 1))) % 128).as("bucket"))
-      val tb = bg.groupBy(col("bucket")).agg(
+      val bg = dsirBuckets(t(s, dir, "documents"))
+      val lam = dsirLambda(bg.groupBy(col("bucket")).agg(
         count(when(col("lang") === "en", 1)).as("ct"),
-        count(lit(1)).as("cr"))
-      val tot = bg.agg(
-        count(when(col("lang") === "en", 1)).as("tott"),
-        count(lit(1)).as("totr"))
-      val lam = tb.crossJoin(broadcast(tot))
-        .select(col("bucket"),
-          floor(log(((col("ct") + 1) * lit(1e0) * (col("totr") + 128)) /
-            ((col("tott") + 128) * lit(1e0) * (col("cr") + 1)))
-            * lit(1e6) + lit(0.5)).cast("long").as("lam"))
+        count(lit(1)).as("cr")))
       val wd = bg.join(broadcast(lam), "bucket")
         .groupBy(col("doc_id"), col("source"))
         .agg(count(lit(1)).as("n_feat"), sum(col("lam")).as("weight_unat"))

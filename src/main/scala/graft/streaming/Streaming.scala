@@ -702,6 +702,33 @@ object Streaming {
       true)
   }
 
+  /** One micro-batch of DSIR MODEL maintenance (q_text_dsir's 100 TB
+    * incremental story): fold the batch's hashed-bigram bucket counts
+    * (target + raw) into a DETERMINISTIC `batch=<id>` partial — the
+    * sketch-table pattern. Counts are sum monoids, so batch
+    * boundaries, arrival order, and replay are invisible to the fold;
+    * [[dsirModelTable]] derives the λ model at read time through the
+    * SAME [[graft.functions.TextAnalysis.dsirLambda]] spelling the
+    * one-shot query uses, so incoming documents can be
+    * importance-scored against the CURRENT corpus without re-deriving
+    * history's features (StreamingSpec pins bit-equality with the
+    * one-shot model, replay included). */
+  def dsirIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String): Unit = {
+    graft.functions.TextAnalysis.dsirBuckets(batch)
+      .groupBy(col("bucket"))
+      .agg(count(when(col("lang") === "en", 1)).as("ct"),
+        count(lit(1)).as("cr"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+  }
+
+  /** Read side of [[dsirIngestBatch]]: fold the partials, derive λ. */
+  def dsirModelTable(spark: SparkSession, tableDir: String): DataFrame =
+    graft.functions.TextAnalysis.dsirLambda(
+      spark.read.parquet(tableDir)
+        .groupBy(col("bucket"))
+        .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr")))
+
   def dfIngestBatch(
       batch: DataFrame, batchId: Long, tableDir: String): Unit = {
     val toks = batch

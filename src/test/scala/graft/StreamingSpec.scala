@@ -387,6 +387,37 @@ class StreamingSpec extends SparkSpec {
     assert(snap == expected, "replay must be idempotent")
   }
 
+  test("incremental DSIR model folds to the one-shot lambda table " +
+    "bit-for-bit, replay included") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("dsir_model")
+    val docs = Tables(spark, sfDir, "documents")
+    (0 until 3).foreach { w =>
+      Streaming.dsirIngestBatch(
+        docs.filter(col("doc_id") % 3 === w), w.toLong, table)
+    }
+    def snap: Map[Long, Long] =
+      Streaming.dsirModelTable(spark, table).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-shot model over the union corpus through the SAME shared
+    // builders the batch query uses — λ must match to the micronat
+    val expected = graft.functions.TextAnalysis.dsirLambda(
+      graft.functions.TextAnalysis.dsirBuckets(docs)
+        .groupBy(col("bucket"))
+        .agg(count(when(col("lang") === "en", 1)).as("ct"),
+          count(lit(1)).as("cr")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty && expected.size > 100,
+      s"fixture corpus should populate most buckets (${expected.size})")
+    val s1 = snap
+    assert(s1 == expected,
+      "folded DSIR model must equal the one-shot lambda table")
+    // replay a wave under its own batch id: idempotent overwrite
+    Streaming.dsirIngestBatch(
+      docs.filter(col("doc_id") % 3 === 1), 1L, table)
+    assert(snap == expected, "replay must be idempotent")
+  }
+
   test("incremental weighted sample folds to the one-shot batch sample, " +
     "replay and arrival order included") {
     import org.apache.spark.sql.functions._
