@@ -2456,6 +2456,141 @@ object Behavior {
           countDistinct(col("tok_c")).as("n_tok"),
           sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
             .as("price_c"))
+    },
+
+    // ------------------------------------------------------------------
+    // Kaplan–Meier survival (Kaplan & Meier, JASA 1958) — session
+    // LIFETIME curves per entry event type. Subjects are SESSIONS
+    // (6-hour inactivity gap over the user-keyed event stream — the
+    // sessionization the streaming timer sessionizer runs live),
+    // lifetime is the session's span in whole minutes, and
+    // right-censoring is done honestly: a session whose last event is
+    // within the gap of the corpus horizon may still be OPEN — it's
+    // censored at its observed lifetime, not counted dead (the mistake
+    // naive duration histograms make). Per (cohort, lifetime-minute):
+    // d (completed), c (censored), risk set n_t = cohort total −
+    // prefix, and the product-limit estimator carried in LOG space as
+    // integer µnats — each factor ln((n−d)/n) is one ln of an
+    // exact-integer ratio spelled identically cross-engine, so the
+    // cumulative survival is an exact BIGINT prefix sum and no product
+    // fold order exists to disagree on. If a cohort goes EXTINCT
+    // (n = d), survival is NULL from that row on (ln 0 — the estimator
+    // is undefined beyond, flagged via a prefix-max rather than
+    // crashing). Scale shape: sessionization is two windows + one
+    // aggregate sharing ONE hash(user_id) shuffle; all curve
+    // arithmetic runs on the cohort × duration table (bounded by the
+    // session-duration domain, ≪ corpus); the horizon is a 1-row
+    // broadcast.
+    QueryDef(
+      "q_churn_km",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |sid AS (
+        |  SELECT user_id, ts, event_type, event_id, us,
+        |    sum(CASE WHEN prev_us IS NULL
+        |             OR us - prev_us > 21600000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |fs AS (
+        |  SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM sid),
+        |sess AS (
+        |  SELECT s.user_id, s.sid, f.event_type AS cohort,
+        |    min(s.us) AS first_us, max(s.us) AS last_us
+        |  FROM sid s
+        |  JOIN (SELECT user_id, sid, event_type FROM fs WHERE rn = 1) f
+        |    USING (user_id, sid)
+        |  GROUP BY 1, 2, 3),
+        |h AS (SELECT max(epoch_us(ts)) AS hus FROM events),
+        |lu AS (
+        |  SELECT cohort, (last_us - first_us) // 60000000 AS lt,
+        |    CASE WHEN last_us <= hus - 21600000000 THEN 1 ELSE 0 END
+        |      AS dead
+        |  FROM sess, h),
+        |g AS (
+        |  SELECT cohort, lt, CAST(sum(dead) AS BIGINT) AS d,
+        |    CAST(count(*) - sum(dead) AS BIGINT) AS c
+        |  FROM lu GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort, lt, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort) -
+        |      coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY lt
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n
+        |  FROM g),
+        |s AS (
+        |  SELECT cohort, lt, d, c, n,
+        |    CASE WHEN n > d THEN
+        |      CAST(floor(ln((n - d) * 1e0 / n) * 1000000e0 + 0.5)
+        |        AS BIGINT) END AS term,
+        |    max(CASE WHEN n = d THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY cohort ORDER BY lt
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS extinct
+        |  FROM w)
+        |SELECT cohort, CAST(lt AS BIGINT) AS lifetime_days,
+        |  d AS churned, c AS censored, n AS at_risk,
+        |  CASE WHEN extinct = 0 THEN
+        |    CAST(sum(term) OVER (PARTITION BY cohort ORDER BY lt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) END AS surv_unat
+        |FROM s""".stripMargin) { (s, dir) =>
+      val gapUs = 21600000000L // 6 hours
+      val wUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sid = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(wUser))
+        .withColumn("sid",
+          sum(when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+            .over(wUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+      val wSess = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts"), col("event_id"))
+      val first = sid
+        .withColumn("rn", row_number().over(wSess))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("sid"),
+          col("event_type").as("cohort"))
+      val sess = sid.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        .join(first, Seq("user_id", "sid"))
+      val h = t(s, dir, "events")
+        .agg(max(unix_micros(col("ts"))).as("hus"))
+      val lu = sess.crossJoin(broadcast(h))
+        .select(col("cohort"),
+          expr("(last_us - first_us) div 60000000").as("lt"),
+          when(col("last_us") <= col("hus") - gapUs, 1)
+            .otherwise(0).as("dead"))
+      val g = lu.groupBy(col("cohort"), col("lt"))
+        .agg(sum(col("dead")).as("d"),
+          (count(lit(1)) - sum(col("dead"))).as("c"))
+      val wTot = Window.partitionBy(col("cohort"))
+      val wPre = Window.partitionBy(col("cohort")).orderBy(col("lt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("cohort")).orderBy(col("lt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("n",
+          sum(col("d") + col("c")).over(wTot) -
+            coalesce(sum(col("d") + col("c")).over(wPre), lit(0L)))
+        .withColumn("term", when(col("n") > col("d"),
+          floor(log((col("n") - col("d")) * lit(1e0) / col("n"))
+            * lit(1e6) + lit(0.5)).cast("long")))
+        .withColumn("extinct",
+          max(when(col("n") === col("d"), 1).otherwise(0)).over(wCum))
+        .select(col("cohort"), col("lt").as("lifetime_days"),
+          col("d").as("churned"), col("c").as("censored"),
+          col("n").as("at_risk"),
+          when(col("extinct") === 0,
+            sum(col("term")).over(wCum).cast("long")).as("surv_unat"))
     }
   )
 }

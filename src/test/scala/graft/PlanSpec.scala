@@ -648,7 +648,8 @@ class PlanSpec extends SparkSpec {
       "q_drift_jsd", // pairs x vocabulary grid: bounded crossJoin(broadcast(vocab))
       "q_mix_waterfill", // 1-row budget/level broadcasts over the source table
       "q_graph_hits", // per-half-step crossJoin(broadcast(1-row max)) normalizers
-      "q_ts_backtest") // crossJoin(broadcast(1-row backtest horizon))
+      "q_ts_backtest", // crossJoin(broadcast(1-row backtest horizon))
+      "q_churn_km") // crossJoin(broadcast(1-row corpus horizon))
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
