@@ -50,6 +50,79 @@ object Behavior {
       |n$k AS (SELECT sum(pr) AS sp, count(*) AS kk FROM r$k),
       |p$k AS (SELECT r.i, r.pr * n$k.kk / n$k.sp AS p FROM r$k r, n$k)""".stripMargin
 
+  /** Shared sessionized-lifetime derivation for the survival family
+    * (q_churn_km, q_churn_logrank): 6-hour-gap sessions over the
+    * user-keyed event stream, lifetime in whole minutes, honest
+    * right-censoring at the corpus horizon. The CTE prefix ends at
+    * `lu(cohort, lt, dead)`; [[sessionLifetimes]] is the identical
+    * Spark derivation. */
+  private val kmSessionCte: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type, event_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |sid AS (
+      |  SELECT user_id, ts, event_type, event_id, us,
+      |    sum(CASE WHEN prev_us IS NULL
+      |             OR us - prev_us > 21600000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e),
+      |fs AS (
+      |  SELECT user_id, sid, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sid
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM sid),
+      |sess AS (
+      |  SELECT s.user_id, s.sid, f.event_type AS cohort,
+      |    min(s.us) AS first_us, max(s.us) AS last_us
+      |  FROM sid s
+      |  JOIN (SELECT user_id, sid, event_type FROM fs WHERE rn = 1) f
+      |    USING (user_id, sid)
+      |  GROUP BY 1, 2, 3),
+      |h AS (SELECT max(epoch_us(ts)) AS hus FROM events),
+      |lu AS (
+      |  SELECT cohort, (last_us - first_us) // 60000000 AS lt,
+      |    CASE WHEN last_us <= hus - 21600000000 THEN 1 ELSE 0 END
+      |      AS dead
+      |  FROM sess, h)""".stripMargin
+
+  /** Spark twin of [[kmSessionCte]]: (cohort, lt, dead) per session.
+    * Sessionization shares ONE hash(user_id) shuffle across the lag,
+    * the running session counter, the first-event rank, and the
+    * session aggregate; the horizon is a 1-row broadcast. */
+  private def sessionLifetimes(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 21600000000L // 6 hours
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sid = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wUser))
+      .withColumn("sid",
+        sum(when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+          .over(wUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val first = sid
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("sid"), col("event_type").as("cohort"))
+    val sess = sid.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .join(first, Seq("user_id", "sid"))
+    val h = t(s, dir, "events")
+      .agg(max(unix_micros(col("ts"))).as("hus"))
+    sess.crossJoin(broadcast(h))
+      .select(col("cohort"),
+        expr("(last_us - first_us) div 60000000").as("lt"),
+        when(col("last_us") <= col("hus") - gapUs, 1)
+          .otherwise(0).as("dead"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -2483,36 +2556,7 @@ object Behavior {
     // broadcast.
     QueryDef(
       "q_churn_km",
-      """WITH e AS (
-        |  SELECT user_id, ts, event_type, event_id, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_us
-        |  FROM events),
-        |sid AS (
-        |  SELECT user_id, ts, event_type, event_id, us,
-        |    sum(CASE WHEN prev_us IS NULL
-        |             OR us - prev_us > 21600000000 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM e),
-        |fs AS (
-        |  SELECT user_id, sid, event_type,
-        |    row_number() OVER (PARTITION BY user_id, sid
-        |      ORDER BY ts, event_id) AS rn
-        |  FROM sid),
-        |sess AS (
-        |  SELECT s.user_id, s.sid, f.event_type AS cohort,
-        |    min(s.us) AS first_us, max(s.us) AS last_us
-        |  FROM sid s
-        |  JOIN (SELECT user_id, sid, event_type FROM fs WHERE rn = 1) f
-        |    USING (user_id, sid)
-        |  GROUP BY 1, 2, 3),
-        |h AS (SELECT max(epoch_us(ts)) AS hus FROM events),
-        |lu AS (
-        |  SELECT cohort, (last_us - first_us) // 60000000 AS lt,
-        |    CASE WHEN last_us <= hus - 21600000000 THEN 1 ELSE 0 END
-        |      AS dead
-        |  FROM sess, h),
+      s"""$kmSessionCte,
         |g AS (
         |  SELECT cohort, lt, CAST(sum(dead) AS BIGINT) AS d,
         |    CAST(count(*) - sum(dead) AS BIGINT) AS c
@@ -2541,35 +2585,7 @@ object Behavior {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS BIGINT) END AS surv_unat
         |FROM s""".stripMargin) { (s, dir) =>
-      val gapUs = 21600000000L // 6 hours
-      val wUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val sid = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_type"),
-          col("event_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("prev_us", lag(col("us"), 1).over(wUser))
-        .withColumn("sid",
-          sum(when(col("prev_us").isNull ||
-            col("us") - col("prev_us") > gapUs, 1).otherwise(0))
-            .over(wUser.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)))
-      val wSess = Window.partitionBy(col("user_id"), col("sid"))
-        .orderBy(col("ts"), col("event_id"))
-      val first = sid
-        .withColumn("rn", row_number().over(wSess))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("sid"),
-          col("event_type").as("cohort"))
-      val sess = sid.groupBy(col("user_id"), col("sid"))
-        .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
-        .join(first, Seq("user_id", "sid"))
-      val h = t(s, dir, "events")
-        .agg(max(unix_micros(col("ts"))).as("hus"))
-      val lu = sess.crossJoin(broadcast(h))
-        .select(col("cohort"),
-          expr("(last_us - first_us) div 60000000").as("lt"),
-          when(col("last_us") <= col("hus") - gapUs, 1)
-            .otherwise(0).as("dead"))
+      val lu = sessionLifetimes(s, dir)
       val g = lu.groupBy(col("cohort"), col("lt"))
         .agg(sum(col("dead")).as("d"),
           (count(lit(1)) - sum(col("dead"))).as("c"))
@@ -2591,6 +2607,97 @@ object Behavior {
           col("n").as("at_risk"),
           when(col("extinct") === 0,
             sum(col("term")).over(wCum).cast("long")).as("surv_unat"))
+    },
+
+    // ------------------------------------------------------------------
+    // Log-rank test (Mantel 1966) — q_churn_km's inferential
+    // companion: ARE the 'click' and 'view' entry cohorts' session
+    // survival curves different, or is the gap chance? At each death
+    // time, observed group-A deaths vs the hypergeometric expectation
+    // d·nA/n and variance d·(nA/n)·(nB/n)·(n−d)/(n−1); the statistic
+    // (ΣO − ΣE)²/ΣV is χ²(1) under H0. Exactness discipline: O is an
+    // exact BIGINT; each E and V term is one fixed double op sequence
+    // over exact integers floored to µ-units, so ΣE/ΣV cross the
+    // engine boundary as exact BIGINT sums and the final χ² is a
+    // single identical double expression over three BIGINTs,
+    // Num-rounded. Risk sets come from suffix sums over the MERGED
+    // death-time table — session-duration-domain bounded, so its
+    // unpartitioned window is a bounded sort, not a corpus
+    // serialization point.
+    QueryDef(
+      "q_churn_logrank",
+      s"""$kmSessionCte,
+        |ab AS (
+        |  SELECT CASE WHEN cohort = 'click' THEN 0 ELSE 1 END AS grp,
+        |    lt, dead
+        |  FROM lu WHERE cohort IN ('click', 'view')),
+        |g AS (
+        |  SELECT lt,
+        |    CAST(sum(CASE WHEN grp = 0 THEN dead ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 - dead ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN grp = 1 THEN dead ELSE 0 END) AS BIGINT)
+        |      AS db,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 - dead ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM ab GROUP BY 1),
+        |w AS (
+        |  SELECT lt, da, db,
+        |    CAST(sum(da + ca) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS na,
+        |    CAST(sum(db + cb) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS nb
+        |  FROM g),
+        |terms AS (
+        |  SELECT da, na, nb, da + db AS d, na + nb AS n
+        |  FROM w WHERE da + db > 0),
+        |agg AS (
+        |  SELECT CAST(sum(da) AS BIGINT) AS o1,
+        |    CAST(sum(CAST(floor(d * 1e0 * na / n * 1000000e0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS e1_micro,
+        |    CAST(sum(CAST(floor((d * 1e0 * na / n) * (nb * 1e0 / n) *
+        |      CASE WHEN n > 1 THEN (n - d) * 1e0 / (n - 1) ELSE 0e0 END
+        |      * 1000000e0 + 0.5) AS BIGINT)) AS BIGINT) AS v_micro
+        |  FROM terms)
+        |SELECT o1, e1_micro, v_micro,
+        |  ${Num.sql("(o1 * 1000000e0 - e1_micro) * " +
+             "(o1 * 1000000e0 - e1_micro) / (v_micro * 1000000e0)", 4)}
+        |    AS chi2
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val lu = sessionLifetimes(s, dir)
+      val ab = lu.filter(col("cohort").isin("click", "view"))
+        .select(when(col("cohort") === "click", 0).otherwise(1).as("grp"),
+          col("lt"), col("dead"))
+      val g = ab.groupBy(col("lt")).agg(
+        sum(when(col("grp") === 0, col("dead")).otherwise(0)).as("da"),
+        sum(when(col("grp") === 0, lit(1) - col("dead")).otherwise(0))
+          .as("ca"),
+        sum(when(col("grp") === 1, col("dead")).otherwise(0)).as("db"),
+        sum(when(col("grp") === 1, lit(1) - col("dead")).otherwise(0))
+          .as("cb"))
+      val wSuf = Window.orderBy(col("lt"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val terms = g.select(col("lt"), col("da"), col("db"),
+          sum(col("da") + col("ca")).over(wSuf).as("na"),
+          sum(col("db") + col("cb")).over(wSuf).as("nb"))
+        .withColumn("d", col("da") + col("db"))
+        .withColumn("n", col("na") + col("nb"))
+        .filter(col("d") > 0)
+      terms.agg(
+          sum(col("da")).as("o1"),
+          sum(floor(col("d") * lit(1e0) * col("na") / col("n")
+            * lit(1e6) + lit(0.5)).cast("long")).as("e1_micro"),
+          sum(floor((col("d") * lit(1e0) * col("na") / col("n")) *
+            (col("nb") * lit(1e0) / col("n")) *
+            when(col("n") > 1,
+              (col("n") - col("d")) * lit(1e0) / (col("n") - 1))
+              .otherwise(lit(0e0)) *
+            lit(1e6) + lit(0.5)).cast("long")).as("v_micro"))
+        .select(col("o1"), col("e1_micro"), col("v_micro"),
+          Num.r((col("o1") * lit(1e6) - col("e1_micro")) *
+            (col("o1") * lit(1e6) - col("e1_micro")) /
+            (col("v_micro") * lit(1e6)), 4).as("chi2"))
     }
   )
 }

@@ -649,7 +649,8 @@ class PlanSpec extends SparkSpec {
       "q_mix_waterfill", // 1-row budget/level broadcasts over the source table
       "q_graph_hits", // per-half-step crossJoin(broadcast(1-row max)) normalizers
       "q_ts_backtest", // crossJoin(broadcast(1-row backtest horizon))
-      "q_churn_km") // crossJoin(broadcast(1-row corpus horizon))
+      "q_churn_km", // crossJoin(broadcast(1-row corpus horizon))
+      "q_churn_logrank") // same 1-row horizon broadcast via sessionLifetimes
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
@@ -859,7 +860,11 @@ class PlanSpec extends SparkSpec {
       "skyline frontier" -> Set("q_skyline"),
       // theta2's cross-chunk prefix runs over the DENSE ≤ parts-row
       // chunk spine (the chunkedRank offsets argument, sums not ranks)
-      "theta2 chunk prefix" -> Set("q_join_theta2"))
+      "theta2 chunk prefix" -> Set("q_join_theta2"),
+      // log-rank risk-set suffix sums run over the MERGED death-time
+      // table — bounded by the session-duration domain (minutes of
+      // the longest session), far sublinear in the corpus
+      "logrank death-time table" -> Set("q_churn_logrank"))
     val allow: Set[String] = bounded.values.flatten.toSet
     def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = {
