@@ -2698,6 +2698,159 @@ object Behavior {
           Num.r((col("o1") * lit(1e6) - col("e1_micro")) *
             (col("o1") * lit(1e6) - col("e1_micro")) /
             (col("v_micro") * lit(1e6)), 4).as("chi2"))
+    },
+
+    // ------------------------------------------------------------------
+    // CDC CHANGELOG APPLY — the lakehouse MERGE every CDC sink runs:
+    // a base snapshot full-outer-merged with a changelog batch under
+    // latest-wins-by-sequence semantics (Debezium → Delta/Hudi/Iceberg
+    // upsert). The event stream is split at its temporal midpoint into
+    // snapshot half and changelog half (the midpoint is a 1-row global
+    // min/max aggregate, broadcast — the allowlisted bounded pattern);
+    // 'purchase' ops are tombstones (D), everything else upserts (U).
+    // Each half collapses to latest-per-key with ONE user_id-partitioned
+    // window (row_number over (ts, event_id) DESC — event_id breaks ts
+    // ties deterministically, the q_scd2 discipline), then ONE full
+    // outer join on user_id classifies every key: carry (no changelog
+    // ops), update/insert (upsert over present/absent base), delete
+    // (tombstone hits base), delete_noop (tombstone misses — the
+    // at-least-once redelivery case an idempotent sink must absorb).
+    // 100 TB: every shuffle is keyed on user_id — two window exchanges
+    // over the halves plus the merge join; per-key state is O(1)
+    // (row_number early-outs via WindowGroupLimit), no fan-out anywhere,
+    // and the output is one row per live key, exactly what the MERGE
+    // would write. `value` passes through un-arithmeticked, so the
+    // cross-engine hash sees identical parquet bits.
+    QueryDef(
+      "q_cdc_apply",
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |ops AS (
+        |  SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value,
+        |    CASE WHEN e.event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+        |    CASE WHEN epoch_us(e.ts) <= (b.lo + b.hi) // 2
+        |      THEN 0 ELSE 1 END AS half
+        |  FROM events e, b),
+        |base AS (
+        |  SELECT user_id, event_type AS b_type, value AS b_value,
+        |    ts AS b_ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ops WHERE half = 0)
+        |  WHERE rn = 1 AND op = 'U'),
+        |delta AS (
+        |  SELECT user_id, op AS d_op, event_type AS d_type,
+        |    value AS d_value, ts AS d_ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ops WHERE half = 1)
+        |  WHERE rn = 1)
+        |SELECT user_id,
+        |  CASE WHEN d_op IS NULL THEN 'carry'
+        |       WHEN d_op = 'D' AND b_type IS NOT NULL THEN 'delete'
+        |       WHEN d_op = 'D' THEN 'delete_noop'
+        |       WHEN b_type IS NOT NULL THEN 'update'
+        |       ELSE 'insert' END AS kind,
+        |  CASE WHEN d_op = 'U' THEN d_type
+        |       WHEN d_op IS NULL THEN b_type END AS state_type,
+        |  CASE WHEN d_op = 'U' THEN d_value
+        |       WHEN d_op IS NULL THEN b_value END AS state_value,
+        |  CASE WHEN d_op = 'U' THEN d_ts
+        |       WHEN d_op IS NULL THEN b_ts END AS state_ts
+        |FROM base FULL OUTER JOIN delta USING (user_id)""".stripMargin) {
+      (s, dir) =>
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      val ops = ev.crossJoin(broadcast(bounds))
+        .withColumn("op",
+          when(col("event_type") === "purchase", "D").otherwise("U"))
+        .withColumn("half",
+          when(unix_micros(col("ts")) <=
+            ((col("lo") + col("hi")) / lit(2)).cast("long"), 0)
+            .otherwise(1))
+      val byKeyDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(half: Int): DataFrame = ops
+        .filter(col("half") === half)
+        .withColumn("rn", row_number().over(byKeyDesc))
+        .filter(col("rn") === 1)
+      val base = latest(0).filter(col("op") === "U")
+        .select(col("user_id"), col("event_type").as("b_type"),
+          col("value").as("b_value"), col("ts").as("b_ts"))
+      val delta = latest(1)
+        .select(col("user_id"), col("op").as("d_op"),
+          col("event_type").as("d_type"), col("value").as("d_value"),
+          col("ts").as("d_ts"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("d_op").isNull, "carry")
+            .when(col("d_op") === "D" && col("b_type").isNotNull, "delete")
+            .when(col("d_op") === "D", "delete_noop")
+            .when(col("b_type").isNotNull, "update")
+            .otherwise("insert").as("kind"),
+          when(col("d_op") === "U", col("d_type"))
+            .when(col("d_op").isNull, col("b_type")).as("state_type"),
+          when(col("d_op") === "U", col("d_value"))
+            .when(col("d_op").isNull, col("b_value")).as("state_value"),
+          when(col("d_op") === "U", col("d_ts"))
+            .when(col("d_op").isNull, col("b_ts")).as("state_ts"))
+    },
+
+    // ------------------------------------------------------------------
+    // COMPACTION PLANNER — the small-file maintenance pass every
+    // lakehouse table needs: per-day "files" (size = exact order-value
+    // cents, the stand-in for on-disk bytes) packed into target-sized
+    // compaction groups WITHIN their month partition by cumulative-quota
+    // binning: group = floor((prefix_sum − 1) / target), the O(n)
+    // single-scan policy (a file lands in the quota window its END
+    // position falls in; an oversized file simply owns its windows).
+    // Greedy close-at-target packing needs sequential state; quota
+    // binning is one partitioned prefix-sum window — same bounded group
+    // sizes (≤ target + one file), embarrassingly parallel by partition.
+    // 100 TB: the file manifest is metadata (days × partitions, not
+    // rows) — the day-grain pre-aggregation is the only fact-sized
+    // shuffle, the window and final rollup run on the manifest keyed by
+    // month, and every arithmetic step is exact BIGINT cents (DuckDB's
+    // HUGEINT prefix sums cast back per the oracle discipline).
+    QueryDef(
+      "q_compact_plan",
+      """WITH files AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS bytes,
+        |    count(*) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |cums AS (
+        |  SELECT d, bytes, n_rows,
+        |    CAST(date_trunc('month', d) AS DATE) AS part,
+        |    CAST(sum(bytes) OVER (PARTITION BY
+        |        CAST(date_trunc('month', d) AS DATE)
+        |      ORDER BY d) AS BIGINT) AS cum
+        |  FROM files)
+        |SELECT part, CAST((cum - 1) // 1000000000 AS BIGINT) AS grp,
+        |  count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+        |  CAST(sum(n_rows) AS BIGINT) AS grp_rows,
+        |  min(d) AS d_min, max(d) AS d_max
+        |FROM cums GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val files = t(s, dir, "orders")
+        .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("d"))
+        .agg(sum(floor(col("o_totalprice") * lit(100e0) + lit(0.5))
+          .cast("long")).as("bytes"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("part", to_date(date_trunc("month", col("d"))))
+      val byMonth = Window.partitionBy(col("part")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files
+        .withColumn("cum", sum(col("bytes")).over(byMonth))
+        .withColumn("grp", expr("(cum - 1) div 1000000000"))
+        .groupBy(col("part"), col("grp"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("grp_bytes"),
+          sum(col("n_rows")).as("grp_rows"),
+          min(col("d")).as("d_min"), max(col("d")).as("d_max"))
     }
   )
 }

@@ -415,4 +415,65 @@ class BehaviorSpec extends SparkSpec {
       assert(l >= 1 && l <= k, s"k=$k: min_l $l outside [1,$k]")
     }
   }
+
+  test("q_cdc_apply: split-merge equals global latest-wins; kinds are " +
+    "consistent with the midpoint split") {
+    val r = run("q_cdc_apply").collect()
+    // one row per key, kinds from the closed set
+    val keys = r.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+    val kinds = Set("carry", "update", "insert", "delete", "delete_noop")
+    assert(r.forall(row => kinds(row.getString(1))))
+    // tombstoned keys carry no state; live keys always do
+    r.foreach { row =>
+      val dead = row.getString(1).startsWith("delete")
+      assert(row.isNullAt(2) == dead && row.isNullAt(4) == dead,
+        s"state nullity disagrees with kind ${row.getString(1)}")
+    }
+    // THE MERGE THEOREM: applying the changelog half onto the snapshot
+    // half must equal latest-wins over the unsplit stream — live keys,
+    // their state type and state timestamp, row for row.
+    val ev = Tables(spark, sfDir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val global = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.get(2))).toSet
+    val live = r.filter(row => !row.getString(1).startsWith("delete"))
+      .map(row => (row.getLong(0), row.getString(2), row.get(4))).toSet
+    assert(live == global,
+      "split-merge result diverges from global latest-wins")
+  }
+
+  test("q_compact_plan matches a per-month brute-force quota packing") {
+    val target = 1000000000L
+    val ev = Tables(spark, sfDir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("d"))
+      .agg(sum(floor(col("o_totalprice") * lit(100e0) + lit(0.5))
+        .cast("long")).as("bytes"), count(lit(1)).as("n_rows"))
+      .withColumn("part", to_date(date_trunc("month", col("d"))))
+      .collect()
+      .map(x => (x.getDate(3), x.getDate(0), x.getLong(1), x.getLong(2)))
+    // brute-force: walk each month's files in day order, assign the
+    // quota window the running total lands in
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (part, files) =>
+      var cum = 0L
+      files.sortBy(_._2.toString).map { case (_, d, bytes, n) =>
+        cum += bytes
+        ((part, (cum - 1) / target), (d, bytes, n))
+      }
+    }.groupBy(_._1).map { case ((part, grp), fs) =>
+      val v = fs.map(_._2)
+      (part.toString, grp, v.length.toLong, v.map(_._2).sum,
+        v.map(_._3).sum, v.map(_._1.toString).min, v.map(_._1.toString).max)
+    }.toSet
+    val got = run("q_compact_plan").collect().map { row =>
+      (row.getDate(0).toString, row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getDate(5).toString,
+        row.getDate(6).toString)
+    }.toSet
+    assert(got == expect, "quota packing diverges from brute force")
+  }
 }

@@ -650,7 +650,10 @@ class PlanSpec extends SparkSpec {
       "q_graph_hits", // per-half-step crossJoin(broadcast(1-row max)) normalizers
       "q_ts_backtest", // crossJoin(broadcast(1-row backtest horizon))
       "q_churn_km", // crossJoin(broadcast(1-row corpus horizon))
-      "q_churn_logrank") // same 1-row horizon broadcast via sessionLifetimes
+      "q_churn_logrank", // same 1-row horizon broadcast via sessionLifetimes
+      "q_cdc_apply") // crossJoin(broadcast(1-row min/max ts bounds)); the
+                     // half=0/1 filters fold into the BNLJ condition but
+                     // the broadcast side stays exactly one row
     for ((name, fn) <- SparkEntry.queries if !intentional(name)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(
