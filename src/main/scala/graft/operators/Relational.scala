@@ -461,6 +461,50 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Null-aware anti join (NOT IN): the OTHER anti join, with
+    // genuinely different three-valued-logic semantics from NOT EXISTS.
+    // Customers outside every embargoed nation — but a customer whose
+    // nation is UNKNOWN (NULL, injected with q_audit_fk's deterministic
+    // key arithmetic) is NOT proven clean: `nk NOT IN (...)` evaluates
+    // to UNKNOWN for a NULL probe key and the row is dropped, where
+    // NOT EXISTS would keep it (a NULL never equals anything, so no
+    // witness exists). That safety-first reading is exactly what a
+    // compliance filter wants, and it is unexpressible as a plain
+    // left_anti equi-join. Physically Spark recognizes the rewritten
+    // condition `k = j OR isnull(k = j)` (single column, broadcastable
+    // build side) and plans BroadcastHashJoinExec in null-aware mode
+    // (NAAJ) — one hash probe per row with an empty-or-has-null fast
+    // path, NOT the quadratic BNLJ the OR-condition would naively
+    // force. PlanSpec pins the NAAJ marker and the NOT-EXISTS delta.
+    // 100 TB: the embargo list is nation-derived (schema-bounded ≤25
+    // rows, auto-broadcast); the fact side streams through the probe
+    // with zero shuffle.
+    QueryDef(
+      "q_join_naaj",
+      """WITH c2 AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN c_custkey % 101 = 11 THEN NULL
+        |         ELSE c_nationkey END AS nk
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_customers
+        |FROM c2
+        |WHERE nk NOT IN (SELECT n_nationkey FROM nation
+        |                 WHERE n_name LIKE '%1')
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c2 = t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          when(col("c_custkey") % 101 === 11, lit(null))
+            .otherwise(col("c_nationkey")).as("nk"))
+      val embargo = t(s, dir, "nation")
+        .filter(col("n_name").like("%1"))
+        .select(col("n_nationkey"))
+      val eq = c2("nk") === embargo("n_nationkey")
+      c2.join(embargo, eq || eq.isNull, "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // ------------------------------------------------------------------
     // Referential-integrity audit — the data-quality gate a pipeline
     // runs before trusting joins: per FK relation, how many fact rows
     // have a NULL key vs a key with no parent, and how many distinct

@@ -230,6 +230,46 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("q_join_naaj plans a null-aware HASH anti join and drops exactly " +
+    "the null-keyed rows NOT EXISTS would keep") {
+    // the `k = j OR isnull(k = j)` single-column anti condition must be
+    // recognized as a null-aware anti join (BroadcastHashJoinExec NAAJ
+    // mode) — a miss here degenerates to BroadcastNestedLoopJoin, the
+    // quadratic shape the cartesian sweep bans
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val p = plan("q_join_naaj")
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as a
+    // trailing `true` after the build side — that token is the NAAJ marker
+    assert("BroadcastHashJoin \\[nk[^\\]]*\\], \\[n_nationkey[^\\]]*\\], LeftAnti, BuildRight, true".r
+      .findFirstIn(p).isDefined,
+      s"NOT IN did not extract to a null-aware hash anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // semantics: NOT IN minus NOT EXISTS = the NULL-keyed customers,
+    // per mktsegment (three-valued logic drops unknown provenance)
+    val c2 = Tables(spark, sfDir, "customer")
+      .select(col("c_mktsegment"),
+        when(col("c_custkey") % 101 === 11, lit(null))
+          .otherwise(col("c_nationkey")).as("nk"))
+    val embargo = Tables(spark, sfDir, "nation")
+      .filter(col("n_name").like("%1")).select(col("n_nationkey"))
+    val notExists = c2
+      .join(embargo, c2("nk") === embargo("n_nationkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nullKeyed = c2.filter(col("nk").isNull)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val notIn = SparkEntry.queries("q_join_naaj")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val segs = notExists.keySet ++ notIn.keySet
+    segs.foreach { seg =>
+      assert(notIn.getOrElse(seg, 0L) ==
+        notExists.getOrElse(seg, 0L) - nullKeyed.getOrElse(seg, 0L),
+        s"$seg: NOT IN != NOT EXISTS - null-keyed")
+    }
+    assert(nullKeyed.values.sum > 0, "fixture injected no NULL keys")
+  }
+
   test("q_filter_pred pushes predicates into the parquet scan") {
     val p = plan("q_filter_pred")
     assert(p.contains("PushedFilters: ["), p)
