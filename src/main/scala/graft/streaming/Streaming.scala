@@ -185,6 +185,66 @@ object Streaming {
     asideSwap(s, tablePath)
   }
 
+  /** CDC changelog apply — the STREAMING twin of the batch
+    * `q_cdc_apply` MERGE (operators/Behavior.scala), maintaining a keyed
+    * state table under latest-wins-BY-SEQUENCE semantics with
+    * tombstones. The batch carries upserts (`op = 'U'`) and deletes
+    * (`op = 'D'`), each stamped with its source sequence `(ts,
+    * event_id)`; the merge keeps, per key, the row with the HIGHEST
+    * sequence across the existing table and the batch.
+    *
+    * Three properties [[upsertBatch]]'s batch-wins rule cannot give,
+    * all StreamingSpec-pinned:
+    *   - ORDER-FREE: the winner per key is `max(sequence)` — an
+    *     associative, commutative fold — so delivering micro-batches in
+    *     ANY order (late redelivery, partition lag, backfill) converges
+    *     to the same table. Under batch-wins, a redelivered OLD change
+    *     would clobber newer state.
+    *   - TOMBSTONES PERSIST: a delete is merged as a row, not applied
+    *     as a removal, so an older upsert redelivered AFTER the delete
+    *     loses the sequence race instead of resurrecting the key. The
+    *     live view is `op = 'U'`; [[cdcLive]] reads it.
+    *   - IDEMPOTENT: replaying any batch re-runs a deterministic
+    *     race (event_id breaks ts ties) against state that already
+    *     contains the winner — a no-op, so at-least-once delivery
+    *     composes to effective exactly-once.
+    *
+    * 100 TB: one `hash(key)` exchange per micro-batch over
+    * |existing keys| + |batch| rows (row_number early-outs via
+    * WindowGroupLimit); table size is bounded by LIVE key cardinality
+    * plus retained tombstones. Tombstone retention is required only
+    * while an older update for the deleted key can still arrive — once
+    * the source's redelivery horizon passes, a maintenance pass may
+    * drop `op = 'D'` rows older than that watermark (the span-table
+    * compaction pattern); this function retains them all, making the
+    * order-free guarantee unconditional. */
+  def cdcApplyBatch(batch: DataFrame, tablePath: String,
+      key: String = "user_id"): Unit = {
+    val s = batch.sparkSession
+    recoverFromAside(s, tablePath)
+    val (fs, tableP) = tableFs(s, tablePath)
+    val existing =
+      if (fs.exists(tableP)) s.read.parquet(tablePath)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merged = existing.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tablePath + ".tmp")
+    asideSwap(s, tablePath)
+  }
+
+  /** Read side of [[cdcApplyBatch]]: the live keys — tombstoned keys
+    * stay in the state table to win sequence races against late
+    * redeliveries, but they are not rows of the logical table. */
+  def cdcLive(s: SparkSession, tablePath: String): DataFrame =
+    s.read.parquet(tablePath).filter(col("op") === "U").drop("op")
+
   /** Hadoop `FileSystem` + `Path` for a table location, resolved from
     * the session's Hadoop conf — so the swap helpers below work on ANY
     * Spark-writable filesystem (local, HDFS, S3A object stores), not

@@ -163,6 +163,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC changelog apply: sequence-wins merge absorbs out-of-order " +
+    "redelivery, tombstones beat late upserts, any wave order converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def op(u: Long, t: String, eid: Long, typ: String, v: Double, o: String) =
+      (u, ts(t), eid, typ, v, o)
+    val wave1 = Seq(
+      op(1, "2024-01-01 10:00:00", 101, "view", 1.0, "U"),
+      op(2, "2024-01-01 10:01:00", 102, "click", 2.0, "U"),
+      op(3, "2024-01-01 10:02:00", 103, "view", 3.0, "U"))
+    val wave2 = Seq(
+      op(1, "2024-01-01 11:00:00", 201, "click", 1.5, "U"), // update 1
+      op(2, "2024-01-01 11:01:00", 202, "purchase", 0.0, "D"), // delete 2
+      op(4, "2024-01-01 11:02:00", 203, "view", 4.0, "U")) // insert 4
+    val wave3 = Seq(
+      // late upsert SEQUENCED BEFORE key 2's delete: must not resurrect
+      op(2, "2024-01-01 10:30:00", 150, "view", 2.2, "U"),
+      // tombstone with no base row: key stays absent (delete_noop)
+      op(5, "2024-01-01 11:30:00", 301, "purchase", 0.0, "D"),
+      // stale update for key 1, older than wave2's: must lose the race
+      op(1, "2024-01-01 09:00:00", 50, "view", 0.9, "U"))
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value", "op")
+    val table = tmpDir("cdc_table") + "/t"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val q = mem.toDF().toDF(cols: _*)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming.cdcApplyBatch(b, table)
+      }
+      .option("checkpointLocation", tmpDir("cdc_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      for (w <- Seq(wave1, wave2, wave3)) {
+        mem.addData(w: _*); q.processAllAvailable()
+      }
+      def liveMap(path: String) = Streaming.cdcLive(spark, path).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+      val live = liveMap(table)
+      assert(live.keySet == Set(1L, 3L, 4L), live)
+      assert(live(1L) == ((201L, "click", 1.5)), live) // wave3's stale lost
+      assert(live(3L) == ((103L, "view", 3.0)), live)
+      // tombstones persist in the raw state table (2 and 5), off the live view
+      val raw = spark.read.parquet(table)
+      assert(raw.filter(col("op") === "D").count() == 2, "tombstones dropped")
+      // the folded state equals the one-shot global latest-wins MERGE
+      // (the q_cdc_apply discipline) over the full changelog
+      val all = (wave1 ++ wave2 ++ wave3).toDF(cols: _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val expected = all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).filter(col("op") === "U")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+      assert(live == expected, s"fold != one-shot MERGE: $live vs $expected")
+      // idempotence: redelivering wave2 verbatim changes nothing
+      mem.addData(wave2: _*); q.processAllAvailable()
+      assert(liveMap(table) == live, "redelivery mutated the table")
+      // order-freedom: folding the SAME waves in a different order
+      // converges to the same live state (max-sequence is commutative) —
+      // the contract batch-wins upsertBatch cannot make
+      val table2 = tmpDir("cdc_table2") + "/t"
+      for (w <- Seq(wave3, wave1, wave2))
+        Streaming.cdcApplyBatch(w.toDF(cols: _*), table2)
+      assert(liveMap(table2) == live, "wave order changed the state")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches micro-batches and keeps unmatched facts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
