@@ -1549,6 +1549,74 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // EVENT-SEQUENCE PATTERN MATCH — SQL:2016 MATCH_RECOGNIZE's row-
+    // pattern semantics, which Spark does not ship, re-expressed
+    // Spark-first: fold each user's event types into ONE ordered
+    // code string (s/c/e/v/p, ordered by (ts, event_id) — the q_scd2
+    // tiebreak discipline, via one sorted struct collect), then run
+    // the row patterns as REGEXES over the codes inside codegen:
+    //   conversions   = non-overlapping 'v[^p]*p' matches (a view
+    //                   eventually converting, next search resumes
+    //                   after the purchase — MATCH_RECOGNIZE's
+    //                   AFTER MATCH SKIP PAST LAST ROW),
+    //   frustration   = maximal runs of ≥2 consecutive errors ('ee+'),
+    //   max_click_run = the longest consecutive-click streak.
+    // Every pattern is alternation-free and backtracking-free, so
+    // java.util.regex (Spark) and RE2 (DuckDB) provably agree — the
+    // cross-engine contract for regex queries. Genuinely different
+    // semantics from q_funnel/q_window_funnel (stage mins: earliest
+    // WITNESSES) — patterns see ADJACENCY and REPETITION, which no
+    // per-stage aggregate can express: q_funnel cannot count two
+    // disjoint conversions or distinguish 'vcp' from 'vpc'.
+    // 100 TB: one hash(user_id) exchange; per-user state is the user's
+    // own code string (1 byte/event — the listagg/collect doc-bounded
+    // contract; unbounded user histories would sessionize first, the
+    // q_churn_km 6-hour-gap derivation, making state burst-bounded).
+    // The regex pass is per-row codegen over the folded table, whose
+    // cardinality is |users|, not |events|.
+    QueryDef(
+      "q_seq_match",
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'signup' THEN 's' WHEN 'click' THEN 'c'
+        |      WHEN 'error' THEN 'e' WHEN 'view' THEN 'v'
+        |      WHEN 'purchase' THEN 'p' ELSE 'x' END AS k, ts, event_id
+        |  FROM events),
+        |q AS (
+        |  SELECT user_id, string_agg(k, '' ORDER BY ts, event_id) AS seq
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+        |    AS conversions,
+        |  CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+        |    AS frustration,
+        |  CAST(coalesce(list_max(list_transform(
+        |    regexp_extract_all(seq, 'c+'), x -> len(x))), 0) AS BIGINT)
+        |    AS max_click_run
+        |FROM q""".stripMargin) { (s, dir) =>
+      val code = when(col("event_type") === "signup", "s")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "error", "e")
+        .when(col("event_type") === "view", "v")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("x")
+      val seqs = t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), code.as("k")).as("st"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("st"))),
+          x => x.getField("k")), "").as("seq"))
+      seqs.select(col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit("v[^p]*p")).cast("long")
+          .as("conversions"),
+        regexp_count(col("seq"), lit("ee+")).cast("long").as("frustration"),
+        coalesce(array_max(transform(
+            regexp_extract_all(col("seq"), lit("c+"), lit(0)),
+            x => length(x))), lit(0)).cast("long").as("max_click_run"))
+    },
+
+    // ------------------------------------------------------------------
     // Autocorrelation function of the daily event-count series — the
     // seasonality / burstiness diagnostic run before any forecasting or
     // anomaly model. The corpus-sized work is ONE map-combinable daily

@@ -339,6 +339,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Num.r(jac, 6).as("jaccard"))
   }
 
+  /** AllPairs/PPJoin candidate generation for J ≥ 0.8 over a hashed
+    * shingle relation `sh(doc_id, sid)` (distinct per doc): rank each
+    * doc's shingles in the global (df ASC, sid ASC) order, keep the
+    * first n − ⌈4n/5⌉ + 1 as the doc's prefix, and emit distinct
+    * (id_a < id_b) pairs whose prefixes share a shingle and whose sizes
+    * pass the length filter 4·n_max ≤ 5·n_min. Sound by the prefix
+    * theorem: |A∩B| ≥ ⌈0.8·max(n_a,n_b)⌉ forces an overlap inside both
+    * prefixes under any shared total order. Shared by q_dedup_ppjoin
+    * and the DedupSpec candidate-reduction pin so the two cannot
+    * drift. */
+  private[graft] def ppjoinCandidates(sh: DataFrame): DataFrame = {
+    val dfc = sh.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(dfc, "sid")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("r", row_number().over(
+        byDoc.orderBy(col("df").asc, col("sid").asc)))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + lit(1))
+      .select(col("doc_id"), col("sid"), col("n"))
+    prefix.select(col("doc_id").as("id_a"), col("sid"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("id_b"),
+          col("sid").as("sid_b"), col("n").as("nb")),
+        col("sid") === col("sid_b") && col("id_a") < col("id_b") &&
+          col("na") * 4 <= col("nb") * 5 && col("nb") * 4 <= col("na") * 5)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** The same pair pipeline as DuckDB SQL, over shingle relation `rel`
     * (must expose doc_id, shingle). */
   private def jaccardPairsSql(rel: String): String =
@@ -507,6 +536,58 @@ object Dedup {
       jaccardPairs(capByDf(
         shingles(s, dir).select(col("doc_id"), h60(col("shingle")).as("sid")),
         "sid", ngramDfCap))
+    },
+
+    // ------------------------------------------------------------------
+    // PREFIX-FILTERED exact similarity self-join — the AllPairs/PPJoin
+    // candidate discipline (Bayardo et al., "Scaling Up All Pairs
+    // Similarity Search", WWW 2007; Xiao et al., "Efficient Similarity
+    // Joins for Near Duplicate Detection", WWW 2008), the third
+    // candidate-generation strategy beside the full shingle join
+    // (q_dedup_ngram) and the df-cap (q_dedup_ngram_capped) — and unlike
+    // the cap it is EXACT BY THEOREM, not by curation: sort each doc's
+    // shingles in one global total order (df ASC, sid ASC — rarest
+    // first) and keep only the first p = n − ⌈0.8·n⌉ + 1 as its PREFIX;
+    // any pair with J ≥ 0.8 must overlap by ≥ ⌈0.8·min(n_a,n_b)⌉, so its
+    // prefixes must intersect — candidates are pairs sharing a PREFIX
+    // shingle (plus the length filter 4·max ≤ 5·min), verified exactly
+    // against the full sorted shingle sets. The oracle is the SAME SQL
+    // as q_dedup_ngram: this query's claim IS that prefix filtering
+    // loses nothing, so the plain formulation is its ground truth.
+    // All arithmetic is integer-exact: ⌈4n/5⌉ = (4n+4) div 5 — never
+    // 0.8·n in doubles (0.8 has no binary representation).
+    // 100 TB: the prefix join's fan-out is Σ df_prefix² over PREFIX
+    // occurrences only — df-ascending order puts boilerplate shingles
+    // LAST, so hot keys enter no prefix unless a doc is nearly all
+    // boilerplate; every shuffle is keyed (sid df-count, doc_id window,
+    // candidate distinct, set join); per-doc state is the doc-bounded
+    // sorted shingle array (the substrDedup contract). DedupSpec pins
+    // candidates(prefix) strictly below candidates(full join) at equal
+    // output.
+    QueryDef(
+      "q_dedup_ppjoin",
+      s"""WITH $shinglesSql,
+        |${jaccardPairsSql("sh")}""".stripMargin) { (s, dir) =>
+      // the hashed relation feeds three branches (df counts, the ranked
+      // prefixes, the verification sets) — cache under the QueryDef
+      // clearCache contract; a 100 TB run checkpoints to a bucketed table
+      val sh = shingles(s, dir)
+        .select(col("doc_id"), h60(col("shingle")).as("sid")).cache()
+      val cand = ppjoinCandidates(sh)
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("sid"))).as("ss"),
+          count(lit(1)).as("n"))
+      val j = cand
+        .join(sets.select(col("doc_id").as("id_a"), col("ss").as("ss_a"),
+          col("n").as("na")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("ss").as("ss_b"),
+          col("n").as("nb")), "id_b")
+        .withColumn("shared",
+          size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+      val jac = col("shared") * lit(1.0) /
+        (col("na") + col("nb") - col("shared"))
+      j.filter(jac >= 0.8)
+        .select(col("id_a"), col("id_b"), Num.r(jac, 6).as("jaccard"))
     },
 
     // ------------------------------------------------------------------

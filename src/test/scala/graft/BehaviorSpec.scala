@@ -10,6 +10,45 @@ class BehaviorSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q_seq_match equals a sequential automaton walk with no regex " +
+    "engine in the loop") {
+    // independent derivation: re-order each user's events imperatively,
+    // walk the code string with a hand-rolled automaton (conversion
+    // flag, error-run counter, click-streak max) — pins the ordered
+    // fold AND the regexes' non-overlap semantics against logic that
+    // shares neither the window nor java.util.regex with the query
+    val raw = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._1).map { case (u, rs) =>
+      val seq = rs.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
+      var conv = 0; var inV = false
+      var frus = 0; var eRun = 0
+      var maxC = 0; var cRun = 0
+      for (ch <- seq) {
+        if (ch == 'v' && !inV) inV = true
+        else if (ch == 'p' && inV) { conv += 1; inV = false }
+        if (ch == 'e') { eRun += 1; if (eRun == 2) frus += 1 }
+        else eRun = 0
+        if (ch == 'c') { cRun += 1; maxC = math.max(maxC, cRun) }
+        else cRun = 0
+      }
+      u -> ((seq.length.toLong, conv.toLong, frus.toLong, maxC.toLong))
+    }
+    val got = SparkEntry.queries("q_seq_match")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"automaton disagrees: ${
+      expected.collect { case (u, e) if got.get(u) != Some(e) =>
+        s"$u: $e vs ${got.get(u)}" }.take(3).mkString("; ")}")
+    // the fixture must actually exercise every measure
+    assert(expected.values.exists(_._2 > 0), "no conversions in fixture")
+    assert(expected.values.exists(_._3 > 0), "no error runs in fixture")
+    assert(expected.values.exists(_._4 >= 2), "no click streaks in fixture")
+  }
+
   test("q_funnel stages are monotonically non-increasing") {
     val r = run("q_funnel").collect()
     assert(r.length == 1)

@@ -66,6 +66,35 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"$missed high-Jaccard pairs missed by MinHash-LSH")
   }
 
+  test("ppjoin prefix filtering: fewer candidates than the full shingle " +
+    "join, identical verified output") {
+    // exactness: the prefix-filtered join must emit exactly the pairs the
+    // plain formulation emits (the oracle pins this cross-engine at
+    // sf0.01; this pins it in-engine at sf0.001, plus the reduction —
+    // the REASON the operator exists)
+    val ngram = SparkEntry.queries("q_dedup_ngram")(spark, sfDir)
+    val ppjoin = SparkEntry.queries("q_dedup_ppjoin")(spark, sfDir)
+    assert(ngram.exceptAll(ppjoin).count() == 0 &&
+      ppjoin.exceptAll(ngram).count() == 0,
+      "prefix filtering changed the verified pair set")
+    val sh = graft.operators.Dedup.shinglesOf(
+        Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.h60(col("shingle")).as("sid")).cache()
+    try {
+      val prefixCand = graft.operators.Dedup.ppjoinCandidates(sh).count()
+      val a = sh.select(col("doc_id").as("id_a"), col("sid"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sid").as("sid_b"))
+      val fullCand = a.join(b,
+          col("sid") === col("sid_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct().count()
+      assert(prefixCand < fullCand,
+        s"prefix filter did not reduce candidates: $prefixCand vs $fullCand")
+      // soundness floor: candidates must still cover every emitted pair
+      assert(prefixCand >= ppjoin.count(), "fewer candidates than results")
+    } finally sh.unpersist()
+  }
+
   test("simhash pairs are symmetric-free and ordered") {
     val sh = SparkEntry.queries("q_dedup_simhash")(spark, sfDir).collect()
     sh.foreach { r =>
