@@ -1443,6 +1443,87 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Per-user automaton state for [[seqMatchAdvance]]: the O(1)-state
+    * compilation of q_seq_match's three row patterns. `inV` is the
+    * 'v[^p]*p' machine (inside an open conversion window), `eRun`/`cRun`
+    * the current error/click run lengths, the rest the emitted
+    * measures. Fixed size regardless of history length — the whole
+    * point of compiling the regexes to an automaton: the batch twin
+    * folds the user's full code string, the stream never stores more
+    * than this record per user. */
+  case class SeqMatchState(inV: Boolean, conv: Long, frus: Long,
+      eRun: Int, maxC: Int, cRun: Int, n: Long)
+
+  /** The automaton itself, shared row-at-a-time semantics with the
+    * batch q_seq_match regexes (BehaviorSpec pins the batch side to the
+    * same walk; StreamingSpec pins this side to the batch query). */
+  class SeqMatchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), (Long, Long, Long, Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SeqMatchState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SeqMatchState]("seq",
+        org.apache.spark.sql.Encoders.product[SeqMatchState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      var s = if (st.exists()) st.get()
+        else SeqMatchState(inV = false, 0L, 0L, 0, 0, 0, 0L)
+      // (ts, event_id) order within the batch — the funnel discipline:
+      // automaton state must not depend on shuffle arrival order
+      rows.toList.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, et) =>
+        val ch = et match {
+          case "signup" => 's'; case "click" => 'c'; case "error" => 'e'
+          case "view" => 'v'; case "purchase" => 'p'; case _ => 'x'
+        }
+        val (inV, conv) =
+          if (ch == 'v') (true, s.conv)
+          else if (ch == 'p' && s.inV) (false, s.conv + 1)
+          else (s.inV, s.conv)
+        val eRun = if (ch == 'e') s.eRun + 1 else 0
+        val frus = if (eRun == 2) s.frus + 1 else s.frus
+        val cRun = if (ch == 'c') s.cRun + 1 else 0
+        s = SeqMatchState(inV, conv, frus, eRun,
+          math.max(s.maxC, cRun), cRun, s.n + 1)
+      }
+      st.update(s)
+      // changelog row per touched user per batch; the LATEST row per
+      // user (max n) is the current snapshot, matching the batch query
+      Iterator.single((user, s.n, s.conv, s.frus, s.maxC.toLong))
+    }
+  }
+
+  /** Streaming sequence-pattern matching over (user_id, ts_us,
+    * event_id, event_type) rows — the live twin of the batch
+    * `q_seq_match` MATCH_RECOGNIZE query. Where the batch side folds
+    * each user's history into a code string and runs regexes, this
+    * side runs the equivalent automaton with a FIXED-size record per
+    * user on transformWithState + RocksDB — pattern matching over
+    * unbounded history with O(1) state, which no collected-string
+    * plan can claim. Emits (user_id, n_events, conversions,
+    * frustration, max_click_run) per touched user per batch. */
+  def seqMatchAdvance(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc:
+        org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new SeqMatchProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Streaming LAST-TOUCH attribution — the live twin of the batch
     * `q_attribution` window: state is the user's most recent
     * non-purchase event type (ONE small string per user — RocksDB-backed

@@ -735,6 +735,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sequence automaton equals the batch q_seq_match " +
+    "regexes over the corpus fed in ts-ordered waves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      q = Streaming.seqMatchAdvance(mem.toDS())
+        .writeStream.format("memory").queryName("seqmatch_test")
+        .option("checkpointLocation", tmpDir("seqmatch_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .collect().sortBy(r => (r._2, r._3))
+      // waves cut BETWEEN distinct timestamps (the attribution spec
+      // discipline) so per-user event order holds across batches
+      val cuts = {
+        val ts = rows.map(_._2).distinct.sorted
+        Seq(ts(ts.length / 3), ts(2 * ts.length / 3))
+      }
+      val waves = Seq(
+        rows.filter(_._2 <= cuts(0)),
+        rows.filter(r => r._2 > cuts(0) && r._2 <= cuts(1)),
+        rows.filter(_._2 > cuts(1)))
+      waves.foreach { w => mem.addData(w.toSeq); q.processAllAvailable() }
+      // snapshot = latest changelog row per user (n_events is
+      // monotone, so max-n wins)
+      val streamed = spark.table("seqmatch_test")
+        .groupBy(col("_1"))
+        .agg(max(struct(col("_2"), col("_3"), col("_4"), col("_5")))
+          .as("s"))
+        .collect().map(r => r.getLong(0) -> {
+          val s = r.getStruct(1)
+          (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) })
+        .toMap
+      val batch = SparkEntry.queries("q_seq_match")(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(streamed == batch,
+        s"automaton diverged from the regexes:\n  stream=$streamed\n  batch=$batch")
+      // a conversion window left OPEN at a wave boundary must close in a
+      // later wave — assert the fixture actually crosses one
+      assert(batch.values.exists(_._2 > 0), "no conversions exercised")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers close idle sessions from the " +
     "watermark, not from new per-user events") {
     import spark.implicits._
