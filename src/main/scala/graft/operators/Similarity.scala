@@ -998,6 +998,94 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // MATRYOSHKA truncation audit (Kusupati et al., "Matryoshka
+    // Representation Learning", NeurIPS 2022 — the evaluation, not the
+    // training): before a pipeline stores 8- or 16-dim PREFIXES of its
+    // 64-dim embeddings (the MRL deployment move — cheaper ANN, same
+    // vectors), measure what prefix search actually preserves: top-5
+    // overlap between cosine on the first-d dims and cosine on the
+    // full vector, per query. Complements q_embed_quantize (fewer BITS
+    // per dim) and q_embed_rp (random projection — needs a matrix
+    // multiply per vector; a prefix is FREE) with the fewer-DIMS axis.
+    // All three rankings come out of ONE broadcast-probe pass: the
+    // truncated cosines are graft_cosine over slice() of the same
+    // arrays, three map-combinable graft_topk aggregates share the one
+    // hash(query_id) exchange, and the overlap is an array_intersect
+    // of 5-element id lists. Ties break (score DESC, id ASC) in both
+    // engines — the knn-family contract, which makes the overlap
+    // COUNTS hash-exact even where truncation creates score ties.
+    // 100 TB: the query set is fixed (vec_id < 10, the knn bench-set
+    // convention), so this is corpus × 10 with a broadcast build side,
+    // never corpus × corpus; the probe loop is the allowlisted brute
+    // recall-baseline shape shared with q_knn_brute/q_knn_recall.
+    QueryDef(
+      "q_embed_mrl",
+      {
+        def cosD(d: Int) =
+          s"""list_sum(list_transform(range(1, ${d + 1}),
+            |      k -> CAST(q.qe[k] AS DOUBLE) * CAST(n.embedding[k] AS DOUBLE)))
+            |      / sqrt(
+            |        list_sum(list_transform(range(1, ${d + 1}),
+            |          k -> CAST(q.qe[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+            |        * list_sum(list_transform(range(1, ${d + 1}),
+            |          k -> CAST(n.embedding[k] AS DOUBLE)
+            |            * CAST(n.embedding[k] AS DOUBLE))))""".stripMargin
+        def topD(name: String, c: String) =
+          s"""$name AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id,
+            |      row_number() OVER (PARTITION BY query_id
+            |                         ORDER BY $c DESC, neighbor_id ASC) AS rnk
+            |    FROM s) WHERE rnk <= 5)""".stripMargin
+        s"""WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS qe
+          |  FROM embeddings WHERE vec_id < 10),
+          |s AS (
+          |  SELECT q.query_id, n.vec_id AS neighbor_id,
+          |    ${cosD(64)} AS c64,
+          |    ${cosD(16)} AS c16,
+          |    ${cosD(8)} AS c8
+          |  FROM q JOIN embeddings n ON n.vec_id <> q.query_id),
+          |${topD("t64", "c64")},
+          |${topD("t16", "c16")},
+          |${topD("t8", "c8")},
+          |h8 AS (SELECT a.query_id, count(*) AS hits FROM t8 a
+          |       JOIN t64 b USING (query_id, neighbor_id) GROUP BY 1),
+          |h16 AS (SELECT a.query_id, count(*) AS hits FROM t16 a
+          |        JOIN t64 b USING (query_id, neighbor_id) GROUP BY 1)
+          |SELECT t.query_id,
+          |  CAST(coalesce(h8.hits, 0) AS BIGINT) AS hits_d8,
+          |  CAST(coalesce(h16.hits, 0) AS BIGINT) AS hits_d16
+          |FROM (SELECT DISTINCT query_id FROM t64) t
+          |LEFT JOIN h8 USING (query_id)
+          |LEFT JOIN h16 USING (query_id)""".stripMargin
+      }) { (s, dir) =>
+      CosineSimilarity.register(s)
+      graft.functions.TopK.register(s)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val tops = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("c64", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("c16",
+          expr("graft_cosine(slice(q_emb, 1, 16), slice(n_emb, 1, 16))"))
+        .withColumn("c8",
+          expr("graft_cosine(slice(q_emb, 1, 8), slice(n_emb, 1, 8))"))
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(c64, neighbor_id, 5)").as("t64"),
+          expr("graft_topk(c16, neighbor_id, 5)").as("t16"),
+          expr("graft_topk(c8, neighbor_id, 5)").as("t8"))
+      def ids(c: String) = transform(col(c), x => x.getField("id"))
+      tops.select(col("query_id"),
+        size(array_intersect(ids("t8"), ids("t64"))).cast("long")
+          .as("hits_d8"),
+        size(array_intersect(ids("t16"), ids("t64"))).cast("long")
+          .as("hits_d16"))
+    },
+
+    // ------------------------------------------------------------------
     // Hybrid search — reciprocal-rank fusion (RRF, k=60) of a lexical
     // BM25 leg over `documents` and a dense cosine leg over
     // `embeddings`: the modern retrieval stack's default fusion rule,
