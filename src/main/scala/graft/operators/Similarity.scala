@@ -87,6 +87,45 @@ object Similarity {
       transform(
         array_sort(collect_list(struct(col("pos"), col(valueCol)))),
         e => e.getField(valueCol)).as("arr"))
+  /** Shared probe for q_embed_mrl / q_eval_rbo: top-5 neighbor ids by
+    * full-dim and prefix-dim (16, 8) cosine from ONE broadcast join +
+    * ONE hash(query_id) exchange — the three rankings are three
+    * map-combinable graft_topk aggregates over the same scored rows. */
+  private def mrlTops(s: SparkSession, dir: String): DataFrame = {
+    CosineSimilarity.register(s)
+    graft.functions.TopK.register(s)
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("c64", expr("graft_cosine(q_emb, n_emb)"))
+      .withColumn("c16",
+        expr("graft_cosine(slice(q_emb, 1, 16), slice(n_emb, 1, 16))"))
+      .withColumn("c8",
+        expr("graft_cosine(slice(q_emb, 1, 8), slice(n_emb, 1, 8))"))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(c64, neighbor_id, 5)").as("t64"),
+        expr("graft_topk(c16, neighbor_id, 5)").as("t16"),
+        expr("graft_topk(c8, neighbor_id, 5)").as("t8"))
+  }
+
+  /** Rank-ordered neighbor-id list from a graft_topk result column. */
+  private def mrlIds(c: String): Column =
+    transform(col(c), x => x.getField("id"))
+
+  /** RBO@5 tail weight for an element first common at depth m:
+    * floor(Σ_{d=m..5} (1−0.9)·0.9^{d-1}/d · 1e6 + 0.5) — five literals,
+    * identical spelling in the oracle's CASE ([[rboCaseSql]]), so the
+    * per-query RBO sum is exact BIGINT arithmetic on both engines. */
+  private def rboWeightMicro(m: Column): Column =
+    when(m === 1, 203347L).when(m === 2, 103347L).when(m === 3, 58347L)
+      .when(m === 4, 31347L).otherwise(13122L)
+
+  private val rboCaseSql =
+    "WHEN 1 THEN 203347 WHEN 2 THEN 103347 WHEN 3 THEN 58347 " +
+      "WHEN 4 THEN 31347 ELSE 13122"
+
   private val IvfK = 8      // coarse centroid cells
   private val IvfProbes = 2 // cells probed per query
   private val IvfIters = 2  // Lloyd iterations for the trained quantizer
@@ -1060,29 +1099,94 @@ object Similarity {
           |LEFT JOIN h8 USING (query_id)
           |LEFT JOIN h16 USING (query_id)""".stripMargin
       }) { (s, dir) =>
-      CosineSimilarity.register(s)
-      graft.functions.TopK.register(s)
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val tops = e
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .withColumn("c64", expr("graft_cosine(q_emb, n_emb)"))
-        .withColumn("c16",
-          expr("graft_cosine(slice(q_emb, 1, 16), slice(n_emb, 1, 16))"))
-        .withColumn("c8",
-          expr("graft_cosine(slice(q_emb, 1, 8), slice(n_emb, 1, 8))"))
-        .groupBy(col("query_id"))
-        .agg(expr("graft_topk(c64, neighbor_id, 5)").as("t64"),
-          expr("graft_topk(c16, neighbor_id, 5)").as("t16"),
-          expr("graft_topk(c8, neighbor_id, 5)").as("t8"))
-      def ids(c: String) = transform(col(c), x => x.getField("id"))
+      val tops = mrlTops(s, dir)
       tops.select(col("query_id"),
-        size(array_intersect(ids("t8"), ids("t64"))).cast("long")
+        size(array_intersect(mrlIds("t8"), mrlIds("t64"))).cast("long")
           .as("hits_d8"),
-        size(array_intersect(ids("t16"), ids("t64"))).cast("long")
+        size(array_intersect(mrlIds("t16"), mrlIds("t64"))).cast("long")
           .as("hits_d16"))
+    },
+
+    // ------------------------------------------------------------------
+    // RANK-BIASED OVERLAP of the truncated rankings (Webber, Moffat &
+    // Zobel, "A Similarity Measure for Indefinite Rankings", TOIS
+    // 2010) — q_embed_mrl's companion on the ORDER axis: set recall
+    // says the prefix search returns the right five; RBO says whether
+    // it returns them in the right ORDER, top-weighted (an inversion
+    // at rank 1 costs more than one at rank 5 — what an ANN serving
+    // layer actually cares about). RBO@5 lower bound (no residual):
+    // (1−p)·Σ_{d=1..5} p^{d-1}·|A_{1..d} ∩ B_{1..d}|/d at p = 0.9 —
+    // regrouped PER COMMON ELEMENT: an id first present in both
+    // prefixes at depth m = max(rank_A, rank_B) contributes the
+    // literal tail weight Σ_{d=m..5}(1−p)p^{d-1}/d, pre-floored to
+    // integer µ-units. The per-query score is therefore a SUM OF
+    // INTEGER LITERALS selected by m — no float fold order exists on
+    // either engine, the q_knn_mrr discipline. Same one-pass probe as
+    // q_embed_mrl (shared mrlTops builder: one broadcast join, one
+    // hash(query_id) exchange); the scoring is array algebra over the
+    // 5-element id lists.
+    QueryDef(
+      "q_eval_rbo",
+      {
+        def cosD(d: Int) =
+          s"""list_sum(list_transform(range(1, ${d + 1}),
+            |      k -> CAST(q.qe[k] AS DOUBLE) * CAST(n.embedding[k] AS DOUBLE)))
+            |      / sqrt(
+            |        list_sum(list_transform(range(1, ${d + 1}),
+            |          k -> CAST(q.qe[k] AS DOUBLE) * CAST(q.qe[k] AS DOUBLE)))
+            |        * list_sum(list_transform(range(1, ${d + 1}),
+            |          k -> CAST(n.embedding[k] AS DOUBLE)
+            |            * CAST(n.embedding[k] AS DOUBLE))))""".stripMargin
+        def topD(name: String, c: String) =
+          s"""$name AS (
+            |  SELECT query_id, neighbor_id, rnk FROM (
+            |    SELECT query_id, neighbor_id,
+            |      row_number() OVER (PARTITION BY query_id
+            |                         ORDER BY $c DESC, neighbor_id ASC) AS rnk
+            |    FROM s) WHERE rnk <= 5)""".stripMargin
+        def rboD(t: String, name: String) =
+          s"""$name AS (
+            |  SELECT a.query_id, CAST(sum(CASE greatest(a.rnk, b.rnk)
+            |    $rboCaseSql END) AS BIGINT) AS micro
+            |  FROM t64 a JOIN $t b USING (query_id, neighbor_id)
+            |  GROUP BY 1)""".stripMargin
+        s"""WITH q AS (
+          |  SELECT vec_id AS query_id, embedding AS qe
+          |  FROM embeddings WHERE vec_id < 10),
+          |s AS (
+          |  SELECT q.query_id, n.vec_id AS neighbor_id,
+          |    ${cosD(64)} AS c64,
+          |    ${cosD(16)} AS c16,
+          |    ${cosD(8)} AS c8
+          |  FROM q JOIN embeddings n ON n.vec_id <> q.query_id),
+          |${topD("t64", "c64")},
+          |${topD("t16", "c16")},
+          |${topD("t8", "c8")},
+          |${rboD("t16", "r16")},
+          |${rboD("t8", "r8")}
+          |SELECT t.query_id,
+          |  CAST(coalesce(r8.micro, 0) AS BIGINT) AS rbo_d8_micro,
+          |  CAST(coalesce(r16.micro, 0) AS BIGINT) AS rbo_d16_micro
+          |FROM (SELECT DISTINCT query_id FROM t64) t
+          |LEFT JOIN r8 USING (query_id)
+          |LEFT JOIN r16 USING (query_id)""".stripMargin
+      }) { (s, dir) =>
+      val tops = mrlTops(s, dir)
+      // per common id: m = max(rank in A, rank in B) — array_position
+      // is 1-based over the rank-ordered id lists; the tail weight for
+      // m is a literal in µ-units, so the per-query RBO is an exact
+      // BIGINT sum (identical CASE spelling on the oracle side)
+      def rbo(trunc: String): Column = {
+        val a = mrlIds("t64")
+        val b = mrlIds(trunc)
+        val weighted = transform(array_intersect(a, b), id =>
+          rboWeightMicro(greatest(array_position(a, id),
+            array_position(b, id))))
+        coalesce(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(0L))
+      }
+      tops.select(col("query_id"),
+        rbo("t8").as("rbo_d8_micro"),
+        rbo("t16").as("rbo_d16_micro"))
     },
 
     // ------------------------------------------------------------------

@@ -678,6 +678,7 @@ class PlanSpec extends SparkSpec {
       "q_knn_mips", // q_knn_brute's broadcast-query exact-baseline shape
       "q_embed_mrl", // the same corpus × 10-query broadcast probe, scoring
                      // full and prefix dims in one pass
+      "q_eval_rbo", // q_embed_mrl's shared probe, RBO scoring on top
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
       "q_text_bpe_apply", // shares the trainer's per-round 1-row argmax
                           // broadcasts; serving side adds only keyed joins
