@@ -1600,6 +1600,65 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // BENFORD FIRST-DIGIT AUDIT (Benford 1938; Nigrini's forensic-
+    // accounting screen): the leading significant digit of naturally-
+    // grown monetary amounts follows P(d) = log10(1 + 1/d); fabricated,
+    // capped, or unit-mangled data doesn't. Run over order totals in
+    // exact cents: the digit is the FIRST CHARACTER OF THE BIGINT'S
+    // DECIMAL STRING — integer-to-string is exact and identical in both
+    // engines, where floor(log10(x)) magnitude arithmetic can be off by
+    // one at power-of-ten boundaries in floating point. Observed counts
+    // are one 9-group map-combinable aggregate; the expectation
+    // E_d = N·log10(1 + 1/d) lands as floor(x·1e6 + 0.5) µ-units with
+    // ln spelled identically (ln(1+1/d)/ln(10) — same libm call) on
+    // both engines, and the per-digit χ² term follows the q_churn_
+    // logrank contract: one identical double expression over the two
+    // exact integers, Num-rounded. The verdict here is MEASUREMENT, not
+    // conformance — synthetic uniform prices fail Benford loudly, which
+    // is exactly what the audit exists to surface. 100 TB: the corpus
+    // pays one narrow-projection scan into a 9-row table; the only
+    // empty-partition window (the N total) runs over those 9 rows
+    // (PlanSpec boundedness entry).
+    QueryDef(
+      "q_audit_benford",
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders
+        |  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+        |o AS (SELECT digit, count(*) AS observed FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT digit, observed,
+        |    CAST(sum(observed) OVER () AS BIGINT) AS n FROM o),
+        |e AS (
+        |  SELECT digit, observed, n,
+        |    CAST(floor(n * (ln(1 + 1.0 / digit) / ln(10)) * 1000000 + 0.5)
+        |      AS BIGINT) AS expected_micro
+        |  FROM w)
+        |SELECT digit, CAST(observed AS BIGINT) AS observed, expected_micro,
+        |  """.stripMargin +
+        Num.sql("(observed * 1000000e0 - expected_micro) * " +
+          "(observed * 1000000e0 - expected_micro) / " +
+          "(expected_micro * 1000000e0)", 4) +
+        " AS chi2_term\nFROM e") { (s, dir) =>
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val o = t(s, dir, "orders")
+        .filter(cents > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      val w = o.withColumn("n",
+        sum(col("observed")).over(Window.partitionBy()).cast("long"))
+      val e = w.withColumn("expected_micro",
+        floor(col("n") * (log(lit(1) + lit(1.0) / col("digit")) /
+          log(lit(10.0))) * lit(1000000) + lit(0.5)).cast("long"))
+      e.select(col("digit"), col("observed").cast("long").as("observed"),
+        col("expected_micro"),
+        Num.r((col("observed") * lit(1e6) - col("expected_micro")) *
+          (col("observed") * lit(1e6) - col("expected_micro")) /
+          (col("expected_micro") * lit(1e6)), 4).as("chi2_term"))
+    },
+
+    // ------------------------------------------------------------------
     // Skyline / Pareto frontier (Börzsönyi, Kossmann, Stocker, "The
     // Skyline Operator", ICDE 2001): the parts no other part beats on
     // BOTH price (minimize) and size (maximize) — multi-objective

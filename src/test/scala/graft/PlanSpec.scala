@@ -910,7 +910,9 @@ class PlanSpec extends SparkSpec {
       // log-rank risk-set suffix sums run over the MERGED death-time
       // table — bounded by the session-duration domain (minutes of
       // the longest session), far sublinear in the corpus
-      "logrank death-time table" -> Set("q_churn_logrank"))
+      "logrank death-time table" -> Set("q_churn_logrank"),
+      // Benford's N total runs over the ≤9-row first-digit table
+      "benford digit table" -> Set("q_audit_benford"))
     val allow: Set[String] = bounded.values.flatten.toSet
     def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = {
