@@ -1982,6 +1982,93 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // CLASSICAL SEASONAL DECOMPOSITION (the moving-average additive
+    // decompose — Persons 1919 lineage, the step every forecaster runs
+    // before trusting q_ts_backtest's model choice): per event type,
+    // split the daily series into TREND (centered 7-day moving
+    // average), SEASONAL (per-weekday mean of the detrended series),
+    // and REMAINDER (reported as per-weekday mean |remainder| — the
+    // decomposition-quality readout: weekday effects that survive in
+    // the remainder mean the additive model is wrong). The centered
+    // window never slides over RANKS (gap days would shift the frame):
+    // each day's count explodes onto its 7 TARGET days — the bounded
+    // q_active_trailing pattern, shuffle ∝ 7·|type-days| — and only
+    // targets with all 7 contributors present keep a trend (edge and
+    // gap-adjacent days drop, both engines alike). Arithmetic is
+    // exact-integer end to end: counts enter µ-units via BIGINT
+    // multiplication, the only divisions (/7, /n_days) are identical
+    // double expressions over exact BIGINTs floored straight back to
+    // µ-ints — no float accumulates across rows. Weekday numbering
+    // aligns Spark weekday() ↔ DuckDB isodow − 1 (the
+    // q_anomaly_seasonal contract, which this query complements:
+    // that one ALARMS against a weekday baseline, this one EXTRACTS
+    // the decomposition itself). 100 TB: the corpus pays the one
+    // day-grain rollup; everything downstream — explode, trend join,
+    // weekday means — runs on the type-day table (calendar-bounded,
+    // far sublinear in events), and the seasonal table is |types|×7
+    // rows (auto-broadcast for the remainder join).
+    QueryDef(
+      "q_ts_decompose",
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, day + CAST(o AS INTEGER) AS tday, cnt
+        |  FROM d, (SELECT unnest(range(-3, 4)) AS o)),
+        |tr AS (
+        |  SELECT event_type, tday AS day,
+        |    CAST(floor(sum(cnt) * 1000000e0 / 7 + 0.5) AS BIGINT)
+        |      AS trend_micro
+        |  FROM x GROUP BY 1, 2 HAVING count(*) = 7),
+        |det AS (
+        |  SELECT d.event_type, isodow(d.day) - 1 AS dw,
+        |    d.cnt * 1000000 - tr.trend_micro AS det_micro
+        |  FROM d JOIN tr ON d.event_type = tr.event_type
+        |    AND d.day = tr.day),
+        |se AS (
+        |  SELECT event_type, dw, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(floor(sum(det_micro) * 1e0 / count(*) + 0.5) AS BIGINT)
+        |      AS seasonal_micro
+        |  FROM det GROUP BY 1, 2)
+        |SELECT s.event_type, s.dw, s.n_days, s.seasonal_micro,
+        |  CAST(floor(sum(abs(det.det_micro - s.seasonal_micro)) * 1e0
+        |    / s.n_days + 0.5) AS BIGINT) AS mad_micro
+        |FROM det JOIN se s USING (event_type, dw)
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tr = d
+        .select(col("event_type"), col("day"), col("cnt"),
+          explode(sequence(lit(-3), lit(3))).as("o"))
+        .select(col("event_type"),
+          date_add(col("day"), col("o")).as("day"), col("cnt"))
+      val trend = tr.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cnt")).as("s7"), count(lit(1)).as("n7"))
+        .filter(col("n7") === 7)
+        .select(col("event_type"), col("day"),
+          floor(col("s7") * lit(1e6) / lit(7) + lit(0.5)).cast("long")
+            .as("trend_micro"))
+      val det = d.join(trend, Seq("event_type", "day"))
+        .select(col("event_type"), weekday(col("day")).as("dw"),
+          (col("cnt") * lit(1000000L) - col("trend_micro")).as("det_micro"))
+      val se = det.groupBy(col("event_type"), col("dw"))
+        .agg(count(lit(1)).as("n_days"), sum(col("det_micro")).as("sdet"))
+        .select(col("event_type"), col("dw"), col("n_days"),
+          floor(col("sdet") * lit(1e0) / col("n_days") + lit(0.5))
+            .cast("long").as("seasonal_micro"))
+      det.join(se, Seq("event_type", "dw"))
+        .groupBy(col("event_type"), col("dw"), col("n_days"),
+          col("seasonal_micro"))
+        .agg(floor(sum(abs(col("det_micro") - col("seasonal_micro")))
+          * lit(1e0) / col("n_days") + lit(0.5)).cast("long").as("mad_micro"))
+        .select(col("event_type"), col("dw"), col("n_days"),
+          col("seasonal_micro"), col("mad_micro"))
+    },
+
+    // ------------------------------------------------------------------
     // RFM segmentation — the classic customer scoring (Recency ×
     // Frequency × Monetary quintiles) every CRM warehouse computes:
     // here as exact RANK-based quintiles, not ntile (whose uneven-
