@@ -49,6 +49,50 @@ class BehaviorSpec extends SparkSpec {
     assert(expected.values.exists(_._4 >= 2), "no click streaks in fixture")
   }
 
+  test("q_ts_decompose equals a sequential re-derivation over a hand-built " +
+    "calendar, trend defined exactly on full 7-day neighborhoods") {
+    // independent derivation: rebuild the day rollup imperatively, walk
+    // the calendar with a map lookup (no window, no explode), and
+    // re-derive trend/seasonal/mad with plain Scala arithmetic — pins
+    // the bounded-explode trend against the textbook centered MA and
+    // the weekday alignment against java.time's ISO numbering
+    val roll = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = roll.groupBy(_._1).flatMap { case (et, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val det = for {
+        (day, cnt) <- byDay.toSeq
+        window = (-3 to 3).map(o => byDay.get(day.plusDays(o.toLong)))
+        if window.forall(_.isDefined)
+      } yield {
+        val trend =
+          math.floor(window.flatten.sum * 1e6 / 7 + 0.5).toLong
+        (day.getDayOfWeek.getValue - 1, cnt * 1000000L - trend)
+      }
+      det.groupBy(_._1).map { case (dw, ds) =>
+        val n = ds.length.toLong
+        val seasonal = math.floor(ds.map(_._2).sum * 1e0 / n + 0.5).toLong
+        val mad = math.floor(
+          ds.map(d => math.abs(d._2 - seasonal)).sum * 1e0 / n + 0.5).toLong
+        (et, dw) -> ((n, seasonal, mad))
+      }
+    }
+    val got = SparkEntry.queries("q_ts_decompose")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"decompose diverged: ${
+      expected.collect { case (k, e) if got.get(k) != Some(e) =>
+        s"$k: $e vs ${got.get(k)}" }.take(3).mkString("; ")}")
+    // the fixture must exercise the edge-drop: some days lack a trend
+    val nDays = roll.groupBy(_._1).map { case (_, rs) => rs.length }.sum
+    assert(expected.values.map(_._1).sum < nDays,
+      "no day was dropped by the full-window rule — fixture too uniform")
+  }
+
   test("q_funnel stages are monotonically non-increasing") {
     val r = run("q_funnel").collect()
     assert(r.length == 1)
