@@ -1188,6 +1188,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC apply recovers a state table stranded at .old and the " +
+    "sequence race still holds through the crash") {
+    import spark.implicits._
+    import java.nio.file.{Files => NF, Paths => NP}
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value", "op")
+    val table = tmpDir("cdc_crash") + "/t"
+    Streaming.cdcApplyBatch(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 101L, "view", 1.0, "U"),
+      (2L, ts("2024-01-01 10:01:00"), 102L, "purchase", 0.0, "D"))
+      .toDF(cols: _*), table)
+    // crash window between the swap's two renames: table moved aside,
+    // new table never moved in
+    NF.move(NP.get(table), NP.get(table + ".old"))
+    assert(!NF.exists(NP.get(table)) && NF.exists(NP.get(table + ".old")))
+    // the next batch must merge against the RECOVERED state — in
+    // particular key 2's tombstone must survive the crash and still
+    // beat this batch's OLDER redelivered upsert
+    Streaming.cdcApplyBatch(Seq(
+      (2L, ts("2024-01-01 09:30:00"), 90L, "click", 2.0, "U"),
+      (3L, ts("2024-01-01 11:00:00"), 103L, "view", 3.0, "U"))
+      .toDF(cols: _*), table)
+    val live = Streaming.cdcLive(spark, table).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(live == Set(1L, 3L),
+      s"crash recovery lost the tombstone race: live=$live")
+    assert(!NF.exists(NP.get(table + ".old")), "stale .old not cleaned up")
+  }
+
   test("upsert recovers a table stranded at .old by a mid-swap crash") {
     import spark.implicits._
     import java.nio.file.{Files => NF, Paths => NP}
