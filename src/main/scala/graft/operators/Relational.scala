@@ -505,6 +505,49 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // MARK JOIN — EXISTS as a KEPT COLUMN, not a filter: the fourth
+    // member of the existential-join family (semi filters to matches,
+    // anti to non-matches, NAAJ to NOT-IN semantics; MARK keeps BOTH
+    // populations and tags them), the shape DuckDB plans with a
+    // dedicated MARK operator for `SELECT ..., EXISTS(...)`. Spark has
+    // no existence join surface in the DataFrame API, so the Spark-
+    // first composition is: collapse the subquery side to DISTINCT
+    // keys (one map-combinable aggregate — at 100 TB the key set, not
+    // the fact table, is what the join touches), LEFT-join it onto the
+    // outer side, and read the null-ness of the joined key as the
+    // mark. Distinctness BEFORE the join is the correctness load:
+    // joining the raw fact side would duplicate outer rows per match
+    // (a fan-out the filtering semi join never exposes). The query:
+    // orders marked by "has a returned lineitem", then conversion-
+    // style counts per priority × mark — both populations in one
+    // result, which is exactly what a filter join cannot produce.
+    // 100 TB: one keyed distinct + one keyed equi-join (AQE broadcasts
+    // the key set while it fits); the date filter pushes to the
+    // lineitem scan ahead of the distinct.
+    QueryDef(
+      "q_join_mark",
+      """SELECT o_orderpriority,
+        |  EXISTS (SELECT 1 FROM lineitem
+        |          WHERE l_orderkey = o_orderkey
+        |            AND l_returnflag = 'R') AS has_return,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("rk")).distinct()
+      t(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("rk"), "left")
+        .groupBy(col("o_orderpriority"),
+          col("rk").isNotNull.as("has_return"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long").as("cents"))
+    },
+
+    // ------------------------------------------------------------------
     // Referential-integrity audit — the data-quality gate a pipeline
     // runs before trusting joins: per FK relation, how many fact rows
     // have a NULL key vs a key with no parent, and how many distinct
