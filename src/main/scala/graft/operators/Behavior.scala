@@ -2733,7 +2733,7 @@ object Behavior {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS extinct
         |  FROM w)
-        |SELECT cohort, CAST(lt AS BIGINT) AS lifetime_days,
+        |SELECT cohort, CAST(lt AS BIGINT) AS lifetime_min,
         |  d AS churned, c AS censored, n AS at_risk,
         |  CASE WHEN extinct = 0 THEN
         |    CAST(sum(term) OVER (PARTITION BY cohort ORDER BY lt
@@ -2757,7 +2757,7 @@ object Behavior {
             * lit(1e6) + lit(0.5)).cast("long")))
         .withColumn("extinct",
           max(when(col("n") === col("d"), 1).otherwise(0)).over(wCum))
-        .select(col("cohort"), col("lt").as("lifetime_days"),
+        .select(col("cohort"), col("lt").as("lifetime_min"),
           col("d").as("churned"), col("c").as("censored"),
           col("n").as("at_risk"),
           when(col("extinct") === 0,
@@ -2921,9 +2921,12 @@ object Behavior {
       val ops = ev.crossJoin(broadcast(bounds))
         .withColumn("op",
           when(col("event_type") === "purchase", "D").otherwise("U"))
+        // exact integral floor division — the double spelling
+        // (lo + hi) / 2 cast to long agrees with DuckDB's // only while
+        // lo + hi fits a double's 53-bit mantissa (epoch-µs sums don't
+        // at the margin); `div` keeps the midpoint exact at any scale
         .withColumn("half",
-          when(unix_micros(col("ts")) <=
-            ((col("lo") + col("hi")) / lit(2)).cast("long"), 0)
+          when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 0)
             .otherwise(1))
       val byKeyDesc = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)

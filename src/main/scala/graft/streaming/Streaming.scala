@@ -727,19 +727,46 @@ object Streaming {
       val name = new org.apache.hadoop.fs.Path(p).getName
       !name.startsWith("batch=") || name.drop(6).toLong <= upToBatch
     }
-    if (inputs.nonEmpty) {
+    val target = new org.apache.hadoop.fs.Path(spanDir,
+      s"compact=$upToBatch")
+    // compare by dir NAME — listStatus paths are fs-qualified
+    // (file:/...), target is the raw spelling
+    val inputNames =
+      inputs.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    if (inputNames == Seq(target.getName)) {
+      // Re-folding a lone base is the identity: a run at a horizon equal
+      // to the newest base (including the re-run after a crash that
+      // completed the stage->base rename but not the source deletes)
+      // would fold compact=<horizon> into itself. The old spelling
+      // deleted that ONLY live copy before renaming its replacement in,
+      // so a crash in between lost all compacted history (ADVICE r10).
+      // Skip the fold entirely — the base already IS the fold — and fall
+      // through to the supersede sweep, which completes any pending
+      // source deletes a crashed run left behind.
+    } else if (inputs.nonEmpty) {
       val staged = new org.apache.hadoop.fs.Path(spanDir, ".compact_staging")
-      val target = new org.apache.hadoop.fs.Path(spanDir,
-        s"compact=$upToBatch")
       spark.read.parquet(inputs: _*)
         .groupBy(col("sid")).agg(sum(col("n_docs")).as("n_docs"))
         .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-      // a leftover target from a crashed identical run is safe to
-      // clear: its content is a pure fold of the same inputs
-      if (fs.exists(target) && !fs.delete(target, true))
+      // Never delete a live copy before its replacement is in place: a
+      // pre-existing target moves ASIDE, staging renames in, THEN the
+      // aside drops. Under the single-writer contract an existing
+      // compact=<horizon> is always the newest base and takes the
+      // short-circuit above, so this branch expects no target — but a
+      // violated contract should degrade to a recoverable aside swap,
+      // never to deleting the only copy.
+      val aside = new org.apache.hadoop.fs.Path(spanDir, ".compact_aside")
+      if (fs.exists(aside) && !fs.delete(aside, true))
         throw new java.io.IOException(
-          s"spanCompact: could not clear stale $target")
+          s"spanCompact: could not clear stale aside $aside")
+      if (fs.exists(target))
+        renameOrThrow(fs, target, aside, "spanCompact(base->aside)")
       renameOrThrow(fs, staged, target, "spanCompact(stage->base)")
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(
+          s"spanCompact: superseded aside $aside not deleted")
+    }
+    if (inputs.nonEmpty) {
       // retire EVERYTHING the new base supersedes LAST — batch partials
       // ≤ horizon and older bases, including already-invisible crash
       // leftovers (correctness never depends on these deletes — readers

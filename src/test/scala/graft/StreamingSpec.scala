@@ -1739,11 +1739,25 @@ class StreamingSpec extends SparkSpec {
       docs.filter(col("doc_id") % 3 === 1), 1L, table)
     assert(snap == before,
       "leftover pre-horizon batch dir was double-counted")
-    // re-running the same compaction folds the visible inputs again —
-    // idempotent, and it clears the leftover
+    // re-running the same compaction is idempotent AND must not touch
+    // the lone base: with inputs == {compact=1} the fold is the
+    // identity, and the ADVICE-r10 loss window (delete the only live
+    // copy, then crash before the replacement renames in) only exists
+    // if the base is rewritten at all. Spark part-file names carry a
+    // random task UUID, so an untouched directory means identical file
+    // names — pin that, plus the leftover sweep still running.
+    def baseFiles: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      NF.list(NP.get(s"$table/compact=1")).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    }
+    val baseBefore = baseFiles
     Streaming.spanCompact(spark, table, upToBatch = 1L)
     assert(snap == before)
     assert(!NF.exists(NP.get(s"$table/batch=1")), "leftover not cleared")
+    assert(baseFiles == baseBefore,
+      "same-horizon re-run rewrote the lone base instead of " +
+        "short-circuiting (the delete-before-rename loss window)")
     // the horizon only moves forward
     Streaming.spanIngestBatch(
       docs.filter(col("doc_id") % 3 === 0), 3L, table)
