@@ -2145,8 +2145,117 @@ object Analytics {
           Num.r(col("est_raw"), 6).as("est_mean"),
           Num.r(col("lo_raw"), 6).as("ci_lo"),
           Num.r(col("hi_raw"), 6).as("ci_hi"))
+    },
+
+    // ------------------------------------------------------------------
+    // One-way ANOVA (classic F + η² effect size) PLUS Welch's
+    // heteroscedastic F over order totals by priority — the "does this
+    // categorical segment the metric at all" omnibus test that comes
+    // before any pairwise q_ab_ttest. Engine shape: the ONLY corpus
+    // pass is one map-combinable global aggregate of 15 exact BIGINTs
+    // (count / Σx / Σx² conditionally pivoted per priority — whole
+    // dollars keep Σx² < 4·10¹⁷ at sf1, far inside BIGINT); everything
+    // after is scalar algebra on a single row, the q_ml_ridge shape.
+    // Cross-engine parity is engineered, not hoped for: the group set
+    // is the schema-pinned TPC-H priority domain, so the cross-GROUP
+    // folds (ΣB_g, Σw_g, Welch's weighted mean) are written as
+    // EXPLICIT left-to-right chains over the 5 pivoted columns — the
+    // identical IEEE op sequence in both engines — instead of a
+    // sum() whose fold order differs per engine. Both engines run the
+    // literally same fragment text (selectExpr == CTE SQL).
+    QueryDef("q_stats_anova", anovaOracle) { (s, dir) =>
+      val c = t(s, dir, "orders").selectExpr(
+        "CAST(floor(o_totalprice) AS BIGINT) AS x", "o_orderpriority")
+      val m = c.agg(
+        expr(anovaMomentSel.head), anovaMomentSel.tail.map(expr): _*)
+      anovaStages.foldLeft(m)((df, stage) => df.selectExpr(stage: _*))
     }
   )
+
+  /** TPC-H order-priority domain — schema-pinned, so the per-group
+    * pivot (and the explicit fold order over it) is stable at any SF. */
+  private lazy val anovaPris = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Left-to-right fold of per-group terms: ((((t0+t1)+t2)+t3)+t4) —
+    * ONE deterministic op order shared by both engines. */
+  private def anovaFold(term: Int => String): String =
+    (1 until anovaPris.length).foldLeft(term(0))(
+      (acc, i) => s"($acc + ${term(i)})")
+
+  /** The pivoted exact-integer moments: n / Σx / Σx² per priority. */
+  private lazy val anovaMomentSel: Seq[String] =
+    anovaPris.zipWithIndex.flatMap { case (p, i) =>
+      val c = s"CASE WHEN o_orderpriority = '$p' THEN"
+      Seq(
+        s"CAST(sum($c 1 ELSE 0 END) AS BIGINT) AS n$i",
+        s"CAST(sum($c x ELSE 0 END) AS BIGINT) AS s$i",
+        s"CAST(sum($c x * x ELSE 0 END) AS BIGINT) AS q$i")
+    }
+
+  /** The scalar-algebra stages from moments to (F, η², Welch F). Each
+    * inner Seq is one SELECT's fragments; identical text runs as Spark
+    * selectExpr stages and as the oracle's chained CTEs. */
+  private lazy val anovaStages: Seq[Seq[String]] = {
+    val is = anovaPris.indices
+    val d =
+      is.flatMap(i => Seq(
+        s"CAST(n$i AS DOUBLE) AS fn$i",
+        s"CAST(s$i AS DOUBLE) AS fs$i",
+        s"CAST(q$i AS DOUBLE) AS fq$i")) ++ Seq(
+        s"${anovaFold(i => s"n$i")} AS nn",
+        s"CAST(${anovaFold(i => s"n$i")} AS DOUBLE) AS fna",
+        s"CAST(${anovaFold(i => s"s$i")} AS DOUBLE) AS fsa",
+        s"CAST(${anovaFold(i => s"q$i")} AS DOUBLE) AS fqa")
+    val e =
+      Seq("nn", "fna", "fsa", "fqa") ++ is.map(i => s"fn$i") ++
+        is.flatMap(i => Seq(
+          s"fs$i * fs$i / fn$i AS b$i",
+          s"fs$i / fn$i AS mm$i",
+          s"(fq$i - fs$i * fs$i / fn$i) / (fn$i - 1.0e0) AS v$i"))
+    val f =
+      Seq("nn", "fna") ++ is.flatMap(i => Seq(s"fn$i", s"mm$i")) ++
+        is.map(i => s"fn$i / v$i AS w$i") ++ Seq(
+        s"${anovaFold(i => s"b$i")} - fsa * fsa / fna AS ssb",
+        "fqa - fsa * fsa / fna AS sst")
+    val g =
+      Seq("nn", "fna", "ssb", "sst", "sst - ssb AS ssw") ++
+        is.flatMap(i => Seq(s"fn$i", s"mm$i", s"w$i")) :+
+        s"${anovaFold(i => s"w$i")} AS ww"
+    val h =
+      Seq("nn", "fna", "ssb", "sst", "ssw", "ww",
+        s"${anovaFold(i => s"w$i * mm$i")} / ww AS mw") ++
+        is.flatMap(i => Seq(s"w$i", s"mm$i")) ++
+        is.map(i =>
+          s"(1.0e0 - w$i / ww) * (1.0e0 - w$i / ww) / (fn$i - 1.0e0)" +
+            s" AS t$i")
+    val fin = Seq(
+      "nn AS n",
+      s"${Num.sql("(ssb / 4.0e0) / (ssw / (fna - 5.0e0))", 6)} AS f_stat",
+      s"${Num.sql("ssb / sst", 6)} AS eta2",
+      Num.sql(
+        s"(${anovaFold(i => s"w$i * (mm$i - mw) * (mm$i - mw)")} / 4.0e0)" +
+          s" / (1.0e0 + 0.25e0 * ${anovaFold(i => s"t$i")})", 6) +
+        " AS welch_f")
+    Seq(d, e, f, g, h, fin)
+  }
+
+  /** DuckDB replay of q_stats_anova: the same fragment text as chained
+    * CTEs over the same exact-integer moments. */
+  private def anovaOracle: String = {
+    val stages = anovaStages
+    val ctes = stages.init.zipWithIndex.map { case (sel, k) =>
+      val from = if (k == 0) "m" else s"d${k - 1}"
+      s"d$k AS (SELECT ${sel.mkString(",\n    ")} FROM $from)"
+    }
+    s"""WITH c AS (
+      |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS x, o_orderpriority
+      |  FROM orders),
+      |m AS (SELECT ${anovaMomentSel.mkString(",\n    ")} FROM c),
+      |${ctes.mkString(",\n")}
+      |SELECT ${stages.last.mkString(",\n  ")}
+      |FROM d${stages.init.length - 1}""".stripMargin
+  }
 
   /** Poisson bootstrap resample count: 32 keeps the per-source rank
     * relation trivially bounded while giving the CI ~3% resolution. */

@@ -49,6 +49,39 @@ class StatsSpec extends SparkSpec {
       s"skyline ${sky.length} points != brute-force ${expected.size}")
   }
 
+  test("q_stats_anova matches a direct driver-side computation and " +
+    "Welch agrees with classic F under near-homoscedasticity") {
+    val row = SparkEntry.queries("q_stats_anova")(spark, sfDir)
+      .collect().head
+    val n = row.getLong(row.fieldIndex("n"))
+    val f = row.getDouble(row.fieldIndex("f_stat"))
+    val eta2 = row.getDouble(row.fieldIndex("eta2"))
+    val welch = row.getDouble(row.fieldIndex("welch_f"))
+    // independent reference: plain double arithmetic over the collected
+    // table (textbook formulas, no pivot/fold tricks)
+    val xs = Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(1)))
+    val byG = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byG.size == 5 && n == xs.length)
+    val grand = xs.map(_._2).sum / xs.length
+    val ssb = byG.values.map(v =>
+      v.length * math.pow(v.map(identity).sum / v.length - grand, 2)).sum
+    val ssw = byG.values.map(v => {
+      val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum
+    }).sum
+    val fRef = (ssb / 4) / (ssw / (xs.length - 5))
+    val etaRef = ssb / (ssb + ssw)
+    assert(math.abs(f - fRef) < 1e-4 * math.max(1, math.abs(fRef)),
+      s"F $f vs $fRef")
+    assert(math.abs(eta2 - etaRef) < 1e-6, s"eta2 $eta2 vs $etaRef")
+    // TPC-H-ish uniform totals per priority: group variances are near
+    // equal and groups near balanced, so Welch must land close to F
+    assert(welch > 0 || welch <= 0) // defined (not NaN)
+    assert(math.abs(welch - f) < 0.2 * math.max(1.0, math.abs(f)),
+      s"welch $welch vs classic $f")
+  }
+
   test("q_stats_bootstrap: intervals are ordered, bracket the point " +
     "estimate, and the Poisson weights have unit mean") {
     import org.apache.spark.sql.functions._
