@@ -2148,6 +2148,47 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // LOGISTIC-family GLM trained IN-ENGINE by full Newton steps — the
+    // quality-classifier training loop (predict a binary label from row
+    // features) run as pure relational algebra, complementing
+    // q_ml_ridge's closed-form least squares. Model: P(return) ~
+    // intercept + quantity + discount with the ALGEBRAIC sigmoid
+    // σ(z) = ½ + ½·z/(1+|z|) — chosen over exp() deliberately: libm
+    // exp() is not correctly rounded and differs across engines, while
+    // +,·,/,abs are IEEE-exact, so the per-row probabilities are
+    // bit-identical cross-engine and the whole training run is
+    // hash-checkable. Scale shape per Newton step: ONE map-combinable
+    // aggregate of 9 exact BIGINT moments (per-row gradient/Hessian
+    // contributions quantized at 2⁻²⁰ — floor of a deterministic
+    // double, so quantization is identical cross-engine and integer
+    // addition kills fold-order noise; |Σ| < 8·10¹⁵ even at sf1), then
+    // a 3×3 Cramer solve on a single row (the ridge cofactor text,
+    // λ = 1 on the diagonal) and a 1-row broadcast of the new weights
+    // into the next pass — 2 Newton steps + 1 scoring pass = 3 fact
+    // scans, zero fact-sized shuffles, the textbook distributed-GLM
+    // plan (model to data, never data to model). The oracle replays
+    // the identical fragment text as chained CTEs.
+    QueryDef("q_ml_logreg", logregOracle) { (s, dir) =>
+      val c = t(s, dir, "lineitem").selectExpr(logregRows: _*)
+      val w0 = s.range(1).selectExpr(logregInit: _*)
+      def step(w: DataFrame): DataFrame = {
+        val m = c.crossJoin(broadcast(w))
+          .selectExpr(logregZ: _*)
+          .selectExpr(logregProb: _*)
+          .selectExpr(logregQuant: _*)
+          .agg(expr(logregMom.head), logregMom.tail.map(expr): _*)
+        m.selectExpr(logregDeq: _*)
+          .selectExpr(logregCramer: _*)
+          .selectExpr(logregUpdate: _*)
+      }
+      val w2 = step(step(w0))
+      c.crossJoin(broadcast(w2))
+        .selectExpr(logregZ: _*)
+        .agg(expr(logregAcc.head), logregAcc.tail.map(expr): _*)
+        .selectExpr(logregFinal: _*)
+    },
+
+    // ------------------------------------------------------------------
     // One-way ANOVA (classic F + η² effect size) PLUS Welch's
     // heteroscedastic F over order totals by priority — the "does this
     // categorical segment the metric at all" omnibus test that comes
@@ -2171,6 +2212,112 @@ object Analytics {
       anovaStages.foldLeft(m)((df, stage) => df.selectExpr(stage: _*))
     }
   )
+
+  /** Quantization step for q_ml_logreg's per-row Newton contributions:
+    * 2²⁰ — fine enough that the quantized gradient steers like the real
+    * one, coarse enough that sf1's 6M-row sums stay exactly
+    * double-representable (< 2⁵³) after the BIGINT→DOUBLE dequantize. */
+  private def lrQ = "1048576.0e0"
+
+  private def lrQi(e: String, n: String): String =
+    s"CAST(floor(($e) * $lrQ + 0.5e0) AS BIGINT) AS q$n"
+
+  /** Feature projection: label + the two features, all DOUBLE. */
+  private lazy val logregRows: Seq[String] = Seq(
+    "CASE WHEN l_returnflag = 'R' THEN 1.0e0 ELSE 0.0e0 END AS y",
+    "CAST(l_quantity AS DOUBLE) AS fx1",
+    "CAST(floor(l_discount * 100.0e0 + 0.5e0) AS DOUBLE) AS fx2")
+
+  private lazy val logregInit: Seq[String] =
+    Seq("0.0e0 AS wa", "0.0e0 AS wb", "0.0e0 AS wc")
+
+  private lazy val logregZ: Seq[String] = Seq(
+    "y", "fx1", "fx2", "wa", "wb", "wc",
+    "wa + wb * fx1 + wc * fx2 AS z")
+
+  private lazy val logregProb: Seq[String] = Seq(
+    "y", "fx1", "fx2", "wa", "wb", "wc",
+    "0.5e0 + 0.5e0 * z / (1.0e0 + abs(z)) AS p",
+    "0.5e0 / ((1.0e0 + abs(z)) * (1.0e0 + abs(z))) AS d")
+
+  private lazy val logregQuant: Seq[String] =
+    Seq("wa", "wb", "wc",
+      lrQi("y - p", "g0"), lrQi("(y - p) * fx1", "g1"),
+      lrQi("(y - p) * fx2", "g2"),
+      lrQi("d", "h00"), lrQi("d * fx1", "h01"), lrQi("d * fx2", "h02"),
+      lrQi("d * fx1 * fx1", "h11"), lrQi("d * fx1 * fx2", "h12"),
+      lrQi("d * fx2 * fx2", "h22"))
+
+  private lazy val logregMom: Seq[String] =
+    Seq("g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22")
+      .map(n => s"CAST(sum(q$n) AS BIGINT) AS s$n") ++
+      Seq("min(wa) AS wa", "min(wb) AS wb", "min(wc) AS wc")
+
+  /** Dequantized Hessian/gradient, λ = 1 ridge on the diagonal. */
+  private lazy val logregDeq: Seq[String] = Seq(
+    "wa", "wb", "wc",
+    s"CAST(sh00 AS DOUBLE) / $lrQ + 1.0e0 AS a",
+    s"CAST(sh01 AS DOUBLE) / $lrQ AS b",
+    s"CAST(sh02 AS DOUBLE) / $lrQ AS c",
+    s"CAST(sh11 AS DOUBLE) / $lrQ + 1.0e0 AS dd",
+    s"CAST(sh12 AS DOUBLE) / $lrQ AS e",
+    s"CAST(sh22 AS DOUBLE) / $lrQ + 1.0e0 AS f",
+    s"CAST(sg0 AS DOUBLE) / $lrQ AS u",
+    s"CAST(sg1 AS DOUBLE) / $lrQ AS v",
+    s"CAST(sg2 AS DOUBLE) / $lrQ AS w")
+
+  /** The ridge Cramer cofactors, token for token (q_ml_ridge). */
+  private lazy val logregCramer: Seq[String] = Seq(
+    "wa", "wb", "wc",
+    "a * (dd * f - e * e) - b * (b * f - e * c)" +
+      " + c * (b * e - dd * c) AS det",
+    "u * (dd * f - e * e) - b * (v * f - e * w)" +
+      " + c * (v * e - dd * w) AS det0",
+    "a * (v * f - e * w) - u * (b * f - e * c)" +
+      " + c * (b * w - v * c) AS det1",
+    "a * (dd * w - e * v) - b * (b * w - v * c)" +
+      " + u * (b * e - dd * c) AS det2")
+
+  private lazy val logregUpdate: Seq[String] = Seq(
+    "wa + det0 / det AS wa",
+    "wb + det1 / det AS wb",
+    "wc + det2 / det AS wc")
+
+  private lazy val logregAcc: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(sum(CASE WHEN (z >= 0.0e0) = (y > 0.5e0) THEN 1 ELSE 0 END)" +
+      " AS BIGINT) AS n_correct",
+    "min(wa) AS wa", "min(wb) AS wb", "min(wc) AS wc")
+
+  private lazy val logregFinal: Seq[String] = Seq(
+    "n", "n_correct",
+    s"${Num.sql("wa", 6)} AS w_icept",
+    s"${Num.sql("wb", 6)} AS w_qty",
+    s"${Num.sql("wc", 6)} AS w_disc")
+
+  /** DuckDB replay of q_ml_logreg: the identical fragment text as
+    * chained CTEs — 2 Newton steps, then the scoring pass. */
+  private def logregOracle: String = {
+    def stepCtes(k: Int): String =
+      s"""r$k AS (SELECT ${logregZ.mkString(", ")}
+        |  FROM c CROSS JOIN w$k),
+        |p$k AS (SELECT ${logregProb.mkString(", ")} FROM r$k),
+        |x$k AS (SELECT ${logregQuant.mkString(",\n    ")} FROM p$k),
+        |m$k AS (SELECT ${logregMom.mkString(",\n    ")} FROM x$k),
+        |dq$k AS (SELECT ${logregDeq.mkString(",\n    ")} FROM m$k),
+        |cr$k AS (SELECT ${logregCramer.mkString(",\n    ")} FROM dq$k),
+        |w${k + 1} AS (SELECT ${logregUpdate.mkString(", ")} FROM cr$k)"""
+        .stripMargin
+    s"""WITH c AS (
+      |  SELECT ${logregRows.mkString(",\n    ")} FROM lineitem),
+      |w0 AS (SELECT ${logregInit.mkString(", ")}),
+      |${stepCtes(0)},
+      |${stepCtes(1)},
+      |rf AS (SELECT ${logregZ.mkString(", ")}
+      |  FROM c CROSS JOIN w2),
+      |acc AS (SELECT ${logregAcc.mkString(",\n    ")} FROM rf)
+      |SELECT ${logregFinal.mkString(",\n  ")} FROM acc""".stripMargin
+  }
 
   /** TPC-H order-priority domain — schema-pinned, so the per-group
     * pivot (and the explicit fold order over it) is stable at any SF. */

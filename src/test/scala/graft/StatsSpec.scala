@@ -82,6 +82,69 @@ class StatsSpec extends SparkSpec {
       s"welch $welch vs classic $f")
   }
 
+  test("q_ml_logreg matches a driver-side replay of the quantized " +
+    "Newton iterations and at least learns the class prior") {
+    val row = SparkEntry.queries("q_ml_logreg")(spark, sfDir)
+      .collect().head
+    val n = row.getLong(row.fieldIndex("n"))
+    val nCorrect = row.getLong(row.fieldIndex("n_correct"))
+    val got = Array(
+      row.getDouble(row.fieldIndex("w_icept")),
+      row.getDouble(row.fieldIndex("w_qty")),
+      row.getDouble(row.fieldIndex("w_disc")))
+    assert(got.forall(w => !w.isNaN && !w.isInfinite),
+      s"weights degenerate: ${got.mkString(",")}")
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect().map(r => (
+        if (r.getString(0) == "R") 1.0 else 0.0,
+        r.getDouble(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5)))
+    assert(n == rows.length)
+    // replay: same algebraic sigmoid, same 2^-20 quantization, same
+    // lambda=1 ridge Newton solve — the JVM runs the identical IEEE
+    // ops, so agreement should be essentially exact
+    val Q = 1048576.0
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until 2) {
+      val s = new Array[Long](9)
+      rows.foreach { case (y, x1, x2) =>
+        val z = w(0) + w(1) * x1 + w(2) * x2
+        val az = math.abs(z)
+        val p = 0.5 + 0.5 * z / (1.0 + az)
+        val d = 0.5 / ((1.0 + az) * (1.0 + az))
+        val terms = Array(y - p, (y - p) * x1, (y - p) * x2,
+          d, d * x1, d * x2, d * x1 * x1, d * x1 * x2, d * x2 * x2)
+        var i = 0
+        while (i < 9) {
+          s(i) += math.floor(terms(i) * Q + 0.5).toLong; i += 1
+        }
+      }
+      val Array(g0, g1, g2, h00, h01, h02, h11, h12, h22) =
+        s.map(_.toDouble / Q)
+      val (a, b, c, dd, e, f) =
+        (h00 + 1.0, h01, h02, h11 + 1.0, h12, h22 + 1.0)
+      val (u, v, ww) = (g0, g1, g2)
+      val det = a * (dd * f - e * e) - b * (b * f - e * c) +
+        c * (b * e - dd * c)
+      val det0 = u * (dd * f - e * e) - b * (v * f - e * ww) +
+        c * (v * e - dd * ww)
+      val det1 = a * (v * f - e * ww) - u * (b * f - e * c) +
+        c * (b * ww - v * c)
+      val det2 = a * (dd * ww - e * v) - b * (b * ww - v * c) +
+        u * (b * e - dd * c)
+      w = Array(w(0) + det0 / det, w(1) + det1 / det, w(2) + det2 / det)
+    }
+    got.zip(w).foreach { case (g, r) =>
+      assert(math.abs(g - r) < 1e-6, s"weight $g vs replay $r")
+    }
+    // an intercept-bearing Newton fit cannot score below the majority
+    // class prior
+    val majority = math.max(rows.count(_._1 == 1.0),
+      rows.count(_._1 == 0.0))
+    assert(nCorrect >= majority, s"$nCorrect < majority $majority")
+  }
+
   test("q_stats_bootstrap: intervals are ordered, bracket the point " +
     "estimate, and the Poisson weights have unit mean") {
     import org.apache.spark.sql.functions._
