@@ -2148,6 +2148,68 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // MULTI-DIMENSIONAL CLUSTERING for scan pruning (OPTIMIZE ZORDER):
+    // interleave the bits of two filter dimensions into a Z-value,
+    // group rows into files by Z-tile (top 6 bits = an 8×8 quadtree
+    // grid), build the min-max ZONE MAP per file, and MEASURE the
+    // file-skipping it buys a 4×4 grid of box queries against the same
+    // data laid out in ingestion (round-robin) order. This is the
+    // physical-design decision a 100 TB lakehouse gets right or pays
+    // for forever: a zone map over insertion-ordered files has
+    // full-span min/max on every dimension (zero skips), while
+    // Z-clustered files are axis-aligned rectangles that box
+    // predicates prune quadratically. Engine shape: the Z-value is
+    // pure per-row bit arithmetic (codegen, no shuffle), each layout's
+    // zone map is one map-combinable agg keyed by file id (the tiny
+    // zone tables shuffle, never the fact), and the workload probe is
+    // zones × 16 broadcast boxes. Everything is exact integers — bit
+    // interleaving and integer division agree across engines by
+    // construction.
+    QueryDef("q_layout_zorder", zorderOracle) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("a"),
+          col("l_suppkey").as("b"))
+      val bounds = li.agg(
+        min(col("a")).as("amin"), max(col("a")).as("amax"),
+        min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+      def interleave(ba: Column, bb: Column): Column =
+        (0 until 8).map { i =>
+          shiftright(ba, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+            shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+      val zed = li.crossJoin(broadcast(bounds))
+        .withColumn("ba", expr("((a - amin) * 256) div (amax - amin + 1)"))
+        .withColumn("bb", expr("((b - bmin) * 256) div (bmax - bmin + 1)"))
+        .withColumn("z", interleave(col("ba"), col("bb")))
+      def zoneMap(layout: String, fileId: Column): DataFrame =
+        zed.groupBy(fileId.as("file_id"))
+          .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
+            min(col("b")).as("lb"), max(col("b")).as("hb"),
+            count(lit(1)).as("n"))
+          .select(lit(layout).as("layout"), col("file_id"),
+            col("la"), col("ha"), col("lb"), col("hb"), col("n"))
+      val zones = zoneMap("zorder", shiftright(col("z"), 10))
+        .unionAll(zoneMap("natural", pmod(col("l_orderkey"), lit(64))))
+      val boxes = s.range(16).toDF("q").crossJoin(broadcast(bounds))
+        .selectExpr("q",
+          "amin + ((q % 4) * (amax - amin + 1)) div 4 AS qla",
+          "amin + (((q % 4) + 1) * (amax - amin + 1)) div 4 - 1 AS qha",
+          "bmin + ((q div 4) * (bmax - bmin + 1)) div 4 AS qlb",
+          "bmin + (((q div 4) + 1) * (bmax - bmin + 1)) div 4 - 1 AS qhb")
+      val scanned = zones.join(broadcast(boxes),
+        col("la") <= col("qha") && col("ha") >= col("qla") &&
+          col("lb") <= col("qhb") && col("hb") >= col("qlb"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("files_scanned"),
+          sum(col("n")).as("rows_scanned"))
+      val nFiles = zones.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"))
+      nFiles.join(scanned, Seq("layout"))
+        .select(col("layout"), col("n_files"), col("files_scanned"),
+          col("rows_scanned"))
+    },
+
+    // ------------------------------------------------------------------
     // LOGISTIC-family GLM trained IN-ENGINE by full Newton steps — the
     // quality-classifier training loop (predict a binary label from row
     // features) run as pure relational algebra, complementing
@@ -2212,6 +2274,55 @@ object Analytics {
       anovaStages.foldLeft(m)((df, stage) => df.selectExpr(stage: _*))
     }
   )
+
+  /** DuckDB replay of q_layout_zorder: identical integer bit math —
+    * the interleave is the same 16-term sum, `//` is `div`. */
+  private def zorderOracle: String = {
+    val zTerms = (0 until 8).map { i =>
+      s"((ba >> $i) & 1) * ${1L << (2 * i)}" +
+        s" + ((bb >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("\n      + ")
+    s"""WITH bounds AS (
+      |  SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+      |    min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+      |  FROM lineitem),
+      |zed AS (
+      |  SELECT l_orderkey, a, b, ($zTerms) AS z
+      |  FROM (
+      |    SELECT l_orderkey, l_partkey AS a, l_suppkey AS b,
+      |      ((l_partkey - amin) * 256) // (amax - amin + 1) AS ba,
+      |      ((l_suppkey - bmin) * 256) // (bmax - bmin + 1) AS bb
+      |    FROM lineitem, bounds)),
+      |zones AS (
+      |  SELECT 'zorder' AS layout, z >> 10 AS file_id,
+      |    min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb,
+      |    count(*) AS n
+      |  FROM zed GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'natural' AS layout, l_orderkey % 64 AS file_id,
+      |    min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb,
+      |    count(*) AS n
+      |  FROM zed GROUP BY 1, 2),
+      |boxes AS (
+      |  SELECT q,
+      |    amin + ((q % 4) * (amax - amin + 1)) // 4 AS qla,
+      |    amin + (((q % 4) + 1) * (amax - amin + 1)) // 4 - 1 AS qha,
+      |    bmin + ((q // 4) * (bmax - bmin + 1)) // 4 AS qlb,
+      |    bmin + (((q // 4) + 1) * (bmax - bmin + 1)) // 4 - 1 AS qhb
+      |  FROM range(16) t(q), bounds),
+      |scanned AS (
+      |  SELECT layout, CAST(count(*) AS BIGINT) AS files_scanned,
+      |    CAST(sum(n) AS BIGINT) AS rows_scanned
+      |  FROM zones z JOIN boxes q
+      |    ON z.la <= q.qha AND z.ha >= q.qla
+      |    AND z.lb <= q.qhb AND z.hb >= q.qlb
+      |  GROUP BY 1),
+      |nf AS (
+      |  SELECT layout, CAST(count(*) AS BIGINT) AS n_files
+      |  FROM zones GROUP BY 1)
+      |SELECT layout, n_files, files_scanned, rows_scanned
+      |FROM nf JOIN scanned USING (layout)""".stripMargin
+  }
 
   /** Quantization step for q_ml_logreg's per-row Newton contributions:
     * 2²⁰ — fine enough that the quantized gradient steers like the real

@@ -695,6 +695,9 @@ class PlanSpec extends SparkSpec {
       "q_churn_km", // crossJoin(broadcast(1-row corpus horizon))
       "q_churn_logrank", // same 1-row horizon broadcast via sessionLifetimes
       "q_ml_logreg", // per-Newton-step crossJoin(broadcast(1-row weights))
+      "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
+                         // broadcast boxes box-overlap probe (both
+                         // sides bounded: 128 zones, 16 boxes)
       "q_cdc_apply") // crossJoin(broadcast(1-row min/max ts bounds)); the
                      // half=0/1 filters fold into the BNLJ condition but
                      // the broadcast side stays exactly one row

@@ -82,6 +82,27 @@ class StatsSpec extends SparkSpec {
       s"welch $welch vs classic $f")
   }
 
+  test("q_layout_zorder: z-clustered zone maps prune the box workload; " +
+    "round-robin zone maps cannot prune at all") {
+    val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val total = Tables(spark, sfDir, "lineitem").count()
+    val (zF, zScan, zRows) = rows("zorder")
+    val (nF, nScan, nRows) = rows("natural")
+    // round-robin files all span the full key range: every box query
+    // scans every file — 16 queries x n_files, 16x the corpus
+    assert(nScan == 16 * nF, s"natural pruned? $nScan vs ${16 * nF}")
+    assert(nRows == 16 * total)
+    // the 16 boxes partition the (a, b) rectangle; with 8x8 z-tiles
+    // aligned on the same quarter-span grid, each row is scanned
+    // EXACTLY once across the workload
+    assert(zRows == total, s"z-order rows scanned $zRows != $total")
+    assert(zScan < nScan / 4,
+      s"z-order should skip most file reads: $zScan vs $nScan")
+    assert(zF <= 64 && nF == 64)
+  }
+
   test("q_ml_logreg matches a driver-side replay of the quantized " +
     "Newton iterations and at least learns the class prior") {
     val row = SparkEntry.queries("q_ml_logreg")(spark, sfDir)
