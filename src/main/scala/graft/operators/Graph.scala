@@ -735,6 +735,56 @@ object Graph {
     // symmetrized edges (the LPA/PageRank exchange), selection dedup is
     // a |V|-bounded distinct, and the component loop runs on the
     // forest's ≤ |V|−1 edges, not the graph's |E|.
+    // ------------------------------------------------------------------
+    // STRONGLY CONNECTED COMPONENTS of a successor graph by POINTER
+    // DOUBLING — the PRAM path-doubling primitive (log-depth, the only
+    // shape that survives 100 TB: a sequential Tarjan/Kosaraju walk is
+    // O(diameter) rounds; doubling is O(log n)). The graph is the
+    // functional "next pointer" derived per customer key — succ(k) =
+    // (k² + 7) mod |V|, Pollard's rho map — which draws the classic
+    // rho shapes: every SCC with >1 member is a cycle, tree tails
+    // drain into them (~30 components whose count/sizes scale with
+    // SF). Doubling state per node: cur = f^(2^i)(u) and mn = min of
+    // the first 2^i path nodes; one round = ONE self-equi-join on the
+    // |V|-row state (shuffle_hash — the rank side never broadcasts at
+    // scale), localCheckpoint'd per round because squaring references
+    // the previous state twice (an unchecked lineage doubles per
+    // round → 2^K-node plan). K = ⌈log₂|V|⌉ rounds cover any rho; the
+    // outputs (cycle set = image of cur; scc id = path-min of a cycle
+    // node; basins via one more composition) are STABLE for any
+    // larger K, so the engine sizes K from a 1-row count while the
+    // sf0.01 oracle replays a fixed K=11 as chained squaring CTEs.
+    // For a GENERAL digraph the same primitive runs twice (forward ∩
+    // backward reachability); the functional case is the scale kernel.
+    QueryDef("q_graph_scc", sccOracle) { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val nv = cust.count() // 1-value sizing action: K = ceil(log2 |V|)
+      val rounds = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(nv - 1))
+      var st = cust.selectExpr("c_custkey AS u",
+        s"(c_custkey * c_custkey + 7) % ${nv}L AS cur",
+        "c_custkey AS mn")
+      for (_ <- 1 to rounds.toInt) {
+        st = st.as("a")
+          .join(st.as("b").hint("shuffle_hash"),
+            col("a.cur") === col("b.u"))
+          .select(col("a.u"), col("b.cur").as("cur"),
+            least(col("a.mn"), col("b.mn")).as("mn"))
+          .localCheckpoint()
+      }
+      val cyc = st.select(col("cur").as("u")).distinct()
+      val cl = st.join(cyc, Seq("u"), "left_semi")
+        .groupBy(col("mn").as("scc_id"))
+        .agg(count(lit(1)).as("cycle_len"))
+      val ba = st.as("x")
+        .join(st.as("y").hint("shuffle_hash"),
+          col("x.cur") === col("y.u"))
+        .groupBy(col("y.mn").as("scc_id"))
+        .agg(count(lit(1)).as("basin_n"))
+      cl.join(ba, Seq("scc_id"))
+        .select(col("scc_id"), col("cycle_len"), col("basin_n"))
+    },
+
     QueryDef("q_graph_boruvka", boruvkaOracle) { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
         .filter(col("l_quantity") >= 30)
@@ -958,6 +1008,33 @@ object Graph {
       |      // least(vol, m2 - vol) END AS cond_u
       |FROM vc JOIN nn ON community = c3
       |LEFT JOIN sl ON community = c2, m2t""".stripMargin
+
+  /** DuckDB replay of q_graph_scc: fixed K=11 squaring rounds (2¹¹ =
+    * 2048 ≥ the sf0.01 |V| = 1500, and any K past rho coverage leaves
+    * every output unchanged — see the QueryDef note). */
+  private def sccOracle: String = {
+    val rounds = (1 to 11).map { i =>
+      s"""s$i AS (
+        |  SELECT a.u, b.cur AS cur, least(a.mn, b.mn) AS mn
+        |  FROM s${i - 1} a JOIN s${i - 1} b ON a.cur = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nv AS (SELECT count(*) AS n FROM customer),
+      |s0 AS (
+      |  SELECT c_custkey AS u,
+      |    (c_custkey * c_custkey + 7) % nv.n AS cur,
+      |    c_custkey AS mn
+      |  FROM customer, nv),
+      |$rounds,
+      |cyc AS (SELECT DISTINCT cur AS u FROM s11),
+      |cl AS (
+      |  SELECT s.mn AS scc_id, count(*) AS cycle_len
+      |  FROM s11 s JOIN cyc ON s.u = cyc.u GROUP BY 1),
+      |ba AS (
+      |  SELECT y.mn AS scc_id, count(*) AS basin_n
+      |  FROM s11 x JOIN s11 y ON x.cur = y.u GROUP BY 1)
+      |SELECT scc_id, cycle_len, basin_n
+      |FROM cl JOIN ba USING (scc_id)""".stripMargin
+  }
 
   /** DuckDB replay of q_graph_modularity over the same labelprop CTEs:
     * Q·4m² in exact BIGINTs, one final division. */

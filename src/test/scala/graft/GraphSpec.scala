@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
   * properties that must hold on ANY symmetric graph. */
 class GraphSpec extends SparkSpec {
 
+  test("q_graph_scc equals a sequential rho-walk ground truth and " +
+    "basins partition the node set") {
+    val got = SparkEntry.queries("q_graph_scc")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables(spark, sfDir, "customer").count().toInt
+    // sequential ground truth: walk every rho to its cycle
+    val succ = Array.tabulate(n)(k => ((k.toLong * k + 7) % n).toInt)
+    val sccOf = Array.fill(n)(-1L)
+    val cycleLen = scala.collection.mutable.Map.empty[Long, Long]
+    for (s0 <- 0 until n if sccOf(s0) < 0) {
+      val pos = scala.collection.mutable.Map.empty[Int, Int]
+      val path = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var v = s0
+      while (sccOf(v) < 0 && !pos.contains(v)) {
+        pos(v) = path.length; path += v; v = succ(v)
+      }
+      val tailScc = if (pos.contains(v)) {
+        val cyc = path.drop(pos(v))
+        val id = cyc.map(_.toLong).min
+        cycleLen(id) = cyc.length.toLong
+        cyc.foreach(u => sccOf(u) = id)
+        id
+      } else sccOf(v)
+      path.foreach(u => if (sccOf(u) < 0) sccOf(u) = tailScc)
+    }
+    val basins = sccOf.groupBy(identity).view.mapValues(_.length.toLong)
+    val ref = cycleLen.keys.map(id =>
+      id -> (cycleLen(id), basins(id))).toMap
+    assert(got == ref, s"${got.size} sccs vs ref ${ref.size}")
+    assert(got.values.map(_._2).sum == n) // basins partition V
+  }
+
   test("q_graph_pagerank conserves rank mass and keeps every node") {
     val pr = SparkEntry.queries("q_graph_pagerank")(spark, sfDir).cache()
     try {
