@@ -431,6 +431,65 @@ object Scalar {
           regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
         .select(col("doc_id"), col("scheme"), col("host"), col("domain"),
           col("path"), col("query"), col("ref_param"), col("frag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Unicode normalization + accent folding over the corpus — the
+    // [[UnicodeNormalize]] codegen expression vs DuckDB's
+    // nfc_normalize/strip_accents builtins (semantics pinned in the
+    // expression's doc). Each doc gets a deterministic multilingual
+    // decoration (alternating COMPOSED and DECOMPOSED spellings of the
+    // same glyphs, built from code points on both sides so no source
+    // encoding is trusted); the query NFC-normalizes and accent-folds
+    // mid-string, and emits byte lengths + md5s — so a normalizer that
+    // recomposes wrongly, drops the wrong mark category, or touches
+    // the ASCII tail hash-mismatches. Scale shape: pure per-row
+    // projection inside whole-stage codegen, no shuffle at all.
+    QueryDef(
+      "q_text_normalize",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 24) || ' ' ||
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'e' || chr(769)
+        |      WHEN 1 THEN chr(233)
+        |      WHEN 2 THEN 'u' || chr(776)
+        |      WHEN 3 THEN chr(252) || chr(248)
+        |      WHEN 4 THEN 'n' || chr(771) || 'A' || chr(778)
+        |      ELSE chr(241) || chr(197) || 'c' || chr(807)
+        |    END || 'x' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  octet_length(encode(s)) AS raw_bytes,
+        |  octet_length(encode(nfc_normalize(s))) AS nfc_bytes,
+        |  md5(nfc_normalize(s)) AS nfc_md5,
+        |  nfc_normalize(s) <> s AS composed,
+        |  octet_length(encode(strip_accents(s))) AS strip_bytes,
+        |  md5(strip_accents(s)) AS strip_md5
+        |FROM d""".stripMargin) { (s, dir) =>
+      graft.functions.UnicodeNormalize.register(s)
+      // \u escapes, not source glyphs: composed vs decomposed spelling
+      // is the thing under test, so no file encoding may decide it
+      val m = col("doc_id") % 6
+      val deco = when(m === 0, lit("e\u0301")) // decomposed e + acute
+        .when(m === 1, lit("\u00e9")) // composed e-acute
+        .when(m === 2, lit("u\u0308")) // decomposed u + diaeresis
+        .when(m === 3, lit("\u00fc\u00f8")) // composed u-uml + atomic oslash
+        .when(m === 4, lit("n\u0303A\u030a")) // decomposed n-tilde, A-ring
+        .otherwise(lit("\u00f1\u00c5c\u0327")) // composed + c + cedilla
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 24), lit(" "), deco, lit("x"))
+            .as("s"))
+        .selectExpr("doc_id",
+          "octet_length(CAST(s AS BINARY)) AS raw_bytes",
+          "octet_length(CAST(graft_normalize(s, 'NFC') AS BINARY))" +
+            " AS nfc_bytes",
+          "md5(CAST(graft_normalize(s, 'NFC') AS BINARY)) AS nfc_md5",
+          "graft_normalize(s, 'NFC') <> s AS composed",
+          "octet_length(CAST(graft_normalize(s, 'STRIP') AS BINARY))" +
+            " AS strip_bytes",
+          "md5(CAST(graft_normalize(s, 'STRIP') AS BINARY)) AS strip_md5")
     }
   )
 }

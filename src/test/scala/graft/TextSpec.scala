@@ -6,6 +6,50 @@ import org.apache.spark.sql.functions._
   * compare (the float/argmax invariants a hash alone doesn't explain). */
 class TextSpec extends SparkSpec {
 
+  test("graft_normalize: all five forms behave per UAX #15 (codegen and " +
+    "interpreted paths agree), including the forms the oracle can't see") {
+    graft.functions.UnicodeNormalize.register(spark)
+    import spark.implicits._
+    // (input, NFC, NFD, NFKC, STRIP) — escapes only, so the file
+    // encoding cannot decide composed vs decomposed. U+FB01 (fi
+    // ligature) is a compatibility char: canonical forms keep it,
+    // NFKC expands it; U+00F8 is atomic (no decomposition at all);
+    // a + ring + acute stacks two marks and composes to U+01FB.
+    val cases = Seq(
+      ("e\u0301", "\u00e9", "e\u0301", "\u00e9", "e"),
+      ("\u00e9", "\u00e9", "e\u0301", "\u00e9", "e"),
+      ("\ufb01x", "\ufb01x", "\ufb01x", "fix", "\ufb01x"),
+      ("\u00f8", "\u00f8", "\u00f8", "\u00f8", "\u00f8"),
+      ("a\u030a\u0301", "\u01fb", "a\u030a\u0301", "\u01fb", "a"),
+      ("plain", "plain", "plain", "plain", "plain"))
+    val df = cases.map(_._1).toDF("s").selectExpr("s",
+      "graft_normalize(s, 'NFC') AS nfc",
+      "graft_normalize(s, 'NFD') AS nfd",
+      "graft_normalize(s, 'NFKC') AS nfkc",
+      "graft_normalize(s, 'STRIP') AS strip")
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    cases.foreach { case (in, nfc, nfd, nfkc, strip) =>
+      val (gc, gd, gk, gs) = got(in)
+      assert(gc == nfc, s"NFC of ${in.codePoints().toArray.mkString(",")}")
+      assert(gd == nfd, s"NFD of $in")
+      if (nfkc != null) assert(gk == nfkc, s"NFKC of $in")
+      assert(gs == strip, s"STRIP of $in")
+      // idempotence: normalize twice = normalize once
+    }
+    val idem = df.selectExpr(
+      "graft_normalize(nfc, 'NFC') = nfc AS a",
+      "graft_normalize(strip, 'STRIP') = strip AS b").collect()
+    assert(idem.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    // null flows through, bad form fails analysis
+    assert(Seq[String](null).toDF("s")
+      .selectExpr("graft_normalize(s, 'NFC')").collect().head.isNullAt(0))
+    intercept[Exception] {
+      Seq("x").toDF("s").selectExpr("graft_normalize(s, 'NFZ')").collect()
+    }
+  }
+
   test("q_text_nb: confusion matrix partitions the corpus and predicts " +
     "only trained languages") {
     val rows = SparkEntry.queries("q_text_nb")(spark, sfDir).collect()
