@@ -24,6 +24,19 @@ final case class DecodedImage(
     n_pix_bytes: Long,
     pix_sum: Long)
 
+/** A decoded BMP row: orientation-aware — `top_down` is parsed from the
+  * height sign, `wsum` position-weights the LOGICAL pixel stream so a
+  * decoder that walks rows in file order cannot pass. */
+final case class BmpDecoded(
+    doc_id: Long,
+    fmt: String,
+    width: Int,
+    height: Int,
+    top_down: Boolean,
+    n_pix_bytes: Long,
+    pix_sum: Long,
+    wsum: Long)
+
 /** Header-sniffed media metadata: dimensions and layout read from the
   * container WITHOUT decoding the payload — the cheap first pass a media
   * pipeline runs on every asset before deciding what to decode. */
@@ -163,9 +176,14 @@ object Multimodal {
     out
   }
 
-  /** Minimal real BMP (BITMAPINFOHEADER, 24bpp, bottom-up) encoder with
-    * spec-correct 4-byte row padding. */
-  def encodeBmp(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
+  /** Minimal real BMP (BITMAPINFOHEADER, 24bpp) encoder with
+    * spec-correct 4-byte row padding, bottom-up by default or top-down
+    * via the spec's negative-height convention. `pix` is indexed by
+    * LOGICAL (top-down, row-major) byte position, so a bottom-up file
+    * stores logical row `h-1-r` at file row `r` — exactly the
+    * reordering the decoder must undo. */
+  def encodeBmp(w: Int, h: Int, pix: Int => Int,
+      topDown: Boolean = false): Array[Byte] = {
     val rowBytes = ((w * 3 + 3) / 4) * 4
     val dataOff = 54
     val size = dataOff + rowBytes * h
@@ -177,15 +195,16 @@ object Multimodal {
     b(0) = 'B'; b(1) = 'M'
     le32(2, size); le32(10, dataOff)
     le32(14, 40) // BITMAPINFOHEADER
-    le32(18, w); le32(22, h)
+    le32(18, w); le32(22, if (topDown) -h else h)
     b(26) = 1 // planes
     b(28) = 24 // bpp
     le32(30, 0) // BI_RGB (uncompressed)
     var r = 0
     while (r < h) {
+      val lr = if (topDown) r else h - 1 - r
       var c = 0
       while (c < w * 3) {
-        b(dataOff + r * rowBytes + c) = (pix(r * w * 3 + c) & 0xff).toByte
+        b(dataOff + r * rowBytes + c) = (pix(lr * w * 3 + c) & 0xff).toByte
         c += 1
       }
       r += 1
@@ -230,24 +249,40 @@ object Multimodal {
   /** Real BMP parse (BITMAPINFOHEADER, 24bpp uncompressed): little-endian
     * header fields → dimensions and pixel-array offset, then an exact sum
     * over the pixel bytes, skipping each row's 4-byte-alignment padding. */
-  def decodeBmp(b: Array[Byte]): (Int, Int, Long) = {
+  /** Real BMP parse: little-endian BITMAPINFOHEADER (SIGNED height —
+    * negative means top-down per the spec), 24bpp BI_RGB, padded rows.
+    * Returns (w, h, topDown, pix_sum, wsum) with BOTH checksums over
+    * the LOGICAL top-down pixel stream: the plain sum is orientation-
+    * blind, the position-weighted wsum is exactly what catches a
+    * decoder that ignores the height sign or walks rows in file order. */
+  def decodeBmp(b: Array[Byte]): (Int, Int, Boolean, Long, Long) = {
     require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
     def le32(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8 |
       (b(o + 2) & 0xff) << 16 | (b(o + 3) & 0xff) << 24
     val dataOff = le32(10)
-    val w = le32(18); val h = le32(22)
+    val w = le32(18); val rawH = le32(22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
     val bpp = (b(28) & 0xff) | (b(29) & 0xff) << 8
     require(bpp == 24 && le32(30) == 0, "only 24bpp uncompressed BMP")
     val rowBytes = ((w * 3 + 3) / 4) * 4
     require(dataOff + rowBytes * h <= b.length, "truncated BMP pixel data")
     var s = 0L
-    var r = 0
-    while (r < h) {
+    var ws = 0L
+    var lr = 0
+    while (lr < h) {
+      val r = if (topDown) lr else h - 1 - lr // file row of logical row
       var c = 0
-      while (c < w * 3) { s += (b(dataOff + r * rowBytes + c) & 0xff); c += 1 }
-      r += 1
+      while (c < w * 3) {
+        val v = b(dataOff + r * rowBytes + c) & 0xff
+        val k = lr * w * 3 + c
+        s += v
+        ws += (k + 1).toLong * v
+        c += 1
+      }
+      lr += 1
     }
-    (w, h, s)
+    (w, h, topDown, s, ws)
   }
 
   private val PngSig: Array[Byte] =
@@ -2239,7 +2274,7 @@ object Multimodal {
           val (w, h, _, s) = decodePpm(bytes)
           DecodedImage(id, "ppm", w, h, w.toLong * h * 3, s)
         } else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
-          val (w, h, s) = decodeBmp(bytes)
+          val (w, h, _, s, _) = decodeBmp(bytes)
           DecodedImage(id, "bmp", w, h, w.toLong * h * 3, s)
         } else if (bytes.length >= 8 && bytes(0) == PngSig(0)
             && bytes(1) == 'P') {
@@ -3037,6 +3072,53 @@ object Multimodal {
             r => ((id + r) % 5).toInt))
         }
       decodeImage(assets).toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // REAL BMP decode end-to-end with the format's two traps armed in
+    // every fixture: 4-byte row PADDING (widths 2..7 cycle through all
+    // four pad lengths) and ORIENTATION (the spec's signed height —
+    // alternating docs are bottom-up vs top-down, and the encoder
+    // physically reverses row order for bottom-up files). The decoder
+    // ([[decodeBmp]]) must parse the little-endian header, honor the
+    // height sign, skip pad bytes, and reassemble the LOGICAL top-down
+    // pixel stream; the oracle recomputes both checksums arithmetically
+    // from doc_id over that logical stream, so a decoder that sums in
+    // file order passes pix_sum but fails the position-weighted wsum —
+    // orientation bugs cannot hide behind a commutative checksum. Same
+    // 100 TB shape as every codec kernel: encode and decode run
+    // per-partition on the executors, only (doc_id, 7 scalars) move.
+    QueryDef(
+      "q_multimodal_bmp",
+      """SELECT doc_id, 'bmp' AS fmt,
+        |  CAST(doc_id % 6 + 2 AS INTEGER) AS width,
+        |  CAST(doc_id % 4 + 1 AS INTEGER) AS height,
+        |  doc_id % 2 = 1 AS top_down,
+        |  CAST((doc_id % 6 + 2) * (doc_id % 4 + 1) * 3 AS BIGINT)
+        |    AS n_pix_bytes,
+        |  CAST(list_sum(list_transform(
+        |    range(0, (doc_id % 6 + 2) * (doc_id % 4 + 1) * 3),
+        |    k -> (doc_id * 11 + k * 7) % 256)) AS BIGINT) AS pix_sum,
+        |  CAST(list_sum(list_transform(
+        |    range(0, (doc_id % 6 + 2) * (doc_id % 4 + 1) * 3),
+        |    k -> (k + 1) * ((doc_id * 11 + k * 7) % 256))) AS BIGINT)
+        |    AS wsum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 6).toInt + 2
+          val h = (id % 4).toInt + 1
+          (id, encodeBmp(w, h, k => ((id * 11 + k * 7) % 256).toInt,
+            topDown = id % 2 == 1))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, td, sum, ws) = decodeBmp(bytes)
+          BmpDecoded(id, "bmp", w, h, td, w.toLong * h * 3, sum, ws)
+        }
+      }.toDF()
     },
 
     // ------------------------------------------------------------------

@@ -370,9 +370,15 @@ class PropertySpec extends SparkSpec {
       val (pw, ph, _, ps) = Multimodal.decodePpm(
         Multimodal.encodePpm(w, h, k => pix(k)))
       assert((pw, ph, ps) == ((w, h, expect)), s"ppm case $i")
-      val (bw, bh, bs) = Multimodal.decodeBmp(
-        Multimodal.encodeBmp(w, h, k => pix(k)))
-      assert((bw, bh, bs) == ((w, h, expect)), s"bmp case $i")
+      // weighted checksum ground truth over the logical top-down stream
+      val expectW = pix.zipWithIndex.map {
+        case (v, k) => (k + 1).toLong * v
+      }.sum
+      val td = i % 2 == 0
+      val (bw, bh, btd, bs, bws) = Multimodal.decodeBmp(
+        Multimodal.encodeBmp(w, h, k => pix(k), topDown = td))
+      assert((bw, bh, btd, bs, bws) == ((w, h, td, expect, expectW)),
+        s"bmp case $i (topDown=$td)")
     }
   }
 
