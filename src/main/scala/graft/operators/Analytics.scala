@@ -2172,15 +2172,10 @@ object Analytics {
       val bounds = li.agg(
         min(col("a")).as("amin"), max(col("a")).as("amax"),
         min(col("b")).as("bmin"), max(col("b")).as("bmax"))
-      def interleave(ba: Column, bb: Column): Column =
-        (0 until 8).map { i =>
-          shiftright(ba, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-            shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-        }.reduce(_ + _)
       val zed = li.crossJoin(broadcast(bounds))
         .withColumn("ba", expr("((a - amin) * 256) div (amax - amin + 1)"))
         .withColumn("bb", expr("((b - bmin) * 256) div (bmax - bmin + 1)"))
-        .withColumn("z", interleave(col("ba"), col("bb")))
+        .withColumn("z", zInterleave8(col("ba"), col("bb")))
       def zoneMap(layout: String, fileId: Column): DataFrame =
         zed.groupBy(fileId.as("file_id"))
           .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
@@ -2274,6 +2269,15 @@ object Analytics {
       anovaStages.foldLeft(m)((df, stage) => df.selectExpr(stage: _*))
     }
   )
+
+  /** Morton/Z-value of two 8-bit dimension buckets as a pure bit
+    * expression — shared by q_layout_zorder and the streaming
+    * zone-map maintainer ([[graft.streaming.Streaming.zoneOptimize]]). */
+  private[graft] def zInterleave8(ba: Column, bb: Column): Column =
+    (0 until 8).map { i =>
+      shiftright(ba, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
 
   /** DuckDB replay of q_layout_zorder: identical integer bit math —
     * the interleave is the same 16-term sum, `//` is `div`. */

@@ -789,6 +789,187 @@ object Streaming {
       true)
   }
 
+  // --------------------------------------------------------------------
+  // Streaming ZONE-MAP maintenance — the lakehouse file-statistics
+  // index under q_layout_zorder, kept incrementally. Every ingested
+  // micro-batch lands as its own data directory plus a tiny per-file
+  // stats row (min/max of both filter dimensions + row count): exactly
+  // the per-file stats a Delta/Iceberg writer records on commit, so
+  // scans can skip files BEFORE opening them. zoneOptimize is the
+  // OPTIMIZE ZORDER moment: re-cluster everything visible into Z-tiles
+  // (axis-aligned rectangles) and swap the new generation in with the
+  // span-table directory discipline — newest `opt=K` + `batch>K` are
+  // the readable truth, crash leftovers stay invisible, and a
+  // same-horizon re-run short-circuits instead of folding the only
+  // live generation into itself (the r10 spanCompact lesson, applied
+  // from day one here).
+  //
+  // Layout under `dir`:  data/batch=<id>, data/opt=<K>/tile=<t>
+  //                      zones/batch=<id>, zones/opt=<K>
+  // zones/ is the SOURCE OF TRUTH for visibility (optimize renames
+  // data first, zones second, deletes last — so a zones/opt=K entry
+  // always points at complete data).
+
+  /** Visible part names under `dir/$sub`: newest `opt=K` + `batch>K`
+    * (the [[spanPartDirs]] rule, shared by data/ and zones/). */
+  private[graft] def zoneVisibleParts(
+      spark: SparkSession, dir: String, sub: String): Seq[String] = {
+    val (fs, root) = tableFs(spark, s"$dir/$sub")
+    if (!fs.exists(root)) return Nil
+    val st = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val opts = st.filter(_.startsWith("opt="))
+      .map(n => n.drop(4).toLong -> n)
+    val base = opts.sortBy(-_._1).headOption
+    val k = base.map(_._1).getOrElse(Long.MinValue)
+    base.map(_._2).toSeq ++
+      st.filter(n => n.startsWith("batch=") && n.drop(6).toLong > k)
+  }
+
+  /** One micro-batch of zone-map-indexed ingest. `batch` must carry
+    * (rid, a, b); the data file and its stats row commit under the
+    * same `batch=<id>` name in data/ and zones/. */
+  def zoneIngestBatch(
+      batch: DataFrame, batchId: Long, dir: String): Unit = {
+    val rows = batch.select(col("rid"), col("a"), col("b"))
+    rows.write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/data/batch=$batchId")
+    // stats from the JUST-WRITTEN file, not the input frame: the row
+    // the index serves must describe the bytes a scan would read
+    val spark = batch.sparkSession
+    spark.read.parquet(s"$dir/data/batch=$batchId")
+      .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
+        min(col("b")).as("lb"), max(col("b")).as("hb"),
+        count(lit(1)).as("n"))
+      .select(lit(s"batch=$batchId").as("file"), col("la"), col("ha"),
+        col("lb"), col("hb"), col("n"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/zones/batch=$batchId")
+  }
+
+  /** The visible zone-map index (one row per readable file). */
+  def zoneTable(spark: SparkSession, dir: String): DataFrame = {
+    val parts = zoneVisibleParts(spark, dir, "zones")
+      .map(n => s"$dir/zones/$n")
+    spark.read.parquet(parts: _*)
+  }
+
+  /** Box scan THROUGH the index: prune files whose [min,max] rectangle
+    * misses the box, read only survivors, apply the exact predicate.
+    * Returns (matching rows, the file names actually read) — the skip
+    * set is the deliverable a 100 TB scan planner acts on. */
+  def zoneScan(spark: SparkSession, dir: String,
+      alo: Long, ahi: Long, blo: Long, bhi: Long)
+      : (DataFrame, Seq[String]) = {
+    val hit = zoneTable(spark, dir)
+      .filter(col("la") <= ahi && col("ha") >= alo &&
+        col("lb") <= bhi && col("hb") >= blo)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    val df =
+      if (hit.isEmpty)
+        zoneTable(spark, dir).limit(0)
+          .select(lit(0L).as("rid"), lit(0L).as("a"), lit(0L).as("b"))
+          .filter(lit(false))
+      else spark.read.parquet(hit.map(n => s"$dir/data/$n"): _*)
+        .filter(col("a").between(alo, ahi) && col("b").between(blo, bhi))
+    (df, hit)
+  }
+
+  /** OPTIMIZE: re-cluster every visible row into 8×8 Z-tiles (bounds
+    * from the data being optimized — the one global pass OPTIMIZE
+    * already pays) and swap the generation in crash-safely:
+    * stage data → stage zones → rename data/opt=K → rename
+    * zones/opt=K → delete superseded sources. A crash at any point
+    * leaves a readable table; a re-run at an unchanged horizon is a
+    * checked NO-OP (never fold the only live generation into itself). */
+  def zoneOptimize(spark: SparkSession, dir: String): Unit = {
+    val (fs, _) = tableFs(spark, dir)
+    val visible = zoneVisibleParts(spark, dir, "zones")
+    if (visible.isEmpty) return
+    val batchIds = visible.filter(_.startsWith("batch="))
+      .map(_.drop(6).toLong)
+    if (batchIds.isEmpty) {
+      // nothing newer than the current generation: re-optimizing would
+      // fold opt=K into itself — short-circuit, then finish any
+      // supersede deletes a crashed prior run left behind
+      val k = visible.head.drop(4).toLong
+      zoneRetire(spark, dir, k)
+      return
+    }
+    val horizon = batchIds.max
+    val dataParts = zoneVisibleParts(spark, dir, "data")
+      .map(n => s"$dir/data/$n")
+    // recursive lookup, not partition discovery: a visible part may be
+    // a flat batch dir or a tile-partitioned opt generation — mixing
+    // the two trips CONFLICTING_DIRECTORY_STRUCTURES, and the tile
+    // column is re-derived from fresh bounds anyway
+    val rows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dataParts: _*)
+    val bounds = rows.agg(
+      min(col("a")).as("amin"), max(col("a")).as("amax"),
+      min(col("b")).as("bmin"), max(col("b")).as("bmax"))
+    val tiled = rows.crossJoin(broadcast(bounds))
+      .withColumn("ba", expr("((a - amin) * 256) div (amax - amin + 1)"))
+      .withColumn("bb", expr("((b - bmin) * 256) div (bmax - bmin + 1)"))
+      .withColumn("tile", shiftright(
+        graft.operators.Analytics.zInterleave8(col("ba"), col("bb")), 10))
+      .select(col("rid"), col("a"), col("b"), col("tile"))
+    val dataStage = new org.apache.hadoop.fs.Path(dir, ".opt_data_staging")
+    val zoneStage = new org.apache.hadoop.fs.Path(dir, ".opt_zone_staging")
+    Seq(dataStage, zoneStage).foreach { p =>
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(s"zoneOptimize: stale staging $p")
+    }
+    tiled.write.mode(SaveMode.Overwrite)
+      .partitionBy("tile").parquet(dataStage.toString)
+    // stats from the staged files (tile= partition dirs), one row each
+    spark.read.parquet(dataStage.toString)
+      .groupBy(col("tile"))
+      .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
+        min(col("b")).as("lb"), max(col("b")).as("hb"),
+        count(lit(1)).as("n"))
+      .select(concat(lit(s"opt=$horizon/tile="), col("tile")).as("file"),
+        col("la"), col("ha"), col("lb"), col("hb"), col("n"))
+      .write.mode(SaveMode.Overwrite).parquet(zoneStage.toString)
+    // swap: data first, zones second — zones/opt=K implies complete data
+    def swapIn(stage: org.apache.hadoop.fs.Path, sub: String): Unit = {
+      val target = new org.apache.hadoop.fs.Path(
+        s"$dir/$sub", s"opt=$horizon")
+      val aside = new org.apache.hadoop.fs.Path(
+        s"$dir/$sub", s".opt_aside")
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(s"zoneOptimize: stale aside $aside")
+      if (fs.exists(target)) // contract-violating leftover: move aside,
+        renameOrThrow(fs, target, aside, "zoneOptimize(target->aside)")
+      renameOrThrow(fs, stage, target, s"zoneOptimize(stage->$sub)")
+      if (fs.exists(aside) && !fs.delete(aside, true))
+        throw new java.io.IOException(
+          s"zoneOptimize: superseded aside $aside not deleted")
+    }
+    swapIn(dataStage, "data")
+    swapIn(zoneStage, "zones")
+    zoneRetire(spark, dir, horizon)
+  }
+
+  /** Supersede sweep: drop `batch≤K` and `opt<K` under both subdirs —
+    * readers already ignore them (newest-generation rule), so this
+    * only reclaims space; a false delete is loud. */
+  private def zoneRetire(
+      spark: SparkSession, dir: String, horizon: Long): Unit = {
+    val (fs, _) = tableFs(spark, dir)
+    Seq("data", "zones").foreach { sub =>
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        val stale =
+          (n.startsWith("batch=") && n.drop(6).toLong <= horizon) ||
+            (n.startsWith("opt=") && n.drop(4).toLong < horizon)
+        if (stale && !fs.delete(s.getPath, true))
+          throw new java.io.IOException(
+            s"zoneOptimize: superseded ${s.getPath} not deleted")
+      }
+    }
+  }
+
   /** One micro-batch of DSIR MODEL maintenance (q_text_dsir's 100 TB
     * incremental story): fold the batch's hashed-bigram bucket counts
     * (target + raw) into a DETERMINISTIC `batch=<id>` partial — the

@@ -1709,6 +1709,107 @@ class StreamingSpec extends SparkSpec {
     assert(viaTable == viaBatch)
   }
 
+  test("zone-map table: incremental stats serve pruned scans exactly; " +
+    "optimize re-tiles crash-safely and a same-horizon re-run no-ops") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files => NF, Paths => NP}
+    val table = tmpDir("zone_map")
+    val rows = Tables(spark, sfDir, "lineitem").selectExpr(
+      "l_orderkey * 10 + l_linenumber AS rid",
+      "l_partkey AS a", "l_suppkey AS b").cache()
+    try {
+      // round-robin ingestion: every micro-batch spans the full key
+      // range — the realistic unclustered arrival order
+      (0 until 3).foreach { w =>
+        Streaming.zoneIngestBatch(
+          rows.filter(col("rid") % 3 === w), w.toLong, table)
+      }
+      // index rows == a from-scratch recompute per file
+      val idx = Streaming.zoneTable(spark, table).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(idx.keySet == Set("batch=0", "batch=1", "batch=2"))
+      (0 until 3).foreach { w =>
+        val ref = rows.filter(col("rid") % 3 === w)
+          .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")),
+            count(lit(1))).collect().head
+        assert(idx(s"batch=$w") == ((ref.getLong(0), ref.getLong(1),
+          ref.getLong(2), ref.getLong(3), ref.getLong(4))))
+      }
+      // box scan through the index == direct filter; full-span files
+      // mean no skips yet. Box bounds are domain-relative so the spec
+      // holds at any SF's key ranges.
+      val dom = rows.agg(max(col("a")), max(col("b"))).collect().head
+      val (amax, bmax) = (dom.getLong(0), dom.getLong(1))
+      val (alo, ahi, blo, bhi) =
+        (amax / 10, amax / 3, bmax / 10, bmax / 2)
+      def direct: Set[Long] = rows
+        .filter(col("a").between(alo, ahi) && col("b").between(blo, bhi))
+        .select(col("rid")).collect().map(_.getLong(0)).toSet
+      val (scan1, files1) = Streaming.zoneScan(
+        spark, table, alo, ahi, blo, bhi)
+      assert(scan1.select(col("rid")).collect().map(_.getLong(0)).toSet
+        == direct)
+      assert(files1 == Seq("batch=0", "batch=1", "batch=2"),
+        "full-span ingest files cannot be skipped")
+      // a box outside the global range prunes EVERYTHING (no read)
+      assert(Streaming.zoneScan(spark, table, -9, -1, 0, 9)._2.isEmpty)
+      // OPTIMIZE: same answers, and the box now skips most of the data
+      Streaming.zoneOptimize(spark, table)
+      val (scan2, files2) = Streaming.zoneScan(
+        spark, table, alo, ahi, blo, bhi)
+      assert(scan2.select(col("rid")).collect().map(_.getLong(0)).toSet
+        == direct, "optimize changed scan results")
+      assert(files2.forall(_.startsWith("opt=2/tile=")))
+      val total = rows.count()
+      val readRows = Streaming.zoneTable(spark, table)
+        .filter(col("file").isin(files2: _*))
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      assert(readRows < total / 2,
+        s"z-tiles should skip most rows: read $readRows of $total")
+      assert(!NF.exists(NP.get(s"$table/data/batch=0")),
+        "superseded ingest files not retired")
+      // same-horizon re-run must not rewrite the live generation
+      // (part-file names carry task UUIDs — untouched dir ⇒ same names)
+      def gen: Set[String] = {
+        import scala.jdk.CollectionConverters._
+        NF.walk(NP.get(s"$table/data/opt=2")).iterator().asScala
+          .map(_.toString).toSet
+      }
+      val before = gen
+      Streaming.zoneOptimize(spark, table)
+      assert(gen == before, "same-horizon optimize rewrote the " +
+        "only live generation (delete-before-rename loss window)")
+      // post-optimize ingest: new batch is visible next to the tiles,
+      // and the next optimize folds it in under the new horizon
+      Streaming.zoneIngestBatch(
+        rows.filter(col("rid") % 3 === 0)
+          .selectExpr("rid + 1000000000 AS rid", "a", "b"),
+        7L, table)
+      val (scan3, files3) = Streaming.zoneScan(
+        spark, table, alo, ahi, blo, bhi)
+      assert(files3.contains("batch=7"))
+      // row COUNTS here, not rid sets — rid is not unique in the
+      // synthetic lineitem, and the copy batch duplicates rows
+      val directCnt = rows.filter(
+        col("a").between(alo, ahi) && col("b").between(blo, bhi)).count()
+      val dup0 = rows.filter((col("rid") % 3 === 0) &&
+        col("a").between(alo, ahi) && col("b").between(blo, bhi)).count()
+      assert(scan3.count() == directCnt + dup0)
+      Streaming.zoneOptimize(spark, table)
+      val (scan4, files4) = Streaming.zoneScan(
+        spark, table, alo, ahi, blo, bhi)
+      assert(scan4.count() == directCnt + dup0)
+      assert(files4.forall(_.startsWith("opt=7/tile=")))
+      assert(!NF.exists(NP.get(s"$table/data/opt=2")),
+        "old generation not retired")
+      // crash leftover below the horizon stays invisible to readers
+      NF.createDirectories(NP.get(s"$table/zones/batch=3"))
+      assert(Streaming.zoneVisibleParts(spark, table, "zones")
+        .forall(n => n == "opt=7"))
+    } finally rows.unpersist()
+  }
+
   test("span-table compaction preserves the duplicated-span set exactly " +
     "and leftover source dirs stay invisible (crash idempotence)") {
     import org.apache.spark.sql.functions._
