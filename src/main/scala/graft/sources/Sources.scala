@@ -53,6 +53,25 @@ object Sources {
     },
 
     // ------------------------------------------------------------------
+    // AVRO container round-trip WITHOUT the spark-avro connector: the
+    // write side streams one deflate-compressed multi-block container
+    // per partition, the read side distributes whole files via
+    // binaryFile and parses them with the Avro core DataFileReader on
+    // the executors (header, codec, sync markers, writer schema) — see
+    // [[AvroIO]]. The identity oracle proves the format preserves
+    // every value including nullable unions.
+    QueryDef(
+      "q_avro_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""") {
+      (s, dir) =>
+        val tmp = s"/tmp/graft_roundtrip_avro_${dir.hashCode.toHexString}"
+        AvroIO.writeDocs(graft.Tables(s, dir, "documents"), tmp)
+        AvroIO.readDocs(s, tmp)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+    },
+
+    // ------------------------------------------------------------------
     // XML FILE round-trip (Spark 4 ships the XML data source in core):
     // rows nest under a configurable rowTag, schema declared on re-read
     // like CSV. Text values round-trip escaped (&amp; etc.) — the

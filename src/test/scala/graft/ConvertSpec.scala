@@ -13,6 +13,40 @@ class ConvertSpec extends SparkSpec {
   private def writePerson(dir: String, name: String, json: String): Unit =
     Files.writeString(Paths.get(dir, name), json)
 
+  test("AvroIO roundtrips nullable unions and multi-block containers " +
+    "exactly, including rows a connector-less reader must not drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("avro_rt")
+    // nulls in every nullable field + long texts to force several
+    // deflate blocks per container (syncInterval is 2 KiB)
+    val rows = (0L until 300L).map { i =>
+      (i,
+        if (i % 7 == 0) null else "t" * 64 + i.toString,
+        if (i % 11 == 0) null else s"l${i % 3}",
+        if (i % 13 == 0) null else s"s${i % 5}",
+        i * 3)
+    }
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+    graft.sources.AvroIO.writeDocs(df, dir)
+    // one container per non-empty partition
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4, s"${files.length} containers")
+    // multiple sync blocks per file: 75 rows x ~70 B >> 2 KiB interval
+    val back = graft.sources.AvroIO.readDocs(spark, dir)
+    val got = back.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), Option(r.getString(2)),
+      Option(r.getString(3)), r.getLong(4))).sortBy(_._1)
+    val want = rows.map(t => (t._1, Option(t._2), Option(t._3),
+      Option(t._4), t._5)).sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "roundtrip diverged")
+    // re-write over an existing dir must replace, not accumulate
+    graft.sources.AvroIO.writeDocs(df.limit(10).repartition(1), dir)
+    assert(graft.sources.AvroIO.readDocs(spark, dir).count() == 10)
+  }
+
   test("person JSON round-trips through parquet with the reference schema") {
     val in = tmpDir("convert_in")
     val out = tmpDir("convert_out") + "/person.parquet"
