@@ -37,6 +37,20 @@ final case class BmpDecoded(
     pix_sum: Long,
     wsum: Long)
 
+/** A decoded interlaced-PNG row: the de-interlace scatter is position
+  * sensitive, so `wsum` position-weights the logical pixel stream — a
+  * decoder that reassembles passes in the wrong place passes the
+  * commutative pix_sum but not wsum. */
+final case class Adam7Decoded(
+    doc_id: Long,
+    fmt: String,
+    width: Int,
+    height: Int,
+    interlaced: Boolean,
+    n_pix_bytes: Long,
+    pix_sum: Long,
+    wsum: Long)
+
 /** Header-sniffed media metadata: dimensions and layout read from the
   * container WITHOUT decoding the payload — the cheap first pass a media
   * pipeline runs on every asset before deciding what to decode. */
@@ -304,10 +318,66 @@ object Multimodal {
     * multi-IDAT reassembly, exactly as real encoders stream it. */
   def encodePng(w: Int, h: Int, pix: Int => Int,
       filterOf: Int => Int = _ % 5): Array[Byte] = {
-    import java.util.zip.{CRC32, Deflater}
+    val raw = Array.tabulate(h * w * 3)(k => (pix(k) & 0xff).toByte)
+    pngContainer(w, h, interlace = false,
+      filterScanlines(raw, w, h, filterOf))
+  }
+
+  /** ADAM7-INTERLACED PNG encoder (RFC 2083 §2.6): the image splits
+    * into seven reduced passes on the 8×8 interlace grid, each pass
+    * filtered as an INDEPENDENT image (its own scanlines, its own
+    * previous-row context) and the filtered passes concatenate into
+    * one zlib stream. Passes that are empty for small dimensions are
+    * omitted entirely — the spec rule tiny fixtures exercise. `pix`
+    * indexes the LOGICAL de-interlaced image, so
+    * decode(encodeAdam7(pix)) == decode(encode(pix)) is the roundtrip
+    * contract. */
+  def encodePngAdam7(w: Int, h: Int, pix: Int => Int,
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    val raw = Array.tabulate(h * w * 3)(k => (pix(k) & 0xff).toByte)
+    val parts = Adam7.zipWithIndex.flatMap { case ((xs, ys, xst, yst), p) =>
+      val wp = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val hp = if (h > ys) (h - ys + yst - 1) / yst else 0
+      if (wp == 0 || hp == 0) None
+      else {
+        val passRaw = new Array[Byte](hp * wp * 3)
+        var py = 0
+        while (py < hp) {
+          var px = 0
+          while (px < wp) {
+            val y = ys + py * yst; val x = xs + px * xst
+            var ch = 0
+            while (ch < 3) {
+              passRaw((py * wp + px) * 3 + ch) = raw((y * w + x) * 3 + ch)
+              ch += 1
+            }
+            px += 1
+          }
+          py += 1
+        }
+        // per-pass filter choice keyed off (pass, row) so every pass
+        // exercises several filter types
+        Some(filterScanlines(passRaw, wp, hp, r => filterOf(p * 31 + r)))
+      }
+    }
+    val all = new Array[Byte](parts.map(_.length).sum)
+    var o = 0
+    parts.foreach { p =>
+      System.arraycopy(p, 0, all, o, p.length); o += p.length
+    }
+    pngContainer(w, h, interlace = true, all)
+  }
+
+  /** Adam7 pass grid: (xstart, ystart, xstep, ystep) per pass. */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Filter `raw` (w×h RGB) into PNG's per-scanline format: one type
+    * byte + stride filtered bytes per row. */
+  private def filterScanlines(raw: Array[Byte], w: Int, h: Int,
+      filterOf: Int => Int): Array[Byte] = {
     val stride = w * 3
-    val raw = Array.tabulate(h * stride)(k => (pix(k) & 0xff).toByte)
-    // filter: one type byte + `stride` filtered bytes per scanline
     val filtered = new Array[Byte](h * (1 + stride))
     var r = 0
     while (r < h) {
@@ -331,6 +401,48 @@ object Multimodal {
       }
       r += 1
     }
+    filtered
+  }
+
+  /** Reconstruct one filtered sub-image (w×h) starting at `off` in the
+    * inflated stream; returns the raw pixels. Inverse of
+    * [[filterScanlines]]. */
+  private def unfilterScanlines(filtered: Array[Byte], off: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val stride = w * 3
+    val raw = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val f = filtered(off + r * (1 + stride)) & 0xff
+      require(f <= 4, s"unknown filter type $f")
+      var c = 0
+      while (c < stride) {
+        val x = filtered(off + r * (1 + stride) + 1 + c) & 0xff
+        val a = if (c >= 3) raw(r * stride + c - 3) & 0xff else 0
+        val up = if (r > 0) raw((r - 1) * stride + c) & 0xff else 0
+        val uc = if (r > 0 && c >= 3) raw((r - 1) * stride + c - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 => paeth(a, up, uc)
+        }
+        raw(r * stride + c) = ((x + pred) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    raw
+  }
+
+  /** Wrap a filtered stream into the PNG container: zlib-deflate,
+    * signature, IHDR (with the interlace byte), ≤64-byte IDAT chunks
+    * (multi-IDAT reassembly exercised by every fixture), IEND —
+    * CRC-32 on every chunk. */
+  private def pngContainer(w: Int, h: Int, interlace: Boolean,
+      filtered: Array[Byte]): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
     // zlib-wrap (Deflater's default framing is exactly PNG's stream format)
     val defl = new Deflater()
     defl.setInput(filtered); defl.finish()
@@ -349,7 +461,8 @@ object Multimodal {
       out.write(be32(crc.getValue.toInt))
     }
     out.write(PngSig)
-    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, if (interlace) 1 else 0))
     var off = 0
     while (off < z.length) { // stream IDAT in small chunks
       val n = math.min(64, z.length - off)
@@ -368,6 +481,21 @@ object Multimodal {
     * signature, CRC mismatch, unsupported color layout, or truncated /
     * over-long compressed data. */
   def decodePng(b: Array[Byte]): (Int, Int, Long) = {
+    val (w, h, _, raw) = decodePngPixels(b)
+    var s = 0L
+    var k = 0
+    while (k < raw.length) { s += raw(k) & 0xff; k += 1 }
+    (w, h, s)
+  }
+
+  /** Full PNG decode to pixels (8-bit truecolor, interlace 0 OR Adam7):
+    * chunk walk with CRC-32 verification, multi-IDAT reassembly,
+    * `Inflater` decompression, filter reconstruction per (sub-)image,
+    * and — for interlace 1 — the seven-pass de-interlace scatter back
+    * into the logical grid. Returns (w, h, interlaced, top-down RGB
+    * bytes). Throws on bad signature, CRC mismatch, unsupported color
+    * layout, or truncated / over-long compressed data. */
+  def decodePngPixels(b: Array[Byte]): (Int, Int, Boolean, Array[Byte]) = {
     import java.util.zip.{CRC32, Inflater}
     require(b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i)),
       "not a PNG")
@@ -375,6 +503,7 @@ object Multimodal {
       (b(o + 2) & 0xff) << 8 | (b(o + 3) & 0xff)
     var o = 8
     var w = 0; var h = 0
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var sawIhdr = false; var sawEnd = false
     while (!sawEnd) {
@@ -391,8 +520,11 @@ object Multimodal {
           require(len == 13, "malformed IHDR")
           w = be32(o + 8); h = be32(o + 12)
           require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
-          require(b(o + 16) == 8 && b(o + 17) == 2 && b(o + 20) == 0,
-            "only 8-bit truecolor non-interlaced PNG")
+          require(b(o + 16) == 8 && b(o + 17) == 2,
+            "only 8-bit truecolor PNG")
+          require(b(o + 20) == 0 || b(o + 20) == 1,
+            s"unknown interlace method ${b(o + 20)}")
+          interlaced = b(o + 20) == 1
           sawIhdr = true
         case "IDAT" =>
           require(sawIhdr, "IDAT before IHDR")
@@ -403,8 +535,18 @@ object Multimodal {
       o += 12 + len
     }
     require(sawIhdr, "no IHDR chunk")
-    val stride = w * 3
-    val expect = h * (1 + stride)
+    // non-empty passes with their reduced dimensions (the whole image
+    // is "pass 0" when non-interlaced)
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1, w, h))
+      else Adam7.flatMap { case (xs, ys, xst, yst) =>
+        val wp = if (w > xs) (w - xs + xst - 1) / xst else 0
+        val hp = if (h > ys) (h - ys + yst - 1) / yst else 0
+        if (wp == 0 || hp == 0) None else Some((xs, ys, xst, yst, wp, hp))
+      }
+    val expect = passes.map { case (_, _, _, _, wp, hp) =>
+      hp * (1 + wp * 3)
+    }.sum
     val filtered = new Array[Byte](expect)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
@@ -423,34 +565,27 @@ object Multimodal {
     require(got == expect && inf.finished(),
       s"IDAT inflates to $got bytes, expected $expect")
     inf.end()
-    // reconstruct scanlines in place into `raw`
-    val raw = new Array[Byte](h * stride)
-    var r = 0
-    var s = 0L
-    while (r < h) {
-      val f = filtered(r * (1 + stride)) & 0xff
-      require(f <= 4, s"unknown filter type $f")
-      var c = 0
-      while (c < stride) {
-        val x = filtered(r * (1 + stride) + 1 + c) & 0xff
-        val a = if (c >= 3) raw(r * stride + c - 3) & 0xff else 0
-        val up = if (r > 0) raw((r - 1) * stride + c) & 0xff else 0
-        val uc = if (r > 0 && c >= 3) raw((r - 1) * stride + c - 3) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => up
-          case 3 => (a + up) / 2
-          case 4 => paeth(a, up, uc)
+    val raw = new Array[Byte](h * w * 3)
+    var off = 0
+    passes.foreach { case (xs, ys, xst, yst, wp, hp) =>
+      val sub = unfilterScanlines(filtered, off, wp, hp)
+      off += hp * (1 + wp * 3)
+      var py = 0
+      while (py < hp) {
+        var px = 0
+        while (px < wp) {
+          val y = ys + py * yst; val x = xs + px * xst
+          var ch = 0
+          while (ch < 3) {
+            raw((y * w + x) * 3 + ch) = sub((py * wp + px) * 3 + ch)
+            ch += 1
+          }
+          px += 1
         }
-        val v = (x + pred) & 0xff
-        raw(r * stride + c) = v.toByte
-        s += v
-        c += 1
+        py += 1
       }
-      r += 1
     }
-    (w, h, s)
+    (w, h, interlaced, raw)
   }
 
   /** Structurally-valid JPEG shell encoder — fixture generator for the
@@ -3072,6 +3207,58 @@ object Multimodal {
             r => ((id + r) % 5).toInt))
         }
       decodeImage(assets).toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // ADAM7-INTERLACED PNG decode end-to-end — the progressive-render
+    // layout (seven reduced passes on an 8×8 grid, each independently
+    // filtered, empty passes omitted) that a non-interlace-aware
+    // decoder misparses immediately, since the expected inflate size
+    // itself differs. Every fixture is genuinely interlaced with
+    // rotating per-pass filters; widths/heights 1..10×1..7 include
+    // images where most passes are EMPTY (the small-dimension spec
+    // rule). The oracle recomputes both checksums arithmetically from
+    // doc_id over the LOGICAL image — the de-interlace scatter is
+    // position-sensitive, so the weighted wsum catches a decoder that
+    // reassembles passes at the wrong offsets even though the plain
+    // sum cannot. Executors do all byte work; only (doc_id, 7 scalars)
+    // rows move.
+    QueryDef(
+      "q_multimodal_png_adam7",
+      """SELECT doc_id, 'png' AS fmt,
+        |  CAST(doc_id % 10 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |  TRUE AS interlaced,
+        |  CAST((doc_id % 10 + 1) * (doc_id % 7 + 1) * 3 AS BIGINT)
+        |    AS n_pix_bytes,
+        |  CAST(list_sum(list_transform(
+        |    range(0, (doc_id % 10 + 1) * (doc_id % 7 + 1) * 3),
+        |    k -> (doc_id * 9 + k * 5) % 256)) AS BIGINT) AS pix_sum,
+        |  CAST(list_sum(list_transform(
+        |    range(0, (doc_id % 10 + 1) * (doc_id % 7 + 1) * 3),
+        |    k -> (k + 1) * ((doc_id * 9 + k * 5) % 256))) AS BIGINT)
+        |    AS wsum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (id % 10).toInt + 1
+          val h = (id % 7).toInt + 1
+          (id, encodePngAdam7(w, h, k => ((id * 9 + k * 5) % 256).toInt,
+            r => ((id + r) % 5).toInt))
+        }
+      assets.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, inter, raw) = decodePngPixels(bytes)
+          var sum = 0L; var ws = 0L; var k = 0
+          while (k < raw.length) {
+            val v = raw(k) & 0xff
+            sum += v; ws += (k + 1).toLong * v; k += 1
+          }
+          Adam7Decoded(id, "png", w, h, inter, raw.length.toLong, sum, ws)
+        }
+      }.toDF()
     },
 
     // ------------------------------------------------------------------

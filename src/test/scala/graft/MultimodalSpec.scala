@@ -63,6 +63,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Adam7 PNG: interlaced and straight encodings decode to " +
+    "identical pixels, including dims where most passes are empty") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(31)
+    // 1x1 keeps only pass 1; 8x8 populates all seven; odd dims hit
+    // partial passes
+    val dims = Seq((1, 1), (1, 2), (2, 1), (3, 3), (5, 7), (8, 8), (9, 4))
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val pix = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val straight = Multimodal.decodePngPixels(
+        Multimodal.encodePng(w, h, pix(_)))
+      val inter = Multimodal.decodePngPixels(
+        Multimodal.encodePngAdam7(w, h, pix(_)))
+      assert(!straight._3 && inter._3)
+      assert(straight._4.toSeq == pix.map(_.toByte).toSeq, s"case $i base")
+      assert(inter._4.toSeq == pix.map(_.toByte).toSeq,
+        s"case $i ${w}x$h: de-interlace diverged")
+    }
+    // an unknown interlace method must be refused, not guessed
+    val good = Multimodal.encodePngAdam7(4, 4, _ % 256)
+    // IHDR data starts at offset 8 (sig) + 8 (len+tag); interlace byte
+    // is its 13th data byte; patching it also breaks the CRC → reject
+    val bad = good.clone()
+    bad(8 + 8 + 12) = 2
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngPixels(bad)
+    }
+  }
+
   test("decoders reject malformed payloads instead of misreading them") {
     // truncated pixel array: header promises more bytes than present
     val good = Multimodal.encodePpm(4, 4, _ => 7)
