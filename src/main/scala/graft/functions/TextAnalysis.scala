@@ -2042,6 +2042,73 @@ object TextAnalysis {
         .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("nnz"),
           sum((col("b") + 1) * col("c")).as("chk_pos"),
           sum(col("c") * col("c")).as("chk_sq"))
+    },
+
+    // ------------------------------------------------------------------
+    // CONTENT-DEFINED CHUNKING (the gear/Rabin family behind FastCDC
+    // and every dedup store): cut boundaries where a rolling hash of
+    // the last W=8 characters hits 0 mod 64, so chunk edges follow the
+    // CONTENT — an insertion early in a document shifts every
+    // fixed-size block but leaves all content-defined chunks after the
+    // edit point identical, which is why storage dedup and incremental
+    // corpus sync chunk this way. Engine shape: the window hash at
+    // every position is an INDEPENDENT 8-term polynomial (no sequential
+    // state), so boundary detection is a higher-order filter over a
+    // position sequence inside whole-stage codegen — per-row work, no
+    // custom code, no shuffle before the per-doc fold. Both engines
+    // build chunks from the same cut positions and fold them with a
+    // commutative XOR of the shared portable h60, so the fingerprints
+    // are hash-exact; Σ chunk length = doc length rides along as a
+    // partition invariant the compare enforces per row.
+    QueryDef(
+      "q_text_cdc_chunks",
+      s"""WITH c AS (
+        |  SELECT doc_id, text,
+        |    list_filter(range(8, length(text)),
+        |      i -> ($cdcHashSql) % 64 = 0) AS cuts
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, list_concat([0], cuts) AS bs FROM c),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(bs) + 1), k ->
+        |      substr(text, CAST(bs[k] + 1 AS INTEGER),
+        |        CAST((CASE WHEN k < len(bs) THEN bs[k + 1]
+        |              ELSE length(text) END) - bs[k] AS INTEGER)))) AS ch
+        |  FROM b)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(length(ch)) AS BIGINT) AS total_len,
+        |  CAST(bit_xor(${h60sql("ch")}) AS BIGINT) AS fp,
+        |  CAST(min(length(ch)) AS BIGINT) AS min_len,
+        |  CAST(max(length(ch)) AS BIGINT) AS max_len
+        |FROM ch GROUP BY 1""".stripMargin) { (s, dir) =>
+      val chunks = t(s, dir, "documents").selectExpr("doc_id", "text")
+        .withColumn("cuts", expr(
+          "CASE WHEN length(text) >= 9 THEN " +
+            s"filter(sequence(8, length(text) - 1), i -> ($cdcHashSql) % 64 = 0) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END"))
+        .withColumn("bs", expr("concat(array(0), cuts)"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(bs)), k -> " +
+            "substr(text, element_at(bs, k) + 1, " +
+            "(CASE WHEN k < size(bs) THEN element_at(bs, k + 1) " +
+            "ELSE length(text) END) - element_at(bs, k)))")).as("ch"))
+      chunks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("ch"))).as("total_len"),
+          bit_xor(h60(col("ch"))).as("fp"),
+          min(length(col("ch"))).cast("long").as("min_len"),
+          max(length(col("ch"))).cast("long").as("max_len"))
     }
   )
+
+  /** The per-position gear window hash shared by both engines: an
+    * 8-term polynomial over the last W=8 character codes at position
+    * `i` of `text` — position-independent, so every position's hash
+    * is computable in parallel (NOT a sequential rolling state). */
+  private def cdcHashSql: String =
+    (0 until 8).map { j =>
+      val p = math.pow(31.0, j.toDouble).toLong
+      s"ascii(substr(text, i - $j, 1)) * CAST($p AS BIGINT)"
+    }.mkString(" + ")
 }

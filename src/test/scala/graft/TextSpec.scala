@@ -50,6 +50,59 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_text_cdc_chunks: boundaries are content-defined (prefix " +
+    "insertion preserves all chunks after the edit) and the engine " +
+    "fingerprint matches a sequential replay") {
+    // sequential replay of the same 8-char window polynomial
+    def cuts(t: String): Seq[Int] =
+      (8 to t.length - 1).filter { i =>
+        (0 until 8).map(j =>
+          t.charAt(i - j - 1).toLong * math.pow(31.0, j.toDouble).toLong)
+          .sum % 64 == 0
+      }
+    def chunksOf(t: String): Seq[String] = {
+      val bs = 0 +: cuts(t)
+      bs.zipWithIndex.map { case (b, k) =>
+        t.substring(b, if (k < bs.length - 1) bs(k + 1) else t.length)
+      }
+    }
+    // THE content-defined property: shifting everything by an insertion
+    // changes only chunks up to the first post-edit boundary — the
+    // window hash depends on content alone, never absolute position
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.length > 10)
+    var checkedShift = 0
+    docs.foreach { r =>
+      val t = r.getString(1)
+      val base = chunksOf(t)
+      val shifted = chunksOf("INSERTED PREFIX " + t)
+      if (base.length >= 3) {
+        val tailChunks = base.drop(1)
+        assert(shifted.takeRight(tailChunks.length) == tailChunks,
+          s"doc ${r.getLong(0)}: post-edit chunks diverged")
+        checkedShift += 1
+      }
+    }
+    assert(checkedShift > 5, s"only $checkedShift shift checks ran")
+    // engine output == replay (n_chunks + xor-of-h60 fingerprint)
+    val got = SparkEntry.queries("q_text_cdc_chunks")(spark, sfDir)
+      .filter(col("doc_id") % 25 === 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      md.digest(sx.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    docs.foreach { r =>
+      val cs = chunksOf(r.getString(1))
+      val (n, fp) = got(r.getLong(0))
+      assert(n == cs.length, s"doc ${r.getLong(0)}: $n vs ${cs.length}")
+      assert(fp == cs.map(h60).reduce(_ ^ _),
+        s"doc ${r.getLong(0)}: fingerprint diverged")
+    }
+  }
+
   test("q_text_nb: confusion matrix partitions the corpus and predicts " +
     "only trained languages") {
     val rows = SparkEntry.queries("q_text_nb")(spark, sfDir).collect()
