@@ -434,6 +434,110 @@ object Scalar {
     },
 
     // ------------------------------------------------------------------
+    // URL CANONICALIZATION for dedup — the normalizer every web-corpus
+    // pipeline runs BEFORE url-level dedup/quotas/blocklists, because
+    // the same page arrives as HTTPS://WWW.Example.COM:443/x?b=2&a=1
+    // and https://www.example.com/x?a=1&b=2&utm_source=feed. Steps, all
+    // engine builtins (no UDF): lowercase scheme+host, strip the
+    // scheme-default port, drop the fragment, drop tracking params
+    // (utm_*/ref= by exact prefix — LIKE's `_` wildcard is a trap),
+    // sort surviving params. The fixture builds deliberately messy
+    // URLs whose canonical forms COLLIDE across docs (path keyed mod
+    // 50), and the output carries each doc's canonical-group size from
+    // a canon-partitioned window — the dedup signal itself. Pure
+    // projection + one keyed window; the canonical string is exact so
+    // no rounding armor anywhere.
+    QueryDef(
+      "q_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+        |        WHEN 1 THEN 'www.example.com' ELSE 'API.site.ORG' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '?'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'b=2&a=1' ELSE 'a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |        THEN '&utm_source=s' || CAST(doc_id % 5 AS VARCHAR)
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=r7' ELSE '' END)
+        |    || '#s' || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_replace(
+        |      regexp_extract(url, '://([^/?#]+)', 1), ':443$', '')) AS host,
+        |    regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      q -> substr(q, 1, 4) <> 'utm_'
+        |        AND substr(q, 1, 4) <> 'ref=')) AS params
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |      (CASE WHEN len(params) > 0
+        |       THEN '?' || array_to_string(params, '&') ELSE '' END)
+        |      AS canon,
+        |    CAST(len(params) AS BIGINT) AS n_params,
+        |    url <> (scheme || '://' || host || path ||
+        |      (CASE WHEN len(params) > 0
+        |       THEN '?' || array_to_string(params, '&') ELSE '' END))
+        |      AS changed
+        |  FROM p)
+        |SELECT doc_id, canon, md5(canon) AS canon_md5, n_params, changed,
+        |  count(*) OVER (PARTITION BY canon) AS n_sharing
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val url =
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.Example.COM"))
+            .when(col("doc_id") % 3 === 1, lit("www.example.com"))
+            .otherwise(lit("API.site.ORG")),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/"), col("lang"), lit("/doc/"),
+          (col("doc_id") % 50).cast("string"),
+          lit("?"),
+          when(col("doc_id") % 2 === 0, lit("b=2&a=1"))
+            .otherwise(lit("a=1&b=2")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("&utm_source=s"), (col("doc_id") % 5).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("&ref=r7")).otherwise(lit("")),
+          lit("#s"), (col("doc_id") % 3).cast("string"))
+      val p = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("scheme",
+          lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host",
+          lower(regexp_replace(
+            regexp_extract(col("url"), "://([^/?#]+)", 1), ":443$", "")))
+        .withColumn("path",
+          regexp_extract(col("url"), "://[^/?#]+(/[^?#]*)", 1))
+        .withColumn("params", expr(
+          "array_sort(filter(split(regexp_extract(url, '\\\\?([^#]*)', 1)," +
+            " '&'), q -> substr(q, 1, 4) <> 'utm_'" +
+            " AND substr(q, 1, 4) <> 'ref='))"))
+      val canon = concat(col("scheme"), lit("://"), col("host"), col("path"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(col("params"), "&")))
+          .otherwise(lit("")))
+      p.select(col("doc_id"), canon.as("canon"),
+          size(col("params")).cast("long").as("n_params"),
+          (col("url") =!= canon).as("changed"))
+        .select(col("doc_id"), col("canon"),
+          md5(col("canon").cast("binary")).as("canon_md5"),
+          col("n_params"), col("changed"),
+          count(lit(1)).over(Window.partitionBy(col("canon")))
+            .as("n_sharing"))
+    },
+
+    // ------------------------------------------------------------------
     // Unicode normalization + accent folding over the corpus — the
     // [[UnicodeNormalize]] codegen expression vs DuckDB's
     // nfc_normalize/strip_accents builtins (semantics pinned in the

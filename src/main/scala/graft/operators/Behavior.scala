@@ -1116,6 +1116,54 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // GAPS AND ISLANDS — maximal runs of consecutive active days per
+    // user (streak analytics: longest streak, streak count, first
+    // active day). The classic identity: within a user, day −
+    // row_number() is CONSTANT exactly on a consecutive run, so island
+    // membership is a pure windowed subtraction — no self-join, no
+    // recursive walk. Scale shape: one distinct (user, day) hash agg
+    // is the fan-in from raw events (everything after runs on
+    // user-days), the window partitions by user (never a single
+    // task), and the two stacked aggregations are map-combinable.
+    // All-integer day arithmetic keeps the oracle exact.
+    QueryDef(
+      "q_window_islands",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1992-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS d
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+        |  FROM act),
+        |isl AS (
+        |  SELECT user_id, g, count(*) AS len, min(d) AS start_d
+        |  FROM grp GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days,
+        |  CAST(min(start_d) AS BIGINT) AS first_day
+        |FROM isl GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1992-01-01").cast("date")).as("d"))
+        .distinct()
+      val grp = act.withColumn("g",
+        col("d") - row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("d"))))
+      grp.groupBy(col("user_id"), col("g"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("longest"),
+          sum(col("len")).as("active_days"),
+          min(col("start_d")).cast("long").as("first_day"))
+    },
+
+    // ------------------------------------------------------------------
     // Z-score anomaly counts per event type — the feed-monitoring
     // aggregate a pipeline runs on every ingest batch. Two map-combinable
     // passes: per-type moments (Welford-style bounded state, 5 rows out),
