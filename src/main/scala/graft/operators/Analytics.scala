@@ -2148,6 +2148,102 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // GEO: haversine radius search — the spatial primitive under
+    // store-locator / geo-join / POI-dedup workloads. Coordinates
+    // derive deterministically from keys as EXACT centi-degrees
+    // (integer % then /100 — bit-identical cross-engine), so the only
+    // cross-engine surface is the haversine itself: sin/cos/asin are
+    // libm and differ in final ulps, which the shared Num rounding
+    // absorbs (relative noise ~1e-12 of a km, eight orders below the
+    // 4-decimal output and the 500 km cut — the q_anomaly_zscore
+    // margin argument). Scale shape: the probe side is a key-ceiling
+    // bounded handful broadcast against the corpus — the same
+    // broadcast-probe idiom as q_knn_brute; a corpus×corpus geo-join
+    // would bucket by geohash cell first (q_geo_geohash is that key).
+    QueryDef(
+      "q_geo_haversine",
+      s"""WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 37) % 18000 AS DOUBLE) / 100.0e0 - 90.0e0
+        |      AS lat,
+        |    CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0e0 - 180.0e0
+        |      AS lon
+        |  FROM customer),
+        |probe AS (SELECT * FROM pts WHERE id < 8),
+        |d AS (
+        |  SELECT p.id AS probe_id, c.id AS cand_id,
+        |    2.0e0 * 6371.0088e0 * asin(sqrt(
+        |      sin((c.lat - p.lat) * pi() / 360.0e0)
+        |        * sin((c.lat - p.lat) * pi() / 360.0e0)
+        |      + cos(p.lat * pi() / 180.0e0) * cos(c.lat * pi() / 180.0e0)
+        |        * sin((c.lon - p.lon) * pi() / 360.0e0)
+        |        * sin((c.lon - p.lon) * pi() / 360.0e0))) AS km
+        |  FROM probe p, pts c WHERE p.id <> c.id)
+        |SELECT probe_id, cand_id, ${Num.sql("km", 4)} AS dist_km
+        |FROM d WHERE km < 500.0e0""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "CAST((c_custkey * 37) % 18000 AS DOUBLE) / 100.0e0 - 90.0e0" +
+          " AS lat",
+        "CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0e0 - 180.0e0" +
+          " AS lon")
+      val probe = pts.filter(col("id") < 8)
+        .select(col("id").as("probe_id"), col("lat").as("plat"),
+          col("lon").as("plon"))
+      val km = expr(
+        """2.0e0 * 6371.0088e0 * asin(sqrt(
+          |  sin((lat - plat) * pi() / 360.0e0)
+          |    * sin((lat - plat) * pi() / 360.0e0)
+          |  + cos(plat * pi() / 180.0e0) * cos(lat * pi() / 180.0e0)
+          |    * sin((lon - plon) * pi() / 360.0e0)
+          |    * sin((lon - plon) * pi() / 360.0e0)))""".stripMargin)
+      pts.crossJoin(broadcast(probe))
+        .filter(col("probe_id") =!= col("id"))
+        .withColumn("km", km)
+        .filter(col("km") < 500.0)
+        .select(col("probe_id"), col("id").as("cand_id"),
+          Num.r(col("km"), 4).as("dist_km"))
+    },
+
+    // ------------------------------------------------------------------
+    // GEO: geohash cell assignment — the spatial BUCKETING key that
+    // turns a quadratic geo-join into a per-cell equi-join (the
+    // q_dedup_* banding discipline applied to coordinates). This IS
+    // standard geohash (lon bit first, alternating interleave, base32
+    // alphabet without a/i/l/o): the bisection loop collapses to
+    // floor-scaling each axis to 15 bits and Morton-interleaving —
+    // exact integer math end to end, so the 6-char cells hash-check
+    // with zero rounding armor. Per-cell occupancy from one
+    // map-combinable count — the skew profile a geo-partitioner reads.
+    QueryDef("q_geo_geohash", geohashOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 37) % 18000 AS lat_c",
+        "(c_custkey * 73) % 36000 AS lon_c")
+        // 15-bit per-axis cell coordinates from exact centi-degrees:
+        // floor(x/span * 2^15) = integer div on centi-units
+        .withColumn("latb", expr("(lat_c * 32768) div 18000"))
+        .withColumn("lonb", expr("(lon_c * 32768) div 36000"))
+      // geohash interleaves LON first: bit 29 = lon[14], 28 = lat[14]…
+      val z = (0 until 15).map { i =>
+        shiftright(col("lonb"), i).bitwiseAND(lit(1L)) *
+          lit(1L << (2 * i + 1)) +
+          shiftright(col("latb"), i).bitwiseAND(lit(1L)) *
+            lit(1L << (2 * i))
+      }.reduce(_ + _)
+      val withZ = pts.withColumn("z", z)
+      val hash = (0 until 6).map { c =>
+        expr(s"substr('$geohashAlphabet', " +
+          s"CAST((z div ${1L << (5 * (5 - c))}) % 32 AS INT) + 1, 1)")
+      }.reduce(concat(_, _))
+      withZ.withColumn("cell", hash)
+        .select(col("id"), col("cell"),
+          count(lit(1)).over(Window.partitionBy(col("cell")))
+            .as("cell_n"))
+    },
+
+    // ------------------------------------------------------------------
     // MULTI-DIMENSIONAL CLUSTERING for scan pruning (OPTIMIZE ZORDER):
     // interleave the bits of two filter dimensions into a Z-value,
     // group rows into files by Z-tile (top 6 bits = an 8×8 quadtree
@@ -2269,6 +2365,32 @@ object Analytics {
       anovaStages.foldLeft(m)((df, stage) => df.selectExpr(stage: _*))
     }
   )
+
+  /** The standard geohash base32 alphabet (no a/i/l/o). */
+  private def geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** DuckDB replay of q_geo_geohash: identical integer bit math, the
+    * alphabet indexed 1-based via substr. */
+  private def geohashOracle: String = {
+    val zTerms = (0 until 15).map { i =>
+      s"((lonb >> $i) & 1) * ${1L << (2 * i + 1)}" +
+        s" + ((latb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString("\n      + ")
+    val chars = (0 until 6).map { c =>
+      s"substr('$geohashAlphabet', " +
+        s"CAST((z // ${1L << (5 * (5 - c))}) % 32 AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH pts AS (
+      |  SELECT c_custkey AS id,
+      |    ((c_custkey * 37) % 18000) * 32768 // 18000 AS latb,
+      |    ((c_custkey * 73) % 36000) * 32768 // 36000 AS lonb
+      |  FROM customer),
+      |zz AS (SELECT id, ($zTerms) AS z FROM pts),
+      |cells AS (SELECT id, $chars AS cell FROM zz)
+      |SELECT id, cell,
+      |  count(*) OVER (PARTITION BY cell) AS cell_n
+      |FROM cells""".stripMargin
+  }
 
   /** Morton/Z-value of two 8-bit dimension buckets as a pure bit
     * expression — shared by q_layout_zorder and the streaming

@@ -698,6 +698,8 @@ class PlanSpec extends SparkSpec {
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both
                          // sides bounded: 128 zones, 16 boxes)
+      "q_geo_haversine", // corpus × broadcast ≤8-row probe set (the
+                         // knn-brute radius-search shape)
       "q_cdc_apply") // crossJoin(broadcast(1-row min/max ts bounds)); the
                      // half=0/1 filters fold into the BNLJ condition but
                      // the broadcast side stays exactly one row
@@ -811,7 +813,11 @@ class PlanSpec extends SparkSpec {
       "q_text_nb" ->
         "per-(lang, token) NB model — |langs| x vocab, Heaps-bounded",
       "q_vocab_oov" ->
-        "rank-capped top-K vocabulary table — K rows by construction")
+        "rank-capped top-K vocabulary table — K rows by construction",
+      "q_geo_haversine" ->
+        ("probe side is a c_custkey < 8 ceiling — customer keys are " +
+          "contiguous per TESTDATA.md, so ≤8 rows at every SF (the " +
+          "static key-ceiling rule only knows vec_id/doc_id)"))
     def isFactScan(l: LogicalRelation): Boolean = l.relation match {
       case h: HadoopFsRelation => h.location.rootPaths.exists(p =>
         factTables.exists(t => p.toString.contains(s"/$t")))

@@ -82,6 +82,50 @@ class StatsSpec extends SparkSpec {
       s"welch $welch vs classic $f")
   }
 
+  test("q_geo_geohash equals textbook bisection (exact integer bounds) " +
+    "and q_geo_haversine is symmetric with a sane horizon") {
+    val B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // textbook geohash: alternating lon/lat bisection, exact integer
+    // comparisons via cross-multiplication (no float midpoints)
+    def classic(latC: Long, lonC: Long): String = {
+      val bits = new Array[Int](30)
+      var (latLo, latHi, lonLo, lonHi) = (0L, 32768L, 0L, 32768L)
+      for (i <- 0 until 30) {
+        if (i % 2 == 0) { // lon bit first
+          val mid = (lonLo + lonHi) / 2
+          if (lonC * 32768 >= mid * 36000) { bits(i) = 1; lonLo = mid }
+          else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (latC * 32768 >= mid * 18000) { bits(i) = 1; latLo = mid }
+          else latHi = mid
+        }
+      }
+      (0 until 6).map { c =>
+        B32(bits.slice(c * 5, c * 5 + 5).foldLeft(0)(_ * 2 + _))
+      }.mkString
+    }
+    val rows = SparkEntry.queries("q_geo_geohash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (id, cell, _) =>
+      assert(cell == classic((id * 37) % 18000, (id * 73) % 36000),
+        s"id $id cell $cell != bisection reference")
+    }
+    // occupancy column is consistent with the actual groups
+    val byCell = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.foreach { case (_, cell, n) => assert(n == byCell(cell)) }
+    // haversine: (p, c) within radius implies (c, p) within radius
+    // when both are probes; all distances in (0, 500)
+    val hv = SparkEntry.queries("q_geo_haversine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hv.nonEmpty)
+    hv.foreach { case (_, _, d) => assert(d > 0 && d < 500) }
+    val probePairs = hv.filter(t => t._2 < 8).map(t => (t._1, t._2)).toSet
+    probePairs.foreach { case (a, b) =>
+      assert(probePairs((b, a)), s"asymmetric pair ($a,$b)")
+    }
+  }
+
   test("q_layout_zorder: z-clustered zone maps prune the box workload; " +
     "round-robin zone maps cannot prune at all") {
     val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir)
