@@ -51,6 +51,19 @@ final case class Adam7Decoded(
     pix_sum: Long,
     wsum: Long)
 
+/** A decoded μ-law stream row: exact integer statistics over the
+  * reconstructed samples plus the reconstruction-error mass against
+  * the original signal (the codec is LOSSY by design — the error bound
+  * is part of its contract). */
+final case class MulawDecoded(
+    doc_id: Long,
+    fmt: String,
+    n_samples: Long,
+    sum_dec: Long,
+    wsum_dec: Long,
+    sum_abs_err: Long,
+    max_abs_err: Long)
+
 /** Header-sniffed media metadata: dimensions and layout read from the
   * container WITHOUT decoding the payload — the cheap first pass a media
   * pipeline runs on every asset before deciding what to decode. */
@@ -297,6 +310,29 @@ object Multimodal {
       lr += 1
     }
     (w, h, topDown, s, ws)
+  }
+
+  /** G.711 μ-law encode of one linear PCM sample (Sun/CCITT reference
+    * semantics: clip 32635, bias 132, 3-bit exponent + 4-bit mantissa,
+    * ones-complement output byte). */
+  def mulawEncode(s: Int): Int = {
+    val sign = if (s < 0) 0x80 else 0
+    var a = math.min(math.abs(s), 32635) + 132
+    var e = 7
+    while (e > 0 && a < (1 << (e + 7))) e -= 1
+    val m = (a >> (e + 3)) & 0xf
+    (~(sign | (e << 4) | m)) & 0xff
+  }
+
+  /** G.711 μ-law decode (inverse of [[mulawEncode]], lower-edge
+    * reconstruction per the Sun g711 reference: t = ((m<<3)+132)<<e,
+    * magnitude t−132). */
+  def mulawDecode(b: Int): Int = {
+    val u = (~b) & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0xf
+    val mag = (((m << 3) + 132) << e) - 132
+    if ((u & 0x80) != 0) -mag else mag
   }
 
   private val PngSig: Array[Byte] =
@@ -3207,6 +3243,76 @@ object Multimodal {
             r => ((id + r) % 5).toInt))
         }
       decodeImage(assets).toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // G.711 μ-LAW telephony audio — the first LOSSY audio codec in the
+    // family, and lossy is the point: logarithmic companding trades
+    // 16-bit linear PCM for 8-bit bytes with a relative error contract
+    // (reconstruction error < one step of the sample's exponent
+    // segment). The kernel pair ([[mulawEncode]]/[[mulawDecode]]) is
+    // Sun-reference bit manipulation (clip+bias, exponent from the
+    // leading-bit position, ones-complement bytes); the oracle replays
+    // the SAME companding as pure CASE/div/mod arithmetic — so the
+    // hash check proves the bit-twiddling kernel equals the algebraic
+    // definition sample for sample, including the error mass each doc
+    // owes. Executors do all byte work; per-doc exact-integer stats
+    // (signed sum, position-weighted sum, total and max |error|) move.
+    QueryDef(
+      "q_multimodal_mulaw",
+      """WITH ks AS (
+        |  SELECT doc_id, unnest(range(doc_id % 50 + 10)) AS k
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, k,
+        |    ((doc_id * 131 + k * 997) % 16001) - 8000 AS s
+        |  FROM ks),
+        |s2 AS (SELECT doc_id, k, s,
+        |    least(abs(s), 32635) + 132 AS a FROM s1),
+        |s3 AS (SELECT doc_id, k, s, a,
+        |    CASE WHEN a < 256 THEN 1 WHEN a < 512 THEN 2
+        |         WHEN a < 1024 THEN 4 WHEN a < 2048 THEN 8
+        |         WHEN a < 4096 THEN 16 WHEN a < 8192 THEN 32
+        |         WHEN a < 16384 THEN 64 ELSE 128 END AS pw
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, k, s,
+        |    (((a // (pw * 8)) % 16) * 8 + 132) * pw - 132 AS mag
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, k,
+        |    CASE WHEN s < 0 THEN -mag ELSE mag END AS dec,
+        |    abs(s - CASE WHEN s < 0 THEN -mag ELSE mag END) AS err
+        |  FROM s4)
+        |SELECT doc_id, 'mulaw' AS fmt,
+        |  count(*) AS n_samples,
+        |  CAST(sum(dec) AS BIGINT) AS sum_dec,
+        |  CAST(sum((k + 1) * dec) AS BIGINT) AS wsum_dec,
+        |  CAST(sum(err) AS BIGINT) AS sum_abs_err,
+        |  CAST(max(err) AS BIGINT) AS max_abs_err
+        |FROM s5 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 50).toInt + 10
+            val orig = Array.tabulate(n)(k =>
+              ((id * 131 + k * 997) % 16001).toInt - 8000)
+            // the byte stream is the ONLY thing that crosses the codec
+            val bytes = orig.map(v => mulawEncode(v).toByte)
+            var sum = 0L; var wsum = 0L; var errSum = 0L; var errMax = 0L
+            var k = 0
+            while (k < n) {
+              val dec = mulawDecode(bytes(k) & 0xff)
+              sum += dec
+              wsum += (k + 1).toLong * dec
+              val e = math.abs(orig(k).toLong - dec)
+              errSum += e
+              if (e > errMax) errMax = e
+              k += 1
+            }
+            MulawDecoded(id, "mulaw", n.toLong, sum, wsum, errSum, errMax)
+          }
+        }.toDF()
     },
 
     // ------------------------------------------------------------------

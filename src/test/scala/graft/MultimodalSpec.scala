@@ -63,6 +63,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mu-law codec: codeword idempotence, monotone reconstruction, " +
+    "and the per-segment error bound") {
+    import graft.operators.Multimodal.{mulawDecode, mulawEncode}
+    // silence encodes to the canonical 0xFF
+    assert(mulawEncode(0) == 0xff)
+    // every codeword is a fixed point of decode->encode EXCEPT 0x7F:
+    // negative zero collapses onto positive zero (the G.711 quirk)
+    (0 until 256).filter(_ != 0x7f).foreach { b =>
+      assert(mulawEncode(mulawDecode(b)) == b, f"codeword 0x$b%02x")
+    }
+    assert(mulawDecode(0x7f) == 0 && mulawEncode(mulawDecode(0x7f)) == 0xff)
+    // reconstruction is monotone non-decreasing in the input and the
+    // error stays inside the sample's exponent segment step
+    var prev = Int.MinValue
+    (-32768 to 32767 by 7).foreach { s =>
+      val d = mulawDecode(mulawEncode(s))
+      assert(d >= prev, s"non-monotone at $s")
+      prev = d
+      val a = math.min(math.abs(s), 32635) + 132
+      var e = 7
+      while (e > 0 && a < (1 << (e + 7))) e -= 1
+      assert(math.abs(math.min(math.max(s, -32635), 32635) - d)
+        <= (8 << e), s"error bound broken at $s")
+    }
+  }
+
   test("Adam7 PNG: interlaced and straight encodings decode to " +
     "identical pixels, including dims where most passes are empty") {
     import graft.operators.Multimodal
