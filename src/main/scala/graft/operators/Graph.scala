@@ -785,6 +785,60 @@ object Graph {
         .select(col("scc_id"), col("cycle_len"), col("basin_n"))
     },
 
+    // ------------------------------------------------------------------
+    // MAXIMAL INDEPENDENT SET by Luby's algorithm (Luby, SIAM J.
+    // Comput. 1986) — the PRAM symmetry-breaking primitive under
+    // distributed greedy problems (conflict-free scheduling, one-doc-
+    // per-cluster selection, graph coloring's first move). Made
+    // deterministic the q_split way: the "random" priority is the
+    // portable h60 of the node id, so both engines draw the SAME
+    // numbers and the whole run replays. One round = join the alive
+    // edge relation with alive priorities, take the min neighbor
+    // priority per node (map-combinable), and select nodes strictly
+    // below it (no alive neighbor ⇒ selected); selected nodes and
+    // their neighborhoods leave the alive set. Expected constant
+    // fraction of EDGES dies per round — O(log n) rounds, the same
+    // log-depth argument as q_graph_scc, where the sequential greedy
+    // MIS is O(n) dependent steps. Fixed R=4 rounds: the residue that
+    // survives is IDENTICAL cross-engine (same priorities, same
+    // rounds), so the output — MIS members with their join round — is
+    // hash-exact; GraphSpec replays the rounds sequentially and pins
+    // independence + per-round equality. Tie-safety: equal priorities
+    // exclude BOTH endpoints in both engines (strict <), so a 2⁻⁶⁰
+    // hash collision degrades progress, never parity.
+    QueryDef("q_graph_mis", misOracle) { (s, dir) =>
+      import graft.functions.TextAnalysis.h60
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val sym = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+      val edges = sym.repartition(col("src")).cache()
+      var alive = edges.select(col("src").as("v")).distinct()
+        .withColumn("h", h60(concat(lit("mis:"), col("v").cast("string"))))
+        .localCheckpoint()
+      var mis: DataFrame = null
+      for (r <- 1 to misRounds) {
+        val mn = edges
+          .join(alive.select(col("v").as("dst"), col("h").as("hn")), "dst")
+          .groupBy(col("src")).agg(min(col("hn")).as("mn"))
+        val cand = alive
+          .join(mn, alive("v") === mn("src"), "left")
+          .filter(col("mn").isNull || col("h") < col("mn"))
+          .select(col("v")).localCheckpoint()
+        val round = cand.select(col("v"), lit(r).cast("int").as("round"))
+        mis = if (mis == null) round else mis.unionAll(round)
+        val dead = cand
+          .unionAll(edges.join(cand.withColumnRenamed("v", "src"), "src")
+            .select(col("dst").as("v")))
+          .distinct()
+        alive = alive.join(dead, Seq("v"), "left_anti").localCheckpoint()
+      }
+      mis.select(col("v").as("node"), col("round"))
+    },
+
     QueryDef("q_graph_boruvka", boruvkaOracle) { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
         .filter(col("l_quantity") >= 30)
@@ -1008,6 +1062,47 @@ object Graph {
       |      // least(vol, m2 - vol) END AS cond_u
       |FROM vc JOIN nn ON community = c3
       |LEFT JOIN sl ON community = c2, m2t""".stripMargin
+
+  // def, not val: referenced while `defs` initializes (a later val
+  // would still be 0 there — the r11 init-order trap)
+  private def misRounds = 4
+
+  /** DuckDB replay of q_graph_mis: the same four Luby rounds as CTEs —
+    * identical h60 priorities, min-alive-neighbor selection, strict-<
+    * candidates, neighborhood removal. */
+  private def misOracle: String = {
+    import graft.functions.TextAnalysis.h60sql
+    val rounds = (1 to misRounds).map { r =>
+      s"""mn$r AS (
+        |  SELECT e.src AS v, min(b.h) AS mn
+        |  FROM edges e JOIN alive${r - 1} b ON e.dst = b.v
+        |  GROUP BY 1),
+        |cand$r AS (
+        |  SELECT a.v FROM alive${r - 1} a LEFT JOIN mn$r m ON a.v = m.v
+        |  WHERE m.mn IS NULL OR a.h < m.mn),
+        |dead$r AS (
+        |  SELECT v FROM cand$r
+        |  UNION
+        |  SELECT e.dst AS v FROM edges e JOIN cand$r c ON e.src = c.v),
+        |alive$r AS (
+        |  SELECT a.v, a.h FROM alive${r - 1} a
+        |  WHERE a.v NOT IN (SELECT v FROM dead$r))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to misRounds)
+      .map(r => s"SELECT v AS node, $r AS round FROM cand$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |edges AS (
+      |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM e0
+      |  UNION ALL
+      |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM e0),
+      |alive0 AS (
+      |  SELECT DISTINCT src AS v,
+      |    ${h60sql("'mis:' || CAST(src AS VARCHAR)")} AS h
+      |  FROM edges),
+      |$rounds
+      |$out""".stripMargin
+  }
 
   /** DuckDB replay of q_graph_scc: fixed K=11 squaring rounds (2¹¹ =
     * 2048 ≥ the sf0.01 |V| = 1500, and any K past rho coverage leaves

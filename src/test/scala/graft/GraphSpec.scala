@@ -38,6 +38,45 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == n) // basins partition V
   }
 
+  test("q_graph_mis equals a sequential Luby replay, is independent, " +
+    "and covers every decided node") {
+    val got = SparkEntry.queries("q_graph_mis")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // rebuild the same graph + priorities sequentially
+    val e0 = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    def link(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    e0.foreach { case (p, s) => link(p, s); link(s, p) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      md.digest(sx.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val h = adj.keys.map(v => v -> h60(s"mis:$v")).toMap
+    var alive = adj.keySet.toSet
+    val ref = scala.collection.mutable.Map.empty[Long, Int]
+    for (r <- 1 to 4) {
+      val cand = alive.filter { v =>
+        val ns = adj(v).filter(alive)
+        ns.isEmpty || ns.forall(u => h(v) < h(u))
+      }
+      cand.foreach(v => ref(v) = r)
+      alive = alive -- cand -- cand.flatMap(adj(_))
+    }
+    assert(got == ref.toMap, s"${got.size} members vs replay ${ref.size}")
+    // independence: no edge joins two members
+    e0.foreach { case (p, s) =>
+      assert(!(got.contains(p) && got.contains(s)), s"edge ($p,$s) in MIS")
+    }
+    // coverage: every decided non-member has a member neighbor
+    (adj.keySet -- alive -- got.keySet).foreach { v =>
+      assert(adj(v).exists(got.contains), s"$v decided but uncovered")
+    }
+  }
+
   test("q_graph_pagerank conserves rank mass and keeps every node") {
     val pr = SparkEntry.queries("q_graph_pagerank")(spark, sfDir).cache()
     try {
