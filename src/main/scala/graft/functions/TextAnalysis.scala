@@ -2062,53 +2062,116 @@ object TextAnalysis {
     // partition invariant the compare enforces per row.
     QueryDef(
       "q_text_cdc_chunks",
-      s"""WITH cc AS (
-        |  SELECT doc_id, text,
-        |    list_transform(string_split(text, ''), c -> ascii(c)) AS cs
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, text,
-        |    list_filter(range(8, length(text)),
-        |      i -> ($cdcHashSql) % 64 = 0) AS cuts
-        |  FROM cc),
-        |b AS (
-        |  SELECT doc_id, text, list_concat([0], cuts) AS bs FROM c),
-        |ch AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(bs) + 1), k ->
-        |      substr(text, CAST(bs[k] + 1 AS INTEGER),
-        |        CAST((CASE WHEN k < len(bs) THEN bs[k + 1]
-        |              ELSE length(text) END) - bs[k] AS INTEGER)))) AS ch
-        |  FROM b)
+      s"""WITH ${cdcChunkCtes("documents")}
         |SELECT doc_id, count(*) AS n_chunks,
         |  CAST(sum(length(ch)) AS BIGINT) AS total_len,
         |  CAST(bit_xor(${h60sql("ch")}) AS BIGINT) AS fp,
         |  CAST(min(length(ch)) AS BIGINT) AS min_len,
         |  CAST(max(length(ch)) AS BIGINT) AS max_len
         |FROM ch GROUP BY 1""".stripMargin) { (s, dir) =>
-      val chunks = t(s, dir, "documents").selectExpr("doc_id", "text")
-        // char-code array ONCE per row; the window hash then reads 8
-        // array cells per position instead of 8 substr() calls on the
-        // whole string (measured 7x on the sf0.1 corpus)
-        .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
-        .withColumn("cuts", expr(
-          "CASE WHEN length(text) >= 9 THEN " +
-            s"filter(sequence(8, length(text) - 1), i -> ($cdcHashSpark) % 64 = 0) " +
-            "ELSE CAST(array() AS ARRAY<INT>) END"))
-        .withColumn("bs", expr("concat(array(0), cuts)"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(bs)), k -> " +
-            "substr(text, element_at(bs, k) + 1, " +
-            "(CASE WHEN k < size(bs) THEN element_at(bs, k + 1) " +
-            "ELSE length(text) END) - element_at(bs, k)))")).as("ch"))
+      val chunks = cdcChunkRelation(t(s, dir, "documents"))
       chunks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(length(col("ch"))).as("total_len"),
           bit_xor(h60(col("ch"))).as("fp"),
           min(length(col("ch"))).cast("long").as("min_len"),
           max(length(col("ch"))).cast("long").as("max_len"))
+    },
+
+    // ------------------------------------------------------------------
+    // The DEDUP-STORE metric the chunker exists for: content-address
+    // every chunk (h60) and compare bytes ingested vs bytes a
+    // chunk-dedup store would actually keep, per source — the
+    // storage-savings readout of a backup/corpus-sync system (and the
+    // denominator for sizing one). Within-source scope: the store is
+    // per-source here, so shared boilerplate across documents of one
+    // source collapses to a single stored copy. Shapes: the chunk
+    // relation (q_text_cdc_chunks' codegen projection) joins doc→
+    // source on the fact key, then two map-combinable aggregates — one
+    // over all chunk occurrences, one over the distinct chunk-hash
+    // relation. Exact integers until the final savings fraction.
+    QueryDef(
+      "q_dedup_chunks",
+      s"""WITH ${cdcChunkCtes("documents")},
+        |hashed AS (
+        |  SELECT d.source, length(ch.ch) AS len, ${h60sql("ch.ch")} AS hid
+        |  FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+        |per AS (
+        |  SELECT source, count(*) AS n_chunks,
+        |    CAST(sum(len) AS BIGINT) AS bytes_total
+        |  FROM hashed GROUP BY 1),
+        |dist AS (
+        |  SELECT source, hid, min(len) AS len FROM hashed GROUP BY 1, 2),
+        |st AS (
+        |  SELECT source, count(*) AS n_distinct,
+        |    CAST(sum(len) AS BIGINT) AS bytes_stored
+        |  FROM dist GROUP BY 1)
+        |SELECT source, n_chunks, n_distinct, bytes_total, bytes_stored,
+        |  ${Num.sql(
+             "1.0e0 - CAST(bytes_stored AS DOUBLE) / CAST(bytes_total AS DOUBLE)",
+             6)} AS dedup_frac
+        |FROM per JOIN st USING (source)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val hashed = cdcChunkRelation(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), length(col("ch")).as("len"),
+          h60(col("ch")).as("hid"))
+      val per = hashed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("len")).as("bytes_total"))
+      val st = hashed.groupBy(col("source"), col("hid"))
+        .agg(min(col("len")).as("len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("len")).as("bytes_stored"))
+      per.join(st, Seq("source"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          col("bytes_total"), col("bytes_stored"),
+          Num.r(lit(1.0) - col("bytes_stored").cast("double") /
+            col("bytes_total").cast("double"), 6).as("dedup_frac"))
     }
   )
+
+  /** The (doc_id, ch) chunk relation: content-defined chunks of every
+    * document (shared by q_text_cdc_chunks and q_dedup_chunks). The
+    * char-code array materializes ONCE per row; the window hash then
+    * reads 8 array cells per position instead of calling substr() on
+    * the whole string 8 times (measured 7x on the sf0.1 corpus). */
+  private def cdcChunkRelation(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "text")
+      .withColumn("cs", expr("transform(split(text, ''), c -> ascii(c))"))
+      .withColumn("cuts", expr(
+        "CASE WHEN length(text) >= 9 THEN " +
+          s"filter(sequence(8, length(text) - 1), i -> ($cdcHashSpark) % 64 = 0) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .withColumn("bs", expr("concat(array(0), cuts)"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(bs)), k -> " +
+          "substr(text, element_at(bs, k) + 1, " +
+          "(CASE WHEN k < size(bs) THEN element_at(bs, k + 1) " +
+          "ELSE length(text) END) - element_at(bs, k)))")).as("ch"))
+
+  /** The same chunk relation as DuckDB CTE text ending in a `ch`
+    * relation of (doc_id, ch) — `from` names the source docs CTE. */
+  private def cdcChunkCtes(from: String): String =
+    s"""cc AS (
+      |  SELECT doc_id, text,
+      |    list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+      |  FROM $from),
+      |c AS (
+      |  SELECT doc_id, text,
+      |    list_filter(range(8, length(text)),
+      |      i -> ($cdcHashSql) % 64 = 0) AS cuts
+      |  FROM cc),
+      |b AS (
+      |  SELECT doc_id, text, list_concat([0], cuts) AS bs FROM c),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(bs) + 1), k ->
+      |      substr(text, CAST(bs[k] + 1 AS INTEGER),
+      |        CAST((CASE WHEN k < len(bs) THEN bs[k + 1]
+      |              ELSE length(text) END) - bs[k] AS INTEGER)))) AS ch
+      |  FROM b)""".stripMargin
 
   /** The per-position gear window hash shared by both engines: an
     * 8-term polynomial over the last W=8 character codes at position
