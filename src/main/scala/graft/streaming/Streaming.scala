@@ -1709,6 +1709,71 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Per-user streak state for [[streakAdvance]]: the O(1) record that
+    * replaces q_window_islands' day-table walk — last active day,
+    * current/longest run, island count, first day, total active days. */
+  case class StreakState(lastDay: Long, curLen: Long, maxLen: Long,
+      nIslands: Long, firstDay: Long, activeDays: Long)
+
+  /** Gaps-and-islands as a live automaton: q_window_islands re-derives
+    * every user's full day table per run; this processor carries SIX
+    * longs per user and advances them as days arrive. Contract: days
+    * must arrive non-decreasing per user ACROSS batches (event-time
+    * ordered replay, the attributeLastTouch feed discipline) — a
+    * consecutive day extends the run, a jump opens a new island,
+    * revisits of the current day are no-ops. Within a batch days sort
+    * and dedup first, so shuffle arrival order is invisible. */
+  class StreakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[StreakState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[StreakState]("streak",
+        org.apache.spark.sql.Encoders.product[StreakState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      var s = if (st.exists()) st.get()
+        else StreakState(Long.MinValue, 0L, 0L, 0L, Long.MaxValue, 0L)
+      rows.map(_._2).toArray.sorted.distinct.foreach { day =>
+        if (day > s.lastDay) {
+          val cur = if (day == s.lastDay + 1) s.curLen + 1 else 1L
+          s = StreakState(day, cur, math.max(s.maxLen, cur),
+            if (cur == 1L) s.nIslands + 1 else s.nIslands,
+            math.min(s.firstDay, day), s.activeDays + 1)
+        } // day <= lastDay: replay/duplicate under the ordered contract
+      }
+      st.update(s)
+      Iterator.single(
+        (user, s.nIslands, s.maxLen, s.activeDays, s.firstDay))
+    }
+  }
+
+  /** Streaming activity streaks over (user_id, epoch_day) rows — the
+    * live twin of the batch `q_window_islands` query. Emits a
+    * changelog row per touched user per batch; counters are monotone,
+    * so the latest row per user is the current snapshot. */
+  def streakAdvance(days: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc
+        : org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    days.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new StreakProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Per-user automaton state for [[seqMatchAdvance]]: the O(1)-state
     * compilation of q_seq_match's three row patterns. `inV` is the
     * 'v[^p]*p' machine (inside an open conversion window), `eRun`/`cRun`

@@ -1709,6 +1709,56 @@ class StreamingSpec extends SparkSpec {
     assert(viaTable == viaBatch)
   }
 
+  test("transformWithState streaks equal the batch q_window_islands " +
+    "over the corpus fed in day-ordered waves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val mem = MemoryStream[(Long, Long)] // (user_id, epoch_day)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      q = Streaming.streakAdvance(mem.toDS())
+        .writeStream.format("memory").queryName("streak_test")
+        .option("checkpointLocation", tmpDir("streak_ckpt"))
+        .outputMode(OutputMode.Append()).start()
+      // the SAME day derivation as the batch query, fed in three
+      // day-ordered waves (including raw duplicates per user-day)
+      val userDays = Tables(spark, sfDir, "events")
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._2)
+      val n = userDays.length
+      Seq(userDays.slice(0, n / 3), userDays.slice(n / 3, 2 * n / 3),
+        userDays.slice(2 * n / 3, n)).foreach { wave =>
+        mem.addData(wave.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // latest changelog row per user = monotone-counter max/min fold
+      val got = spark.table("streak_test")
+        .groupBy(col("_1").as("user_id"))
+        .agg(max(col("_2")).as("n_islands"), max(col("_3")).as("longest"),
+          max(col("_4")).as("active_days"), min(col("_5")).as("first_day"))
+      val want = SparkEntry.queries("q_window_islands")(spark, sfDir)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streaming streak snapshot diverged from the batch islands query")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incremental join-view maintenance: two-sided deltas fold to " +
     "the full join after every wave, multiplicities exact, replay " +
     "idempotent, one-sided waves included") {
