@@ -548,6 +548,51 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // INCREMENTAL-VIEW-MAINTENANCE delta rule, proven as a query: a
+    // two-sided join view fed in waves advances by
+    //   ΔV_k = ΔA_k ⋈ B_{<k} ∪ A_{<k} ⋈ ΔB_k ∪ ΔA_k ⋈ ΔB_k
+    // (Blakeley SIGMOD'86) — the identity behind every materialized-
+    // view maintainer, including this library's own
+    // Streaming.ivmIngestBatch. Here the decomposition runs IN-PLAN:
+    // orders split into three key-ranged waves, lineitem into three,
+    // and the view is the union of the nine delta terms; the oracle is
+    // the STRAIGHT join, so the hash match IS the algebraic proof that
+    // the incremental plan computes exactly the view — multiplicities
+    // included (lineitem is multi-row per key). Scale shape: every
+    // term is a keyed equi-join of a wave against a bounded prefix of
+    // the other side; no term re-joins history with history, which is
+    // the delta rule's entire cost argument.
+    QueryDef(
+      "q_join_ivm",
+      """SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS av,
+        |  CAST(l_quantity AS BIGINT) AS bv,
+        |  count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val a = t(s, dir, "orders").selectExpr("o_orderkey AS k",
+        "CAST(floor(o_totalprice) AS BIGINT) AS av")
+      val b = t(s, dir, "lineitem").selectExpr("l_orderkey AS k",
+        "CAST(l_quantity AS BIGINT) AS bv")
+      def wave(df: DataFrame, w: Int): DataFrame =
+        df.filter(pmod(col("k"), lit(3)) === w)
+      def upTo(df: DataFrame, w: Int): DataFrame =
+        df.filter(pmod(col("k"), lit(3)) < w)
+      val cols = Seq(col("k"), col("av"), col("bv"))
+      val deltas = (0 until 3).flatMap { w =>
+        val dA = wave(a, w); val dB = wave(b, w)
+        val t1 = if (w > 0) Some(dA.join(upTo(b, w), "k").select(cols: _*))
+          else None
+        val t2 = if (w > 0) Some(dB.join(upTo(a, w), "k").select(cols: _*))
+          else None
+        t1.toSeq ++ t2 ++ Seq(dA.join(dB, "k").select(cols: _*))
+      }
+      deltas.reduce(_ unionAll _)
+        .groupBy(col("k"), col("av"), col("bv"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
     // Referential-integrity audit — the data-quality gate a pipeline
     // runs before trusting joins: per FK relation, how many fact rows
     // have a NULL key vs a key with no parent, and how many distinct
