@@ -67,5 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[functions.BloomMightContain].getName, "graft_bloom_contains"),
       functions.BloomSketch.mightContainBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(
+        classOf[functions.UnicodeNormalize].getName, "graft_normalize"),
+      functions.UnicodeNormalize.builder))
   }
 }

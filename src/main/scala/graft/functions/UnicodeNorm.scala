@@ -92,7 +92,9 @@ object UnicodeNormalize {
     UTF8String.fromString(out)
   }
 
-  private def builder(exprs: Seq[Expression]): Expression = {
+  /** Shared by [[register]] and GraftExtensions' injectFunction, so
+    * the two registration surfaces cannot drift. */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       "graft_normalize takes (string, form-literal)")
     val form = exprs(1) match {

@@ -45,6 +45,10 @@ class ExtensionsSpec extends SparkSpec {
       val shingles = ext.read.parquet(s"$sfDir/documents.parquet").limit(5)
         .select(expr("graft_shingles(text, 3)")).count()
       assert(shingles > 0)
+      val norm = ext.range(1)
+        .selectExpr("graft_normalize('é', 'NFC')")
+        .collect()(0).getString(0)
+      assert(norm == "é", "graft_normalize not injected")
       val freq = ext.read.parquet(s"$sfDir/documents.parquet")
         .agg(expr("graft_freq(lang, 4)").as("f"))
         .select(explode(col("f"))).count()
