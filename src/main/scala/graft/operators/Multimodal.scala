@@ -335,6 +335,37 @@ object Multimodal {
     if ((u & 0x80) != 0) -mag else mag
   }
 
+  /** G.711 A-law encode of one 13-bit linear sample (Sun/ITU reference
+    * semantics in the 13-bit domain: segment ends 31..4095, negative
+    * values fold as −s−1, alternate-bit inversion 0x55/0xD5). */
+  def alawEncode(s: Int): Int = {
+    val pos = s >= 0
+    val mask = if (pos) 0xd5 else 0x55
+    val m = if (pos) s else -s - 1
+    var seg = 0
+    while (seg < 8 && m > ((1 << (seg + 5)) - 1)) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val nibble = if (seg < 2) (m >> 1) & 0xf else (m >> seg) & 0xf
+      ((seg << 4) | nibble) ^ mask
+    }
+  }
+
+  /** G.711 A-law decode in the same 13-bit domain as [[alawEncode]]
+    * (the Sun reference's 16-bit-scale +8/+0x108 values divide by 8
+    * exactly: segment-midpoint reconstruction 2n+1 / 2n+33 /
+    * (2n+33)<<(seg−1)). */
+  def alawDecode(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val t = (a & 0xf) << 1
+    val mag =
+      if (seg == 0) t + 1
+      else if (seg == 1) t + 33
+      else (t + 33) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -3311,6 +3342,83 @@ object Multimodal {
               k += 1
             }
             MulawDecoded(id, "mulaw", n.toLong, sum, wsum, errSum, errMax)
+          }
+        }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // G.711 A-LAW — the other half of the telephony companding pair
+    // (European trunks to μ-law's North American): 13-bit linear in,
+    // 8 segments with ends 31..4095, negative values folding as −s−1,
+    // and the alternate-bit inversion (⊕0x55/0xD5) that is A-law's
+    // wire signature. Same proof structure as q_multimodal_mulaw: the
+    // bit-twiddling kernel on the executors vs the oracle's pure
+    // CASE/div/mod replay of the companding — segment selection,
+    // nibble quantization, midpoint reconstruction and the per-sample
+    // error mass all hash-checked.
+    QueryDef(
+      "q_multimodal_alaw",
+      """WITH ks AS (
+        |  SELECT doc_id, unnest(range(doc_id % 40 + 10)) AS k
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, k,
+        |    ((doc_id * 59 + k * 601) % 8192) - 4096 AS s
+        |  FROM ks),
+        |s2 AS (SELECT doc_id, k, s,
+        |    CASE WHEN s >= 0 THEN s ELSE -s - 1 END AS m FROM s1),
+        |s3 AS (SELECT doc_id, k, s, m,
+        |    CASE WHEN m < 32 THEN 0 WHEN m < 64 THEN 1
+        |         WHEN m < 128 THEN 2 WHEN m < 256 THEN 3
+        |         WHEN m < 512 THEN 4 WHEN m < 1024 THEN 5
+        |         WHEN m < 2048 THEN 6 ELSE 7 END AS seg
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, k, s, seg,
+        |    (m // (CASE WHEN seg < 2 THEN 2
+        |            WHEN seg = 2 THEN 4 WHEN seg = 3 THEN 8
+        |            WHEN seg = 4 THEN 16 WHEN seg = 5 THEN 32
+        |            WHEN seg = 6 THEN 64 ELSE 128 END)) % 16 AS nib
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, k, s,
+        |    CASE WHEN seg = 0 THEN 2 * nib + 1
+        |         WHEN seg = 1 THEN 2 * nib + 33
+        |         ELSE (2 * nib + 33) *
+        |           (CASE WHEN seg = 2 THEN 2 WHEN seg = 3 THEN 4
+        |                 WHEN seg = 4 THEN 8 WHEN seg = 5 THEN 16
+        |                 WHEN seg = 6 THEN 32 ELSE 64 END) END AS mag
+        |  FROM s4),
+        |s6 AS (SELECT doc_id, k,
+        |    CASE WHEN s >= 0 THEN mag ELSE -mag END AS dec,
+        |    abs(s - CASE WHEN s >= 0 THEN mag ELSE -mag END) AS err
+        |  FROM s5)
+        |SELECT doc_id, 'alaw' AS fmt,
+        |  count(*) AS n_samples,
+        |  CAST(sum(dec) AS BIGINT) AS sum_dec,
+        |  CAST(sum((k + 1) * dec) AS BIGINT) AS wsum_dec,
+        |  CAST(sum(err) AS BIGINT) AS sum_abs_err,
+        |  CAST(max(err) AS BIGINT) AS max_abs_err
+        |FROM s6 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 40).toInt + 10
+            val orig = Array.tabulate(n)(k =>
+              ((id * 59 + k * 601) % 8192).toInt - 4096)
+            val bytes = orig.map(v => alawEncode(v).toByte)
+            var sum = 0L; var wsum = 0L; var errSum = 0L; var errMax = 0L
+            var k = 0
+            while (k < n) {
+              val dec = alawDecode(bytes(k) & 0xff)
+              sum += dec
+              wsum += (k + 1).toLong * dec
+              val e = math.abs(orig(k).toLong - dec)
+              errSum += e
+              if (e > errMax) errMax = e
+              k += 1
+            }
+            MulawDecoded(id, "alaw", n.toLong, sum, wsum, errSum, errMax)
           }
         }.toDF()
     },

@@ -89,6 +89,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("A-law codec: all 256 codewords are decode-encode fixed points, " +
+    "reconstruction is monotone, error bounded by half a segment step") {
+    import graft.operators.Multimodal.{alawDecode, alawEncode}
+    // A-law's folded negatives (-s-1) give every codeword a distinct
+    // midpoint — no negative-zero collapse, all 256 are fixed points
+    (0 until 256).foreach { b =>
+      assert(alawEncode(alawDecode(b)) == b, f"codeword 0x$b%02x")
+    }
+    var prev = Int.MinValue
+    (-4096 to 4095).foreach { s =>
+      val d = alawDecode(alawEncode(s))
+      assert(d >= prev, s"non-monotone at $s")
+      prev = d
+      val m = if (s >= 0) s else -s - 1
+      var seg = 0
+      while (seg < 8 && m > ((1 << (seg + 5)) - 1)) seg += 1
+      val halfStep = if (seg < 2) 1 else 1 << (seg - 1)
+      assert(math.abs(s - d) <= halfStep, s"error bound broken at $s")
+    }
+  }
+
   test("Adam7 PNG: interlaced and straight encodings decode to " +
     "identical pixels, including dims where most passes are empty") {
     import graft.operators.Multimodal
