@@ -1104,32 +1104,44 @@ object Graph {
       |$out""".stripMargin
   }
 
-  /** DuckDB replay of q_graph_scc: fixed K=11 squaring rounds (2¹¹ =
-    * 2048 ≥ the sf0.01 |V| = 1500, and any K past rho coverage leaves
-    * every output unchanged — see the QueryDef note). */
-  private def sccOracle: String = {
-    val rounds = (1 to 11).map { i =>
-      s"""s$i AS (
-        |  SELECT a.u, b.cur AS cur, least(a.mn, b.mn) AS mn
-        |  FROM s${i - 1} a JOIN s${i - 1} b ON a.cur = b.u)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH nv AS (SELECT count(*) AS n FROM customer),
-      |s0 AS (
-      |  SELECT c_custkey AS u,
-      |    (c_custkey * c_custkey + 7) % nv.n AS cur,
-      |    c_custkey AS mn
-      |  FROM customer, nv),
-      |$rounds,
-      |cyc AS (SELECT DISTINCT cur AS u FROM s11),
+  /** DuckDB replay of q_graph_scc, sized from |V| INSIDE the SQL so
+    * the two engines stay pinned at ANY scale factor (r11 ADVICE: the
+    * old fixed-K=11 chain held only at sf0.01). The successor is a
+    * pure FORMULA, so the oracle needs no self-join at all: a
+    * recursive CTE walks f linearly for |V| steps, after which
+    * cur = f^(|V|+1)(u) and mn = min of the first |V|+1 path nodes —
+    * both past rho coverage (tail + cycle ≤ |V|), exactly where
+    * Spark's 2^⌈log₂|V|⌉ doubling also lands, and all three outputs
+    * are K-stable past coverage (QueryDef note). Equality with the
+    * join-stepping Spark side additionally needs that no pointer ever
+    * exits the node domain: cur = (x²+7) mod n ≡ x²+1 ≡ 1 or 2
+    * (mod 3) whenever 3 | n, so cur is never 0 and every target row
+    * exists — true at every generated SF (|customer| = 150·10·sf,
+    * always divisible by 3). All arithmetic is BIGINT (the old
+    * c_custkey*c_custkey overflowed 32-bit keys at sf1). Measured at
+    * sf0.01: 4.4 s vs the K=11 join chain's 77 s — the linear walk is
+    * n² row-steps but join-free. */
+  private def sccOracle: String =
+    s"""WITH RECURSIVE nv AS (SELECT count(*) AS n FROM customer),
+      |walk AS (
+      |  SELECT 0 AS i, CAST(c_custkey AS BIGINT) AS u,
+      |    (CAST(c_custkey AS BIGINT) * c_custkey + 7) % nv.n AS cur,
+      |    CAST(c_custkey AS BIGINT) AS mn
+      |  FROM customer, nv
+      |  UNION ALL
+      |  SELECT w.i + 1, w.u, (w.cur * w.cur + 7) % nv.n,
+      |    least(w.mn, w.cur)
+      |  FROM walk w, nv WHERE w.i < nv.n),
+      |fin AS (SELECT u, cur, mn FROM walk, nv WHERE i = nv.n),
+      |cyc AS (SELECT DISTINCT cur AS u FROM fin),
       |cl AS (
       |  SELECT s.mn AS scc_id, count(*) AS cycle_len
-      |  FROM s11 s JOIN cyc ON s.u = cyc.u GROUP BY 1),
+      |  FROM fin s JOIN cyc ON s.u = cyc.u GROUP BY 1),
       |ba AS (
       |  SELECT y.mn AS scc_id, count(*) AS basin_n
-      |  FROM s11 x JOIN s11 y ON x.cur = y.u GROUP BY 1)
+      |  FROM fin x JOIN fin y ON x.cur = y.u GROUP BY 1)
       |SELECT scc_id, cycle_len, basin_n
       |FROM cl JOIN ba USING (scc_id)""".stripMargin
-  }
 
   /** DuckDB replay of q_graph_modularity over the same labelprop CTEs:
     * Q·4m² in exact BIGINTs, one final division. */

@@ -553,15 +553,22 @@ object Relational {
     //   ΔV_k = ΔA_k ⋈ B_{<k} ∪ A_{<k} ⋈ ΔB_k ∪ ΔA_k ⋈ ΔB_k
     // (Blakeley SIGMOD'86) — the identity behind every materialized-
     // view maintainer, including this library's own
-    // Streaming.ivmIngestBatch. Here the decomposition runs IN-PLAN:
-    // orders split into three key-ranged waves, lineitem into three,
-    // and the view is the union of the nine delta terms; the oracle is
-    // the STRAIGHT join, so the hash match IS the algebraic proof that
-    // the incremental plan computes exactly the view — multiplicities
-    // included (lineitem is multi-row per key). Scale shape: every
-    // term is a keyed equi-join of a wave against a bounded prefix of
-    // the other side; no term re-joins history with history, which is
-    // the delta rule's entire cost argument.
+    // Streaming.ivmIngestBatch. Here the decomposition runs IN-PLAN
+    // across three waves, and — r11 ADVICE fix — the two sides arrive
+    // by DIFFERENT wave functions (orders by k mod 3, lineitem by
+    // k mod 2, the StreamingSpec ivmIngestBatch pattern): had both
+    // sides waved on k mod 3, an equi-join on k could never match
+    // wave w against wave <w and the six history-join-delta terms
+    // would be structurally empty, leaving the identity vacuous. With
+    // independent wave functions every term family carries rows
+    // (dA₁⋈B₍<1₎ = keys k≡1 (3) ∧ k≡0 (2), dB₁⋈A₍<1₎ = k≡1 (2) ∧
+    // k≡0 (3), dA₀⋈dB₀ = k≡0 (6), …), so the union of the delta
+    // terms hashing equal to the STRAIGHT-join oracle is a real
+    // algebraic proof — multiplicities included (lineitem is
+    // multi-row per key). Scale shape: every term is a keyed
+    // equi-join of a wave against a bounded prefix of the other
+    // side; no term re-joins history with history, which is the
+    // delta rule's entire cost argument.
     QueryDef(
       "q_join_ivm",
       """SELECT o_orderkey AS k,
@@ -574,16 +581,24 @@ object Relational {
         "CAST(floor(o_totalprice) AS BIGINT) AS av")
       val b = t(s, dir, "lineitem").selectExpr("l_orderkey AS k",
         "CAST(l_quantity AS BIGINT) AS bv")
-      def wave(df: DataFrame, w: Int): DataFrame =
-        df.filter(pmod(col("k"), lit(3)) === w)
-      def upTo(df: DataFrame, w: Int): DataFrame =
-        df.filter(pmod(col("k"), lit(3)) < w)
+      // independent wave functions per side (see note above): lineitem
+      // waves 0 and 1 by k mod 2, wave 2 empty — the delta rule is
+      // indifferent to empty deltas, and the asymmetry is what makes
+      // the cross terms non-vacuous
+      def waveA(w: Int): DataFrame =
+        a.filter(pmod(col("k"), lit(3)) === w)
+      def upToA(w: Int): DataFrame =
+        a.filter(pmod(col("k"), lit(3)) < w)
+      def waveB(w: Int): DataFrame =
+        b.filter(pmod(col("k"), lit(2)) === w)
+      def upToB(w: Int): DataFrame =
+        b.filter(pmod(col("k"), lit(2)) < w)
       val cols = Seq(col("k"), col("av"), col("bv"))
       val deltas = (0 until 3).flatMap { w =>
-        val dA = wave(a, w); val dB = wave(b, w)
-        val t1 = if (w > 0) Some(dA.join(upTo(b, w), "k").select(cols: _*))
+        val dA = waveA(w); val dB = waveB(w)
+        val t1 = if (w > 0) Some(dA.join(upToB(w), "k").select(cols: _*))
           else None
-        val t2 = if (w > 0) Some(dB.join(upTo(a, w), "k").select(cols: _*))
+        val t2 = if (w > 0) Some(dB.join(upToA(w), "k").select(cols: _*))
           else None
         t1.toSeq ++ t2 ++ Seq(dA.join(dB, "k").select(cols: _*))
       }

@@ -866,9 +866,25 @@ object Streaming {
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
     val df =
       if (hit.isEmpty)
-        zoneTable(spark, dir).limit(0)
-          .select(lit(0L).as("rid"), lit(0L).as("a"), lit(0L).as("b"))
-          .filter(lit(false))
+        // r11 ADVICE fix: the no-hit frame must carry the INGESTED
+        // schema, not fabricated BIGINT literals — a table ingested
+        // with INT columns would otherwise change schema depending on
+        // whether the box pruned everything, breaking downstream
+        // unions. Read one visible data part at limit(0): schema only,
+        // zero row work (a zones row always points at complete data,
+        // so a visible part exists whenever the zone table is
+        // non-empty; a table with no parts at all keeps the empty
+        // zoneTable-shaped frame below, where no row can ever exist).
+        zoneVisibleParts(spark, dir, "data").headOption match {
+          case Some(part) =>
+            spark.read.parquet(s"$dir/data/$part")
+              .select(col("rid"), col("a"), col("b"))
+              .limit(0).filter(lit(false))
+          case None =>
+            zoneTable(spark, dir).limit(0)
+              .select(lit(0L).as("rid"), lit(0L).as("a"), lit(0L).as("b"))
+              .filter(lit(false))
+        }
       else spark.read.parquet(hit.map(n => s"$dir/data/$n"): _*)
         .filter(col("a").between(alo, ahi) && col("b").between(blo, bhi))
     (df, hit)

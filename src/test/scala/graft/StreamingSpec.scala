@@ -1900,6 +1900,28 @@ class StreamingSpec extends SparkSpec {
     } finally rows.unpersist()
   }
 
+  test("zone-map scan: the prune-everything branch carries the INGESTED " +
+    "schema, not fabricated BIGINT columns (r11 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("zone_schema")
+    // ingest INT-typed columns: the no-hit frame must come back INT too,
+    // or a downstream union of hit and no-hit scans breaks on schema
+    val rows = Tables(spark, sfDir, "lineitem").selectExpr(
+      "CAST(l_orderkey * 10 + l_linenumber AS INT) AS rid",
+      "CAST(l_partkey AS INT) AS a", "CAST(l_suppkey AS INT) AS b")
+    Streaming.zoneIngestBatch(rows, 0L, table)
+    val (hitDf, hitFiles) = Streaming.zoneScan(
+      spark, table, 0L, Long.MaxValue, 0L, Long.MaxValue)
+    val (missDf, missFiles) = Streaming.zoneScan(
+      spark, table, -9L, -1L, -9L, -1L)
+    assert(hitFiles.nonEmpty && missFiles.isEmpty)
+    assert(missDf.schema == hitDf.schema,
+      s"no-hit schema ${missDf.schema} != ingested schema ${hitDf.schema}")
+    assert(missDf.count() == 0)
+    // and the two branches union cleanly (the downstream shape that broke)
+    assert(hitDf.unionAll(missDf).count() == hitDf.count())
+  }
+
   test("span-table compaction preserves the duplicated-span set exactly " +
     "and leftover source dirs stay invisible (crash idempotence)") {
     import org.apache.spark.sql.functions._
