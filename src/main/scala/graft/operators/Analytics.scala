@@ -2301,6 +2301,83 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // ZONE-MAP PRUNING AS A PLANNER DECISION (DataSource V2): build a
+    // real on-disk zone-map table (3 round-robin ingest batches +
+    // OPTIMIZE into Z-tiles — the streaming maintainer's own write
+    // path), then read it back through graft.sources.ZoneMapSource, a
+    // V2 TableProvider whose ScanBuilder receives the query's a/b
+    // predicates via SupportsPushDownFilters, consults the per-file
+    // min/max zone rows AT PLANNING TIME, and plans one input
+    // partition per SURVIVING file — the file skipping q_layout_zorder
+    // measures as arithmetic, here executed by Catalyst itself, with
+    // the kept/total count and pushed box visible in EXPLAIN
+    // (PlanSpec pins both, plus that most files are skipped).
+    // Projection pushdown reaches the parquet read schema; row/byte
+    // statistics come from the surviving zone rows. The oracle is the
+    // STRAIGHT box filter over the same derived rows, so the hash
+    // match proves pruning loses nothing and the residual filter
+    // re-applies the box exactly within surviving files. The box is
+    // the middle quarter per axis in exact integer math (replayed
+    // verbatim by DuckDB); the min/max pre-pass is the documented
+    // 1-row sizing action. At 100 TB this shape — stats-at-plan-time,
+    // scan only survivors, exact residual — is the entire lakehouse
+    // read protocol (Delta/Iceberg data skipping), expressed on the
+    // engine's native planning surface.
+    QueryDef(
+      "q_layout_dsv2",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem),
+        |bounds AS (
+        |  SELECT min(a) AS amin, max(a) AS amax,
+        |    min(b) AS bmin, max(b) AS bmax
+        |  FROM src),
+        |box AS (
+        |  SELECT amin + (amax - amin + 1) // 4 AS alo,
+        |    amin + (amax - amin + 1) // 2 - 1 AS ahi,
+        |    bmin + (bmax - bmin + 1) // 4 AS blo,
+        |    bmin + (bmax - bmin + 1) // 2 - 1 AS bhi
+        |  FROM bounds)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src, box
+        |WHERE a BETWEEN alo AND ahi AND b BETWEEN blo AND bhi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_zonemap_${dir.hashCode.toHexString}"
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      // deterministic rebuild: the layout IS the measured work (the
+      // q_layout_zorder precedent), and optimize's generation names
+      // depend on prior state, so start clean
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      (0 until 3).foreach { w =>
+        graft.streaming.Streaming.zoneIngestBatch(
+          rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+      }
+      graft.streaming.Streaming.zoneOptimize(s, table)
+      // box literals: 1-row sizing action (min/max of the two axes),
+      // exact integer endpoints both engines compute identically
+      val bd = rows.agg(min(col("a")), max(col("a")),
+        min(col("b")), max(col("b"))).collect()(0)
+      val (amin, amax, bmin, bmax) =
+        (bd.getLong(0), bd.getLong(1), bd.getLong(2), bd.getLong(3))
+      val (alo, ahi) =
+        (amin + (amax - amin + 1) / 4, amin + (amax - amin + 1) / 2 - 1)
+      val (blo, bhi) =
+        (bmin + (bmax - bmin + 1) / 4, bmin + (bmax - bmin + 1) / 2 - 1)
+      s.read.format("graft.sources.ZoneMapSource").load(table)
+        .filter(col("a").between(alo, ahi) && col("b").between(blo, bhi))
+        .groupBy(pmod(col("rid"), lit(5)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("long").as("sa"),
+          sum(col("b")).cast("long").as("sb"))
+    },
+
+    // ------------------------------------------------------------------
     // LOGISTIC-family GLM trained IN-ENGINE by full Newton steps — the
     // quality-classifier training loop (predict a binary label from row
     // features) run as pure relational algebra, complementing

@@ -711,6 +711,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_layout_dsv2 plans the box THROUGH the V2 source: BatchScan " +
+    "carries the pushed predicates and a kept<total zone count") {
+    val p = plan("q_layout_dsv2")
+    assert(p.contains("BatchScan graft_zonemap"), p)
+    // the query's own a/b bounds reach the scan as pushed filters
+    assert(p.contains("GreaterThanOrEqual(a,"), p)
+    assert(p.contains("LessThanOrEqual(b,"), p)
+    // and the planning-time pruning decision is visible in-plan:
+    // the middle-quarter box must skip at least half the Z-tiles
+    val kept = raw"zones kept (\d+)/(\d+)".r.findFirstMatchIn(p)
+      .getOrElse(fail(s"no kept/total in plan:\n$p"))
+    val (k, n) = (kept.group(1).toInt, kept.group(2).toInt)
+    assert(k * 2 <= n, s"box kept $k of $n zones — pruning too weak:\n$p")
+  }
+
   test("no query force-broadcasts an SF-proportional relation") {
     // the third CartesianGuard-idiom sweep (joins: cartesian sweep
     // above; windows: unpartitioned-window sweep below; now broadcast
