@@ -915,4 +915,92 @@ class MultimodalSpec extends SparkSpec {
       decodeJpegLossless(graft.operators.Multimodal.jpegFixture(4L)))
     assert(e2.getMessage.contains("decodeJpegBaseline"), e2.getMessage)
   }
+
+  test("MJPEG-in-AVI: container walk extracts every frame bit-exactly " +
+    "with and without idx1, and per-frame JPEG decode matches the " +
+    "frame encoder") {
+    import graft.operators.Multimodal._
+    // a 3-frame video with an ODD-sized frame in the middle (RIFF pads
+    // chunks to even offsets; the pad byte must not leak into frames)
+    val w = 20; val h = 13 // partial MCUs on both axes
+    def frame(f: Int): Array[Byte] =
+      encodeJpegBaseline(w, h, 1, 0, Array(jQLuma),
+        (_, bx, by) => {
+          val zz = new Array[Int](64)
+          zz(0) = ((f * 13 + by * 7 + bx * 5) % 256) - 128
+          zz
+        })
+    val frames = (0 until 3).map(frame)
+    assert(frames.exists(_.length % 2 == 1),
+      "fixture must cover the odd-size padding path")
+    for (withIndex <- Seq(true, false)) {
+      val avi = encodeAviMjpeg(w, h, 25, frames, withIndex)
+      val d = decodeAviMjpeg(avi)
+      assert((d.w, d.h, d.rate, d.nFrames, d.hasIndex) ==
+        ((w, h, 25, 3, withIndex)))
+      // frames come back byte-identical (no padding leak, no offset slip)
+      d.frames.zip(frames).foreach { case (got, want) =>
+        assert(java.util.Arrays.equals(got, want))
+      }
+      // and each decodes to the per-block-constant plane it encodes
+      d.frames.zipWithIndex.foreach { case (fb, f) =>
+        val j = decodeJpegBaseline(fb)
+        assert((j.w, j.h, j.nComp) == ((w, h, 1)))
+        for (y <- 0 until h; x <- 0 until w)
+          assert(j.planes(0)(y * w + x) ==
+            (f * 13 + (y / 8) * 7 + (x / 8) * 5) % 256)
+      }
+    }
+  }
+
+  test("MJPEG-in-AVI rejects container damage loudly") {
+    import graft.operators.Multimodal._
+    val good = aviFixture(7L)
+    assert(decodeAviMjpeg(good).nFrames == 7L % 3 + 2)
+    // truncated movi list: RIFF size check catches byte loss first
+    val e1 = intercept[IllegalArgumentException](
+      decodeAviMjpeg(good.dropRight(9)))
+    assert(e1.getMessage.contains("truncated") ||
+      e1.getMessage.contains("RIFF size"), e1.getMessage)
+    // a truncated FRAME with the container sizes patched to agree:
+    // cut one byte out of the last frame chunk and fix up RIFF/LIST/
+    // chunk sizes — the movi walk or idx1 cross-check must object
+    val e2 = intercept[IllegalArgumentException] {
+      val avi = decodeAviMjpeg(good)
+      // rebuild with one frame's declared size exceeding its bytes
+      val frames = avi.frames.updated(0, avi.frames(0).dropRight(1))
+      val rebuilt = encodeAviMjpeg(avi.w, avi.h, avi.rate,
+        frames, withIndex = true)
+      // the rebuilt container is consistent — now corrupt the first
+      // frame's idx1 size field (+1) without touching the movi walk
+      val idx = rebuilt.lastIndexOfSlice("idx1".getBytes("US-ASCII"))
+      rebuilt(idx + 8 + 12) = (rebuilt(idx + 8 + 12) + 1).toByte
+      decodeAviMjpeg(rebuilt)
+    }
+    assert(e2.getMessage.contains("idx1 size mismatch"), e2.getMessage)
+    // wrong stream handler: MJPEG decode must not accept DIB/raw video
+    val dib = good.clone()
+    val strh = dib.indexOfSlice("vids".getBytes("US-ASCII"))
+    "DIB ".getBytes("US-ASCII").zipWithIndex.foreach { case (b, k) =>
+      dib(strh + 4 + k) = b }
+    val e3 = intercept[IllegalArgumentException](decodeAviMjpeg(dib))
+    assert(e3.getMessage.contains("MJPG"), e3.getMessage)
+    // frame-count lie: patch avih dwTotalFrames
+    val lie = good.clone()
+    val avih = lie.indexOfSlice("avih".getBytes("US-ASCII"))
+    lie(avih + 8 + 16) = (lie(avih + 8 + 16) + 1).toByte
+    val e4 = intercept[IllegalArgumentException](decodeAviMjpeg(lie))
+    assert(e4.getMessage.contains("declares"), e4.getMessage)
+    // AVIF_HASINDEX set but idx1 stripped (sizes fixed up): rebuild
+    // without index but leave the flag — decode must refuse
+    val e5 = intercept[IllegalArgumentException] {
+      val noIdx = encodeAviMjpeg(16, 8, 25,
+        Seq(jpegFixture(2L)), withIndex = false)
+      // set AVIF_HASINDEX in avih (flags at struct offset 12)
+      val a2 = noIdx.indexOfSlice("avih".getBytes("US-ASCII"))
+      noIdx(a2 + 8 + 12) = (noIdx(a2 + 8 + 12) | 0x10).toByte
+      decodeAviMjpeg(noIdx)
+    }
+    assert(e5.getMessage.contains("HASINDEX"), e5.getMessage)
+  }
 }
