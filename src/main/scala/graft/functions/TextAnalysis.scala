@@ -227,6 +227,143 @@ object TextAnalysis {
     (rounds, cur)
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer constants: candidate
+    * tokens up to 4 chars, 24 multi-char vocab slots, 2 EM rounds. */
+  private val uniMaxTok = 4
+  private val uniTopK = 24
+  private val uniRounds = 2
+
+  /** Viterbi best segmentation of `w` under the µnat score map `vm`
+    * (tok → floor(ln(p)·10⁶), BIGINT): dp over positions as a bounded
+    * HOF — acc(k) = (best score, backpointer) for prefix k−1, each
+    * step scanning at most [[uniMaxTok]] predecessors — then a second
+    * fold walks the backpointers into the token list. Entirely inside
+    * whole-stage codegen: no UDF, no shuffle, vocabulary lookups via
+    * one broadcast map column. Tie-break is total: max score, then
+    * smallest predecessor (longest final token) via max of
+    * (s, −j) — the same rule the DuckDB replay spells. */
+  private def unigramVit(w: Column, vm: Column): Column = {
+    val n = length(w)
+    val dp = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0L).as("s"), lit(-1L).as("bp"))),
+      (acc, i) => {
+        val cands = filter(
+          transform(sequence(greatest(i - lit(uniMaxTok), lit(0)), i - 1),
+            j => struct(
+              (element_at(acc, (j + 1).cast("int"))("s") +
+                try_element_at(vm, w.substr((j + 1).cast("int"),
+                  (i - j).cast("int")))).as("s"),
+              (-j).cast("long").as("nj"))),
+          x => x("s").isNotNull)
+        val best = array_max(cands)
+        concat(acc,
+          array(struct(best("s").as("s"), (-best("nj")).as("bp"))))
+      })
+    aggregate(
+      sequence(lit(1), n),
+      struct(n.cast("long").as("pos"),
+        array().cast("array<string>").as("toks")),
+      (st, _) => {
+        val pos = st("pos")
+        val j = element_at(dp, (pos + 1).cast("int"))("bp")
+        when(pos > lit(0L), struct(j.as("pos"),
+          concat(array(w.substr((j + 1).cast("int"),
+            (pos - j).cast("int"))), st("toks")).as("toks")))
+          .otherwise(st)
+      })("toks")
+  }
+
+  /** DuckDB replay of q_text_unigram: the seed CTEs, then per EM
+    * round a 1-row vocab MAP, the Viterbi dp as a recursive CTE
+    * carrying the growing (score, backpointer) list per word, a
+    * backtrace recursion, and the M-step re-count — the generated-CTE
+    * replay pattern of q_text_bpe_train, with recursion standing in
+    * for Spark's HOF fold. Identical candidate windows, identical
+    * (max s, min j) tie-break, identical µnat quantization. */
+  private def unigramOracle: String = {
+    val rounds = (1 to uniRounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""vm$r AS (
+        |  SELECT map(list(tok ORDER BY tok), list(lam ORDER BY tok))
+        |    AS vm
+        |  FROM $prev),
+        |dp$r AS (
+        |  SELECT w, c, 0 AS i,
+        |    [struct_pack(s := CAST(0 AS BIGINT),
+        |      bp := CAST(-1 AS BIGINT))] AS acc
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT w, c, i + 1, list_append(acc, (
+        |    SELECT struct_pack(s := mx.s, bp := -mx.nj) FROM (
+        |      SELECT list_max(list_filter(list_transform(
+        |        range(greatest(i + 1 - $uniMaxTok, 0), i + 1),
+        |        j -> struct_pack(
+        |          s := acc[CAST(j + 1 AS INTEGER)].s +
+        |            vm[substr(w, CAST(j + 1 AS INTEGER),
+        |              CAST(i + 1 - j AS INTEGER))][1],
+        |          nj := -j)),
+        |        x -> x.s IS NOT NULL)) AS mx)))
+        |  FROM dp$r, vm$r WHERE i < length(w)),
+        |bt$r AS (
+        |  SELECT w, c, acc, CAST(length(w) AS BIGINT) AS pos,
+        |    CAST([] AS VARCHAR[]) AS toks
+        |  FROM dp$r WHERE i = length(w)
+        |  UNION ALL
+        |  SELECT w, c, acc, acc[CAST(pos + 1 AS INTEGER)].bp,
+        |    list_prepend(substr(w,
+        |      CAST(acc[CAST(pos + 1 AS INTEGER)].bp + 1 AS INTEGER),
+        |      CAST(pos - acc[CAST(pos + 1 AS INTEGER)].bp AS INTEGER)),
+        |      toks)
+        |  FROM bt$r WHERE pos > 0),
+        |use$r AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS u
+        |  FROM (SELECT c, unnest(toks) AS tok FROM bt$r WHERE pos = 0)
+        |  GROUP BY 1),
+        |v$r AS (
+        |  SELECT ch.tok, CAST(coalesce(u.u, 0) + 1 AS BIGINT) AS cnt
+        |  FROM ch LEFT JOIN use$r u ON ch.tok = u.tok
+        |  UNION ALL
+        |  SELECT tok, u AS cnt FROM use$r WHERE length(tok) > 1),
+        |l$r AS (
+        |  SELECT tok, cnt,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS lam
+        |  FROM v$r, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v$r) t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (0 to uniRounds)
+      .map(r => s"SELECT $r AS round, tok, cnt, lam FROM l$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE
+      |wt AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wt
+      |  WHERE w <> '' GROUP BY 1),
+      |ch AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 1) AS tok,
+      |    CAST(sum(c) + 1 AS BIGINT) AS cnt
+      |  FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM wc)
+      |  GROUP BY 1),
+      |mu AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS tok,
+      |    CAST(sum(c) AS BIGINT) AS cnt
+      |  FROM (SELECT w, c, i, unnest(range(2, ${uniMaxTok + 1})) AS l
+      |    FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i
+      |      FROM wc))
+      |  WHERE i + l - 1 <= length(w)
+      |  GROUP BY 1),
+      |tp AS (SELECT tok, cnt FROM mu ORDER BY cnt DESC, tok
+      |  LIMIT $uniTopK),
+      |v0 AS (SELECT * FROM ch UNION ALL SELECT * FROM tp),
+      |l0 AS (
+      |  SELECT tok, cnt,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+      |      * 1e6) AS BIGINT) AS lam
+      |  FROM v0, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v0) t),
+      |$rounds
+      |$out""".stripMargin
+  }
+
   /** DSIR's hashed-bigram feature stream over a (doc_id, source,
     * lang, text) relation: one row per bigram occurrence, bucket =
     * h32(bigram) % 128. Shared by the q_text_dsir batch query and the
@@ -2129,6 +2266,80 @@ object TextAnalysis {
           col("bytes_total"), col("bytes_stored"),
           Num.r(lit(1.0) - col("bytes_stored").cast("double") /
             col("bytes_total").cast("double"), 6).as("dedup_frac"))
+    },
+
+    // ------------------------------------------------------------------
+    // UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-style, Kudo 2018) —
+    // the missing member of the tokenizer family next to BPE
+    // train/apply: seed a candidate vocabulary from substring counts
+    // (all single chars, which guarantee segmentability, plus the
+    // top-24 2–4-char substrings by corpus-weighted count), then run
+    // EM. E-step: per WORD, the Viterbi best segmentation under the
+    // current token log-probs ([[unigramVit]] — a bounded dp fold
+    // entirely inside whole-stage codegen, vocabulary riding as one
+    // broadcast 1-row map). M-step: one map-combinable count of token
+    // usage over best segmentations, word-count weighted; unused
+    // multi-char candidates drop out (the vocab-pruning step), single
+    // chars keep +1 smoothing so every word stays segmentable. Scores
+    // are the repo's µnat discipline — floor(ln(cnt/total)·10⁶) as
+    // BIGINT, the one ln per vocab entry both engines share — so the
+    // dp sums are exact integers and the (max s, min j) tie-break is
+    // total. Scale shape: the corpus is scanned ONCE (word counts);
+    // every EM round then runs on the DISTINCT-WORD relation — dp
+    // cost is per vocabulary entry, not per corpus row, which is why
+    // SentencePiece training survives 100 TB when the word counts do.
+    // Output: the full (round, tok, cnt, lam) vocabulary trajectory,
+    // seed through round 2, so a wrong candidate window, tie-break,
+    // or smoothing mismatches on the spot. Oracle replays the rounds
+    // as generated recursive CTEs (the q_text_bpe_train pattern).
+    QueryDef("q_text_unigram", unigramOracle) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint() // reused by every EM round
+      val positions = words.select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      val chars = positions
+        .select(col("w").substr(col("i"), lit(1)).as("tok"), col("c"))
+        .groupBy(col("tok"))
+        .agg((sum(col("c")) + 1).cast("long").as("cnt"))
+        .localCheckpoint() // char inventory: reused as every round's floor
+      val multi = positions
+        .select(col("w"), col("c"), col("i"),
+          explode(sequence(lit(2), lit(uniMaxTok))).as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("w")))
+        .select(col("w").substr(col("i"), col("l")).as("tok"), col("c"))
+        .groupBy(col("tok")).agg(sum(col("c")).cast("long").as("cnt"))
+      // deterministic vocab cap: (cnt desc, tok) is a total order
+      val top = multi.orderBy(col("cnt").desc, col("tok")).limit(uniTopK)
+      def withLam(v: DataFrame): DataFrame = {
+        val tot = v.agg(sum(col("cnt")).cast("long").as("total"))
+        v.crossJoin(broadcast(tot)).select(col("tok"), col("cnt"),
+          floor(log(col("cnt").cast("double") /
+            col("total").cast("double")) * 1e6).cast("long").as("lam"))
+      }
+      var lamed = withLam(chars.unionAll(top)).localCheckpoint()
+      val out = scala.collection.mutable.Buffer(
+        lamed.select(lit(0).as("round"), col("tok"), col("cnt"),
+          col("lam")))
+      for (r <- 1 to uniRounds) {
+        val vm = lamed.agg(map_from_entries(
+          collect_list(struct(col("tok"), col("lam")))).as("vm"))
+        val use = words.crossJoin(broadcast(vm))
+          .select(col("c"),
+            explode(unigramVit(col("w"), col("vm"))).as("tok"))
+          .groupBy(col("tok")).agg(sum(col("c")).cast("long").as("u"))
+        val newV = chars.select(col("tok")).join(use, Seq("tok"), "left")
+          .select(col("tok"),
+            (coalesce(col("u"), lit(0L)) + 1).cast("long").as("cnt"))
+          .unionAll(use.filter(length(col("tok")) > 1)
+            .select(col("tok"), col("u").as("cnt")))
+        lamed = withLam(newV).localCheckpoint()
+        out += lamed.select(lit(r).as("round"), col("tok"), col("cnt"),
+          col("lam"))
+      }
+      out.reduce(_ unionAll _)
     }
   )
 
