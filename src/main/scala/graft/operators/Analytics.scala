@@ -2378,6 +2378,72 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // DELETION-VECTOR READ PATH — the lakehouse read-side delete
+    // protocol beside q_cdc_apply's write-side MERGE: deletes publish
+    // per-file POSITIONAL bitmaps (Streaming.dvDelete, crash-safe
+    // generation swap), and the DSv2 scan applies each part-file's
+    // bitmap WHILE DECODING (the bitmap rides the InputPartition), so
+    // deleted rows never reach the plan and the read stays
+    // scan + residual filter with ZERO join operators — PlanSpec pins
+    // the no-join shape and the in-plan "dv deleted: N" count. The
+    // anti-join alternative pays a fact-sized shuffle on every
+    // subsequent query forever; the bitmap costs one sorted-array
+    // probe per row inside the reader. Two predicate waves fold into
+    // one generation (the OR-fold is part of what the oracle checks);
+    // a half-range box on `a` runs zone pruning and deletion skipping
+    // together. The oracle is the straight derivation with both
+    // delete predicates re-applied as NOT(...) — exact equality
+    // proves positions were keyed and skipped correctly. At 100 TB
+    // this is Delta/Iceberg's deletion-vector contract: delete cost
+    // proportional to deletions, read cost unchanged, no rewrite
+    // until a compaction MATERIALIZES (dvMaterialize, whose crash
+    // cases live in StreamingSpec).
+    QueryDef(
+      "q_layout_dv",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem),
+        |bounds AS (SELECT min(a) AS amin, max(a) AS amax FROM src),
+        |box AS (
+        |  SELECT amin + (amax - amin + 1) // 4 AS alo,
+        |    amin + (3 * (amax - amin + 1)) // 4 - 1 AS ahi
+        |  FROM bounds)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src, box
+        |WHERE a BETWEEN alo AND ahi
+        |  AND NOT (rid % 7 = 3 OR (a + b) % 11 = 5)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_dvtable_${dir.hashCode.toHexString}"
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      (0 until 3).foreach { w =>
+        graft.streaming.Streaming.zoneIngestBatch(
+          rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+      }
+      // two delete waves — the second generation must FOLD the first
+      graft.streaming.Streaming.dvDelete(s, table,
+        (rid, _, _) => rid % 7 == 3)
+      graft.streaming.Streaming.dvDelete(s, table,
+        (_, a, b) => (a + b) % 11 == 5)
+      val bd = rows.agg(min(col("a")), max(col("a"))).collect()(0)
+      val (amin, amax) = (bd.getLong(0), bd.getLong(1))
+      val (alo, ahi) = (amin + (amax - amin + 1) / 4,
+        amin + 3 * (amax - amin + 1) / 4 - 1)
+      s.read.format("graft.sources.ZoneMapSource").load(table)
+        .filter(col("a").between(alo, ahi))
+        .groupBy(pmod(col("rid"), lit(5)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("long").as("sa"),
+          sum(col("b")).cast("long").as("sb"))
+    },
+
+    // ------------------------------------------------------------------
     // LOGISTIC-family GLM trained IN-ENGINE by full Newton steps — the
     // quality-classifier training loop (predict a binary label from row
     // features) run as pure relational algebra, complementing

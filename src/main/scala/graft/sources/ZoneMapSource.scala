@@ -167,6 +167,85 @@ private[graft] object ZoneMapSource {
     }
   }
 
+  /** Dir-relative part-file key — what deletion vectors are keyed by:
+    * the path segment after "/data/" (listings come back
+    * URI-qualified, so a prefix strip is not enough). */
+  def relPath(abs: String): String = {
+    val i = abs.lastIndexOf("/data/")
+    require(i >= 0, s"not a data part-file: $abs")
+    abs.substring(i + 6)
+  }
+
+  /** Sequential (ordinal, rid, a, b) read of one part-file — the
+    * CANONICAL row order deletion vectors are keyed by; the scan's
+    * [[ZoneMapPartitionReader]] walks the same order with the same
+    * reader, which is what makes positional bitmaps exact. Values are
+    * long-coerced (the ingest contract is numeric rid/a/b, INT32 or
+    * INT64). Executor-safe: builds its own Configuration. */
+  def readOrdinals(file: String): Vector[(Long, Long, Long, Long)] = {
+    val rd = ParquetReader
+      .builder(new GroupReadSupport(), new Path(file))
+      .withConf(new Configuration()).build()
+    try {
+      val out = Vector.newBuilder[(Long, Long, Long, Long)]
+      def longAt(g: Group, name: String): Long = {
+        val i = g.getType.getFieldIndex(name)
+        require(g.getFieldRepetitionCount(i) == 1,
+          s"null $name in $file violates the zone ingest contract")
+        g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(i, 0).toLong
+          case PrimitiveTypeName.INT64 => g.getLong(i, 0)
+          case other => throw new IllegalArgumentException(
+            s"$name: unsupported type $other for deletion vectors")
+        }
+      }
+      var ord = 0L
+      var g = rd.read()
+      while (g != null) {
+        out += ((ord, longAt(g, "rid"), longAt(g, "a"), longAt(g, "b")))
+        ord += 1
+        g = rd.read()
+      }
+      out.result()
+    } finally rd.close()
+  }
+
+  /** The visible deletion-vector rows (file → sorted positional
+    * bitmap), read directly on the driver like [[zoneRows]] — one row
+    * per (file, 64-row bucket with a deletion), proportional to
+    * deletions, not data. */
+  def dvBitmaps(dir: String): Map[String, (Array[Long], Array[Long])] = {
+    val gen = graft.streaming.Streaming.dvVisibleGen(
+      SparkSession.active, dir)
+    if (gen < 0) return Map.empty
+    val conf = hadoopConf()
+    val p = new Path(s"$dir/dv/gen=$gen")
+    val fs = p.getFileSystem(conf)
+    val rows = ArrayBuffer.empty[(String, Long, Long)]
+    val files = fs.listFiles(p, true)
+    while (files.hasNext) {
+      val st = files.next()
+      val n = st.getPath.getName
+      if (n.startsWith("part-") && n.endsWith(".parquet")) {
+        val rd = ParquetReader
+          .builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        try {
+          var g = rd.read()
+          while (g != null) {
+            rows += ((g.getString("file", 0),
+              g.getLong("bucket", 0), g.getLong("word", 0)))
+            g = rd.read()
+          }
+        } finally rd.close()
+      }
+    }
+    rows.groupBy(_._1).map { case (f, rs) =>
+      val sorted = rs.sortBy(_._2)
+      f -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+    }
+  }
+
   /** Parquet read-schema string for a projected Spark schema — this is
     * what makes column pruning reach the PARQUET reader, not just the
     * row conversion. */
@@ -299,6 +378,20 @@ private[sources] class ZoneMapScan(
     zones.filter(box.admits).sortBy(_.file)
   private lazy val files: Seq[(String, Long)] =
     kept.flatMap(z => ZoneMapSource.partFiles(path, z.file))
+  // deletion vectors for the kept part-files (file-keyed positional
+  // bitmaps) — attached to each partition at planning, applied while
+  // the reader decodes: the scan output is already deletion-free, so
+  // the plan needs NO join operator (PlanSpec pins this)
+  private lazy val dv: Map[String, (Array[Long], Array[Long])] =
+    ZoneMapSource.dvBitmaps(path)
+  private lazy val deletedInKept: Long =
+    files.map { f =>
+      dv.get(ZoneMapSource.relPath(f._1)) match {
+        case Some((_, words)) =>
+          words.map(java.lang.Long.bitCount(_).toLong).sum
+        case None => 0L
+      }
+    }.sum
 
   override def readSchema(): StructType = required
 
@@ -309,40 +402,52 @@ private[sources] class ZoneMapScan(
   override def description(): String =
     s"graft_zonemap $path, box: $box, " +
       s"zones kept ${kept.size}/${zones.size}, " +
+      s"dv deleted: $deletedInKept, " +
       s"pushed: [${pushed.mkString(", ")}]"
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def numRows(): OptionalLong =
-      OptionalLong.of(kept.map(_.n).sum)
+      OptionalLong.of(kept.map(_.n).sum - deletedInKept)
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(files.map(_._2).sum)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => ZoneMapInputPartition(f._1): InputPartition).toArray
+    files.map { f =>
+      val (buckets, words) = dv.getOrElse(
+        ZoneMapSource.relPath(f._1), (Array.emptyLongArray,
+          Array.emptyLongArray))
+      ZoneMapInputPartition(f._1, buckets, words): InputPartition
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZoneMapReaderFactory(required)
 }
 
-private[sources] final case class ZoneMapInputPartition(file: String)
+private[sources] final case class ZoneMapInputPartition(
+    file: String, dvBuckets: Array[Long], dvWords: Array[Long])
     extends InputPartition
 
 private[sources] class ZoneMapReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new ZoneMapPartitionReader(
-      partition.asInstanceOf[ZoneMapInputPartition].file, required)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZoneMapInputPartition]
+    new ZoneMapPartitionReader(p.file, required, p.dvBuckets, p.dvWords)
+  }
 }
 
 /** Executor-side reader: one parquet part-file, projected columns
   * only (the read schema reaches the parquet reader, so unprojected
   * columns are never decoded). A zero-column projection (count(*))
   * still needs a row COUNT: read the narrowest thing available and
-  * emit empty rows. */
+  * emit empty rows. Deletion-vector positions (sorted bucket/word
+  * bitmap over the file's sequential row ordinals) are skipped while
+  * reading — the same canonical order [[ZoneMapSource.readOrdinals]]
+  * keyed them by. */
 private[sources] class ZoneMapPartitionReader(
-    file: String, required: StructType)
+    file: String, required: StructType,
+    dvBuckets: Array[Long], dvWords: Array[Long])
     extends PartitionReader[InternalRow] {
 
   // executor-local Configuration: the zone table contract is a
@@ -361,10 +466,23 @@ private[sources] class ZoneMapPartitionReader(
     .withConf(conf).build()
 
   private var cur: Group = _
+  private var ordinal: Long = -1L
   private val empty = new GenericInternalRow(0)
   private val types: Array[DataType] = required.fields.map(_.dataType)
 
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  private def deleted(ord: Long): Boolean = {
+    if (dvBuckets.length == 0) return false
+    val i = java.util.Arrays.binarySearch(dvBuckets, ord >> 6)
+    i >= 0 && (dvWords(i) & (1L << (ord & 63))) != 0
+  }
+
+  override def next(): Boolean = {
+    cur = reader.read(); ordinal += 1
+    while (cur != null && deleted(ordinal)) {
+      cur = reader.read(); ordinal += 1
+    }
+    cur != null
+  }
 
   override def get(): InternalRow = {
     if (countOnly) return empty

@@ -899,6 +899,13 @@ object Streaming {
     * checked NO-OP (never fold the only live generation into itself). */
   def zoneOptimize(spark: SparkSession, dir: String): Unit = {
     val (fs, _) = tableFs(spark, dir)
+    // OPTIMIZE rewrites files, which would silently RESURRECT rows the
+    // deletion vectors removed (DVs are keyed by the old file names).
+    // A real compaction materializes deletions first — so must callers.
+    require(dvVisibleGen(spark, dir) < 0 ||
+      dvDeletedCount(spark, dir) == 0,
+      s"zoneOptimize($dir): live deletion vectors exist; run " +
+        "dvMaterialize first (optimize would resurrect deleted rows)")
     val visible = zoneVisibleParts(spark, dir, "zones")
     if (visible.isEmpty) return
     val batchIds = visible.filter(_.startsWith("batch="))
@@ -984,6 +991,167 @@ object Streaming {
             s"zoneOptimize: superseded ${s.getPath} not deleted")
       }
     }
+  }
+
+  // --------------------------------------------------------------------
+  // DELETION VECTORS — the lakehouse read-side delete protocol beside
+  // q_cdc_apply's write-side MERGE: deleting rows from an immutable
+  // parquet layout must not rewrite data files, so deletes publish a
+  // per-file POSITIONAL bitmap (bit i = "skip the i-th row of this
+  // part-file") and every subsequent scan applies its file's bitmap
+  // while reading — never an anti-join against the fact table, which
+  // would pay a fact-sized shuffle on every query forever. The DSv2
+  // zone-map source ([[graft.sources.ZoneMapSource]]) is the consumer:
+  // each InputPartition carries its part-file's bitmap and the
+  // PartitionReader skips marked ordinals as it decodes, so the plan
+  // stays BatchScan + residual Filter with ZERO join operators
+  // (PlanSpec pins this). Positions are canonical because both the
+  // delete pass and the scan read part-files with the same sequential
+  // parquet reader.
+  //
+  // Layout under `dir`: dv/gen=<k>/*.parquet, rows
+  // (file: dir-relative part-file path, bucket: ordinal >> 6,
+  // word: 64-bit mask). Publication is crash-safe by generation swap:
+  // stage to dv/.dv_staging, CHECKED-rename to dv/gen=<k+1>, then
+  // retire older generations with checked deletes. Readers take the
+  // highest complete gen=K, so every crash window leaves either the
+  // old or the new generation fully visible — a staging leftover is
+  // invisible and the next publication clears it (the zoneOptimize
+  // invisible-leftover discipline; StreamingSpec drives the crash
+  // cases). Each new generation FOLDS prior deletions (bitwise OR),
+  // so one generation is always the whole truth.
+  //
+  // OPTIMIZE interaction: zoneOptimize rewrites files, which would
+  // resurrect DV-deleted rows; a real lakehouse compaction MATERIALIZES
+  // deletions and clears the vectors. This library keeps the honest
+  // subset: [[zoneOptimize]] refuses to run while live deletions
+  // exist (loud, documented), and [[dvMaterialize]] applies-and-clears
+  // them explicitly first.
+  // --------------------------------------------------------------------
+
+  /** Highest complete dv generation id under `dir/dv`, or -1. */
+  private[graft] def dvVisibleGen(spark: SparkSession, dir: String): Long = {
+    val (fs, root) = tableFs(spark, s"$dir/dv")
+    if (!fs.exists(root)) return -1L
+    val gens = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.drop(4).toLong)
+    if (gens.isEmpty) -1L else gens.max
+  }
+
+  /** The visible deletion-vector rows (file, bucket, word); empty
+    * frame with the right schema when nothing was ever deleted. */
+  def dvTable(spark: SparkSession, dir: String): DataFrame = {
+    val gen = dvVisibleGen(spark, dir)
+    if (gen < 0)
+      spark.range(0).select(
+        lit("").as("file"), lit(0L).as("bucket"), lit(0L).as("word"))
+        .filter(lit(false))
+    else spark.read.parquet(s"$dir/dv/gen=$gen")
+  }
+
+  /** Delete from a zone-map table every row matching `pred` (on the
+    * long-typed (rid, a, b) ingest contract): one task per visible
+    * part-file reads it with the SAME sequential reader the scan
+    * uses, records matching ordinals as a bitmap, and the driver
+    * publishes old-OR-new as the next dv generation. Scale shape: the
+    * per-file pass is embarrassingly parallel and touches each file
+    * once; the published table is one row per (file, 64-row bucket
+    * with a deletion) — proportional to deletions, not data. */
+  def dvDelete(spark: SparkSession, dir: String,
+      pred: (Long, Long, Long) => Boolean): Unit = {
+    import spark.implicits._
+    val files = zoneVisibleParts(spark, dir, "data")
+      .flatMap(p => graft.sources.ZoneMapSource.partFiles(dir, p)
+        .map(_._1))
+      .map(graft.sources.ZoneMapSource.relPath)
+    val dirB = dir
+    val fresh = spark.createDataset(files).repartition(
+      math.max(1, files.size))
+      .flatMap { rel =>
+        graft.sources.ZoneMapSource.readOrdinals(s"$dirB/data/$rel")
+          .collect { case (ord, rid, a, b) if pred(rid, a, b) =>
+            (rel, ord >> 6, 1L << (ord & 63)) }
+      }
+      .toDF("file", "bucket", "word")
+    val folded = dvTable(spark, dir).unionAll(fresh)
+      .groupBy(col("file"), col("bucket"))
+      .agg(expr("CAST(bit_or(word) AS BIGINT)").as("word"))
+    dvPublish(spark, dir, folded)
+  }
+
+  /** Crash-safe generation swap for the dv table (see header). */
+  private def dvPublish(
+      spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+    val (fs, _) = tableFs(spark, dir)
+    val stage = new org.apache.hadoop.fs.Path(dir, "dv/.dv_staging")
+    if (fs.exists(stage) && !fs.delete(stage, true))
+      throw new java.io.IOException(s"dvPublish: stale staging $stage")
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val next = dvVisibleGen(spark, dir) + 1
+    val target = new org.apache.hadoop.fs.Path(dir, s"dv/gen=$next")
+    renameOrThrow(fs, stage, target, "dvPublish(stage->gen)")
+    // retire superseded generations; readers already ignore them
+    val root = new org.apache.hadoop.fs.Path(s"$dir/dv")
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("gen=") && n.drop(4).toLong < next &&
+          !fs.delete(s.getPath, true))
+        throw new java.io.IOException(
+          s"dvPublish: superseded ${s.getPath} not deleted")
+    }
+  }
+
+  /** Count of deleted positions in the visible generation. */
+  def dvDeletedCount(spark: SparkSession, dir: String): Long =
+    dvTable(spark, dir)
+      .agg(coalesce(sum(expr("bit_count(word)")), lit(0L)))
+      .collect()(0).getLong(0)
+
+  /** Materialize deletions: rewrite the surviving rows (read through
+    * the DV-aware v2 scan) as a fresh `opt=<g>` GENERATION — the same
+    * atomic visibility flip zoneOptimize uses: stage data, stage the
+    * zone stats row, rename data in, rename zones in (the moment
+    * zones/opt=g lands, the newest-generation rule supersedes every
+    * older part at once), then retire old parts and the dv table. A
+    * crash before the zones rename leaves the OLD state fully
+    * readable; after it, the NEW state — and the not-yet-cleared dv
+    * rows are keyed by the retired files' names, so they match
+    * nothing; a dvMaterialize re-run completes the cleanup (reading
+    * through no-op vectors is correct, just unpruned). This is the
+    * compaction-side half of the DV protocol and the required prelude
+    * to [[zoneOptimize]] on a table with live deletions. */
+  def dvMaterialize(spark: SparkSession, dir: String): Unit = {
+    if (dvVisibleGen(spark, dir) < 0) return
+    val (fs, _) = tableFs(spark, dir)
+    val gen = zoneVisibleParts(spark, dir, "data")
+      .map(n => if (n.startsWith("batch=")) n.drop(6).toLong
+        else n.drop(4).toLong).max + 1
+    val kept = spark.read.format("graft.sources.ZoneMapSource").load(dir)
+      .select(col("rid"), col("a"), col("b"))
+    val dataStage = new org.apache.hadoop.fs.Path(dir, ".dv_mat_data")
+    val zoneStage = new org.apache.hadoop.fs.Path(dir, ".dv_mat_zones")
+    Seq(dataStage, zoneStage).foreach { p =>
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(s"dvMaterialize: stale staging $p")
+    }
+    kept.write.mode(SaveMode.Overwrite).parquet(dataStage.toString)
+    spark.read.parquet(dataStage.toString)
+      .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
+        min(col("b")).as("lb"), max(col("b")).as("hb"),
+        count(lit(1)).as("n"))
+      .select(lit(s"opt=$gen").as("file"), col("la"), col("ha"),
+        col("lb"), col("hb"), col("n"))
+      .write.mode(SaveMode.Overwrite).parquet(zoneStage.toString)
+    renameOrThrow(fs, dataStage,
+      new org.apache.hadoop.fs.Path(s"$dir/data", s"opt=$gen"),
+      "dvMaterialize(data)")
+    renameOrThrow(fs, zoneStage,
+      new org.apache.hadoop.fs.Path(s"$dir/zones", s"opt=$gen"),
+      "dvMaterialize(zones)") // visibility flips here, atomically
+    zoneRetire(spark, dir, gen)
+    val dvRoot = new org.apache.hadoop.fs.Path(s"$dir/dv")
+    if (fs.exists(dvRoot) && !fs.delete(dvRoot, true))
+      throw new java.io.IOException("dvMaterialize: dv table not cleared")
   }
 
   // --------------------------------------------------------------------

@@ -726,6 +726,20 @@ class PlanSpec extends SparkSpec {
     assert(k * 2 <= n, s"box kept $k of $n zones — pruning too weak:\n$p")
   }
 
+  test("q_layout_dv reads deletion vectors as scan+filter: the bitmap " +
+    "rides the BatchScan (dv count in-plan), never a join operator") {
+    val p = plan("q_layout_dv")
+    assert(p.contains("BatchScan graft_zonemap"), p)
+    // deletions applied inside the scan, visible in the plan
+    val dv = raw"dv deleted: (\d+)".r.findFirstMatchIn(p)
+      .getOrElse(fail(s"no dv count in plan:\n$p"))
+    assert(dv.group(1).toLong > 0, s"no deletions visible in-plan:\n$p")
+    // THE deletion-vector contract: no anti-join against the fact —
+    // in fact no join operator of any kind anywhere in the read plan
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"deletion-vector read planned a join:\n$p")
+  }
+
   test("no query force-broadcasts an SF-proportional relation") {
     // the third CartesianGuard-idiom sweep (joins: cartesian sweep
     // above; windows: unpartitioned-window sweep below; now broadcast

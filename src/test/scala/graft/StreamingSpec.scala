@@ -1922,6 +1922,73 @@ class StreamingSpec extends SparkSpec {
     assert(hitDf.unionAll(missDf).count() == hitDf.count())
   }
 
+  test("deletion vectors: positional skip equals the predicate filter, " +
+    "waves fold into one generation, publication survives crash " +
+    "leftovers, and optimize refuses until materialize clears them") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files => NF, Paths => NP}
+    val table = tmpDir("dv_table")
+    val rows = Tables(spark, sfDir, "lineitem").selectExpr(
+      "l_orderkey * 10 + l_linenumber AS rid",
+      "l_partkey AS a", "l_suppkey AS b").cache()
+    try {
+      (0 until 3).foreach { w =>
+        Streaming.zoneIngestBatch(
+          rows.filter(col("rid") % 3 === w), w.toLong, table)
+      }
+      def v2 = spark.read.format("graft.sources.ZoneMapSource").load(table)
+      val total = rows.count()
+      assert(v2.count() == total)
+      // wave 1: positional skip == predicate filter, exactly
+      Streaming.dvDelete(spark, table, (rid, _, _) => rid % 7 == 3)
+      val keep1 = rows.filter(!(col("rid") % 7 === 3))
+      assert(v2.count() == keep1.count())
+      assert(v2.agg(sum(col("rid")), sum(col("a"))).collect()(0) ==
+        keep1.agg(sum(col("rid")), sum(col("a"))).collect()(0))
+      // wave 2 FOLDS wave 1 (one generation is always the whole truth)
+      Streaming.dvDelete(spark, table, (_, a, b) => (a + b) % 11 == 5)
+      val keep2 = keep1.filter(!((col("a") + col("b")) % 11 === 5))
+      assert(v2.count() == keep2.count())
+      assert(Streaming.dvVisibleGen(spark, table) == 1,
+        "second publication should land as gen=1")
+      assert(!NF.exists(NP.get(s"$table/dv/gen=0")),
+        "superseded dv generation not retired")
+      val delTotal = total - keep2.count()
+      assert(Streaming.dvDeletedCount(spark, table) == delTotal)
+      // crash leftover: a stale staging dir is invisible to readers
+      // and the next publication clears it
+      NF.createDirectories(NP.get(s"$table/dv/.dv_staging/junk"))
+      assert(v2.count() == keep2.count(),
+        "staging leftover leaked into reads")
+      Streaming.dvDelete(spark, table, (rid, _, _) => rid % 9999999 == -1)
+      assert(!NF.exists(NP.get(s"$table/dv/.dv_staging")),
+        "publication did not clear the crashed staging dir")
+      assert(v2.count() == keep2.count())
+      // optimize must refuse while live deletions exist
+      val e = intercept[IllegalArgumentException](
+        Streaming.zoneOptimize(spark, table))
+      assert(e.getMessage.contains("dvMaterialize"), e.getMessage)
+      // materialize: survivors rewritten as one atomic generation,
+      // dv cleared, optimize permitted again
+      Streaming.dvMaterialize(spark, table)
+      assert(Streaming.dvVisibleGen(spark, table) == -1)
+      assert(v2.count() == keep2.count())
+      assert(v2.agg(sum(col("rid")), sum(col("b"))).collect()(0) ==
+        keep2.agg(sum(col("rid")), sum(col("b"))).collect()(0))
+      Streaming.zoneOptimize(spark, table) // must not throw now
+      assert(v2.count() == keep2.count())
+      // crash case: a dvMaterialize staging leftover (data staged but
+      // never renamed in) must stay invisible and not block a re-run
+      Streaming.dvDelete(spark, table, (rid, _, _) => rid % 13 == 1)
+      val keep3 = keep2.filter(!(col("rid") % 13 === 1))
+      NF.createDirectories(NP.get(s"$table/.dv_mat_data/junk"))
+      assert(v2.count() == keep3.count())
+      Streaming.dvMaterialize(spark, table)
+      assert(v2.count() == keep3.count())
+      assert(!NF.exists(NP.get(s"$table/.dv_mat_data")))
+    } finally rows.unpersist()
+  }
+
   test("span-table compaction preserves the duplicated-span set exactly " +
     "and leftover source dirs stay invisible (crash idempotence)") {
     import org.apache.spark.sql.functions._
