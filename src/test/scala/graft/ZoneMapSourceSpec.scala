@@ -49,13 +49,20 @@ class ZoneMapSourceSpec extends SparkSpec {
     case other => other
   }
 
+  /** All BatchScans, recursing through AQE query stages (a grouped
+    * plan's leaves are materialized ShuffleQueryStageExec nodes). */
+  private def scansIn(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+    case b: BatchScanExec => Seq(b)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scansIn(q.plan)
+  }.flatten
+
   private def batchScan(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
     df.collect() // finalize AQE
-    finalPlan(df.queryExecution.executedPlan).collectLeaves()
-      .collect { case b: BatchScanExec => b } match {
-        case Seq(one) => one
-        case other => fail(s"expected one BatchScan, got $other")
-      }
+    scansIn(finalPlan(df.queryExecution.executedPlan)) match {
+      case Seq(one) => one
+      case other => fail(s"expected one BatchScan, got $other")
+    }
   }
 
   test("box scan: pruning lands in-plan (kept < total in the BatchScan " +
@@ -143,6 +150,77 @@ class ZoneMapSourceSpec extends SparkSpec {
     assert(ZoneBox.prunable(IsNotNull("b")))
     // a double literal must not prune (zone stats are integral)
     assert(ZoneBox.from(Seq(EqualTo("a", 1.5))) == ZoneBox.all)
+  }
+
+  test("aggregate pushdown: whole-table count/min/max is served from " +
+    "the zone rows — one synthetic partition, no data file read, " +
+    "values exact") {
+    val df = v2.agg(count(lit(1)).as("n"),
+      min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+      min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+    val scan = batchScan(df)
+    val desc = scan.scan.description()
+    assert(desc.contains("aggregates served from zone rows"), desc)
+    assert(scan.inputRDD.getNumPartitions == 1, desc)
+    val got = df.collect()(0)
+    val want = rows.agg(count(lit(1)), min(col("a")), max(col("a")),
+      min(col("b")), max(col("b"))).collect()(0)
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("aggregate pushdown declines when it cannot be exact: a filter, " +
+    "a grouping, a non-stats column, or a live deletion vector all " +
+    "fall back to the normal zone scan") {
+    val (alo, ahi, _, _) = box
+    // residual filter: file-granular stats cannot re-filter rows
+    val f = v2.filter(col("a") >= alo && col("a") <= ahi)
+      .agg(count(lit(1)).as("n"))
+    assert(!batchScan(f).scan.description()
+      .contains("aggregates served"), "filtered agg must not be served")
+    // grouping: zone rows carry no group keys
+    val g = v2.groupBy(pmod(col("rid"), lit(5))).agg(count(lit(1)))
+    assert(!batchScan(g).scan.description()
+      .contains("aggregates served"), "grouped agg must not be served")
+    // rid is not a statistics column — min(rid) is not in the index
+    val r = v2.agg(min(col("rid")))
+    assert(!batchScan(r).scan.description()
+      .contains("aggregates served"), "min(rid) must not be served")
+    // a live deletion vector changes count and can delete an extremum
+    val dvDir = tmpDir("zonemap_dsv2_dvagg")
+    graft.streaming.Streaming.zoneIngestBatch(rows, 0L, dvDir)
+    graft.streaming.Streaming.dvDelete(spark, dvDir,
+      (rid, _, _) => rid % 7 == 3)
+    val dv = spark.read.format("graft.sources.ZoneMapSource").load(dvDir)
+      .agg(count(lit(1)).as("n"))
+    assert(!batchScan(dv).scan.description()
+      .contains("aggregates served"), "agg over live DVs must not be served")
+    assert(dv.collect()(0).getLong(0) ==
+      rows.filter(pmod(col("rid"), lit(7)) =!= 3).count())
+  }
+
+  test("runtime filtering: join keys delivered at execution prune zone " +
+    "files (kept < total partitions) and the join result is exact") {
+    val (alo, ahi, _, _) = box
+    // dim keys: a CONTIGUOUS a-range, filtered on a DERIVED predicate
+    // so nothing transfers statically (pmod of the key is opaque to
+    // constraint-propagation pushdown — and even the inferred filter
+    // is not a translatable source Filter)
+    val dim = spark.range(alo, ahi + 1).toDF("d")
+      .filter(pmod(col("d"), lit(1000000007L)) === col("d")) // no-op, selective-shaped
+    val df = v2.join(broadcast(dim), col("a") === col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("rid")).as("sr"))
+    val scan = batchScan(df)
+    val totalFiles = graft.sources.ZoneMapSource.zoneRows(table).size
+    assert(scan.inputRDD.getNumPartitions < totalFiles,
+      s"runtime filter pruned nothing: ${scan.inputRDD.getNumPartitions}" +
+        s" of $totalFiles — ${scan.scan.description()}")
+    // plan carries the injected runtime filter
+    assert(finalPlan(df.queryExecution.executedPlan).toString
+      .toLowerCase.contains("dynamicpruning"),
+      df.queryExecution.executedPlan.toString)
+    val want = rows.filter(col("a").between(alo, ahi))
+      .agg(count(lit(1)), sum(col("rid"))).collect()(0)
+    assert(df.collect()(0) == want)
   }
 
   test("post-optimize ingest: a new batch is visible through the v2 " +
