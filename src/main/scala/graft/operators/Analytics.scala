@@ -2591,6 +2591,57 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // ADABOOST OVER DECISION STUMPS — the classic ensemble method
+    // (Freund & Schapire 1997) trained fully in-engine, the boosting
+    // member of the ML family beside q_ml_logreg's Newton steps and
+    // q_ml_ridge's closed form: 3 rounds over a 96-candidate stump
+    // grid (3 integer text features × 16 thresholds × 2 polarities) on
+    // a noisy hidden rule over the documents corpus. Per round, ONE
+    // corpus pass scores every candidate (crossJoin against the
+    // broadcast 96-row literal grid — bounded fan-out ×96, map-side
+    // partial aggregation shrinks the shuffle to 96 rows), a
+    // deterministic 96-row argmin (err, cf, ct, cp — a total order)
+    // picks the stump, and weights update + renormalize as pure
+    // projections against two 1-row broadcasts; per-round
+    // localCheckpoints keep the chain linear. Cross-engine parity is
+    // ENGINEERED: weights live in integer µ-units, every double op in
+    // the update (multiply, divide, sqrt) is IEEE-correctly-rounded —
+    // so bit-identical across engines — because e^±α = √R̄^±1 for
+    // AdaBoost's α = ½lnR̄ (the one libm call, ln for the REPORTED α,
+    // follows the repo's single-ln precedent); +1 smoothing on R̄ keeps
+    // α finite even on a perfectly separated round. Scale shape: per
+    // round the corpus is touched twice (score + update) with zero
+    // corpus-keyed shuffles — everything keyed is candidate-sized.
+    // The oracle replays all 3 rounds from the SAME fragment text as
+    // generated CTEs.
+    QueryDef("q_ml_adaboost", adaboostOracle) { (s, dir) =>
+      var ex = t(s, dir, "documents").selectExpr(abFeat: _*)
+        .selectExpr(abLabel: _*).localCheckpoint()
+      val grid = s.range(96).selectExpr(abGrid: _*)
+      val outs = scala.collection.mutable.Buffer.empty[DataFrame]
+      for (r <- 1 to abRounds) {
+        val best = ex.crossJoin(broadcast(grid))
+          .selectExpr(abFv: _*).selectExpr(abH: _*)
+          .groupBy(col("cf"), col("ct"), col("cp"))
+          .agg(expr(abErrAgg.head), abErrAgg.tail.map(expr): _*)
+          .orderBy(col("err_u"), col("cf"), col("ct"), col("cp"))
+          .limit(1)
+          .selectExpr(abBest: _*)
+        val upd = ex.crossJoin(broadcast(best))
+          .selectExpr(abFv: _*).selectExpr(abH: _*)
+          .selectExpr(abUpdate: _*)
+        val norm = upd.agg(expr(abNormAgg.head),
+          abNormAgg.tail.map(expr): _*)
+        ex = upd.crossJoin(broadcast(norm))
+          .selectExpr(abRenorm: _*).localCheckpoint()
+        val acc = ex.agg(expr(abAcc))
+        outs += best.crossJoin(broadcast(acc))
+          .selectExpr(s"CAST($r AS BIGINT) AS round" +: abOut: _*)
+      }
+      outs.reduce(_ unionAll _)
+    },
+
+    // ------------------------------------------------------------------
     // One-way ANOVA (classic F + η² effect size) PLUS Welch's
     // heteroscedastic F over order totals by priority — the "does this
     // categorical segment the metric at all" omnibus test that comes
@@ -2803,6 +2854,130 @@ object Analytics {
       |  FROM c CROSS JOIN w2),
       |acc AS (SELECT ${logregAcc.mkString(",\n    ")} FROM rf)
       |SELECT ${logregFinal.mkString(",\n  ")} FROM acc""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_ml_adaboost fragments — ONE text, two engines (the logreg/anova
+  // discipline). Weights are integer µ-units; all double arithmetic is
+  // IEEE-correctly-rounded ops only (*, /, sqrt), so both engines
+  // produce bit-identical values from identical inputs.
+
+  private def abRounds = 3
+
+  /** Integer text features: occurrence counts of two marker tokens
+    * (length-difference trick — pure codegen string ops) and a coarse
+    * length bucket, all landing in the grid's 0..15 threshold range. */
+  private lazy val abFeat: Seq[String] = Seq(
+    "doc_id",
+    "CAST(floor((length(text) - length(replace(text, 'scan', '')))" +
+      " / 4.0e0) AS BIGINT) AS f1",
+    "CAST(floor((length(text) - length(replace(text, 'join', '')))" +
+      " / 4.0e0) AS BIGINT) AS f2",
+    "CAST(floor(length(text) / 64.0e0) AS BIGINT) AS f3")
+
+  /** The hidden rule: a 3-feature linear threshold plus a doc_id%5
+    * noise term — learnable by stumps but never perfectly, so every
+    * round's error stays strictly positive and weights genuinely
+    * evolve. Initial weight: 1 µ-unit-million per example. */
+  private lazy val abLabel: Seq[String] = Seq(
+    "doc_id", "f1", "f2", "f3",
+    "CASE WHEN 3*f1 + 2*f2 - f3 + doc_id % 5 >= 7 THEN 1 ELSE -1 END" +
+      " AS y",
+    "CAST(1000000 AS BIGINT) AS w",
+    "CAST(0 AS BIGINT) AS score")
+
+  /** 96 candidate stumps from a 0..95 id: feature 1..3, threshold
+    * 0..15, polarity ±1. */
+  private lazy val abGrid: Seq[String] = Seq(
+    "CAST(floor(id / 32.0e0) + 1 AS BIGINT) AS cf",
+    "CAST(floor((id % 32) / 2.0e0) AS BIGINT) AS ct",
+    "CASE WHEN id % 2 = 0 THEN 1 ELSE -1 END AS cp")
+
+  private lazy val abFv: Seq[String] = Seq("*",
+    "CASE cf WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS fv")
+
+  private lazy val abH: Seq[String] = Seq("*",
+    "CASE WHEN (fv > ct) = (cp = 1) THEN 1 ELSE -1 END AS h")
+
+  private lazy val abErrAgg: Seq[String] = Seq(
+    "CAST(sum(CASE WHEN h <> y THEN w ELSE 0 END) AS BIGINT) AS err_u",
+    "CAST(sum(w) AS BIGINT) AS tot_u")
+
+  /** Argmin stump + α and the two weight multipliers. α = ½ln R̄ with
+    * R̄ = (tot−err+1)/(err+1) (+1-smoothed), reported in µnats (the
+    * single libm ln both engines share); the multipliers avoid exp
+    * entirely — e^α = √R̄ and e^−α = 1/√R̄, and IEEE sqrt/divide are
+    * correctly rounded, hence bit-identical cross-engine. */
+  private lazy val abBest: Seq[String] = Seq(
+    "cf", "ct", "cp", "err_u", "tot_u",
+    "CAST(floor(ln(CAST(tot_u - err_u + 1 AS DOUBLE)" +
+      " / CAST(err_u + 1 AS DOUBLE)) * 500000.0e0) AS BIGINT)" +
+      " AS alpha_u",
+    "CAST(floor(sqrt(CAST(tot_u - err_u + 1 AS DOUBLE)" +
+      " / CAST(err_u + 1 AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS mp",
+    "CAST(floor(1000000.0e0 / sqrt(CAST(tot_u - err_u + 1 AS DOUBLE)" +
+      " / CAST(err_u + 1 AS DOUBLE))) AS BIGINT) AS mm")
+
+  /** Reweight (misclassified ×e^α up, correct ×e^−α down) in DOUBLE —
+    * products can pass 2⁵³, and that is fine: correctly-rounded is
+    * identical in both engines, which is all the hash needs. The
+    * ensemble margin accumulates the REPORTED α. */
+  private lazy val abUpdate: Seq[String] = Seq(
+    "doc_id", "f1", "f2", "f3", "y",
+    "CAST(floor(CAST(w AS DOUBLE)" +
+      " * CAST(CASE WHEN h <> y THEN mp ELSE mm END AS DOUBLE)" +
+      " / 1000000.0e0) AS BIGINT) AS w",
+    "score + alpha_u * h AS score")
+
+  private lazy val abNormAgg: Seq[String] = Seq(
+    "CAST(sum(w) AS BIGINT) AS wsum",
+    "CAST(count(*) AS BIGINT) AS nex")
+
+  /** Renormalize total mass back to nex µ-unit-millions — the bound
+    * that keeps every later double product far from overflow and the
+    * µ-floor meaningful. */
+  private lazy val abRenorm: Seq[String] = Seq(
+    "doc_id", "f1", "f2", "f3", "y",
+    "CAST(floor(CAST(w AS DOUBLE) * (CAST(nex AS DOUBLE)" +
+      " * 1000000.0e0) / CAST(wsum AS DOUBLE)) AS BIGINT) AS w",
+    "score")
+
+  /** Ensemble accuracy so far: sign(Σ α·h) vs y; a zero margin
+    * predicts −1 in both engines. */
+  private def abAcc: String =
+    "CAST(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)" +
+      " AS BIGINT) AS n_correct"
+
+  private lazy val abOut: Seq[String] = Seq(
+    "cf", "ct", "cp", "err_u", "tot_u", "alpha_u", "n_correct")
+
+  /** DuckDB replay of q_ml_adaboost: the identical fragment text as
+    * generated CTEs — seed, then per round score→argmin→update→
+    * renormalize, emitting each round's stump + running accuracy. */
+  private def adaboostOracle: String = {
+    def round(k: Int): String =
+      s"""s$k AS (SELECT ${abH.mkString(", ")} FROM
+        |  (SELECT ${abFv.mkString(", ")} FROM ex${k - 1}, grid)),
+        |b$k AS (SELECT ${abBest.mkString(",\n    ")} FROM
+        |  (SELECT cf, ct, cp, ${abErrAgg.mkString(",\n    ")}
+        |   FROM s$k GROUP BY 1, 2, 3
+        |   ORDER BY err_u, cf, ct, cp LIMIT 1)),
+        |u$k AS (SELECT ${abUpdate.mkString(",\n    ")} FROM
+        |  (SELECT ${abH.mkString(", ")} FROM
+        |    (SELECT ${abFv.mkString(", ")} FROM ex${k - 1}, b$k))),
+        |n$k AS (SELECT ${abNormAgg.mkString(", ")} FROM u$k),
+        |ex$k AS (SELECT ${abRenorm.mkString(",\n    ")} FROM u$k, n$k),
+        |a$k AS (SELECT $abAcc FROM ex$k)""".stripMargin
+    val rounds = (1 to abRounds).map(round).mkString(",\n")
+    val out = (1 to abRounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS round, ${abOut.mkString(", ")}" +
+        s" FROM b$k, a$k").mkString("\nUNION ALL ")
+    s"""WITH f AS (SELECT ${abFeat.mkString(",\n    ")} FROM documents),
+      |ex0 AS (SELECT ${abLabel.mkString(",\n    ")} FROM f),
+      |grid AS (SELECT ${abGrid.mkString(",\n    ")}
+      |  FROM (SELECT unnest(range(0, 96)) AS id)),
+      |$rounds
+      |$out""".stripMargin
   }
 
   /** TPC-H order-priority domain — schema-pinned, so the per-group

@@ -700,6 +700,9 @@ class PlanSpec extends SparkSpec {
       "q_churn_km", // crossJoin(broadcast(1-row corpus horizon))
       "q_churn_logrank", // same 1-row horizon broadcast via sessionLifetimes
       "q_ml_logreg", // per-Newton-step crossJoin(broadcast(1-row weights))
+      "q_ml_adaboost", // per-round crossJoins: the 96-row literal stump
+                       // grid plus 1-row best/norm/acc aggregates —
+                       // all bounded by construction
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both
                          // sides bounded: 128 zones, 16 boxes)

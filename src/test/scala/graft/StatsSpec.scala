@@ -245,4 +245,74 @@ class StatsSpec extends SparkSpec {
     val mean = ws.map(_.toLong).sum.toDouble / ws.length
     assert(math.abs(mean - 1.0) < 0.05, s"weight mean $mean far from 1")
   }
+
+  test("q_ml_adaboost matches a driver-side sequential replay of the " +
+    "3 boosting rounds exactly, every round's alpha is positive, and " +
+    "the ensemble beats the class prior") {
+    val got = SparkEntry.queries("q_ml_adaboost")(spark, sfDir)
+      .collect()
+      .map { r =>
+        def l(c: String): Long =
+          r.getAs[Number](r.fieldIndex(c)).longValue()
+        (l("round"), l("cf"), l("ct"), l("cp"), l("err_u"),
+          l("alpha_u"), l("n_correct"))
+      }.sortBy(_._1)
+    assert(got.length == 3)
+    // sequential replay: identical integer features, hidden rule,
+    // mu-unit weights, argmin tie-break, sqrt multipliers, renorm
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val (id, tx) = (r.getLong(0), r.getString(1))
+        def occ(wd: String): Long =
+          ((tx.length - tx.replace(wd, "").length) / wd.length).toLong
+        val (f1, f2, f3) = (occ("scan"), occ("join"), tx.length / 64L)
+        val y = if (3 * f1 + 2 * f2 - f3 + id % 5 >= 7) 1L else -1L
+        (Array(f1, f2, f3), y)
+      }
+    var w = Array.fill(docs.length)(1000000L)
+    var score = Array.fill(docs.length)(0L)
+    val grid = for (id <- 0 until 96) yield
+      (id / 32 + 1, (id % 32) / 2, if (id % 2 == 0) 1 else -1)
+    for (r <- 1 to 3) {
+      val scored = grid.map { case (cf, ct, cp) =>
+        var err = 0L; var tot = 0L
+        docs.indices.foreach { i =>
+          val fv = docs(i)._1(cf - 1)
+          val h = if ((fv > ct) == (cp == 1)) 1L else -1L
+          if (h != docs(i)._2) err += w(i)
+          tot += w(i)
+        }
+        (err, cf, ct, cp, tot)
+      }
+      val (err, cf, ct, cp, tot) = scored.min
+      val ratio = (tot - err + 1).toDouble / (err + 1).toDouble
+      val alphaU = math.floor(math.log(ratio) * 500000.0).toLong
+      assert(alphaU > 0, s"round $r alpha $alphaU not positive")
+      val mp = math.floor(math.sqrt(ratio) * 1000000.0).toLong
+      val mm = math.floor(1000000.0 / math.sqrt(ratio)).toLong
+      docs.indices.foreach { i =>
+        val fv = docs(i)._1(cf - 1)
+        val h = if ((fv > ct) == (cp == 1)) 1L else -1L
+        w(i) = math.floor(w(i).toDouble *
+          (if (h != docs(i)._2) mp else mm).toDouble / 1000000.0).toLong
+        score(i) += alphaU * h
+      }
+      val wsum = w.sum
+      w = w.map(x => math.floor(
+        x.toDouble * (docs.length.toDouble * 1000000.0) /
+          wsum.toDouble).toLong)
+      val nCorrect = docs.indices.count(i =>
+        (score(i) > 0) == (docs(i)._2 == 1)).toLong
+      assert(got(r - 1) ==
+        ((r.toLong, cf.toLong, ct.toLong, cp.toLong, err, alphaU,
+          nCorrect)),
+        s"round $r: engine ${got(r - 1)} vs replay " +
+          s"(${(r, cf, ct, cp, err, alphaU, nCorrect)})")
+    }
+    // the boosted ensemble must beat always-predicting the majority
+    val prior = math.max(docs.count(_._2 == 1), docs.count(_._2 == -1))
+    assert(got.last._7 > prior,
+      s"ensemble ${got.last._7} does not beat the prior $prior")
+  }
 }
