@@ -2421,6 +2421,110 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // TOP-N PUSHDOWN — ORDER BY <indexed col> LIMIT k as a file-index
+    // decision (SupportsPushDownTopN, partial): a file is skipped iff
+    // the files entirely before it in sort order already hold >= k
+    // rows — no row of a skipped file can reach the top k, so Spark's
+    // own TakeOrdered over the survivors stays exact
+    // (isPartiallyPushed). Declined when the guarantee could lie:
+    // residual filters or live deletion vectors. At 100 TB this is the
+    // "show me the earliest k records" query reading O(k/rows-per-file)
+    // files instead of the table — the Z-clustered layout makes the
+    // prefix DENSE in the sort column, which is why clustering and
+    // top-N pushdown compound. Output aggregates the top-k a-VALUES
+    // (count/sum/min/max) — a deterministic multiset even under
+    // boundary ties, unlike the tied rows' other columns.
+    QueryDef(
+      "q_layout_topn",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem),
+        |top AS (SELECT a FROM src ORDER BY a LIMIT 500)
+        |SELECT count(*) AS n, CAST(sum(a) AS BIGINT) AS sa,
+        |  min(a) AS min_a, max(a) AS max_a
+        |FROM top""".stripMargin) { (s, dir) =>
+      // the same idempotently-built zone table q_layout_stats uses
+      val table = s"/tmp/graft_zonemap_${dir.hashCode.toHexString}"
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(fsPath)) {
+        val rows = t(s, dir, "lineitem").selectExpr(
+          "l_orderkey * 10 + l_linenumber AS rid",
+          "l_partkey AS a", "l_suppkey AS b")
+        (0 until 3).foreach { w =>
+          graft.streaming.Streaming.zoneIngestBatch(
+            rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+        }
+        graft.streaming.Streaming.zoneOptimize(s, table)
+      }
+      s.read.format("graft.sources.ZoneMapSource").load(table)
+        .select(col("a")).orderBy(col("a")).limit(500)
+        .agg(count(lit(1)).as("n"), sum(col("a")).cast("long").as("sa"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"))
+    },
+
+    // ------------------------------------------------------------------
+    // TIME TRAVEL — snapshot reads on the zone-map table, the last
+    // table-format primitive next to OPTIMIZE, deletion vectors,
+    // stats serving and DPP: `.option("asof", H)` pins visibility to
+    // batches <= H (the newest opt=K generation with K <= H plus raw
+    // batches in (K, H]). The snapshot is a PLANNING decision like
+    // everything else in this source — the horizon lands in the
+    // BatchScan description — and it composes with every other leg
+    // (boxes, projections, stats-only aggregates, runtime keys all
+    // evaluate against the pinned file set). Two deliberate semantics,
+    // both spec-pinned: a horizon OLDER than the newest generation
+    // throws (OPTIMIZE deleted those batches — the vacuumed-snapshot
+    // contract, never silently wrong data), and deletion vectors apply
+    // CURRENT-generation even to historical reads (deletes are
+    // retroactive: time travel never resurrects a deleted row). Here:
+    // ingest wave 0, wave 1, OPTIMIZE (compacts both, becomes opt=1),
+    // ingest wave 2, then read snapshots asof=1 (the optimized
+    // generation only) and asof=2 (plus the raw new batch) — the
+    // oracle re-derives each snapshot from the wave predicates.
+    QueryDef(
+      "q_layout_asof",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem)
+        |SELECT 1 AS snap, rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src WHERE rid % 3 <= 1 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 2 AS snap, rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_zoneasof_${dir.hashCode.toHexString}"
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      // deterministic rebuild (the q_layout_dsv2 precedent): optimize
+      // generation names depend on prior state, so start clean
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      (0 until 2).foreach { w =>
+        graft.streaming.Streaming.zoneIngestBatch(
+          rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+      }
+      graft.streaming.Streaming.zoneOptimize(s, table)
+      graft.streaming.Streaming.zoneIngestBatch(
+        rows.filter(pmod(col("rid"), lit(3)) === 2), 2L, table)
+      def snap(h: Long): DataFrame =
+        s.read.format("graft.sources.ZoneMapSource")
+          .option("asof", h).load(table)
+          .groupBy(pmod(col("rid"), lit(5)).as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a")).cast("long").as("sa"),
+            sum(col("b")).cast("long").as("sb"))
+          .select(lit(h.toInt).as("snap"), col("g"), col("n"),
+            col("sa"), col("sb"))
+      snap(1L).unionAll(snap(2L))
+    },
+
+    // ------------------------------------------------------------------
     // RUNTIME FILE SKIPPING — DPP composed with the zone index, the
     // fourth leg of the DSv2 surface (plan-time filters, projections,
     // stats-only aggregates; now JOIN-discovered keys): a time-keyed

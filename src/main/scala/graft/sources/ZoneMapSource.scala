@@ -21,9 +21,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,10 +89,23 @@ private[graft] object ZoneMapSource {
     SparkSession.active.sessionState.newHadoopConf()
 
   /** Newest `opt=K` + `batch>K` under `dir/sub` — the zone table's
-    * visibility rule, shared with the streaming maintainer. */
-  def visibleParts(dir: String, sub: String): Seq[String] =
-    graft.streaming.Streaming.zoneVisibleParts(
+    * visibility rule, shared with the streaming maintainer. An `asOf`
+    * horizon pins the snapshot to batches <= asOf instead (TIME
+    * TRAVEL; throws if OPTIMIZE already compacted that snapshot
+    * away). */
+  def visibleParts(dir: String, sub: String,
+      asOf: Option[Long] = None): Seq[String] = asOf match {
+    case Some(h) => graft.streaming.Streaming.zoneVisiblePartsAsOf(
+      SparkSession.active, dir, sub, h)
+    case None => graft.streaming.Streaming.zoneVisibleParts(
       SparkSession.active, dir, sub)
+  }
+
+  /** The `asof` read option — a batch-id snapshot horizon. */
+  def asOfOf(options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = options.get("asof")
+    if (v == null) None else Some(v.toLong)
+  }
 
   /** Leaf parquet part-files under a visible data part name. */
   def partFiles(dir: String, part: String): Seq[(String, Long)] = {
@@ -141,9 +154,9 @@ private[graft] object ZoneMapSource {
 
   /** The zone rows (file, la, ha, lb, hb, n) for every visible file,
     * read directly on the driver — one tiny row per file, no job. */
-  def zoneRows(dir: String): Seq[ZoneRow] = {
+  def zoneRows(dir: String, asOf: Option[Long] = None): Seq[ZoneRow] = {
     val conf = hadoopConf()
-    visibleParts(dir, "zones").flatMap { part =>
+    visibleParts(dir, "zones", asOf).flatMap { part =>
       val p = new Path(s"$dir/zones/$part")
       val fs = p.getFileSystem(conf)
       val files = fs.listFiles(p, true)
@@ -348,16 +361,48 @@ private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZoneMapScanBuilder(path, tableSchema)
+    new ZoneMapScanBuilder(path, tableSchema,
+      ZoneMapSource.asOfOf(options))
 }
 
 private[sources] class ZoneMapScanBuilder(
-    path: String, tableSchema: StructType)
+    path: String, tableSchema: StructType, asOf: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var servedAgg: Option[Aggregation] = None
+  private var topN: Option[TopNPush] = None
+
+  // ------------------------------------------------------------------
+  // Top-N pushdown — PARTIAL, file-granular: for ORDER BY a LIMIT k, a
+  // file is skippable iff the files ENTIRELY before it in sort order
+  // (max < this file's min) already hold >= k rows — no row of the
+  // skipped file can reach the top k. Spark keeps its own global
+  // TakeOrdered over the survivors (isPartiallyPushed), so the result
+  // is exact; the scan just reads O(k/rows-per-file) files instead of
+  // all of them. Declined whenever the guarantee could lie: residual
+  // filters (per-file counts stop bounding SURVIVING rows) or live
+  // deletion vectors (counts include deleted rows, overstating the
+  // guaranteed prefix).
+  override def pushTopN(
+      orders: Array[V2SortOrder], limit: Int): Boolean = {
+    if (pushed.nonEmpty || orders.length != 1 || limit <= 0) return false
+    val o = orders(0)
+    val c = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        r.fieldNames.head
+      case _ => return false
+    }
+    if (c != "a" && c != "b") return false
+    if (tableSchema(c).dataType != LongType) return false
+    if (ZoneMapSource.dvBitmaps(path).nonEmpty) return false
+    topN = Some(TopNPush(
+      c, o.direction() == SortDirection.ASCENDING, limit))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(ZoneBox.prunable)
@@ -399,7 +444,7 @@ private[sources] class ZoneMapScanBuilder(
           tableSchema(c).dataType == LongType)
       } &&
       ZoneMapSource.dvBitmaps(path).isEmpty &&
-      ZoneMapSource.zoneRows(path).nonEmpty // min/max need >=1 file
+      ZoneMapSource.zoneRows(path, asOf).nonEmpty // min/max need >=1 file
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -412,18 +457,20 @@ private[sources] class ZoneMapScanBuilder(
   }
 
   override def build(): Scan = servedAgg match {
-    case Some(agg) => new ZoneMapStatsScan(path, agg)
-    case None => new ZoneMapScan(path, required, pushed)
+    case Some(agg) => new ZoneMapStatsScan(path, agg, asOf)
+    case None => new ZoneMapScan(path, required, pushed, asOf, topN)
   }
 }
 
 /** The stats-only scan: ONE synthetic partition whose single row is
   * computed from the zone rows at planning time — data files are
   * never listed, opened, or read. */
-private[graft] class ZoneMapStatsScan(path: String, agg: Aggregation)
+private[graft] class ZoneMapStatsScan(
+    path: String, agg: Aggregation, asOf: Option[Long])
     extends Scan with Batch {
 
-  private lazy val zones: Seq[ZoneRow] = ZoneMapSource.zoneRows(path)
+  private lazy val zones: Seq[ZoneRow] =
+    ZoneMapSource.zoneRows(path, asOf)
 
   private def valueOf(f: AggregateFunc): (Long, StructField) = f match {
     case _: CountStar =>
@@ -479,15 +526,24 @@ private[sources] class ZoneMapStatsReaderFactory
     }
 }
 
+/** A pushed (partial) top-N: sort column, direction, limit. */
+private[graft] final case class TopNPush(
+    col: String, asc: Boolean, k: Int)
+
 private[sources] class ZoneMapScan(
-    path: String, required: StructType, pushed: Array[Filter])
+    path: String, required: StructType, pushed: Array[Filter],
+    asOf: Option[Long] = None, topN: Option[TopNPush] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
   private val box = ZoneBox.from(pushed.toSeq)
 
-  // planning-time pruning: tiny per-file zone rows, read once
-  private lazy val zones: Seq[ZoneRow] = ZoneMapSource.zoneRows(path)
+  // planning-time pruning: tiny per-file zone rows, read once.
+  // `asOf` pins the snapshot horizon (time travel); deletion vectors
+  // still apply CURRENT-generation — deletes are retroactive, so a
+  // historical read never resurrects a deleted row
+  private lazy val zones: Seq[ZoneRow] =
+    ZoneMapSource.zoneRows(path, asOf)
 
   // ------------------------------------------------------------------
   // Runtime filtering — DPP composed with the zone index: when this
@@ -563,8 +619,25 @@ private[sources] class ZoneMapScan(
     if (m != null && (m._1 eq runtime)) (m._2, m._3)
     else {
       val rt = runtime
-      val k = zones.filter(z => box.admits(z) && runtimeAdmits(z))
-        .sortBy(_.file)
+      val boxed = zones.filter(z => box.admits(z) && runtimeAdmits(z))
+      // top-N prefix rule over the SURVIVING zones (composes with box
+      // and runtime pruning): skip z iff zones strictly before it in
+      // sort order already guarantee >= k rows. O(files^2) driver
+      // work, fine at file-index scale.
+      val k = topN match {
+        case Some(TopNPush(c, asc, n)) =>
+          def range(z: ZoneRow): (Long, Long) =
+            if (c == "a") (z.la, z.ha) else (z.lb, z.hb)
+          boxed.filter { z =>
+            val (lo, hi) = range(z)
+            val guaranteed = boxed.iterator.filter { g =>
+              val (glo, ghi) = range(g)
+              if (asc) ghi < lo else glo > hi
+            }.map(_.n).sum
+            guaranteed < n
+          }.sortBy(_.file)
+        case None => boxed.sortBy(_.file)
+      }
       val f = k.flatMap(z => ZoneMapSource.partFiles(path, z.file))
       memo = (rt, k, f)
       (k, f)
@@ -595,7 +668,11 @@ private[sources] class ZoneMapScan(
     * decision belongs (re-rendered post-execution, this also shows
     * what the runtime keys pruned). */
   override def description(): String =
-    s"graft_zonemap $path, box: $box, " +
+    s"graft_zonemap $path, " +
+      asOf.map(h => s"asof: batch<=$h, ").getOrElse("") +
+      topN.map(t => s"topN: ${t.col} ${if (t.asc) "asc" else "desc"}" +
+        s" limit ${t.k}, ").getOrElse("") +
+      s"box: $box, " +
       s"zones kept ${kept.size}/${zones.size}, " +
       s"dv deleted: $deletedInKept, " +
       runtime.map { case (c, ks) => s"runtime keys on $c: ${ks.length}" }

@@ -825,6 +825,35 @@ object Streaming {
       st.filter(n => n.startsWith("batch=") && n.drop(6).toLong > k)
   }
 
+  /** TIME TRAVEL visibility: the parts covering exactly batches ≤ `h`
+    * — the newest `opt=K` with K ≤ h plus `batch=` parts in (K, h].
+    * OPTIMIZE compacts raw batches into its generation and deletes
+    * them, so a horizon OLDER than the newest generation is gone —
+    * throw rather than silently serve the wrong snapshot (the same
+    * contract as a vacuumed lakehouse snapshot). */
+  private[graft] def zoneVisiblePartsAsOf(
+      spark: SparkSession, dir: String, sub: String,
+      h: Long): Seq[String] = {
+    val (fs, root) = tableFs(spark, s"$dir/$sub")
+    if (!fs.exists(root)) return Nil
+    val st = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val opts = st.filter(_.startsWith("opt="))
+      .map(n => n.drop(4).toLong -> n)
+    opts.sortBy(-_._1).headOption.foreach { case (newest, _) =>
+      require(newest <= h,
+        s"zone table $dir: snapshot asof=$h was compacted away by " +
+          s"OPTIMIZE (newest generation covers batches <= $newest)")
+    }
+    val base = opts.filter(_._1 <= h).sortBy(-_._1).headOption
+    val k = base.map(_._1).getOrElse(Long.MinValue)
+    base.map(_._2).toSeq ++
+      st.filter { n =>
+        n.startsWith("batch=") && {
+          val b = n.drop(6).toLong; b > k && b <= h
+        }
+      }
+  }
+
   /** One micro-batch of zone-map-indexed ingest. `batch` must carry
     * (rid, a, b); the data file and its stats row commit under the
     * same `batch=<id>` name in data/ and zones/. */

@@ -772,6 +772,20 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("runtime keys on a:"), executed)
   }
 
+  test("q_layout_topn pushes ORDER BY a LIMIT 500 into the scan: the " +
+    "prefix rule skips most files and Spark's TakeOrdered stays on top") {
+    val df = SparkEntry.queries("q_layout_topn")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("topN: a asc limit 500"), p)
+    val kept = raw"zones kept (\d+)/(\d+)".r.findFirstMatchIn(p)
+      .getOrElse(fail(s"no kept/total in plan:\n$p"))
+    val (k, n) = (kept.group(1).toInt, kept.group(2).toInt)
+    assert(k * 2 <= n, s"top-N kept $k of $n zones — skip too weak:\n$p")
+    // partial pushdown: the exactness-restoring global top-k remains
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_layout_stats serves count/min/max from the zone rows: the " +
     "BatchScan declares it in-plan and no aggregate reads a data file") {
     val p = plan("q_layout_stats")

@@ -223,6 +223,77 @@ class ZoneMapSourceSpec extends SparkSpec {
     assert(df.collect()(0) == want)
   }
 
+  test("top-N pushdown: both directions prune by the prefix rule with " +
+    "exact results, and live deletion vectors decline the push") {
+    def topn(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      finalPlan(df.queryExecution.executedPlan).toString
+    }
+    val k = 40
+    val asc = v2.select(col("b")).orderBy(col("b")).limit(k)
+    val pa = topn(asc)
+    assert(pa.contains(s"topN: b asc limit $k"), pa)
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      rows.select(col("b")).orderBy(col("b")).limit(k)
+        .collect().map(_.getLong(0)).toSeq)
+    val desc = v2.select(col("a")).orderBy(col("a").desc).limit(k)
+    val pd = topn(desc)
+    assert(pd.contains(s"topN: a desc limit $k"), pd)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      rows.select(col("a")).orderBy(col("a").desc).limit(k)
+        .collect().map(_.getLong(0)).toSeq)
+    // live deletion vectors: counts stop bounding survivors — decline
+    val dvDir = tmpDir("zonemap_dsv2_topndv")
+    graft.streaming.Streaming.zoneIngestBatch(rows, 0L, dvDir)
+    graft.streaming.Streaming.dvDelete(spark, dvDir,
+      (rid, _, _) => rid % 5 == 2)
+    val dv = spark.read.format("graft.sources.ZoneMapSource").load(dvDir)
+      .select(col("a")).orderBy(col("a")).limit(k)
+    assert(!topn(dv).contains("topN:"), "DV table must decline top-N")
+    assert(dv.collect().map(_.getLong(0)).toSeq ==
+      rows.filter(pmod(col("rid"), lit(5)) =!= 2)
+        .select(col("a")).orderBy(col("a")).limit(k)
+        .collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("time travel: asof pins the batch horizon, a compacted snapshot " +
+    "throws, and deletion vectors stay retroactive") {
+    val dir = tmpDir("zonemap_dsv2_asof")
+    (0 until 3).foreach { w =>
+      graft.streaming.Streaming.zoneIngestBatch(
+        rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, dir)
+    }
+    def snap(h: Long) = spark.read
+      .format("graft.sources.ZoneMapSource").option("asof", h).load(dir)
+    // horizons before any compaction: exactly batches <= h
+    assert(snap(0L).count() ==
+      rows.filter(pmod(col("rid"), lit(3)) === 0).count())
+    assert(snap(1L).count() ==
+      rows.filter(pmod(col("rid"), lit(3)) <= 1).count())
+    // a horizon beyond the newest batch is just the full table
+    assert(snap(99L).count() == rows.count())
+    // the snapshot lands in the plan where planning decisions belong
+    val df = snap(1L)
+    assert(batchScan(df).scan.description().contains("asof: batch<=1"),
+      batchScan(df).scan.description())
+    // deletes are retroactive: a historical read never resurrects
+    graft.streaming.Streaming.dvDelete(spark, dir,
+      (rid, _, _) => rid % 7 == 3)
+    assert(snap(1L).count() ==
+      rows.filter(pmod(col("rid"), lit(3)) <= 1 &&
+        pmod(col("rid"), lit(7)) =!= 3).count())
+    // materialize folds the deletes into a NEW generation (opt=3), so
+    // every pre-materialize snapshot is compacted away — gone means
+    // thrown, never silently wrong
+    graft.streaming.Streaming.dvMaterialize(spark, dir)
+    graft.streaming.Streaming.zoneOptimize(spark, dir)
+    val e = intercept[IllegalArgumentException] { snap(2L).count() }
+    assert(e.getMessage.contains("compacted away"), e.getMessage)
+    // horizons at or past the new generation still read the survivors
+    assert(snap(99L).count() ==
+      rows.filter(pmod(col("rid"), lit(7)) =!= 3).count())
+  }
+
   test("post-optimize ingest: a new batch is visible through the v2 " +
     "source next to the optimized generation") {
     val dir = tmpDir("zonemap_dsv2_mix")
