@@ -2421,6 +2421,62 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // V2 WRITE PATH — zoneIngestBatch re-expressed through the
+    // engine's native writer surface (SupportsWrite/BatchWrite):
+    // `.write.format(...).option("batch", id).mode("append")` runs
+    // one parquet writer per TASK, each returning (file, min/max/
+    // count) as its commit message; the driver commit moves exactly
+    // the committed files into data/batch=<id> (a speculative
+    // retry's orphan never travels), folds the task stats into the
+    // batch's zone row, and publishes it LAST — the zone row IS the
+    // commit point, so a crash anywhere earlier leaves only
+    // invisible staging (the aside-swap discipline, now enforced by
+    // the engine's own commit protocol instead of library code).
+    // Here: two writer-path batches land, then the box-filtered read
+    // planned through the same source proves the written index prunes
+    // and the rows round-trip exactly. Scale: writes are
+    // embarrassingly parallel, commit is O(tasks) driver renames —
+    // the same cost class as every table-format commit.
+    QueryDef(
+      "q_layout_write",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem),
+        |bounds AS (SELECT min(a) AS amin, max(a) AS amax FROM src),
+        |box AS (
+        |  SELECT amin + (amax - amin + 1) // 4 AS alo,
+        |    amin + (amax - amin + 1) // 2 - 1 AS ahi
+        |  FROM bounds)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src, box WHERE a BETWEEN alo AND ahi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_zonewrite_${dir.hashCode.toHexString}"
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      (0 until 2).foreach { w =>
+        rows.filter(pmod(col("rid"), lit(2)) === w)
+          .write.format("graft.sources.ZoneMapSource")
+          .option("batch", w.toLong).mode("append").save(table)
+      }
+      val bd = rows.agg(min(col("a")), max(col("a"))).collect()(0)
+      val (amin, amax) = (bd.getLong(0), bd.getLong(1))
+      val (alo, ahi) =
+        (amin + (amax - amin + 1) / 4, amin + (amax - amin + 1) / 2 - 1)
+      s.read.format("graft.sources.ZoneMapSource").load(table)
+        .filter(col("a").between(alo, ahi))
+        .groupBy(pmod(col("rid"), lit(5)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("long").as("sa"),
+          sum(col("b")).cast("long").as("sb"))
+    },
+
+    // ------------------------------------------------------------------
     // TOP-N PUSHDOWN — ORDER BY <indexed col> LIMIT k as a file-index
     // decision (SupportsPushDownTopN, partial): a file is skipped iff
     // the files entirely before it in sort order already hold >= k

@@ -17,13 +17,14 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,6 +71,10 @@ import org.apache.spark.unsafe.types.UTF8String
 class ZoneMapSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZoneMapSource.dataSchema(ZoneMapSource.pathOf(options))
+
+  // writes hand the frame's own schema through getTable, so the FIRST
+  // append to an empty table never needs data files to infer from
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
@@ -354,15 +359,169 @@ private[graft] object ZoneBox {
 }
 
 private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_zonemap($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ZoneMapScanBuilder(path, tableSchema,
       ZoneMapSource.asOfOf(options))
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): WriteBuilder =
+    new ZoneMapWriteBuilder(path, info)
+}
+
+// ----------------------------------------------------------------------
+// The WRITE path — the same table through the engine's native writer
+// surface: `df.write.format("graft.sources.ZoneMapSource")
+// .option("batch", id).mode("append").save(dir)` is zoneIngestBatch
+// re-expressed as a DSv2 BatchWrite with real distributed-commit
+// semantics. Each task writes ONE parquet part into a write-staging
+// dir and returns (file, min/max/count) as its commit message; the
+// DRIVER commit moves exactly the committed files (a retried or
+// speculative task's orphan never travels) into `data/batch=<id>`,
+// folds the task stats into the batch's zone row, and publishes it
+// LAST — the zones row is the commit point, so a crash anywhere
+// earlier leaves only invisible staging. abort() deletes staging.
+// Append-only by design: updates arrive as deletion vectors + new
+// batches, rewrites as OPTIMIZE generations (the lakehouse contract).
+
+private[sources] class ZoneMapWriteBuilder(
+    path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      require(schema.fieldNames.toSeq == Seq("rid", "a", "b") &&
+        schema.fields.forall(_.dataType == LongType),
+        s"zone-map ingest contract is (rid, a, b) BIGINT; got $schema")
+      val batch = info.options().get("batch")
+      require(batch != null,
+        "zone-map writes need .option(\"batch\", <id>) — the batch id " +
+          "is the table's visibility and time-travel unit")
+      new ZoneMapBatchWrite(path, batch.toLong, info.queryId())
+    }
+  }
+}
+
+private[sources] final case class ZoneWriteMsg(
+    file: String, la: Long, ha: Long, lb: Long, hb: Long, n: Long)
+    extends WriterCommitMessage
+
+private[sources] class ZoneMapBatchWrite(
+    path: String, batchId: Long, queryId: String) extends BatchWrite {
+  private def staging = s"$path/.w_staging_$queryId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ZoneMapWriterFactory(staging)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val (fs, _) = {
+      val p = new Path(path)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    val target = new Path(s"$path/data/batch=$batchId")
+    require(!fs.exists(target),
+      s"zone-map batch=$batchId already exists under $path/data " +
+        "(batch ids are immutable — pick a fresh one)")
+    val msgs = messages.toSeq.map(_.asInstanceOf[ZoneWriteMsg])
+      .filter(_.n > 0)
+    require(msgs.nonEmpty, s"zone-map write of batch=$batchId is empty")
+    // move exactly the committed files — never the staging dir
+    // wholesale, which may hold orphans from retried tasks
+    val dataStage = new Path(s"$path/.commit_staging_$queryId")
+    require(fs.mkdirs(dataStage), s"cannot create $dataStage")
+    msgs.foreach { m =>
+      val src = new Path(staging, m.file)
+      require(fs.rename(src, new Path(dataStage, m.file)),
+        s"commit: rename $src failed with all copies intact")
+    }
+    require(fs.rename(dataStage, target),
+      s"commit: publishing $target failed with staging intact")
+    // the batch zone row publishes LAST — it is the commit point
+    import spark.implicits._
+    val zoneStage = s"$path/.z_staging_$queryId"
+    Seq((s"batch=$batchId", msgs.map(_.la).min, msgs.map(_.ha).max,
+      msgs.map(_.lb).min, msgs.map(_.hb).max, msgs.map(_.n).sum))
+      .toDF("file", "la", "ha", "lb", "hb", "n")
+      .coalesce(1).write.mode("overwrite").parquet(zoneStage)
+    require(fs.rename(new Path(zoneStage),
+      new Path(s"$path/zones/batch=$batchId")),
+      s"commit: publishing zones/batch=$batchId failed; data staged " +
+        "but invisible (re-run or clean .commit leftovers)")
+    fs.delete(new Path(staging), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(staging)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+}
+
+private[sources] class ZoneMapWriterFactory(staging: String)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ZoneMapDataWriter(staging, partitionId, taskId)
+}
+
+/** One parquet part per task, stats folded while writing. The file
+  * name carries BOTH partition and task id, so a speculative retry
+  * writes a different file and only the winner's name reaches
+  * commit(). */
+private[sources] class ZoneMapDataWriter(
+    staging: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+  private val msgType = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message graft_zone_write { optional int64 rid; " +
+        "optional int64 a; optional int64 b; }")
+  private val conf = new Configuration()
+  private val factory = {
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(msgType, conf)
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      msgType)
+  }
+  private val writer = org.apache.parquet.hadoop.example
+    .ExampleParquetWriter.builder(new Path(s"$staging/$fileName"))
+    .withConf(conf)
+    .withCompressionCodec(
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+    .build()
+  private var la = Long.MaxValue; private var ha = Long.MinValue
+  private var lb = Long.MaxValue; private var hb = Long.MinValue
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val (rid, a, b) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val g = factory.newGroup()
+    g.add("rid", rid); g.add("a", a); g.add("b", b)
+    writer.write(g)
+    if (a < la) la = a; if (a > ha) ha = a
+    if (b < lb) lb = b; if (b > hb) hb = b
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    ZoneWriteMsg(fileName, la, ha, lb, hb, n)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    val p = new Path(s"$staging/$fileName")
+    p.getFileSystem(new Configuration()).delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class ZoneMapScanBuilder(

@@ -256,6 +256,51 @@ class ZoneMapSourceSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq)
   }
 
+  test("v2 write path: batches commit atomically with exact zone " +
+    "stats, a failed write leaves nothing visible, and batch ids are " +
+    "immutable") {
+    val dir = tmpDir("zonemap_dsv2_write")
+    def save(df: org.apache.spark.sql.DataFrame, b: Long): Unit =
+      df.write.format("graft.sources.ZoneMapSource")
+        .option("batch", b).mode("append").save(dir)
+    save(rows.filter(pmod(col("rid"), lit(2)) === 0), 0L)
+    save(rows.filter(pmod(col("rid"), lit(2)) === 1), 1L)
+    val v = spark.read.format("graft.sources.ZoneMapSource").load(dir)
+    // round-trip exact
+    assert(v.count() == rows.count())
+    assert(v.agg(sum(col("rid")), sum(col("a")), sum(col("b")))
+      .collect()(0) ==
+      rows.agg(sum(col("rid")), sum(col("a")), sum(col("b")))
+        .collect()(0))
+    // the committed zone rows carry the true per-batch stats
+    val half0 = rows.filter(pmod(col("rid"), lit(2)) === 0)
+    val want = half0.agg(min(col("a")), max(col("a")), min(col("b")),
+      max(col("b")), count(lit(1))).collect()(0)
+    val z0 = graft.sources.ZoneMapSource.zoneRows(dir)
+      .find(_.file == "batch=0").get
+    assert((z0.la, z0.ha, z0.lb, z0.hb, z0.n) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2),
+        want.getLong(3), want.getLong(4))))
+    // a mid-write task failure aborts: nothing becomes visible and no
+    // staging survives
+    val boom = rows.select(
+      when(col("rid") % 997 === 3,
+        (lit(1) / lit(0)).cast("long")) // ANSI division error mid-task
+        .otherwise(col("rid")).as("rid"), col("a"), col("b"))
+    intercept[Exception] { save(boom, 2L) }
+    assert(v.count() == rows.count(), "failed write changed the table")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith(".w_staging"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // batch ids are immutable
+    val dup = intercept[Exception] {
+      save(rows.limit(5).selectExpr("rid", "a", "b"), 1L)
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
   test("time travel: asof pins the batch horizon, a compacted snapshot " +
     "throws, and deletion vectors stay retroactive") {
     val dir = tmpDir("zonemap_dsv2_asof")
