@@ -2421,6 +2421,47 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // CHANGE FEED — incremental consumption on the zone table:
+    // `.option("changesfrom", F)` reads exactly the batches in
+    // (F, asof|latest] — what a downstream materialization reads to
+    // catch up, the batch twin of the table's streaming source
+    // (whose offsets use the same protocol). The delta is served from
+    // the file index in O(new files); a delta that OPTIMIZE compacted
+    // away throws rather than serving wrong rows (spec-pinned). At
+    // 100 TB this is the difference between re-reading the table and
+    // reading the day's arrivals. Batches land through the V2 write
+    // path, so this query also round-trips the writer.
+    QueryDef(
+      "q_layout_changes",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src WHERE rid % 3 >= 1
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_zonechanges_${dir.hashCode.toHexString}"
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      (0 until 3).foreach { w =>
+        rows.filter(pmod(col("rid"), lit(3)) === w)
+          .write.format("graft.sources.ZoneMapSource")
+          .option("batch", w.toLong).mode("append").save(table)
+      }
+      s.read.format("graft.sources.ZoneMapSource")
+        .option("changesfrom", 0L).load(table)
+        .groupBy(pmod(col("rid"), lit(5)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("long").as("sa"),
+          sum(col("b")).cast("long").as("sb"))
+    },
+
+    // ------------------------------------------------------------------
     // V2 WRITE PATH — zoneIngestBatch re-expressed through the
     // engine's native writer surface (SupportsWrite/BatchWrite):
     // `.write.format(...).option("batch", id).mode("append")` runs

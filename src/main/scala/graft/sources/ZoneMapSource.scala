@@ -24,7 +24,9 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,6 +114,24 @@ private[graft] object ZoneMapSource {
     if (v == null) None else Some(v.toLong)
   }
 
+  /** The `changesfrom` read option — a change-feed low watermark: the
+    * batch read serves exactly batches in (changesfrom, asof|latest].
+    * This is the INCREMENTAL consumption protocol (what a downstream
+    * materialization reads to catch up), same semantics as the
+    * streaming source's offsets. */
+  def changesFromOf(options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = options.get("changesfrom")
+    if (v == null) None else Some(v.toLong)
+  }
+
+  /** Zone rows for the (from, to] change feed. */
+  def zoneRowsBetween(dir: String, from: Long, to: Long): Seq[ZoneRow] = {
+    val conf = hadoopConf()
+    graft.streaming.Streaming.zoneVisiblePartsBetween(
+      SparkSession.active, dir, "zones", from, to)
+      .flatMap(part => readZonePart(dir, part, conf))
+  }
+
   /** Leaf parquet part-files under a visible data part name. */
   def partFiles(dir: String, part: String): Seq[(String, Long)] = {
     val p = new Path(s"$dir/data/$part")
@@ -161,32 +181,36 @@ private[graft] object ZoneMapSource {
     * read directly on the driver — one tiny row per file, no job. */
   def zoneRows(dir: String, asOf: Option[Long] = None): Seq[ZoneRow] = {
     val conf = hadoopConf()
-    visibleParts(dir, "zones", asOf).flatMap { part =>
-      val p = new Path(s"$dir/zones/$part")
-      val fs = p.getFileSystem(conf)
-      val files = fs.listFiles(p, true)
-      val out = ArrayBuffer.empty[ZoneRow]
-      while (files.hasNext) {
-        val st = files.next()
-        val n = st.getPath.getName
-        if (n.startsWith("part-") && n.endsWith(".parquet")) {
-          val rd = ParquetReader
-            .builder(new GroupReadSupport(), st.getPath)
-            .withConf(conf).build()
-          try {
-            var g = rd.read()
-            while (g != null) {
-              out += ZoneRow(g.getString("file", 0),
-                g.getLong("la", 0), g.getLong("ha", 0),
-                g.getLong("lb", 0), g.getLong("hb", 0),
-                g.getLong("n", 0))
-              g = rd.read()
-            }
-          } finally rd.close()
-        }
+    visibleParts(dir, "zones", asOf)
+      .flatMap(part => readZonePart(dir, part, conf))
+  }
+
+  private def readZonePart(
+      dir: String, part: String, conf: Configuration): Seq[ZoneRow] = {
+    val p = new Path(s"$dir/zones/$part")
+    val fs = p.getFileSystem(conf)
+    val files = fs.listFiles(p, true)
+    val out = ArrayBuffer.empty[ZoneRow]
+    while (files.hasNext) {
+      val st = files.next()
+      val n = st.getPath.getName
+      if (n.startsWith("part-") && n.endsWith(".parquet")) {
+        val rd = ParquetReader
+          .builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        try {
+          var g = rd.read()
+          while (g != null) {
+            out += ZoneRow(g.getString("file", 0),
+              g.getLong("la", 0), g.getLong("ha", 0),
+              g.getLong("lb", 0), g.getLong("hb", 0),
+              g.getLong("n", 0))
+            g = rd.read()
+          }
+        } finally rd.close()
       }
-      out.toSeq
     }
+    out.toSeq
   }
 
   /** Dir-relative part-file key — what deletion vectors are keyed by:
@@ -364,11 +388,14 @@ private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ZoneMapScanBuilder(path, tableSchema,
-      ZoneMapSource.asOfOf(options))
+      ZoneMapSource.asOfOf(options),
+      ZoneMapSource.changesFromOf(options))
   override def newWriteBuilder(
       info: LogicalWriteInfo): WriteBuilder =
     new ZoneMapWriteBuilder(path, info)
@@ -391,19 +418,126 @@ private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
 
 private[sources] class ZoneMapWriteBuilder(
     path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  private def checkSchema(): Unit = {
+    val schema = info.schema()
+    require(schema.fieldNames.toSeq == Seq("rid", "a", "b") &&
+      schema.fields.forall(_.dataType == LongType),
+      s"zone-map ingest contract is (rid, a, b) BIGINT; got $schema")
+  }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val schema = info.schema()
-      require(schema.fieldNames.toSeq == Seq("rid", "a", "b") &&
-        schema.fields.forall(_.dataType == LongType),
-        s"zone-map ingest contract is (rid, a, b) BIGINT; got $schema")
+      checkSchema()
       val batch = info.options().get("batch")
       require(batch != null,
         "zone-map writes need .option(\"batch\", <id>) — the batch id " +
           "is the table's visibility and time-travel unit")
       new ZoneMapBatchWrite(path, batch.toLong, info.queryId())
     }
+    // STREAMING SINK: the micro-batch epoch IS the batch id, which is
+    // what makes the sink exactly-once under the engine's replay
+    // contract — a failed/restarted epoch is RE-DELIVERED with the
+    // same id, and commit() treats an already-published id as a
+    // no-op (the reference service's un-acked-message redelivery
+    // semantics, enforced by the table's own commit protocol).
+    override def toStreaming: StreamingWrite = {
+      checkSchema()
+      new ZoneMapStreamingWrite(path, info.queryId())
+    }
   }
+}
+
+/** The shared driver-side commit: move exactly the committed files
+  * into `data/batch=<id>`, then publish the folded zone row LAST (the
+  * commit point). An orphan `data/batch=<id>` WITHOUT its zone row is
+  * a crash leftover — invisible, so it is deleted and re-published. */
+private[sources] object ZoneMapCommit {
+  def publish(path: String, batchId: Long, staging: String,
+      messages: Array[WriterCommitMessage], uid: String): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val target = new Path(s"$path/data/batch=$batchId")
+    if (fs.exists(target)) {
+      // data landed but the zone row (the commit point) did not: a
+      // crash between the two renames — the leftover was never
+      // visible, so clean and publish fresh
+      require(fs.delete(target, true),
+        s"commit: cannot clear crash leftover $target")
+    }
+    val msgs = messages.toSeq.map(_.asInstanceOf[ZoneWriteMsg])
+      .filter(_.n > 0)
+    require(msgs.nonEmpty, s"zone-map write of batch=$batchId is empty")
+    // move exactly the committed files — never the staging dir
+    // wholesale, which may hold orphans from retried tasks
+    val dataStage = new Path(s"$path/.commit_staging_$uid")
+    require(fs.mkdirs(dataStage), s"cannot create $dataStage")
+    msgs.foreach { m =>
+      val src = new Path(staging, m.file)
+      require(fs.rename(src, new Path(dataStage, m.file)),
+        s"commit: rename $src failed with all copies intact")
+    }
+    require(fs.rename(dataStage, target),
+      s"commit: publishing $target failed with staging intact")
+    // the batch zone row publishes LAST — it is the commit point
+    import spark.implicits._
+    val zoneStage = s"$path/.z_staging_$uid"
+    Seq((s"batch=$batchId", msgs.map(_.la).min, msgs.map(_.ha).max,
+      msgs.map(_.lb).min, msgs.map(_.hb).max, msgs.map(_.n).sum))
+      .toDF("file", "la", "ha", "lb", "hb", "n")
+      .coalesce(1).write.mode("overwrite").parquet(zoneStage)
+    require(fs.rename(new Path(zoneStage),
+      new Path(s"$path/zones/batch=$batchId")),
+      s"commit: publishing zones/batch=$batchId failed; data staged " +
+        "but invisible (re-run or clean .commit leftovers)")
+    fs.delete(new Path(staging), true)
+  }
+
+  def committed(path: String, batchId: Long): Boolean = {
+    val p = new Path(s"$path/zones/batch=$batchId")
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .exists(p)
+  }
+
+  def dropStaging(staging: String): Unit = {
+    val p = new Path(staging)
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+      .delete(p, true)
+  }
+}
+
+/** Exactly-once streaming sink: epoch = batch id; a re-delivered
+  * epoch (failure replay) finds its zone row already published and
+  * commits as a no-op. */
+private[graft] class ZoneMapStreamingWrite(path: String, queryId: String)
+    extends StreamingWrite {
+  private def staging(epoch: Long) = s"$path/.w_staging_${queryId}_$epoch"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ZoneMapStreamingWriterFactory(path, queryId)
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (ZoneMapCommit.committed(path, epochId)) {
+      // re-delivered epoch: already visible — exactly-once means drop
+      ZoneMapCommit.dropStaging(staging(epochId))
+      return
+    }
+    ZoneMapCommit.publish(path, epochId, staging(epochId), messages,
+      s"${queryId}_$epochId")
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ZoneMapCommit.dropStaging(staging(epochId))
+}
+
+private[graft] class ZoneMapStreamingWriterFactory(
+    path: String, queryId: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ZoneMapDataWriter(
+      s"$path/.w_staging_${queryId}_$epochId", partitionId, taskId)
 }
 
 private[sources] final case class ZoneWriteMsg(
@@ -419,49 +553,17 @@ private[sources] class ZoneMapBatchWrite(
     new ZoneMapWriterFactory(staging)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val (fs, _) = {
-      val p = new Path(path)
-      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-    }
-    val target = new Path(s"$path/data/batch=$batchId")
-    require(!fs.exists(target),
-      s"zone-map batch=$batchId already exists under $path/data " +
+    // batch ids are immutable for EXPLICIT writes: a visible (zone row
+    // published) id must not be rewritten — unlike the streaming
+    // sink's epochs, where re-delivery of a committed id is a no-op
+    require(!ZoneMapCommit.committed(path, batchId),
+      s"zone-map batch=$batchId already exists under $path " +
         "(batch ids are immutable — pick a fresh one)")
-    val msgs = messages.toSeq.map(_.asInstanceOf[ZoneWriteMsg])
-      .filter(_.n > 0)
-    require(msgs.nonEmpty, s"zone-map write of batch=$batchId is empty")
-    // move exactly the committed files — never the staging dir
-    // wholesale, which may hold orphans from retried tasks
-    val dataStage = new Path(s"$path/.commit_staging_$queryId")
-    require(fs.mkdirs(dataStage), s"cannot create $dataStage")
-    msgs.foreach { m =>
-      val src = new Path(staging, m.file)
-      require(fs.rename(src, new Path(dataStage, m.file)),
-        s"commit: rename $src failed with all copies intact")
-    }
-    require(fs.rename(dataStage, target),
-      s"commit: publishing $target failed with staging intact")
-    // the batch zone row publishes LAST — it is the commit point
-    import spark.implicits._
-    val zoneStage = s"$path/.z_staging_$queryId"
-    Seq((s"batch=$batchId", msgs.map(_.la).min, msgs.map(_.ha).max,
-      msgs.map(_.lb).min, msgs.map(_.hb).max, msgs.map(_.n).sum))
-      .toDF("file", "la", "ha", "lb", "hb", "n")
-      .coalesce(1).write.mode("overwrite").parquet(zoneStage)
-    require(fs.rename(new Path(zoneStage),
-      new Path(s"$path/zones/batch=$batchId")),
-      s"commit: publishing zones/batch=$batchId failed; data staged " +
-        "but invisible (re-run or clean .commit leftovers)")
-    fs.delete(new Path(staging), true)
+    ZoneMapCommit.publish(path, batchId, staging, messages, queryId)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val p = new Path(staging)
-    val fs = p.getFileSystem(
-      SparkSession.active.sessionState.newHadoopConf())
-    fs.delete(p, true)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ZoneMapCommit.dropStaging(staging)
 }
 
 private[sources] class ZoneMapWriterFactory(staging: String)
@@ -525,7 +627,8 @@ private[sources] class ZoneMapDataWriter(
 }
 
 private[sources] class ZoneMapScanBuilder(
-    path: String, tableSchema: StructType, asOf: Option[Long])
+    path: String, tableSchema: StructType, asOf: Option[Long],
+    changesFrom: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN {
@@ -556,6 +659,7 @@ private[sources] class ZoneMapScanBuilder(
     }
     if (c != "a" && c != "b") return false
     if (tableSchema(c).dataType != LongType) return false
+    if (changesFrom.nonEmpty) return false // top-N is whole-snapshot
     if (ZoneMapSource.dvBitmaps(path).nonEmpty) return false
     topN = Some(TopNPush(
       c, o.direction() == SortDirection.ASCENDING, limit))
@@ -602,6 +706,7 @@ private[sources] class ZoneMapScanBuilder(
         case f => col(f).exists(c => (c == "a" || c == "b") &&
           tableSchema(c).dataType == LongType)
       } &&
+      changesFrom.isEmpty && // stats-only serving is whole-snapshot
       ZoneMapSource.dvBitmaps(path).isEmpty &&
       ZoneMapSource.zoneRows(path, asOf).nonEmpty // min/max need >=1 file
   }
@@ -617,7 +722,8 @@ private[sources] class ZoneMapScanBuilder(
 
   override def build(): Scan = servedAgg match {
     case Some(agg) => new ZoneMapStatsScan(path, agg, asOf)
-    case None => new ZoneMapScan(path, required, pushed, asOf, topN)
+    case None =>
+      new ZoneMapScan(path, required, pushed, asOf, topN, changesFrom)
   }
 }
 
@@ -691,7 +797,8 @@ private[graft] final case class TopNPush(
 
 private[sources] class ZoneMapScan(
     path: String, required: StructType, pushed: Array[Filter],
-    asOf: Option[Long] = None, topN: Option[TopNPush] = None)
+    asOf: Option[Long] = None, topN: Option[TopNPush] = None,
+    changesFrom: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -701,8 +808,14 @@ private[sources] class ZoneMapScan(
   // `asOf` pins the snapshot horizon (time travel); deletion vectors
   // still apply CURRENT-generation — deletes are retroactive, so a
   // historical read never resurrects a deleted row
-  private lazy val zones: Seq[ZoneRow] =
-    ZoneMapSource.zoneRows(path, asOf)
+  private lazy val zones: Seq[ZoneRow] = changesFrom match {
+    case Some(from) =>
+      // change feed: exactly batches in (from, asof|latest]
+      val to = asOf.getOrElse(graft.streaming.Streaming
+        .zoneLatestBatch(SparkSession.active, path))
+      ZoneMapSource.zoneRowsBetween(path, from, to)
+    case None => ZoneMapSource.zoneRows(path, asOf)
+  }
 
   // ------------------------------------------------------------------
   // Runtime filtering — DPP composed with the zone index: when this
@@ -828,6 +941,7 @@ private[sources] class ZoneMapScan(
     * what the runtime keys pruned). */
   override def description(): String =
     s"graft_zonemap $path, " +
+      changesFrom.map(f => s"changes: batch>$f, ").getOrElse("") +
       asOf.map(h => s"asof: batch<=$h, ").getOrElse("") +
       topN.map(t => s"topN: ${t.col} ${if (t.asc) "asc" else "desc"}" +
         s" limit ${t.k}, ").getOrElse("") +
@@ -855,6 +969,70 @@ private[sources] class ZoneMapScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ZoneMapReaderFactory(required)
+
+  // ------------------------------------------------------------------
+  // STREAMING SOURCE — the same table as a micro-batch stream: offsets
+  // ARE batch ids, so each trigger reads exactly the batches published
+  // since the last committed offset (the change-feed protocol above,
+  // driven by the engine's own offset log for exactly-once resume).
+  // Pushed boxes still prune WITHIN the delta batches — a filtered
+  // streaming reader skips files the same way a batch reader does.
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new ZoneMapMicroBatchStream(path, required, pushed)
+}
+
+/** Offsets are plain batch-id watermarks. */
+private[graft] case class ZoneMapOffset(batch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = batch.toString
+}
+
+private[graft] class ZoneMapMicroBatchStream(
+    path: String, required: StructType, pushed: Array[Filter])
+    extends MicroBatchStream {
+  private val box = ZoneBox.from(pushed.toSeq)
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ZoneMapOffset(-1L) // a fresh consumer reads everything visible
+
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ZoneMapOffset(graft.streaming.Streaming.zoneLatestBatch(
+      SparkSession.active, path))
+
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ZoneMapOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val (from, to) = (start.asInstanceOf[ZoneMapOffset].batch,
+      end.asInstanceOf[ZoneMapOffset].batch)
+    if (to <= from) return Array.empty
+    val dv = ZoneMapSource.dvBitmaps(path)
+    ZoneMapSource.zoneRowsBetween(path, from, to)
+      .filter(box.admits).sortBy(_.file)
+      .flatMap(z => ZoneMapSource.partFiles(path, z.file))
+      .map { f =>
+        val (buckets, words) = dv.getOrElse(
+          ZoneMapSource.relPath(f._1),
+          (Array.emptyLongArray, Array.emptyLongArray))
+        ZoneMapInputPartition(f._1, buckets, words): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZoneMapReaderFactory(required)
+
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
+    () // the engine's offset log is the source of truth
+
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class ZoneMapInputPartition(

@@ -854,6 +854,51 @@ object Streaming {
       }
   }
 
+  /** CHANGE-FEED visibility: the parts covering exactly batches in
+    * (from, to] — the incremental consumer's resume protocol. With
+    * the newest generation opt=K: K <= from means the delta is pure
+    * raw batches; from == -1 (a fresh consumer) reads the generation
+    * plus everything after it (batch ids are non-negative, so opt=K
+    * covers exactly (-1, K]); anything else means OPTIMIZE compacted
+    * part of the requested delta away — throw, never serve a wrong
+    * delta. */
+  private[graft] def zoneVisiblePartsBetween(
+      spark: SparkSession, dir: String, sub: String,
+      from: Long, to: Long): Seq[String] = {
+    val (fs, root) = tableFs(spark, s"$dir/$sub")
+    if (!fs.exists(root)) return Nil
+    val st = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val opts = st.filter(_.startsWith("opt="))
+      .map(n => n.drop(4).toLong -> n)
+    val newest = opts.sortBy(-_._1).headOption
+    val k = newest.map(_._1).getOrElse(Long.MinValue)
+    val base =
+      if (k <= from) Nil
+      else if (from == -1L) newest.map(_._2).toSeq
+      else throw new IllegalArgumentException(
+        s"zone table $dir: the delta ($from, $to] was compacted away " +
+          s"by OPTIMIZE (newest generation covers batches <= $k)")
+    base ++ st.filter { n =>
+      n.startsWith("batch=") && {
+        val b = n.drop(6).toLong
+        b > math.max(from, k) && b <= to
+      }
+    }
+  }
+
+  /** Newest visible batch id (the change-feed high watermark): the
+    * newest generation's horizon or any raw batch beyond it. */
+  private[graft] def zoneLatestBatch(
+      spark: SparkSession, dir: String): Long = {
+    val (fs, root) = tableFs(spark, s"$dir/zones")
+    if (!fs.exists(root)) return -1L
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("opt=") => n.drop(4).toLong
+      case n if n.startsWith("batch=") => n.drop(6).toLong
+    }
+    if (ids.isEmpty) -1L else ids.max
+  }
+
   /** One micro-batch of zone-map-indexed ingest. `batch` must carry
     * (rid, a, b); the data file and its stats row commit under the
     * same `batch=<id>` name in data/ and zones/. */

@@ -301,6 +301,130 @@ class ZoneMapSourceSpec extends SparkSpec {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("streaming sink: epochs become batches through the v2 write, a " +
+    "re-delivered epoch is a no-op, and a crash leftover re-publishes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("zonemap_dsv2_sink") + "/t"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = mem.toDF().toDF("rid", "a", "b")
+      .writeStream.format("graft.sources.ZoneMapSource")
+      .option("checkpointLocation", tmpDir("zonemap_sink_ckpt"))
+      .outputMode("append").start(dir)
+    try {
+      mem.addData((1L, 10L, 100L), (2L, 20L, 200L))
+      q.processAllAvailable()
+      mem.addData((3L, 30L, 300L))
+      q.processAllAvailable()
+      val v = spark.read.format("graft.sources.ZoneMapSource").load(dir)
+      assert(v.count() == 3)
+      // each epoch is one visible batch with true stats
+      val zs = graft.sources.ZoneMapSource.zoneRows(dir)
+        .sortBy(_.file)
+      assert(zs.map(_.file) == Seq("batch=0", "batch=1"), zs)
+      assert(zs.head.n == 2 && zs.head.la == 10 && zs.head.ha == 20)
+    } finally q.stop()
+    // exactly-once: a RE-DELIVERED committed epoch commits as a no-op
+    val sw = new graft.sources.ZoneMapStreamingWrite(dir, "redeliver")
+    sw.commit(1L, Array.empty) // batch=1 already visible: must not throw
+    assert(spark.read.format("graft.sources.ZoneMapSource").load(dir)
+      .count() == 3)
+    // crash leftover: data/batch=K without its zone row was never
+    // visible — a re-commit clears it and publishes fresh
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    rows.limit(4).write.mode("overwrite")
+      .parquet(s"$dir/data/batch=7") // simulated half-commit leftover
+    assert(spark.read.format("graft.sources.ZoneMapSource").load(dir)
+      .count() == 3, "zone-row-less data must stay invisible")
+    Seq((9L, 90L, 900L)).toDF("rid", "a", "b")
+      .write.format("graft.sources.ZoneMapSource")
+      .option("batch", 7L).mode("append").save(dir)
+    val after = spark.read.format("graft.sources.ZoneMapSource")
+      .load(dir)
+    assert(after.count() == 4, "recovered batch=7 must hold ONLY the " +
+      "fresh row, not the crash leftover")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/zones/batch=7")))
+  }
+
+  test("streaming source: readStream serves each published batch " +
+    "exactly once, resumes from the checkpoint, and a compacted delta " +
+    "throws") {
+    import spark.implicits._
+    val dir = tmpDir("zonemap_dsv2_src") + "/t"
+    def save(w: Int): Unit =
+      rows.filter(pmod(col("rid"), lit(3)) === w)
+        .write.format("graft.sources.ZoneMapSource")
+        .option("batch", w.toLong).mode("append").save(dir)
+    save(0)
+    // phase 1: incremental arrival into a memory sink (fresh query)
+    val q = spark.readStream
+      .format("graft.sources.ZoneMapSource").load(dir)
+      .writeStream.format("memory").queryName("zm_src")
+      .option("checkpointLocation", tmpDir("zonemap_src_memckpt"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zm_src").count() ==
+        rows.filter(pmod(col("rid"), lit(3)) === 0).count())
+      save(1)
+      q.processAllAvailable()
+      assert(spark.table("zm_src").count() ==
+        rows.filter(pmod(col("rid"), lit(3)) <= 1).count())
+    } finally q.stop()
+    // phase 2: the medallion hop — stream table A into table B through
+    // the table's OWN sink, then restart from the checkpoint and prove
+    // only the new batch travels
+    val dirB = tmpDir("zonemap_dsv2_srcB") + "/t"
+    val ckpt = tmpDir("zonemap_src_ckpt")
+    def pipe() = spark.readStream
+      .format("graft.sources.ZoneMapSource").load(dir)
+      .writeStream.format("graft.sources.ZoneMapSource")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .start(dirB)
+    val q2 = pipe()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val b1 = spark.read.format("graft.sources.ZoneMapSource").load(dirB)
+    assert(b1.count() ==
+      rows.filter(pmod(col("rid"), lit(3)) <= 1).count())
+    save(2)
+    val q3 = pipe() // restart from the checkpoint
+    try { q3.processAllAvailable() } finally { q3.stop() }
+    val b2 = spark.read.format("graft.sources.ZoneMapSource").load(dirB)
+    assert(b2.count() == rows.count(),
+      "restarted pipeline must deliver exactly the new batch")
+    // B saw exactly two epochs: the catch-up batch and the resumed one
+    assert(graft.sources.ZoneMapSource.zoneRows(dirB).size == 2,
+      graft.sources.ZoneMapSource.zoneRows(dirB).map(_.file).toString)
+    // change feed, batch form: (0, latest] = batches 1 and 2
+    val delta = spark.read.format("graft.sources.ZoneMapSource")
+      .option("changesfrom", 0L).load(dir)
+    assert(delta.count() ==
+      rows.filter(pmod(col("rid"), lit(3)) >= 1).count())
+    assert(batchScan(delta).scan.description()
+      .contains("changes: batch>0"), batchScan(delta).scan.description())
+    // pushed boxes prune WITHIN the delta
+    val (alo, ahi, _, _) = box
+    val boxed = spark.read.format("graft.sources.ZoneMapSource")
+      .option("changesfrom", 0L).load(dir)
+      .filter(col("a").between(alo, ahi))
+    assert(boxed.count() ==
+      rows.filter(pmod(col("rid"), lit(3)) >= 1 &&
+        col("a").between(alo, ahi)).count())
+    // a compacted delta throws rather than serving wrong rows
+    graft.streaming.Streaming.zoneOptimize(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.ZoneMapSource")
+        .option("changesfrom", 0L).load(dir).count()
+    }
+    assert(e.getMessage.contains("compacted away"), e.getMessage)
+    // ...but a fresh consumer (changesfrom=-1) reads the generation
+    assert(spark.read.format("graft.sources.ZoneMapSource")
+      .option("changesfrom", -1L).load(dir).count() == rows.count())
+  }
+
   test("time travel: asof pins the batch horizon, a compacted snapshot " +
     "throws, and deletion vectors stay retroactive") {
     val dir = tmpDir("zonemap_dsv2_asof")
