@@ -2421,6 +2421,56 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // SQL CATALOG — plain SQL drives the whole table format through a
+    // V2 TableCatalog (sources/ZoneCatalog): CREATE TABLE makes the
+    // directory + a declared-schema sidecar, INSERT INTO runs the
+    // transactional writer with AUTO-ASSIGNED batch ids (latest+1 at
+    // commit — SQL has no writer options), SELECT plans the
+    // zone-pruned v2 scan, and VERSION AS OF v resolves through
+    // loadTable(ident, version) to the same snapshot pinning the
+    // reader's asof option uses. This query is DDL + DML + time
+    // travel end to end in SQL: create, two inserts (becoming batches
+    // 0 and 1), then a union of the VERSION AS OF 0 snapshot and the
+    // current table — the oracle re-derives both snapshots from the
+    // wave predicates. DDL is directory algebra; everything
+    // transactional is the table's own commit protocol, which is why
+    // a catalog this small is complete.
+    QueryDef(
+      "q_catalog_sql",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem)
+        |SELECT 0 AS snap, rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src WHERE rid % 2 = 0 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 1 AS snap, rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = s"/tmp/graft_warehouse_${dir.hashCode.toHexString}"
+      s.conf.set("spark.sql.catalog.zm",
+        classOf[graft.sources.ZoneCatalog].getName)
+      s.conf.set("spark.sql.catalog.zm.warehouse", wh)
+      t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+        .createOrReplaceTempView("zm_src")
+      s.sql("DROP TABLE IF EXISTS zm.db.fact")
+      s.sql("CREATE TABLE zm.db.fact (rid BIGINT, a BIGINT, b BIGINT)")
+      s.sql("INSERT INTO zm.db.fact SELECT * FROM zm_src WHERE rid % 2 = 0")
+      s.sql("INSERT INTO zm.db.fact SELECT * FROM zm_src WHERE rid % 2 = 1")
+      s.sql(
+        """SELECT 0 AS snap, rid % 5 AS g, count(*) AS n,
+          |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+          |FROM zm.db.fact VERSION AS OF 0 GROUP BY 1, 2
+          |UNION ALL
+          |SELECT 1 AS snap, rid % 5 AS g, count(*) AS n,
+          |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+          |FROM zm.db.fact GROUP BY 1, 2""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // CHANGE FEED — incremental consumption on the zone table:
     // `.option("changesfrom", F)` reads exactly the batches in
     // (F, asof|latest] — what a downstream materialization reads to

@@ -1,0 +1,113 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource V2 CATALOG over a warehouse directory of zone-map
+  * tables — the last integration surface after the read/write/stream
+  * connector: plain SQL drives the table format end to end,
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.zm", classOf[ZoneCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.zm.warehouse", "/data/zm")
+  *   CREATE TABLE zm.db.events (rid BIGINT, a BIGINT, b BIGINT)
+  *   INSERT INTO zm.db.events SELECT ...   -- batch id auto-assigned
+  *   SELECT ... FROM zm.db.events          -- zone-pruned v2 scan
+  *   SELECT ... FROM zm.db.events VERSION AS OF 1   -- time travel
+  * }}}
+  * Tables live at `<warehouse>/<namespace...>/<name>`; CREATE writes a
+  * declared-schema sidecar so an empty table loads before its first
+  * insert; `VERSION AS OF v` resolves through
+  * `loadTable(ident, version)` to a snapshot-pinned table (the same
+  * `asof` the reader option uses). DDL is directory algebra — create
+  * is mkdir+sidecar, drop is a recursive delete, rename is one
+  * filesystem rename — because the table's own commit protocol
+  * already owns everything transactional.
+  */
+class ZoneCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = new Path(warehouse).getFileSystem(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(new Path(dirOf(ident)))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(ns)) return Array.empty
+    fs.listStatus(ns).filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    new ZoneMapTable(dir, ZoneMapSource.dataSchema(dir))
+  }
+
+  /** SQL time travel: `VERSION AS OF v` pins the snapshot exactly like
+    * the reader's `asof` option. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    new ZoneMapTable(dir, ZoneMapSource.dataSchema(dir),
+      Some(version.toLong))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "zone-map tables cluster by OPTIMIZE ZORDER, not declared " +
+        "partitions")
+    require(schema.fieldNames.toSeq == Seq("rid", "a", "b") &&
+      schema.fields.forall(_.dataType == LongType),
+      s"zone-map table contract is (rid, a, b) BIGINT; got $schema")
+    val dir = dirOf(ident)
+    require(fs.mkdirs(new Path(dir)), s"cannot create $dir")
+    ZoneMapSource.writeSchemaMeta(dir, schema)
+    new ZoneMapTable(dir, schema)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "zone-map tables are append-only with a fixed (rid, a, b) schema")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(new Path(dirOf(ident)), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    require(fs.rename(new Path(dirOf(from)), new Path(dirOf(to))),
+      s"rename ${dirOf(from)} -> ${dirOf(to)} failed")
+  }
+}

@@ -152,11 +152,38 @@ private[graft] object ZoneMapSource {
     * schema lesson, applied from day one here). Supported leaf types:
     * INT32/INT64/DOUBLE/BINARY-UTF8, which covers the zone table's
     * numeric contract plus string payloads. */
+  /** Declared-schema sidecar written by the catalog's CREATE TABLE —
+    * the fallback that lets an EMPTY created table be loaded before
+    * its first insert. */
+  def writeSchemaMeta(dir: String, schema: StructType): Unit = {
+    val p = new Path(s"$dir/_table_meta.json")
+    val out = p.getFileSystem(hadoopConf()).create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readSchemaMeta(dir: String): Option[StructType] = {
+    val p = new Path(s"$dir/_table_meta.json")
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      Some(DataType.fromJson(new String(bytes, "UTF-8"))
+        .asInstanceOf[StructType])
+    } finally in.close()
+  }
+
   def dataSchema(dir: String): StructType = {
     val first = visibleParts(dir, "data").iterator
       .flatMap(p => partFiles(dir, p).headOption)
-      .toSeq.headOption.getOrElse(throw new IllegalArgumentException(
-        s"no visible data files under $dir/data"))
+      .toSeq.headOption.getOrElse {
+        readSchemaMeta(dir) match {
+          case Some(st) => return st
+          case None => throw new IllegalArgumentException(
+            s"no visible data files under $dir/data")
+        }
+      }
     val in = HadoopInputFile.fromPath(new Path(first._1), hadoopConf())
     val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
@@ -382,7 +409,8 @@ private[graft] object ZoneBox {
   }
 }
 
-private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
+private[graft] class ZoneMapTable(path: String, tableSchema: StructType,
+    defaultAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_zonemap($path)"
   override def schema(): StructType = tableSchema
@@ -394,7 +422,7 @@ private[sources] class ZoneMapTable(path: String, tableSchema: StructType)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ZoneMapScanBuilder(path, tableSchema,
-      ZoneMapSource.asOfOf(options),
+      ZoneMapSource.asOfOf(options).orElse(defaultAsOf),
       ZoneMapSource.changesFromOf(options))
   override def newWriteBuilder(
       info: LogicalWriteInfo): WriteBuilder =
@@ -427,11 +455,11 @@ private[sources] class ZoneMapWriteBuilder(
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       checkSchema()
-      val batch = info.options().get("batch")
-      require(batch != null,
-        "zone-map writes need .option(\"batch\", <id>) — the batch id " +
-          "is the table's visibility and time-travel unit")
-      new ZoneMapBatchWrite(path, batch.toLong, info.queryId())
+      // an explicit batch id is the writer-API contract (immutable,
+      // time-travel unit); SQL INSERT INTO has no options, so a
+      // missing id auto-assigns latest+1 at commit time
+      val batch = Option(info.options().get("batch")).map(_.toLong)
+      new ZoneMapBatchWrite(path, batch, info.queryId())
     }
     // STREAMING SINK: the micro-batch epoch IS the batch id, which is
     // what makes the sink exactly-once under the engine's replay
@@ -545,7 +573,8 @@ private[sources] final case class ZoneWriteMsg(
     extends WriterCommitMessage
 
 private[sources] class ZoneMapBatchWrite(
-    path: String, batchId: Long, queryId: String) extends BatchWrite {
+    path: String, explicit: Option[Long], queryId: String)
+    extends BatchWrite {
   private def staging = s"$path/.w_staging_$queryId"
 
   override def createBatchWriterFactory(
@@ -553,6 +582,9 @@ private[sources] class ZoneMapBatchWrite(
     new ZoneMapWriterFactory(staging)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val batchId = explicit.getOrElse(
+      graft.streaming.Streaming.zoneLatestBatch(
+        SparkSession.active, path) + 1)
     // batch ids are immutable for EXPLICIT writes: a visible (zone row
     // published) id must not be rewritten — unlike the streaming
     // sink's epochs, where re-delivery of a committed id is a no-op

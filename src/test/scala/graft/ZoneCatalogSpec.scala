@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL face of the zone-map table format: DDL is directory
+  * algebra, DML is the table's own transactional writer, reads are the
+  * pruned v2 scan, and VERSION AS OF is the reader's asof pinning.
+  * [[ZoneMapSourceSpec]] owns the connector internals; this spec owns
+  * what a SQL user can do. */
+class ZoneCatalogSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val w = tmpDir("zone_warehouse")
+    spark.conf.set("spark.sql.catalog.zmt",
+      classOf[graft.sources.ZoneCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zmt.warehouse", w)
+    w
+  }
+
+  private def rows = Tables(spark, sfDir, "lineitem").selectExpr(
+    "l_orderkey * 10 + l_linenumber AS rid",
+    "l_partkey AS a", "l_suppkey AS b")
+
+  test("CREATE / INSERT / SELECT / VERSION AS OF / SHOW / RENAME / " +
+    "DROP all work through plain SQL") {
+    wh
+    rows.createOrReplaceTempView("zc_src")
+    spark.sql("CREATE TABLE zmt.db.t (rid BIGINT, a BIGINT, b BIGINT)")
+    // an EMPTY created table loads (schema from the sidecar) and scans
+    assert(spark.sql("SELECT * FROM zmt.db.t").count() == 0)
+    spark.sql("INSERT INTO zmt.db.t SELECT * FROM zc_src WHERE rid % 2 = 0")
+    spark.sql("INSERT INTO zmt.db.t SELECT * FROM zc_src WHERE rid % 2 = 1")
+    assert(spark.sql("SELECT count(*) FROM zmt.db.t")
+      .collect()(0).getLong(0) == rows.count())
+    // auto-assigned batch ids 0 and 1; VERSION AS OF 0 = first insert
+    assert(spark.sql("SELECT count(*) FROM zmt.db.t VERSION AS OF 0")
+      .collect()(0).getLong(0) ==
+      rows.filter(pmod(col("rid"), lit(2)) === 0).count())
+    // the read is the pruned v2 scan (zone pruning visible in-plan)
+    val boxed = spark.sql(
+      "SELECT sum(rid) FROM zmt.db.t WHERE a >= 0 AND a <= 2")
+    assert(boxed.queryExecution.executedPlan.toString
+      .contains("zones kept"),
+      boxed.queryExecution.executedPlan.toString)
+    assert(boxed.collect()(0).getLong(0) ==
+      rows.filter(col("a").between(0, 2))
+        .agg(sum(col("rid"))).collect()(0).getLong(0))
+    // catalog algebra
+    assert(spark.sql("SHOW TABLES IN zmt.db").collect()
+      .map(_.getString(1)).contains("t"))
+    // the TO identifier is resolved within the table's own catalog
+    spark.sql("ALTER TABLE zmt.db.t RENAME TO db.t2")
+    assert(spark.sql("SELECT count(*) FROM zmt.db.t2")
+      .collect()(0).getLong(0) == rows.count())
+    intercept[Exception] {
+      spark.sql("ALTER TABLE zmt.db.t2 ADD COLUMN c BIGINT")
+    }
+    spark.sql("DROP TABLE zmt.db.t2")
+    assert(spark.sql("SHOW TABLES IN zmt.db").collect().isEmpty)
+  }
+
+  test("the contract is enforced at DDL time: wrong schemas and " +
+    "declared partitions are rejected, duplicate CREATE throws") {
+    wh
+    intercept[Exception] {
+      spark.sql("CREATE TABLE zmt.db.bad (x STRING)")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE zmt.db.bad2 (rid BIGINT, a BIGINT, " +
+        "b BIGINT) PARTITIONED BY (a)")
+    }
+    spark.sql("CREATE TABLE zmt.db.once (rid BIGINT, a BIGINT, b BIGINT)")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE zmt.db.once (rid BIGINT, a BIGINT, " +
+        "b BIGINT)")
+    }
+    spark.sql("DROP TABLE zmt.db.once")
+  }
+}
