@@ -2471,6 +2471,55 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // SQL DELETE — `DELETE FROM t WHERE <range>` through the catalog
+    // becomes a deletion-vector publication (SupportsDeleteV2 →
+    // Streaming.dvDelete): per-file positional bitmaps, NO data
+    // rewrite, cost proportional to files + deletions, and the scan
+    // keeps skipping deleted ordinals while decoding. The translator
+    // accepts only predicates it can prove over the (rid, a, b)
+    // contract (comparisons + AND/OR/NOT); anything else errors up
+    // front — never wrong rows. Deletes are retroactive across
+    // snapshots (ZoneCatalogSpec pins VERSION AS OF exclusion and the
+    // single un-rewritten backing batch). The oracle applies the
+    // complementary range.
+    QueryDef(
+      "q_catalog_delete",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem),
+        |bounds AS (SELECT min(a) AS amin, max(a) AS amax FROM src),
+        |box AS (
+        |  SELECT amin + (amax - amin + 1) // 4 AS alo,
+        |    amin + (amax - amin + 1) // 2 - 1 AS ahi
+        |  FROM bounds)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src, box WHERE a < alo OR a > ahi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = s"/tmp/graft_warehouse_${dir.hashCode.toHexString}"
+      s.conf.set("spark.sql.catalog.zm",
+        classOf[graft.sources.ZoneCatalog].getName)
+      s.conf.set("spark.sql.catalog.zm.warehouse", wh)
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      rows.createOrReplaceTempView("zm_del_src")
+      val bd = rows.agg(min(col("a")), max(col("a"))).collect()(0)
+      val (amin, amax) = (bd.getLong(0), bd.getLong(1))
+      val (alo, ahi) =
+        (amin + (amax - amin + 1) / 4, amin + (amax - amin + 1) / 2 - 1)
+      s.sql("DROP TABLE IF EXISTS zm.db.del")
+      s.sql("CREATE TABLE zm.db.del (rid BIGINT, a BIGINT, b BIGINT)")
+      s.sql("INSERT INTO zm.db.del SELECT * FROM zm_del_src")
+      s.sql(s"DELETE FROM zm.db.del WHERE a >= $alo AND a <= $ahi")
+      s.sql(
+        """SELECT rid % 5 AS g, count(*) AS n,
+          |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+          |FROM zm.db.del GROUP BY 1""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // CHANGE FEED — incremental consumption on the zone table:
     // `.option("changesfrom", F)` reads exactly the batches in
     // (F, asof|latest] — what a downstream materialization reads to

@@ -17,7 +17,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
@@ -411,7 +411,8 @@ private[graft] object ZoneBox {
 
 private[graft] class ZoneMapTable(path: String, tableSchema: StructType,
     defaultAsOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
   override def name(): String = s"graft_zonemap($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -427,6 +428,95 @@ private[graft] class ZoneMapTable(path: String, tableSchema: StructType,
   override def newWriteBuilder(
       info: LogicalWriteInfo): WriteBuilder =
     new ZoneMapWriteBuilder(path, info)
+
+  // --------------------------------------------------------------------
+  // SQL DELETE — `DELETE FROM t WHERE ...` lands here and becomes a
+  // deletion-vector publication (Streaming.dvDelete): one task per
+  // visible file records matching ordinals as a positional bitmap and
+  // the driver publishes old-OR-new as the next dv generation — cost
+  // proportional to files + deletions, NO data rewrite, and the scan
+  // keeps skipping deleted ordinals while decoding. canDeleteWhere
+  // accepts only predicates this translator can prove (comparisons on
+  // the three long columns composed with AND/OR/NOT); anything else is
+  // declined so the engine reports it instead of deleting wrong rows.
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(ZoneMapTable.compilePred(_).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val fns = predicates.map(p => ZoneMapTable.compilePred(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"zone-map DELETE cannot translate: $p")))
+    graft.streaming.Streaming.dvDelete(SparkSession.active, path,
+      (rid, a, b) => fns.forall(_(rid, a, b)))
+  }
+}
+
+private[graft] object ZoneMapTable {
+  /** Compile a V2 predicate over the (rid, a, b) long contract into a
+    * row function; None = not provably translatable. */
+  def compilePred(p: Predicate)
+      : Option[(Long, Long, Long) => Boolean] = {
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        r.fieldNames.head match {
+          case "rid" => Some(0); case "a" => Some(1); case "b" => Some(2)
+          case _ => None
+        }
+      case _ => None
+    }
+    def litL(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: V2Literal[_] => l.value match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    def cmp(op: (Long, Long) => Boolean)
+        : Option[(Long, Long, Long) => Boolean] = p.children() match {
+      case Array(f, v) =>
+        for (i <- field(f); x <- litL(v))
+          yield (rid: Long, a: Long, b: Long) =>
+            op(Seq(rid, a, b)(i), x)
+      case _ => None
+    }
+    def sub(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(Long, Long, Long) => Boolean] = e match {
+      case q: Predicate => compilePred(q)
+      case _ => None
+    }
+    p.name() match {
+      case "=" => cmp(_ == _)
+      case "<" => cmp(_ < _)
+      case "<=" => cmp(_ <= _)
+      case ">" => cmp(_ > _)
+      case ">=" => cmp(_ >= _)
+      case "AND" => p.children() match {
+        case Array(l, r) => for (lf <- sub(l); rf <- sub(r))
+          yield (rid: Long, a: Long, b: Long) =>
+            lf(rid, a, b) && rf(rid, a, b)
+        case _ => None
+      }
+      case "OR" => p.children() match {
+        case Array(l, r) => for (lf <- sub(l); rf <- sub(r))
+          yield (rid: Long, a: Long, b: Long) =>
+            lf(rid, a, b) || rf(rid, a, b)
+        case _ => None
+      }
+      case "NOT" => p.children() match {
+        case Array(c) => sub(c).map(f =>
+          (rid: Long, a: Long, b: Long) => !f(rid, a, b))
+        case _ => None
+      }
+      // the ingest contract is non-null, so null checks are constants
+      case "IS_NOT_NULL" => Some((_, _, _) => true)
+      case "IS_NULL" => Some((_, _, _) => false)
+      case "ALWAYS_TRUE" => Some((_, _, _) => true)
+      case "ALWAYS_FALSE" => Some((_, _, _) => false)
+      case _ => None
+    }
+  }
 }
 
 // ----------------------------------------------------------------------

@@ -59,6 +59,37 @@ class ZoneCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN zmt.db").collect().isEmpty)
   }
 
+  test("SQL DELETE publishes deletion vectors: counts drop exactly, " +
+    "history stays retroactive, and untranslatable predicates are " +
+    "rejected — never wrong rows") {
+    wh
+    rows.createOrReplaceTempView("zc_src_del")
+    spark.sql("CREATE TABLE zmt.db.d (rid BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO zmt.db.d SELECT * FROM zc_src_del")
+    val (alo, ahi) = {
+      val r = rows.agg(min(col("a")), max(col("a"))).collect()(0)
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      (mn + (mx - mn + 1) / 4, mn + (mx - mn + 1) / 2 - 1)
+    }
+    spark.sql(s"DELETE FROM zmt.db.d WHERE a >= $alo AND a <= $ahi")
+    val want = rows.filter(!col("a").between(alo, ahi))
+    assert(spark.sql("SELECT count(*), sum(rid) FROM zmt.db.d")
+      .collect()(0) ==
+      want.agg(count(lit(1)), sum(col("rid"))).collect()(0))
+    // deletes are retroactive: the batch-0 snapshot excludes them too
+    assert(spark.sql("SELECT count(*) FROM zmt.db.d VERSION AS OF 0")
+      .collect()(0).getLong(0) == want.count())
+    // no data rewrite happened: the same single batch still backs it
+    assert(graft.sources.ZoneMapSource.zoneRows(
+      s"$wh/db/d").map(_.file) == Seq("batch=0"))
+    // a predicate the translator cannot prove is rejected up front
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM zmt.db.d WHERE rid % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    spark.sql("DROP TABLE zmt.db.d")
+  }
+
   test("the contract is enforced at DDL time: wrong schemas and " +
     "declared partitions are rejected, duplicate CREATE throws") {
     wh
