@@ -5,11 +5,16 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A DataSource V2 CATALOG over a warehouse directory of zone-map
   * tables — the last integration surface after the read/write/stream
@@ -31,7 +36,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * filesystem rename — because the table's own commit protocol
   * already owns everything transactional.
   */
-class ZoneCatalog extends TableCatalog {
+class ZoneCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -109,5 +114,94 @@ class ZoneCatalog extends TableCatalog {
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     require(fs.rename(new Path(dirOf(from)), new Path(dirOf(to))),
       s"rename ${dirOf(from)} -> ${dirOf(to)} failed")
+  }
+
+  // --------------------------------------------------------------------
+  // MAINTENANCE PROCEDURES — `CALL zm.system.optimize('db.t')` et al.:
+  // the table-format operations that are commands, not queries, on the
+  // engine's stored-procedure surface (ProcedureCatalog). Each takes
+  // the table as a dotted name, runs the existing crash-safe
+  // maintenance primitive, and returns a summary row through a
+  // LocalScan so the CALL statement has a result to show.
+
+  private def tableDir(dotted: String): String = {
+    val dir = (warehouse +: dotted.split('.').toSeq).mkString("/")
+    require(fs.exists(new Path(dir)), s"no such zone table: $dotted")
+    dir
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    Array("optimize", "dv_materialize", "history")
+      .map(Identifier.of(Array("system"), _))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name() match {
+      case "optimize" => new ZoneProc("optimize",
+        "re-cluster every visible row into Z-tiles and swap the " +
+          "generation (crash-safe; refuses over live deletion vectors)",
+        StructType(Seq(StructField("parts_before", LongType),
+          StructField("parts_after", LongType)))) {
+        override def run(dotted: String): Array[InternalRow] = {
+          val dir = tableDir(dotted)
+          val spark = SparkSession.active
+          val before = graft.streaming.Streaming
+            .zoneVisibleParts(spark, dir, "zones").size.toLong
+          graft.streaming.Streaming.zoneOptimize(spark, dir)
+          val after = graft.streaming.Streaming
+            .zoneVisibleParts(spark, dir, "zones").size.toLong
+          Array(new GenericInternalRow(Array[Any](before, after)))
+        }
+      }
+      case "dv_materialize" => new ZoneProc("dv_materialize",
+        "rewrite survivors as one atomic generation and clear the " +
+          "deletion vectors",
+        StructType(Seq(StructField("deleted_cleared", LongType)))) {
+        override def run(dotted: String): Array[InternalRow] = {
+          val dir = tableDir(dotted)
+          val spark = SparkSession.active
+          val cleared = graft.streaming.Streaming
+            .dvDeletedCount(spark, dir)
+          graft.streaming.Streaming.dvMaterialize(spark, dir)
+          Array(new GenericInternalRow(Array[Any](cleared)))
+        }
+      }
+      case "history" => new ZoneProc("history",
+        "one row per visible part from the file index (no data read)",
+        StructType(Seq(StructField("part", StringType),
+          StructField("rows", LongType),
+          StructField("min_a", LongType), StructField("max_a", LongType),
+          StructField("min_b", LongType),
+          StructField("max_b", LongType)))) {
+        override def run(dotted: String): Array[InternalRow] =
+          ZoneMapSource.zoneRows(tableDir(dotted)).sortBy(_.file).map {
+            z => new GenericInternalRow(Array[Any](
+              UTF8String.fromString(z.file), z.n, z.la, z.ha, z.lb,
+              z.hb)): InternalRow
+          }.toArray
+      }
+      case other => throw new UnsupportedOperationException(
+        s"unknown zone-map procedure: $other")
+    }
+
+  /** One string parameter in, a LocalScan of summary rows out. */
+  private abstract class ZoneProc(
+      nm: String, desc: String, out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    def run(dotted: String): Array[InternalRow]
+    override def name(): String = nm
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow)
+        : java.util.Iterator[Scan] = {
+      val result = run(input.getUTF8String(0).toString)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
   }
 }

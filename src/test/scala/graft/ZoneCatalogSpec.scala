@@ -90,6 +90,36 @@ class ZoneCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE zmt.db.d")
   }
 
+  test("stored procedures: CALL optimize / history / dv_materialize " +
+    "run the maintenance primitives and report through SQL") {
+    wh
+    rows.createOrReplaceTempView("zc_src_proc")
+    spark.sql("CREATE TABLE zmt.db.p (rid BIGINT, a BIGINT, b BIGINT)")
+    spark.sql(
+      "INSERT INTO zmt.db.p SELECT * FROM zc_src_proc WHERE rid % 2 = 0")
+    spark.sql(
+      "INSERT INTO zmt.db.p SELECT * FROM zc_src_proc WHERE rid % 2 = 1")
+    // history: one metadata row per visible part, no data read
+    val hist = spark.sql("CALL zmt.system.history('db.p')").collect()
+    assert(hist.map(_.getString(0)).sorted.toSeq ==
+      Seq("batch=0", "batch=1"), hist.mkString(","))
+    assert(hist.map(_.getLong(1)).sum == rows.count())
+    // optimize: 2 raw batches re-cluster into Z-tiles
+    val opt = spark.sql("CALL zmt.system.optimize('db.p')").collect()(0)
+    assert(opt.getLong(0) == 2 && opt.getLong(1) >= 1, opt.toString)
+    assert(spark.sql("SELECT count(*) FROM zmt.db.p")
+      .collect()(0).getLong(0) == rows.count())
+    // delete some rows, then materialize the vectors away
+    spark.sql("DELETE FROM zmt.db.p WHERE b >= 0 AND b <= 1")
+    val del = rows.filter(col("b").between(0, 1)).count()
+    val mat = spark.sql("CALL zmt.system.dv_materialize('db.p')")
+      .collect()(0)
+    assert(mat.getLong(0) == del, s"$mat vs $del")
+    assert(spark.sql("SELECT count(*) FROM zmt.db.p")
+      .collect()(0).getLong(0) == rows.count() - del)
+    spark.sql("DROP TABLE zmt.db.p")
+  }
+
   test("the contract is enforced at DDL time: wrong schemas and " +
     "declared partitions are rejected, duplicate CREATE throws") {
     wh
