@@ -1003,4 +1003,82 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("HASINDEX"), e5.getMessage)
   }
+
+  test("MS-RLE8 inter-frame decode: delta frames repaint only their " +
+    "band and the reference frame carries everything else") {
+    import graft.operators.Multimodal._
+    val (w, h, nf) = (9, 6, 4)
+    def keyPx(x: Int, y: Int): Int = (y * 7 + x * 3) % 256
+    def bandPx(f: Int)(x: Int, y: Int): Int = (f * 29 + y * 7 + x * 3) % 256
+    val frames = encodeRle8Key(w, h, keyPx) +:
+      (1 until nf).map(f => encodeRle8Delta(w, f, bandPx(f)))
+    val out = decodeAviRle8(encodeAviRle8(w, h, 15, frames))
+    assert(out.length == nf)
+    // sequential model: replay the band ownership rule per frame
+    val model = Array.tabulate(h, w)((y, x) => keyPx(x, y))
+    out.zipWithIndex.foreach { case (fr, f) =>
+      if (f >= 1) for (y <- f to f + 1; x <- 0 until w)
+        model(y)(x) = bandPx(f)(x, y)
+      val flat = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      val sum = flat.map { case (x, y) => model(y)(x).toLong }.sum
+      val sq = flat.map { case (x, y) =>
+        val v = model(y)(x).toLong; v * v }.sum
+      val ws = flat.map { case (x, y) =>
+        model(y)(x).toLong * (x + 2L * y + 1) }.sum
+      assert((fr.frame, fr.w, fr.h, fr.n_px, fr.sum_px, fr.sum_sq,
+        fr.wsum) == ((f, w, h, w.toLong * h, sum, sq, ws)))
+    }
+    // the carry is REAL: frame 3 still shows frame 1\u2019s band (rows 1..2
+    // were last painted by frame 1\u2019s delta... no \u2014 frame 2 repainted
+    // row 2; row 1 is frame 1\u2019s) \u2014 decoding frame 3 against a ZEROED
+    // reference must NOT give the same stats
+    val zeroRef = new Array[Byte](w * h)
+    decodeRle8Frame(frames(nf - 1), w, h, zeroRef)
+    val indep = zeroRef.map(_ & 0xff).map(_.toLong).sum
+    assert(indep != out.last.sum_px,
+      "delta frame decoded standalone must differ from the carried one")
+  }
+
+  test("MS-RLE8 rejects stream and index damage loudly") {
+    import graft.operators.Multimodal._
+    val (w, h) = (9, 6)
+    val key = encodeRle8Key(w, h, (x, y) => (y * 7 + x * 3) % 256)
+    val delta = encodeRle8Delta(w, 2, (x, y) => (x + y) % 256)
+    // run overflowing its row
+    val e1 = intercept[IllegalArgumentException] {
+      decodeRle8Frame(Array[Byte](w.toByte, 5, (w + 1).toByte, 5, 0, 1),
+        w, h, new Array[Byte](w * h))
+    }
+    assert(e1.getMessage.contains("overflows"), e1.getMessage)
+    // trailing bytes after EOB
+    val e2 = intercept[IllegalArgumentException] {
+      decodeRle8Frame(key ++ Array[Byte](3, 3), w, h,
+        new Array[Byte](w * h))
+    }
+    assert(e2.getMessage.contains("trailing"), e2.getMessage)
+    // truncated absolute run
+    val e3 = intercept[IllegalArgumentException] {
+      decodeRle8Frame(Array[Byte](0, 5, 1, 2), w, h,
+        new Array[Byte](w * h))
+    }
+    assert(e3.getMessage.contains("truncated absolute"), e3.getMessage)
+    // delta escape past the frame
+    val e4 = intercept[IllegalArgumentException] {
+      decodeRle8Frame(Array[Byte](0, 2, 0, (h + 1).toByte, 0, 1), w, h,
+        new Array[Byte](w * h))
+    }
+    assert(e4.getMessage.contains("out of bounds"), e4.getMessage)
+    // idx1 flags a DELTA frame as a keyframe: seek-and-decode lie
+    val avi = encodeAviRle8(w, h, 15, Seq(key, delta))
+    val idx = avi.lastIndexOfSlice("idx1".getBytes("US-ASCII"))
+    avi(idx + 8 + 16 + 4) = (avi(idx + 8 + 16 + 4) | 0x10).toByte
+    val e5 = intercept[IllegalArgumentException](decodeAviRle8(avi))
+    assert(e5.getMessage.contains("keyframe flag"), e5.getMessage)
+    // a non-identity palette must be refused (stats read indices)
+    val avi2 = encodeAviRle8(w, h, 15, Seq(key, delta))
+    val strf = avi2.indexOfSlice("strf".getBytes("US-ASCII"))
+    avi2(strf + 8 + 40 + 17 * 4) = 99 // palette entry 17, blue channel
+    val e6 = intercept[IllegalArgumentException](decodeAviRle8(avi2))
+    assert(e6.getMessage.contains("identity"), e6.getMessage)
+  }
 }
