@@ -2891,6 +2891,77 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // ISOTONIC REGRESSION CALIBRATION — the PAV fit (Ayer 1955 /
+    // Barlow-Brunk) via its EXACT MINIMAX closed form instead of the
+    // sequential pool-adjacent-violators walk: over score bins,
+    // fit(i) = max_{j<=i} min_{k>=i} rate(j..k). The j-set grows and
+    // the k-set shrinks with i, so monotonicity is STRUCTURAL — it
+    // holds for any inner quantity, which lets the per-range rate be
+    // µ-quantized by pure integer division (s·10⁶ div w) and the whole
+    // fit stay BIGINT-exact end to end: no iteration, no floats, no
+    // cross-engine drift. Engine shape: ONE corpus pass bins the
+    // documents (64 bins, noisy-monotone empirical positive rate by
+    // construction); everything after runs on the 64-row bin table —
+    // a 2080-range sum join and a two-level min/max — bounded by the
+    // bin grid at every SF, the calibration-layer cost of serving a
+    // quality model at 100 TB. This is q_calibration's reliability
+    // diagram turned into the CALIBRATOR itself (the isotonic step
+    // scikit-learn/Platt pipelines run after training).
+    QueryDef(
+      "q_ml_isotonic",
+      """WITH d AS (
+        |  SELECT doc_id, least(63, length(text) // 16) AS bin,
+        |    CASE WHEN (doc_id * 11 + length(text)) % 64 <
+        |      least(63, length(text) // 16) THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(pos) AS BIGINT) AS s
+        |  FROM d GROUP BY bin),
+        |grid AS (
+        |  SELECT CAST(gid // 64 AS BIGINT) AS j,
+        |    CAST(gid % 64 AS BIGINT) AS k
+        |  FROM (SELECT unnest(range(4096)) AS gid) WHERE gid // 64 <= gid % 64),
+        |ranges AS (
+        |  SELECT g.j, g.k,
+        |    (CAST(sum(b.s) AS BIGINT) * 1000000)
+        |      // CAST(sum(b.w) AS BIGINT) AS q
+        |  FROM grid g JOIN bins b ON b.bin BETWEEN g.j AND g.k
+        |  GROUP BY g.j, g.k),
+        |inner_min AS (
+        |  SELECT r.j, b.bin, min(r.q) AS mn
+        |  FROM ranges r JOIN bins b ON r.j <= b.bin AND r.k >= b.bin
+        |  GROUP BY r.j, b.bin)
+        |SELECT i.bin, b.w, b.s,
+        |  CAST(max(i.mn) AS BIGINT) AS fit_u
+        |FROM inner_min i JOIN bins b ON b.bin = i.bin
+        |GROUP BY i.bin, b.w, b.s""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").selectExpr(
+        "doc_id", "least(63, length(text) DIV 16) AS bin",
+        "CASE WHEN (doc_id * 11 + length(text)) % 64 < " +
+          "least(63, length(text) DIV 16) THEN 1 ELSE 0 END AS pos")
+      val bins = d.groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("w"),
+          sum(col("pos")).cast("long").as("s"))
+        .localCheckpoint() // three bounded consumers below
+      val grid = s.range(4096)
+        .selectExpr("id DIV 64 AS j", "id % 64 AS k")
+        .filter(col("j") <= col("k"))
+      val ranges = grid.join(bins, col("bin").between(col("j"), col("k")))
+        .groupBy(col("j"), col("k"))
+        .agg(expr("(CAST(sum(s) AS BIGINT) * 1000000)" +
+          " DIV CAST(sum(w) AS BIGINT)").as("q"))
+      val innerMin = ranges
+        .join(bins.select(col("bin")),
+          col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy(col("j"), col("bin")).agg(min(col("q")).as("mn"))
+      innerMin.join(bins, "bin")
+        .groupBy(col("bin"), col("w"), col("s"))
+        .agg(max(col("mn")).cast("long").as("fit_u"))
+        .select(col("bin"), col("w"), col("s"), col("fit_u"))
+    },
+
+    // ------------------------------------------------------------------
     // ADABOOST OVER DECISION STUMPS — the classic ensemble method
     // (Freund & Schapire 1997) trained fully in-engine, the boosting
     // member of the ML family beside q_ml_logreg's Newton steps and

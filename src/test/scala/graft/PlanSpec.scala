@@ -703,6 +703,9 @@ class PlanSpec extends SparkSpec {
       "q_ml_adaboost", // per-round crossJoins: the 96-row literal stump
                        // grid plus 1-row best/norm/acc aggregates —
                        // all bounded by construction
+      "q_ml_isotonic", // BETWEEN-joins over the 64-row bin table and
+                       // its 2080-range grid — both sides bin-grid
+                       // bounded at every SF
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both
                          // sides bounded: 128 zones, 16 boxes)

@@ -315,4 +315,65 @@ class StatsSpec extends SparkSpec {
     assert(got.last._7 > prior,
       s"ensemble ${got.last._7} does not beat the prior $prior")
   }
+
+  test("q_ml_isotonic: the minimax fit replays exactly, is monotone by " +
+    "construction, and agrees with sequential PAV within quantization") {
+    val got = SparkEntry.queries("q_ml_isotonic")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("bin")),
+        r.getLong(r.fieldIndex("w")), r.getLong(r.fieldIndex("s")),
+        r.getLong(r.fieldIndex("fit_u"))))
+      .sortBy(_._1)
+    // bin stats straight from the corpus
+    val bins = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val (id, len) = (r.getLong(0), r.getString(1).length.toLong)
+        val b = math.min(63L, len / 16)
+        (b, if ((id * 11 + len) % 64 < b) 1L else 0L)
+      }
+      .groupBy(_._1).map { case (b, xs) =>
+        (b, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq ==
+      bins.map(x => (x._1, x._2, x._3)))
+    // exact minimax replay (same inner integer quantization)
+    val present = bins.map(_._1)
+    def q(j: Long, k: Long): Long = {
+      val in = bins.filter(b => b._1 >= j && b._1 <= k)
+      (in.map(_._3).sum * 1000000L) / in.map(_._2).sum
+    }
+    val replay = present.map { i =>
+      (0L to i).filter(j => present.exists(_ >= j)).map { j =>
+        (i to 63L).filter(k => bins.exists(b => b._1 >= j && b._1 <= k))
+          .map(k => q(j, k)).min
+      }.max
+    }
+    assert(got.map(_._4).toSeq == replay, s"${got.map(_._4).toSeq}")
+    // monotone: the j-set grows, the k-set shrinks
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    // PAV agreement: sequential pool-adjacent-violators on the exact
+    // rationals gives block means; inner quantization moves a bin by
+    // at most one micro-unit
+    var blocks = bins.map(b => (b._2, b._3, List(b._1))).toList
+    var changed = true
+    while (changed) {
+      changed = false
+      blocks = blocks.foldLeft(List.empty[(Long, Long, List[Long])]) {
+        case (acc @ ((w0, s0, ids0) :: rest), (w1, s1, ids1)) =>
+          // violation if rate0 > rate1 (cross-multiplied, exact)
+          if (s0 * w1 > s1 * w0) {
+            changed = true
+            (w0 + w1, s0 + s1, ids0 ++ ids1) :: rest
+          } else (w1, s1, ids1) :: acc
+        case (Nil, b) => List(b)
+      }.reverse
+    }
+    val pav = blocks.flatMap { case (w, sTot, ids) =>
+      ids.map(_ -> (sTot * 1000000L) / w) }.toMap
+    got.foreach { case (b, _, _, fit) =>
+      assert(math.abs(fit - pav(b)) <= 1L,
+        s"bin $b: minimax $fit vs PAV ${pav(b)}")
+    }
+  }
 }
