@@ -1201,6 +1201,66 @@ object TextAnalysis {
     },
 
     // ------------------------------------------------------------------
+    // MIN-K% PROB — the membership-inference / pretraining-data
+    // detection score (Shi et al. 2023, "Detecting Pretraining Data
+    // from Large Language Models"): average the log-probability of
+    // the k% LEAST-probable tokens only. A document the model (here:
+    // the corpus unigram LM, the engine\u2019s stand-in scorer) has seen
+    // tends to have NO very-improbable tokens, so its min-k score is
+    // low; fresh text carries surprise outliers. Determinism is the
+    // lmscore discipline — per-token surprisals are integer µnats —
+    // plus an ORDER-SAFE selection: the per-doc array sorts
+    // descending and the top ceil(n/5) slice sums exactly, so ties
+    // cannot flip anything a sum can see. Scale shape: the corpus
+    // pays the same one explode + vocab-broadcast join as lmscore;
+    // the sort is PER-DOCUMENT (array-local, bounded by doc length),
+    // never a corpus sort.
+    QueryDef(
+      "q_text_minkprob",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(ln(n.n * 1e0 / f.c) * 1000000e0 + 0.5) AS BIGINT)
+        |      AS s
+        |  FROM t JOIN f USING (tok) CROSS JOIN n),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    list_reverse_sort(list(s)) AS ss
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST((n_tokens + 4) // 5 AS BIGINT) AS k_used,
+        |  CAST(list_sum(ss[1:CAST((n_tokens + 4) // 5 AS INTEGER)])
+        |    AS BIGINT) AS mink_micro,
+        |  CAST(list_sum(ss[1:CAST((n_tokens + 4) // 5 AS INTEGER)])
+        |    // ((n_tokens + 4) // 5) AS BIGINT) AS avg_mink_micro
+        |FROM d""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("s",
+          floor(log(col("n") * lit(1e0) / col("c")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(col("s")), asc = false).as("ss"))
+        .withColumn("k_used", expr("(n_tokens + 4) div 5"))
+        .withColumn("mink_micro", expr(
+          "aggregate(slice(ss, 1, CAST(k_used AS INT)), 0L," +
+            " (a, x) -> a + x)"))
+        .withColumn("avg_mink_micro", expr("mink_micro div k_used"))
+        .select(col("doc_id"), col("n_tokens"), col("k_used"),
+          col("mink_micro"), col("avg_mink_micro"))
+    },
+
+    // ------------------------------------------------------------------
     // DSIR — Data Selection via Importance Resampling (Xie et al.,
     // NeurIPS 2023): select raw documents whose hashed n-gram feature
     // distribution looks like a TARGET corpus, the

@@ -628,6 +628,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_embed", // all-pairs ground truth (embed_lsh is the scale path)
       "q_text_tfidf", // crossJoin(broadcast(single-row corpus count))
       "q_text_lmscore", // crossJoin(broadcast(single-row corpus token total))
+      "q_text_minkprob", // the same lmscore 1-row corpus-total broadcast
       "q_text_bm25", // crossJoin(broadcast(single-row N/avgdl statistics))
       "q_search_hybrid", // same 1-row stats broadcast + 1-row query vector
       "q_agg_heavyhitters", // crossJoin(broadcast(single-row total)) for the n/m threshold
@@ -893,6 +894,8 @@ class PlanSpec extends SparkSpec {
         "per-term document-frequency table — vocab-bounded (Heaps' law)",
       "q_text_lmscore" ->
         "per-token unigram LM table — vocab-bounded (Heaps' law)",
+      "q_text_minkprob" ->
+        "the same vocab-bounded unigram LM broadcast as lmscore",
       "q_text_dsir" ->
         ("λ model grouped by hash%128 — fixed-modulus bucket key, 128 " +
           "rows at every SF; per-source selection counts schema-bounded"),
