@@ -2421,6 +2421,68 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // STORAGE-PARTITIONED JOIN — the fact-fact join WITHOUT its
+    // shuffle: two tables written co-bucketed on the join key
+    // (.option("buckets", 16): per-file routing on pmod(rid, 16),
+    // bucket materialized as the bkt column), both scans report
+    // KeyGroupedPartitioning over identity(bkt), and the equi-join on
+    // (bkt, rid) plans with ZERO exchanges under the join — Spark's
+    // SPJ machinery matches the reported partitionings and zips
+    // bucket k with bucket k (PlanSpec pins the single final-agg
+    // exchange; ZoneMapSourceSpec pins the join-only plan is
+    // exchange-FREE and exact). At 100 TB the fact-fact shuffle is
+    // the single largest cost in the plan, and here the CONNECTOR
+    // deletes it — the bucketed-table promise (the engine's native
+    // bucketing made portable to any v2 table format).
+    QueryDef(
+      "q_layout_spj",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS oc,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS op
+        |  FROM orders),
+        |l AS (
+        |  SELECT l_orderkey AS k, l_partkey AS lp, l_suppkey AS ls
+        |  FROM lineitem)
+        |SELECT o.k % 5 AS g, count(*) AS n,
+        |  CAST(sum(o.oc) AS BIGINT) AS soc,
+        |  CAST(sum(l.lp) AS BIGINT) AS slp
+        |FROM o JOIN l ON o.k = l.k
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // join keys (bkt, rid) superset the partition key (bkt)
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        "false")
+      val tOrders = s"/tmp/graft_spj_o_${dir.hashCode.toHexString}"
+      val tLines = s"/tmp/graft_spj_l_${dir.hashCode.toHexString}"
+      val conf = s.sessionState.newHadoopConf()
+      def build(table: String, rows: DataFrame): Unit = {
+        val fsPath = new org.apache.hadoop.fs.Path(table)
+        val fs = fsPath.getFileSystem(conf)
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        rows.write.format("graft.sources.ZoneMapSource")
+          .option("batch", 0L).option("buckets", 16)
+          .mode("append").save(table)
+      }
+      build(tOrders, t(s, dir, "orders").selectExpr(
+        "o_orderkey AS rid", "o_custkey AS a",
+        "CAST(floor(o_totalprice) AS BIGINT) AS b"))
+      build(tLines, t(s, dir, "lineitem").selectExpr(
+        "l_orderkey AS rid", "l_partkey AS a", "l_suppkey AS b"))
+      val o = s.read.format("graft.sources.ZoneMapSource").load(tOrders)
+        .selectExpr("bkt AS obkt", "rid AS ok", "a AS oc")
+      val l = s.read.format("graft.sources.ZoneMapSource").load(tLines)
+        .selectExpr("bkt AS lbkt", "rid AS lk", "a AS lp")
+      // merge hint: stats-accurate small inputs would otherwise pick a
+      // broadcast join, which has no shuffle to delete
+      o.hint("merge")
+        .join(l, col("obkt") === col("lbkt") && col("ok") === col("lk"))
+        .groupBy(pmod(col("ok"), lit(5)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("oc")).cast("long").as("soc"),
+          sum(col("lp")).cast("long").as("slp"))
+    },
+
+    // ------------------------------------------------------------------
     // SQL CATALOG — plain SQL drives the whole table format through a
     // V2 TableCatalog (sources/ZoneCatalog): CREATE TABLE makes the
     // directory + a declared-schema sidecar, INSERT INTO runs the

@@ -25,6 +25,8 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Lit
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -112,6 +114,39 @@ private[graft] object ZoneMapSource {
   def asOfOf(options: CaseInsensitiveStringMap): Option[Long] = {
     val v = options.get("asof")
     if (v == null) None else Some(v.toLong)
+  }
+
+  /** Bucket count sidecar — present iff the table was written
+    * bucketed (`.option("buckets", B)`): every data file carries a
+    * `-b<k>` suffix and a materialized `bkt = pmod(rid, B)` column,
+    * and scans report KeyGroupedPartitioning over it so equi-joins
+    * between co-bucketed tables plan WITHOUT a shuffle (storage-
+    * partitioned join). */
+  def writeBuckets(dir: String, b: Int): Unit = {
+    val p = new Path(s"$dir/_buckets")
+    val out = p.getFileSystem(hadoopConf()).create(p, true)
+    try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readBuckets(dir: String): Option[Int] = {
+    val p = new Path(s"$dir/_buckets")
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      Some(new String(bytes, "UTF-8").trim.toInt)
+    } finally in.close()
+  }
+
+  /** Bucket id from a bucketed part-file name (`...-b<k>.parquet`). */
+  def bucketOf(file: String): Int = {
+    val n = file.substring(file.lastIndexOf('/') + 1)
+    val i = n.lastIndexOf("-b")
+    require(i >= 0 && n.endsWith(".parquet"),
+      s"not a bucketed part-file: $n")
+    n.substring(i + 2, n.length - 8).toInt
   }
 
   /** The `changesfrom` read option — a change-feed low watermark: the
@@ -549,7 +584,13 @@ private[sources] class ZoneMapWriteBuilder(
       // time-travel unit); SQL INSERT INTO has no options, so a
       // missing id auto-assigns latest+1 at commit time
       val batch = Option(info.options().get("batch")).map(_.toLong)
-      new ZoneMapBatchWrite(path, batch, info.queryId())
+      val buckets = Option(info.options().get("buckets")).map(_.toInt)
+      buckets.foreach { b =>
+        require(b > 0 && b <= 4096, s"buckets out of range: $b")
+        ZoneMapSource.readBuckets(path).foreach(prev => require(
+          prev == b, s"table is bucketed $prev, write says $b"))
+      }
+      new ZoneMapBatchWrite(path, batch, info.queryId(), buckets)
     }
     // STREAMING SINK: the micro-batch epoch IS the batch id, which is
     // what makes the sink exactly-once under the engine's replay
@@ -582,8 +623,10 @@ private[sources] object ZoneMapCommit {
       require(fs.delete(target, true),
         s"commit: cannot clear crash leftover $target")
     }
-    val msgs = messages.toSeq.map(_.asInstanceOf[ZoneWriteMsg])
-      .filter(_.n > 0)
+    val msgs = messages.toSeq.flatMap {
+      case m: ZoneWriteMsg => Seq(m)
+      case b: ZoneBucketedMsg => b.files
+    }.filter(_.n > 0)
     require(msgs.nonEmpty, s"zone-map write of batch=$batchId is empty")
     // move exactly the committed files — never the staging dir
     // wholesale, which may hold orphans from retried tasks
@@ -663,13 +706,14 @@ private[sources] final case class ZoneWriteMsg(
     extends WriterCommitMessage
 
 private[sources] class ZoneMapBatchWrite(
-    path: String, explicit: Option[Long], queryId: String)
+    path: String, explicit: Option[Long], queryId: String,
+    buckets: Option[Int] = None)
     extends BatchWrite {
   private def staging = s"$path/.w_staging_$queryId"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ZoneMapWriterFactory(staging)
+    new ZoneMapWriterFactory(staging, buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val batchId = explicit.getOrElse(
@@ -682,18 +726,97 @@ private[sources] class ZoneMapBatchWrite(
       s"zone-map batch=$batchId already exists under $path " +
         "(batch ids are immutable — pick a fresh one)")
     ZoneMapCommit.publish(path, batchId, staging, messages, queryId)
+    buckets.foreach { b =>
+      if (ZoneMapSource.readBuckets(path).isEmpty)
+        ZoneMapSource.writeBuckets(path, b)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     ZoneMapCommit.dropStaging(staging)
 }
 
-private[sources] class ZoneMapWriterFactory(staging: String)
+private[sources] class ZoneMapWriterFactory(
+    staging: String, buckets: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZoneMapDataWriter(staging, partitionId, taskId)
+    buckets match {
+      case Some(b) => new ZoneMapBucketedWriter(staging, partitionId,
+        taskId, b)
+      case None => new ZoneMapDataWriter(staging, partitionId, taskId)
+    }
 }
+
+/** Bucketed task writer: routes each row to pmod(rid, B)'s file and
+  * MATERIALIZES the bucket as a fourth column, so identity("bkt") is
+  * an honest table partitioning. At most B writers live per task. */
+private[sources] class ZoneMapBucketedWriter(
+    staging: String, partitionId: Int, taskId: Long, buckets: Int)
+    extends DataWriter[InternalRow] {
+  private val msgType = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message graft_zone_write { optional int64 rid; " +
+        "optional int64 a; optional int64 b; optional int64 bkt; }")
+  private val conf = new Configuration()
+  private val factory = {
+    org.apache.parquet.hadoop.example.GroupWriteSupport
+      .setSchema(msgType, conf)
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      msgType)
+  }
+  private val writers = new Array[org.apache.parquet.hadoop
+    .ParquetWriter[org.apache.parquet.example.data.Group]](buckets)
+  private val stats = Array.fill(buckets)(
+    Array(Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue,
+      0L))
+  private def fileName(k: Int) =
+    f"part-$partitionId%05d-$taskId-b$k%d.parquet"
+
+  override def write(row: InternalRow): Unit = {
+    val (rid, a, b) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val k = (rid % buckets + buckets).toInt % buckets
+    if (writers(k) == null)
+      writers(k) = org.apache.parquet.hadoop.example
+        .ExampleParquetWriter.builder(
+          new Path(s"$staging/${fileName(k)}"))
+        .withConf(conf)
+        .withCompressionCodec(org.apache.parquet.hadoop.metadata
+          .CompressionCodecName.SNAPPY)
+        .build()
+    val g = factory.newGroup()
+    g.add("rid", rid); g.add("a", a); g.add("b", b)
+    g.add("bkt", k.toLong)
+    writers(k).write(g)
+    val st = stats(k)
+    if (a < st(0)) st(0) = a; if (a > st(1)) st(1) = a
+    if (b < st(2)) st(2) = b; if (b > st(3)) st(3) = b
+    st(4) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.foreach(w => if (w != null) w.close())
+    val used = stats.zipWithIndex.filter(_._1(4) > 0)
+    // one message per file: fold into one by the commit's own fold —
+    // but WriterCommitMessage is one per task, so carry the list
+    ZoneBucketedMsg(used.map { case (st, k) =>
+      ZoneWriteMsg(fileName(k), st(0), st(1), st(2), st(3), st(4))
+    }.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.foreach(w => if (w != null) w.close())
+    val fs = new Path(staging).getFileSystem(new Configuration())
+    (0 until buckets).foreach { k =>
+      fs.delete(new Path(s"$staging/${fileName(k)}"), false)
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+private[sources] final case class ZoneBucketedMsg(
+    files: Seq[ZoneWriteMsg]) extends WriterCommitMessage
 
 /** One parquet part per task, stats folded while writing. The file
   * name carries BOTH partition and task id, so a speculative retry
@@ -922,7 +1045,31 @@ private[sources] class ZoneMapScan(
     asOf: Option[Long] = None, topN: Option[TopNPush] = None,
     changesFrom: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+
+  // ------------------------------------------------------------------
+  // STORAGE-PARTITIONED JOIN — a bucketed table (written with
+  // .option("buckets", B): per-file routing on pmod(rid, B), the
+  // bucket MATERIALIZED as the `bkt` column) reports
+  // KeyGroupedPartitioning over identity(bkt) with ONE input
+  // partition per bucket, so an equi-join between two co-bucketed
+  // tables on (bkt, key) plans WITHOUT a shuffle: at 100 TB the
+  // fact-fact join exchange is the single largest cost the engine
+  // can delete, and here the CONNECTOR deletes it. Reported only
+  // when honest: bkt survives projection pruning and no deletion
+  // vectors are live (the grouped multi-file reader keeps the
+  // per-file dv contract out of scope by construction).
+  private lazy val buckets: Option[Int] =
+    ZoneMapSource.readBuckets(path)
+  private def bucketed: Boolean =
+    buckets.nonEmpty && required.fieldNames.contains("bkt") &&
+      ZoneMapSource.dvBitmaps(path).isEmpty
+
+  override def outputPartitioning(): Partitioning =
+    if (bucketed)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("bkt")), buckets.get)
+    else new UnknownPartitioning(0)
 
   private val box = ZoneBox.from(pushed.toSeq)
 
@@ -1082,11 +1229,19 @@ private[sources] class ZoneMapScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { f =>
-      val (buckets, words) = dv.getOrElse(
+    if (bucketed) {
+      // one partition per bucket, keyed for the SPJ planner; empty
+      // buckets still emit (numPartitions must equal the report)
+      val byBucket = files.map(_._1)
+        .groupBy(ZoneMapSource.bucketOf).withDefaultValue(Seq.empty)
+      (0 until buckets.get).map { k =>
+        ZoneMapBucketPartition(k.toLong, byBucket(k)): InputPartition
+      }.toArray
+    } else files.map { f =>
+      val (bks, words) = dv.getOrElse(
         ZoneMapSource.relPath(f._1), (Array.emptyLongArray,
           Array.emptyLongArray))
-      ZoneMapInputPartition(f._1, buckets, words): InputPartition
+      ZoneMapInputPartition(f._1, bks, words): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1161,13 +1316,42 @@ private[sources] final case class ZoneMapInputPartition(
     file: String, dvBuckets: Array[Long], dvWords: Array[Long])
     extends InputPartition
 
+/** One SPJ partition = one bucket's files; the key is the bucket id
+  * (the value of the materialized `bkt` column in every row). */
+private[sources] final case class ZoneMapBucketPartition(
+    bucket: Long, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 private[sources] class ZoneMapReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ZoneMapInputPartition]
-    new ZoneMapPartitionReader(p.file, required, p.dvBuckets, p.dvWords)
-  }
+      partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: ZoneMapInputPartition =>
+        new ZoneMapPartitionReader(p.file, required, p.dvBuckets,
+          p.dvWords)
+      case b: ZoneMapBucketPartition =>
+        new PartitionReader[InternalRow] {
+          // sequential multi-file reader over the bucket's files
+          private val it = b.files.iterator
+          private var cur: ZoneMapPartitionReader = _
+          override def next(): Boolean = {
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              cur = null
+              if (!it.hasNext) return false
+              cur = new ZoneMapPartitionReader(it.next(), required,
+                Array.emptyLongArray, Array.emptyLongArray)
+            }
+            true
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
 }
 
 /** Executor-side reader: one parquet part-file, projected columns

@@ -790,6 +790,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_layout_spj joins two co-bucketed fact tables with NO join " +
+    "shuffle: the only exchange in the plan is the final aggregation") {
+    val df = SparkEntry.queries("q_layout_spj")(spark, sfDir)
+    df.collect()
+    // the FINAL adaptive plan only (toString also prints the pre-AQE
+    // initial plan, which would double-count)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p)
+    // exactly one exchange: hashpartitioning for the groupBy ABOVE the
+    // join — the fact-fact shuffle itself was deleted by the reported
+    // KeyGroupedPartitioning
+    val exchanges = raw"Exchange hashpartitioning".r
+      .findAllMatchIn(p).size
+    assert(exchanges == 1, s"expected only the agg exchange, got " +
+      s"$exchanges:\n$p")
+  }
+
   test("q_layout_stats serves count/min/max from the zone rows: the " +
     "BatchScan declares it in-plan and no aggregate reads a data file") {
     val p = plan("q_layout_stats")

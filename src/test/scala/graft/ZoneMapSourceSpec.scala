@@ -425,6 +425,53 @@ class ZoneMapSourceSpec extends SparkSpec {
       .option("changesfrom", -1L).load(dir).count() == rows.count())
   }
 
+  test("storage-partitioned join: co-bucketed tables join with ZERO " +
+    "exchanges and the result equals the plain shuffled join") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // join keys (bkt, rid) are a SUPERSET of the partition key (bkt):
+    // co-partitioning must not insist on an exact key match
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+      "false")
+    val dirO = tmpDir("zonemap_spj_o") + "/t"
+    val dirL = tmpDir("zonemap_spj_l") + "/t"
+    Tables(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS rid", "o_custkey AS a",
+        "CAST(floor(o_totalprice) AS BIGINT) AS b")
+      .write.format("graft.sources.ZoneMapSource")
+      .option("batch", 0L).option("buckets", 8).mode("append").save(dirO)
+    rows.selectExpr("rid DIV 10 AS rid", "a", "b") // l_orderkey
+      .write.format("graft.sources.ZoneMapSource")
+      .option("batch", 0L).option("buckets", 8).mode("append").save(dirL)
+    val o = spark.read.format("graft.sources.ZoneMapSource").load(dirO)
+      .selectExpr("bkt AS obkt", "rid AS ok", "a AS oc")
+    val l = spark.read.format("graft.sources.ZoneMapSource").load(dirL)
+      .selectExpr("bkt AS lbkt", "rid AS lk", "a AS lp")
+    val joined = o.hint("merge")
+      .join(l, col("obkt") === col("lbkt") && col("ok") === col("lk"))
+      .select(col("ok"), col("oc"), col("lp"))
+    joined.collect()
+    val p = finalPlan(joined.queryExecution.executedPlan).toString
+    assert(!p.contains("Exchange"),
+      s"storage-partitioned join planned a shuffle:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+    // exactness vs the plain shuffled join on raw parquet
+    val want = Tables(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS ok", "o_custkey AS oc")
+      .join(rows.selectExpr("rid DIV 10 AS lk", "a AS lp"),
+        col("ok") === col("lk"))
+    assert(joined.count() == want.count())
+    assert(joined.agg(sum(col("ok")), sum(col("oc")), sum(col("lp")))
+      .collect()(0) ==
+      want.agg(sum(col("ok")), sum(col("oc")), sum(col("lp")))
+        .collect()(0))
+    // projection pruning away bkt falls back gracefully (no report,
+    // normal shuffled join, same values)
+    val noBkt = spark.read.format("graft.sources.ZoneMapSource")
+      .load(dirO).selectExpr("rid AS ok2", "a AS oc2")
+    assert(noBkt.count() ==
+      Tables(spark, sfDir, "orders").count())
+  }
+
   test("time travel: asof pins the batch horizon, a compacted snapshot " +
     "throws, and deletion vectors stay retroactive") {
     val dir = tmpDir("zonemap_dsv2_asof")
