@@ -6,9 +6,9 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * filesystem rename — because the table's own commit protocol
   * already owns everything transactional.
   */
-class ZoneCatalog extends TableCatalog with ProcedureCatalog {
+class ZoneCatalog extends TableCatalog with ProcedureCatalog
+    with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -114,6 +115,63 @@ class ZoneCatalog extends TableCatalog with ProcedureCatalog {
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     require(fs.rename(new Path(dirOf(from)), new Path(dirOf(to))),
       s"rename ${dirOf(from)} -> ${dirOf(to)} failed")
+  }
+
+  // --------------------------------------------------------------------
+  // NAMESPACES — directory algebra like everything else in this
+  // catalog: a namespace IS a warehouse subdirectory, distinguished
+  // from a table by the absence of the table sidecar/data layout.
+  // CREATE NAMESPACE = mkdir, DROP = delete (refused non-empty unless
+  // CASCADE), SHOW NAMESPACES = list.
+
+  private def nsPath(ns: Array[String]): Path =
+    new Path((warehouse +: ns.toSeq).mkString("/"))
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_table_meta.json")) ||
+      fs.exists(new Path(p, "data")) || fs.exists(new Path(p, "zones"))
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.nonEmpty && fs.exists(nsPath(ns)) && !isTableDir(nsPath(ns))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(st => st.isDirectory &&
+      !isTableDir(st.getPath)).map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(nsPath(ns)).filter(st => st.isDirectory &&
+      !isTableDir(st.getPath))
+      .map(st => ns :+ st.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    java.util.Map.of("location", nsPath(ns).toString)
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
+    require(fs.mkdirs(nsPath(ns)), s"cannot create namespace at $ns")
+  }
+
+  override def alterNamespace(
+      ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "zone-map namespaces carry no mutable metadata")
+
+  override def dropNamespace(
+      ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (!cascade && fs.listStatus(nsPath(ns)).nonEmpty)
+      throw new NonEmptyNamespaceException(ns)
+    fs.delete(nsPath(ns), true)
   }
 
   // --------------------------------------------------------------------

@@ -432,9 +432,11 @@ private[graft] object ZoneBox {
     }
 
   /** Is `f` usable for zone pruning? (Reported as pushed; everything,
-    * including these, is also evaluated post-scan.) */
+    * including these, is also evaluated post-scan.) A bkt EQUALITY is
+    * prunable too — bucketed part-files carry their bucket in the
+    * NAME, so `bkt = k` keeps 1/B of the files without any stats. */
   def prunable(f: Filter): Boolean = f match {
-    case EqualTo(c, _) => c == "a" || c == "b"
+    case EqualTo(c, _) => c == "a" || c == "b" || c == "bkt"
     case GreaterThan(c, _) => c == "a" || c == "b"
     case GreaterThanOrEqual(c, _) => c == "a" || c == "b"
     case LessThan(c, _) => c == "a" || c == "b"
@@ -442,6 +444,12 @@ private[graft] object ZoneBox {
     case IsNotNull(c) => c == "a" || c == "b"
     case _ => false
   }
+
+  /** The pushed `bkt = k` equality, if any (bucket-file pruning). */
+  def bucketEq(filters: Seq[Filter]): Option[Long] =
+    filters.collectFirst {
+      case EqualTo("bkt", v: java.lang.Number) => v.longValue()
+    }
 }
 
 private[graft] class ZoneMapTable(path: String, tableSchema: StructType,
@@ -1165,6 +1173,9 @@ private[sources] class ZoneMapScan(
       // and runtime pruning): skip z iff zones strictly before it in
       // sort order already guarantee >= k rows. O(files^2) driver
       // work, fine at file-index scale.
+      // bucket-file pruning: bkt = k keeps exactly bucket k's files
+      val bEq = if (buckets.isEmpty) None
+        else ZoneBox.bucketEq(pushed.toSeq)
       val k = topN match {
         case Some(TopNPush(c, asc, n)) =>
           def range(z: ZoneRow): (Long, Long) =
@@ -1180,6 +1191,8 @@ private[sources] class ZoneMapScan(
         case None => boxed.sortBy(_.file)
       }
       val f = k.flatMap(z => ZoneMapSource.partFiles(path, z.file))
+        .filter(x => bEq.forall(want =>
+          ZoneMapSource.bucketOf(x._1) == want))
       memo = (rt, k, f)
       (k, f)
     }
@@ -1214,6 +1227,10 @@ private[sources] class ZoneMapScan(
       asOf.map(h => s"asof: batch<=$h, ").getOrElse("") +
       topN.map(t => s"topN: ${t.col} ${if (t.asc) "asc" else "desc"}" +
         s" limit ${t.k}, ").getOrElse("") +
+      (if (buckets.nonEmpty)
+        ZoneBox.bucketEq(pushed.toSeq)
+          .map(k => s"bucket pruned to b$k, ").getOrElse("")
+      else "") +
       s"box: $box, " +
       s"zones kept ${kept.size}/${zones.size}, " +
       s"dv deleted: $deletedInKept, " +

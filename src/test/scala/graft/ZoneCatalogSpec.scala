@@ -120,6 +120,41 @@ class ZoneCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE zmt.db.p")
   }
 
+  test("namespaces are directory algebra: CREATE/SHOW/DROP, non-empty " +
+    "drop refused without CASCADE, tables never list as namespaces") {
+    wh
+    spark.sql("CREATE NAMESPACE zmt.nsx")
+    assert(spark.sql("SHOW NAMESPACES IN zmt").collect()
+      .map(_.getString(0)).contains("nsx"))
+    spark.sql("CREATE TABLE zmt.nsx.t1 (rid BIGINT, a BIGINT, b BIGINT)")
+    // a TABLE directory must not masquerade as a namespace
+    assert(!spark.sql("SHOW NAMESPACES IN zmt.nsx").collect()
+      .map(_.getString(0)).contains("t1"))
+    val e = intercept[Exception] { spark.sql("DROP NAMESPACE zmt.nsx") }
+    assert(e.getMessage.toLowerCase.contains("empty"), e.getMessage)
+    spark.sql("DROP NAMESPACE zmt.nsx CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN zmt").collect()
+      .map(_.getString(0)).contains("nsx"))
+  }
+
+  test("bucket-file pruning: a bkt equality on a bucketed table reads " +
+    "only that bucket's files, visible in-plan") {
+    wh
+    val dir = tmpDir("zonecat_bprune") + "/t"
+    rows.write.format("graft.sources.ZoneMapSource")
+      .option("batch", 0L).option("buckets", 8).mode("append").save(dir)
+    val df = spark.read.format("graft.sources.ZoneMapSource").load(dir)
+      .filter(col("bkt") === 3).select(col("rid"), col("a"))
+    val want = rows.filter(pmod(col("rid"), lit(8)) === 3)
+    assert(df.count() == want.count())
+    assert(df.agg(sum(col("rid"))).collect()(0) ==
+      want.agg(sum(col("rid"))).collect()(0))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("bucket pruned to b3"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("the contract is enforced at DDL time: wrong schemas and " +
     "declared partitions are rejected, duplicate CREATE throws") {
     wh
