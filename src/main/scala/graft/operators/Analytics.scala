@@ -3096,6 +3096,169 @@ object Analytics {
       val m = c.agg(
         expr(anovaMomentSel.head), anovaMomentSel.tail.map(expr): _*)
       anovaStages.foldLeft(m)((df, stage) => df.selectExpr(stage: _*))
+    },
+
+    // ------------------------------------------------------------------
+    // ALS MATRIX FACTORIZATION — alternating least squares (Zhou et al.
+    // 2008, the Netflix-prize distributed recommender), rank 2, trained
+    // fully in-engine: the missing collaborative-filtering member of
+    // the ML family beside the supervised learners. Ratings = mean
+    // order quantity per (supplier, part-bucket); two full sweeps, each
+    // half-sweep solving one side's factors against the other held
+    // fixed. THE distributed-ALS scale shape, both halves exhibited:
+    // the user update joins ratings against the MODEL-SIZED item-factor
+    // table (fixed modulus 64 — broadcast), the item update joins
+    // against the SF-PROPORTIONAL user-factor table (keyed equi-join,
+    // deliberately unhinted) and reduces per item — so factors move to
+    // ratings, never ratings to factors, and the only corpus-sized scan
+    // is the one ratings build. Cross-engine parity is engineered the
+    // logreg way: factors live on an integer µ-grid between half-sweeps,
+    // per-row normal-equation contributions are 2⁻²⁰-quantized BIGINTs
+    // (keyed sums are fold-order-free), and the per-key 2×2 Cramer
+    // solve + λ·n_k ridge (always invertible) is the same IEEE op
+    // sequence in both engines. The oracle replays init, all four
+    // half-sweeps, and both RMSE passes from the SAME fragment text;
+    // rmse2 < rmse1 is pinned by StatsSpec (training must descend).
+    QueryDef("q_ml_als", alsOracle) { (s, dir) =>
+      val rat = t(s, dir, "lineitem").selectExpr(alsRows: _*)
+        .groupBy(col("u"), col("i"))
+        .agg(expr(alsAgg.head), alsAgg.tail.map(expr): _*)
+        .selectExpr("u", "i", alsR)
+        .localCheckpoint() // feeds 4 half-sweeps + 2 RMSE passes
+      val if0 = rat.select(col("i")).distinct()
+        .selectExpr(alsInit: _*).localCheckpoint()
+      // solve `groupKey`'s factors with `fixed` (keyed by joinKey) held
+      // constant; hint only the model-sized item table — the user table
+      // grows with the corpus and must degrade to SMJ gracefully
+      def half(fixed: DataFrame, joinKey: String, groupKey: String,
+          hintFixed: Boolean): DataFrame = {
+        val f0 = fixed.select(col(joinKey), col("p0"), col("p1"))
+        val f = if (hintFixed) broadcast(f0) else f0
+        rat.join(f, joinKey)
+          .select(col(groupKey).as("k"), col("r"), col("p0"), col("p1"))
+          .selectExpr(alsJoin: _*)
+          .selectExpr(alsQuant: _*)
+          .groupBy(col("k"))
+          .agg(expr(alsMom.head), alsMom.tail.map(expr): _*)
+          .selectExpr(alsSolve: _*)
+          .selectExpr(alsCramer: _*)
+          .selectExpr(alsOut: _*)
+          .withColumnRenamed("k", groupKey)
+          .localCheckpoint() // per-half-sweep chain cut (adaboost regime)
+      }
+      def rmsePass(uf: DataFrame, itf: DataFrame, name: String): DataFrame =
+        rat.join(uf.selectExpr("u", "p0 AS up0", "p1 AS up1"), "u")
+          .join(broadcast(itf.selectExpr("i", "p0 AS ip0", "p1 AS ip1")),
+            "i")
+          .selectExpr(alsErr)
+          .selectExpr(alsErrQ)
+          .agg(expr(alsRmseAgg.head), alsRmseAgg.tail.map(expr): _*)
+          .selectExpr(alsRmse(name))
+      val u1 = half(if0, "i", "u", hintFixed = true)
+      val i1 = half(u1, "u", "i", hintFixed = false)
+      val r1 = rmsePass(u1, i1, "rmse1_u")
+      val u2 = half(i1, "i", "u", hintFixed = true)
+      val i2 = half(u2, "u", "i", hintFixed = false)
+      val r2 = rmsePass(u2, i2, "rmse2_u")
+      i2.selectExpr("i", "nk AS n_r", "p0 AS if0_u", "p1 AS if1_u")
+        .crossJoin(broadcast(r1))
+        .crossJoin(broadcast(r2))
+    },
+
+    // ------------------------------------------------------------------
+    // SPLIT CONFORMAL PREDICTION (Vovk et al.; Angelopoulos & Bates
+    // 2023) — distribution-free intervals around ANY point model, the
+    // calibration layer an LLM-era quality/score model serves behind:
+    // fit on the train fold, take the ⌈0.9(n+1)⌉-th smallest absolute
+    // residual on the calibration fold as q̂, report finite-sample
+    // coverage on the test fold. Engine shape: one corpus projection
+    // feeds three hash-disjoint folds (cache contract); the model fit
+    // is ONE map-combinable 5-BIGINT-moment aggregate + a 1-row solve
+    // (the ridge shape); the conformal quantile is an EXACT distributed
+    // order statistic — chunkedRank over the calibration scores (32
+    // value-chunk parallel sorts + prefix offsets, never a single-task
+    // global sort) with the data-dependent rank k arriving as a 1-row
+    // broadcast, filter idx = k−1. Everything is BIGINT after per-row
+    // µ-quantization of |residual| — fold-order-free sums, an integer
+    // rank selection, and the one double block (the 2-moment solve +
+    // per-row prediction) is a fixed IEEE op sequence in both engines.
+    // The oracle replays the identical fragment text with the textbook
+    // row_number window, so the hash match doubles as another
+    // chunked ≡ native rank equivalence proof.
+    QueryDef("q_ml_conformal", conformalOracle) { (s, dir) =>
+      val rows = t(s, dir, "lineitem").selectExpr(cfRows: _*)
+        .localCheckpoint() // three fold consumers (train / cal / test)
+      val model = rows.filter(cfTrain)
+        .agg(expr(cfMom.head), cfMom.tail.map(expr): _*)
+        .selectExpr(cfSlope: _*)
+        .selectExpr(cfIcept: _*)
+      val cal = rows.filter(cfCal)
+        .crossJoin(broadcast(model))
+        .selectExpr(cfScore: _*)
+      val kRow = cal.agg(expr(cfCalN)).selectExpr(cfK: _*)
+      val qhat = chunkedRank(
+        cal.withColumn("__all", lit(0)), "__all", "score_u", Seq("rid"))
+        .crossJoin(broadcast(kRow))
+        .filter(col("idx") === col("k") - 1)
+        .selectExpr("score_u AS qhat_u", "n_cal", "k")
+      val test = rows.filter(cfTest)
+        .crossJoin(broadcast(model))
+        .selectExpr(cfScore: _*)
+      test.crossJoin(broadcast(qhat))
+        .crossJoin(broadcast(model))
+        .agg(expr(cfFinal.head), cfFinal.tail.map(expr): _*)
+        .selectExpr(cfOut: _*)
+    },
+
+    // ------------------------------------------------------------------
+    // PASS@K — the unbiased combinatorial estimator from the Codex
+    // paper (Chen et al. 2021): pass@k = 1 − C(n−c,k)/C(n,k) per
+    // problem, averaged per source — the eval-harness aggregation every
+    // code-model run reports. Trials are synthetic-deterministic (n=16
+    // per doc, c = a hash of the doc), the estimator is EXACT integer
+    // combinatorics: with n fixed, C(n−c,k)/C(n,k) = Π_{j<k}(n−c−j) /
+    // Π_{j<k}(n−j) — the numerator hits a literal zero factor exactly
+    // when c > n−k (where the binomial vanishes), the denominator is a
+    // compile-time constant, and the single double division per (doc,k)
+    // µ-quantizes immediately, so per-source means are fold-order-free
+    // BIGINT sums. One corpus scan, one map-combinable aggregate over
+    // the schema-bounded source key — eval-layer cost at any SF.
+    QueryDef("q_eval_passk", passkOracle) { (s, dir) =>
+      t(s, dir, "documents").selectExpr(pkRows: _*)
+        .selectExpr(pkPer: _*)
+        .groupBy(col("source"))
+        .agg(expr(pkAgg.head), pkAgg.tail.map(expr): _*)
+    },
+
+    // ------------------------------------------------------------------
+    // KRUSKAL-WALLIS H (1952) — the rank-based omnibus test beside
+    // q_stats_anova's parametric F: does order priority shift the
+    // DISTRIBUTION of order value at all, with no normality assumption.
+    // Engine shape: ONE corpus pass builds the (priority, value-bin)
+    // cell table; ranks come from the q_drift_mwu doubled-midrank
+    // machinery — per-bin totals + a cumulative window over the
+    // thousand-dollar bin spine (the TPC-H price domain is pinned, so
+    // the spine is ~560 rows at EVERY SF — the PlanSpec-allowlisted
+    // bounded-domain argument), never a corpus-sized rank window. Every
+    // pre-division quantity is an order-free BIGINT (Σ_g n·(2·pre+t+1)
+    // is the doubled rank sum; Σ(t³−t) the tie term), the per-group
+    // algebra pivots over the schema-pinned 5-priority domain with
+    // anovaFold's explicit left-to-right chains — identical IEEE op
+    // sequence cross-engine, the anova discipline on a rank statistic.
+    QueryDef("q_stats_kruskal", kruskalOracle) { (s, dir) =>
+      val cells = t(s, dir, "orders").selectExpr(kwRows: _*)
+        .groupBy(col("g"), col("x"))
+        .agg(expr(kwCellN))
+      val tx = cells.groupBy(col("x"))
+        .agg(expr(kwBinT))
+        .select(col("x"), col("t"),
+          (sum(col("t")).over(Window.orderBy(col("x"))) - col("t"))
+            .as("pre"))
+      val mom = cells.join(tx, "x")
+        .agg(expr(kwMom.head), kwMom.tail.map(expr): _*)
+      val tot = tx.agg(expr(kwTot.head), kwTot.tail.map(expr): _*)
+      kwStages.foldLeft(mom.crossJoin(broadcast(tot)))(
+        (df, st) => df.selectExpr(st: _*))
     }
   )
 
@@ -3596,4 +3759,325 @@ object Analytics {
       |FROM m)
       |$rows""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // q_ml_als fragments — ONE text, two engines (the logreg/adaboost
+  // discipline). Factors live in integer µ-units between half-sweeps;
+  // per-row normal-equation contributions are 2⁻²⁰-quantized BIGINTs so
+  // every keyed sum is fold-order-free, and the per-key 2×2 Cramer
+  // solve runs the identical IEEE op sequence in both engines.
+
+  /** Per-row quantization grid for ALS normal-equation contributions:
+    * contributions are ≤ ~10⁴ (factors ≤ ~10², ratings ≤ 50), so a row
+    * is ≤ ~10¹⁰ quantized; the largest group (one item's raters, = the
+    * supplier count) keeps sums < 10¹⁵ at sf1 — inside BIGINT and,
+    * after dequantize, inside double's 2⁵³ integer range. */
+  private def alsQ = "1048576.0e0"
+
+  private def alsQi(e: String, n: String): String =
+    s"CAST(floor(($e) * $alsQ + 0.5e0) AS BIGINT) AS q$n"
+
+  /** µ-unit grid factors are stored on between half-sweeps. */
+  private def alsU = "1000000.0e0"
+
+  /** Ratings projection: user = supplier, item = part bucket (fixed
+    * modulus 64 — the item side is model-sized at every SF), rating
+    * contribution = integral quantity. */
+  private lazy val alsRows: Seq[String] = Seq(
+    "CAST(l_suppkey AS BIGINT) AS u",
+    "CAST(l_partkey % 64 AS BIGINT) AS i",
+    "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS q")
+
+  private lazy val alsAgg: Seq[String] = Seq(
+    "CAST(sum(q) AS BIGINT) AS sq", "CAST(count(*) AS BIGINT) AS cnt")
+
+  /** Mean rating: one double division of two exact integers. */
+  private def alsR = "CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE) AS r"
+
+  /** Deterministic item-factor init straight in µ-units: two integer
+    * mixes of the item id spread over [0.5, 1.5). */
+  private lazy val alsInit: Seq[String] = Seq(
+    "i",
+    "((i * 2654435761) % 1000) * 1000 + 500000 AS p0",
+    "((i * 40503 + 17) % 1000) * 1000 + 500000 AS p1")
+
+  /** Joined projection: k = the side being solved, (p0, p1) = the fixed
+    * side's µ-unit factors, dequantized once. */
+  private lazy val alsJoin: Seq[String] = Seq(
+    "k", "r",
+    s"CAST(p0 AS DOUBLE) / $alsU AS g0",
+    s"CAST(p1 AS DOUBLE) / $alsU AS g1")
+
+  /** Per-row normal-equation contributions, quantized. */
+  private lazy val alsQuant: Seq[String] = Seq(
+    "k",
+    alsQi("g0 * g0", "a00"), alsQi("g0 * g1", "a01"),
+    alsQi("g1 * g1", "a11"),
+    alsQi("g0 * r", "b0"), alsQi("g1 * r", "b1"))
+
+  private lazy val alsMom: Seq[String] =
+    Seq("a00", "a01", "a11", "b0", "b1")
+      .map(n => s"CAST(sum(q$n) AS BIGINT) AS s$n") :+
+      "CAST(count(*) AS BIGINT) AS nk"
+
+  /** Dequantized 2×2 system, λ·n_k ridge on the diagonal (Zhou et al.
+    * 2008's weighted-λ regularization — λ = 0.1). */
+  private lazy val alsSolve: Seq[String] = Seq(
+    "k", "nk",
+    s"CAST(sa00 AS DOUBLE) / $alsQ + CAST(nk AS DOUBLE) * 0.1e0 AS m00",
+    s"CAST(sa01 AS DOUBLE) / $alsQ AS m01",
+    s"CAST(sa11 AS DOUBLE) / $alsQ + CAST(nk AS DOUBLE) * 0.1e0 AS m11",
+    s"CAST(sb0 AS DOUBLE) / $alsQ AS v0",
+    s"CAST(sb1 AS DOUBLE) / $alsQ AS v1")
+
+  /** Cramer solve; det > 0 always (PSD + λ·n_k ≥ 0.1 on the diagonal). */
+  private lazy val alsCramer: Seq[String] = Seq(
+    "k", "nk",
+    "m00 * m11 - m01 * m01 AS det",
+    "(v0 * m11 - v1 * m01) AS d0",
+    "(m00 * v1 - m01 * v0) AS d1")
+
+  /** New factors back onto the µ-unit grid. */
+  private lazy val alsOut: Seq[String] = Seq(
+    "k", "nk",
+    s"CAST(floor(d0 / det * $alsU + 0.5e0) AS BIGINT) AS p0",
+    s"CAST(floor(d1 / det * $alsU + 0.5e0) AS BIGINT) AS p1")
+
+  /** Residual per rating against a (user, item) factor pair. */
+  private def alsErr: String =
+    s"r - (CAST(up0 AS DOUBLE) / $alsU * (CAST(ip0 AS DOUBLE) / $alsU)" +
+      s" + CAST(up1 AS DOUBLE) / $alsU * (CAST(ip1 AS DOUBLE) / $alsU)) AS e"
+
+  private def alsErrQ: String = alsQi("e * e", "e2")
+
+  private lazy val alsRmseAgg: Seq[String] = Seq(
+    "CAST(sum(qe2) AS BIGINT) AS se2", "CAST(count(*) AS BIGINT) AS nn")
+
+  private def alsRmse(name: String): String =
+    s"CAST(floor(sqrt(CAST(se2 AS DOUBLE) / $alsQ / CAST(nn AS DOUBLE))" +
+      s" * $alsU + 0.5e0) AS BIGINT) AS $name"
+
+  /** One half-sweep as oracle CTEs: solve side `groupKey` against the
+    * fixed factor table `fixedCte` (columns: joinKey, p0, p1). */
+  private def alsHalfCtes(
+      pre: String, fixedCte: String,
+      joinKey: String, groupKey: String): String =
+    s"""${pre}j AS (
+      |  SELECT rat.$groupKey AS k, rat.r, f.p0, f.p1
+      |  FROM rat JOIN $fixedCte f ON rat.$joinKey = f.$joinKey),
+      |${pre}d AS (SELECT ${alsJoin.mkString(", ")} FROM ${pre}j),
+      |${pre}q AS (SELECT ${alsQuant.mkString(",\n    ")} FROM ${pre}d),
+      |${pre}m AS (SELECT k, ${alsMom.mkString(",\n    ")}
+      |  FROM ${pre}q GROUP BY k),
+      |${pre}s AS (SELECT ${alsSolve.mkString(",\n    ")} FROM ${pre}m),
+      |${pre}c AS (SELECT ${alsCramer.mkString(",\n    ")} FROM ${pre}s),
+      |${pre}f AS (SELECT ${alsOut.mkString(",\n    ")} FROM ${pre}c),
+      |${pre}t AS (SELECT k AS $groupKey, nk, p0, p1 FROM ${pre}f)"""
+      .stripMargin
+
+  /** RMSE-pass oracle CTEs over a (user table, item table) pair. */
+  private def alsRmseCtes(
+      pre: String, name: String, uf: String, itf: String): String =
+    s"""${pre}p AS (
+      |  SELECT rat.r, uf.p0 AS up0, uf.p1 AS up1,
+      |    itf.p0 AS ip0, itf.p1 AS ip1
+      |  FROM rat JOIN $uf uf ON rat.u = uf.u
+      |  JOIN $itf itf ON rat.i = itf.i),
+      |${pre}e AS (SELECT $alsErr FROM ${pre}p),
+      |${pre}k AS (SELECT $alsErrQ FROM ${pre}e),
+      |${pre}a AS (SELECT ${alsRmseAgg.mkString(", ")} FROM ${pre}k),
+      |${pre}r AS (SELECT ${alsRmse(name)} FROM ${pre}a)"""
+      .stripMargin
+
+  // --------------------------------------------------------------------
+  // q_ml_conformal fragments — ONE text, two engines. x = quantity,
+  // y = whole-dollar extended price; folds split by a deterministic
+  // integer hash so the three splits are disjoint at every SF.
+
+  private lazy val cfRows: Seq[String] = Seq(
+    "l_orderkey * 8 + l_linenumber AS rid",
+    "(l_orderkey * 7 + l_linenumber) % 10 AS fold",
+    "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x",
+    "CAST(floor(l_extendedprice + 0.5e0) AS BIGINT) AS y")
+
+  private def cfTrain = "fold < 6"
+  private def cfCal = "fold >= 6 AND fold < 8"
+  private def cfTest = "fold >= 8"
+
+  /** Exact BIGINT train moments (Σxy < 4·10¹³ at sf1 — safe). */
+  private lazy val cfMom: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(sum(x) AS BIGINT) AS sx", "CAST(sum(y) AS BIGINT) AS sy",
+    "CAST(sum(x * y) AS BIGINT) AS sxy",
+    "CAST(sum(x * x) AS BIGINT) AS sxx")
+
+  private lazy val cfSlope: Seq[String] = Seq(
+    "n", "sx", "sy",
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b")
+
+  private lazy val cfIcept: Seq[String] = Seq(
+    "n AS n_train", "b",
+    "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)" +
+      " - b * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS a")
+
+  /** µ-quantized nonconformity |y − ŷ|. */
+  private lazy val cfScore: Seq[String] = Seq(
+    "rid",
+    "CAST(floor(abs(CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)))" +
+      " * 1000000.0e0 + 0.5e0) AS BIGINT) AS score_u")
+
+  private def cfCalN = "CAST(count(*) AS BIGINT) AS n_cal"
+
+  /** The finite-sample conformal rank ⌈0.9(n+1)⌉. */
+  private lazy val cfK: Seq[String] = Seq(
+    "n_cal",
+    "CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9e0) AS BIGINT) AS k")
+
+  private lazy val cfFinal: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n_test",
+    "CAST(sum(CASE WHEN score_u <= qhat_u THEN 1 ELSE 0 END)" +
+      " AS BIGINT) AS n_cov",
+    "min(n_train) AS n_train", "min(n_cal) AS n_cal", "min(k) AS k",
+    "min(qhat_u) AS qhat_u", "min(a) AS a", "min(b) AS b")
+
+  private lazy val cfOut: Seq[String] = Seq(
+    "n_train", "n_cal", "k", "qhat_u", "n_test", "n_cov",
+    s"${Num.sql("a", 6)} AS a_r", s"${Num.sql("b", 6)} AS b_r")
+
+  /** DuckDB replay of q_ml_conformal: identical fragments, textbook
+    * row_number window in place of chunkedRank. */
+  private def conformalOracle: String =
+    s"""WITH rws AS (SELECT ${cfRows.mkString(",\n    ")} FROM lineitem),
+      |m AS (SELECT ${cfMom.mkString(",\n    ")} FROM rws WHERE $cfTrain),
+      |sl AS (SELECT ${cfSlope.mkString(",\n    ")} FROM m),
+      |md AS (SELECT ${cfIcept.mkString(",\n    ")} FROM sl),
+      |cal AS (SELECT ${cfScore.mkString(",\n    ")}
+      |  FROM rws CROSS JOIN md WHERE $cfCal),
+      |kk AS (SELECT ${cfK.mkString(", ")}
+      |  FROM (SELECT $cfCalN FROM cal)),
+      |rk AS (SELECT score_u,
+      |    row_number() OVER (ORDER BY score_u, rid) AS rn
+      |  FROM cal),
+      |qh AS (SELECT score_u AS qhat_u, n_cal, k
+      |  FROM rk, kk WHERE rn = k),
+      |tst AS (SELECT ${cfScore.mkString(",\n    ")}
+      |  FROM rws CROSS JOIN md WHERE $cfTest),
+      |f AS (SELECT ${cfFinal.mkString(",\n    ")}
+      |  FROM tst CROSS JOIN qh CROSS JOIN md)
+      |SELECT ${cfOut.mkString(",\n  ")} FROM f""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q_stats_kruskal fragments — ONE text, two engines (the anova/mwu
+  // discipline). Ranks are doubled integers over the bounded bin spine.
+
+  private lazy val kwRows: Seq[String] = Seq(
+    "o_orderpriority AS g",
+    "CAST(floor(o_totalprice / 1000.0e0) AS BIGINT) AS x")
+
+  private def kwCellN = "CAST(count(*) AS BIGINT) AS n"
+  private def kwBinT = "CAST(sum(n) AS BIGINT) AS t"
+
+  /** Pivoted doubled rank sums + group sizes over the 5-priority
+    * domain: 2·ΣR_g = Σ_cells n·(2·pre + t + 1). */
+  private lazy val kwMom: Seq[String] =
+    anovaPris.zipWithIndex.flatMap { case (p, i) =>
+      val c = s"CASE WHEN g = '$p' THEN"
+      Seq(
+        s"CAST(sum($c n * (2 * pre + t + 1) ELSE 0 END) AS BIGINT) AS r2$i",
+        s"CAST(sum($c n ELSE 0 END) AS BIGINT) AS n$i")
+    }
+
+  /** Corpus size + tie term from the bin spine (each bin once). */
+  private lazy val kwTot: Seq[String] = Seq(
+    "CAST(sum(t) AS BIGINT) AS nn",
+    "CAST(sum(t * t * t - t) AS BIGINT) AS tie")
+
+  private lazy val kwStages: Seq[Seq[String]] = {
+    val is = anovaPris.indices
+    val d = Seq("nn AS n", "CAST(nn AS DOUBLE) AS fna",
+      "CAST(tie AS DOUBLE) AS ftie") ++
+      is.flatMap(i => Seq(s"CAST(r2$i AS DOUBLE) AS fr2$i",
+        s"CAST(n$i AS DOUBLE) AS fn$i"))
+    val e = Seq("n", "fna", "ftie",
+      s"${anovaFold(i => s"fr2$i * fr2$i / (4.0e0 * fn$i)")} AS sss")
+    val f = Seq("n", "fna",
+      "12.0e0 * sss / (fna * (fna + 1.0e0)) - 3.0e0 * (fna + 1.0e0) AS h",
+      "1.0e0 - ftie / (fna * fna * fna - fna) AS cc")
+    val fin = Seq("n",
+      s"${Num.sql("h", 6)} AS h_stat",
+      s"${Num.sql("h / cc", 6)} AS h_corr",
+      s"${Num.sql("(h - 4.0e0) / (fna - 5.0e0)", 6)} AS eps2")
+    Seq(d, e, f, fin)
+  }
+
+  /** DuckDB replay of q_stats_kruskal: same fragments as chained CTEs,
+    * same cumulative window over the bounded bin spine. */
+  private def kruskalOracle: String = {
+    val ctes = kwStages.init.zipWithIndex.map { case (sel, k) =>
+      s"st$k AS (SELECT ${sel.mkString(",\n    ")} FROM " +
+        s"${if (k == 0) "mt" else s"st${k - 1}"})"
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT ${kwRows.mkString(", ")} FROM orders),
+      |cells AS (SELECT g, x, $kwCellN FROM c0 GROUP BY g, x),
+      |tx0 AS (SELECT x, $kwBinT FROM cells GROUP BY x),
+      |tx AS (SELECT x, t, sum(t) OVER (ORDER BY x) - t AS pre FROM tx0),
+      |mom AS (SELECT ${kwMom.mkString(",\n    ")}
+      |  FROM cells JOIN tx USING (x)),
+      |tot AS (SELECT ${kwTot.mkString(", ")} FROM tx),
+      |mt AS (SELECT * FROM mom CROSS JOIN tot),
+      |$ctes
+      |SELECT ${kwStages.last.mkString(",\n  ")}
+      |FROM st${kwStages.size - 2}""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_eval_passk fragments — n = 16 trials; k ∈ {1, 5, 10}.
+
+  private def pkN = 16
+  private def pkKs = Seq(1, 5, 10)
+
+  private lazy val pkRows: Seq[String] = Seq(
+    "source", s"CAST((doc_id * 13 + n_chars) % ${pkN + 1} AS BIGINT) AS c")
+
+  /** Per-doc pass@k in µ-units: 10⁶ − ⌊N/D·10⁶ + ½⌋ with N the
+    * falling-factorial numerator and D its compile-time constant. */
+  private lazy val pkPer: Seq[String] = "source" +: pkKs.map { k =>
+    val num = (0 until k).map(j => s"($pkN - c - $j)").mkString(" * ")
+    val den = (0 until k).map(pkN - _.toLong).product
+    s"CAST(1000000 - floor(CAST($num AS DOUBLE)" +
+      s" / ${den}.0e0 * 1000000.0e0 + 0.5e0) AS BIGINT) AS p${k}_u"
+  }
+
+  private lazy val pkAgg: Seq[String] =
+    "CAST(count(*) AS BIGINT) AS n_docs" +: pkKs.map(k =>
+      s"CAST(floor(CAST(sum(p${k}_u) AS DOUBLE)" +
+        s" / CAST(count(*) AS DOUBLE) + 0.5e0) AS BIGINT) AS pass${k}_u")
+
+  private def passkOracle: String =
+    s"""WITH d AS (SELECT ${pkRows.mkString(",\n    ")} FROM documents),
+      |p AS (SELECT ${pkPer.mkString(",\n    ")} FROM d)
+      |SELECT source, ${pkAgg.mkString(",\n  ")}
+      |FROM p GROUP BY source""".stripMargin
+
+  /** DuckDB replay of q_ml_als: the identical fragment text as chained
+    * CTEs — init, four half-sweeps, two RMSE passes. */
+  private def alsOracle: String =
+    s"""WITH base AS (SELECT ${alsRows.mkString(",\n    ")} FROM lineitem),
+      |rat0 AS (SELECT u, i, ${alsAgg.mkString(", ")}
+      |  FROM base GROUP BY u, i),
+      |rat AS (SELECT u, i, $alsR FROM rat0),
+      |it AS (SELECT DISTINCT i FROM rat),
+      |if0 AS (SELECT ${alsInit.mkString(",\n    ")} FROM it),
+      |${alsHalfCtes("u1", "if0", "i", "u")},
+      |${alsHalfCtes("i1", "u1t", "u", "i")},
+      |${alsRmseCtes("e1", "rmse1_u", "u1t", "i1t")},
+      |${alsHalfCtes("u2", "i1t", "i", "u")},
+      |${alsHalfCtes("i2", "u2t", "u", "i")},
+      |${alsRmseCtes("e2", "rmse2_u", "u2t", "i2t")}
+      |SELECT i2t.i, i2t.nk AS n_r, i2t.p0 AS if0_u, i2t.p1 AS if1_u,
+      |  rmse1_u, rmse2_u
+      |FROM i2t CROSS JOIN e1r CROSS JOIN e2r""".stripMargin
 }

@@ -878,8 +878,97 @@ object Graph {
         .select(col("n").as("n_nodes"), col("c").as("n_selected"),
           col("k").as("n_components"), col("tw").as("total_weight"),
           (col("n") - col("k") === col("c")).as("forest_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // DETERMINISTIC RANDOM WALKS (DeepWalk, Perozzi KDD'14 / node2vec,
+    // Grover-Leskovec KDD'16 with p=q=1) — the corpus-generation pass
+    // graph-embedding training runs first: from every seed node, a
+    // fixed-length walk whose step-t transition is drawn by the portable
+    // h60("walk:t:wid:cur") mod out-degree, so both engines (and any
+    // re-run) sample the IDENTICAL walks — randomness as a pure function
+    // of (walk, step, position), the bootstrap-weights discipline
+    // applied to graph traversal. Engine shape: the adjacency is indexed
+    // ONCE (row_number + count over the src partition — per-node local
+    // work, never a global window), and each of the L steps is one
+    // keyed equi-join frontier⋈adj on cur = src (the pick lands as a
+    // post-join filter eidx = h mod d), so per-step cost ∝ the
+    // frontier's degree mass — the BFS/labelprop shape, never |V|²; the
+    // symmetric bipartite graph has no sinks, so walks never die.
+    // Output: the (wid, step, node) trajectory table an embedding
+    // trainer would window into skip-grams. The oracle replays the
+    // identical steps; GraphSpec replays them sequentially driver-side.
+    QueryDef("q_graph_walks", walksOracle) { (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val sym = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))
+      val adj = sym
+        .withColumn("eidx", row_number().over(w) - 1)
+        .withColumn("d", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .cache() // every step joins this indexed adjacency
+      val seeds = sym.filter(col("src") % 4 === 1)
+        .select(col("src")).distinct()
+        .select(col("src").as("wid"), col("src").as("cur"))
+      val hops = scala.collection.mutable.Buffer[DataFrame](
+        seeds.selectExpr("wid", "CAST(0 AS INT) AS step", "cur AS node"))
+      var front = seeds
+      for (t <- 1 to walkLen) {
+        val h = graft.functions.TextAnalysis.h60(concat(
+          lit(s"walk:$t:"), col("wid").cast("string"),
+          lit(":"), col("cur").cast("string")))
+        val stepped = front.withColumn("h", h)
+          .join(adj, col("cur") === col("src") &&
+            col("eidx") === col("h") % col("d"))
+          .select(col("wid"), col("dst").as("cur"))
+        front = stepped
+        hops += stepped.selectExpr("wid", s"CAST($t AS INT) AS step",
+          "cur AS node")
+      }
+      hops.reduce(_ unionAll _)
     }
   )
+
+  private def walkLen = 4
+
+  /** DuckDB replay of q_graph_walks: the same indexed adjacency and the
+    * same h60 pick per step. */
+  private def walksOracle: String = {
+    import graft.functions.TextAnalysis.h60sql
+    def stepSql(t: Int): String = {
+      val h = h60sql(s"'walk:$t:' || CAST(w.wid AS VARCHAR) || ':' || " +
+        "CAST(w.cur AS VARCHAR)")
+      s"""w$t AS (
+        |  SELECT w.wid, a.dst AS cur
+        |  FROM w${t - 1} w JOIN adj a ON w.cur = a.src
+        |    AND a.eidx = ($h) % a.d)""".stripMargin
+    }
+    val unions = (1 to walkLen).map(t =>
+      s"SELECT wid, CAST($t AS INT) AS step, cur AS node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |edges AS (
+      |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM e0
+      |  UNION ALL
+      |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM e0),
+      |adj AS (
+      |  SELECT src, dst,
+      |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS eidx,
+      |    count(*) OVER (PARTITION BY src) AS d
+      |  FROM edges),
+      |w0 AS (
+      |  SELECT DISTINCT src AS wid, src AS cur FROM edges
+      |  WHERE src % 4 = 1),
+      |${(1 to walkLen).map(stepSql).mkString(",\n")}
+      |SELECT wid, CAST(0 AS INT) AS step, cur AS node FROM w0
+      |  UNION ALL $unions""".stripMargin
+  }
 
   private def hitsRounds = 2
 

@@ -1312,6 +1312,64 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // MMR DIVERSITY RE-RANKING (Carbonell & Goldstein, SIGIR 1998) — the
+    // de-dup step a RAG retrieval stack runs AFTER similarity search:
+    // from the query's top-`mmrPool` candidates, greedily pick
+    // `mmrK` results maximizing λ·rel(d) − (1−λ)·max_{s∈picked}
+    // sim(d, s), so near-duplicate passages don't crowd the context
+    // window. Scale shape: the ONLY corpus-sized work is q_knn_brute's
+    // scan→score→distributed-top-k candidate pass (1-row query
+    // broadcast, no shuffle of the vector table); everything after —
+    // the candidate pair matrix (pool², 380 rows) and the greedy loop
+    // (mmrK bounded argmax rounds over ≤pool rows) — is
+    // CANDIDATE-SIZED at every SF. Cross-engine parity is exact by
+    // construction: relevance and pair similarities µ-quantize
+    // immediately (the hybrid-search rounding precedent), and the
+    // greedy chain runs on pure BIGINTs — score = 7·rel_u − 3·red_u is
+    // the λ=0.7 objective scaled by 10, a monotone transform, so every
+    // argmax (score DESC, vec_id) is integer-exact and the 5-round
+    // selection is bit-identical in both engines. The oracle replays
+    // the rounds as generated CTEs.
+    QueryDef("q_search_mmr", mmrOracle) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val e = t(s, dir, "embeddings")
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .selectExpr("vec_id", "embedding", mmrRelExpr)
+        .orderBy(col("rel_u").desc, col("vec_id"))
+        .limit(mmrPool)
+        .localCheckpoint() // pool rows; feeds pairs + every greedy round
+      val pairs = cand.selectExpr("vec_id AS id1", "embedding AS e1")
+        .join(cand.selectExpr("vec_id AS id2", "embedding AS e2"),
+          col("id1") =!= col("id2"))
+        .selectExpr("id1", "id2", mmrSimExpr)
+        .localCheckpoint() // pool·(pool−1) rows
+      var sel = cand
+        .selectExpr("vec_id", "rel_u", "CAST(0 AS BIGINT) AS red_u")
+        .selectExpr(mmrScore("1"): _*)
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      for (r <- 2 to mmrK) {
+        val ps = pairs
+          .join(sel.select(col("vec_id").as("id2")), "id2")
+          .groupBy(col("id1")).agg(max(col("sim_u")).as("mx"))
+          .withColumnRenamed("id1", "vec_id")
+        val pick = cand
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(ps, Seq("vec_id"), "left")
+          .selectExpr("vec_id", "rel_u",
+            "CAST(coalesce(mx, 0) AS BIGINT) AS red_u")
+          .selectExpr(mmrScore(r.toString): _*)
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+        sel = sel.unionAll(pick).localCheckpoint()
+      }
+      sel.selectExpr("pick_rank", "vec_id AS doc_id", "rel_u", "red_u",
+        "score")
+    },
+
+    // ------------------------------------------------------------------
     // Embeddings-table health audit — the validation pass before any
     // ANN/dedup job trusts the vector column: dimension consistency,
     // non-finite elements, zero vectors, and a fixed-boundary norm²
@@ -2060,5 +2118,82 @@ object Similarity {
       |SELECT dim, count(*) AS n, CAST(bit_xor(y) AS BIGINT) AS y_xor,
       |  CAST(sum(y) AS BIGINT) AS y_sum
       |FROM u GROUP BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_search_mmr fragments — candidate pool / pick count, the µ-unit
+  // scoring texts, and the DuckDB round replay.
+
+  private def mmrPool = 20
+  private def mmrK = 5
+
+  /** µ-quantized relevance of a candidate to the broadcast query vector
+    * (Spark text; the oracle spells the same cosine as list folds). */
+  private def mmrRelExpr: String =
+    "CAST(floor(graft_cosine(q_emb, embedding) * 1000000.0e0 + 0.5e0)" +
+      " AS BIGINT) AS rel_u"
+
+  /** µ-quantized pair similarity between two candidates. */
+  private def mmrSimExpr: String =
+    "CAST(floor(graft_cosine(e1, e2) * 1000000.0e0 + 0.5e0)" +
+      " AS BIGINT) AS sim_u"
+
+  /** The MMR objective on the µ-grid: λ = 0.7 scaled by 10 — a monotone
+    * transform, so the integer argmax equals the real-valued one. */
+  private def mmrScore(rank: String): Seq[String] = Seq(
+    "vec_id", "rel_u", "red_u",
+    "7 * rel_u - 3 * red_u AS score",
+    s"CAST($rank AS INT) AS pick_rank")
+
+  /** The oracle's cosine over two list columns: same element promotion
+    * and left-to-right folds as [[CosineSimilarity]]. */
+  private def mmrCosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+      |      k -> CAST($a[k] AS DOUBLE) * CAST($b[k] AS DOUBLE)))
+      |      / sqrt(list_sum(list_transform($a,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |        * list_sum(list_transform($b,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  /** DuckDB replay of q_search_mmr: candidate top-`mmrPool`, the pair
+    * matrix, then one (prior-max, remaining, pick) CTE triple per
+    * greedy round — all argmaxes on BIGINTs with vec_id tie-breaks. */
+  private def mmrOracle: String = {
+    val rounds = (2 to mmrK).map { r =>
+      s"""p$r AS (
+        |  SELECT p.id1 AS vec_id, max(p.sim_u) AS mx
+        |  FROM pairs p JOIN a${r - 1} s ON p.id2 = s.vec_id GROUP BY 1),
+        |d$r AS (
+        |  SELECT c.vec_id, c.rel_u,
+        |    CAST(coalesce(p.mx, 0) AS BIGINT) AS red_u
+        |  FROM cand c LEFT JOIN p$r p ON c.vec_id = p.vec_id
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM a${r - 1})),
+        |s$r AS (
+        |  SELECT ${mmrScore(r.toString).mkString(", ")} FROM d$r
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |a$r AS (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+      |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(floor((${mmrCosSql("q_emb", "embedding")})
+      |      * 1000000.0e0 + 0.5e0) AS BIGINT) AS rel_u
+      |  FROM embeddings, q WHERE vec_id <> 0
+      |  ORDER BY rel_u DESC, vec_id LIMIT $mmrPool),
+      |pairs AS (
+      |  SELECT c1.vec_id AS id1, c2.vec_id AS id2,
+      |    CAST(floor((${mmrCosSql("c1.embedding", "c2.embedding")})
+      |      * 1000000.0e0 + 0.5e0) AS BIGINT) AS sim_u
+      |  FROM cand c1 JOIN cand c2 ON c1.vec_id <> c2.vec_id),
+      |s1 AS (
+      |  SELECT ${mmrScore("1").mkString(", ")}
+      |  FROM (SELECT vec_id, rel_u, CAST(0 AS BIGINT) AS red_u FROM cand)
+      |  ORDER BY score DESC, vec_id LIMIT 1),
+      |a1 AS (SELECT * FROM s1),
+      |$rounds
+      |SELECT pick_rank, vec_id AS doc_id, rel_u, red_u, score
+      |FROM a$mmrK""".stripMargin
   }
 }

@@ -77,6 +77,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q_graph_walks equals a sequential walk replay: every step " +
+    "follows the h60-picked edge and walks never die") {
+    val got = SparkEntry.queries("q_graph_walks")(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("wid")),
+        r.getInt(r.fieldIndex("step")), r.getLong(r.fieldIndex("node"))))
+      .toSet
+    val e0 = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.SortedSet[Long]]
+    def link(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.SortedSet.empty) += b
+    e0.foreach { case (p, s) => link(p, s); link(s, p) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      md.digest(sx.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val ref = scala.collection.mutable.Set.empty[(Long, Int, Long)]
+    adj.keys.filter(_ % 4 == 1).foreach { seed =>
+      var cur = seed
+      ref += ((seed, 0, seed))
+      for (t <- 1 to 4) {
+        val out = adj(cur).toIndexedSeq // sorted by dst = the eidx order
+        cur = out((h60(s"walk:$t:$seed:$cur") % out.size).toInt)
+        ref += ((seed, t, cur))
+      }
+    }
+    assert(got == ref.toSet,
+      s"${got.size} trajectory rows vs replay ${ref.size}")
+    // sanity: one row per (seed, step) — walks neither die nor fork
+    val seeds = adj.keys.count(_ % 4 == 1)
+    assert(got.size == seeds * 5, s"expected ${seeds * 5} rows")
+  }
+
   test("q_graph_pagerank conserves rank mass and keeps every node") {
     val pr = SparkEntry.queries("q_graph_pagerank")(spark, sfDir).cache()
     try {

@@ -707,6 +707,16 @@ class PlanSpec extends SparkSpec {
       "q_ml_isotonic", // BETWEEN-joins over the 64-row bin table and
                        // its 2080-range grid — both sides bin-grid
                        // bounded at every SF
+      "q_ml_als", // crossJoins of the two 1-row RMSE aggregates onto
+                  // the 64-row item-factor output (factor-table joins
+                  // themselves are keyed equi-joins)
+      "q_ml_conformal", // crossJoins of 1-row model/k/q̂ aggregates +
+                        // chunkedRank's bounded offsets BNLJ
+      "q_search_mmr", // 1-row query-vector broadcast (knn-brute shape)
+                      // + the pool²-bounded candidate pair matrix and
+                      // ≤5-row greedy-round joins (LIMIT-bounded)
+      "q_stats_kruskal", // crossJoin of the two 1-row moment/tie
+                         // aggregates (the anova pivot shape)
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both
                          // sides bounded: 128 zones, 16 boxes)
@@ -1021,7 +1031,11 @@ class PlanSpec extends SparkSpec {
         // the TRAINED vocabulary (chars + uniTopK capped multi-char
         // tokens), bounded by the training cap at every SF
         "q_text_unigram_apply",
-        "q_search_hybrid"),
+        "q_search_hybrid",
+        // conformal's calibration-score rank: constant-group
+        // chunkedRank — the remaining window runs over the per-chunk
+        // COUNT table, ≤ shuffle.partitions rows
+        "q_ml_conformal"),
       // BPE's adjacent-pair table ≤ alphabet² rows
       "BPE pair table" -> Set("q_text_bpe"),
       // allocation sweeps run over the SOURCES relation (schema-bounded
@@ -1040,7 +1054,11 @@ class PlanSpec extends SparkSpec {
       // the longest session), far sublinear in the corpus
       "logrank death-time table" -> Set("q_churn_logrank"),
       // Benford's N total runs over the ≤9-row first-digit table
-      "benford digit table" -> Set("q_audit_benford"))
+      "benford digit table" -> Set("q_audit_benford"),
+      // Kruskal-Wallis' cumulative rank spine runs over the
+      // thousand-dollar bins of the PINNED TPC-H price domain
+      // (~560 rows at every SF — domain-bounded, not corpus-bounded)
+      "kruskal bin spine" -> Set("q_stats_kruskal"))
     val allow: Set[String] = bounded.values.flatten.toSet
     def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = {

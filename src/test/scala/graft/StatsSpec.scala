@@ -376,4 +376,182 @@ class StatsSpec extends SparkSpec {
         s"bin $b: minimax $fit vs PAV ${pav(b)}")
     }
   }
+
+  test("q_ml_als matches a driver-side sequential replay of all four " +
+    "half-sweeps and training RMSE descends") {
+    val got = SparkEntry.queries("q_ml_als")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val rmse1 = got.head.getLong(got.head.fieldIndex("rmse1_u"))
+    val rmse2 = got.head.getLong(got.head.fieldIndex("rmse2_u"))
+    assert(got.forall(r => r.getLong(r.fieldIndex("rmse1_u")) == rmse1))
+    // ALS is coordinate descent on the regularized objective; with the
+    // λ·n_k ridge the full-sweep RMSE must not increase, and on this
+    // fixture it strictly descends
+    assert(rmse2 < rmse1, s"rmse did not descend: $rmse1 -> $rmse2")
+    // exact sequential replay with the identical quantization grids
+    val Q = 1048576.0
+    val U = 1000000.0
+    def qi(e: Double): Long = math.floor(e * Q + 0.5).toLong
+    val ratings = Tables(spark, sfDir, "lineitem")
+      .selectExpr("CAST(l_suppkey AS BIGINT) AS u",
+        "CAST(l_partkey % 64 AS BIGINT) AS i",
+        "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS q")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case ((u, i), xs) =>
+        (u, i, xs.map(_._2).sum.toDouble / xs.length.toDouble) }
+      .toSeq
+    var itf: Map[Long, (Long, Long)] = ratings.map(_._2).distinct
+      .map(i => i -> ((i * 2654435761L) % 1000 * 1000 + 500000,
+        (i * 40503 + 17) % 1000 * 1000 + 500000)).toMap
+    var usf: Map[Long, (Long, Long)] = Map.empty
+    def half(fixed: Map[Long, (Long, Long)], byUser: Boolean)
+        : Map[Long, (Long, Long)] =
+      ratings.groupBy(r => if (byUser) r._1 else r._2).map {
+        case (k, rs) =>
+          var (sa00, sa01, sa11, sb0, sb1) = (0L, 0L, 0L, 0L, 0L)
+          rs.foreach { case (u, i, r) =>
+            val (p0, p1) = fixed(if (byUser) i else u)
+            val g0 = p0.toDouble / U
+            val g1 = p1.toDouble / U
+            sa00 += qi(g0 * g0); sa01 += qi(g0 * g1); sa11 += qi(g1 * g1)
+            sb0 += qi(g0 * r); sb1 += qi(g1 * r)
+          }
+          val nk = rs.length.toDouble
+          val m00 = sa00.toDouble / Q + nk * 0.1
+          val m01 = sa01.toDouble / Q
+          val m11 = sa11.toDouble / Q + nk * 0.1
+          val v0 = sb0.toDouble / Q
+          val v1 = sb1.toDouble / Q
+          val det = m00 * m11 - m01 * m01
+          val d0 = v0 * m11 - v1 * m01
+          val d1 = m00 * v1 - m01 * v0
+          k -> (math.floor(d0 / det * U + 0.5).toLong,
+            math.floor(d1 / det * U + 0.5).toLong)
+      }
+    def rmse(us: Map[Long, (Long, Long)], it: Map[Long, (Long, Long)])
+        : Long = {
+      val se2 = ratings.map { case (u, i, r) =>
+        val (up0, up1) = us(u)
+        val (ip0, ip1) = it(i)
+        val e = r - (up0.toDouble / U * (ip0.toDouble / U) +
+          up1.toDouble / U * (ip1.toDouble / U))
+        qi(e * e)
+      }.sum
+      math.floor(math.sqrt(se2.toDouble / Q / ratings.length.toDouble) *
+        U + 0.5).toLong
+    }
+    usf = half(itf, byUser = true)
+    itf = half(usf, byUser = false)
+    val r1 = rmse(usf, itf)
+    usf = half(itf, byUser = true)
+    itf = half(usf, byUser = false)
+    val r2 = rmse(usf, itf)
+    assert(r1 == rmse1 && r2 == rmse2, s"replay ($r1, $r2) vs engine")
+    val gotF = got.map(r => r.getLong(r.fieldIndex("i")) ->
+      (r.getLong(r.fieldIndex("if0_u")), r.getLong(r.fieldIndex("if1_u"))))
+      .toMap
+    assert(gotF == itf, "item factors diverge from the sequential replay")
+  }
+
+  test("q_ml_conformal: q̂ is the exact ⌈0.9(n+1)⌉-th calibration " +
+    "residual and test coverage lands near the nominal level") {
+    val row = SparkEntry.queries("q_ml_conformal")(spark, sfDir)
+      .collect().head
+    def l(n: String) = row.getLong(row.fieldIndex(n))
+    val (nCal, k, qhat) = (l("n_cal"), l("k"), l("qhat_u"))
+    assert(k == math.ceil((nCal + 1).toDouble * 0.9).toLong)
+    // independent replay: folds, moments, model, residual order stat
+    val rows = Tables(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey * 8 + l_linenumber AS rid",
+        "(l_orderkey * 7 + l_linenumber) % 10 AS fold",
+        "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice + 0.5e0) AS BIGINT) AS y")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tr = rows.filter(_._2 < 6)
+    val n = tr.length.toDouble
+    val (sx, sy) = (tr.map(_._3).sum.toDouble, tr.map(_._4).sum.toDouble)
+    val sxy = tr.map(r => r._3 * r._4).sum.toDouble
+    val sxx = tr.map(r => r._3 * r._3).sum.toDouble
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = sy / n - b * (sx / n)
+    def score(r: (Long, Long, Long, Long)): Long =
+      math.floor(math.abs(r._4.toDouble - (a + b * r._3.toDouble)) *
+        1000000.0 + 0.5).toLong
+    val cal = rows.filter(r => r._2 >= 6 && r._2 < 8)
+      .map(r => (score(r), r._1)).sorted
+    assert(cal.length.toLong == nCal)
+    assert(cal((k - 1).toInt)._1 == qhat, "q̂ is not the k-th score")
+    // split-conformal guarantee: ≥ 0.9 coverage in expectation over
+    // exchangeable folds — allow finite-sample slack on 600 rows
+    val cov = l("n_cov").toDouble / l("n_test").toDouble
+    assert(cov > 0.8 && cov <= 1.0, s"coverage $cov")
+  }
+
+  test("q_eval_passk: estimator replays exactly per source and is " +
+    "monotone in k") {
+    val got = SparkEntry.queries("q_eval_passk")(spark, sfDir).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("n_docs")),
+          r.getLong(r.fieldIndex("pass1_u")),
+          r.getLong(r.fieldIndex("pass5_u")),
+          r.getLong(r.fieldIndex("pass10_u"))))
+      .toMap
+    // more attempts can only help: pass@1 ≤ pass@5 ≤ pass@10
+    got.values.foreach { case (_, p1, p5, p10) =>
+      assert(p1 <= p5 && p5 <= p10, s"non-monotone: $p1 $p5 $p10")
+    }
+    // exact replay of the combinatorial estimator
+    def passU(c: Long, k: Int): Long = {
+      val num = (0 until k).map(j => 16L - c - j).product.toDouble
+      val den = (0 until k).map(j => 16L - j).product.toDouble
+      1000000L - math.floor(num / den * 1000000.0 + 0.5).toLong
+    }
+    val ref = Tables(spark, sfDir, "documents")
+      .selectExpr("source", "(doc_id * 13 + n_chars) % 17 AS c").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (src, xs) =>
+        val cs = xs.map(_._2)
+        def mean(k: Int): Long = math.floor(
+          cs.map(passU(_, k)).sum.toDouble / cs.length.toDouble +
+            0.5).toLong
+        src -> (cs.length.toLong, mean(1), mean(5), mean(10))
+      }
+    assert(got == ref, s"engine $got vs replay $ref")
+  }
+
+  test("q_stats_kruskal: H matches a driver-side tie-corrected rank " +
+    "computation and the correction only scales it up") {
+    val row = SparkEntry.queries("q_stats_kruskal")(spark, sfDir)
+      .collect().head
+    val n = row.getLong(row.fieldIndex("n"))
+    val h = row.getDouble(row.fieldIndex("h_stat"))
+    val hc = row.getDouble(row.fieldIndex("h_corr"))
+    assert(hc >= h, "tie correction must not shrink H")
+    // independent replay: midranks over the binned metric
+    val xs = Tables(spark, sfDir, "orders")
+      .selectExpr("o_orderpriority",
+        "CAST(floor(o_totalprice / 1000.0e0) AS BIGINT) AS x").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(xs.length.toLong == n)
+    val byBin = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bins = byBin.keys.toSeq.sorted
+    val pre = bins.scanLeft(0L)((acc, b) => acc + byBin(b)).init
+    val rank = bins.zip(pre).map { case (b, p) =>
+      b -> (p + (byBin(b) + 1) / 2.0) }.toMap // tie-averaged midrank
+    val groups = xs.groupBy(_._1)
+    val nn = xs.length.toDouble
+    val s = groups.values.map { g =>
+      val rs = g.map(x => rank(x._2)).sum
+      rs * rs / g.length.toDouble
+    }.sum
+    val hRef = 12.0 * s / (nn * (nn + 1.0)) - 3.0 * (nn + 1.0)
+    val tie = byBin.values.map(t => t * t * t - t).sum.toDouble
+    val hcRef = hRef / (1.0 - tie / (nn * nn * nn - nn))
+    // replay folds differ in order → compare within rounding slack
+    assert(math.abs(h - hRef) < 1e-4, s"H $h vs $hRef")
+    assert(math.abs(hc - hcRef) < 1e-4, s"Hc $hc vs $hcRef")
+  }
 }
