@@ -2582,6 +2582,103 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // SQL UPDATE — the row-level-operation surface
+    // (SupportsRowLevelOperations + SupportsDelta): the rewrite plan
+    // scans the table WITH its (_zfile, _zpos) metadata-column row
+    // identity, represents each update as delete + reinsert, and the
+    // delta writers commit MERGE-ON-READ — old rows die as positional
+    // tombstones in the next deletion-vector generation, new rows land
+    // as one regular append batch, and NO existing data file is
+    // rewritten (the Iceberg positional-delete shape through the
+    // engine's own planner). Crash consistency is the pending-marker
+    // protocol: staged fold → marker → batch (its zone row = its
+    // commit point) → dv generation → marker drop, with
+    // healRowLevelPending covering every window (ZoneCatalogSpec
+    // drives the crash cases). Cost ∝ updated rows + one pass over
+    // candidate files — at 100 TB the difference between UPDATE and
+    // rewrite-the-table.
+    QueryDef(
+      "q_catalog_update",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa,
+        |  CAST(sum(CASE WHEN rid % 7 = 3 THEN b + 1000 ELSE b END)
+        |    AS BIGINT) AS sb
+        |FROM src GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = s"/tmp/graft_warehouse_${dir.hashCode.toHexString}"
+      s.conf.set("spark.sql.catalog.zm",
+        classOf[graft.sources.ZoneCatalog].getName)
+      s.conf.set("spark.sql.catalog.zm.warehouse", wh)
+      t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+        .createOrReplaceTempView("zm_upd_src")
+      s.sql("DROP TABLE IF EXISTS zm.db.upd")
+      s.sql("CREATE TABLE zm.db.upd (rid BIGINT, a BIGINT, b BIGINT)")
+      s.sql("INSERT INTO zm.db.upd SELECT * FROM zm_upd_src")
+      s.sql("UPDATE zm.db.upd SET b = b + 1000 WHERE rid % 7 = 3")
+      s.sql(
+        """SELECT rid % 5 AS g, count(*) AS n,
+          |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+          |FROM zm.db.upd GROUP BY 1""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // MERGE INTO — the upsert statement through the same row-level
+    // delta surface: matched rows update (delete + reinsert), unmatched
+    // source rows insert, ONE statement and one commit. The source is
+    // key-deduplicated (min per rid) because the engine's merge
+    // cardinality validator — correctly — rejects a source that
+    // matches one target row twice. The oracle replays matched and
+    // unmatched branches as plain relational algebra.
+    QueryDef(
+      "q_catalog_merge",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem),
+        |tgt AS (SELECT rid, a, b FROM src WHERE rid % 3 = 0),
+        |s AS (
+        |  SELECT rid, min(a) AS a, min(b) + 500 AS b FROM src
+        |  WHERE rid % 3 IN (0, 1) GROUP BY rid),
+        |m AS (
+        |  SELECT t.rid, t.a, s.b FROM tgt t JOIN s ON t.rid = s.rid
+        |  UNION ALL
+        |  SELECT s.rid, s.a, s.b FROM s WHERE s.rid % 3 = 1)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = s"/tmp/graft_warehouse_${dir.hashCode.toHexString}"
+      s.conf.set("spark.sql.catalog.zm",
+        classOf[graft.sources.ZoneCatalog].getName)
+      s.conf.set("spark.sql.catalog.zm.warehouse", wh)
+      t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+        .createOrReplaceTempView("zm_mrg_src")
+      s.sql("DROP TABLE IF EXISTS zm.db.mrg")
+      s.sql("CREATE TABLE zm.db.mrg (rid BIGINT, a BIGINT, b BIGINT)")
+      s.sql(
+        "INSERT INTO zm.db.mrg SELECT * FROM zm_mrg_src WHERE rid % 3 = 0")
+      s.sql(
+        """MERGE INTO zm.db.mrg t
+          |USING (SELECT rid, min(a) AS a, min(b) + 500 AS b
+          |       FROM zm_mrg_src WHERE rid % 3 IN (0, 1)
+          |       GROUP BY rid) s
+          |ON t.rid = s.rid
+          |WHEN MATCHED THEN UPDATE SET t.b = s.b
+          |WHEN NOT MATCHED THEN INSERT (rid, a, b)
+          |  VALUES (s.rid, s.a, s.b)""".stripMargin)
+      s.sql(
+        """SELECT rid % 5 AS g, count(*) AS n,
+          |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+          |FROM zm.db.mrg GROUP BY 1""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
     // CHANGE FEED — incremental consumption on the zone table:
     // `.option("changesfrom", F)` reads exactly the batches in
     // (F, asof|latest] — what a downstream materialization reads to

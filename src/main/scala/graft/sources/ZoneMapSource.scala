@@ -17,7 +17,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
@@ -27,7 +27,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
@@ -87,6 +87,13 @@ class ZoneMapSource extends TableProvider {
 }
 
 private[graft] object ZoneMapSource {
+  /** Metadata column names — the physical row identity exposed to the
+    * planner for row-level operations (see [[ZoneMapTable]]). */
+  private[graft] val FileMetaCol = "_zfile"
+  private[graft] val PosMetaCol = "_zpos"
+  private[graft] def isMetaCol(n: String): Boolean =
+    n == FileMetaCol || n == PosMetaCol
+
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -284,6 +291,38 @@ private[graft] object ZoneMapSource {
     abs.substring(i + 6)
   }
 
+  /** Complete or abort a crashed row-level commit (see the section
+    * header above [[ZoneMapRowLevelOperation]]): a pending marker
+    * whose planned batch became visible finishes the staged dv
+    * publish; one whose batch never landed aborts whole. Idempotent;
+    * every row-level commit runs it first. Assumes the table's
+    * standing single-writer discipline — a dvDelete racing the
+    * crash-to-heal window would be folded over. */
+  private[graft] def healRowLevelPending(
+      spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hadoopConf())
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(".rlo_pending_"))
+      .foreach { st =>
+        val pend = st.getPath
+        val in = fs.open(new Path(pend, "batch"))
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val planned = if (txt == "none") None else Some(txt.toLong)
+        if (planned.forall(id => ZoneMapCommit.committed(dir, id))) {
+          graft.streaming.Streaming.dvPublish(spark, dir,
+            spark.read.parquet(s"$pend/dv"))
+          require(fs.delete(pend, true), s"heal: cannot clear $pend")
+        } else {
+          // the batch never became visible: abort the whole operation
+          require(fs.delete(pend, true), s"heal: cannot abort $pend")
+        }
+      }
+  }
+
   /** Sequential (ordinal, rid, a, b) read of one part-file — the
     * CANONICAL row order deletion vectors are keyed by; the scan's
     * [[ZoneMapPartitionReader]] walks the same order with the same
@@ -455,9 +494,50 @@ private[graft] object ZoneBox {
 private[graft] class ZoneMapTable(path: String, tableSchema: StructType,
     defaultAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
   override def name(): String = s"graft_zonemap($path)"
   override def schema(): StructType = tableSchema
+
+  // --------------------------------------------------------------------
+  // ROW IDENTITY — two metadata columns name a physical row exactly the
+  // way the deletion-vector table does: the dir-relative part-file path
+  // and the row's raw write ordinal within it (pre-DV, the same
+  // canonical order readOrdinals keys bitmaps by). They cost nothing
+  // unless projected (the reader synthesizes them from state it already
+  // tracks) and they are what makes UPDATE/MERGE deltas translatable
+  // into positional tombstones with no row lookup.
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = ZoneMapSource.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "dir-relative part-file path"
+    },
+    new MetadataColumn {
+      override def name(): String = ZoneMapSource.PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "raw row ordinal within the file"
+    })
+
+  // --------------------------------------------------------------------
+  // SQL UPDATE / MERGE — the engine's row-level-operation surface,
+  // DELTA-based (merge-on-read): the rewrite plan scans the table WITH
+  // the (_zfile, _zpos) row identity, and the delta writers translate
+  // each UPDATE into a positional tombstone plus a reinserted row —
+  // deletions land as the next deletion-vector generation, new rows as
+  // a regular append batch, NO existing data file is rewritten (the
+  // Iceberg positional-delete shape, via the engine's own planner).
+  // Updates are represented as delete+reinsert, so one writer covers
+  // UPDATE, MERGE, and non-provable DELETEs (provable ones keep the
+  // cheaper SupportsDeleteV2 path above).
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new ZoneMapRowLevelOperation(path, tableSchema, info)
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -561,6 +641,195 @@ private[graft] object ZoneMapTable {
     }
   }
 }
+
+// ----------------------------------------------------------------------
+// ROW-LEVEL OPERATIONS (UPDATE / MERGE / non-provable DELETE) — the
+// delta-based rewrite: Spark scans the table through the operation's
+// scan (row identity included), evaluates assignments/merge actions,
+// and streams per-row deltas to the writers below. Commit is the
+// merge-on-read pair — tombstones as the next dv generation, new rows
+// as a regular append batch — made crash-consistent by a PENDING
+// MARKER: the folded dv rows stage inside `.rlo_pending_<uid>` together
+// with the planned batch id BEFORE anything becomes visible, the batch
+// publishes next (zone row = its commit point), the dv generation
+// publishes LAST, and the marker is removed. Every crash window is
+// recoverable by [[ZoneMapSource.healRowLevelPending]], which the next
+// row-level commit runs first:
+//   - crash before the marker rename: nothing visible, staging is
+//     invisible cruft — a clean abort;
+//   - crash after the marker but before the batch zone row: the batch
+//     never became visible, so the whole operation aborts (marker +
+//     staging dropped) — still atomic;
+//   - crash after the batch but before the dv generation: the one real
+//     window — old AND new rows visible (duplicates, never loss); heal
+//     completes the staged dv publish and consistency returns. The
+//     duplicate-not-loss choice is deliberate: re-running a lost-rows
+//     window would compound, while the staged fold is idempotent.
+// Single-writer discipline (the table's standing contract: "batch ids
+// are immutable") covers the fold-then-publish read of the dv table.
+
+private[graft] class ZoneMapRowLevelOperation(
+    path: String, tableSchema: StructType, info: RowLevelOperationInfo)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZoneMapScanBuilder(path, tableSchema, None, None)
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        // a delta write's LogicalWriteInfo carries the ROW schema only
+        // when rows flow (UPDATE/MERGE); a pure row-level DELETE's is
+        // empty — enforce the contract only when present
+        if (info.schema().nonEmpty)
+          require(
+            info.schema().fieldNames.toSeq == Seq("rid", "a", "b") &&
+              info.schema().fields.forall(_.dataType == LongType),
+            s"zone-map row contract is (rid, a, b) BIGINT; got " +
+              s"${info.schema()}")
+        // id rows follow rowIdSchema when the engine reports it, else
+        // the rowId() declaration order (_zfile, _zpos)
+        val (fi, pi) = info.rowIdSchema()
+          .map[(Int, Int)](s =>
+            (s.fieldIndex(ZoneMapSource.FileMetaCol),
+              s.fieldIndex(ZoneMapSource.PosMetaCol)))
+          .orElse((0, 1))
+        new ZoneMapDeltaWrite(path, info.queryId(), fi, pi)
+      }
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ZoneMapSource.FileMetaCol),
+    Expressions.column(ZoneMapSource.PosMetaCol))
+
+  // updates arrive as delete + reinsert: one writer shape for
+  // UPDATE, MERGE and DELETE alike
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def description(): String =
+    s"graft_zonemap row-level ${command()} on $path"
+}
+
+private[graft] class ZoneMapDeltaWrite(
+    path: String, queryId: String, fIdx: Int, pIdx: Int)
+    extends DeltaWrite with DeltaBatchWrite {
+  private def staging = s"$path/.w_staging_$queryId"
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    ZoneMapDeltaWriterFactory(staging, fIdx, pIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    // finish (or abort) any crashed predecessor before touching state
+    ZoneMapSource.healRowLevelPending(spark, path)
+    val msgs = messages.toSeq.map(_.asInstanceOf[ZoneDeltaMsg])
+    val inserts = msgs.flatMap(_.insert).filter(_.n > 0)
+    val deletes = msgs.flatMap(_.deletes)
+    if (inserts.isEmpty && deletes.isEmpty) return // no-op operation
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val fresh = spark.createDataset(deletes)
+      .toDF("file", "bucket", "word")
+    val folded =
+      graft.streaming.Streaming.dvFold(spark, path, fresh)
+    val batchId: Option[Long] =
+      if (inserts.isEmpty) None
+      else Some(graft.streaming.Streaming.zoneLatestBatch(
+        spark, path) + 1)
+    // 1. stage the FOLDED dv truth + the planned batch id, then the
+    //    marker rename makes the pending commit recoverable
+    val tmp = new Path(s"$path/.rlo_tmp_$queryId")
+    val pend = new Path(s"$path/.rlo_pending_$queryId")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"stale $tmp")
+    folded.coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/dv")
+    val out = fs.create(new Path(tmp, "batch"), true)
+    out.write(batchId.map(_.toString).getOrElse("none")
+      .getBytes("UTF-8"))
+    out.close()
+    require(fs.rename(tmp, pend), s"cannot stage pending commit $pend")
+    // 2. the insert batch (its zone row is its commit point)
+    batchId.foreach { id =>
+      require(!ZoneMapCommit.committed(path, id),
+        s"zone-map batch=$id appeared mid-commit (concurrent writer?)")
+      ZoneMapCommit.publish(path, id, staging, inserts.toArray, queryId)
+    }
+    // 3. the dv generation LAST, then the marker drops
+    graft.streaming.Streaming.dvPublish(spark, path,
+      spark.read.parquet(s"$pend/dv"))
+    require(fs.delete(pend, true), s"cannot clear $pend")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    ZoneMapCommit.dropStaging(staging)
+    val fs = new Path(path).getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$path/.rlo_tmp_$queryId"), true)
+  }
+}
+
+/** Ships to executors: only the staging path + rowId field indices. */
+private[sources] final case class ZoneMapDeltaWriterFactory(
+    staging: String, fIdx: Int, pIdx: Int) extends DeltaWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new ZoneMapDeltaWriter(staging, partitionId, taskId, fIdx, pIdx)
+}
+
+/** Per-task delta writer: positional tombstones compressed to (file,
+  * bucket, word) — the dv table's own row shape — plus at most one
+  * appended parquet part for the reinserted/inserted rows. */
+private[sources] class ZoneMapDeltaWriter(
+    staging: String, partitionId: Int, taskId: Long,
+    fIdx: Int, pIdx: Int) extends DeltaWriter[InternalRow] {
+  private val bits =
+    scala.collection.mutable.Map.empty[(String, Long), Long]
+  private var inner: ZoneMapDataWriter = _
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(fIdx).toString
+    val pos = id.getLong(pIdx)
+    val key = (file, pos >> 6)
+    bits(key) = bits.getOrElse(key, 0L) | (1L << (pos & 63))
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (inner == null)
+      inner = new ZoneMapDataWriter(staging, partitionId, taskId)
+    inner.write(row)
+  }
+
+  // representUpdateAsDeleteAndInsert routes updates through
+  // delete+reinsert; keep the direct form correct anyway
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val ins = if (inner == null) None
+    else inner.commit() match {
+      case m: ZoneWriteMsg => Some(m)
+      case other => throw new IllegalStateException(other.toString)
+    }
+    ZoneDeltaMsg(
+      bits.toSeq.map { case ((f, b), w) => (f, b, w) }, ins)
+  }
+
+  override def abort(): Unit = if (inner != null) inner.abort()
+  override def close(): Unit = if (inner != null) inner.close()
+}
+
+private[sources] final case class ZoneDeltaMsg(
+    deletes: Seq[(String, Long, Long)], insert: Option[ZoneWriteMsg])
+    extends WriterCommitMessage
 
 // ----------------------------------------------------------------------
 // The WRITE path — the same table through the engine's native writer
@@ -1388,10 +1657,27 @@ private[sources] class ZoneMapPartitionReader(
   // default-FS path (local/HDFS); connector-specific conf would ride
   // a broadcast here the way FileScan's SerializableConfiguration does
   private val conf = new Configuration()
-  private val countOnly = required.isEmpty
+  // metadata columns (_zfile/_zpos — row identity for row-level ops)
+  // are SYNTHESIZED from reader state, never decoded: split them out
+  // of the parquet projection. Kind per required field: -1 = file,
+  // -2 = ordinal, j >= 0 = the j-th projected data column.
+  private val kinds: Array[Int] = {
+    var j = -1
+    required.fields.map { f =>
+      if (f.name == ZoneMapSource.FileMetaCol) -1
+      else if (f.name == ZoneMapSource.PosMetaCol) -2
+      else { j += 1; j }
+    }
+  }
+  private val dataSchema =
+    StructType(required.fields.filterNot(f =>
+      ZoneMapSource.isMetaCol(f.name)))
+  // a projection with no data columns (count(*), or a DELETE's
+  // id-only scan) still needs row iteration: drive it off the
+  // narrowest column
   private val readSchema =
-    if (countOnly) StructType(Seq(StructField("rid", LongType)))
-    else required
+    if (dataSchema.isEmpty) StructType(Seq(StructField("rid", LongType)))
+    else dataSchema
   conf.set(ReadSupport.PARQUET_READ_SCHEMA,
     ZoneMapSource.parquetProjection(readSchema))
 
@@ -1403,6 +1689,8 @@ private[sources] class ZoneMapPartitionReader(
   private var ordinal: Long = -1L
   private val empty = new GenericInternalRow(0)
   private val types: Array[DataType] = required.fields.map(_.dataType)
+  private lazy val metaFile: UTF8String =
+    UTF8String.fromString(ZoneMapSource.relPath(file))
 
   private def deleted(ord: Long): Boolean = {
     if (dvBuckets.length == 0) return false
@@ -1419,18 +1707,21 @@ private[sources] class ZoneMapPartitionReader(
   }
 
   override def get(): InternalRow = {
-    if (countOnly) return empty
+    if (required.isEmpty) return empty
     val vals = new Array[Any](types.length)
     var i = 0
     while (i < types.length) {
+      val j = kinds(i)
       vals(i) =
-        if (cur.getFieldRepetitionCount(i) == 0) null
+        if (j == -1) metaFile
+        else if (j == -2) ordinal
+        else if (cur.getFieldRepetitionCount(j) == 0) null
         else types(i) match {
-          case IntegerType => cur.getInteger(i, 0)
-          case LongType => cur.getLong(i, 0)
-          case DoubleType => cur.getDouble(i, 0)
+          case IntegerType => cur.getInteger(j, 0)
+          case LongType => cur.getLong(j, 0)
+          case DoubleType => cur.getDouble(j, 0)
           case StringType =>
-            UTF8String.fromBytes(cur.getBinary(i, 0).getBytes)
+            UTF8String.fromBytes(cur.getBinary(j, 0).getBytes)
           case other => throw new IllegalStateException(other.toString)
         }
       i += 1

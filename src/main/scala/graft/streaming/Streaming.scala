@@ -1147,14 +1147,21 @@ object Streaming {
             (rel, ord >> 6, 1L << (ord & 63)) }
       }
       .toDF("file", "bucket", "word")
-    val folded = dvTable(spark, dir).unionAll(fresh)
-      .groupBy(col("file"), col("bucket"))
-      .agg(expr("CAST(bit_or(word) AS BIGINT)").as("word"))
-    dvPublish(spark, dir, folded)
+    dvPublish(spark, dir, dvFold(spark, dir, fresh))
   }
 
+  /** Fold fresh (file, bucket, word) deletion rows into the visible
+    * generation's truth (bitwise OR per bucket) — the input to the
+    * next generation swap. Shared by [[dvDelete]] and the row-level
+    * delta commit ([[graft.sources.ZoneMapSource]]). */
+  private[graft] def dvFold(
+      spark: SparkSession, dir: String, fresh: DataFrame): DataFrame =
+    dvTable(spark, dir).unionAll(fresh)
+      .groupBy(col("file"), col("bucket"))
+      .agg(expr("CAST(bit_or(word) AS BIGINT)").as("word"))
+
   /** Crash-safe generation swap for the dv table (see header). */
-  private def dvPublish(
+  private[graft] def dvPublish(
       spark: SparkSession, dir: String, rows: DataFrame): Unit = {
     val (fs, _) = tableFs(spark, dir)
     val stage = new org.apache.hadoop.fs.Path(dir, "dv/.dv_staging")

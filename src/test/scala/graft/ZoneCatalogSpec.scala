@@ -82,12 +82,119 @@ class ZoneCatalogSpec extends SparkSpec {
     // no data rewrite happened: the same single batch still backs it
     assert(graft.sources.ZoneMapSource.zoneRows(
       s"$wh/db/d").map(_.file) == Seq("batch=0"))
-    // a predicate the translator cannot prove is rejected up front
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM zmt.db.d WHERE rid % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // a predicate the translator cannot prove no longer errors: it
+    // falls back to the row-level delta path (tombstones via the same
+    // dv table) — correctness is the same either way
+    spark.sql("DELETE FROM zmt.db.d WHERE rid % 2 = 0")
+    val want2 = want.filter(!(pmod(col("rid"), lit(2)) === 0))
+    assert(spark.sql("SELECT count(*) FROM zmt.db.d")
+      .collect()(0).getLong(0) == want2.count())
     spark.sql("DROP TABLE zmt.db.d")
+  }
+
+  test("SQL UPDATE is merge-on-read: tombstones + one append batch, " +
+    "no data rewrite; non-provable DELETE takes the same path") {
+    wh
+    rows.createOrReplaceTempView("zu_src")
+    spark.sql("CREATE TABLE zmt.db.u (rid BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO zmt.db.u SELECT * FROM zu_src")
+    val before = rows.count()
+    spark.sql("UPDATE zmt.db.u SET b = b + 1000 WHERE rid % 7 = 3")
+    // row count preserved, updated values visible, the rest untouched
+    assert(spark.sql("SELECT count(*) FROM zmt.db.u")
+      .collect()(0).getLong(0) == before)
+    val expect = rows.selectExpr("rid", "a",
+      "CASE WHEN rid % 7 = 3 THEN b + 1000 ELSE b END AS b")
+    val got = spark.sql("SELECT * FROM zmt.db.u")
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+    // merge-on-read: the original batch still backs the table (no
+    // rewrite), the old rows died as dv tombstones, the new rows are
+    // ONE fresh append batch
+    val parts = graft.sources.ZoneMapSource.zoneRows(s"$wh/db/u")
+      .map(_.file).sorted
+    assert(parts == Seq("batch=0", "batch=1"), parts.toString)
+    val nUpd = rows.filter(pmod(col("rid"), lit(7)) === 3).count()
+    assert(graft.streaming.Streaming.dvDeletedCount(
+      spark, s"$wh/db/u") == nUpd)
+    // a DELETE the V2 predicate translator cannot prove falls back to
+    // the same row-level path instead of erroring
+    spark.sql("DELETE FROM zmt.db.u WHERE rid % 11 = 5")
+    val want2 = rows.filter(!(pmod(col("rid"), lit(11)) === 5))
+    assert(spark.sql("SELECT count(*) FROM zmt.db.u")
+      .collect()(0).getLong(0) == want2.count())
+    spark.sql("DROP TABLE zmt.db.u")
+  }
+
+  test("MERGE INTO upserts through the row-level surface: matched " +
+    "rows update, unmatched rows insert, one statement") {
+    wh
+    rows.createOrReplaceTempView("zm_src")
+    spark.sql("CREATE TABLE zmt.db.m (rid BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO zmt.db.m SELECT * FROM zm_src WHERE rid % 3 = 0")
+    // source must be key-unique (the generator's rid is not — MERGE's
+    // cardinality validator rejects a dup-keyed source, correctly):
+    // dedupe per rid; half overlaps (updates), half is new (inserts)
+    spark.sql(
+      """MERGE INTO zmt.db.m t
+        |USING (SELECT rid, min(a) AS a, min(b) + 500 AS b FROM zm_src
+        |       WHERE rid % 3 IN (0, 1) GROUP BY rid) s
+        |ON t.rid = s.rid
+        |WHEN MATCHED THEN UPDATE SET t.b = s.b
+        |WHEN NOT MATCHED THEN INSERT (rid, a, b) VALUES (s.rid, s.a, s.b)
+        |""".stripMargin)
+    val src = rows.filter(pmod(col("rid"), lit(3)).isin(0, 1))
+      .groupBy(col("rid"))
+      .agg(min(col("a")).as("sa"), (min(col("b")) + 500).as("sb"))
+    // matched target rows (dupes included) take s.b and keep t.a;
+    // unmatched source rows insert once each
+    val expect = rows.filter(pmod(col("rid"), lit(3)) === 0)
+      .select(col("rid"), col("a"))
+      .join(src.select(col("rid"), col("sb").as("b")), "rid")
+      .select(col("rid"), col("a"), col("b"))
+      .unionAll(src.filter(pmod(col("rid"), lit(3)) === 1)
+        .select(col("rid"), col("sa").as("a"), col("sb").as("b")))
+    val got = spark.sql("SELECT * FROM zmt.db.m")
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+    spark.sql("DROP TABLE zmt.db.m")
+  }
+
+  test("row-level crash windows heal: a pending marker with a visible " +
+    "batch completes the staged dv publish; one whose batch never " +
+    "landed aborts whole") {
+    import org.apache.hadoop.fs.Path
+    wh
+    rows.createOrReplaceTempView("zh_src")
+    spark.sql("CREATE TABLE zmt.db.h (rid BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO zmt.db.h SELECT * FROM zh_src")
+    val dir = s"$wh/db/h"
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    // COMPLETE case: stage a fold that tombstones file ordinal 0 of
+    // the (visible) batch=0 part, marker pointing at the visible batch
+    val part = graft.sources.ZoneMapSource
+      .partFiles(dir, "batch=0").head._1
+    val rel = graft.sources.ZoneMapSource.relPath(part)
+    val fresh = Seq((rel, 0L, 1L)).toDF("file", "bucket", "word")
+    val folded = graft.streaming.Streaming.dvFold(spark, dir, fresh)
+    folded.coalesce(1).write.parquet(s"$dir/.rlo_pending_t1/dv")
+    val out = fs.create(new Path(s"$dir/.rlo_pending_t1/batch"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    graft.sources.ZoneMapSource.healRowLevelPending(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/.rlo_pending_t1")))
+    assert(graft.streaming.Streaming.dvDeletedCount(spark, dir) == 1L)
+    // ABORT case: a marker whose planned batch never became visible
+    // drops without touching the dv table
+    Seq((rel, 1L, 1L)).toDF("file", "bucket", "word")
+      .write.parquet(s"$dir/.rlo_pending_t2/dv")
+    val out2 = fs.create(new Path(s"$dir/.rlo_pending_t2/batch"), true)
+    out2.write("99".getBytes("UTF-8")); out2.close()
+    graft.sources.ZoneMapSource.healRowLevelPending(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/.rlo_pending_t2")))
+    assert(graft.streaming.Streaming.dvDeletedCount(spark, dir) == 1L)
+    spark.sql("DROP TABLE zmt.db.h")
   }
 
   test("stored procedures: CALL optimize / history / dv_materialize " +
