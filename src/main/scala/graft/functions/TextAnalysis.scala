@@ -227,6 +227,114 @@ object TextAnalysis {
     (rounds, cur)
   }
 
+  // --------------------------------------------------------------------
+  // WordPiece trainer — bpeTrain's loop with the likelihood argmax.
+
+  private def wpRounds = 3
+
+  /** The Spark-side WordPiece training loop: per round, pair counts
+    * AND token counts over the current encoding, score =
+    * freq(ab)/(freq(a)·freq(b)), deterministic (score DESC, a, b)
+    * argmax, broadcast replace. Returns the per-round summary rows. */
+  private def wpTrain(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val wc = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def nTok(e: Column): Column =
+      length(e) - length(replace(e, lit(bpeO), lit("")))
+    var cur = wc.select(col("w"), col("c"),
+        concat(regexp_replace(col("w"), "(.)", bpeO + "$1" + bpeC),
+          lit(bpeO + "_" + bpeC)).as("enc"))
+      .localCheckpoint()
+    (1 to wpRounds).map { k =>
+      val ts = split(col("enc").substr(lit(2), length(col("enc")) - 2),
+        java.util.regex.Pattern.quote(bpeC + bpeO))
+      val toks = cur.select(col("c"), ts.as("ts"))
+      val pairs = toks
+        .select(col("c"), col("ts"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"))
+        .select(element_at(col("ts"), col("i")).as("a"),
+          element_at(col("ts"), col("i") + 1).as("b"), col("c"))
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("freq"))
+      val tc = toks.select(explode(col("ts")).as("tokn"), col("c"))
+        .groupBy(col("tokn")).agg(sum(col("c")).as("tf"))
+      val best = pairs
+        .join(tc.select(col("tokn").as("a"), col("tf").as("ta")), "a")
+        .join(tc.select(col("tokn").as("b"), col("tf").as("tb")), "b")
+        .selectExpr("a", "b", "freq",
+          "CAST(freq AS DOUBLE)" +
+            " / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS score")
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1)
+      cur = cur.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("w"), col("c"),
+          replace(col("enc"),
+            concat(lit(bpeO), col("a"), lit(bpeC + bpeO), col("b"),
+              lit(bpeC)),
+            concat(lit(bpeO), col("a"), col("b"), lit(bpeC))).as("enc"))
+        .localCheckpoint()
+      val tot = cur.agg(sum(col("c") * nTok(col("enc")))
+        .as("vocab_toks"))
+      best.select(lit(k).as("round"), col("a"), col("b"), col("freq"),
+          expr("CAST(floor(score * 1000000000000.0e0 + 0.5e0) AS BIGINT)")
+            .as("score_u"))
+        .crossJoin(broadcast(tot))
+    }
+  }
+
+  /** DuckDB replay of q_text_wordpiece: generated CTEs per round —
+    * pair counts, token counts, likelihood argmax, replace. */
+  private def wpTrainOracle: String = {
+    val rounds = (1 to wpRounds).map { k =>
+      s"""t$k AS (SELECT w, c, enc,
+        |  string_split(substr(enc, 2, length(enc) - 2), '$bpeC$bpeO') AS ts
+        |  FROM w${k - 1}),
+        |p$k AS (
+        |  SELECT ts[CAST(i AS INTEGER)] AS a,
+        |    ts[CAST(i AS INTEGER) + 1] AS b,
+        |    CAST(sum(c) AS BIGINT) AS freq
+        |  FROM (SELECT ts, c, unnest(range(1, len(ts))) AS i FROM t$k) u
+        |  GROUP BY 1, 2),
+        |c$k AS (
+        |  SELECT tokn, CAST(sum(c) AS BIGINT) AS tf
+        |  FROM (SELECT unnest(ts) AS tokn, c FROM t$k) v GROUP BY 1),
+        |s$k AS (
+        |  SELECT p.a, p.b, p.freq,
+        |    CAST(p.freq AS DOUBLE)
+        |      / (CAST(ca.tf AS DOUBLE) * CAST(cb.tf AS DOUBLE)) AS score
+        |  FROM p$k p JOIN c$k ca ON p.a = ca.tokn
+        |  JOIN c$k cb ON p.b = cb.tokn),
+        |b$k AS (
+        |  SELECT a, b, freq, score FROM s$k
+        |  ORDER BY score DESC, a, b LIMIT 1),
+        |w$k AS (
+        |  SELECT t.w, t.c,
+        |    replace(t.enc, '$bpeO' || b.a || '$bpeC$bpeO' || b.b || '$bpeC',
+        |      '$bpeO' || b.a || b.b || '$bpeC') AS enc
+        |  FROM t$k t, b$k b),
+        |r$k AS (
+        |  SELECT $k AS round, b.a, b.b, b.freq,
+        |    CAST(floor(score * 1000000000000.0e0 + 0.5e0) AS BIGINT)
+        |      AS score_u,
+        |    s.vocab_toks
+        |  FROM b$k b, (
+        |    SELECT CAST(sum(c * (length(enc) -
+        |      length(replace(enc, '$bpeO', '')))) AS BIGINT) AS vocab_toks
+        |    FROM w$k) s)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to wpRounds)
+      .map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"""WITH wt AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT w, count(*) AS c FROM wt WHERE w <> '' GROUP BY 1),
+      |w0 AS (SELECT w, c,
+      |  regexp_replace(w, '(.)', '$bpeO\\1$bpeC', 'g') || '${bpeO}_$bpeC'
+      |    AS enc FROM wc),
+      |$rounds
+      |$union""".stripMargin
+  }
+
   /** Unigram-LM (SentencePiece-style) tokenizer constants: candidate
     * tokens up to 4 chars, 24 multi-char vocab slots, 2 EM rounds. */
   private val uniMaxTok = 4
@@ -1604,6 +1712,27 @@ object TextAnalysis {
     // three rounds as generated CTEs.
     QueryDef("q_text_bpe_train", bpeTrainOracle) { (s, dir) =>
       bpeTrain(s, dir)._1.reduce(_ unionByName _)
+    },
+
+    // ------------------------------------------------------------------
+    // WORDPIECE TRAINING (Schuster & Nakajima 2012, the BERT
+    // tokenizer) — the third tokenizer family next to BPE's frequency
+    // merges and unigram-LM's EM pruning: per round, merge the
+    // adjacent pair maximizing the LIKELIHOOD score
+    // freq(ab)/(freq(a)·freq(b)) — the corpus log-likelihood gain of
+    // fusing the pair — instead of raw freq(ab), which is what makes
+    // WordPiece prefer cohesive units over merely common ones. Engine
+    // shape = the BPE trainer's (corpus collapses ONCE to word counts;
+    // each round is a vocab-sized pair explode + a vocab-sized token
+    // count + two keyed joins + a deterministic 1-row argmax broadcast
+    // into a replace; per-round localCheckpoints) with one more
+    // vocab-sized aggregate per round for the token denominators. The
+    // score stays a RAW double (exact-integer inputs, two IEEE ops —
+    // identical cross-engine) inside the argmax and µ-quantizes only
+    // in the output; ties break on (a, b). The oracle replays all
+    // rounds as generated CTEs from the same structure.
+    QueryDef("q_text_wordpiece", wpTrainOracle) { (s, dir) =>
+      wpTrain(s, dir).reduce(_ unionByName _)
     },
 
     // ------------------------------------------------------------------

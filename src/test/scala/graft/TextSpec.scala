@@ -200,6 +200,50 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_text_wordpiece matches a sequential likelihood trainer and " +
+    "scores the merges it picks, not just counts them") {
+    val rows = SparkEntry.queries("q_text_wordpiece")(spark, sfDir)
+      .orderBy("round").collect()
+    assert(rows.length == 3)
+    val wc = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var words: Seq[(List[String], Long)] =
+      wc.toSeq.map { case (w, c) => (w.split("").toList :+ "_") -> c }
+    for (k <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val tc = scala.collection.mutable.Map.empty[String, Long]
+      for ((toks, c) <- words) {
+        toks.foreach(t => tc(t) = tc.getOrElse(t, 0L) + c)
+        for (p <- toks.sliding(2) if p.length == 2)
+          pc((p.head, p(1))) = pc.getOrElse((p.head, p(1)), 0L) + c
+      }
+      // the WordPiece objective: likelihood gain, not raw frequency —
+      // same double op order as both engines
+      val ((ba, bb), bf) = pc.toSeq.minBy { case ((a, b), f) =>
+        (-(f.toDouble / (tc(a).toDouble * tc(b).toDouble)), a, b)
+      }
+      val score = bf.toDouble / (tc(ba).toDouble * tc(bb).toDouble)
+      def merge(ts: List[String]): List[String] = ts match {
+        case x :: y :: rest if x == ba && y == bb => (x + y) :: merge(rest)
+        case x :: rest => x :: merge(rest)
+        case Nil => Nil
+      }
+      words = words.map { case (ts, c) => merge(ts) -> c }
+      val vt = words.map { case (ts, c) => ts.size * c }.sum
+      val r = rows(k - 1)
+      assert(r.getAs[String]("a") == ba && r.getAs[String]("b") == bb,
+        s"round $k merge (${r.getAs[String]("a")},${r.getAs[String]("b")})" +
+          s" != sequential ($ba,$bb)")
+      assert(r.getAs[Long]("freq") == bf, s"round $k freq")
+      assert(r.getAs[Long]("score_u") ==
+        math.floor(score * 1e12 + 0.5).toLong, s"round $k score")
+      assert(r.getAs[Long]("vocab_toks") == vt, s"round $k token count")
+    }
+  }
+
   test("q_text_bpe_apply reconciles with training: corpus token total " +
     "equals the trainer's final post-merge count") {
     // the serving half must tokenize the corpus EXACTLY as the last
