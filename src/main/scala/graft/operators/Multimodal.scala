@@ -64,6 +64,20 @@ final case class MulawDecoded(
     sum_abs_err: Long,
     max_abs_err: Long)
 
+/** A decoded IMA-ADPCM stream row: the μ-law statistics plus the final
+  * (predictor, step-index) state — the STATE TRAJECTORY is the codec,
+  * so pinning where it ends pins every step before it. */
+final case class AdpcmDecoded(
+    doc_id: Long,
+    fmt: String,
+    n_samples: Long,
+    sum_dec: Long,
+    wsum_dec: Long,
+    sum_abs_err: Long,
+    max_abs_err: Long,
+    end_pred: Long,
+    end_idx: Long)
+
 /** Header-sniffed media metadata: dimensions and layout read from the
   * container WITHOUT decoding the payload — the cheap first pass a media
   * pipeline runs on every asset before deciding what to decode. */
@@ -364,6 +378,145 @@ object Multimodal {
       else if (seg == 1) t + 33
       else (t + 33) << (seg - 1)
     if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** The IMA/DVI ADPCM step table (89 entries) and index adjustments —
+    * the public reference tables (IMA ADPCM spec / DVI4, RFC 3551). */
+  private[graft] val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  private[graft] val ImaIndex: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM encode: 16-bit samples → packed 4-bit nibbles (low
+    * nibble first, the IMA convention; odd counts pad the last byte's
+    * high nibble with 0). CLOSED-LOOP: the encoder tracks the same
+    * reconstructed predictor the decoder will, so quantization error
+    * never accumulates beyond one step. State starts (pred=0, idx=0). */
+  def adpcmEncode(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte]((samples.length + 1) / 2)
+    var pred = 0; var idx = 0
+    var k = 0
+    while (k < samples.length) {
+      val step = ImaStep(idx)
+      val diff = samples(k) - pred
+      val sign = if (diff < 0) 8 else 0
+      var ad = math.abs(diff)
+      var d = 0
+      if (ad >= step) { d |= 4; ad -= step }
+      if (ad >= step / 2) { d |= 2; ad -= step / 2 }
+      if (ad >= step / 4) { d |= 1 }
+      val nib = sign | d
+      // the decoder's reconstruction, replayed to keep the loop closed
+      val delta = step / 8 + (if ((d & 4) != 0) step else 0) +
+        (if ((d & 2) != 0) step / 2 else 0) +
+        (if ((d & 1) != 0) step / 4 else 0)
+      pred = math.max(-32768,
+        math.min(32767, if (sign != 0) pred - delta else pred + delta))
+      idx = math.max(0, math.min(88, idx + ImaIndex(d)))
+      if ((k & 1) == 0) out(k >> 1) = nib.toByte
+      else out(k >> 1) = (out(k >> 1) | (nib << 4)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** IMA ADPCM decode: packed nibbles → (`n` reconstructed samples,
+    * final step index) — the final state pins the whole trajectory. */
+  def adpcmDecode(bytes: Array[Byte], n: Int): (Array[Int], Int) = {
+    val out = new Array[Int](n)
+    var pred = 0; var idx = 0
+    var k = 0
+    while (k < n) {
+      val b = bytes(k >> 1) & 0xff
+      val nib = if ((k & 1) == 0) b & 0xf else (b >> 4) & 0xf
+      val step = ImaStep(idx)
+      val d = nib & 7
+      val delta = step / 8 + (if ((d & 4) != 0) step else 0) +
+        (if ((d & 2) != 0) step / 2 else 0) +
+        (if ((d & 1) != 0) step / 4 else 0)
+      pred = math.max(-32768,
+        math.min(32767, if ((nib & 8) != 0) pred - delta else pred + delta))
+      idx = math.max(0, math.min(88, idx + ImaIndex(d)))
+      out(k) = pred
+      k += 1
+    }
+    (out, idx)
+  }
+
+  /** DuckDB replay of q_multimodal_adpcm: the closed-loop recurrence
+    * as a RECURSIVE CTE — one row per (doc, consumed-sample count)
+    * carrying (pred, idx, running stats); layered subqueries derive
+    * the quantizer bits, the reconstruction delta, and both clamps
+    * per step from the same reference tables. */
+  private def adpcmOracle: String = {
+    val tab = ImaStep.mkString("[", ", ", "]")
+    val itab = ImaIndex.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+      |docs AS (SELECT doc_id, doc_id % 40 + 12 AS n FROM documents),
+      |rec AS (
+      |  SELECT doc_id, n, CAST(0 AS BIGINT) AS k,
+      |    CAST(0 AS BIGINT) AS pred, CAST(0 AS BIGINT) AS idx,
+      |    CAST(0 AS BIGINT) AS sdec, CAST(0 AS BIGINT) AS wdec,
+      |    CAST(0 AS BIGINT) AS serr, CAST(0 AS BIGINT) AS merr
+      |  FROM docs
+      |  UNION ALL
+      |  SELECT doc_id, n, k + 1 AS k,
+      |    CAST(pnew AS BIGINT) AS pred, CAST(inew AS BIGINT) AS idx,
+      |    sdec + pnew AS sdec, wdec + (k + 1) * pnew AS wdec,
+      |    serr + abs(s - pnew) AS serr,
+      |    greatest(merr, abs(s - pnew)) AS merr
+      |  FROM (
+      |    SELECT q5.*,
+      |      greatest(-32768, least(32767,
+      |        CASE WHEN sgn = 1 THEN pred - delta
+      |             ELSE pred + delta END)) AS pnew,
+      |      greatest(0, least(88, idx + ($itab)[d3 + 1])) AS inew
+      |    FROM (
+      |      SELECT q4.*,
+      |        step // 8 + b4 * step + b2 * (step // 2)
+      |          + b1 * (step // 4) AS delta,
+      |        b4 * 4 + b2 * 2 + b1 AS d3
+      |      FROM (
+      |        SELECT q3.*,
+      |          CASE WHEN r2 - b2 * (step // 2) >= step // 4
+      |               THEN 1 ELSE 0 END AS b1
+      |        FROM (
+      |          SELECT q2.*,
+      |            CASE WHEN r2 >= step // 2 THEN 1 ELSE 0 END AS b2
+      |          FROM (
+      |            SELECT q1.*, ad - b4 * step AS r2
+      |            FROM (
+      |              SELECT q0.*,
+      |                CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4
+      |              FROM (
+      |                SELECT rec.*,
+      |                  ($tab)[CAST(idx AS INTEGER) + 1] AS step,
+      |                  ((doc_id * 131 + k * 887) % 65536) - 32768 AS s,
+      |                  CASE WHEN ((doc_id * 131 + k * 887) % 65536)
+      |                         - 32768 - pred < 0
+      |                       THEN 1 ELSE 0 END AS sgn,
+      |                  abs(((doc_id * 131 + k * 887) % 65536)
+      |                    - 32768 - pred) AS ad
+      |                FROM rec WHERE rec.k < rec.n
+      |              ) q0
+      |            ) q1
+      |          ) q2
+      |        ) q3
+      |      ) q4
+      |    ) q5
+      |  ) q6
+      |)
+      |SELECT doc_id, 'adpcm' AS fmt, CAST(n AS BIGINT) AS n_samples,
+      |  sdec AS sum_dec, wdec AS wsum_dec, serr AS sum_abs_err,
+      |  merr AS max_abs_err, pred AS end_pred, idx AS end_idx
+      |FROM rec WHERE k = n""".stripMargin
   }
 
   private val PngSig: Array[Byte] =
@@ -4036,6 +4189,53 @@ object Multimodal {
               k += 1
             }
             MulawDecoded(id, "alaw", n.toLong, sum, wsum, errSum, errMax)
+          }
+        }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // IMA/DVI ADPCM — the family's first PREDICTIVE codec: unlike the
+    // memoryless G.711 pair, every 4-bit nibble encodes a step off the
+    // previous reconstructed sample, and an adaptive step-size index
+    // walks the 89-entry IMA table — the state trajectory IS the
+    // codec, so a single mis-decoded nibble corrupts everything after
+    // it. The kernel pair is closed-loop (the encoder tracks the
+    // decoder's own reconstruction — the property that keeps error
+    // from accumulating); samples pack two nibbles per byte (low
+    // first, the IMA convention) and only the BYTE STREAM crosses the
+    // codec boundary. The oracle cannot replay a stateful codec as
+    // per-sample algebra the way μ-law could — it replays the exact
+    // recurrence as a RECURSIVE CTE (the unigram-trainer pattern
+    // applied to signal state): one row per (doc, step) carrying
+    // (predictor, index, running stats), layered subqueries deriving
+    // quantize → reconstruct → clamp per step, final row per doc
+    // compared — so the hash match proves bytes → nibbles → trajectory
+    // equals the algebraic recurrence INCLUDING both clamps and the
+    // end state. Executors do all byte work; per-doc scalars move.
+    QueryDef("q_multimodal_adpcm", adpcmOracle) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 40).toInt + 12
+            val orig = Array.tabulate(n)(k =>
+              ((id * 131 + k * 887) % 65536).toInt - 32768)
+            // the packed byte stream is the ONLY thing that crosses
+            val bytes = adpcmEncode(orig)
+            val (dec, endIdx) = adpcmDecode(bytes, n)
+            var sum = 0L; var wsum = 0L; var errSum = 0L; var errMax = 0L
+            var k = 0
+            while (k < n) {
+              sum += dec(k)
+              wsum += (k + 1).toLong * dec(k)
+              val e = math.abs(orig(k).toLong - dec(k))
+              errSum += e
+              if (e > errMax) errMax = e
+              k += 1
+            }
+            AdpcmDecoded(id, "adpcm", n.toLong, sum, wsum, errSum,
+              errMax, dec(n - 1).toLong, endIdx.toLong)
           }
         }.toDF()
     },

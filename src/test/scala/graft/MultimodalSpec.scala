@@ -110,6 +110,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("IMA ADPCM: closed-loop tracking bounds per-sample error by " +
+    "the step size, odd counts pack correctly, and one corrupted " +
+    "nibble derails the whole tail — state sensitivity is the codec") {
+    import graft.operators.Multimodal.{adpcmDecode, adpcmEncode, ImaStep}
+    val rnd = new scala.util.Random(47)
+    // smooth-ish signal: steps the adaptive index can track
+    def signal(n: Int): Array[Int] = {
+      var v = 0
+      Array.fill(n) { v = math.max(-32768,
+        math.min(32767, v + rnd.nextInt(2001) - 1000)); v }
+    }
+    for (n <- Seq(1, 2, 7, 64, 255)) { // odd AND even lengths
+      val s = signal(n)
+      val bytes = adpcmEncode(s)
+      assert(bytes.length == (n + 1) / 2, s"packing at n=$n")
+      val (dec, endIdx) = adpcmDecode(bytes, n)
+      assert(dec.length == n && endIdx >= 0 && endIdx <= 88)
+      // closed-loop contract: once the index has adapted, each
+      // reconstruction is within ~2 steps of the CURRENT step size;
+      // replay the index trajectory to know the step at each k
+      var idx = 0
+      var k = 0
+      while (k < n) {
+        val step = ImaStep(idx)
+        val err = math.abs(s(k) - dec(k))
+        // the quantizer resolves to step/4 granularity around the
+        // predictor; a jump larger than ~2*step saturates — allow it
+        // only when the input step exceeded what the quantizer covers
+        val jump = math.abs(s(k) - (if (k == 0) 0 else dec(k - 1)))
+        assert(err <= step * 2 + 8 || jump > 2 * step,
+          s"n=$n k=$k err=$err step=$step jump=$jump")
+        val b = bytes(k >> 1) & 0xff
+        val nib = if ((k & 1) == 0) b & 0xf else (b >> 4) & 0xf
+        idx = math.max(0, math.min(88,
+          idx + graft.operators.Multimodal.ImaIndex(nib & 7)))
+        k += 1
+      }
+    }
+    // damage: flip one nibble early — the state machine never
+    // resynchronizes by itself, so the tail diverges
+    val s = signal(64)
+    val bytes = adpcmEncode(s)
+    val damaged = bytes.clone()
+    damaged(2) = (damaged(2) ^ 0x04).toByte // corrupt sample 4's nibble
+    val (clean, _) = adpcmDecode(bytes, 64)
+    val (broken, _) = adpcmDecode(damaged, 64)
+    assert(clean.take(4).toSeq == broken.take(4).toSeq,
+      "samples before the corruption must be untouched")
+    val diverged = (4 until 64).count(k => clean(k) != broken(k))
+    assert(diverged > 30,
+      s"only $diverged/60 tail samples diverged — state not propagating?")
+  }
+
   test("Adam7 PNG: interlaced and straight encodings decode to " +
     "identical pixels, including dims where most passes are empty") {
     import graft.operators.Multimodal
