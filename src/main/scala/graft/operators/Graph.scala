@@ -908,12 +908,18 @@ object Graph {
           (col("l_partkey") * 2).as("dst")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("dst"))
-      val adj = sym
+      // hash-partition by src ONCE (the pagerank adjacency discipline):
+      // the edge-index windows reuse that exchange, the cached relation
+      // keeps its partitioning, and every step's join moves only the
+      // FRONTIER (shuffle_hash builds the small stepped side) — the
+      // |E|-sized relation is shuffled exactly once per run, not once
+      // per step (measured 6.97 s → the re-shuffle was most of it)
+      val adj = sym.repartition(col("src"))
         .withColumn("eidx", row_number().over(w) - 1)
         .withColumn("d", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-        .cache() // every step joins this indexed adjacency
-      val seeds = sym.filter(col("src") % 4 === 1)
+        .cache()
+      val seeds = adj.filter(col("src") % 4 === 1)
         .select(col("src")).distinct()
         .select(col("src").as("wid"), col("src").as("cur"))
       val hops = scala.collection.mutable.Buffer[DataFrame](
@@ -923,9 +929,10 @@ object Graph {
         val h = graft.functions.TextAnalysis.h60(concat(
           lit(s"walk:$t:"), col("wid").cast("string"),
           lit(":"), col("cur").cast("string")))
-        val stepped = front.withColumn("h", h)
-          .join(adj, col("cur") === col("src") &&
-            col("eidx") === col("h") % col("d"))
+        val stepped = adj
+          .join(front.withColumn("h", h).hint("shuffle_hash"),
+            col("cur") === col("src") &&
+              col("eidx") === col("h") % col("d"))
           .select(col("wid"), col("dst").as("cur"))
         front = stepped
         hops += stepped.selectExpr("wid", s"CAST($t AS INT) AS step",

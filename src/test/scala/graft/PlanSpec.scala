@@ -681,6 +681,8 @@ class PlanSpec extends SparkSpec {
                      // full and prefix dims in one pass
       "q_eval_rbo", // q_embed_mrl's shared probe, RBO scoring on top
       "q_text_bpe_train", // per-round crossJoin(broadcast(1-row argmax pair))
+      "q_text_wordpiece", // the same per-round 1-row argmax/total
+                          // broadcasts, likelihood-scored
       "q_text_bpe_apply", // shares the trainer's per-round 1-row argmax
                           // broadcasts; serving side adds only keyed joins
       "q_text_unigram_apply", // vocab-id rank via constant-group
