@@ -228,6 +228,74 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // q_eval_bleu fragments — clipped n-gram precisions + brevity
+  // penalty in µnats; ONE output text, two engines.
+
+  /** Per-order µnat log-precision with the −20 nat zero-match floor. */
+  private def bleuLp(n: Int): String =
+    s"CASE WHEN m$n = 0 THEN CAST(-20000000 AS BIGINT)" +
+      s" ELSE CAST(floor(ln(CAST(m$n AS DOUBLE) / CAST(t$n AS DOUBLE))" +
+      s" * 1000000.0e0 + 0.5e0) AS BIGINT) END"
+
+  private def bleuLbp: String =
+    "CAST(floor(least(0.0e0, 1.0e0 - CAST(rlen AS DOUBLE)" +
+      " / CAST(clen AS DOUBLE)) * 1000000.0e0 + 0.5e0) AS BIGINT)"
+
+  private lazy val bleuOut: Seq[String] =
+    Seq("source", "clen", "rlen") ++
+      (1 to 4).flatMap(n => Seq(s"m$n", s"t$n")) :+
+      ("CAST(floor(CAST(" +
+        (1 to 4).map(n => s"(${bleuLp(n)})").mkString(" + ") +
+        " AS DOUBLE) / 4.0e0 + 0.5e0) AS BIGINT)" +
+        s" + ($bleuLbp) AS logbleu_u")
+
+  /** DuckDB replay of q_eval_bleu: same candidate corruption, in-list
+    * n-gram windows, per-doc clipping, per-source rollup. */
+  private def bleuOracle: String = {
+    def gramsSql(c: String, n: Int): String =
+      s"""list_transform(range(1, len($c) - ${n - 1} + 1),
+        |      i -> array_to_string($c[i:i + ${n - 1}], ' '))""".stripMargin
+    val perN = (1 to 4).map { n =>
+      s"""cc$n AS (
+        |  SELECT source, doc_id, g, count(*) AS cc
+        |  FROM (SELECT source, doc_id,
+        |      unnest(${gramsSql("cw", n)}) AS g FROM base)
+        |  GROUP BY 1, 2, 3),
+        |rc$n AS (
+        |  SELECT doc_id, g, count(*) AS rc
+        |  FROM (SELECT doc_id, unnest(${gramsSql("rw", n)}) AS g
+        |    FROM base)
+        |  GROUP BY 1, 2),
+        |p$n AS (
+        |  SELECT source,
+        |    CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS m$n,
+        |    CAST(sum(cc) AS BIGINT) AS t$n
+        |  FROM cc$n LEFT JOIN rc$n USING (doc_id, g)
+        |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS rw
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source, rw,
+      |    list_filter(list_transform(range(1, len(rw) + 1),
+      |      i -> CASE WHEN (doc_id + i) % 11 = 0 THEN NULL
+      |                WHEN (doc_id + i) % 7 = 0 THEN 'the'
+      |                ELSE rw[CAST(i AS INTEGER)] END),
+      |      x -> x IS NOT NULL) AS cw
+      |  FROM d0),
+      |lens AS (
+      |  SELECT source, CAST(sum(len(cw)) AS BIGINT) AS clen,
+      |    CAST(sum(len(rw)) AS BIGINT) AS rlen
+      |  FROM base GROUP BY 1),
+      |$perN
+      |SELECT ${bleuOut.mkString(",\n  ")}
+      |FROM lens
+      |JOIN p1 USING (source) JOIN p2 USING (source)
+      |JOIN p3 USING (source) JOIN p4 USING (source)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // WordPiece trainer — bpeTrain's loop with the likelihood argmax.
 
   private def wpRounds = 3
@@ -1733,6 +1801,63 @@ object TextAnalysis {
     // rounds as generated CTEs from the same structure.
     QueryDef("q_text_wordpiece", wpTrainOracle) { (s, dir) =>
       wpTrain(s, dir).reduce(_ unionByName _)
+    },
+
+    // ------------------------------------------------------------------
+    // CORPUS BLEU (Papineni et al., ACL 2002) — the machine-translation
+    // eval metric as relational algebra: clipped 1–4-gram precisions
+    // (per-document min(candidate count, reference count), summed over
+    // the corpus BEFORE the ratio — corpus BLEU, not a mean of
+    // sentence BLEUs) and the brevity penalty, per source. The
+    // "system output" is a deterministic corruption of the reference
+    // (every (doc_id+i)%11 position dropped, every %7 position
+    // replaced) built from the SAME expression in both engines, so
+    // the metric exercises substitution AND length effects. Scale
+    // shape: n-gram tables come from in-array HOF windows (no
+    // positional self-joins), each order pays one explode per side +
+    // one doc-and-gram-keyed equi-join — the shingle cost class,
+    // linear in corpus; everything after is |sources|-sized. Output
+    // stays exact integers except the four ln's, which floor to
+    // µnats at the boundary (the lmscore discipline), so log-BLEU is
+    // integer arithmetic and hash-checks; zero-match orders take the
+    // −20 nat floor (sacrebleu's epsilon smoothing, made explicit).
+    QueryDef("q_eval_bleu", bleuOracle) { (s, dir) =>
+      val rw = split(col("text"), " ")
+      val cw = filter(
+        transform(sequence(lit(1), size(col("rw"))),
+          i => when((col("doc_id") + i) % 11 === 0, lit(null))
+            .when((col("doc_id") + i) % 7 === 0, lit("the"))
+            .otherwise(element_at(col("rw"), i))),
+        x => x.isNotNull)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), rw.as("rw"))
+        .withColumn("cw", cw)
+        .localCheckpoint() // 9 consumers: 4 orders × 2 sides + lengths
+      def grams(c: Column, n: Int): Column =
+        when(size(c) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(c) - (n - 1)),
+            i => concat_ws(" ", slice(c, i, lit(n)))))
+      val perN = (1 to 4).map { n =>
+        val cc = base
+          .select(col("source"), col("doc_id"),
+            explode(grams(col("cw"), n)).as("g"))
+          .groupBy(col("source"), col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("cc"))
+        val rc = base
+          .select(col("doc_id"), explode(grams(col("rw"), n)).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("rc"))
+        cc.join(rc, Seq("doc_id", "g"), "left")
+          .groupBy(col("source"))
+          .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+            .cast("long").as(s"m$n"),
+            sum(col("cc")).cast("long").as(s"t$n"))
+      }
+      val lens = base.groupBy(col("source"))
+        .agg(sum(size(col("cw"))).cast("long").as("clen"),
+          sum(size(col("rw"))).cast("long").as("rlen"))
+      perN.foldLeft(lens)((acc, d) => acc.join(d, "source"))
+        .selectExpr(bleuOut: _*)
     },
 
     // ------------------------------------------------------------------

@@ -3328,6 +3328,93 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // RANSAC LINE FIT (Fischler & Bolles 1981) — robust regression by
+    // random minimal samples, fully in-engine and fully deterministic:
+    // 16 candidate lines each through two hash-argmin-sampled points
+    // (min h60("ra:k:salt:rid") per candidate — a map-combinable
+    // min(struct) per k, never a per-k window; 60-bit hashes make the
+    // argmin a well-defined draw), inliers counted in ONE corpus pass
+    // against the broadcast 16-row candidate table (the adaboost
+    // bounded-fan-out shape; the inlier test compares µ-quantized
+    // |residual| to an integer threshold — exact), a deterministic
+    // (inliers DESC, k) argmax picks the consensus model, and the
+    // final line REFITS on the winner's inliers with the conformal
+    // fit's exact 5-BIGINT-moment closed form. Degenerate samples
+    // (x1 = x2) score −1 and can never win. Three corpus passes
+    // total; everything keyed is candidate-sized.
+    QueryDef("q_ml_ransac", ransacOracle) { (s, dir) =>
+      import graft.functions.TextAnalysis.h60
+      val rows = t(s, dir, "lineitem").selectExpr(rsRows: _*)
+        .localCheckpoint() // sampling + scoring + refit consumers
+      def hc(salt: String) = h60(concat(lit(s"ra:$salt:"),
+        col("k").cast("string"), lit(":"), col("rid").cast("string")))
+      val cand = rows
+        .select(col("rid"), col("x"), col("y"),
+          explode(sequence(lit(0), lit(15))).as("k"))
+        .select(col("k"), col("x"), col("y"),
+          hc("a").as("ha"), hc("b").as("hb"))
+        .groupBy(col("k"))
+        .agg(min(struct(col("ha"), col("x"), col("y"))).as("p1"),
+          min(struct(col("hb"), col("x"), col("y"))).as("p2"))
+        .selectExpr("k", "p1.x AS x1", "p1.y AS y1",
+          "p2.x AS x2", "p2.y AS y2")
+        .selectExpr(rsModel: _*)
+        .localCheckpoint() // 16 rows
+      val win = rows.crossJoin(broadcast(cand))
+        .selectExpr(rsResid: _*)
+        .groupBy(col("k"), col("ca"), col("cb"), col("degen"))
+        .agg(expr(rsInl))
+        .selectExpr(rsScore: _*)
+        .orderBy(col("n_inliers").desc, col("k"))
+        .limit(1)
+        .localCheckpoint() // the 1-row consensus model, two consumers
+      rows.crossJoin(broadcast(win))
+        .selectExpr(rsResid2: _*)
+        .filter(rsKeep)
+        .agg(expr(rsMom.head), rsMom.tail.map(expr): _*)
+        .crossJoin(broadcast(win.selectExpr(
+          "CAST(k AS BIGINT) AS best_k", "n_inliers")))
+        .selectExpr(rsFit: _*)
+        .selectExpr(rsOut: _*)
+    },
+
+    // ------------------------------------------------------------------
+    // PERMUTATION TEST (Fisher's exact-randomization logic, the
+    // Monte-Carlo form) — the assumption-free companion to
+    // q_ab_ttest: does the A/B arm assignment actually move mean doc
+    // length, judged against the null distribution of 64 DETERMINISTIC
+    // re-labelings (arm_b = h60("pm:b:doc") % 2 — the bootstrap
+    // discipline: resampling as a pure function of (draw, row), so
+    // both engines permute IDENTICALLY and the p-value hash-checks).
+    // Engine shape: the B-way explode is map-side and collapses to
+    // 2B exact-BIGINT partial sums (shuffle ∝ B·2, never B·corpus);
+    // per-b Δ of two exact-moment means is one double op chain; the
+    // add-one p-value (1 + #{|Δ_b| ≥ |Δ_obs|})/(B+1) counts on an
+    // exact double compare of identical inputs.
+    QueryDef("q_ab_permutation", permOracle) { (s, dir) =>
+      import graft.functions.TextAnalysis.h60
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("xv"),
+          (h60(concat(lit("pm:obs:"), col("doc_id").cast("string")))
+            % 2).as("arm"))
+        .localCheckpoint() // observed + permuted consumers
+      val obs = docs.agg(expr(pmAgg.head), pmAgg.tail.map(expr): _*)
+        .selectExpr("n0" +: "n1" +: pmDelta("d_obs"): _*)
+      val perm = docs
+        .select(col("doc_id"), col("xv"),
+          explode(sequence(lit(0), lit(pmB - 1))).as("b"))
+        .select(col("b"), col("xv"),
+          (h60(concat(lit("pm:"), col("b").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 2).as("arm"))
+        .groupBy(col("b"))
+        .agg(expr(pmAgg.head), pmAgg.tail.map(expr): _*)
+        .selectExpr(pmDelta("d_b"): _*)
+      perm.crossJoin(broadcast(obs))
+        .agg(expr(pmCount.head), pmCount.tail.map(expr): _*)
+        .selectExpr(pmOut: _*)
+    },
+
+    // ------------------------------------------------------------------
     // KRUSKAL-WALLIS H (1952) — the rank-based omnibus test beside
     // q_stats_anova's parametric F: does order priority shift the
     // DISTRIBUTION of order value at all, with no normality assumption.
@@ -4128,6 +4215,140 @@ object Analytics {
       |$ctes
       |SELECT ${kwStages.last.mkString(",\n  ")}
       |FROM st${kwStages.size - 2}""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_ml_ransac fragments — 16 candidates, τ = $5000 inlier band.
+
+  private def rsTauU = 5000L * 1000000L
+
+  private lazy val rsRows: Seq[String] = Seq(
+    "l_orderkey * 8 + l_linenumber AS rid",
+    "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x",
+    "CAST(floor(l_extendedprice + 0.5e0) AS BIGINT) AS y")
+
+  /** Two-point line; a degenerate sample (x1 = x2) is marked and its
+    * model zeroed so it scores but can never win. */
+  private lazy val rsModel: Seq[String] = Seq(
+    "k",
+    "CASE WHEN x1 = x2 THEN 1 ELSE 0 END AS degen",
+    "CASE WHEN x1 = x2 THEN 0.0e0 ELSE CAST(y2 - y1 AS DOUBLE)" +
+      " / CAST(x2 - x1 AS DOUBLE) END AS cb",
+    "CASE WHEN x1 = x2 THEN 0.0e0 ELSE CAST(y1 AS DOUBLE)" +
+      " - (CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE))" +
+      " * CAST(x1 AS DOUBLE) END AS ca")
+
+  private def rsResidExpr: String =
+    "CAST(floor(abs(CAST(y AS DOUBLE) - (ca + cb * CAST(x AS DOUBLE)))" +
+      " * 1000000.0e0 + 0.5e0) AS BIGINT) AS r_u"
+
+  private lazy val rsResid: Seq[String] =
+    Seq("k", "ca", "cb", "degen", rsResidExpr)
+
+  private def rsInl: String =
+    s"CAST(sum(CASE WHEN r_u <= $rsTauU THEN 1 ELSE 0 END)" +
+      " AS BIGINT) AS n_in"
+
+  private lazy val rsScore: Seq[String] = Seq(
+    "k", "ca", "cb",
+    "CASE WHEN degen = 1 THEN CAST(-1 AS BIGINT) ELSE n_in END" +
+      " AS n_inliers")
+
+  private lazy val rsResid2: Seq[String] = Seq("x", "y", rsResidExpr)
+  private def rsKeep = s"r_u <= $rsTauU"
+
+  /** Exact refit moments on the winner's inliers (the conformal fit). */
+  private lazy val rsMom: Seq[String] = cfMom
+
+  private lazy val rsFit: Seq[String] =
+    Seq("best_k", "n_inliers", "n", "sx", "sy", cfSlope.last)
+
+  private lazy val rsOut: Seq[String] = Seq(
+    "best_k", "n_inliers", "n AS n_refit",
+    s"${Num.sql("b", 6)} AS b_r",
+    s"${Num.sql("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)" +
+      " - b * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS a_r")
+
+  /** DuckDB replay of q_ml_ransac: min-over-struct draws (unique
+    * 60-bit hashes make the argmin a well-defined sample in both
+    * engines; lexicographic struct order matches Spark's). */
+  private def ransacOracle: String = {
+    import graft.functions.TextAnalysis.h60sql
+    def h(salt: String) = h60sql(
+      s"'ra:$salt:' || CAST(k AS VARCHAR) || ':' || CAST(rid AS VARCHAR)")
+    s"""WITH rws AS (SELECT ${rsRows.mkString(",\n    ")} FROM lineitem),
+      |ks AS (
+      |  SELECT k, x, y, ${h("a")} AS ha, ${h("b")} AS hb
+      |  FROM rws, (SELECT unnest(range(16)) AS k)),
+      |cand0 AS (
+      |  SELECT k, min({'h': ha, 'x': x, 'y': y}) AS p1,
+      |    min({'h': hb, 'x': x, 'y': y}) AS p2
+      |  FROM ks GROUP BY k),
+      |cand1 AS (SELECT k, p1.x AS x1, p1.y AS y1,
+      |    p2.x AS x2, p2.y AS y2 FROM cand0),
+      |cand AS (SELECT ${rsModel.mkString(",\n    ")} FROM cand1),
+      |sc AS (SELECT ${rsResid.mkString(",\n    ")}
+      |  FROM rws CROSS JOIN cand),
+      |ag AS (SELECT k, ca, cb, degen, $rsInl
+      |  FROM sc GROUP BY k, ca, cb, degen),
+      |win AS (SELECT ${rsScore.mkString(",\n    ")} FROM ag
+      |  ORDER BY n_inliers DESC, k LIMIT 1),
+      |r2 AS (SELECT ${rsResid2.mkString(",\n    ")}
+      |  FROM rws CROSS JOIN win),
+      |m AS (SELECT ${rsMom.mkString(",\n    ")} FROM r2 WHERE $rsKeep),
+      |f AS (SELECT ${rsFit.mkString(",\n    ")}
+      |  FROM m CROSS JOIN (SELECT CAST(k AS BIGINT) AS best_k,
+      |    n_inliers FROM win) w)
+      |SELECT ${rsOut.mkString(",\n  ")} FROM f""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_ab_permutation fragments — B = 64 deterministic re-labelings.
+
+  private def pmB = 64
+
+  private lazy val pmAgg: Seq[String] = Seq(
+    "CAST(sum(CASE WHEN arm = 0 THEN xv ELSE 0 END) AS BIGINT) AS s0",
+    "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0",
+    "CAST(sum(CASE WHEN arm = 1 THEN xv ELSE 0 END) AS BIGINT) AS s1",
+    "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1")
+
+  private def pmDelta(name: String): Seq[String] = Seq(
+    "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)" +
+      s" - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS $name")
+
+  private lazy val pmCount: Seq[String] = Seq(
+    "CAST(sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END)" +
+      " AS BIGINT) AS n_ge",
+    "min(n0) AS n0", "min(n1) AS n1", "min(d_obs) AS d_obs")
+
+  private lazy val pmOut: Seq[String] = Seq(
+    "n0", "n1",
+    s"${Num.sql("d_obs", 6)} AS d_obs_r",
+    "n_ge",
+    s"${Num.sql(s"CAST(n_ge + 1 AS DOUBLE) / ${pmB + 1}.0e0", 6)} AS p_r")
+
+  /** DuckDB replay of q_ab_permutation: identical hash re-labelings. */
+  private def permOracle: String = {
+    import graft.functions.TextAnalysis.h60sql
+    val armObs = h60sql("'pm:obs:' || CAST(doc_id AS VARCHAR)")
+    val armB = h60sql(
+      "'pm:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS xv,
+      |    ($armObs) % 2 AS arm
+      |  FROM documents),
+      |obs0 AS (SELECT ${pmAgg.mkString(",\n    ")} FROM d),
+      |obs AS (SELECT n0, n1, ${pmDelta("d_obs").mkString(", ")}
+      |  FROM obs0),
+      |p0 AS (
+      |  SELECT b, xv, ($armB) % 2 AS arm
+      |  FROM (SELECT doc_id, xv, unnest(range($pmB)) AS b FROM d)),
+      |p1 AS (SELECT b, ${pmAgg.mkString(",\n    ")} FROM p0 GROUP BY b),
+      |p2 AS (SELECT ${pmDelta("d_b").mkString(", ")} FROM p1),
+      |c AS (SELECT ${pmCount.mkString(",\n    ")}
+      |  FROM p2 CROSS JOIN obs)
+      |SELECT ${pmOut.mkString(",\n  ")} FROM c""".stripMargin
   }
 
   // --------------------------------------------------------------------

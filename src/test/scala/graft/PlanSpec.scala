@@ -719,6 +719,9 @@ class PlanSpec extends SparkSpec {
                       // ≤5-row greedy-round joins (LIMIT-bounded)
       "q_stats_kruskal", // crossJoin of the two 1-row moment/tie
                          // aggregates (the anova pivot shape)
+      "q_ml_ransac", // corpus × 16-row candidate table (adaboost
+                     // bounded fan-out) + 1-row winner broadcasts
+      "q_ab_permutation", // crossJoin(broadcast(1-row observed-Δ agg))
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both
                          // sides bounded: 128 zones, 16 boxes)

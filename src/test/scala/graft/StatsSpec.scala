@@ -490,6 +490,82 @@ class StatsSpec extends SparkSpec {
     assert(cov > 0.8 && cov <= 1.0, s"coverage $cov")
   }
 
+  test("q_ml_ransac matches a driver-side sequential replay: hash-drawn " +
+    "samples, consensus argmax, exact-moment refit") {
+    val row = SparkEntry.queries("q_ml_ransac")(spark, sfDir)
+      .collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      md.digest(sx.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val rows = Tables(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey * 8 + l_linenumber AS rid",
+        "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice + 0.5e0) AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tau = 5000L * 1000000L
+    val cands = (0 until 16).map { k =>
+      def pick(salt: String) =
+        rows.map(r => ((h60(s"ra:$salt:$k:${r._1}"), r._2, r._3), r))
+          .minBy(_._1)._2
+      val (a1, a2) = (pick("a"), pick("b"))
+      if (a1._2 == a2._2) (k, 0.0, 0.0, true)
+      else {
+        val cb = (a2._3 - a1._3).toDouble / (a2._2 - a1._2).toDouble
+        (k, a1._3.toDouble - cb * a1._2.toDouble, cb, false)
+      }
+    }
+    def rU(y: Long, x: Long, ca: Double, cb: Double): Long =
+      math.floor(math.abs(y.toDouble - (ca + cb * x.toDouble)) * 1e6 +
+        0.5).toLong
+    val scored = cands.map { case (k, ca, cb, degen) =>
+      val n = if (degen) -1L
+      else rows.count(r => rU(r._3, r._2, ca, cb) <= tau).toLong
+      (k, ca, cb, n)
+    }
+    val win = scored.minBy(c => (-c._4, c._1))
+    assert(row.getLong(row.fieldIndex("best_k")) == win._1)
+    assert(row.getLong(row.fieldIndex("n_inliers")) == win._4)
+    // refit on the winner's inliers with the exact moment form
+    val in = rows.filter(r => rU(r._3, r._2, win._2, win._3) <= tau)
+    val n = in.length.toDouble
+    val (sx, sy) = (in.map(_._2).sum.toDouble, in.map(_._3).sum.toDouble)
+    val sxy = in.map(r => r._2 * r._3).sum.toDouble
+    val sxx = in.map(r => r._2 * r._2).sum.toDouble
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = sy / n - b * (sx / n)
+    def rnd(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(row.getLong(row.fieldIndex("n_refit")) == in.length.toLong)
+    assert(row.getDouble(row.fieldIndex("b_r")) == rnd(b))
+    assert(row.getDouble(row.fieldIndex("a_r")) == rnd(a))
+  }
+
+  test("q_ab_permutation: the p-value counts exactly the hash " +
+    "re-labelings beating the observed delta") {
+    val row = SparkEntry.queries("q_ab_permutation")(spark, sfDir)
+      .collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      md.digest(sx.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS xv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def delta(arm: Long => Long): Double = {
+      val g = docs.groupBy(d => arm(d._1))
+      g(0L).map(_._2).sum.toDouble / g(0L).length.toDouble -
+        g(1L).map(_._2).sum.toDouble / g(1L).length.toDouble
+    }
+    val dObs = delta(id => h60(s"pm:obs:$id") % 2)
+    val nGe = (0 until 64).count { b =>
+      math.abs(delta(id => h60(s"pm:$b:$id") % 2)) >= math.abs(dObs)
+    }
+    assert(row.getLong(row.fieldIndex("n_ge")) == nGe.toLong)
+    val p = row.getDouble(row.fieldIndex("p_r"))
+    assert(p == math.floor((nGe + 1).toDouble / 65.0 * 1e6 + 0.5) / 1e6)
+    assert(p >= 1.0 / 65.0 && p <= 1.0)
+  }
+
   test("q_eval_passk: estimator replays exactly per source and is " +
     "monotone in k") {
     val got = SparkEntry.queries("q_eval_passk")(spark, sfDir).collect()

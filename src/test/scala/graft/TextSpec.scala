@@ -244,6 +244,57 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_eval_bleu matches a driver-side replay of clipped corpus " +
+    "precisions and log-BLEU is never positive") {
+    val got = SparkEntry.queries("q_eval_bleu")(spark, sfDir).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._2)
+    bySrc.foreach { case (src, ds) =>
+      val rows = ds.map { case (id, _, text) =>
+        val rw = text.split(" ", -1)
+        val cw = rw.indices.flatMap { i0 =>
+          val i = i0 + 1
+          if ((id + i) % 11 == 0) None
+          else if ((id + i) % 7 == 0) Some("the")
+          else Some(rw(i0))
+        }
+        (rw.toSeq, cw)
+      }
+      def grams(ws: Seq[String], n: Int): Map[String, Long] =
+        ws.sliding(n).filter(_.size == n).map(_.mkString(" "))
+          .toSeq.groupBy(identity).map { case (g, xs) =>
+            g -> xs.length.toLong }
+      val r = got(src)
+      assert(r.getLong(r.fieldIndex("clen")) ==
+        rows.map(_._2.size.toLong).sum)
+      assert(r.getLong(r.fieldIndex("rlen")) ==
+        rows.map(_._1.size.toLong).sum)
+      val lps = (1 to 4).map { n =>
+        var m = 0L; var t = 0L
+        rows.foreach { case (rw, cw) =>
+          val (cg, rg) = (grams(cw, n), grams(rw, n))
+          cg.foreach { case (g, c) =>
+            m += math.min(c, rg.getOrElse(g, 0L)); t += c }
+        }
+        assert(r.getLong(r.fieldIndex(s"m$n")) == m, s"$src m$n")
+        assert(r.getLong(r.fieldIndex(s"t$n")) == t, s"$src t$n")
+        if (m == 0) -20000000L
+        else math.floor(math.log(m.toDouble / t.toDouble) * 1e6 +
+          0.5).toLong
+      }
+      val clen = rows.map(_._2.size.toLong).sum.toDouble
+      val rlen = rows.map(_._1.size.toLong).sum.toDouble
+      val lbp = math.floor(
+        math.min(0.0, 1.0 - rlen / clen) * 1e6 + 0.5).toLong
+      val lb = math.floor(lps.sum.toDouble / 4.0 + 0.5).toLong + lbp
+      assert(r.getLong(r.fieldIndex("logbleu_u")) == lb, s"$src logbleu")
+      assert(lb <= 0L, "log-BLEU must be non-positive")
+    }
+  }
+
   test("q_text_bpe_apply reconciles with training: corpus token total " +
     "equals the trainer's final post-merge count") {
     // the serving half must tokenize the corpus EXACTLY as the last
