@@ -228,6 +228,81 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // q_eval_rougel fragments — per-doc µ-quantized P/R/F, per-source
+  // fold-order-free means; the oracle's recursive wavefront.
+
+  private lazy val rougePer: Seq[String] = Seq(
+    "source",
+    "CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(" +
+      "CAST(lcs AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0e0 + 0.5e0)" +
+      " AS BIGINT) END AS p_u",
+    "CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(" +
+      "CAST(lcs AS DOUBLE) / CAST(m AS DOUBLE) * 1000000.0e0 + 0.5e0)" +
+      " AS BIGINT) END AS r_u",
+    "CASE WHEN n + m = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(" +
+      "2.0e0 * CAST(lcs AS DOUBLE) / CAST(n + m AS DOUBLE)" +
+      " * 1000000.0e0 + 0.5e0) AS BIGINT) END AS f_u")
+
+  private lazy val rougeAgg: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n_docs",
+    "CAST(floor(CAST(sum(p_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+      " + 0.5e0) AS BIGINT) AS mean_p_u",
+    "CAST(floor(CAST(sum(r_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+      " + 0.5e0) AS BIGINT) AS mean_r_u",
+    "CAST(floor(CAST(sum(f_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+      " + 0.5e0) AS BIGINT) AS mean_f_u")
+
+  /** DuckDB replay of q_eval_rougel: the identical anti-diagonal
+    * wavefront as a recursive CTE — one row per (doc, diagonal)
+    * carrying the two prior diagonals as lists; every cell reads only
+    * position-independent entries of those lists. */
+  private def rougeOracle: String =
+    s"""WITH RECURSIVE d0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS rw
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source, rw,
+      |    list_filter(list_transform(range(1, len(rw) + 1),
+      |      i -> CASE WHEN (doc_id + i) % 11 = 0 THEN NULL
+      |                WHEN (doc_id + i) % 7 = 0 THEN 'the'
+      |                ELSE rw[CAST(i AS INTEGER)] END),
+      |      x -> x IS NOT NULL) AS cw
+      |  FROM d0),
+      |dims AS (
+      |  SELECT doc_id, source, cw, rw,
+      |    len(cw) AS n, len(rw) AS m FROM base),
+      |rec AS (
+      |  SELECT doc_id, n, m, cw, rw, CAST(1 AS BIGINT) AS d,
+      |    list_transform(range(0, n + 1), x -> 0) AS d1,
+      |    list_transform(range(0, n + 1), x -> 0) AS d2
+      |  FROM dims WHERE n >= 1 AND m >= 1
+      |  UNION ALL
+      |  SELECT doc_id, n, m, cw, rw, d + 1 AS d,
+      |    list_transform(range(0, n + 1), i ->
+      |      CASE WHEN i = 0 OR d + 1 - i <= 0 OR d + 1 - i > m THEN 0
+      |           ELSE greatest(
+      |             d1[CAST(i AS INTEGER)],
+      |             d1[CAST(i AS INTEGER) + 1],
+      |             d2[CAST(i AS INTEGER)] +
+      |               CASE WHEN cw[CAST(i AS INTEGER)] =
+      |                 rw[CAST(d + 1 - i AS INTEGER)]
+      |                 THEN 1 ELSE 0 END)
+      |      END) AS d1,
+      |    d1 AS d2
+      |  FROM rec WHERE d < n + m),
+      |lcst AS (
+      |  SELECT doc_id, n, m, d1[CAST(n AS INTEGER) + 1] AS lcs
+      |  FROM rec WHERE d = n + m
+      |  UNION ALL
+      |  SELECT doc_id, n, m, 0 AS lcs
+      |  FROM dims WHERE n = 0 OR m = 0),
+      |per AS (
+      |  SELECT ${rougePer.mkString(",\n    ")}
+      |  FROM lcst JOIN dims USING (doc_id, n, m))
+      |SELECT source, ${rougeAgg.mkString(",\n  ")}
+      |FROM per GROUP BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // q_eval_bleu fragments — clipped n-gram precisions + brevity
   // penalty in µnats; ONE output text, two engines.
 
@@ -1780,6 +1855,62 @@ object TextAnalysis {
     // three rounds as generated CTEs.
     QueryDef("q_text_bpe_train", bpeTrainOracle) { (s, dir) =>
       bpeTrain(s, dir)._1.reduce(_ unionByName _)
+    },
+
+    // ------------------------------------------------------------------
+    // ROUGE-L (Lin, ACL 2004) — the LCS-based summarization eval next
+    // to q_eval_bleu's n-gram precision: per (candidate, reference)
+    // pair, the longest common subsequence drives precision/recall/F.
+    // LCS is an O(n·m) dynamic program with a SEQUENTIAL dependency —
+    // the classic "can't do that in SQL" — solved here as an
+    // ANTI-DIAGONAL WAVEFRONT: cells on diagonal d depend only on
+    // diagonals d−1 and d−2, so the dp advances one whole diagonal per
+    // step with every cell computed POSITION-INDEPENDENTLY from the two
+    // carried lists. On the engine that is one higher-order aggregate
+    // fold per document (the whole dp inside codegen, zero joins, zero
+    // shuffles — per-doc cost n·m, the honest bound); the oracle runs
+    // the identical wavefront as a recursive CTE carrying the two
+    // diagonals as lists. Per-doc P/R/F µ-quantize immediately, so the
+    // per-source means are fold-order-free integer sums. The candidate
+    // is q_eval_bleu's deterministic corruption — the two eval metrics
+    // read the same system output.
+    QueryDef("q_eval_rougel", rougeOracle) { (s, dir) =>
+      val rw = split(col("text"), " ")
+      val cwExpr = filter(
+        transform(sequence(lit(1), size(col("rw"))),
+          i => when((col("doc_id") + i) % 11 === 0, lit(null))
+            .when((col("doc_id") + i) % 7 === 0, lit("the"))
+            .otherwise(element_at(col("rw"), i))),
+        x => x.isNotNull)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), rw.as("rw"))
+        .withColumn("cw", cwExpr)
+        .withColumn("n", size(col("cw")))
+        .withColumn("m", size(col("rw")))
+      // the wavefront: fold d = 2..n+m carrying (diag d−1, diag d−2);
+      // list position i+1 holds v(i, d−i)
+      val zeros = array_repeat(lit(0), col("n") + 1)
+      def newDiag(d1: Column, d2: Column, d: Column): Column =
+        transform(sequence(lit(0), col("n")), i =>
+          when(i === 0 || d - i <= 0 || d - i > col("m"), lit(0))
+            .otherwise(greatest(
+              element_at(d1, i),
+              element_at(d1, i + 1),
+              element_at(d2, i) +
+                when(element_at(col("cw"), i) ===
+                  element_at(col("rw"), d - i), lit(1)).otherwise(lit(0)))))
+      val lcsCol = when(col("n") === 0 || col("m") === 0, lit(0))
+        .otherwise(aggregate(
+          sequence(lit(2), col("n") + col("m")),
+          struct(zeros.as("d1"), zeros.as("d2")),
+          (acc, d) => struct(
+            newDiag(acc.getField("d1"), acc.getField("d2"), d).as("d1"),
+            acc.getField("d1").as("d2")),
+          acc => element_at(acc.getField("d1"), col("n") + 1)))
+      base.withColumn("lcs", lcsCol)
+        .selectExpr(rougePer: _*)
+        .groupBy(col("source"))
+        .agg(expr(rougeAgg.head), rougeAgg.tail.map(expr): _*)
     },
 
     // ------------------------------------------------------------------

@@ -295,6 +295,57 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_eval_rougel: the wavefront dp equals the textbook row-major " +
+    "LCS per document and per-source means replay exactly") {
+    val got = SparkEntry.queries("q_eval_rougel")(spark, sfDir).collect()
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        (r.getLong(r.fieldIndex("n_docs")),
+          r.getLong(r.fieldIndex("mean_p_u")),
+          r.getLong(r.fieldIndex("mean_r_u")),
+          r.getLong(r.fieldIndex("mean_f_u"))))
+      .toMap
+    def lcsRowMajor(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val per = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map { r =>
+        val (id, src, text) =
+          (r.getLong(0), r.getString(1), r.getString(2))
+        val rw = text.split(" ", -1).toSeq
+        val cw = rw.indices.flatMap { i0 =>
+          val i = i0 + 1
+          if ((id + i) % 11 == 0) None
+          else if ((id + i) % 7 == 0) Some("the")
+          else Some(rw(i0))
+        }
+        val lcs = lcsRowMajor(cw, rw)
+        assert(lcs <= math.min(cw.size, rw.size))
+        def u(num: Long, den: Long): Long =
+          if (den == 0) 0L
+          else math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+        (src, u(lcs, cw.size), u(lcs, rw.size),
+          if (cw.size + rw.size == 0) 0L
+          else math.floor(2.0 * lcs / (cw.size + rw.size).toDouble *
+            1e6 + 0.5).toLong)
+      }
+    per.groupBy(_._1).foreach { case (src, xs) =>
+      def mean(f: ((String, Long, Long, Long)) => Long): Long =
+        math.floor(xs.map(f).sum.toDouble / xs.length.toDouble +
+          0.5).toLong
+      val (n, p, rr, f) = got(src)
+      assert(n == xs.length.toLong, s"$src n_docs")
+      assert(p == mean(_._2) && rr == mean(_._3) && f == mean(_._4),
+        s"$src: engine ($p,$rr,$f) vs replay " +
+          s"(${mean(_._2)},${mean(_._3)},${mean(_._4)})")
+    }
+  }
+
   test("q_text_bpe_apply reconciles with training: corpus token total " +
     "equals the trainer's final post-merge count") {
     // the serving half must tokenize the corpus EXACTLY as the last
