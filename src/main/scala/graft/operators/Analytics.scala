@@ -3391,6 +3391,52 @@ object Analytics {
     // per-b Δ of two exact-moment means is one double op chain; the
     // add-one p-value (1 + #{|Δ_b| ≥ |Δ_obs|})/(B+1) counts on an
     // exact double compare of identical inputs.
+    // ------------------------------------------------------------------
+    // GRADIENT BOOSTING over regression stumps (Friedman 2001, L2 /
+    // least-squares boosting) — the regression ensemble beside
+    // q_ml_adaboost's classification: 3 rounds, each fitting the best
+    // of 32 candidate stumps (2 integer features × 16 thresholds) to
+    // the CURRENT RESIDUALS and stepping the model by ν = ½ of the
+    // leaf means. Engine shape per round = the adaboost discipline:
+    // ONE corpus pass scores every candidate (bounded ×32 fan-out
+    // against the broadcast literal grid, map-side partials shrink the
+    // shuffle to 32 rows of 4 exact BIGINTs — left/right residual sums
+    // and counts), a deterministic (gain DESC, c) argmax (gain =
+    // S_L²/n_L + S_R²/n_R, doubles of exact integers — the SSE
+    // reduction up to a round-constant), and the residual update runs
+    // as a projection against the 1-row best broadcast with per-round
+    // localCheckpoints. Residuals live in integer MILLI-units (sums
+    // stay < 10¹⁵ at sf1) and every re-quantization is the shared
+    // floor(x+½) text, so all three rounds hash-check; the reported
+    // per-round SSE (µ-coarsened per row before summing, keeping the
+    // fold integer) must strictly descend — StatsSpec pins it.
+    QueryDef("q_ml_gbt", gbtOracle) { (s, dir) =>
+      val rows = t(s, dir, "lineitem").selectExpr(gbRows: _*)
+      val mean = rows.agg(expr(gbMeanAgg))
+      var ex = rows.crossJoin(broadcast(mean))
+        .selectExpr(gbInit: _*).localCheckpoint()
+      val grid = s.range(32).selectExpr(gbGrid: _*)
+      val outs = scala.collection.mutable.Buffer.empty[DataFrame]
+      for (r <- 1 to 3) {
+        val best = ex.crossJoin(broadcast(grid))
+          .selectExpr(gbSide: _*)
+          .groupBy(col("c"), col("f"), col("tt"))
+          .agg(expr(gbCand.head), gbCand.tail.map(expr): _*)
+          .selectExpr(gbGain: _*)
+          .orderBy(col("gain").desc, col("c"))
+          .limit(1)
+          .selectExpr(gbBest: _*)
+        ex = ex.crossJoin(broadcast(best))
+          .selectExpr(gbSide2: _*)
+          .selectExpr(gbUpdate: _*)
+          .localCheckpoint()
+        val sse = ex.agg(expr(gbSse))
+        outs += best.crossJoin(broadcast(sse))
+          .selectExpr(s"CAST($r AS BIGINT) AS round" +: gbOut: _*)
+      }
+      outs.reduce(_ unionAll _)
+    },
+
     QueryDef("q_ab_permutation", permOracle) { (s, dir) =>
       import graft.functions.TextAnalysis.h60
       val docs = t(s, dir, "documents")
@@ -4300,6 +4346,102 @@ object Analytics {
       |  FROM m CROSS JOIN (SELECT CAST(k AS BIGINT) AS best_k,
       |    n_inliers FROM win) w)
       |SELECT ${rsOut.mkString(",\n  ")} FROM f""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_ml_gbt fragments — 3 rounds, 32-stump grid, ν = ½, residuals in
+  // integer milli-units; ONE text, two engines.
+
+  private lazy val gbRows: Seq[String] = Seq(
+    "CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x1",
+    "CAST(floor(l_discount * 100.0e0 + 0.5e0) AS BIGINT) AS x2",
+    "CAST(floor(l_extendedprice * 1000.0e0 + 0.5e0) AS BIGINT) AS ym")
+
+  private def gbMeanAgg: String =
+    "CAST(floor(CAST(sum(ym) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+      " + 0.5e0) AS BIGINT) AS mu"
+
+  private lazy val gbInit: Seq[String] =
+    Seq("x1", "x2", "ym - mu AS e")
+
+  private lazy val gbGrid: Seq[String] = Seq(
+    "CAST(id AS BIGINT) AS c",
+    "CASE WHEN id < 16 THEN 0 ELSE 1 END AS f",
+    "CASE WHEN id < 16 THEN id * 3 + 2 ELSE id - 16 END AS tt")
+
+  private lazy val gbSide: Seq[String] = Seq(
+    "c", "f", "tt", "e",
+    "CASE WHEN (CASE WHEN f = 0 THEN x1 ELSE x2 END) <= tt" +
+      " THEN 1 ELSE 0 END AS sd")
+
+  private lazy val gbCand: Seq[String] = Seq(
+    "CAST(sum(CASE WHEN sd = 1 THEN e ELSE 0 END) AS BIGINT) AS sl",
+    "CAST(sum(CASE WHEN sd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nl",
+    "CAST(sum(CASE WHEN sd = 0 THEN e ELSE 0 END) AS BIGINT) AS sr",
+    "CAST(sum(CASE WHEN sd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr")
+
+  /** SSE reduction up to the round constant; empty sides can't win. */
+  private lazy val gbGain: Seq[String] = Seq(
+    "c", "f", "tt", "sl", "nl", "sr", "nr",
+    "CASE WHEN nl = 0 OR nr = 0 THEN -1.0e0" +
+      " ELSE CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)" +
+      " / CAST(nl AS DOUBLE) + CAST(sr AS DOUBLE)" +
+      " * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) END AS gain")
+
+  private lazy val gbBest: Seq[String] = Seq(
+    "c AS bc", "f AS bf", "tt AS bt", "nl", "nr",
+    "CASE WHEN nl = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(" +
+      "CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) + 0.5e0) AS BIGINT)" +
+      " END AS lml",
+    "CASE WHEN nr = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(" +
+      "CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) + 0.5e0) AS BIGINT)" +
+      " END AS lmr")
+
+  private lazy val gbSide2: Seq[String] = Seq(
+    "x1", "x2", "e",
+    "CASE WHEN (CASE WHEN bf = 0 THEN x1 ELSE x2 END) <= bt" +
+      " THEN lml ELSE lmr END AS lv")
+
+  private lazy val gbUpdate: Seq[String] = Seq(
+    "x1", "x2",
+    "CAST(floor(CAST(e AS DOUBLE) - CAST(lv AS DOUBLE) * 0.5e0" +
+      " + 0.5e0) AS BIGINT) AS e")
+
+  /** Per-row µ-coarsened e² keeps the SSE fold integer at sf1. */
+  private def gbSse: String =
+    "CAST(sum(CAST(floor(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)" +
+      " / 1000000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sse_q"
+
+  private lazy val gbOut: Seq[String] =
+    Seq("bc", "bf", "bt", "nl", "nr", "lml", "lmr", "sse_q")
+
+  /** DuckDB replay of q_ml_gbt: all three rounds as MATERIALIZED CTEs
+    * (each round's residuals feed two consumers). */
+  private def gbtOracle: String = {
+    def round(k: Int): String =
+      s"""sd$k AS (SELECT ${gbSide.mkString(", ")}
+        |  FROM e${k - 1} CROSS JOIN grid),
+        |cd$k AS (SELECT c, f, tt, ${gbCand.mkString(",\n    ")}
+        |  FROM sd$k GROUP BY c, f, tt),
+        |gn$k AS (SELECT ${gbGain.mkString(",\n    ")} FROM cd$k),
+        |b$k AS MATERIALIZED (SELECT ${gbBest.mkString(",\n    ")}
+        |  FROM (SELECT * FROM gn$k ORDER BY gain DESC, c LIMIT 1) q),
+        |e$k AS MATERIALIZED (SELECT ${gbUpdate.mkString(", ")}
+        |  FROM (SELECT ${gbSide2.mkString(", ")}
+        |    FROM e${k - 1} CROSS JOIN b$k) q),
+        |s$k AS (SELECT $gbSse FROM e$k),
+        |r$k AS (SELECT CAST($k AS BIGINT) AS round,
+        |  ${gbOut.mkString(", ")} FROM b$k CROSS JOIN s$k)"""
+        .stripMargin
+    s"""WITH rws AS (SELECT ${gbRows.mkString(",\n    ")} FROM lineitem),
+      |mu AS (SELECT $gbMeanAgg FROM rws),
+      |e0 AS MATERIALIZED (SELECT ${gbInit.mkString(", ")}
+      |  FROM rws CROSS JOIN mu),
+      |grid AS (SELECT ${gbGrid.mkString(",\n    ")}
+      |  FROM (SELECT unnest(range(32)) AS id)),
+      |${(1 to 3).map(round).mkString(",\n")}
+      |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |UNION ALL SELECT * FROM r3""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -721,6 +721,8 @@ class PlanSpec extends SparkSpec {
                          // aggregates (the anova pivot shape)
       "q_ml_ransac", // corpus × 16-row candidate table (adaboost
                      // bounded fan-out) + 1-row winner broadcasts
+      "q_ml_gbt", // per-round crossJoins: the 32-row literal stump
+                  // grid + 1-row mean/best/SSE aggregates
       "q_ab_permutation", // crossJoin(broadcast(1-row observed-Δ agg))
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both

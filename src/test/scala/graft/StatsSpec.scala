@@ -540,6 +540,59 @@ class StatsSpec extends SparkSpec {
     assert(row.getDouble(row.fieldIndex("a_r")) == rnd(a))
   }
 
+  test("q_ml_gbt matches a sequential boosting replay and the SSE " +
+    "strictly descends across rounds") {
+    val rows = SparkEntry.queries("q_ml_gbt")(spark, sfDir)
+      .orderBy("round").collect()
+    assert(rows.length == 3)
+    val sses = rows.map(_.getLong(rows.head.fieldIndex("sse_q")))
+    assert(sses(0) > sses(1) && sses(1) > sses(2),
+      s"SSE not descending: ${sses.toSeq}")
+    // sequential replay with the identical quantization
+    val data = Tables(spark, sfDir, "lineitem")
+      .selectExpr("CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x1",
+        "CAST(floor(l_discount * 100.0e0 + 0.5e0) AS BIGINT) AS x2",
+        "CAST(floor(l_extendedprice * 1000.0e0 + 0.5e0) AS BIGINT) AS ym")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mu = math.floor(
+      data.map(_._3).sum.toDouble / data.length.toDouble + 0.5).toLong
+    var e = data.map { case (x1, x2, ym) => (x1, x2, ym - mu) }
+    for (k <- 0 until 3) {
+      val cands = (0L until 32L).map { c =>
+        val f = if (c < 16) 0L else 1L
+        val tt = if (c < 16) c * 3 + 2 else c - 16
+        val (l, rr) = e.partition(d =>
+          (if (f == 0) d._1 else d._2) <= tt)
+        val (sl, nl) = (l.map(_._3).sum, l.length.toLong)
+        val (sr, nr) = (rr.map(_._3).sum, rr.length.toLong)
+        val gain = if (nl == 0 || nr == 0) -1.0
+        else sl.toDouble * sl.toDouble / nl.toDouble +
+          sr.toDouble * sr.toDouble / nr.toDouble
+        (c, f, tt, sl, nl, sr, nr, gain)
+      }
+      val b = cands.minBy(x => (-x._8, x._1))
+      val row = rows(k)
+      assert(row.getLong(row.fieldIndex("bc")) == b._1,
+        s"round ${k + 1} stump ${row.getLong(row.fieldIndex("bc"))}" +
+          s" != ${b._1}")
+      def leaf(s: Long, n: Long): Long =
+        if (n == 0) 0L
+        else math.floor(s.toDouble / n.toDouble + 0.5).toLong
+      val (lml, lmr) = (leaf(b._4, b._5), leaf(b._6, b._7))
+      assert(row.getLong(row.fieldIndex("lml")) == lml)
+      assert(row.getLong(row.fieldIndex("lmr")) == lmr)
+      e = e.map { case (x1, x2, ev) =>
+        val lv = if ((if (b._2 == 0) x1 else x2) <= b._3) lml else lmr
+        (x1, x2,
+          math.floor(ev.toDouble - lv.toDouble * 0.5 + 0.5).toLong)
+      }
+      val sse = e.map(d => math.floor(
+        d._3.toDouble * d._3.toDouble / 1e6 + 0.5).toLong).sum
+      assert(row.getLong(row.fieldIndex("sse_q")) == sse,
+        s"round ${k + 1} SSE")
+    }
+  }
+
   test("q_ab_permutation: the p-value counts exactly the hash " +
     "re-labelings beating the observed delta") {
     val row = SparkEntry.queries("q_ab_permutation")(spark, sfDir)
