@@ -190,7 +190,7 @@ class ZoneCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "dv_materialize", "history")
+    Array("optimize", "dv_materialize", "history", "heal_rlo")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -237,6 +237,28 @@ class ZoneCatalog extends TableCatalog with ProcedureCatalog
               UTF8String.fromString(z.file), z.n, z.la, z.ha, z.lb,
               z.hb)): InternalRow
           }.toArray
+      }
+      case "heal_rlo" => new ZoneProc("heal_rlo",
+        "complete or abort any crashed row-level (UPDATE/MERGE) " +
+          "commit: a pending marker whose batch became visible " +
+          "finishes its staged dv publish, one whose batch never " +
+          "landed aborts whole (idempotent; also run automatically " +
+          "by the next row-level commit)",
+        StructType(Seq(StructField("pending_before", LongType),
+          StructField("pending_after", LongType)))) {
+        override def run(dotted: String): Array[InternalRow] = {
+          val dir = tableDir(dotted)
+          val spark = SparkSession.active
+          def pending(): Long = {
+            val root = new Path(dir)
+            if (!fs.exists(root)) 0L
+            else fs.listStatus(root).count(
+              _.getPath.getName.startsWith(".rlo_pending_")).toLong
+          }
+          val before = pending()
+          ZoneMapSource.healRowLevelPending(spark, dir)
+          Array(new GenericInternalRow(Array[Any](before, pending())))
+        }
       }
       case other => throw new UnsupportedOperationException(
         s"unknown zone-map procedure: $other")

@@ -185,13 +185,17 @@ class ZoneCatalogSpec extends SparkSpec {
     graft.sources.ZoneMapSource.healRowLevelPending(spark, dir)
     assert(!fs.exists(new Path(s"$dir/.rlo_pending_t1")))
     assert(graft.streaming.Streaming.dvDeletedCount(spark, dir) == 1L)
-    // ABORT case: a marker whose planned batch never became visible
-    // drops without touching the dv table
+    // ABORT case, through the SQL surface this time: a marker whose
+    // planned batch never became visible drops without touching the
+    // dv table — CALL heal_rlo reports the pending count going to 0
     Seq((rel, 1L, 1L)).toDF("file", "bucket", "word")
       .write.parquet(s"$dir/.rlo_pending_t2/dv")
     val out2 = fs.create(new Path(s"$dir/.rlo_pending_t2/batch"), true)
     out2.write("99".getBytes("UTF-8")); out2.close()
-    graft.sources.ZoneMapSource.healRowLevelPending(spark, dir)
+    val healed = spark.sql("CALL zmt.system.heal_rlo('db.h')")
+      .collect()(0)
+    assert(healed.getLong(0) == 1L && healed.getLong(1) == 0L,
+      healed.toString)
     assert(!fs.exists(new Path(s"$dir/.rlo_pending_t2")))
     assert(graft.streaming.Streaming.dvDeletedCount(spark, dir) == 1L)
     spark.sql("DROP TABLE zmt.db.h")
