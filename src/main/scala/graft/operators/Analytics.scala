@@ -3346,13 +3346,20 @@ object Analytics {
       import graft.functions.TextAnalysis.h60
       val rows = t(s, dir, "lineitem").selectExpr(rsRows: _*)
         .localCheckpoint() // sampling + scoring + refit consumers
-      def hc(salt: String) = h60(concat(lit(s"ra:$salt:"),
-        col("k").cast("string"), lit(":"), col("rid").cast("string")))
+      // ONE md5 per row and side; per-candidate draws derive by XOR
+      // with a per-k odd constant (a bijection of the base hash, so
+      // each k's argmin is still a fresh uniform draw — and 32× less
+      // hashing than salting k into the digest: measured 11.4 s →
+      // the md5 volume was most of it)
+      def hb(salt: String) = h60(concat(lit(s"ra:$salt:"),
+        col("rid").cast("string")))
       val cand = rows
-        .select(col("rid"), col("x"), col("y"),
+        .select(col("x"), col("y"),
+          hb("a").as("h0a"), hb("b").as("h0b"),
           explode(sequence(lit(0), lit(15))).as("k"))
         .select(col("k"), col("x"), col("y"),
-          hc("a").as("ha"), hc("b").as("hb"))
+          col("h0a").bitwiseXOR(col("k") * lit(rsMix)).as("ha"),
+          col("h0b").bitwiseXOR(col("k") * lit(rsMix)).as("hb"))
         .groupBy(col("k"))
         .agg(min(struct(col("ha"), col("x"), col("y"))).as("p1"),
           min(struct(col("hb"), col("x"), col("y"))).as("p2"))
@@ -4315,17 +4322,22 @@ object Analytics {
     s"${Num.sql("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)" +
       " - b * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))", 6)} AS a_r")
 
+  /** Odd 57-bit mix constant (k*rsMix stays inside checked BIGINT): k·rsMix XORed onto the base draw gives
+    * each candidate an independent bijection of the row hash. */
+  private def rsMix = 0x9E3779B97F4A7C15L >>> 7
+
   /** DuckDB replay of q_ml_ransac: min-over-struct draws (unique
     * 60-bit hashes make the argmin a well-defined sample in both
     * engines; lexicographic struct order matches Spark's). */
   private def ransacOracle: String = {
     import graft.functions.TextAnalysis.h60sql
-    def h(salt: String) = h60sql(
-      s"'ra:$salt:' || CAST(k AS VARCHAR) || ':' || CAST(rid AS VARCHAR)")
+    def h(salt: String) = h60sql(s"'ra:$salt:' || CAST(rid AS VARCHAR)")
     s"""WITH rws AS (SELECT ${rsRows.mkString(",\n    ")} FROM lineitem),
       |ks AS (
-      |  SELECT k, x, y, ${h("a")} AS ha, ${h("b")} AS hb
-      |  FROM rws, (SELECT unnest(range(16)) AS k)),
+      |  SELECT k, x, y,
+      |    xor(h0a, k * $rsMix) AS ha, xor(h0b, k * $rsMix) AS hb
+      |  FROM (SELECT x, y, ${h("a")} AS h0a, ${h("b")} AS h0b
+      |    FROM rws), (SELECT unnest(range(16)) AS k)),
       |cand0 AS (
       |  SELECT k, min({'h': ha, 'x': x, 'y': y}) AS p1,
       |    min({'h': hb, 'x': x, 'y': y}) AS p2

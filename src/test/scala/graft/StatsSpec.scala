@@ -504,9 +504,11 @@ class StatsSpec extends SparkSpec {
         "CAST(floor(l_extendedprice + 0.5e0) AS BIGINT) AS y")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val tau = 5000L * 1000000L
+    val mix = 0x9E3779B97F4A7C15L >>> 7
     val cands = (0 until 16).map { k =>
       def pick(salt: String) =
-        rows.map(r => ((h60(s"ra:$salt:$k:${r._1}"), r._2, r._3), r))
+        rows.map(r => ((h60(s"ra:$salt:${r._1}") ^ (k * mix),
+          r._2, r._3), r))
           .minBy(_._1)._2
       val (a1, a2) = (pick("a"), pick("b"))
       if (a1._2 == a2._2) (k, 0.0, 0.0, true)
