@@ -1367,6 +1367,63 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // SMITH-WATERMAN LOCAL ALIGNMENT (1981) — the third comparator in
+    // the record-linkage family: where levenshtein charges for the
+    // WHOLE string and Jaro-Winkler for global character order, local
+    // alignment finds the best-matching REGION (match +2, mismatch −1,
+    // gap −1, floor 0) — the right scorer when entity names carry
+    // unrelated prefixes/suffixes. The O(n·m) dp runs as the
+    // q_eval_rougel ANTI-DIAGONAL WAVEFRONT (cells of diagonal d read
+    // only diagonals d−1/d−2, carried as lists) with two SW twists:
+    // every cell floors at 0, and the answer is the max over ALL
+    // cells, tracked as one more fold field. One higher-order
+    // aggregate per pair, entirely inside codegen, zero joins; each
+    // customer aligns against a deterministic drop/substitute
+    // corruption of its own name (the q_eval_bleu corruption on
+    // characters), and per-segment score stats roll up map-combinably.
+    // The oracle replays the identical wavefront as a recursive CTE.
+    QueryDef("q_link_align", swOracle) { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .selectExpr("c_custkey AS id", "c_mktsegment AS seg",
+          "c_name AS nm")
+        .withColumn("aw", transform(sequence(lit(1), length(col("nm"))),
+          i => col("nm").substr(i, lit(1))))
+        .withColumn("bw", filter(
+          transform(sequence(lit(1), length(col("nm"))),
+            i => when((col("id") + i) % 9 === 0, lit(null))
+              .when((col("id") + i) % 5 === 0, lit("x"))
+              .otherwise(col("nm").substr(i, lit(1)))),
+          x => x.isNotNull))
+        .withColumn("n", size(col("aw")))
+        .withColumn("m", size(col("bw")))
+      val zeros = array_repeat(lit(0), col("n") + 1)
+      def newDiag(d1: Column, d2: Column, d: Column): Column =
+        transform(sequence(lit(0), col("n")), i =>
+          when(i === 0 || d - i <= 0 || d - i > col("m"), lit(0))
+            .otherwise(greatest(
+              lit(0),
+              element_at(d1, i) - 1,
+              element_at(d1, i + 1) - 1,
+              element_at(d2, i) +
+                when(element_at(col("aw"), i) ===
+                  element_at(col("bw"), d - i), lit(2))
+                  .otherwise(lit(-1)))))
+      val swCol = when(col("n") === 0 || col("m") === 0, lit(0))
+        .otherwise(aggregate(
+          sequence(lit(2), col("n") + col("m")),
+          struct(zeros.as("d1"), zeros.as("d2"), lit(0).as("bst")),
+          (acc, d) => {
+            val nd = newDiag(acc.getField("d1"), acc.getField("d2"), d)
+            struct(nd.as("d1"), acc.getField("d1").as("d2"),
+              greatest(acc.getField("bst"), array_max(nd)).as("bst"))
+          },
+          acc => acc.getField("bst")))
+      base.withColumn("sw", swCol)
+        .groupBy(col("seg"))
+        .agg(expr(swAgg.head), swAgg.tail.map(expr): _*)
+    },
+
+    // ------------------------------------------------------------------
     // Jaro–Winkler record linkage — the prefix-weighted comparator the
     // record-linkage literature pairs with edit distance (Winkler's
     // census work): q_link_fuzzy's blocked-join plan, scored by the
@@ -1741,4 +1798,64 @@ object Dedup {
         "CAST(mi_u AS DOUBLE) / sqrt(CAST(hc_u AS DOUBLE) * CAST(hl_u AS DOUBLE))",
         6)} END AS nmi
       |FROM pur, mi, hc, hl""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q_link_align fragments — per-segment rollup + the oracle's
+  // recursive wavefront (the q_eval_rougel machinery with SW scoring).
+
+  private lazy val swAgg: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(floor(CAST(sum(sw) AS DOUBLE) / CAST(count(*) AS DOUBLE)" +
+      " * 1000000.0e0 + 0.5e0) AS BIGINT) AS mean_sw_u",
+    "CAST(max(sw) AS BIGINT) AS max_sw",
+    "CAST(min(sw) AS BIGINT) AS min_sw")
+
+  private def swOracle: String =
+    s"""WITH RECURSIVE c0 AS (
+      |  SELECT c_custkey AS id, c_mktsegment AS seg, c_name AS nm
+      |  FROM customer),
+      |base AS (
+      |  SELECT id, seg,
+      |    list_transform(range(1, length(nm) + 1),
+      |      i -> nm[CAST(i AS INTEGER):CAST(i AS INTEGER)]) AS aw,
+      |    list_filter(list_transform(range(1, length(nm) + 1),
+      |      i -> CASE WHEN (id + i) % 9 = 0 THEN NULL
+      |                WHEN (id + i) % 5 = 0 THEN 'x'
+      |                ELSE nm[CAST(i AS INTEGER):CAST(i AS INTEGER)]
+      |           END),
+      |      x -> x IS NOT NULL) AS bw
+      |  FROM c0),
+      |dims AS (
+      |  SELECT id, seg, aw, bw, len(aw) AS n, len(bw) AS m FROM base),
+      |rec AS (
+      |  SELECT id, n, m, aw, bw, CAST(1 AS BIGINT) AS d,
+      |    list_transform(range(0, n + 1), x -> 0) AS d1,
+      |    list_transform(range(0, n + 1), x -> 0) AS d2,
+      |    0 AS bst
+      |  FROM dims WHERE n >= 1 AND m >= 1
+      |  UNION ALL
+      |  SELECT id, n, m, aw, bw, d + 1 AS d,
+      |    nd AS d1, d1 AS d2,
+      |    greatest(bst, list_max(nd)) AS bst
+      |  FROM (
+      |    SELECT rec.*,
+      |      list_transform(range(0, n + 1), i ->
+      |        CASE WHEN i = 0 OR d + 1 - i <= 0 OR d + 1 - i > m THEN 0
+      |             ELSE greatest(0,
+      |               d1[CAST(i AS INTEGER)] - 1,
+      |               d1[CAST(i AS INTEGER) + 1] - 1,
+      |               d2[CAST(i AS INTEGER)] +
+      |                 CASE WHEN aw[CAST(i AS INTEGER)] =
+      |                   bw[CAST(d + 1 - i AS INTEGER)]
+      |                   THEN 2 ELSE -1 END)
+      |        END) AS nd
+      |    FROM rec WHERE d < n + m) q),
+      |fin AS (
+      |  SELECT id, bst AS sw FROM rec WHERE d = n + m
+      |  UNION ALL
+      |  SELECT id, 0 AS sw FROM dims WHERE n = 0 OR m = 0),
+      |per AS (
+      |  SELECT dims.seg, fin.sw FROM fin JOIN dims USING (id))
+      |SELECT seg, ${swAgg.mkString(",\n  ")}
+      |FROM per GROUP BY seg""".stripMargin
 }

@@ -174,4 +174,53 @@ class DedupSpec extends SparkSpec {
     assert(w5(1L) == ((7L, 5L, "f g")), w5(1L).toString)
     assert(w5(2L) == ((6L, 5L, "q")), w5(2L).toString)
   }
+
+  test("q_link_align: the wavefront equals textbook row-major " +
+    "Smith-Waterman per customer and segment stats replay exactly") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_link_align")(spark, sfDir).collect()
+      .map(r => r.getString(r.fieldIndex("seg")) ->
+        (r.getLong(r.fieldIndex("n")),
+          r.getLong(r.fieldIndex("mean_sw_u")),
+          r.getLong(r.fieldIndex("max_sw")),
+          r.getLong(r.fieldIndex("min_sw"))))
+      .toMap
+    def sw(a: String, b: String): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        val m = if (a(i - 1) == b(j - 1)) 2 else -1
+        dp(i)(j) = math.max(0, math.max(dp(i - 1)(j - 1) + m,
+          math.max(dp(i - 1)(j) - 1, dp(i)(j - 1) - 1)))
+        best = math.max(best, dp(i)(j))
+      }
+      best
+    }
+    val per = Tables(spark, sfDir, "customer")
+      .selectExpr("c_custkey", "c_mktsegment", "c_name").collect()
+      .map { r =>
+        val (id, seg, nm) =
+          (r.getLong(0), r.getString(1), r.getString(2))
+        val b = nm.zipWithIndex.flatMap { case (ch, i0) =>
+          val i = i0 + 1
+          if ((id + i) % 9 == 0) None
+          else if ((id + i) % 5 == 0) Some('x')
+          else Some(ch)
+        }.mkString
+        seg -> sw(nm, b).toLong
+      }
+    per.groupBy(_._1).foreach { case (seg, xs) =>
+      val vs = xs.map(_._2)
+      val (n, mean, mx, mn) = got(seg)
+      assert(n == vs.length.toLong, s"$seg n")
+      assert(mean == math.floor(
+        vs.sum.toDouble / vs.length.toDouble * 1e6 + 0.5).toLong,
+        s"$seg mean")
+      assert(mx == vs.max && mn == vs.min, s"$seg extremes")
+    }
+    // local alignment must beat the corruption: names share long runs
+    got.values.foreach { case (_, mean, _, _) =>
+      assert(mean > 2000000L, "mean local alignment below 2 matches?")
+    }
+  }
 }
