@@ -2244,6 +2244,65 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // GEO: point-in-polygon by even-odd ray casting — the spatial
+    // CONTAINMENT primitive (haversine = distance, geohash = bucketing,
+    // PIP = region assignment): tag every point with the polygons that
+    // contain it, the geofencing / region-rollup query. The ray cast is
+    // EXACT INTEGER throughout: a +x ray from p crosses edge
+    // (x1,y1)-(x2,y2) iff the edge straddles p's y
+    // ((y1 > py) != (y2 > py)) and the cross product
+    // (x2−x1)(py−y1) − (px−x1)(y2−y1) has the sign of (y2−y1) — the
+    // pnpoly test with the division cross-multiplied away, so both
+    // engines count identical crossings with zero float surface
+    // (coordinates are key-derived integers on a 1000² grid; boundary
+    // ties resolve deterministically the same way in both engines).
+    // Scale shape: points × the broadcast 17-row literal edge table
+    // (the haversine probe idiom — the polygon catalog is small; a
+    // polygon CORPUS would pre-bucket by geohash cell), then one
+    // map-combinable parity aggregate keyed (poly, point) and a per-poly
+    // rollup. Concave polygon P3 is in the set on purpose: even-odd
+    // parity is what distinguishes ray casting from a bounding-box test.
+    QueryDef(
+      "q_geo_pip",
+      s"""WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 193) % 1000 AS px,
+        |    (c_custkey * 577) % 1000 AS py
+        |  FROM customer),
+        |edges(poly, x1, y1, x2, y2) AS (VALUES
+        |  $pipEdgeValues),
+        |cr AS (
+        |  SELECT e.poly, p.id,
+        |    count(CASE WHEN (y1 > py) <> (y2 > py) AND
+        |      (CASE WHEN y2 > y1
+        |        THEN (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0
+        |        ELSE (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0
+        |      END) THEN 1 END) AS nc
+        |  FROM pts p, edges e GROUP BY 1, 2)
+        |SELECT poly, count(CASE WHEN nc % 2 = 1 THEN 1 END) AS n_inside,
+        |  CAST(sum(CASE WHEN nc % 2 = 1 THEN id END) AS BIGINT)
+        |    AS id_checksum
+        |FROM cr GROUP BY 1""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 193) % 1000 AS px",
+        "(c_custkey * 577) % 1000 AS py")
+      val edges = s.createDataFrame(pipEdges)
+        .toDF("poly", "x1", "y1", "x2", "y2")
+      val cross = (col("x2") - col("x1")) * (col("py") - col("y1")) -
+        (col("px") - col("x1")) * (col("y2") - col("y1"))
+      val crossing = ((col("y1") > col("py")) =!= (col("y2") > col("py"))) &&
+        when(col("y2") > col("y1"), cross > 0).otherwise(cross < 0)
+      pts.crossJoin(broadcast(edges))
+        .groupBy(col("poly"), col("id"))
+        .agg(count(when(crossing, 1)).as("nc"))
+        .groupBy(col("poly"))
+        .agg(count(when(col("nc") % 2 === 1, 1)).as("n_inside"),
+          sum(when(col("nc") % 2 === 1, col("id"))).cast("long")
+            .as("id_checksum"))
+    },
+
+    // ------------------------------------------------------------------
     // MULTI-DIMENSIONAL CLUSTERING for scan pruning (OPTIMIZE ZORDER):
     // interleave the bits of two filter dimensions into a Z-value,
     // group rows into files by Z-tile (top 6 bits = an 8×8 quadtree
@@ -3050,6 +3109,41 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // LINEAR SVM by full-batch subgradient descent — the MAX-MARGIN
+    // member of the in-engine training family (logreg = Newton on
+    // log-loss, ridge = closed form, this = hinge loss): Pegasos
+    // (Shalev-Shwartz 2007) with the minibatch sampling removed, so
+    // every step is DETERMINISTIC: w ← (1−ηλ)w + η·avg over
+    // margin-violators of y·x, with η_t = 2⁻ᵗ and λ = 0.1 (the
+    // intercept unregularized, textbook). The hinge subgradient is an
+    // INDICATOR times the data — even better suited to the logreg
+    // quantization discipline than the sigmoid was: per-row
+    // contributions quantize at 2⁻²⁰ into BIGINTs, integer addition
+    // kills fold-order noise, and every weight update is IEEE-exact
+    // scalar algebra on one row. Scale shape per round: ONE
+    // map-combinable 3-moment aggregate over the fact scan + a 1-row
+    // weight broadcast into the next pass — 3 rounds + 1 scoring pass
+    // = 4 fact scans, zero fact-sized shuffles (model to data, the
+    // distributed-GLM plan). The scoring pass reports support-vector
+    // count, training accuracy, and the regularized hinge objective.
+    // The oracle replays the identical fragment text as chained CTEs.
+    QueryDef("q_ml_svm", svmOracle) { (s, dir) =>
+      val c = t(s, dir, "lineitem").selectExpr(svmRows: _*)
+      var w = s.range(1).selectExpr(svmInit: _*)
+      for (k <- 0 until svmRounds) {
+        w = c.crossJoin(broadcast(w))
+          .selectExpr(svmMargin: _*)
+          .selectExpr(svmQuant: _*)
+          .agg(expr(svmMom.head), svmMom.tail.map(expr): _*)
+          .selectExpr(svmUpdate(k): _*)
+      }
+      c.crossJoin(broadcast(w))
+        .selectExpr(svmMargin: _*)
+        .agg(expr(svmAcc.head), svmAcc.tail.map(expr): _*)
+        .selectExpr(svmFinal: _*)
+    },
+
+    // ------------------------------------------------------------------
     // ISOTONIC REGRESSION CALIBRATION — the PAV fit (Ayer 1955 /
     // Barlow-Brunk) via its EXACT MINIMAX closed form instead of the
     // sequential pool-adjacent-violators walk: over score bins,
@@ -3502,6 +3596,30 @@ object Analytics {
   /** The standard geohash base32 alphabet (no a/i/l/o). */
   private def geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+  /** q_geo_pip's polygon catalog as vertex rings on the 1000² grid —
+    * square, triangle, a CONCAVE L (the even-odd stressor), diamond.
+    * Edges derive by closing each ring. */
+  private def pipPolys: Seq[(Int, Seq[(Int, Int)])] = Seq(
+    1 -> Seq((100, 100), (400, 100), (400, 400), (100, 400)),
+    2 -> Seq((500, 50), (900, 150), (600, 450)),
+    3 -> Seq((50, 500), (450, 500), (450, 650), (250, 650), (250, 900),
+      (50, 900)),
+    4 -> Seq((600, 600), (850, 750), (600, 900), (350, 750)))
+
+  /** The closed edge list (poly, x1, y1, x2, y2) both engines read. */
+  private def pipEdges: Seq[(Int, Int, Int, Int, Int)] =
+    pipPolys.flatMap { case (pid, ring) =>
+      (ring :+ ring.head).sliding(2).map { w =>
+        (pid, w(0)._1, w(0)._2, w(1)._1, w(1)._2)
+      }
+    }
+
+  /** The same edges as a SQL VALUES list for the oracle CTE. */
+  private def pipEdgeValues: String =
+    pipEdges.map { case (p, x1, y1, x2, y2) =>
+      s"($p, $x1, $y1, $x2, $y2)"
+    }.mkString(",\n        |  ")
+
   /** DuckDB replay of q_geo_geohash: identical integer bit math, the
     * alphabet indexed 1-based via substr. */
   private def geohashOracle: String = {
@@ -3687,6 +3805,88 @@ object Analytics {
       |  FROM c CROSS JOIN w2),
       |acc AS (SELECT ${logregAcc.mkString(",\n    ")} FROM rf)
       |SELECT ${logregFinal.mkString(",\n  ")} FROM acc""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_ml_svm fragments — ONE text, two engines (the logreg discipline).
+  // Features scale to ~[0,1] so unit-step subgradients behave; the
+  // indicator-gated contributions quantize at 2⁻²⁰ exactly as logreg's.
+
+  private def svmRounds = 3
+  private def svmLambda = "0.1e0"
+
+  /** η_t = 2⁻ᵗ for round t — exactly representable, halving steps. */
+  private def svmEta(k: Int): String =
+    java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString + "e0"
+
+  private lazy val svmRows: Seq[String] = Seq(
+    "CASE WHEN l_returnflag = 'R' THEN 1.0e0 ELSE -1.0e0 END AS y",
+    "CAST(l_quantity AS DOUBLE) / 50.0e0 AS fx1",
+    "CAST(floor(l_discount * 100.0e0 + 0.5e0) AS DOUBLE) / 10.0e0 AS fx2")
+
+  private lazy val svmInit: Seq[String] =
+    Seq("0.0e0 AS wa", "0.0e0 AS wb", "0.0e0 AS wc")
+
+  private lazy val svmMargin: Seq[String] = Seq(
+    "y", "fx1", "fx2", "wa", "wb", "wc",
+    "y * (wa + wb * fx1 + wc * fx2) AS m")
+
+  private lazy val svmQuant: Seq[String] = Seq("wa", "wb", "wc",
+    lrQi("CASE WHEN m < 1.0e0 THEN y ELSE 0.0e0 END", "g0"),
+    lrQi("CASE WHEN m < 1.0e0 THEN y * fx1 ELSE 0.0e0 END", "g1"),
+    lrQi("CASE WHEN m < 1.0e0 THEN y * fx2 ELSE 0.0e0 END", "g2"))
+
+  private lazy val svmMom: Seq[String] =
+    Seq("g0", "g1", "g2").map(n => s"CAST(sum(q$n) AS BIGINT) AS s$n") ++
+      Seq("CAST(count(*) AS BIGINT) AS n",
+        "min(wa) AS wa", "min(wb) AS wb", "min(wc) AS wc")
+
+  /** The Pegasos update; the intercept skips the shrink (unregularized). */
+  private def svmUpdate(k: Int): Seq[String] = {
+    val e = svmEta(k)
+    def upd(w: String, g: String, reg: Boolean): String = {
+      val base = if (reg) s"(1.0e0 - $e * $svmLambda) * $w" else w
+      s"$base + $e * (CAST(s$g AS DOUBLE) / $lrQ) / CAST(n AS DOUBLE) AS $w"
+    }
+    Seq(upd("wa", "g0", reg = false), upd("wb", "g1", reg = true),
+      upd("wc", "g2", reg = true))
+  }
+
+  private lazy val svmAcc: Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(sum(CASE WHEN m < 1.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sv",
+    "CAST(sum(CASE WHEN m > 0.0e0 THEN 1 ELSE 0 END) AS BIGINT)" +
+      " AS n_correct",
+    s"CAST(sum(CAST(floor((CASE WHEN m < 1.0e0 THEN 1.0e0 - m" +
+      s" ELSE 0.0e0 END) * $lrQ + 0.5e0) AS BIGINT)) AS BIGINT) AS hq",
+    "min(wa) AS wa", "min(wb) AS wb", "min(wc) AS wc")
+
+  private lazy val svmFinal: Seq[String] = Seq(
+    "n", "n_sv", "n_correct",
+    Num.sql(s"(CAST(hq AS DOUBLE) / $lrQ) / CAST(n AS DOUBLE)" +
+      s" + 0.5e0 * $svmLambda * (wb * wb + wc * wc)", 6) + " AS obj",
+    s"${Num.sql("wa", 6)} AS w_icept",
+    s"${Num.sql("wb", 6)} AS w_qty",
+    s"${Num.sql("wc", 6)} AS w_disc")
+
+  /** DuckDB replay of q_ml_svm: identical fragment text as chained
+    * CTEs — [[svmRounds]] subgradient steps, then the scoring pass. */
+  private def svmOracle: String = {
+    def stepCtes(k: Int): String =
+      s"""mg$k AS (SELECT ${svmMargin.mkString(", ")}
+        |  FROM c CROSS JOIN w$k),
+        |x$k AS (SELECT ${svmQuant.mkString(",\n    ")} FROM mg$k),
+        |s$k AS (SELECT ${svmMom.mkString(",\n    ")} FROM x$k),
+        |w${k + 1} AS (SELECT ${svmUpdate(k).mkString(",\n    ")}
+        |  FROM s$k)""".stripMargin
+    s"""WITH c AS (
+      |  SELECT ${svmRows.mkString(",\n    ")} FROM lineitem),
+      |w0 AS (SELECT ${svmInit.mkString(", ")}),
+      |${(0 until svmRounds).map(stepCtes).mkString(",\n")},
+      |mf AS (SELECT ${svmMargin.mkString(", ")}
+      |  FROM c CROSS JOIN w$svmRounds),
+      |acc AS (SELECT ${svmAcc.mkString(",\n    ")} FROM mf)
+      |SELECT ${svmFinal.mkString(",\n  ")} FROM acc""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -1017,6 +1017,77 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // 1-D Wasserstein-1 (earth-mover) drift distance — the fourth
+    // member of the drift family, and the one with UNITS: where KS
+    // reports the worst CDF gap and MWU a dominance probability, W₁ =
+    // ∫|F₀−F₁| measures how many characters of mass must MOVE to turn
+    // one length distribution into the other — the metric that ranks
+    // "everything shifted 5% longer" above "one bucket wiggled", which
+    // is exactly the drift a token-budgeted pipeline cares about. The
+    // integral is exact on the empirical staircases: between
+    // consecutive observed lengths the CDFs are constant, so W₁ =
+    // Σ |F₀(x)−F₁(x)|·(next_x − x) over the distinct-value relation.
+    // EXACT INTEGER end to end: the gap term cross-multiplies to
+    // |fa·n₁ − fb·n₀|·gap (BIGINT — fits while n₀·n₁·maxlen < 2⁶³,
+    // i.e. to ~10⁸ docs/source; past that the same plan runs on
+    // µ-quantized CDFs), and the output is integer µ-units via DIV.
+    // Scale shape identical to q_drift_ks: ONE map-combinable counts
+    // pass over the corpus; windows run on the bounded distinct-value
+    // domain. Sources with an empty half are excluded symmetrically.
+    QueryDef(
+      "q_drift_wasserstein",
+      s"""WITH g AS (
+        |  SELECT source, n_chars AS x,
+        |    count(CASE WHEN ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 THEN 1 END) AS ca,
+        |    count(CASE WHEN ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 1 THEN 1 END) AS cb
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, x,
+        |    sum(ca) OVER (PARTITION BY source ORDER BY x) AS fa,
+        |    sum(cb) OVER (PARTITION BY source ORDER BY x) AS fb,
+        |    sum(ca) OVER (PARTITION BY source) AS na,
+        |    sum(cb) OVER (PARTITION BY source) AS nb,
+        |    lead(x, 1, x) OVER (PARTITION BY source ORDER BY x) AS nx
+        |  FROM g),
+        |w AS (
+        |  SELECT source, CAST(min(na) AS BIGINT) AS n0,
+        |    CAST(min(nb) AS BIGINT) AS n1,
+        |    CAST(sum(abs(fa * nb - fb * na) * (nx - x)) AS BIGINT) AS num
+        |  FROM c WHERE na > 0 AND nb > 0 GROUP BY 1)
+        |SELECT source, n0, n1,
+        |  CAST((num * 1000000) // (n0 * n1) AS BIGINT) AS w1_u
+        |FROM w""".stripMargin) { (s, dir) =>
+      val half = graft.functions.TextAnalysis.h32(
+        concat(lit("ks:"), col("doc_id").cast("string"))) % 2
+      val g = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").as("x"))
+        .agg(count(when(half === 0, 1)).as("ca"),
+          count(when(half === 1, 1)).as("cb"))
+      val wRun = Window.partitionBy(col("source")).orderBy(col("x"))
+      val wAll = Window.partitionBy(col("source"))
+      g.select(col("source"), col("x"),
+          sum(col("ca")).over(wRun).as("fa"),
+          sum(col("cb")).over(wRun).as("fb"),
+          sum(col("ca")).over(wAll).as("na"),
+          sum(col("cb")).over(wAll).as("nb"),
+          lead(col("x"), 1).over(wRun).as("nxr"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        // last observed x: both CDFs are complete, |F0-F1| = 0, so the
+        // default gap of 0 (nx = x) drops the row's term exactly as the
+        // oracle's lead(x, 1, x) does
+        .withColumn("nx", coalesce(col("nxr"), col("x")))
+        .groupBy(col("source"))
+        .agg(min(col("na")).cast("long").as("n0"),
+          min(col("nb")).cast("long").as("n1"),
+          sum(abs(col("fa") * col("nb") - col("fb") * col("na")) *
+            (col("nx") - col("x"))).cast("long").as("num"))
+        .select(col("source"), col("n0"), col("n1"),
+          expr("CAST((num * 1000000) DIV (n0 * n1) AS BIGINT)").as("w1_u"))
+    },
+
+    // ------------------------------------------------------------------
     // The per-source corpus health report — the dashboard query a
     // curator runs daily: volume, exact-duplicate rate, language mix
     // entropy, and token-length profile, per source, in one output.

@@ -1463,6 +1463,71 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // PHONETIC BLOCKING (Soundex) — the fourth comparator family in the
+    // record-linkage suite, and the one that BLOCKS rather than scores:
+    // where q_link_fuzzy blocks on an exact token and then pays
+    // levenshtein, phonetic codes catch spelling variants the exact
+    // block key separates (SMITH/SMYTH land in the same S530 bucket).
+    // The code is American Soundex WITHOUT the h/w-transparency rule
+    // (the common SQL-implementable variant): translate letters to
+    // digit classes, collapse same-digit runs, drop the first letter's
+    // digit, strip vowels' zeros, pad to letter+3. Both engines run
+    // the SAME translate/collapse/strip pipeline (DuckDB's
+    // regexp_replace takes an explicit 'g' where Spark's is global by
+    // default — semantics identical, DedupSpec pins the textbook
+    // vectors R163/P236/T522/J250 through the Spark fragment). The
+    // matching problem is built in: beside every DISTINCT part-name
+    // token, two deterministic misspellings enter the name set. The
+    // final-letter doubling (BOLT→BOLTT) is ALWAYS code-preserving —
+    // the run collapse absorbs it — so every token is guaranteed at
+    // least one reunited pair; the interior-E/I strip (WIDGET→WDGT)
+    // preserves the code EXCEPT where the vowel separated two
+    // same-class consonants (GIZMO→GZMO collapses Z into G's class —
+    // exactly the vowel-as-separator rule that defines Soundex), so
+    // the output also EXHIBITS the rule: reunited pairs where the
+    // vowel was phonetically inert, visible misses where it wasn't.
+    // Levenshtein inside each block reports spelling drift. Scale
+    // guards are
+    // q_link_fuzzy's: the vocabulary is corpus-DISTINCT (bounded at
+    // any SF — one distinct pass, then everything is
+    // vocabulary-sized), pairs form by equi-join on the code with `<`
+    // halving the matrix, and the comparator runs only inside blocks.
+    QueryDef(
+      "q_link_soundex",
+      s"""WITH t0 AS (
+        |  SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),
+        |w0 AS (SELECT DISTINCT upper(tok) AS w FROM t0),
+        |names AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT w FROM w0
+        |    UNION ALL SELECT substr(w, 1, 1) ||
+        |      replace(replace(substr(w, 2), 'E', ''), 'I', '') FROM w0
+        |    UNION ALL SELECT w || substr(w, length(w), 1) FROM w0)),
+        |c AS (SELECT w, ${soundexSql("w", duck = true)} AS code
+        |      FROM names)
+        |SELECT a.code, a.w AS name_a, b.w AS name_b,
+        |  levenshtein(a.w, b.w) AS dist
+        |FROM c a JOIN c b ON a.code = b.code AND a.w < b.w""".stripMargin) {
+      (s, dir) =>
+      val w0 = t(s, dir, "part")
+        .selectExpr("explode(split(p_name, ' ')) AS tok")
+        .selectExpr("upper(tok) AS w")
+        .distinct()
+      val c = w0
+        .union(w0.selectExpr("substr(w, 1, 1) ||" +
+          " replace(replace(substr(w, 2), 'E', ''), 'I', '') AS w"))
+        .union(w0.selectExpr("w || substr(w, length(w), 1) AS w"))
+        .distinct()
+        .selectExpr("w", s"${soundexSql("w", duck = false)} AS code")
+      val a = c.select(col("code"), col("w").as("name_a"))
+      val b = c.select(col("code"), col("w").as("name_b"))
+      a.join(b, Seq("code"))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("code"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+    },
+
+    // ------------------------------------------------------------------
     // Entity resolution end-to-end: q_link_fuzzy's blocked edit-distance
     // pairs → connected components → one GOLDEN RECORD per entity
     // cluster — the master-data step that turns "these records
@@ -1798,6 +1863,21 @@ object Dedup {
         "CAST(mi_u AS DOUBLE) / sqrt(CAST(hc_u AS DOUBLE) * CAST(hl_u AS DOUBLE))",
         6)} END AS nmi
       |FROM pur, mi, hc, hl""".stripMargin
+
+  /** Soundex (no h/w-transparency variant) as a SQL fragment over an
+    * upper-case word expression `w` — identical pipeline in both
+    * engines; `duck` only adds DuckDB's explicit global-replace flag
+    * (Spark's regexp_replace is global by default). Digit classes:
+    * BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6, vowels/H/W/Y→0. */
+  private[graft] def soundexSql(w: String, duck: Boolean): String = {
+    val g = if (duck) ", 'g'" else ""
+    val tr = s"translate($w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'," +
+      s" '01230120022455012623010202')"
+    val collapsed = (1 to 6).foldLeft(tr)((a, d) =>
+      s"regexp_replace($a, '$d$d+', '$d'$g)")
+    s"substr($w, 1, 1) ||" +
+      s" substr(replace(substr($collapsed, 2), '0', '') || '000', 1, 3)"
+  }
 
   // --------------------------------------------------------------------
   // q_link_align fragments — per-segment rollup + the oracle's

@@ -60,8 +60,22 @@ object Graph {
   private val coreQ = 0.2 // k = this quantile of the initial degrees
 
   private val bfsRounds = 3
+  private val ssspRounds = 3
   private val linkCapP = 25 // hub cap: max suppliers per part in linkpred
   private val linkMinCommon = 2
+
+  /** One Bellman–Ford relaxation round as DuckDB CTEs: candidate
+    * distances through the previous label set, folded by min per node.
+    * Identical derivation to the Spark side — the cross-derivation
+    * proof lives in GraphSpec's Dijkstra pin. */
+  private def ssspSql(k: Int): String =
+    s"""s$k AS (
+      |  SELECT node, min(dist) AS dist FROM (
+      |    SELECT node, dist FROM s${k - 1}
+      |    UNION ALL
+      |    SELECT e.dst AS node, p.dist + e.w AS dist
+      |    FROM edges e JOIN s${k - 1} p ON e.src = p.node)
+      |  GROUP BY node)""".stripMargin
 
   /** One BFS round as DuckDB CTEs over the previous frontier/visited
     * pair: new frontier = neighbors of the old frontier not yet
@@ -413,6 +427,67 @@ object Graph {
           .join(lab.withColumnRenamed("node", "src").hint("shuffle_hash"),
             "src")
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          .union(lab)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      lab
+    },
+
+    // ------------------------------------------------------------------
+    // WEIGHTED single-source shortest paths (Bellman–Ford, K rounds) —
+    // q_graph_bfs with a cost model: edges carry deterministic integer
+    // weights (1 + (pk·7 + sk·13) % 97, identical for both directions),
+    // and the label is the cheapest WALK of ≤K edges from the seed set
+    // — the bounded-hop semantics that make the round count a
+    // well-defined part of the query at ANY scale factor (the r11
+    // q_graph_scc lesson: never let the two engines size their loops
+    // independently). Spark shape is the BFS chassis, relaxed further:
+    //   - the weighted symmetric adjacency is hash-partitioned by src
+    //     once and cached (pagerank discipline);
+    //   - a round = labels ⋈ edges (shuffle_hash, build = label side)
+    //     → dist + w candidates → union previous → ONE map-combinable
+    //     min per node. min() absorbs re-relaxed nodes exactly as in
+    //     BFS — no frontier bookkeeping, two keyed exchanges a round;
+    //   - all-BIGINT arithmetic: distances are exact, no rounding armor.
+    // This is delta-stepping's degenerate single-bucket form; at 100 TB
+    // the cost per round is edges incident to labeled nodes, and the
+    // unrolled K-round plan stays one lazy job like pagerank's fixed k.
+    // The oracle replays the identical relaxation rounds as CTEs; the
+    // INDEPENDENT derivation check is GraphSpec's textbook-Dijkstra pin
+    // on a small graph (relaxation ≡ Dijkstra whenever K ≥ the hop
+    // count of some optimal path).
+    QueryDef(
+      "q_graph_sssp",
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |edges AS (
+        |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst,
+        |    1 + (l_partkey*7 + l_suppkey*13) % 97 AS w FROM e0
+        |  UNION ALL
+        |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst,
+        |    1 + (l_partkey*7 + l_suppkey*13) % 97 AS w FROM e0),
+        |s0 AS (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM edges WHERE src % 14 = 1),
+        |${(1 to ssspRounds).map(ssspSql).mkString(",\n")}
+        |SELECT node, dist FROM s$ssspRounds""".stripMargin) { (s, dir) =>
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val w = (col("l_partkey") * 7 + col("l_suppkey") * 13) % 97 + 1
+      val edges = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"), w.as("w"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst"), w.as("w")))
+        .repartition(col("src"))
+        .cache()
+      var lab = edges.filter(col("src") % 14 === 1)
+        .select(col("src").as("node")).distinct()
+        .select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to ssspRounds) {
+        lab = edges
+          .join(lab.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src")
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
           .union(lab)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }

@@ -223,4 +223,21 @@ class DedupSpec extends SparkSpec {
       assert(mean > 2000000L, "mean local alignment below 2 matches?")
     }
   }
+
+  test("soundex fragment reproduces the textbook vectors and the " +
+    "SMITH/SMYTH blocking property") {
+    import graft.operators.Dedup
+    val frag = Dedup.soundexSql("w", duck = false)
+    val vectors = Seq("ROBERT" -> "R163", "PFISTER" -> "P236",
+      "TYMCZAK" -> "T522", "JACKSON" -> "J250",
+      "SMITH" -> "S530", "SMYTH" -> "S530", "WASHINGTON" -> "W252")
+    val words = vectors.map(_._1)
+    val got = spark.sql(
+      s"SELECT w, $frag AS code FROM VALUES ${words.map(w => s"('$w')")
+        .mkString(", ")} AS t(w)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vectors.foreach { case (w, want) =>
+      assert(got(w) == want, s"$w -> ${got(w)}, want $want")
+    }
+  }
 }

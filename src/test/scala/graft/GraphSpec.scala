@@ -265,6 +265,66 @@ class GraphSpec extends SparkSpec {
     } finally bfs.unpersist()
   }
 
+  test("q_graph_sssp equals a sequential Bellman-Ford replay and agrees " +
+    "with textbook Dijkstra wherever an optimal path fits the hop bound") {
+    val out = SparkEntry.queries("q_graph_sssp")(spark, sfDir).cache()
+    try {
+      val dists = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent graph rebuild with the same deterministic weights
+      val e0 = Tables(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val edges = e0.flatMap { case (p, sk) =>
+        val w = (p * 7 + sk * 13) % 97 + 1
+        Seq((p * 2, sk * 2 + 1, w), (sk * 2 + 1, p * 2, w))
+      }
+      val adj = edges.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(e => (e._2, e._3))
+      }
+      val seeds = adj.keys.filter(_ % 14 == 1).toSet
+      // (1) sequential K-round Bellman-Ford — the operator's semantics,
+      // executed by a different machine (a driver-side fold)
+      var d = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to 3) {
+        val cand = d.toSeq.flatMap { case (u, du) =>
+          adj.getOrElse(u, Array.empty[(Long, Long)])
+            .map { case (v, w) => v -> (du + w) }
+        } ++ d.toSeq
+        d = cand.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).min }
+      }
+      assert(dists == d, "distributed relaxation != sequential replay")
+      // (2) lexicographic Dijkstra (min cost, then min hops among
+      // optimal paths) — an INDEPENDENT algorithm; wherever some
+      // optimal path uses <= 3 edges the K-round label must equal it,
+      // and everywhere else it can only overestimate
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](
+        Ordering.by[(Long, Long, Long), (Long, Long)](t => (t._1, t._2)).reverse)
+      val best = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      seeds.foreach { s0 => pq.enqueue((0L, 0L, s0)) }
+      while (pq.nonEmpty) {
+        val (dist, hops, v) = pq.dequeue()
+        if (!best.contains(v)) {
+          best(v) = (dist, hops)
+          adj.getOrElse(v, Array.empty[(Long, Long)]).foreach {
+            case (u, w) => if (!best.contains(u))
+              pq.enqueue((dist + w, hops + 1, u))
+          }
+        }
+      }
+      var pinned = 0
+      best.foreach { case (v, (dij, hops)) =>
+        if (hops <= 3) {
+          assert(dists(v) == dij,
+            s"node $v: ${dists(v)} != Dijkstra $dij within hop bound")
+          pinned += 1
+        } else dists.get(v).foreach { dv =>
+          assert(dv >= dij, s"node $v labeled $dv below Dijkstra $dij")
+        }
+      }
+      assert(pinned > 0, "no node within the hop bound — vacuous pin")
+    } finally out.unpersist()
+  }
+
   test("q_graph_linkpred: canonical pairs, common bounded by degrees, " +
     "jaccard consistent with the capped universe") {
     val rows = SparkEntry.queries("q_graph_linkpred")(spark, sfDir).collect()

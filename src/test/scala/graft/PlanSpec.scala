@@ -729,6 +729,10 @@ class PlanSpec extends SparkSpec {
                          // sides bounded: 128 zones, 16 boxes)
       "q_geo_haversine", // corpus × broadcast ≤8-row probe set (the
                          // knn-brute radius-search shape)
+      "q_geo_pip", // corpus × broadcast 17-row literal polygon-edge
+                   // table (the haversine probe idiom)
+      "q_ml_svm", // per-round crossJoin(broadcast(1-row weights)) —
+                  // the logreg shape on hinge loss
       "q_cdc_apply") // crossJoin(broadcast(1-row min/max ts bounds)); the
                      // half=0/1 filters fold into the BNLJ condition but
                      // the broadcast side stays exactly one row
