@@ -3562,6 +3562,68 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // BENJAMINI-HOCHBERG FDR CONTROL (1995) — multiple-testing
+    // correction over a FAMILY of tests, the layer every monitoring
+    // pipeline needs above its per-metric tests (run 20 drift alarms a
+    // day at p<0.05 and one fires daily by chance): q_ab_permutation's
+    // experiment decomposed per SOURCE, then the step-up rule rejects
+    // the largest prefix of ascending p-values with p_(k) ≤ α·k/m.
+    // EVERYTHING is exact integers: the per-source p-value is the
+    // add-one permutation count cnt/(B+1), and the BH condition
+    // cross-multiplies to cnt·4·m ≤ k·(B+1) at α = ¼ — no float
+    // enters until the reported µ-unit p. Engine shape: the B-way
+    // explode is map-side and collapses to (source × B) exact partial
+    // sums (shuffle ∝ 20·64 rows, never B·corpus — the permutation
+    // discipline); ranking and the step-up run on the 20-row
+    // per-source relation (source-cardinality bounded at any SF), with
+    // the 1-row k_max broadcast back. A TRUE effect is planted in
+    // sources 0-2 (the q_audit_fk corrupted-derived-data pattern: +200
+    // chars on the observed arm-0 docs — the observed arm is a
+    // deterministic doc_id hash, so the shift is just a projection both
+    // engines share) so the step-up provably REJECTS the planted
+    // sources and retains the 17 true nulls, rather than reporting an
+    // all-null family where the reject branch never runs. The oracle
+    // replays the identical fragment text; ties rank by (cnt, source).
+    QueryDef("q_stats_fdr", fdrOracle) { (s, dir) =>
+      import graft.functions.TextAnalysis.h60
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (col("n_chars").cast("long") +
+            when(col("source").isin("src0", "src1", "src2") &&
+              h60(concat(lit("pm:obs:"), col("doc_id").cast("string")))
+                % 2 === 0, 200L).otherwise(0L)).as("xv"))
+        .localCheckpoint() // observed + permuted consumers
+      val obs = docs
+        .withColumn("arm",
+          h60(concat(lit("pm:obs:"), col("doc_id").cast("string"))) % 2)
+        .groupBy(col("source"))
+        .agg(expr(pmAgg.head), pmAgg.tail.map(expr): _*)
+        .selectExpr("source" +: "n0" +: "n1" +: pmDelta("d_obs"): _*)
+      val perm = docs
+        .select(col("source"), col("doc_id"), col("xv"),
+          explode(sequence(lit(0), lit(pmB - 1))).as("b"))
+        .withColumn("arm",
+          h60(concat(lit("pm:"), col("b").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 2)
+        .groupBy(col("source"), col("b"))
+        .agg(expr(pmAgg.head), pmAgg.tail.map(expr): _*)
+        .selectExpr("source" +: pmDelta("d_b"): _*)
+      val per = perm.join(obs, "source")
+        .groupBy(col("source"))
+        .agg(expr(fdrCnt.head), fdrCnt.tail.map(expr): _*)
+      val ranked = per
+        .select(col("source"), col("n0"), col("n1"), col("cnt"),
+          row_number().over(
+            Window.orderBy(col("cnt"), col("source"))).cast("long").as("k"),
+          count(lit(1)).over(Window.partitionBy()).cast("long").as("m"))
+      val kmax = ranked
+        .agg(max(when(expr(fdrCond), col("k"))).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .selectExpr(fdrOut: _*)
+    },
+
+    // ------------------------------------------------------------------
     // KRUSKAL-WALLIS H (1952) — the rank-based omnibus test beside
     // q_stats_anova's parametric F: does order priority shift the
     // DISTRIBUTION of order value at all, with no normality assumption.
@@ -4703,6 +4765,65 @@ object Analytics {
       |c AS (SELECT ${pmCount.mkString(",\n    ")}
       |  FROM p2 CROSS JOIN obs)
       |SELECT ${pmOut.mkString(",\n  ")} FROM c""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q_stats_fdr fragments — the permutation machinery keyed by source,
+  // then the BH step-up in exact cross-multiplied integers (α = ¼).
+
+  private lazy val fdrCnt: Seq[String] = Seq(
+    "CAST(1 + sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END)" +
+      " AS BIGINT) AS cnt",
+    "min(n0) AS n0", "min(n1) AS n1")
+
+  /** BH condition at α = ¼: p = cnt/(B+1) ≤ k/(4m) ⟺ cnt·4·m ≤ k·(B+1). */
+  private lazy val fdrCond: String = s"cnt * 4 * m <= k * ${pmB + 1}"
+
+  private lazy val fdrOut: Seq[String] = Seq(
+    "source", "n0", "n1",
+    s"CAST((cnt * 1000000) DIV ${pmB + 1} AS BIGINT) AS p_u",
+    "k",
+    "CAST(CASE WHEN k <= coalesce(kmax, 0) THEN 1 ELSE 0 END" +
+      " AS BIGINT) AS rejected")
+
+  /** DuckDB replay of q_stats_fdr: identical hash arms and fragments;
+    * `//` is DuckDB's integer division (Spark side says DIV). */
+  private def fdrOracle: String = {
+    import graft.functions.TextAnalysis.h60sql
+    val armObs = h60sql("'pm:obs:' || CAST(doc_id AS VARCHAR)")
+    val armB = h60sql(
+      "'pm:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) +
+      |    CASE WHEN source IN ('src0', 'src1', 'src2')
+      |      AND ($armObs) % 2 = 0 THEN 200 ELSE 0 END AS xv
+      |  FROM documents),
+      |o0 AS (
+      |  SELECT source, ${pmAgg.mkString(",\n    ")}
+      |  FROM (SELECT source, xv, ($armObs) % 2 AS arm FROM d)
+      |  GROUP BY source),
+      |obs AS (SELECT source, n0, n1, ${pmDelta("d_obs").mkString(", ")}
+      |  FROM o0),
+      |p0 AS (
+      |  SELECT source, b, xv, ($armB) % 2 AS arm
+      |  FROM (SELECT source, doc_id, xv, unnest(range($pmB)) AS b
+      |        FROM d)),
+      |p1 AS (SELECT source, b, ${pmAgg.mkString(",\n    ")}
+      |  FROM p0 GROUP BY source, b),
+      |p2 AS (SELECT source, ${pmDelta("d_b").mkString(", ")} FROM p1),
+      |per AS (
+      |  SELECT p2.source, ${fdrCnt.mkString(",\n    ")}
+      |  FROM p2 JOIN obs ON p2.source = obs.source
+      |  GROUP BY p2.source),
+      |ranked AS (
+      |  SELECT source, n0, n1, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt, source) AS BIGINT) AS k,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM per),
+      |km AS (SELECT max(CASE WHEN $fdrCond THEN k END) AS kmax
+      |  FROM ranked)
+      |SELECT ${fdrOut.mkString(",\n  ").replace(" DIV ", " // ")}
+      |FROM ranked CROSS JOIN km""".stripMargin
   }
 
   // --------------------------------------------------------------------

@@ -1736,6 +1736,79 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // SEQUENTIAL PATTERN MINING (GSP/PrefixSpan family, length-3) —
+    // which ordered behaviors are FREQUENT across users: pattern
+    // (a,b,c) is supported by a user iff the user's event stream
+    // contains a, later b, later c (any gaps), support = user count,
+    // report patterns covering ≥ 50% of users. Mining runs over each
+    // user's FIRST 12 events (the onboarding window — and the guard
+    // that keeps per-user pattern space data-independent: over full
+    // histories every triple saturates and support stops ranking).
+    // The naive derivation enumerates per-user subsequences —
+    // O(len³) per user, dead at any
+    // scale. This plan is the PrefixSpan projection argument run as
+    // relational algebra on the GREEDY-EARLIEST witness: a user
+    // supports (a,b,c) iff taking a's FIRST occurrence, then b's first
+    // occurrence after it, leaves any c behind — so support needs only
+    //   fa  = per (user, a) min position          (one keyed agg)
+    //   gab = per (user, a, b) min position > fa  (events ⋈ fa, ×A)
+    //   sup = distinct (user,a,b,c) via events ⋈ gab, ×A²
+    // — every pass is events-linear with an ALPHABET-bounded fan-out
+    // (A = |event types| = 5), never sequence-length-bounded: the
+    // 100 TB shape (users × A² intermediate, all joins keyed by user).
+    // The oracle is the DEFINITION, not a replay: a triple rn-ordered
+    // self-join with DISTINCT — the hash match PROVES greedy-earliest
+    // ≡ exists-any-witness (the exchange argument), on every pattern.
+    QueryDef(
+      "q_seq_patterns",
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT * FROM e WHERE rn <= 12),
+        |nu AS (SELECT count(DISTINCT u) AS n_users FROM f),
+        |tr AS (
+        |  SELECT DISTINCT a.u, a.et AS pa, b.et AS pb, c.et AS pc
+        |  FROM f a
+        |  JOIN f b ON a.u = b.u AND b.rn > a.rn
+        |  JOIN f c ON b.u = c.u AND c.rn > b.rn),
+        |sup AS (
+        |  SELECT pa, pb, pc, CAST(count(*) AS BIGINT) AS support
+        |  FROM tr GROUP BY 1, 2, 3)
+        |SELECT pa, pb, pc, support, CAST(n_users AS BIGINT) AS n_users
+        |FROM sup, nu WHERE support * 2 >= n_users""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("ts"), col("event_id"))
+      val pos = t(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("et"),
+          col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12)
+        .select(col("u"), col("et"), col("rn"))
+        .cache() // three alphabet-fanout consumers below
+      val nu = pos.agg(countDistinct(col("u")).as("n_users"))
+      val fa = pos.groupBy(col("u"), col("et").as("pa"))
+        .agg(min(col("rn")).as("ra"))
+      val gab = pos.join(fa, "u")
+        .filter(col("rn") > col("ra"))
+        .groupBy(col("u"), col("pa"), col("et").as("pb"))
+        .agg(min(col("rn")).as("rb"))
+      val sup = pos.join(gab, "u")
+        .filter(col("rn") > col("rb"))
+        .select(col("u"), col("pa"), col("pb"), col("et").as("pc"))
+        .distinct()
+        .groupBy(col("pa"), col("pb"), col("pc"))
+        .agg(count(lit(1)).as("support"))
+      sup.crossJoin(broadcast(nu))
+        .filter(col("support") * 2 >= col("n_users"))
+        .select(col("pa"), col("pb"), col("pc"), col("support"),
+          col("n_users"))
+    },
+
+    // ------------------------------------------------------------------
     // Autocorrelation function of the daily event-count series — the
     // seasonality / burstiness diagnostic run before any forecasting or
     // anomaly model. The corpus-sized work is ONE map-combinable daily
@@ -1770,6 +1843,103 @@ object Behavior {
         .groupBy(col("lag"))
         .agg(count(lit(1)).as("n"), Num.r(corr(col("ya"), col("yb")), 6)
           .as("acf"))
+    },
+
+    // ------------------------------------------------------------------
+    // HOLT'S LINEAR EXPONENTIAL SMOOTHING (level + trend, α = β = ¼) —
+    // the forecasting member of the time-series family (acf =
+    // diagnosis, decompose = attribution, cusum = changepoint, THIS =
+    // what comes next): per event type, smooth the daily count series
+    // and report the final level/trend, a 7-day-ahead forecast, and
+    // the one-step forecast MAE. The recurrence is EXACT INTEGER in
+    // µ-units: with α = β = ¼, l_t = ⌊(10⁶·y_t + 3(l+b))/4⌋ and
+    // b_t = ⌊((l_t − l_{t−1}) + 3b)/4⌋, where ⌊·/4⌋ is the arithmetic
+    // right-shift — the ONE integer-division form Spark's shiftright
+    // and DuckDB's >> agree on for negatives (trends go negative;
+    // truncating DIV//​ would diverge there). Scale shape: the corpus
+    // is touched by ONE map-combinable daily rollup; the series is
+    // CALENDAR-bounded (days × types, not events), densified against
+    // the 1-row bounds broadcast, and the smoothing folds per type
+    // over its ≤horizon-length array — the q_link_align in-codegen
+    // fold, no joins, no per-round passes. The oracle computes the
+    // same recurrence by a DIFFERENT machine — a recursive CTE walking
+    // day indices — so the hash match proves fold ≡ recursion.
+    QueryDef(
+      "q_ts_holt",
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE)
+        |    AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(d) AS d0,
+        |  date_diff('day', min(d), max(d)) + 1 AS nd FROM daily),
+        |types AS (SELECT DISTINCT et FROM daily),
+        |spine AS (
+        |  SELECT t.et, CAST(gs.i AS BIGINT) AS i
+        |  FROM types t, (SELECT unnest(generate_series(0,
+        |    (SELECT nd - 1 FROM bounds))) AS i) gs),
+        |dd AS (
+        |  SELECT s.et, s.i, coalesce(dl.y, 0) AS y
+        |  FROM spine s LEFT JOIN daily dl
+        |    ON dl.et = s.et AND dl.d = (SELECT d0 FROM bounds)
+        |      + CAST(s.i AS INT)),
+        |h AS (
+        |  SELECT et, i, y * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+        |    CAST(0 AS BIGINT) AS sae
+        |  FROM dd WHERE i = 0
+        |  UNION ALL
+        |  SELECT d.et, d.i,
+        |    (d.y * 1000000 + 3 * (h.l + h.b)) >> 2,
+        |    (((d.y * 1000000 + 3 * (h.l + h.b)) >> 2) - h.l
+        |      + 3 * h.b) >> 2,
+        |    h.sae + abs(d.y * 1000000 - (h.l + h.b))
+        |  FROM h JOIN dd d ON d.et = h.et AND d.i = h.i + 1)
+        |SELECT h.et, CAST(b2.nd AS BIGINT) AS n_days, h.l AS l_u,
+        |  h.b AS b_u, h.l + 7 * h.b AS fc7_u, h.sae AS sae_u
+        |FROM h, bounds b2 WHERE h.i = b2.nd - 1""".stripMargin) {
+      (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .cache() // bounds + types + the dense join below
+      val bounds = daily.agg(min(col("d")).as("d0"),
+        (datediff(max(col("d")), min(col("d"))) + 1).as("nd"))
+      val spine = daily.select(col("et")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("et"), col("d0"), col("nd"),
+          explode(sequence(lit(0), col("nd") - 1)).as("i"))
+      val ddc = spine.alias("sp")
+        .join(daily.alias("dl"),
+          col("sp.et") === col("dl.et") &&
+            col("dl.d") === expr("date_add(sp.d0, sp.i)"), "left")
+        .select(col("sp.et").as("et"), col("sp.i").as("i"),
+          col("sp.nd").as("nd"),
+          coalesce(col("dl.y"), lit(0L)).as("y"))
+      val series = ddc
+        .groupBy(col("et"), col("nd"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("i"), col("y")))),
+          x => x.getField("y").cast("long")).as("ys"))
+      val acc0 = struct(
+        (element_at(col("ys"), 1) * 1000000L).as("l"),
+        lit(0L).as("b"), lit(0L).as("sae"))
+      val folded = aggregate(
+        slice(col("ys"), lit(2), size(col("ys")) - 1), acc0,
+        (acc, y) => {
+          val pred = acc.getField("l") + acc.getField("b")
+          val e = abs(y * 1000000L - pred)
+          val lN = shiftright(y * 1000000L + lit(3L) * pred, 2)
+          val bN = shiftright(lN - acc.getField("l") +
+            lit(3L) * acc.getField("b"), 2)
+          struct(lN.as("l"), bN.as("b"),
+            (acc.getField("sae") + e).as("sae"))
+        })
+      series.withColumn("f", folded)
+        .select(col("et"), col("nd").cast("long").as("n_days"),
+          col("f.l").as("l_u"), col("f.b").as("b_u"),
+          (col("f.l") + lit(7L) * col("f.b")).as("fc7_u"),
+          col("f.sae").as("sae_u"))
     },
 
     // ------------------------------------------------------------------

@@ -733,6 +733,12 @@ class PlanSpec extends SparkSpec {
                    // table (the haversine probe idiom)
       "q_ml_svm", // per-round crossJoin(broadcast(1-row weights)) —
                   // the logreg shape on hinge loss
+      "q_stats_fdr", // crossJoin(broadcast(1-row BH k_max)) onto the
+                     // 20-row ranked p-value table
+      "q_seq_patterns", // crossJoin(broadcast(1-row user-count total))
+                        // onto the ≤A³-row pattern support table
+      "q_ts_holt", // crossJoin(broadcast(1-row calendar bounds)) onto
+                   // the event-type relation (spine densification)
       "q_cdc_apply") // crossJoin(broadcast(1-row min/max ts bounds)); the
                      // half=0/1 filters fold into the BNLJ condition but
                      // the broadcast side stays exactly one row
@@ -1069,7 +1075,10 @@ class PlanSpec extends SparkSpec {
       // Kruskal-Wallis' cumulative rank spine runs over the
       // thousand-dollar bins of the PINNED TPC-H price domain
       // (~560 rows at every SF — domain-bounded, not corpus-bounded)
-      "kruskal bin spine" -> Set("q_stats_kruskal"))
+      "kruskal bin spine" -> Set("q_stats_kruskal"),
+      // BH's rank + m windows run over the per-SOURCE p-value relation
+      // (source-cardinality bounded — 20 rows at every SF)
+      "fdr p-value table" -> Set("q_stats_fdr"))
     val allow: Set[String] = bounded.values.flatten.toSet
     def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = {
