@@ -72,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[functions.UnicodeNormalize].getName, "graft_normalize"),
       functions.UnicodeNormalize.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_multi_match"),
+      new ExpressionInfo(
+        classOf[functions.MultiMatch].getName, "graft_multi_match"),
+      functions.MultiMatch.builder))
   }
 }

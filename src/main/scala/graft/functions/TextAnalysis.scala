@@ -24,6 +24,19 @@ object TextAnalysis {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** q_text_multimatch dictionary: border-free ASCII phrases (no
+    * proper prefix = suffix, none a substring of another) — the class
+    * where AC all-ends counting equals the oracle's replace-based
+    * greedy count. 'hash value' exercises cross-token matching. */
+  private val mmPats: Seq[String] =
+    Seq("scan", "merge", "table", "spark", "hash value")
+
+  private def mmPatsSqlValues: String =
+    mmPats.map(p => s"('$p')").mkString(", ")
+
+  private def mmPatsSqlArray: String =
+    "array(" + mmPats.map(p => s"'$p'").mkString(", ") + ")"
+
   import org.apache.spark.sql.GraftBridge
 
   /** First 8 md5 hex chars as an unsigned 32-bit value in a long —
@@ -712,6 +725,42 @@ object TextAnalysis {
           .as("n_bpe_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
         length(col("text")).as("n_chars_measured"))
+    },
+
+    // ------------------------------------------------------------------
+    // MULTI-PATTERN SCREENING in one pass — the [[MultiMatch]]
+    // Aho-Corasick expression driven end to end: count every
+    // occurrence of a 5-phrase dictionary (including a cross-token
+    // bigram phrase) per source, the contamination/denylist screen.
+    // The engine side scans each document ONCE through the compiled
+    // goto/fail DFA (per-row cost O(bytes + matches), independent of
+    // dictionary size — the shape that survives a 10⁵-phrase denylist
+    // at 100 TB, where per-pattern scans multiply the corpus read by
+    // K). The oracle is deliberately the NAIVE plan — one
+    // replace-and-measure scan PER pattern — so the hash match proves
+    // the automaton against the definitional count on every
+    // (source, pattern) cell; patterns are border-free, which is the
+    // regime where all-match-ends (AC) equals greedy non-overlapping
+    // (replace), and MultiMatchSpec pins the bordered regime where
+    // they differ. Aggregation is one map-combinable sum keyed by
+    // (source, pattern-ordinal): counts stay as a 5-long array per
+    // row inside codegen until the final fold.
+    QueryDef(
+      "q_text_multimatch",
+      s"""WITH p(pat) AS (VALUES $mmPatsSqlValues)
+        |SELECT d.source, p.pat AS pattern,
+        |  CAST(sum((length(d.text) - length(replace(d.text, p.pat, '')))
+        |    // length(p.pat)) AS BIGINT) AS n
+        |FROM documents d, p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      MultiMatch.register(s)
+      t(s, dir, "documents")
+        .select(col("source"),
+          posexplode(expr(s"graft_multi_match(text, $mmPatsSqlArray)")))
+        .select(col("source"),
+          element_at(expr(mmPatsSqlArray), col("pos") + 1).as("pattern"),
+          col("col").as("c"))
+        .groupBy(col("source"), col("pattern"))
+        .agg(sum(col("c")).as("n"))
     },
 
     // ------------------------------------------------------------------

@@ -53,6 +53,10 @@ class ExtensionsSpec extends SparkSpec {
         .agg(expr("graft_freq(lang, 4)").as("f"))
         .select(explode(col("f"))).count()
       assert(freq > 0 && freq <= 4)
+      val mm = ext.range(1)
+        .selectExpr("graft_multi_match('ushers', array('she', 'hers'))")
+        .collect()(0).getSeq[Long](0)
+      assert(mm == Seq(1L, 1L), "graft_multi_match not injected")
       // theta: sketch → estimate through the injected trio; exact mode
       // at this sf, so self-intersection returns the true distinct count
       val nd = ext.read.parquet(s"$sfDir/orders.parquet")
