@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[functions.MultiMatch].getName, "graft_multi_match"),
       functions.MultiMatch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[functions.KllSketch].getName, "graft_kll"),
+      functions.KllSketch.builder))
   }
 }

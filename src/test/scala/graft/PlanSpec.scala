@@ -739,6 +739,8 @@ class PlanSpec extends SparkSpec {
                         // onto the ≤A³-row pattern support table
       "q_ts_holt", // crossJoin(broadcast(1-row calendar bounds)) onto
                    // the event-type relation (spine densification)
+      "q_agg_kll", // crossJoin(broadcast(3-row quantile spine)) onto
+                   // the sketch-sized pair table
       "q_cdc_apply") // crossJoin(broadcast(1-row min/max ts bounds)); the
                      // half=0/1 filters fold into the BNLJ condition but
                      // the broadcast side stays exactly one row
@@ -958,7 +960,11 @@ class PlanSpec extends SparkSpec {
       "q_layout_runtime" ->
         ("distinct order days of ONE year — calendar-bounded (≤366 " +
           "rows at every SF); the hint is also what makes the DPP " +
-          "broadcast reusable for the runtime zone filter"))
+          "broadcast reusable for the runtime zone filter"),
+      "q_agg_kll" ->
+        ("the estimate table is the KLL sketch's GROUPED aggregate — " +
+          "|linestatus| × 3 quantile rows at every SF (the sketch " +
+          "bounds state per group by construction)"))
     def isFactScan(l: LogicalRelation): Boolean = l.relation match {
       case h: HadoopFsRelation => h.location.rootPaths.exists(p =>
         factTables.exists(t => p.toString.contains(s"/$t")))
