@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(plans.RebalanceBeforeGenerate)
+    // opt-in approx mode: count(DISTINCT x) → HLL estimate behind
+    // graft.approxDistinct.enabled (default off — exact)
+    ext.injectOptimizerRule(plans.ApproxDistinctRewrite)
     // whole-operator extension tier: logical node + strategy + physical
     // merge operator (plans/AsOfJoin.scala)
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)

@@ -70,6 +70,52 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("approx-distinct rewrite: flag on rewrites count(DISTINCT x) to " +
+    "the HLL estimate within the ±5% band; flag off and guarded shapes " +
+    "stay exact") {
+    withExtSession { ext =>
+      val orders = ext.read.parquet(s"$sfDir/orders.parquet")
+      val exact = orders.agg(countDistinct(col("o_custkey")))
+        .collect()(0).getLong(0)
+      // default off: untouched plan, exact answer
+      val offPlan = orders.agg(countDistinct(col("o_custkey")))
+        .queryExecution.optimizedPlan.toString
+      assert(!offPlan.contains("graft_hll"), "rewrite fired while off")
+      try {
+        ext.conf.set("graft.approxDistinct.enabled", "true")
+        val df = orders.agg(countDistinct(col("o_custkey")).as("nd"))
+        assert(df.queryExecution.optimizedPlan.toString
+          .contains("graft_hll"), "rewrite did not fire")
+        val est = df.collect()(0).getLong(0)
+        assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+          s"estimate $est outside ±5% of $exact")
+        // grouped shape rewrites too, one estimate per group
+        val grouped = orders.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("nd"))
+        assert(grouped.queryExecution.optimizedPlan.toString
+          .contains("graft_hll"))
+        assert(grouped.collect().forall(_.getLong(1) > 0))
+        // guarded shapes pass through untouched
+        val guarded = Seq(
+          orders.agg(countDistinct(col("o_custkey"), col("o_orderpriority"))),
+          orders.agg(sum_distinct(col("o_custkey"))),
+          orders.agg(count_distinct(col("o_custkey"))
+            .as("x")).filter(lit(true)))
+        assert(!guarded(0).queryExecution.optimizedPlan.toString
+          .contains("graft_hll"), "two-child distinct rewritten")
+        assert(!guarded(1).queryExecution.optimizedPlan.toString
+          .contains("graft_hll"), "sum DISTINCT rewritten")
+        // FILTER clause guard
+        val filtered = ext.sql(
+          "SELECT count(DISTINCT o_custkey)" +
+            " FILTER (WHERE o_orderpriority = '1-URGENT')" +
+            s" FROM parquet.`$sfDir/orders.parquet`")
+        assert(!filtered.queryExecution.optimizedPlan.toString
+          .contains("graft_hll"), "filtered distinct rewritten")
+      } finally ext.conf.set("graft.approxDistinct.enabled", "false")
+    }
+  }
+
   test("cartesian guard check rule: opt-in rejection, default-off passage") {
     withExtSession { ext =>
       val a = ext.range(3).toDF("a")
