@@ -84,5 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll"),
       new ExpressionInfo(classOf[functions.KllSketch].getName, "graft_kll"),
       functions.KllSketch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_bin"),
+      new ExpressionInfo(
+        classOf[functions.KllSketchBin].getName, "graft_kll_bin"),
+      functions.KllSketch.binBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(
+        classOf[functions.KllMerge].getName, "graft_kll_merge"),
+      functions.KllSketch.mergeBuilder))
   }
 }

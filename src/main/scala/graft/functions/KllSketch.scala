@@ -88,50 +88,13 @@ case class KllSketch(
     buf
   }
 
-  override def eval(buf: KllSketch.Summary): Any = {
-    val pairs = ArrayBuffer.empty[(Long, Long)]
-    var h = 0
-    while (h < buf.levels.length) {
-      val w = 1L << h
-      buf.levels(h).foreach(v => pairs += ((v, w)))
-      h += 1
-    }
-    new GenericArrayData(pairs.sortBy(p => (p._1, p._2))
-      .map(p => InternalRow(p._1, p._2)).toArray[Any])
-  }
+  override def eval(buf: KllSketch.Summary): Any = KllSketch.pairs(buf)
 
-  override def serialize(buf: KllSketch.Summary): Array[Byte] = {
-    val bb = ByteBuffer.allocate(
-      16 + buf.levels.length * 12 + buf.levels.map(_.length).sum * 8)
-    bb.putInt(buf.k)
-    bb.putLong(buf.n)
-    bb.putInt(buf.levels.length)
-    buf.levels.indices.foreach { h =>
-      bb.putInt(if (buf.parity(h)) 1 else 0)
-      bb.putInt(buf.levels(h).length)
-      buf.levels(h).foreach(bb.putLong)
-    }
-    bb.array()
-  }
+  override def serialize(buf: KllSketch.Summary): Array[Byte] =
+    KllSketch.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllSketch.Summary = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new KllSketch.Summary(bb.getInt)
-    buf.n = bb.getLong
-    val nl = bb.getInt
-    buf.levels.clear(); buf.parity.clear()
-    var h = 0
-    while (h < nl) {
-      buf.parity += (bb.getInt == 1)
-      val len = bb.getInt
-      val lvl = new ArrayBuffer[Long](len)
-      var i = 0
-      while (i < len) { lvl += bb.getLong; i += 1 }
-      buf.levels += lvl
-      h += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllSketch.Summary =
+    KllSketch.deser(bytes)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("value", LongType),
@@ -213,14 +176,203 @@ object KllSketch {
     }
   }
 
+  /** The weighted sample as sorted (value, weight) rows — the shared
+    * eval of [[KllSketch]] and [[KllMerge]]. */
+  def pairs(buf: Summary): GenericArrayData = {
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var h = 0
+    while (h < buf.levels.length) {
+      val w = 1L << h
+      buf.levels(h).foreach(v => out += ((v, w)))
+      h += 1
+    }
+    new GenericArrayData(out.sortBy(p => (p._1, p._2))
+      .map(p => InternalRow(p._1, p._2)).toArray[Any])
+  }
+
+  /** Wire format: k, n, level count, then per level (parity, len,
+    * values). Shared by shuffle serialization ([[KllSketch.serialize]])
+    * and the persisted sketch-table partials ([[KllSketchBin]] →
+    * [[KllMerge]]), so a stored sketch merges exactly like an
+    * in-flight one. */
+  def ser(buf: Summary): Array[Byte] = {
+    val bb = ByteBuffer.allocate(
+      16 + buf.levels.length * 12 + buf.levels.map(_.length).sum * 8)
+    bb.putInt(buf.k)
+    bb.putLong(buf.n)
+    bb.putInt(buf.levels.length)
+    buf.levels.indices.foreach { h =>
+      bb.putInt(if (buf.parity(h)) 1 else 0)
+      bb.putInt(buf.levels(h).length)
+      buf.levels(h).foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  def deser(bytes: Array[Byte]): Summary = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Summary(bb.getInt)
+    buf.n = bb.getLong
+    val nl = bb.getInt
+    buf.levels.clear(); buf.parity.clear()
+    var h = 0
+    while (h < nl) {
+      buf.parity += (bb.getInt == 1)
+      val len = bb.getInt
+      val lvl = new ArrayBuffer[Long](len)
+      var i = 0
+      while (i < len) { lvl += bb.getLong; i += 1 }
+      buf.levels += lvl
+      h += 1
+    }
+    buf
+  }
+
   /** Single function builder shared by [[register]] and GraftExtensions. */
   val builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, "graft_kll takes (value, k)")
     KllSketch(exprs(0), exprs(1))
   }
 
-  /** Registers `graft_kll(value, k)` in the session registry. */
-  def register(spark: SparkSession): Unit =
+  val binBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "graft_kll_bin takes (value, k)")
+    KllSketchBin(exprs(0), exprs(1))
+  }
+
+  val mergeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_kll_merge takes (sketch-binary)")
+    KllMerge(exprs.head)
+  }
+
+  /** Registers `graft_kll(value, k)` (weighted-sample output),
+    * `graft_kll_bin(value, k)` (serialized-sketch output — the
+    * sketch-table partial), and `graft_kll_merge(bin)` (fold stored
+    * partials back into one weighted sample). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_bin", binBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge", mergeBuilder, "built-in")
+  }
+}
+
+/** [[KllSketch]] with a BINARY result — the persistable half of the
+  * sketch-table pattern (Streaming.kllIngestBatch writes these as
+  * `batch=<id>` partials; [[KllMerge]] folds them at read time). Same
+  * buffer, same wire format as the shuffle path. */
+case class KllSketchBin(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch.Summary] {
+
+  private lazy val k: Int =
+    Option(kExpr.eval(InternalRow.empty)).map {
+      case i: Int => i.toLong
+      case l: Long => l
+    }.get.toInt
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != LongType)
+      TypeCheckFailure(
+        s"graft_kll_bin value must be BIGINT, got ${child.dataType.sql}")
+    else if (!kExpr.foldable) TypeCheckFailure("k must be a literal")
+    else TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): KllSketch.Summary =
+    new KllSketch.Summary(k)
+  override def update(
+      buf: KllSketch.Summary, input: InternalRow): KllSketch.Summary = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(
+      buf: KllSketch.Summary, other: KllSketch.Summary): KllSketch.Summary = {
+    buf.mergeIn(other); buf
+  }
+  override def eval(buf: KllSketch.Summary): Any = KllSketch.ser(buf)
+  override def serialize(buf: KllSketch.Summary): Array[Byte] =
+    KllSketch.ser(buf)
+  override def deserialize(bytes: Array[Byte]): KllSketch.Summary =
+    KllSketch.deser(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_bin"
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchBin =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchBin =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchBin =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** Folds serialized [[KllSketchBin]] partials back into one summary —
+  * the read-side of the sketch table (hll_union_agg's role). Output is
+  * the weighted sample, same as [[KllSketch]], so estimation SQL is
+  * identical whether the sketch came from values or from partials. */
+case class KllMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch.Summary] {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != BinaryType)
+      TypeCheckFailure(
+        s"graft_kll_merge takes BINARY, got ${child.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
+  // k adopts the first merged partial's k (enforced consistent by the
+  // ingest path); the placeholder never holds data
+  override def createAggregationBuffer(): KllSketch.Summary =
+    new KllSketch.Summary(8)
+  override def update(
+      buf: KllSketch.Summary, input: InternalRow): KllSketch.Summary = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = KllSketch.deser(v.asInstanceOf[Array[Byte]])
+      if (buf.n == 0L && buf.k != other.k) {
+        val fresh = new KllSketch.Summary(other.k)
+        fresh.mergeIn(other)
+        fresh
+      } else { buf.mergeIn(other); buf }
+    }
+  }
+  override def merge(
+      buf: KllSketch.Summary, other: KllSketch.Summary): KllSketch.Summary =
+    if (buf.n == 0L && other.n > 0L) other
+    else { buf.mergeIn(other); buf }
+  override def eval(buf: KllSketch.Summary): Any = KllSketch.pairs(buf)
+  override def serialize(buf: KllSketch.Summary): Array[Byte] =
+    KllSketch.ser(buf)
+  override def deserialize(bytes: Array[Byte]): KllSketch.Summary =
+    KllSketch.deser(bytes)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", LongType),
+    StructField("weight", LongType))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_merge"
+  override def withNewMutableAggBufferOffset(n: Int): KllMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMerge =
+    copy(child = newChildren(0))
 }

@@ -551,6 +551,54 @@ object Streaming {
       .agg(expr("hll_union_agg(sk)").as("sk"))
       .withColumn("estimate", expr("hll_sketch_estimate(sk)"))
 
+  /** One micro-batch of incremental QUANTILE-sketch maintenance — the
+    * rank member of the sketch-table family ([[sketchIngestBatch]] =
+    * cardinality, [[bloomIngestBatch]] = membership): each batch
+    * aggregates its values into one serialized
+    * [[graft.functions.KllSketchBin]] per group and writes a
+    * DETERMINISTIC `batch=<id>` partial (idempotent replay — a
+    * re-delivered batch overwrites its own directory, never
+    * double-counts). The table stays append-only fixed-size partials;
+    * [[kllTable]] folds them at read time, so "p50/p99 of the last N
+    * days" costs rows-of-sketch-table, never a corpus re-scan — the
+    * latency-dashboard shape at 100 TB. k must stay fixed across
+    * batches (the read-side merge adopts the partials' k and
+    * [[graft.functions.KllMerge]] keeps the compactor schedule
+    * consistent).
+    *
+    * CANONICALIZATION: unlike HLL's register-max, a KLL sketch is
+    * insertion-order-sensitive, so a replayed batch re-partitioned
+    * differently would write a DIFFERENT (still valid) partial. The
+    * ingest therefore repartitions by group and sorts by value first —
+    * each group's sketch is then a pure function of the batch's value
+    * MULTISET (the group is wholly in one partition, inserted
+    * ascending), making the overwrite byte-idempotent under replay no
+    * matter how the re-delivered batch arrives. */
+  def kllIngestBatch(
+      batch: DataFrame, batchId: Long, tableDir: String,
+      groupCol: String, valCol: String, k: Int): Unit = {
+    graft.functions.KllSketch.register(batch.sparkSession)
+    batch
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(valCol))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_kll_bin($valCol, $k)").as("sk"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+  }
+
+  /** Read-side fold of [[kllIngestBatch]] partials: one row per group
+    * with the merged weighted sample and its total weight — estimation
+    * runs relationally on the sample exactly as in q_agg_kll. */
+  def kllTable(
+      spark: SparkSession, tableDir: String, groupCol: String): DataFrame = {
+    graft.functions.KllSketch.register(spark)
+    spark.read.parquet(tableDir)
+      .groupBy(col(groupCol))
+      .agg(expr("graft_kll_merge(sk)").as("sample"))
+      .withColumn("n", expr(
+        "aggregate(sample, CAST(0 AS BIGINT), (a, p) -> a + p.weight)"))
+  }
+
   /** One micro-batch of incremental BLOOM-FILTER maintenance — the
     * streaming half of q_decontam_bloom's prefilter: as new benchmark
     * shingles (or any blocklist keys) arrive, each batch contributes

@@ -394,6 +394,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental KLL quantile table: batch partials merge to exact " +
+    "total weight and tight median ranks, replay included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val table = tmpDir("kll_table")
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("grp", "v")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.kllIngestBatch(b, id, table, "grp", "v", 256)
+      }
+      .option("checkpointLocation", tmpDir("kll_ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    def state: Map[String, (Seq[(Long, Long)], Long)] =
+      Streaming.kllTable(spark, table, "grp").collect().map { r =>
+        r.getString(0) -> (r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1))), r.getLong(2))
+      }.toMap
+    def medianEst(pairs: Seq[(Long, Long)], n: Long): Long = {
+      var cum = 0L
+      pairs.sortBy(_._1).find { case (_, w) =>
+        cum += w; 2 * cum >= n
+      }.get._1
+    }
+    try {
+      // group a: 1..9000 over three skewed batches; group b: 1..500
+      mem.addData((1L to 3000L).map(v => ("a", v)): _*)
+      q.processAllAvailable()
+      mem.addData((3001L to 9000L).map(v => ("a", v)): _*)
+      mem.addData((1L to 500L).map(v => ("b", v)): _*)
+      q.processAllAvailable()
+      val s1 = state
+      assert(s1("a")._2 == 9000L && s1("b")._2 == 500L,
+        "merged weight != item count")
+      val medA = medianEst(s1("a")._1, 9000L)
+      assert(math.abs(medA - 4500L) <= 180L, s"median drifted: $medA")
+      val medB = medianEst(s1("b")._1, 500L)
+      assert(math.abs(medB - 250L) <= 10L, s"median drifted: $medB")
+      // replayed batch overwrites its own partial: state unchanged
+      Streaming.kllIngestBatch(
+        (1L to 3000L).map(v => ("a", v)).toDF("grp", "v"), 0L,
+        table, "grp", "v", 256)
+      assert(state == s1)
+    } finally q.stop()
+  }
+
   test("incremental export manifest: batch partials fold to the batch " +
     "manifest, replay included") {
     import org.apache.spark.sql.functions.col
