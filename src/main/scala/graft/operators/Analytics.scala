@@ -3592,6 +3592,63 @@ object Analytics {
       outs.reduce(_ unionAll _)
     },
 
+    // ------------------------------------------------------------------
+    // DEPTH-2 CART REGRESSION TREE (Breiman 1984) — the single
+    // INTERPRETABLE tree beside the ensembles (adaboost votes stumps,
+    // gbt sums them; this one RECURSIVELY PARTITIONS): a root split
+    // chosen from the 32-candidate grid, then each child picks its own
+    // best split over the same grid — 4 leaves, each reported with its
+    // split lineage, size, and integer-milli mean. Shares q_ml_gbt's
+    // fragment text verbatim for candidate scoring (side indicator →
+    // 4 exact-BIGINT side moments → S²/n gain with empty sides
+    // disqualified), which is the point: recursive partitioning is the
+    // SAME bounded fan-out pass run per node, with the per-leaf argmax
+    // as a 2-partition window over the 64-row candidate table instead
+    // of a global limit. Three corpus passes total (root scoring, leaf
+    // scoring, final leaf stats); every fact-sized aggregate is keyed
+    // by ≤(2 leaves × 32 candidates); the fitted tree is 1-row/2-row
+    // broadcasts. The oracle replays the identical fragments as CTEs
+    // with the same windowed argmax.
+    QueryDef("q_ml_tree", treeOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rows = t(s, dir, "lineitem").selectExpr(gbRows: _*)
+        .selectExpr("x1", "x2", "ym AS e")
+      val grid = s.range(32).selectExpr(gbGrid: _*)
+      val root = rows.crossJoin(broadcast(grid))
+        .selectExpr(gbSide: _*)
+        .groupBy(col("c"), col("f"), col("tt"))
+        .agg(expr(gbCand.head), gbCand.tail.map(expr): _*)
+        .selectExpr(gbGain: _*)
+        .orderBy(col("gain").desc, col("c"))
+        .limit(1)
+        .selectExpr("f AS rf", "tt AS rt")
+      val leafed = rows.crossJoin(broadcast(root))
+        .selectExpr("x1", "x2", "e",
+          "CASE WHEN (CASE WHEN rf = 0 THEN x1 ELSE x2 END) <= rt" +
+            " THEN 1 ELSE 0 END AS leaf", "rf", "rt")
+      val w = Window.partitionBy(col("leaf"))
+        .orderBy(col("gain").desc, col("c"))
+      val leafSplits = leafed.crossJoin(broadcast(grid))
+        .selectExpr("leaf" +: gbSide: _*)
+        .groupBy(col("leaf"), col("c"), col("f"), col("tt"))
+        .agg(expr(gbCand.head), gbCand.tail.map(expr): _*)
+        .selectExpr("leaf" +: gbGain: _*)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .selectExpr("leaf", "f AS lf", "tt AS lt")
+      leafed.join(broadcast(leafSplits), "leaf")
+        .selectExpr("leaf", "rf", "rt", "lf", "lt", "e",
+          "CASE WHEN (CASE WHEN lf = 0 THEN x1 ELSE x2 END) <= lt" +
+            " THEN 1 ELSE 0 END AS leaf2")
+        .groupBy(col("leaf"), col("leaf2"))
+        .agg(min(col("rf")).as("rf"), min(col("rt")).as("rt"),
+          min(col("lf")).as("lf"), min(col("lt")).as("lt"),
+          count(lit(1)).as("n"), sum(col("e")).as("sy"))
+        .selectExpr("leaf", "leaf2", "rf", "rt", "lf", "lt", "n",
+          "CAST(floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + 0.5e0)" +
+            " AS BIGINT) AS mean_m")
+    },
+
     QueryDef("q_ab_permutation", permOracle) { (s, dir) =>
       import graft.functions.TextAnalysis.h60
       val docs = t(s, dir, "documents")
@@ -4745,6 +4802,46 @@ object Analytics {
 
   /** DuckDB replay of q_ml_gbt: all three rounds as MATERIALIZED CTEs
     * (each round's residuals feed two consumers). */
+  /** DuckDB replay of q_ml_tree: identical gb* fragment text — root
+    * argmax as ORDER BY/LIMIT, per-leaf argmax as the same windowed
+    * row_number, final leaf stats grouped by the two path bits. */
+  private def treeOracle: String =
+    s"""WITH rows0 AS (SELECT ${gbRows.mkString(",\n    ")} FROM lineitem),
+      |rws AS (SELECT x1, x2, ym AS e FROM rows0),
+      |grid AS (SELECT ${gbGrid.mkString(",\n    ")}
+      |  FROM (SELECT unnest(range(32)) AS id)),
+      |sides AS (SELECT ${gbSide.mkString(",\n    ")}
+      |  FROM rws CROSS JOIN grid),
+      |cand AS (SELECT c, f, tt, ${gbCand.mkString(",\n    ")}
+      |  FROM sides GROUP BY 1, 2, 3),
+      |gains AS (SELECT ${gbGain.mkString(",\n    ")} FROM cand),
+      |root AS (SELECT f AS rf, tt AS rt FROM gains
+      |  ORDER BY gain DESC, c LIMIT 1),
+      |leafed AS (SELECT x1, x2, e,
+      |  CASE WHEN (CASE WHEN rf = 0 THEN x1 ELSE x2 END) <= rt
+      |    THEN 1 ELSE 0 END AS leaf, rf, rt
+      |  FROM rws CROSS JOIN root),
+      |ls AS (SELECT leaf, ${gbSide.mkString(",\n    ")}
+      |  FROM leafed CROSS JOIN grid),
+      |lc AS (SELECT leaf, c, f, tt, ${gbCand.mkString(",\n    ")}
+      |  FROM ls GROUP BY 1, 2, 3, 4),
+      |lg AS (SELECT leaf, ${gbGain.mkString(",\n    ")} FROM lc),
+      |lsplit AS (
+      |  SELECT leaf, f AS lf, tt AS lt FROM (
+      |    SELECT leaf, f, tt, row_number() OVER (
+      |      PARTITION BY leaf ORDER BY gain DESC, c) AS rn
+      |    FROM lg) WHERE rn = 1),
+      |fin AS (
+      |  SELECT l.leaf, l.rf, l.rt, s.lf, s.lt, l.e,
+      |    CASE WHEN (CASE WHEN s.lf = 0 THEN l.x1 ELSE l.x2 END) <= s.lt
+      |      THEN 1 ELSE 0 END AS leaf2
+      |  FROM leafed l JOIN lsplit s ON l.leaf = s.leaf)
+      |SELECT leaf, leaf2, min(rf) AS rf, min(rt) AS rt,
+      |  min(lf) AS lf, min(lt) AS lt, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(floor(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    + 0.5e0) AS BIGINT) AS mean_m
+      |FROM fin GROUP BY 1, 2""".stripMargin
+
   private def gbtOracle: String = {
     def round(k: Int): String =
       s"""sd$k AS (SELECT ${gbSide.mkString(", ")}

@@ -723,6 +723,8 @@ class PlanSpec extends SparkSpec {
                      // bounded fan-out) + 1-row winner broadcasts
       "q_ml_gbt", // per-round crossJoins: the 32-row literal stump
                   // grid + 1-row mean/best/SSE aggregates
+      "q_ml_tree", // per-level crossJoins: the same 32-row grid +
+                   // 1-row root split (the leaf-split join is keyed)
       "q_ab_permutation", // crossJoin(broadcast(1-row observed-Δ agg))
       "q_layout_zorder", // 1-row bounds broadcast + zone-map × 16
                          // broadcast boxes box-overlap probe (both
@@ -964,7 +966,10 @@ class PlanSpec extends SparkSpec {
       "q_agg_kll" ->
         ("the estimate table is the KLL sketch's GROUPED aggregate — " +
           "|linestatus| × 3 quantile rows at every SF (the sketch " +
-          "bounds state per group by construction)"))
+          "bounds state per group by construction)"),
+      "q_ml_tree" ->
+        ("the leaf-split table is the windowed argmax over the " +
+          "(2 leaves × 32 candidates) aggregate — ≤2 rows broadcast"))
     def isFactScan(l: LogicalRelation): Boolean = l.relation match {
       case h: HadoopFsRelation => h.location.rootPaths.exists(p =>
         factTables.exists(t => p.toString.contains(s"/$t")))
