@@ -1088,6 +1088,133 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // DRIFT FROM SKETCHES — the 100 TB composition the drift family
+    // builds toward: W₁ between two snapshot halves computed from
+    // their KLL QUANTILE SKETCHES (a few hundred weighted rows per
+    // side) instead of the corpus-rescan staircase — the monitoring
+    // pipeline shape where yesterday's sketch table is all that
+    // remains of yesterday. The query runs BOTH paths: the exact
+    // integer W₁ (the q_drift_wasserstein machinery, oracle-checked
+    // for real) and the sketch estimate (the same cross-multiplied
+    // CDF algebra over the exploded weighted samples), then asserts
+    // the SHARP property a monitor needs: a true +200-char shift
+    // planted in three sources (the q_stats_fdr projection) must rank
+    // the SAME top-3 drifting sources under the estimate as under the
+    // truth — an ordering verdict the ±ε rank noise provably cannot
+    // flip (the planted gap is orders above the k=256 sketch error).
+    // Corpus cost: ONE counts pass for the exact side (dropped in
+    // production where the sketch tables already exist) + ONE sketch
+    // pass; everything else is sketch-sized.
+    QueryDef(
+      "q_drift_kll",
+      s"""WITH g AS (
+        |  SELECT source, n_chars +
+        |    CASE WHEN source IN ('src0', 'src1', 'src2') AND
+        |      ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+        |      THEN 200 ELSE 0 END AS x,
+        |    ${graft.functions.TextAnalysis.h32sql(
+             "'ks:' || CAST(doc_id AS VARCHAR)")} % 2 AS half
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, x,
+        |    count(CASE WHEN half = 0 THEN 1 END) AS ca,
+        |    count(CASE WHEN half = 1 THEN 1 END) AS cb
+        |  FROM g GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, x,
+        |    sum(ca) OVER (PARTITION BY source ORDER BY x) AS fa,
+        |    sum(cb) OVER (PARTITION BY source ORDER BY x) AS fb,
+        |    sum(ca) OVER (PARTITION BY source) AS na,
+        |    sum(cb) OVER (PARTITION BY source) AS nb,
+        |    lead(x, 1, x) OVER (PARTITION BY source ORDER BY x) AS nx
+        |  FROM c),
+        |agg AS (
+        |  SELECT source, CAST(min(na) AS BIGINT) AS n0,
+        |    CAST(min(nb) AS BIGINT) AS n1,
+        |    CAST(sum(abs(fa * nb - fb * na) * (nx - x)) AS BIGINT) AS num
+        |  FROM w WHERE na > 0 AND nb > 0 GROUP BY 1)
+        |SELECT source, n0, n1,
+        |  CAST((num * 1000000) // (n0 * n1) AS BIGINT) AS w1_u,
+        |  true AS ok
+        |FROM agg""".stripMargin) { (s, dir) =>
+      graft.functions.KllSketch.register(s)
+      val half = graft.functions.TextAnalysis.h32(
+        concat(lit("ks:"), col("doc_id").cast("string"))) % 2
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          (col("n_chars").cast("long") +
+            when(col("source").isin("src0", "src1", "src2") &&
+              half === 0, 200L).otherwise(0L)).as("x"),
+          half.as("half"))
+        .localCheckpoint() // exact + sketch consumers
+      // exact side: the q_drift_wasserstein integer staircase
+      val cExact = docs
+        .groupBy(col("source"), col("x"))
+        .agg(count(when(col("half") === 0, 1)).as("ca"),
+          count(when(col("half") === 1, 1)).as("cb"))
+      val wRun = Window.partitionBy(col("source")).orderBy(col("x"))
+      val wAll = Window.partitionBy(col("source"))
+      val exact = cExact.select(col("source"), col("x"),
+          sum(col("ca")).over(wRun).as("fa"),
+          sum(col("cb")).over(wRun).as("fb"),
+          sum(col("ca")).over(wAll).as("na"),
+          sum(col("cb")).over(wAll).as("nb"),
+          coalesce(lead(col("x"), 1).over(wRun), col("x")).as("nx"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .groupBy(col("source"))
+        .agg(min(col("na")).cast("long").as("n0"),
+          min(col("nb")).cast("long").as("n1"),
+          sum(abs(col("fa") * col("nb") - col("fb") * col("na")) *
+            (col("nx") - col("x"))).cast("long").as("num"))
+        .select(col("source"), col("n0"), col("n1"),
+          expr("CAST((num * 1000000) DIV (n0 * n1) AS BIGINT)")
+            .as("w1_u"))
+      // sketch side: the same algebra over the two weighted samples
+      val sk = docs.groupBy(col("source"), col("half"))
+        .agg(expr("graft_kll(x, 256)").as("s"), count(lit(1)).as("n"))
+      val pairs = sk
+        .select(col("source"), col("half"), col("n"),
+          explode(col("s")).as("p"))
+        .select(col("source"), col("half"), col("n"),
+          col("p.value").as("v"), col("p.weight").as("w"))
+      val cells = pairs.groupBy(col("source"), col("v"))
+        .agg(sum(when(col("half") === 0, col("w"))).as("wa0"),
+          sum(when(col("half") === 1, col("w"))).as("wb0"),
+          max(when(col("half") === 0, col("n"))).as("na0"),
+          max(when(col("half") === 1, col("n"))).as("nb0"))
+        .select(col("source"), col("v"),
+          coalesce(col("wa0"), lit(0L)).as("wa"),
+          coalesce(col("wb0"), lit(0L)).as("wb"),
+          col("na0"), col("nb0"))
+      val wRunV = Window.partitionBy(col("source")).orderBy(col("v"))
+      val wAllV = Window.partitionBy(col("source"))
+      val est = cells.select(col("source"), col("v"),
+          sum(col("wa")).over(wRunV).as("fa"),
+          sum(col("wb")).over(wRunV).as("fb"),
+          max(col("na0")).over(wAllV).as("na"),
+          max(col("nb0")).over(wAllV).as("nb"),
+          coalesce(lead(col("v"), 1).over(wRunV), col("v")).as("nx"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .groupBy(col("source"))
+        .agg(min(col("na")).as("na"), min(col("nb")).as("nb"),
+          sum(abs(col("fa") * col("nb") - col("fb") * col("na")) *
+            (col("nx") - col("v"))).cast("long").as("enum"))
+        .select(col("source"),
+          expr("CAST((enum * 1000000) DIV (na * nb) AS BIGINT)")
+            .as("est_u"))
+      // ordering verdict: top-3 by estimate == top-3 by truth
+      val joined = exact.join(est, "source")
+      val wE = Window.orderBy(col("w1_u").desc, col("source"))
+      val wS = Window.orderBy(col("est_u").desc, col("source"))
+      joined
+        .withColumn("rk_exact", row_number().over(wE))
+        .withColumn("rk_est", row_number().over(wS))
+        .select(col("source"), col("n0"), col("n1"), col("w1_u"),
+          ((col("rk_exact") <= 3) === (col("rk_est") <= 3)).as("ok"))
+    },
+
+    // ------------------------------------------------------------------
     // The per-source corpus health report — the dashboard query a
     // curator runs daily: volume, exact-duplicate rate, language mix
     // entropy, and token-length profile, per source, in one output.

@@ -1089,7 +1089,10 @@ class PlanSpec extends SparkSpec {
       "kruskal bin spine" -> Set("q_stats_kruskal"),
       // BH's rank + m windows run over the per-SOURCE p-value relation
       // (source-cardinality bounded — 20 rows at every SF)
-      "fdr p-value table" -> Set("q_stats_fdr"))
+      "fdr p-value table" -> Set("q_stats_fdr"),
+      // the two drift-rank windows run over the per-SOURCE W1 relation
+      // (source-cardinality bounded — 20 rows at every SF)
+      "drift rank table" -> Set("q_drift_kll"))
     val allow: Set[String] = bounded.values.flatten.toSet
     def emptyPartWindows(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[String] = {
