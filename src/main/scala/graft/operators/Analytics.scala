@@ -2260,6 +2260,75 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // GEO: k-nearest-neighbor search by haversine — the geo family's
+    // retrieval member (haversine = distance, geohash = bucketing, PIP
+    // = containment, THIS = top-k): the 3 nearest points per probe,
+    // the store-locator / nearest-depot query. Shape is q_knn_brute's
+    // broadcast-probe idiom on the globe: the ≤8-row probe set
+    // broadcasts against the corpus (no shuffle of the point table),
+    // the per-probe top-3 runs as a probe-partitioned rank window —
+    // WindowGroupLimit pushes the limit below the sort at scale. Ties
+    // in the Num-rounded distance break on candidate id, so the
+    // selected sets are total-ordered and hash-stable cross-engine
+    // (the q_topk tie-break contract).
+    QueryDef(
+      "q_geo_knn",
+      s"""WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST((c_custkey * 37) % 18000 AS DOUBLE) / 100.0e0 - 90.0e0
+        |      AS lat,
+        |    CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0e0 - 180.0e0
+        |      AS lon
+        |  FROM customer),
+        |probe AS (SELECT * FROM pts WHERE id < 8),
+        |d AS (
+        |  SELECT p.id AS probe_id, c.id AS cand_id,
+        |    ${Num.sql(
+             """2.0e0 * 6371.0088e0 * asin(sqrt(
+               |      sin((c.lat - p.lat) * pi() / 360.0e0)
+               |        * sin((c.lat - p.lat) * pi() / 360.0e0)
+               |      + cos(p.lat * pi() / 180.0e0)
+               |        * cos(c.lat * pi() / 180.0e0)
+               |        * sin((c.lon - p.lon) * pi() / 360.0e0)
+               |        * sin((c.lon - p.lon) * pi() / 360.0e0)))"""
+               .stripMargin, 4)} AS dist_km
+        |  FROM probe p, pts c WHERE p.id <> c.id),
+        |r AS (
+        |  SELECT probe_id, cand_id, dist_km, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY dist_km, cand_id) AS rk
+        |  FROM d)
+        |SELECT probe_id, rk, cand_id, dist_km FROM r
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "CAST((c_custkey * 37) % 18000 AS DOUBLE) / 100.0e0 - 90.0e0" +
+          " AS lat",
+        "CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0e0 - 180.0e0" +
+          " AS lon")
+      val probe = pts.filter(col("id") < 8)
+        .select(col("id").as("probe_id"), col("lat").as("plat"),
+          col("lon").as("plon"))
+      val km = expr(
+        """2.0e0 * 6371.0088e0 * asin(sqrt(
+          |  sin((lat - plat) * pi() / 360.0e0)
+          |    * sin((lat - plat) * pi() / 360.0e0)
+          |  + cos(plat * pi() / 180.0e0) * cos(lat * pi() / 180.0e0)
+          |    * sin((lon - plon) * pi() / 360.0e0)
+          |    * sin((lon - plon) * pi() / 360.0e0)))""".stripMargin)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist_km"), col("cand_id"))
+      pts.crossJoin(broadcast(probe))
+        .filter(col("probe_id") =!= col("id"))
+        .select(col("probe_id"), col("id").as("cand_id"),
+          Num.r(km, 4).as("dist_km"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("cand_id"),
+          col("dist_km"))
+    },
+
+    // ------------------------------------------------------------------
     // GEO: geohash cell assignment — the spatial BUCKETING key that
     // turns a quadratic geo-join into a per-cell equi-join (the
     // q_dedup_* banding discipline applied to coordinates). This IS

@@ -733,6 +733,7 @@ class PlanSpec extends SparkSpec {
                          // knn-brute radius-search shape)
       "q_geo_pip", // corpus × broadcast 17-row literal polygon-edge
                    // table (the haversine probe idiom)
+      "q_geo_knn", // the same corpus × broadcast ≤8-row probe set
       "q_ml_svm", // per-round crossJoin(broadcast(1-row weights)) —
                   // the logreg shape on hinge loss
       "q_stats_fdr", // crossJoin(broadcast(1-row BH k_max)) onto the
@@ -959,6 +960,9 @@ class PlanSpec extends SparkSpec {
         ("probe side is a c_custkey < 8 ceiling — customer keys are " +
           "contiguous per TESTDATA.md, so ≤8 rows at every SF (the " +
           "static key-ceiling rule only knows vec_id/doc_id)"),
+      "q_geo_knn" ->
+        ("the same c_custkey < 8 probe ceiling as q_geo_haversine — " +
+          "≤8 rows at every SF"),
       "q_layout_runtime" ->
         ("distinct order days of ONE year — calendar-bounded (≤366 " +
           "rows at every SF); the hint is also what makes the DPP " +
