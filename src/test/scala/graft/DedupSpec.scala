@@ -240,4 +240,33 @@ class DedupSpec extends SparkSpec {
       assert(got(w) == want, s"$w -> ${got(w)}, want $want")
     }
   }
+
+  test("soundex fragment equals an independent Scala reference on " +
+    "generated letter strings") {
+    import graft.operators.Dedup
+    // reference: the same variant (no h/w transparency), written as the
+    // textbook per-character walk rather than translate/regex pipelines
+    def ref(w: String): String = {
+      val code = "01230120022455012623010202"
+      val digits = w.map(c => code(c - 'A'))
+      val collapsed = digits.foldLeft("") { (acc, d) =>
+        if (acc.nonEmpty && acc.last == d) acc else acc + d
+      }
+      val tail = collapsed.drop(1).filter(_ != '0')
+      w.head.toString + (tail + "000").take(3)
+    }
+    val words = (1 to 120).map { k =>
+      (0 until (3 + k % 6)).map { i =>
+        ('A' + ((k * 31 + i * 17 + i * i * 7) % 26)).toChar
+      }.mkString
+    }.distinct
+    val frag = Dedup.soundexSql("w", duck = false)
+    val got = spark.sql(
+      s"SELECT w, $frag AS code FROM VALUES ${words.map(w => s"('$w')")
+        .mkString(", ")} AS t(w)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == ref(w), s"$w -> ${got(w)}, ref ${ref(w)}")
+    }
+  }
 }

@@ -57,6 +57,35 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("the bin/merge duo: per-group serialized partials fold to the " +
+    "same weight and the same error bound as direct sketching") {
+    KllSketch.register(spark)
+    import spark.implicits._
+    val vs = (1L to 60000L).map(i => (i % 7, (i * 48271L) % 999983L))
+    val df = vs.toDF("g", "v").repartition(8)
+    // direct: one sketch over everything
+    val direct = df.agg(expr("graft_kll(v, 256)").as("s"))
+      .selectExpr("aggregate(s, CAST(0 AS BIGINT), (a,p) -> a + p.weight) AS n")
+      .collect()(0).getLong(0)
+    assert(direct == 60000L)
+    // staged: 7 per-group binary partials, merged back into one sample
+    val merged = df.groupBy(col("g"))
+      .agg(expr("graft_kll_bin(v, 256)").as("sk"))
+      .agg(expr("graft_kll_merge(sk)").as("s"))
+      .select(explode(col("s")).as("p"))
+      .select(col("p.value").as("v"), col("p.weight").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.map(_._2).sum == 60000L, "merge leaked weight")
+    // the merged sample's median must satisfy the same 1% rank bound
+    val sorted = vs.map(_._2).sorted
+    var cum = 0L
+    val est = merged.sortBy(_._1).find { case (_, w) =>
+      cum += w; 2 * cum >= 60000L
+    }.get._1
+    val err = math.abs(sorted.count(_ <= est) - 30000L) / 60000.0
+    assert(err <= 0.01, s"merged-median rank error $err")
+  }
+
   test("measured rank error stays inside half of q_agg_kll's 2% gate at " +
     "k=256, on sorted, reverse-sorted, and hash-shuffled orders, " +
     "single-partition and merged") {
