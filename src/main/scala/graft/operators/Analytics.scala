@@ -2260,6 +2260,72 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // GEO: point-in-polygon at SCALE — q_geo_pip's bucketed twin (the
+    // range2/theta2 pattern): instead of testing every point against
+    // every polygon's edges, points and polygons meet through a GRID
+    // CELL equi-join — each point lands in one 250×250 cell, each
+    // polygon contributes its bounding box's cell cover (a plan-time
+    // literal: the catalog is small; a polygon CORPUS would compute
+    // covers with the same geohash arithmetic) — and the exact integer
+    // ray cast runs only on candidate (point, polygon) pairs. A point
+    // outside a polygon's bbox cover can't be inside it, so the
+    // candidate set is a superset of the true matches and the result
+    // is IDENTICAL to the all-pairs plan — which is the proof shipped:
+    // the oracle is q_geo_pip's all-pairs aggregate, so the hash match
+    // certifies the bucketing lossless. Cost goes from |P|·|edges| to
+    // |P| + Σ candidates·edges-per-poly — the spatial-join shape that
+    // survives a polygon corpus at 100 TB.
+    QueryDef(
+      "q_geo_pip2",
+      s"""WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * 193) % 1000 AS px,
+        |    (c_custkey * 577) % 1000 AS py
+        |  FROM customer),
+        |edges(poly, x1, y1, x2, y2) AS (VALUES
+        |  $pipEdgeValues),
+        |cr AS (
+        |  SELECT e.poly, p.id,
+        |    count(CASE WHEN (y1 > py) <> (y2 > py) AND
+        |      (CASE WHEN y2 > y1
+        |        THEN (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0
+        |        ELSE (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0
+        |      END) THEN 1 END) AS nc
+        |  FROM pts p, edges e GROUP BY 1, 2)
+        |SELECT poly, count(CASE WHEN nc % 2 = 1 THEN 1 END) AS n_inside,
+        |  CAST(sum(CASE WHEN nc % 2 = 1 THEN id END) AS BIGINT)
+        |    AS id_checksum
+        |FROM cr GROUP BY 1""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "(c_custkey * 193) % 1000 AS px",
+        "(c_custkey * 577) % 1000 AS py")
+        .withColumn("cell",
+          expr("(px DIV 250) * 4 + (py DIV 250)").cast("int"))
+      // plan-time cell cover per polygon: every cell its bbox overlaps
+      val covers = s.createDataFrame(pipCovers).toDF("poly", "cell")
+      val edges = s.createDataFrame(pipEdges)
+        .toDF("poly", "x1", "y1", "x2", "y2")
+      val cand = pts.join(broadcast(covers), "cell")
+        .select(col("poly"), col("id"), col("px"), col("py"))
+      val cross = (col("x2") - col("x1")) * (col("py") - col("y1")) -
+        (col("px") - col("x1")) * (col("y2") - col("y1"))
+      val crossing = ((col("y1") > col("py")) =!= (col("y2") > col("py"))) &&
+        when(col("y2") > col("y1"), cross > 0).otherwise(cross < 0)
+      val inside = cand.join(broadcast(edges), "poly")
+        .groupBy(col("poly"), col("id"))
+        .agg(count(when(crossing, 1)).as("nc"))
+        .filter(col("nc") % 2 === 1)
+      // polygons whose candidate set yields no inside points must still
+      // report a zero row (the all-pairs oracle emits every polygon)
+      val polys = covers.select(col("poly")).distinct()
+      polys.join(inside, Seq("poly"), "left")
+        .groupBy(col("poly"))
+        .agg(count(col("id")).as("n_inside"),
+          sum(col("id")).cast("long").as("id_checksum"))
+    },
+
+    // ------------------------------------------------------------------
     // GEO: k-nearest-neighbor search by haversine — the geo family's
     // retrieval member (haversine = distance, geohash = bucketing, PIP
     // = containment, THIS = top-k): the 3 nearest points per probe,
@@ -3861,6 +3927,18 @@ object Analytics {
     pipEdges.map { case (p, x1, y1, x2, y2) =>
       s"($p, $x1, $y1, $x2, $y2)"
     }.mkString(",\n        |  ")
+
+  /** q_geo_pip2's plan-time cell cover: every 250×250 grid cell each
+    * polygon's bounding box overlaps (cell id = (x div 250)·4 +
+    * y div 250 — the same arithmetic the points use). */
+  private def pipCovers: Seq[(Int, Int)] =
+    pipPolys.flatMap { case (pid, ring) =>
+      val (xs, ys) = (ring.map(_._1), ring.map(_._2))
+      for {
+        cx <- (xs.min / 250) to (xs.max / 250)
+        cy <- (ys.min / 250) to (ys.max / 250)
+      } yield (pid, cx * 4 + cy)
+    }
 
   /** DuckDB replay of q_geo_geohash: identical integer bit math, the
     * alphabet indexed 1-based via substr. */
