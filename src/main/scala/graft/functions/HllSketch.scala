@@ -63,6 +63,12 @@ case class HllSketch(
     case s: UTF8String => hashBytes(s.getBytes)
     case d: Double => mix(java.lang.Double.doubleToLongBits(d))
     case f: Float => mix(java.lang.Float.floatToIntBits(f).toLong)
+    case b: Array[Byte] => hashBytes(b)
+    case sh: Short => mix(sh.toLong)
+    case by: Byte => mix(by.toLong)
+    case bo: Boolean => mix(if (bo) 1L else 0L)
+    case dec: org.apache.spark.sql.types.Decimal =>
+      hashBytes(dec.toJavaBigDecimal.unscaledValue.toByteArray)
     case other => hashBytes(other.toString.getBytes("UTF-8"))
   }
 

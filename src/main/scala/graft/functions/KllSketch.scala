@@ -269,11 +269,12 @@ case class KllSketchBin(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllSketch.Summary] {
 
-  private lazy val k: Int =
+  private lazy val kRaw: Option[Long] =
     Option(kExpr.eval(InternalRow.empty)).map {
       case i: Int => i.toLong
       case l: Long => l
-    }.get.toInt
+    }
+  private lazy val k: Int = kRaw.get.toInt
 
   override def children: Seq[Expression] = Seq(child, kExpr)
 
@@ -283,8 +284,15 @@ case class KllSketchBin(
     if (child.dataType != LongType)
       TypeCheckFailure(
         s"graft_kll_bin value must be BIGINT, got ${child.dataType.sql}")
-    else if (!kExpr.foldable) TypeCheckFailure("k must be a literal")
-    else TypeCheckSuccess
+    else if (!kExpr.foldable ||
+        !(kExpr.dataType == IntegerType || kExpr.dataType == LongType))
+      TypeCheckFailure("graft_kll_bin k must be an integer literal")
+    else kRaw match {
+      case None => TypeCheckFailure("graft_kll_bin k must not be null")
+      case Some(v) if v < 8 || v > 65536 =>
+        TypeCheckFailure(s"graft_kll_bin k must be in [8, 65536], got $v")
+      case _ => TypeCheckSuccess
+    }
   }
 
   override def createAggregationBuffer(): KllSketch.Summary =

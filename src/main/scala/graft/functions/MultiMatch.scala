@@ -146,11 +146,25 @@ object MultiMatch {
       case l if l.foldable =>
         l.eval(null).asInstanceOf[ArrayData]
           .toObjectArray(StringType)
-          .map(x => String.valueOf(x))
+          .map {
+            case null => throw new IllegalArgumentException(
+              "graft_multi_match patterns must not contain NULL")
+            case x => x.toString
+          }
           .toSeq
       case _ => throw new IllegalArgumentException(
         "graft_multi_match patterns must be a literal array")
     }
+    // Duplicate patterns would share a trie end state and the later
+    // duplicate's id would overwrite the earlier one's, silently
+    // reporting 0 for it — reject instead of guessing intent.
+    val dupes = pats.groupBy(identity).collect {
+      case (p, occ) if occ.length > 1 => p
+    }
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft_multi_match patterns must be distinct; duplicated: " +
+          dupes.mkString("'", "', '", "'"))
     MultiMatch(exprs.head, pats)
   }
 

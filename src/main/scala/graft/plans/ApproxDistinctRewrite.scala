@@ -48,11 +48,30 @@ case class ApproxDistinctRewrite(spark: SparkSession)
       case a: Aggregate =>
         a.transformExpressions {
           case ae @ AggregateExpression(
-              Count(children), _, true, None, _) if children.length == 1 =>
+              Count(children), _, true, None, _)
+              if children.length == 1 &&
+                hashableType(children.head.dataType) =>
             AggregateExpression(
               HllSketch(children.head), Complete, isDistinct = false,
               filter = None, resultId = ae.resultId)
         }
+    }
+  }
+
+  /** Types whose runtime values HllSketch.hashOf hashes by VALUE.
+    * Complex types (array/map/struct) pass through to the exact plan:
+    * their catalyst containers have identity toString, so sketching
+    * them would silently return ~row count and vary across runs. */
+  private def hashableType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+          BooleanType | FloatType | DoubleType | StringType |
+          BinaryType | DateType | TimestampType | TimestampNTZType =>
+        true
+      case _: DecimalType => true
+      case _ => false
     }
   }
 }

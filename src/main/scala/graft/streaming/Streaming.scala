@@ -569,21 +569,35 @@ object Streaming {
     * CANONICALIZATION: unlike HLL's register-max, a KLL sketch is
     * insertion-order-sensitive, so a replayed batch re-partitioned
     * differently would write a DIFFERENT (still valid) partial. The
-    * ingest therefore repartitions by group and sorts by value first —
-    * each group's sketch is then a pure function of the batch's value
-    * MULTISET (the group is wholly in one partition, inserted
-    * ascending), making the overwrite byte-idempotent under replay no
-    * matter how the re-delivered batch arrives. */
+    * ingest therefore repartitions by group, sorts by value, and pins
+    * the aggregate to SortAggregate for the duration of the write —
+    * ObjectHashAggregate's sort-based spill fallback re-sorts by
+    * grouping key only (row order within a group undefined), which
+    * would break byte-idempotence at large batch sizes, while
+    * SortAggregate consumes rows in the partition's explicit
+    * (grp, val) order (already satisfying its required child ordering,
+    * so no extra sort is planned). Each group's sketch is then a pure
+    * function of the batch's value MULTISET (wholly in one partition,
+    * inserted ascending — AQE partition coalescing cannot reorder it
+    * because the sort runs after the exchange read), making the
+    * overwrite byte-idempotent under replay no matter how the
+    * re-delivered batch arrives. */
   def kllIngestBatch(
       batch: DataFrame, batchId: Long, tableDir: String,
       groupCol: String, valCol: String, k: Int): Unit = {
-    graft.functions.KllSketch.register(batch.sparkSession)
-    batch
-      .repartition(col(groupCol))
-      .sortWithinPartitions(col(groupCol), col(valCol))
-      .groupBy(col(groupCol))
-      .agg(expr(s"graft_kll_bin($valCol, $k)").as("sk"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+    val sess = batch.sparkSession
+    graft.functions.KllSketch.register(sess)
+    val objHashConf = "spark.sql.execution.useObjectHashAggregateExec"
+    val prev = sess.conf.get(objHashConf, "true")
+    sess.conf.set(objHashConf, "false")
+    try {
+      batch
+        .repartition(col(groupCol))
+        .sortWithinPartitions(col(groupCol), col(valCol))
+        .groupBy(col(groupCol))
+        .agg(expr(s"graft_kll_bin($valCol, $k)").as("sk"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
+    } finally sess.conf.set(objHashConf, prev)
   }
 
   /** Read-side fold of [[kllIngestBatch]] partials: one row per group

@@ -112,6 +112,22 @@ class ExtensionsSpec extends SparkSpec {
             s" FROM parquet.`$sfDir/orders.parquet`")
         assert(!filtered.queryExecution.optimizedPlan.toString
           .contains("graft_hll"), "filtered distinct rewritten")
+        // complex-type guard: array/map values hash by JVM identity in
+        // the sketch, so the rewrite must pass them through exact
+        val complexGuard = ext.sql(
+          "SELECT count(DISTINCT array(o_custkey, o_orderkey))" +
+            s" FROM parquet.`$sfDir/orders.parquet`")
+        assert(!complexGuard.queryExecution.optimizedPlan.toString
+          .contains("graft_hll"), "count(DISTINCT array) rewritten")
+        // BINARY now hashes by value (hashBytes) — rewrite fires and
+        // the estimate tracks the true distinct count, not row count
+        val binDf = ext.sql(
+          "SELECT count(DISTINCT cast(o_orderpriority AS BINARY)) AS nd" +
+            s" FROM parquet.`$sfDir/orders.parquet`")
+        assert(binDf.queryExecution.optimizedPlan.toString
+          .contains("graft_hll"), "count(DISTINCT binary) not rewritten")
+        val binEst = binDf.collect()(0).getLong(0)
+        assert(binEst == 5L, s"binary distinct estimate $binEst != 5")
       } finally ext.conf.set("graft.approxDistinct.enabled", "false")
     }
   }
