@@ -1540,6 +1540,22 @@ private[sources] class ZoneMapScan(
   // driven by the engine's own offset log for exactly-once resume).
   // Pushed boxes still prune WITHIN the delta batches — a filtered
   // streaming reader skips files the same way a batch reader does.
+  //
+  // DETERMINISM CONTRACT: the stream is the APPEND FEED — every row
+  // ever appended in batches (from, to] is served exactly once, raw,
+  // and deletion vectors are deliberately NOT applied. Deletes are
+  // retroactive (a row appended in batch 3 and dv-deleted after batch
+  // 7 was already emitted long before the delete), so applying the
+  // CURRENT dv generation at plan time would make a committed offset
+  // range produce different rows before and after a dvDelete — exactly
+  // the nondeterminism Spark's exactly-once replay contract forbids
+  // (a crash-recovered query would silently emit fewer rows than its
+  // offset log recorded, and dvPublish retires superseded generations
+  // so the planned generation cannot be re-pinned). Batch files are
+  // immutable and a compacted-away delta throws (zoneDeltaParts), so
+  // the rows of (from, to] are a pure function of the offsets.
+  // Deletions reach downstream consumers through the CHANGE FEED
+  // (`changesfrom` + dv retraction rows), not the append stream.
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new ZoneMapMicroBatchStream(path, required, pushed)
@@ -1576,15 +1592,15 @@ private[graft] class ZoneMapMicroBatchStream(
     val (from, to) = (start.asInstanceOf[ZoneMapOffset].batch,
       end.asInstanceOf[ZoneMapOffset].batch)
     if (to <= from) return Array.empty
-    val dv = ZoneMapSource.dvBitmaps(path)
+    // NO dv lookup here — see the determinism contract at
+    // toMicroBatchStream: a committed offset range must replay
+    // byte-identical even after a dvDelete lands between deliveries.
     ZoneMapSource.zoneRowsBetween(path, from, to)
       .filter(box.admits).sortBy(_.file)
       .flatMap(z => ZoneMapSource.partFiles(path, z.file))
       .map { f =>
-        val (buckets, words) = dv.getOrElse(
-          ZoneMapSource.relPath(f._1),
-          (Array.emptyLongArray, Array.emptyLongArray))
-        ZoneMapInputPartition(f._1, buckets, words): InputPartition
+        ZoneMapInputPartition(f._1, Array.emptyLongArray,
+          Array.emptyLongArray): InputPartition
       }.toArray
   }
 

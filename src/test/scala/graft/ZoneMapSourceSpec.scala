@@ -425,6 +425,76 @@ class ZoneMapSourceSpec extends SparkSpec {
       .option("changesfrom", -1L).load(dir).count() == rows.count())
   }
 
+  test("streaming source: a committed offset range replays byte-identical " +
+    "after a dvDelete lands between deliveries (append-feed determinism)") {
+    import spark.implicits._
+    val dir = tmpDir("zonemap_dsv2_dvreplay") + "/t"
+    def save(w: Int): Unit =
+      rows.filter(pmod(col("rid"), lit(3)) === w)
+        .write.format("graft.sources.ZoneMapSource")
+        .option("batch", w.toLong).mode("append").save(dir)
+    val ckpt = tmpDir("zonemap_dvreplay_ckpt")
+    val emitted =
+      scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long)]]
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ZoneMapSource").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          emitted(id) = b.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sorted.toSeq
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    save(0)
+    val q1 = spark.readStream
+      .format("graft.sources.ZoneMapSource").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        emitted(id) = b.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      save(1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val orig = emitted.toMap
+    val lastId = orig.keys.max
+    assert(orig.size >= 2 && orig(lastId).nonEmpty,
+      s"expected two deliveries, got ${orig.keys}")
+    // simulate crash-after-offset-log-write-before-commit-log-write:
+    // dropping commits/<last> makes restart re-execute the SAME offset
+    // range (Spark's exactly-once recovery path)
+    val commitFile = new java.io.File(s"$ckpt/commits/$lastId")
+    assert(commitFile.exists, s"no commit log entry at $commitFile")
+    assert(commitFile.delete())
+    // the local ChecksumFs keeps a .crc sidecar that would block the
+    // replayed commit's rename — drop it with the entry
+    new java.io.File(s"$ckpt/commits/.$lastId.crc").delete()
+    // the deletion lands BETWEEN the original delivery and the replay
+    graft.streaming.Streaming.dvDelete(spark, dir,
+      (rid, _, _) => rid % 2 == 0)
+    emitted.clear()
+    run()
+    assert(emitted.contains(lastId),
+      s"restart did not replay batch $lastId: ${emitted.keys}")
+    assert(emitted(lastId) == orig(lastId),
+      "replayed offset range must be byte-identical to the original " +
+        "delivery — deletion vectors must not rewrite committed history")
+    // the BATCH scan, by contrast, applies the dv (reads live rows only;
+    // the table holds batches 0 and 1, i.e. rid % 3 <= 1)
+    assert(spark.read.format("graft.sources.ZoneMapSource").load(dir)
+      .count() == rows.filter(pmod(col("rid"), lit(3)) <= 1 &&
+        pmod(col("rid"), lit(2)) === 1).count())
+  }
+
   test("storage-partitioned join: co-bucketed tables join with ZERO " +
     "exchanges and the result equals the plain shuffled join") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
