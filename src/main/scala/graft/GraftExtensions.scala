@@ -94,5 +94,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[functions.KllMerge].getName, "graft_kll_merge"),
       functions.KllSketch.mergeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lcs_len"),
+      new ExpressionInfo(
+        classOf[functions.LcsLength].getName, "graft_lcs_len"),
+      functions.Align.lcsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sw_score"),
+      new ExpressionInfo(
+        classOf[functions.SwScore].getName, "graft_sw_score"),
+      functions.Align.swBuilder))
   }
 }

@@ -1372,18 +1372,22 @@ object Dedup {
     // WHOLE string and Jaro-Winkler for global character order, local
     // alignment finds the best-matching REGION (match +2, mismatch −1,
     // gap −1, floor 0) — the right scorer when entity names carry
-    // unrelated prefixes/suffixes. The O(n·m) dp runs as the
-    // q_eval_rougel ANTI-DIAGONAL WAVEFRONT (cells of diagonal d read
-    // only diagonals d−1/d−2, carried as lists) with two SW twists:
-    // every cell floors at 0, and the answer is the max over ALL
-    // cells, tracked as one more fold field. One higher-order
-    // aggregate per pair, entirely inside codegen, zero joins; each
-    // customer aligns against a deterministic drop/substitute
-    // corruption of its own name (the q_eval_bleu corruption on
-    // characters), and per-segment score stats roll up map-combinably.
-    // The oracle replays the identical wavefront as a recursive CTE.
+    // unrelated prefixes/suffixes. First shipped as the q_eval_rougel
+    // anti-diagonal wavefront HOF fold; now the exact O(n·m) DP in
+    // the native [[graft.functions.SwScore]] kernel (two primitive
+    // int rows over interned symbol ids, inside whole-stage codegen) —
+    // same answer, the per-cell constant cut from a list allocation to
+    // three integer maxes. Banding is deliberately NOT applied: the
+    // output aggregates EVERY pair's score (no admission threshold),
+    // so a band could only be lossy. Each customer aligns against a
+    // deterministic drop/substitute corruption of its own name (the
+    // q_eval_bleu corruption on characters), and per-segment score
+    // stats roll up map-combinably. The oracle is UNCHANGED — it
+    // replays the wavefront as a recursive CTE, so the hash match is
+    // the cross-algorithm proof.
     QueryDef("q_link_align", swOracle) { (s, dir) =>
-      val base = t(s, dir, "customer")
+      graft.functions.Align.register(s)
+      t(s, dir, "customer")
         .selectExpr("c_custkey AS id", "c_mktsegment AS seg",
           "c_name AS nm")
         .withColumn("aw", transform(sequence(lit(1), length(col("nm"))),
@@ -1394,31 +1398,7 @@ object Dedup {
               .when((col("id") + i) % 5 === 0, lit("x"))
               .otherwise(col("nm").substr(i, lit(1)))),
           x => x.isNotNull))
-        .withColumn("n", size(col("aw")))
-        .withColumn("m", size(col("bw")))
-      val zeros = array_repeat(lit(0), col("n") + 1)
-      def newDiag(d1: Column, d2: Column, d: Column): Column =
-        transform(sequence(lit(0), col("n")), i =>
-          when(i === 0 || d - i <= 0 || d - i > col("m"), lit(0))
-            .otherwise(greatest(
-              lit(0),
-              element_at(d1, i) - 1,
-              element_at(d1, i + 1) - 1,
-              element_at(d2, i) +
-                when(element_at(col("aw"), i) ===
-                  element_at(col("bw"), d - i), lit(2))
-                  .otherwise(lit(-1)))))
-      val swCol = when(col("n") === 0 || col("m") === 0, lit(0))
-        .otherwise(aggregate(
-          sequence(lit(2), col("n") + col("m")),
-          struct(zeros.as("d1"), zeros.as("d2"), lit(0).as("bst")),
-          (acc, d) => {
-            val nd = newDiag(acc.getField("d1"), acc.getField("d2"), d)
-            struct(nd.as("d1"), acc.getField("d1").as("d2"),
-              greatest(acc.getField("bst"), array_max(nd)).as("bst"))
-          },
-          acc => acc.getField("bst")))
-      base.withColumn("sw", swCol)
+        .withColumn("sw", expr("graft_sw_score(aw, bw, 2, -1, -1)"))
         .groupBy(col("seg"))
         .agg(expr(swAgg.head), swAgg.tail.map(expr): _*)
     },
