@@ -300,6 +300,42 @@ object Similarity {
     (head +: rounds).mkString(",\n")
   }
 
+  /** Shared by q_knn_ivf_trained and q_knn_ivf_served: DuckDB replays
+    * the full Lloyd training + assignment + probe + exact rescoring.
+    * The SERVED variant must produce the IDENTICAL answer — persisting
+    * the index through the zone-map table and probing through DSv2
+    * runtime filtering is a storage/plan change, not a semantic one. */
+  private lazy val ivfTrainedOracleSql: String =
+    s"""WITH ${lloydSql(IvfIters)},
+      |sA AS (
+      |  SELECT ed.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, ${Dim + 1}), k -> ed.v[k] * c.cemb[k]))
+      |      / sqrt(ed.n2 * c.cn2) AS cs
+      |  FROM ed, c$IvfIters c),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |    FROM sA) WHERE r = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |    FROM sA WHERE vec_id < 10) WHERE r <= $IvfProbes),
+      |s AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id, $cosSql AS cc
+      |  FROM probe p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN ed q ON q.vec_id = p.query_id
+      |  JOIN ed n ON n.vec_id = a.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cc,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cc DESC, neighbor_id ASC) AS rnk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   private val PqM = 4          // product-quantization subspaces
   private val PqSub = Dim / PqM // dims per subspace
   private val PqK = 4          // codes per subspace codebook
@@ -688,37 +724,7 @@ object Similarity {
     // own job and the centroids persist to a table; here it is inline
     // because the quantizer must be trained on the same session for the
     // check to be self-contained.
-    QueryDef(
-      "q_knn_ivf_trained",
-      s"""WITH ${lloydSql(IvfIters)},
-        |sA AS (
-        |  SELECT ed.vec_id, c.cid,
-        |    list_sum(list_transform(range(1, ${Dim + 1}), k -> ed.v[k] * c.cemb[k]))
-        |      / sqrt(ed.n2 * c.cn2) AS cs
-        |  FROM ed, c$IvfIters c),
-        |assign AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
-        |    FROM sA) WHERE r = 1),
-        |probe AS (
-        |  SELECT vec_id AS query_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
-        |    FROM sA WHERE vec_id < 10) WHERE r <= $IvfProbes),
-        |s AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id, $cosSql AS cc
-        |  FROM probe p
-        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
-        |  JOIN ed q ON q.vec_id = p.query_id
-        |  JOIN ed n ON n.vec_id = a.vec_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, cc,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cc DESC, neighbor_id ASC) AS rnk
-        |  FROM s)
-        |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
-        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    QueryDef("q_knn_ivf_trained", ivfTrainedOracleSql) { (s, dir) =>
       CosineSimilarity.register(s)
       val e = t(s, dir, "embeddings").repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding")).cache()
@@ -747,6 +753,94 @@ object Similarity {
           col("cell"))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          Num.r(col("cos"), 6).as("cos"))
+    },
+
+    // ------------------------------------------------------------------
+    // IVF SERVED FROM A PERSISTED INDEX — the production split
+    // q_knn_ivf_trained deliberately lacks (r12 VERDICT's #1 forward
+    // gap): a real 100 TB corpus trains ONCE and probes MANY times.
+    // BUILD (amortized; skipped when the index already exists for this
+    // corpus): train the quantizer, then persist the inverted lists as
+    // a ZONE-MAP CATALOG TABLE — one batch per CELL, rows
+    // (rid=vec_id, a=cell, b=vec_id), so every file's zone row carries
+    // a single-valued [cell, cell] interval and the CELL ID IS THE
+    // PRUNING KEY; centroids land beside it as parquet, written LAST
+    // (the completion marker — a crashed build rebuilds). PROBE (the
+    // measured query shape): score 10 queries against the PERSISTED
+    // K-row centroid table, pick IvfProbes cells each, and join the
+    // zone table on a = cell — a broadcast join whose keys reach the
+    // scan through SupportsRuntimeV2Filtering, so the engine plans the
+    // probed CELLS' files only (kept < total in-plan, PlanSpec pins
+    // it); candidates re-score exactly against the embeddings table
+    // keyed by vec_id. Probe cost is ∝ probed cells + candidate
+    // rescoring, NOT corpus: the N×K assignment pass never reruns.
+    // The oracle is IDENTICAL to q_knn_ivf_trained's — persistence and
+    // the DSv2 probe path are storage/plan changes, not semantic ones,
+    // and the hash match proves it.
+    QueryDef("q_knn_ivf_served", ivfTrainedOracleSql) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val idx = s"/tmp/graft_ivf_${dir.hashCode.toHexString}"
+      val fsPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      val done = new org.apache.hadoop.fs.Path(s"$idx/centroids")
+      if (!fs.exists(done)) {
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+          .select(col("vec_id"), col("embedding")).cache()
+        val eD = toDoubleVectors(e).cache()
+        val cents = kmeansCentroidsOnVectors(eD, IvfK, IvfIters)
+          .localCheckpoint()
+        val assign = eD.crossJoin(broadcast(cents))
+          .withColumn("cs", centCos)
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+          .localCheckpoint()
+        // one zone batch per NON-EMPTY cell (an empty batch would write
+        // null zone stats; Lloyd can strand a cell): the file interval
+        // [cell, cell] makes cell-id pruning exact at plan/runtime-
+        // filter time. The collect is control-plane, ≤ IvfK rows.
+        val liveCells = assign.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        liveCells.foreach { c =>
+          graft.streaming.Streaming.zoneIngestBatch(
+            assign.filter(col("cell") === c)
+              .select(col("vec_id").as("rid"),
+                col("cell").cast("long").as("a"), col("vec_id").as("b")),
+            c.toLong, idx)
+        }
+        cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$idx/centroids")
+        e.unpersist(); eD.unpersist()
+      }
+      // ---- the served probe: persisted centroids + runtime-filtered
+      // zone scan; no training, no corpus-wide assignment
+      val pcents = s.read.parquet(s"$idx/centroids")
+      val queries = toDoubleVectors(
+        t(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")))
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(pcents))
+        .withColumn("cs", centCos)
+        .withColumn("r", row_number().over(wProbe))
+        .filter(col("r") <= IvfProbes)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cid").cast("long").as("cell"))
+      val served = s.read.format("graft.sources.ZoneMapSource").load(idx)
+        .select(col("rid").as("neighbor_id"), col("a").as("cell"))
+      val nEmb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      served.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .join(nEmb, Seq("neighbor_id"))
         .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)

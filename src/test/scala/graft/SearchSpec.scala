@@ -54,4 +54,63 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._2).toSet != topRel ||
       got.exists(_._4 > 0), "MMR degenerated to pure relevance")
   }
+
+  test("q_knn_ivf_served probes the PERSISTED index through runtime " +
+    "cell pruning: the plan carries the dynamic filter, a bounded " +
+    "probe scans only its cells' files, and served == trained") {
+    // running the query builds (or reuses) the index at
+    // /tmp/graft_ivf_<hash> and must match the retrain-every-time twin
+    val served = SparkEntry.queries("q_knn_ivf_served")(spark, sfDir)
+    val got = served.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val want = SparkEntry.queries("q_knn_ivf_trained")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == want, "served index diverged from inline retraining")
+    // the serving join reaches the zone scan as a runtime filter
+    assert(served.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      served.queryExecution.executedPlan.toString)
+    // at this SF all 8 cells happen to be probed (10 queries × 2
+    // probes over K=8), so pin the PRUNING itself with a bounded
+    // 2-cell probe against the same persisted index: kept files must
+    // be exactly the probed cells' batches, not the corpus
+    val idx = s"/tmp/graft_ivf_${sfDir.hashCode.toHexString}"
+    val totalFiles = graft.sources.ZoneMapSource.zoneRows(idx).size
+    assert(totalFiles >= 4, s"index unexpectedly small: $totalFiles")
+    val twoCells = spark.range(0, 2).toDF("cell")
+      .filter(pmod(col("cell"), lit(1000000007L)) === col("cell"))
+    val probe2 = spark.read.format("graft.sources.ZoneMapSource")
+      .load(idx)
+      .join(broadcast(twoCells), col("a") === col("cell"))
+      .agg(count(lit(1)).as("n"))
+    val n2 = probe2.collect()(0).getLong(0)
+    // AQE buries the scan inside materialized query stages — recurse
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+      }.flatten
+    val scan = scansIn(probe2.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no BatchScan in the 2-cell probe plan"))
+    // the scan description reports the post-runtime-filter pruning
+    // state ("zones kept k/n ... runtime keys on a: 2")
+    val desc = scan.scan.description()
+    val kept = "zones kept (\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(fail(s"no kept/total in scan description: $desc"))
+    assert(kept.group(1).toInt < kept.group(2).toInt &&
+      kept.group(2).toInt == totalFiles,
+      s"2-cell probe kept ${kept.group(1)}/${kept.group(2)} of " +
+        s"$totalFiles files — runtime cell pruning did not fire: $desc")
+    assert(desc.contains("runtime keys on a: 2"), desc)
+    // and the kept rows are exactly the two cells' inverted lists
+    val direct = spark.read.format("graft.sources.ZoneMapSource")
+      .load(idx).filter(col("a") < 2).count()
+    assert(n2 == direct, s"pruned probe returned $n2, want $direct")
+  }
 }
