@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog distinct-count sketch as a TypedImperativeAggregate — the
@@ -30,10 +30,39 @@ case class HllSketch(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  private val P = 12
-  private val M = 1 << P // 4096 registers
+  import HllSketch.{M, insert, registerMax}
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v)
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    registerMax(buf, other)
+
+  override def eval(buf: Array[Byte]): Any = HllSketch.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll"
+
+  override def withNewMutableAggBufferOffset(n: Int): HllSketch =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllSketch =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): HllSketch =
+    copy(child = newChild)
+}
+
+object HllSketch {
+  private[graft] val P = 12
+  private[graft] val M = 1 << P // 4096 registers
 
   /** splitmix64 — a strong, cheap, deterministic 64-bit mixer. */
   private def mix(z0: Long): Long = {
@@ -72,19 +101,21 @@ case class HllSketch(
     case other => hashBytes(other.toString.getBytes("UTF-8"))
   }
 
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val h = hashOf(v)
-      val idx = (h >>> (64 - P)).toInt
-      val rest = h << P
-      val rank = (java.lang.Long.numberOfLeadingZeros(rest | 1L) + 1).toByte
-      if (rank > buf(idx)) buf(idx) = rank
-    }
-    buf
+  /** Insert one value into a register array (mutates `buf`). */
+  private[graft] def insert(buf: Array[Byte], v: Any): Unit = {
+    val h = hashOf(v)
+    val idx = (h >>> (64 - P)).toInt
+    val rest = h << P
+    val rank = (java.lang.Long.numberOfLeadingZeros(rest | 1L) + 1).toByte
+    if (rank > buf(idx)) buf(idx) = rank
   }
 
-  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+  /** Elementwise register max — the HLL union (mutates and returns
+    * `buf`). Order-free and idempotent, which is what makes per-file
+    * sketches mergeable across any pruning subset. */
+  private[graft] def registerMax(
+      buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    require(other.length == M, s"not a graft_hll register array")
     var i = 0
     while (i < M) {
       if (other(i) > buf(i)) buf(i) = other(i)
@@ -93,7 +124,8 @@ case class HllSketch(
     buf
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  /** The FFGM estimator with linear-counting small-range correction. */
+  private[graft] def estimate(buf: Array[Byte]): Long = {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
     var invSum = 0.0
     var zeros = 0
@@ -110,30 +142,66 @@ case class HllSketch(
     math.round(est)
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
-
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = false
-  override def prettyName: String = "graft_hll"
-
-  override def withNewMutableAggBufferOffset(n: Int): HllSketch =
-    copy(mutableAggBufferOffset = n)
-  override def withNewInputAggBufferOffset(n: Int): HllSketch =
-    copy(inputAggBufferOffset = n)
-  override protected def withNewChildInternal(newChild: Expression): HllSketch =
-    copy(child = newChild)
-}
-
-object HllSketch {
   /** Single function builder shared by [[register]] and GraftExtensions. */
   val builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, "graft_hll takes exactly 1 argument")
     HllSketch(exprs.head)
   }
 
-  /** Registers `graft_hll(col)` in the session function registry. */
-  def register(spark: SparkSession): Unit =
+  private[graft] val regsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_hll_regs takes exactly 1 argument")
+    HllRegisters(exprs.head)
+  }
+
+  /** Registers `graft_hll(col)` (the estimate) and `graft_hll_regs(col)`
+    * (the raw register blob, for sketch tables) in the session
+    * function registry. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_regs", regsBuilder, "built-in")
+  }
+}
+
+/** The same sketch, evaluated to its RAW REGISTER ARRAY instead of the
+  * estimate — what a persisted statistics row stores so that unions
+  * across arbitrary file subsets stay possible (register max), with
+  * the estimate taken once at read time. The zone-map source's
+  * per-column NDV statistics are built from these. */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HllSketch.{M, insert, registerMax}
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v)
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    registerMax(buf, other)
+
+  override def eval(buf: Array[Byte]): Any = buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_hll_regs"
+
+  override def withNewMutableAggBufferOffset(n: Int): HllRegisters =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllRegisters =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(
+      newChild: Expression): HllRegisters =
+    copy(child = newChild)
 }

@@ -2968,6 +2968,70 @@ object Analytics {
     },
 
     // ------------------------------------------------------------------
+    // CHANGE FEED WITH RETRACTIONS (new r13) — the deletion-aware
+    // completion of q_layout_changes: dvPublish journals every
+    // generation's NORMALIZED delta to dv_log, and
+    // Streaming.zoneChangesFeed composes (+1) new-batch rows (read
+    // through the dv-applying delta scan, so append-then-delete inside
+    // the window nets to nothing) with (−1) journaled deletions
+    // hitting batches the consumer already holds. Applying the feed
+    // op-weighted advances ANY op-linear materialization — counts,
+    // sums, the Blakeley join view (StreamingSpec proves the join
+    // composition) — to exactly the current snapshot. Here the proof
+    // runs as arithmetic: consumer state at (batch<=1, no deletions)
+    // plus the feed, aggregated with op weights, must equal the
+    // straight aggregate of the live table — which the oracle computes
+    // as plain predicates over the source. Scale: the +1 term is the
+    // O(new files) delta scan; the −1 term reads journal rows
+    // proportional to NEW deletions and resolves them one task per
+    // affected file. This is CDF semantics (Delta's change feed,
+    // Iceberg's changelog scan) on the engine's own table format.
+    QueryDef(
+      "q_layout_retract",
+      """WITH src AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    l_partkey AS a, l_suppkey AS b
+        |  FROM lineitem)
+        |SELECT rid % 5 AS g, count(*) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+        |FROM src
+        |WHERE NOT (rid % 7 = 3 AND rid % 3 <= 1) AND rid % 11 <> 5
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_zoneretract_${dir.hashCode.toHexString}"
+      val rows = t(s, dir, "lineitem").selectExpr(
+        "l_orderkey * 10 + l_linenumber AS rid",
+        "l_partkey AS a", "l_suppkey AS b")
+      val fsPath = new org.apache.hadoop.fs.Path(table)
+      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(fsPath)) fs.delete(fsPath, true)
+      (0 until 2).foreach { w =>
+        graft.streaming.Streaming.zoneIngestBatch(
+          rows.filter(pmod(col("rid"), lit(3)) === w), w.toLong, table)
+      }
+      // consumer materializes at (batch <= 1, gen -1) ...
+      val v0 = s.read.format("graft.sources.ZoneMapSource").load(table)
+        .select(col("rid"), col("a"), col("b"))
+        .withColumn("op", lit(1))
+        .localCheckpoint() // pin the consumer's snapshot BEFORE the
+                           // deletes land (a lazy frame would re-scan)
+      // ... then a delete (covers batches 0/1), a new batch, and a
+      // second delete (covers all three) land
+      graft.streaming.Streaming.dvDelete(s, table,
+        (rid, _, _) => rid % 7 == 3)
+      graft.streaming.Streaming.zoneIngestBatch(
+        rows.filter(pmod(col("rid"), lit(3)) === 2), 2L, table)
+      graft.streaming.Streaming.dvDelete(s, table,
+        (rid, _, _) => rid % 11 == 5)
+      val feed = graft.streaming.Streaming
+        .zoneChangesFeed(s, table, 1L, -1L)
+      v0.unionByName(feed)
+        .groupBy(pmod(col("rid"), lit(5)).as("g"))
+        .agg(sum(col("op")).cast("long").as("n"),
+          sum(col("a") * col("op")).cast("long").as("sa"),
+          sum(col("b") * col("op")).cast("long").as("sb"))
+    },
+
+    // ------------------------------------------------------------------
     // V2 WRITE PATH — zoneIngestBatch re-expressed through the
     // engine's native writer surface (SupportsWrite/BatchWrite):
     // `.write.format(...).option("batch", id).mode("append")` runs

@@ -268,12 +268,20 @@ private[graft] object ZoneMapSource {
           .builder(new GroupReadSupport(), st.getPath)
           .withConf(conf).build()
         try {
+          def blob(g: Group, name: String): Array[Byte] =
+            if (!g.getType.containsField(name)) null
+            else {
+              val i = g.getType.getFieldIndex(name)
+              if (g.getFieldRepetitionCount(i) != 1) null
+              else g.getBinary(i, 0).getBytes
+            }
           var g = rd.read()
           while (g != null) {
             out += ZoneRow(g.getString("file", 0),
               g.getLong("la", 0), g.getLong("ha", 0),
               g.getLong("lb", 0), g.getLong("hb", 0),
-              g.getLong("n", 0))
+              g.getLong("n", 0),
+              blob(g, "skr"), blob(g, "ska"), blob(g, "skb"))
             g = rd.read()
           }
         } finally rd.close()
@@ -410,7 +418,9 @@ private[graft] object ZoneMapSource {
 }
 
 private[graft] final case class ZoneRow(
-    file: String, la: Long, ha: Long, lb: Long, hb: Long, n: Long)
+    file: String, la: Long, ha: Long, lb: Long, hb: Long, n: Long,
+    skr: Array[Byte] = null, ska: Array[Byte] = null,
+    skb: Array[Byte] = null)
 
 /** Inclusive [lo, hi] bound per pruning column, from pushed filters.
   * Missing endpoints are ±∞; conservative on strict inequalities
@@ -547,7 +557,8 @@ private[graft] class ZoneMapTable(path: String, tableSchema: StructType,
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ZoneMapScanBuilder(path, tableSchema,
       ZoneMapSource.asOfOf(options).orElse(defaultAsOf),
-      ZoneMapSource.changesFromOf(options))
+      ZoneMapSource.changesFromOf(options),
+      colStats = options.getBoolean("colstats", true))
   override def newWriteBuilder(
       info: LogicalWriteInfo): WriteBuilder =
     new ZoneMapWriteBuilder(path, info)
@@ -919,9 +930,15 @@ private[sources] object ZoneMapCommit {
     // the batch zone row publishes LAST — it is the commit point
     import spark.implicits._
     val zoneStage = s"$path/.z_staging_$uid"
+    def fold(get: ZoneWriteMsg => Array[Byte]): Array[Byte] = {
+      val blobs = msgs.map(get).filter(_ != null)
+      if (blobs.size != msgs.size) null // mixed-provenance: no claim
+      else blobs.reduce(graft.functions.HllSketch.registerMax)
+    }
     Seq((s"batch=$batchId", msgs.map(_.la).min, msgs.map(_.ha).max,
-      msgs.map(_.lb).min, msgs.map(_.hb).max, msgs.map(_.n).sum))
-      .toDF("file", "la", "ha", "lb", "hb", "n")
+      msgs.map(_.lb).min, msgs.map(_.hb).max, msgs.map(_.n).sum,
+      fold(_.skr), fold(_.ska), fold(_.skb)))
+      .toDF("file", "la", "ha", "lb", "hb", "n", "skr", "ska", "skb")
       .coalesce(1).write.mode("overwrite").parquet(zoneStage)
     require(fs.rename(new Path(zoneStage),
       new Path(s"$path/zones/batch=$batchId")),
@@ -979,7 +996,9 @@ private[graft] class ZoneMapStreamingWriterFactory(
 }
 
 private[sources] final case class ZoneWriteMsg(
-    file: String, la: Long, ha: Long, lb: Long, hb: Long, n: Long)
+    file: String, la: Long, ha: Long, lb: Long, hb: Long, n: Long,
+    skr: Array[Byte] = null, ska: Array[Byte] = null,
+    skb: Array[Byte] = null)
     extends WriterCommitMessage
 
 private[sources] class ZoneMapBatchWrite(
@@ -1123,6 +1142,12 @@ private[sources] class ZoneMapDataWriter(
   private var la = Long.MaxValue; private var ha = Long.MinValue
   private var lb = Long.MaxValue; private var hb = Long.MinValue
   private var n = 0L
+  // per-column NDV register blobs ride the commit message (3 x 4 KiB
+  // per task) and fold by register max at commit — the same sketch
+  // rows zoneIngestBatch writes, so BOTH write paths feed columnStats
+  private val skr = new Array[Byte](graft.functions.HllSketch.M)
+  private val ska = new Array[Byte](graft.functions.HllSketch.M)
+  private val skb = new Array[Byte](graft.functions.HllSketch.M)
 
   override def write(row: InternalRow): Unit = {
     val (rid, a, b) = (row.getLong(0), row.getLong(1), row.getLong(2))
@@ -1131,12 +1156,15 @@ private[sources] class ZoneMapDataWriter(
     writer.write(g)
     if (a < la) la = a; if (a > ha) ha = a
     if (b < lb) lb = b; if (b > hb) hb = b
+    graft.functions.HllSketch.insert(skr, rid)
+    graft.functions.HllSketch.insert(ska, a)
+    graft.functions.HllSketch.insert(skb, b)
     n += 1
   }
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    ZoneWriteMsg(fileName, la, ha, lb, hb, n)
+    ZoneWriteMsg(fileName, la, ha, lb, hb, n, skr, ska, skb)
   }
 
   override def abort(): Unit = {
@@ -1150,7 +1178,7 @@ private[sources] class ZoneMapDataWriter(
 
 private[sources] class ZoneMapScanBuilder(
     path: String, tableSchema: StructType, asOf: Option[Long],
-    changesFrom: Option[Long] = None)
+    changesFrom: Option[Long] = None, colStats: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN {
@@ -1245,7 +1273,8 @@ private[sources] class ZoneMapScanBuilder(
   override def build(): Scan = servedAgg match {
     case Some(agg) => new ZoneMapStatsScan(path, agg, asOf)
     case None =>
-      new ZoneMapScan(path, required, pushed, asOf, topN, changesFrom)
+      new ZoneMapScan(path, required, pushed, asOf, topN, changesFrom,
+        colStats)
   }
 }
 
@@ -1320,7 +1349,7 @@ private[graft] final case class TopNPush(
 private[sources] class ZoneMapScan(
     path: String, required: StructType, pushed: Array[Filter],
     asOf: Option[Long] = None, topN: Option[TopNPush] = None,
-    changesFrom: Option[Long] = None)
+    changesFrom: Option[Long] = None, colStats: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
 
@@ -1505,13 +1534,89 @@ private[sources] class ZoneMapScan(
       s"dv deleted: $deletedInKept, " +
       runtime.map { case (c, ks) => s"runtime keys on $c: ${ks.length}" }
         .mkString("", ", ", if (runtime.isEmpty) "" else ", ") +
-      s"pushed: [${pushed.mkString(", ")}]"
+      s"pushed: [${pushed.mkString(", ")}]" +
+      ndvDescription
+
+  // ------------------------------------------------------------------
+  // COLUMN-LEVEL STATISTICS (SupportsReportStatistics.columnStats):
+  // every zone row carries a 4 KiB HLL register blob per column, so
+  // the scan can report per-column NDV for EXACTLY the kept file
+  // subset — register max is order-free and idempotent, making the
+  // merged estimate honest under box, bucket, top-N and runtime
+  // pruning alike. min/max fold from the same rows. CBO turns these
+  // into join-output cardinalities, which is what lets the planner
+  // pick broadcast sides on evidence instead of the size-product
+  // fallback (ZoneMapSourceSpec pins the BHJ flip). Live deletion
+  // vectors make the NDV an upper bound (sketches can't un-count a
+  // deleted key) — still the safe direction for a broadcast decision.
+  // Disabled per scan with .option("colstats", false).
+  private def ndvOf(get: ZoneRow => Array[Byte], rows: Long)
+      : Option[Long] = {
+    val ks = kept
+    if (ks.isEmpty) return None
+    val blobs = ks.map(get)
+    if (blobs.exists(_ == null)) return None // legacy rows: no claim
+    val acc = new Array[Byte](graft.functions.HllSketch.M)
+    blobs.foreach(graft.functions.HllSketch.registerMax(acc, _))
+    Some(math.min(graft.functions.HllSketch.estimate(acc),
+      math.max(rows, 1L)))
+  }
+
+  private def colStatsMap(rows: Long): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      ColumnStatistics]()
+    if (!colStats) return out
+    def put(name: String, get: ZoneRow => Array[Byte],
+        lohi: Option[(Long, Long)]): Unit =
+      ndvOf(get, rows).foreach { nd =>
+        out.put(Expressions.column(name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong = OptionalLong.of(nd)
+          override def nullCount(): OptionalLong = OptionalLong.of(0L)
+          override def min(): java.util.Optional[Object] =
+            lohi.map(x => java.util.Optional.of(
+              java.lang.Long.valueOf(x._1): Object))
+              .getOrElse(java.util.Optional.empty())
+          override def max(): java.util.Optional[Object] =
+            lohi.map(x => java.util.Optional.of(
+              java.lang.Long.valueOf(x._2): Object))
+              .getOrElse(java.util.Optional.empty())
+        })
+      }
+    val ks = kept
+    val ab = if (ks.isEmpty) None
+      else Some((ks.map(_.la).min, ks.map(_.ha).max,
+        ks.map(_.lb).min, ks.map(_.hb).max))
+    put("rid", _.skr, None)
+    put("a", _.ska, ab.map(x => (x._1, x._2)))
+    put("b", _.skb, ab.map(x => (x._3, x._4)))
+    out
+  }
+
+  /** For the EXPLAIN surface: the merged NDVs, when claimable. */
+  private def ndvDescription: String = {
+    if (!colStats) return ""
+    val rows = math.max(kept.map(_.n).sum - deletedInKept, 0L)
+    val parts = Seq(
+      "rid" -> ndvOf(_.skr, rows), "a" -> ndvOf(_.ska, rows),
+      "b" -> ndvOf(_.skb, rows)).collect {
+      case (c, Some(nd)) => s"$c≈$nd"
+    }
+    if (parts.isEmpty) "" else parts.mkString(", ndv: [", ", ", "]")
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val (rows, bytes) =
       (kept.map(_.n).sum - deletedInKept, files.map(_._2).sum)
     override def numRows(): OptionalLong = OptionalLong.of(rows)
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      colStatsMap(rows)
   }
 
   override def planInputPartitions(): Array[InputPartition] =

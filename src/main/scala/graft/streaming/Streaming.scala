@@ -970,14 +970,24 @@ object Streaming {
     rows.write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/data/batch=$batchId")
     // stats from the JUST-WRITTEN file, not the input frame: the row
-    // the index serves must describe the bytes a scan would read
+    // the index serves must describe the bytes a scan would read.
+    // Beside min/max/count, each zone row carries per-column NDV
+    // register blobs (graft_hll_regs, 4 KiB each) — register max is
+    // order-free and idempotent, so the scan can union them over ANY
+    // pruned file subset and report distinct counts to the planner
+    // (SupportsReportStatistics.columnStats → CBO join estimation).
     val spark = batch.sparkSession
+    graft.functions.HllSketch.register(spark)
     spark.read.parquet(s"$dir/data/batch=$batchId")
       .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
         min(col("b")).as("lb"), max(col("b")).as("hb"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        expr("graft_hll_regs(rid)").as("skr"),
+        expr("graft_hll_regs(a)").as("ska"),
+        expr("graft_hll_regs(b)").as("skb"))
       .select(lit(s"batch=$batchId").as("file"), col("la"), col("ha"),
-        col("lb"), col("hb"), col("n"))
+        col("lb"), col("hb"), col("n"), col("skr"), col("ska"),
+        col("skb"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/zones/batch=$batchId")
   }
@@ -1080,14 +1090,20 @@ object Streaming {
     }
     tiled.write.mode(SaveMode.Overwrite)
       .partitionBy("tile").parquet(dataStage.toString)
-    // stats from the staged files (tile= partition dirs), one row each
+    // stats from the staged files (tile= partition dirs), one row each —
+    // incl. the per-column NDV register blobs every zone row carries
+    graft.functions.HllSketch.register(spark)
     spark.read.parquet(dataStage.toString)
       .groupBy(col("tile"))
       .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
         min(col("b")).as("lb"), max(col("b")).as("hb"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        expr("graft_hll_regs(rid)").as("skr"),
+        expr("graft_hll_regs(a)").as("ska"),
+        expr("graft_hll_regs(b)").as("skb"))
       .select(concat(lit(s"opt=$horizon/tile="), col("tile")).as("file"),
-        col("la"), col("ha"), col("lb"), col("hb"), col("n"))
+        col("la"), col("ha"), col("lb"), col("hb"), col("n"),
+        col("skr"), col("ska"), col("skb"))
       .write.mode(SaveMode.Overwrite).parquet(zoneStage.toString)
     // swap: data first, zones second — zones/opt=K implies complete data
     def swapIn(stage: org.apache.hadoop.fs.Path, sub: String): Unit = {
@@ -1222,7 +1238,16 @@ object Streaming {
       .groupBy(col("file"), col("bucket"))
       .agg(expr("CAST(bit_or(word) AS BIGINT)").as("word"))
 
-  /** Crash-safe generation swap for the dv table (see header). */
+  /** Crash-safe generation swap for the dv table (see header). Beside
+    * the cumulative generation, the NORMALIZED delta — bits the new
+    * generation sets that the visible one lacks — persists to
+    * `dv_log/gen=<g>`: the append-only retraction journal
+    * [[zoneChangesFeed]] resolves into op=-1 rows. Normalization makes
+    * re-deleting an already-deleted row journal-silent, so a replayed
+    * feed range never double-retracts. The log lands BEFORE the
+    * generation swap: a crash in between leaves an orphan log for a
+    * generation that never published — invisible (readers stop at
+    * dvVisibleGen) and overwritten by the retry. */
   private[graft] def dvPublish(
       spark: SparkSession, dir: String, rows: DataFrame): Unit = {
     val (fs, _) = tableFs(spark, dir)
@@ -1231,6 +1256,24 @@ object Streaming {
       throw new java.io.IOException(s"dvPublish: stale staging $stage")
     rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val next = dvVisibleGen(spark, dir) + 1
+    // the generation delta, computed against the STILL-VISIBLE old
+    // generation from the staged bytes (never the unevaluated frame)
+    val cur = dvTable(spark, dir)
+      .select(col("file"), col("bucket"), col("word").as("oldw"))
+    val logStage = new org.apache.hadoop.fs.Path(dir, "dv_log/.staging")
+    if (fs.exists(logStage) && !fs.delete(logStage, true))
+      throw new java.io.IOException(s"dvPublish: stale staging $logStage")
+    spark.read.parquet(stage.toString)
+      .join(cur, Seq("file", "bucket"), "left")
+      .select(col("file"), col("bucket"),
+        expr("word & ~coalesce(oldw, CAST(0 AS BIGINT))").as("word"))
+      .filter(col("word") =!= 0L)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(logStage.toString)
+    val logTarget = new org.apache.hadoop.fs.Path(dir, s"dv_log/gen=$next")
+    if (fs.exists(logTarget) && !fs.delete(logTarget, true))
+      throw new java.io.IOException(s"dvPublish: orphan log $logTarget")
+    renameOrThrow(fs, logStage, logTarget, "dvPublish(log)")
     val target = new org.apache.hadoop.fs.Path(dir, s"dv/gen=$next")
     renameOrThrow(fs, stage, target, "dvPublish(stage->gen)")
     // retire superseded generations; readers already ignore them
@@ -1278,12 +1321,17 @@ object Streaming {
         throw new java.io.IOException(s"dvMaterialize: stale staging $p")
     }
     kept.write.mode(SaveMode.Overwrite).parquet(dataStage.toString)
+    graft.functions.HllSketch.register(spark)
     spark.read.parquet(dataStage.toString)
       .agg(min(col("a")).as("la"), max(col("a")).as("ha"),
         min(col("b")).as("lb"), max(col("b")).as("hb"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        expr("graft_hll_regs(rid)").as("skr"),
+        expr("graft_hll_regs(a)").as("ska"),
+        expr("graft_hll_regs(b)").as("skb"))
       .select(lit(s"opt=$gen").as("file"), col("la"), col("ha"),
-        col("lb"), col("hb"), col("n"))
+        col("lb"), col("hb"), col("n"),
+        col("skr"), col("ska"), col("skb"))
       .write.mode(SaveMode.Overwrite).parquet(zoneStage.toString)
     renameOrThrow(fs, dataStage,
       new org.apache.hadoop.fs.Path(s"$dir/data", s"opt=$gen"),
@@ -1295,6 +1343,89 @@ object Streaming {
     val dvRoot = new org.apache.hadoop.fs.Path(s"$dir/dv")
     if (fs.exists(dvRoot) && !fs.delete(dvRoot, true))
       throw new java.io.IOException("dvMaterialize: dv table not cleared")
+    // the retraction journal resets with the generations it indexes:
+    // a feed consumer straddling a materialize must recompute (the
+    // same contract as a compacted-away batch delta)
+    val logRoot = new org.apache.hadoop.fs.Path(s"$dir/dv_log")
+    if (fs.exists(logRoot) && !fs.delete(logRoot, true))
+      throw new java.io.IOException("dvMaterialize: dv_log not cleared")
+  }
+
+  /** CHANGE FEED WITH RETRACTIONS — the composition of the batch
+    * change feed (`changesfrom`) with the deletion-vector journal: a
+    * consumer whose materialization reflects state (fromBatch,
+    * fromDvGen) catches up to the current (latestBatch, visibleGen)
+    * with ONE frame of (rid, a, b, op) rows:
+    *
+    *   op = +1 — rows of batches in (fromBatch, latest], read through
+    *       the dv-applying batch scan, so a row appended AND deleted
+    *       inside the catch-up window nets to nothing (emitted never);
+    *   op = −1 — deletions journaled in dv_log generations in
+    *       (fromDvGen, visible] that hit batches ≤ fromBatch — rows
+    *       the consumer already holds. Deletions of newer batches are
+    *       already absorbed by the +1 term's dv filter.
+    *
+    * Applying the feed (multiset add/remove, or any op-weighted
+    * aggregate) advances the materialization to EXACTLY the current
+    * snapshot — StreamingSpec proves both the multiset identity and
+    * the composed JOIN view (the Blakeley delta rule with op carried
+    * through) hash-equal to recompute. Cost: the +1 term is the
+    * O(new files) delta scan; the −1 term reads journal rows
+    * proportional to NEW deletions and resolves them with one task
+    * per affected file. A dvMaterialize/OPTIMIZE resets the journal
+    * — consumers straddling it must recompute (loud, same contract
+    * as a compacted delta). fromDvGen = -1 means "consumer has no
+    * deletions applied yet". */
+  def zoneChangesFeed(
+      spark: SparkSession, dir: String,
+      fromBatch: Long, fromDvGen: Long): DataFrame = {
+    import spark.implicits._
+    val toGen = dvVisibleGen(spark, dir)
+    require(fromDvGen <= toGen,
+      s"zone table $dir: dv generations were reset (materialized) " +
+        s"after the consumer's watermark $fromDvGen — recompute")
+    val inserts = spark.read.format("graft.sources.ZoneMapSource")
+      .option("changesfrom", fromBatch).load(dir)
+      .select(col("rid"), col("a"), col("b"))
+      .withColumn("op", lit(1))
+    val gens = (fromDvGen + 1) to toGen
+    if (gens.isEmpty) return inserts
+    val (fs, _) = tableFs(spark, dir)
+    val logParts = gens.map(g => s"$dir/dv_log/gen=$g").filter(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (logParts.isEmpty) return inserts
+    // journal bits for the window, OR-folded per (file, bucket), kept
+    // only where they hit batches the consumer already has
+    def batchOf(rel: String): Long = {
+      val seg = rel.takeWhile(_ != '/')
+      seg.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
+    }
+    val batchOfUdf = udf(batchOf _)
+    val hits = spark.read.parquet(logParts: _*)
+      .filter(batchOfUdf(col("file")) <= fromBatch)
+      .groupBy(col("file"), col("bucket"))
+      .agg(expr("CAST(bit_or(word) AS BIGINT)").as("word"))
+      .collect() // control-plane: rows ∝ new deletions, never data
+      .groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      }
+    val dirB = dir
+    val hitList = hits.toSeq.map { case (f, bw) =>
+      (f, bw.map(_._1).toArray, bw.map(_._2).toArray)
+    }
+    val retractions = spark.createDataset(hitList)
+      .repartition(math.max(1, hitList.size))
+      .flatMap { case (rel, bks, words) =>
+        val idx = bks.zip(words).toMap
+        graft.sources.ZoneMapSource.readOrdinals(s"$dirB/data/$rel")
+          .collect { case (ord, rid, a, b)
+            if (idx.getOrElse(ord >> 6, 0L) & (1L << (ord & 63))) != 0L =>
+            (rid, a, b) }
+      }
+      .toDF("rid", "a", "b")
+      .withColumn("op", lit(-1))
+    inserts.unionByName(retractions)
   }
 
   // --------------------------------------------------------------------

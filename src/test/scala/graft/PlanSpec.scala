@@ -619,6 +619,11 @@ class PlanSpec extends SparkSpec {
       "q_knn_brute", // broadcast query set × vector table: exact baseline
       "q_knn_ivf", // N×K centroid assignment (K = 8, broadcast)
       "q_knn_ivf_trained", // same N×K assignment, per Lloyd round
+      // build (first run only): the N×K Lloyd assignment; probe: the
+      // 10-query × K-row PERSISTED centroid crossJoin — both sides
+      // bounded (queries by the probe set, centroids by K), never
+      // data×data; the corpus-sized path is the runtime-filtered scan
+      "q_knn_ivf_served",
       "q_join_theta", // a theta join IS a nested loop by definition
       "q_join_theta2", // its order-statistics twin: 1-row bounds
       // broadcast + the nation×range prefix spine (25·parts rows) —

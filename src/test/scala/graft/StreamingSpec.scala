@@ -1969,6 +1969,73 @@ class StreamingSpec extends SparkSpec {
     assert(hitDf.unionAll(missDf).count() == hitDf.count())
   }
 
+  test("change feed with retractions: op-weighted catch-up advances a " +
+    "materialization AND a maintained join view to exactly the current " +
+    "snapshot through deletes") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("zone_retract")
+    val rows = Tables(spark, sfDir, "lineitem").selectExpr(
+      "l_orderkey * 10 + l_linenumber AS rid",
+      "l_partkey AS a", "l_suppkey AS b").cache()
+    try {
+      (0 until 2).foreach { w =>
+        Streaming.zoneIngestBatch(
+          rows.filter(col("rid") % 3 === w), w.toLong, table)
+      }
+      def v2 = spark.read.format("graft.sources.ZoneMapSource").load(table)
+      def multiset(df: org.apache.spark.sql.DataFrame)
+          : Seq[(Long, Long, Long)] = df.select("rid", "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      // the consumer materializes state (batch<=1, no deletions)
+      val v0 = multiset(v2)
+      // ... then a delete, a new batch, and a second delete land
+      Streaming.dvDelete(spark, table, (rid, _, _) => rid % 7 == 3)
+      Streaming.zoneIngestBatch(
+        rows.filter(col("rid") % 3 === 2), 2L, table)
+      Streaming.dvDelete(spark, table, (rid, _, _) => rid % 11 == 5)
+      val feed = Streaming.zoneChangesFeed(spark, table, 1L, -1L).cache()
+      // 1. multiset identity: V0 + inserts − retractions == snapshot
+      val plus = multiset(feed.filter(col("op") === 1))
+      val minus = multiset(feed.filter(col("op") === -1))
+      // (rid, a, b) tuples are NOT unique in the synthetic lineitem —
+      // the identity must hold with true multiplicities
+      val counts = ((v0 ++ plus).groupBy(identity).map {
+        case (k, occ) => k -> occ.size
+      }.toMap /: minus) { (m, k) => m.updated(k, m(k) - 1) }
+      assert(counts.values.forall(_ >= 0), "multiset went negative")
+      val applied = counts.toSeq
+        .flatMap { case (k, c) => Seq.fill(c)(k) }.sorted
+      assert(applied == multiset(v2),
+        "op-applied catch-up diverged from the direct snapshot")
+      // a retraction only ever names rows the consumer held
+      assert(minus.toSet.subsetOf(v0.toSet),
+        "retraction for a row the consumer never had")
+      // 2. the composed JOIN view (Blakeley delta with op carried
+      // through): maintained = base-view agg + op-weighted delta agg
+      val dim = rows.select(pmod(col("rid"), lit(10)).as("k"))
+        .distinct().withColumn("label", concat(lit("g"), col("k")))
+      import spark.implicits._
+      val base = v0.toDF("rid", "a", "b").withColumn("op", lit(1))
+      val maintained = base.unionByName(feed)
+        .join(dim, pmod(col("rid"), lit(10)) === col("k"))
+        .groupBy(col("label"))
+        .agg(sum(col("op")).as("n"),
+          sum(col("op") * col("b")).as("sb"))
+        .filter(col("n") =!= 0)
+      val recomputed = v2
+        .join(dim, pmod(col("rid"), lit(10)) === col("k"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("b")).as("sb"))
+      assert(maintained.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+        recomputed.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+        "maintained join view != recomputed join view")
+      feed.unpersist()
+    } finally rows.unpersist()
+  }
+
   test("deletion vectors: positional skip equals the predicate filter, " +
     "waves fold into one generation, publication survives crash " +
     "leftovers, and optimize refuses until materialize clears them") {

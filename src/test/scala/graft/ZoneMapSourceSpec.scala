@@ -495,6 +495,89 @@ class ZoneMapSourceSpec extends SparkSpec {
         pmod(col("rid"), lit(2)) === 1).count())
   }
 
+  test("column NDV statistics: zone sketches merge to per-column " +
+    "distinct counts in-plan, and CBO flips the join above to " +
+    "broadcast on that evidence") {
+    // 1. the merged NDVs surface in the scan description and track the
+    // exact distinct counts within HLL tolerance (σ ≈ 1.6% at 4096
+    // registers; allow 5%)
+    // a plain projection (count(*) would be served by the stats-only
+    // scan, which has no ndv surface)
+    val desc = batchScan(v2.select(col("rid"))).scan.description()
+    val ndv = "(rid|a|b)≈(\\d+)".r.findAllMatchIn(desc)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    assert(ndv.keySet == Set("rid", "a", "b"), s"ndv missing in: $desc")
+    val exact = rows.agg(
+      countDistinct(col("rid")), countDistinct(col("a")),
+      countDistinct(col("b"))).collect()(0)
+    Seq("rid" -> exact.getLong(0), "a" -> exact.getLong(1),
+      "b" -> exact.getLong(2)).foreach { case (c, ex) =>
+      assert(math.abs(ndv(c) - ex) <= math.max(2L, ex / 20),
+        s"ndv($c) = ${ndv(c)} vs exact $ex")
+    }
+    // 2. the CBO flip: (t1 ⋈ t2-filtered ON rid) ⋈ t3 ON a — with
+    // column stats the join output is estimated near-exactly (rid is
+    // unique, the box filter's selectivity comes from min/max), so it
+    // broadcasts into t3; with colstats OFF (same cbo, same data) the
+    // join has no cardinality and falls back to the size product — too
+    // big to broadcast, so the upper join stays sort-merge.
+    def load(statsOn: Boolean) = spark.read
+      .format("graft.sources.ZoneMapSource")
+      .option("colstats", statsOn.toString).load(table)
+    val (amin, amax) = {
+      val r = rows.agg(min(col("a")), max(col("a"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // middle 1/16th of the a-domain — selective enough that the
+    // estimated join output undercuts the data files' byte size
+    val lo16 = amin + (amax - amin + 1) / 2
+    val hi16 = amin + (amax - amin + 1) / 2 + (amax - amin + 1) / 16
+    def q(statsOn: Boolean) = {
+      val t1 = load(statsOn)
+      val t2 = load(statsOn).filter(col("a").between(lo16, hi16))
+        .select(col("rid"), col("b").as("b2"))
+      val t3 = load(statsOn).select(col("a"), col("b").as("b3"))
+      t1.join(t2, "rid").join(t3, "a")
+        .agg(count(lit(1)).as("n"))
+    }
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the threshold sits BETWEEN the stats-on estimate of the lower
+      // join's output (broadcastable evidence) and the projected t3
+      // scan (must never broadcast) — all measured, not guessed. The
+      // t3 estimate differs per world (CBO row-width model with
+      // column stats, file-bytes fallback without), so bound by BOTH.
+      val eOn = load(true)
+        .join(load(true).filter(col("a").between(lo16, hi16))
+          .select(col("rid"), col("b").as("b2")), "rid")
+        .select(col("a"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      def t3est(statsOn: Boolean) = load(statsOn)
+        .filter(col("a").isNotNull).select(col("a"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val b3 = t3est(true).min(t3est(false))
+      assert(eOn * 2 <= b3,
+        s"precondition: join estimate $eOn not well under t3 scan $b3")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((eOn + b3) / 2).toString)
+      val onPlan = q(true).queryExecution.sparkPlan.toString
+      val offPlan = q(false).queryExecution.sparkPlan.toString
+      assert(onPlan.contains("BroadcastHashJoin [a#"),
+        s"stats-on upper join not broadcast:\n$onPlan")
+      assert(!onPlan.contains("SortMergeJoin [a#"), onPlan)
+      assert(offPlan.contains("SortMergeJoin [a#"),
+        s"stats-off upper join unexpectedly broadcast:\n$offPlan")
+      // the answers agree regardless of strategy, of course
+      assert(q(true).collect()(0).getLong(0) ==
+        q(false).collect()(0).getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("storage-partitioned join: co-bucketed tables join with ZERO " +
     "exchanges and the result equals the plain shuffled join") {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
