@@ -212,10 +212,13 @@ object Bench {
     // git diffs rank regressions directly) plus the task-metric bytes
     // from the min-winning sample — same guarded write as
     // BENCH_LOCAL.json: a disk failure must not kill the stdout channel.
-    // Skipped on SPARK_GRAFT_ONLY subset runs: the committed artifact
-    // represents the FULL suite, and a 3-query dev loop must not
-    // clobber it (it did once — the restore commit after dccfaaa).
-    if (only.isEmpty) try {
+    // On SPARK_GRAFT_ONLY subset runs the committed artifact must not
+    // be clobbered (it represents the FULL suite; it was once — the
+    // restore commit after dccfaaa), so subsets land in a sidecar
+    // bench_per_query_subset.json instead: dev loops still get the
+    // task-metric bytes (the shuffle/spill evidence plan work is
+    // judged by) without touching the round artifact.
+    try {
       val perQuery = qlist.map { case (name, _) =>
         val samples = passes.map(_.find(_._1 == name).get._2)
         val raw = samples.map(s => ms(s.sec)).mkString("[", ",", "]")
@@ -230,8 +233,10 @@ object Bench {
         |"queries":{
         |$perQuery
         |}}""".stripMargin
+      val artifact = if (only.isEmpty) "bench_per_query.json"
+        else "bench_per_query_subset.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_per_query.json"),
+        java.nio.file.Paths.get(artifact),
         (body + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(

@@ -344,14 +344,29 @@ object Graph {
         .filter(col("idx") ===
           floor(lit(coreQ) * (col("n") - 1)).cast("long"))
         .select(col("d").as("k"))
+      // FRONTIER-DELTA peeling (r13): the survivor semi-join re-shuffled
+      // the WHOLE edge relation by dst every generation (72.8 MB at
+      // sf0.1, the suite's largest shuffle). Peeling only ever REMOVES
+      // nodes, so the complement carries the same information in the
+      // peel set's size: anti-join both endpoints against the REMOVED
+      // frontier (nodes with d < k this generation), broadcast — the
+      // edge relation keeps its one src hash-partitioning end to end
+      // and per-generation shuffled bytes shrink to the frontier, not
+      // the graph. Degree recompute stays exchange-free on the
+      // preserved partitioning. The frontier is ≤ |V| rows and shrinks
+      // monotonically; at a scale where a first-generation frontier
+      // outgrew the broadcast budget, AQE's size-aware planning (drop
+      // the explicit hint) or a keyed anti-join is the fallback — the
+      // semantics are identical either way, which is what the
+      // unchanged oracle hash proves.
       for (_ <- 0 until corePeels) {
-        val sv = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        val removed = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
           .crossJoin(broadcast(kRel))
-          .filter(col("d") >= col("k")).select(col("src"))
+          .filter(col("d") < col("k")).select(col("src"))
         edges = edges
-          .join(sv.hint("shuffle_hash"), Seq("src"), "left_semi")
-          .join(sv.withColumnRenamed("src", "dst").hint("shuffle_hash"),
-            Seq("dst"), "left_semi")
+          .join(broadcast(removed), Seq("src"), "left_anti")
+          .join(broadcast(removed.withColumnRenamed("src", "dst")),
+            Seq("dst"), "left_anti")
           .select(col("src"), col("dst"))
           .localCheckpoint()
       }
@@ -891,12 +906,18 @@ object Graph {
         .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
           (col("l_partkey") * 2).as("dst")))
       val edges = sym.repartition(col("src")).cache()
+      // the min-neighbor-hash join keys on DST — without a standing
+      // dst partitioning it re-shuffled the whole edge relation every
+      // Luby round (56.5 MB at sf0.1). Pay that exchange ONCE, cached;
+      // each round then moves only the |V|-row alive set (the
+      // adjacency-shuffles-once discipline, applied to the second key)
+      val edgesByDst = sym.repartition(col("dst")).cache()
       var alive = edges.select(col("src").as("v")).distinct()
         .withColumn("h", h60(concat(lit("mis:"), col("v").cast("string"))))
         .localCheckpoint()
       var mis: DataFrame = null
       for (r <- 1 to misRounds) {
-        val mn = edges
+        val mn = edgesByDst
           .join(alive.select(col("v").as("dst"), col("h").as("hn")), "dst")
           .groupBy(col("src")).agg(min(col("hn")).as("mn"))
         val cand = alive
