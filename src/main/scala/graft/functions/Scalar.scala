@@ -295,21 +295,31 @@ object Scalar {
       """SELECT p_partkey,
         |  p_partkey AS id2,
         |  p_brand AS b2,
-        |  true AS rt_ok
+        |  p_partkey * 3 AS xv,
+        |  CAST(p_partkey % 7 AS VARCHAR) AS xu
         |FROM part""".stripMargin) { (s, dir) =>
+      // id2/b2 round-trip to_xml→from_xml and hash against the raw
+      // columns; xv/xu parse element text and an attribute out of a
+      // constructed document with the real xpath machinery while the
+      // oracle computes the truth arithmetically — every output is an
+      // exact cross-engine value, no in-plan verdict (r12 ADVICE:
+      // convert verdict oracles where an exact replay is expressible).
       val sch = StructType(Seq(
         StructField("id", org.apache.spark.sql.types.LongType),
         StructField("b", StringType)))
       t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"),
           to_xml(struct(col("p_partkey").as("id"), col("p_brand").as("b")))
-            .as("x"))
+            .as("x"),
+          concat(lit("<r><v u=\""),
+            pmod(col("p_partkey"), lit(7)).cast("string"),
+            lit("\">"), (col("p_partkey") * 3).cast("string"),
+            lit("</v></r>")).as("x2"))
         .select(col("p_partkey"),
           from_xml(col("x"), sch).getField("id").as("id2"),
           from_xml(col("x"), sch).getField("b").as("b2"),
-          (from_xml(col("x"), sch).getField("id") === col("p_partkey") &&
-            from_xml(col("x"), sch).getField("b") === col("p_brand"))
-            .as("rt_ok"))
+          expr("xpath_long(x2, '/r/v/text()')").as("xv"),
+          expr("xpath_string(x2, '/r/v/@u')").as("xu"))
     },
 
     // ------------------------------------------------------------------
