@@ -260,9 +260,47 @@ class ZoneCatalog extends TableCatalog with ProcedureCatalog
           Array(new GenericInternalRow(Array[Any](before, pending())))
         }
       }
+      case "vacuum" => new ZoneProcWithInt("vacuum", "retain_gens",
+        "truncate the deletion-vector retraction journal to the " +
+          "newest <retain_gens> generations and drop orphan logs and " +
+          "stale staging; a feed consumer whose watermark predates " +
+          "the horizon gets a loud recompute error from " +
+          "zoneChangesFeed instead of silently missing retractions",
+        StructType(Seq(StructField("logs_removed", LongType),
+          StructField("logs_kept", LongType)))) {
+        override def run(dotted: String, arg: Int): Array[InternalRow] = {
+          val (removed, kept) = graft.streaming.Streaming.dvLogVacuum(
+            SparkSession.active, tableDir(dotted), arg)
+          Array(new GenericInternalRow(Array[Any](removed, kept)))
+        }
+      }
       case other => throw new UnsupportedOperationException(
         s"unknown zone-map procedure: $other")
     }
+
+  /** (table string, <intName> int) in, a LocalScan of summary rows
+    * out — the two-parameter sibling of [[ZoneProc]]. */
+  private abstract class ZoneProcWithInt(
+      nm: String, intName: String, desc: String, out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    def run(dotted: String, arg: Int): Array[InternalRow]
+    override def name(): String = nm
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in(intName,
+          org.apache.spark.sql.types.IntegerType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow)
+        : java.util.Iterator[Scan] = {
+      val result = run(input.getUTF8String(0).toString, input.getInt(1))
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
 
   /** One string parameter in, a LocalScan of summary rows out. */
   private abstract class ZoneProc(

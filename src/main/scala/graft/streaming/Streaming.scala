@@ -1391,9 +1391,18 @@ object Streaming {
     val gens = (fromDvGen + 1) to toGen
     if (gens.isEmpty) return inserts
     val (fs, _) = tableFs(spark, dir)
-    val logParts = gens.map(g => s"$dir/dv_log/gen=$g").filter(p =>
-      fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (logParts.isEmpty) return inserts
+    // every published generation journals (possibly empty) — a missing
+    // dir inside the window means the journal was vacuumed past the
+    // consumer's watermark (or predates the journal): loud recompute,
+    // never silently missing retractions
+    val logParts = gens.map { g =>
+      val p = s"$dir/dv_log/gen=$g"
+      require(fs.exists(new org.apache.hadoop.fs.Path(p)),
+        s"zone table $dir: retraction journal gen=$g is gone " +
+          s"(vacuumed past the consumer's watermark $fromDvGen) — " +
+          "recompute the materialization")
+      p
+    }
     // journal bits for the window, OR-folded per (file, bucket), kept
     // only where they hit batches the consumer already has
     def batchOf(rel: String): Long = {
@@ -1426,6 +1435,39 @@ object Streaming {
       .toDF("rid", "a", "b")
       .withColumn("op", lit(-1))
     inserts.unionByName(retractions)
+  }
+
+  /** Retention for the retraction journal: keep the newest `retain`
+    * generations' logs (those a live feed consumer could still need),
+    * delete everything older plus orphan logs for generations that
+    * never published (a dvPublish crash window) and stale staging.
+    * Returns (removed, kept). A consumer whose watermark predates the
+    * horizon gets [[zoneChangesFeed]]'s loud recompute error — never
+    * silently missing retractions. This is the journal's VACUUM: the
+    * log grows ∝ deletions × generations without it. */
+  def dvLogVacuum(
+      spark: SparkSession, dir: String, retain: Int): (Long, Long) = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val (fs, root) = tableFs(spark, s"$dir/dv_log")
+    if (!fs.exists(root)) return (0L, 0L)
+    val visible = dvVisibleGen(spark, dir)
+    val horizon = visible - retain // keep gens > horizon, <= visible
+    var removed = 0L
+    var kept = 0L
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val drop =
+        if (n.startsWith("gen=")) {
+          val g = n.drop(4).toLong
+          g <= horizon || g > visible // aged out, or orphan
+        } else n.startsWith(".") // stale staging
+      if (drop) {
+        if (!fs.delete(st.getPath, true))
+          throw new java.io.IOException(s"vacuum: ${st.getPath} stuck")
+        removed += 1
+      } else if (n.startsWith("gen=")) kept += 1
+    }
+    (removed, kept)
   }
 
   // --------------------------------------------------------------------

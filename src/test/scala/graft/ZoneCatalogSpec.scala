@@ -231,6 +231,43 @@ class ZoneCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE zmt.db.p")
   }
 
+  test("CALL vacuum truncates the retraction journal: a fresh-watermark " +
+    "feed still works, an aged one gets the loud recompute error, and " +
+    "orphan logs are swept") {
+    wh
+    rows.createOrReplaceTempView("zc_src_vac")
+    spark.sql("CREATE TABLE zmt.db.v (rid BIGINT, a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO zmt.db.v SELECT * FROM zc_src_vac")
+    val dir = s"$wh/db/v"
+    // three deletion generations → three journal entries
+    spark.sql("DELETE FROM zmt.db.v WHERE rid % 13 = 1")
+    spark.sql("DELETE FROM zmt.db.v WHERE rid % 13 = 2")
+    spark.sql("DELETE FROM zmt.db.v WHERE rid % 13 = 3")
+    // a consumer at gen 1 can still catch up before the vacuum
+    val preFeed = graft.streaming.Streaming
+      .zoneChangesFeed(spark, dir, 0L, 1L)
+    assert(preFeed.filter(col("op") === -1).count() ==
+      rows.filter(pmod(col("rid"), lit(13)) === 3).count(),
+      "pre-vacuum feed must retract exactly gen 2's deletions")
+    // plant an orphan journal (a dvPublish crash window) — swept too
+    val fsp = new org.apache.hadoop.fs.Path(s"$dir/dv_log/gen=99")
+    val fs2 = fsp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs2.mkdirs(fsp))
+    val vac = spark.sql("CALL zmt.system.vacuum('db.v', 1)").collect()(0)
+    assert(vac.getLong(0) == 3 && vac.getLong(1) == 1,
+      s"expected 3 removed (gens 0,1 + orphan 99), 1 kept: $vac")
+    // fresh watermark (gen 2) still serves
+    assert(graft.streaming.Streaming.zoneChangesFeed(spark, dir, 2L, 2L)
+      .count() == 0)
+    // aged watermark: loud recompute, never silent missing retractions
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.zoneChangesFeed(spark, dir, 0L, 0L)
+        .count()
+    }
+    assert(e.getMessage.contains("recompute"), e.getMessage)
+    spark.sql("DROP TABLE zmt.db.v")
+  }
+
   test("namespaces are directory algebra: CREATE/SHOW/DROP, non-empty " +
     "drop refused without CASCADE, tables never list as namespaces") {
     wh
