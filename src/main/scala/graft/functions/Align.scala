@@ -105,7 +105,90 @@ case class SwScore(
     copy(left = newLeft, right = newRight)
 }
 
+/** chrF (Popović, WMT 2015) per document pair as one codegen scalar:
+  * `graft_chrf(candidate, reference)` → the β=2 character-n-gram
+  * F-score (orders 1..6) in exact integer µ-units, −1 when the pair
+  * has no grams at any order (the caller maps the sentinel to NULL so
+  * sacrebleu's effective-order exclusion survives aggregation). The
+  * metric collapses algebraically to 5m/(4·tr + tc) per order — exact
+  * integer division — so the kernel is pure counting: per order one
+  * hash-multiset of candidate grams, one decrementing probe pass over
+  * reference grams. Cost ∝ 6·(|c| + |r|) hash ops per row, zero
+  * shuffles — the first cut exploded every gram occurrence into a
+  * (doc, order, gram) shuffle and measured 17 s at sf0.1 / 11× on 10×
+  * data; per-document scalars must never shuffle their internals.
+  * Characters are UTF-16 code units (≡ DuckDB's code points on the
+  * BMP text this corpus holds). */
+case class ChrfScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_chrf"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Align.chrfU(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Align.chrfU($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChrfScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object Align {
+
+  /** See [[ChrfScore]]. −1 = no grams at any order on either side. */
+  def chrfU(cand: UTF8String, ref: UTF8String): Long = {
+    val c = cand.toString
+    val r = ref.toString
+    var fsum = 0L
+    var neff = 0
+    var n = 1
+    while (n <= 6) {
+      val lc = c.length - n + 1
+      val lr = r.length - n + 1
+      if (lc > 0 || lr > 0) {
+        neff += 1
+        var matched = 0L
+        if (lc > 0 && lr > 0) {
+          val counts = new java.util.HashMap[String, Integer](lc * 2)
+          var i = 0
+          while (i < lc) {
+            val g = c.substring(i, i + n)
+            val prev = counts.get(g)
+            counts.put(g, if (prev == null) 1 else prev + 1)
+            i += 1
+          }
+          var j = 0
+          while (j < lr) {
+            val g = r.substring(j, j + n)
+            val cnt = counts.get(g)
+            if (cnt != null && cnt > 0) {
+              matched += 1
+              counts.put(g, cnt - 1)
+            }
+            j += 1
+          }
+        }
+        val tc = math.max(lc, 0).toLong
+        val tr = math.max(lr, 0).toLong
+        fsum += (5L * matched * 1000000L) / (4L * tr + tc)
+      }
+      n += 1
+    }
+    if (neff == 0) -1L else fsum / neff
+  }
+
 
   /** Bit-parallel LCS length. Position i of `a` owns bit i; per symbol
     * of `b` the update `V = (V + U) | (V − U)`, U = V & M, advances
@@ -238,12 +321,20 @@ object Align {
       requireFoldableInt(exprs(4), "gap"))
   }
 
-  /** Registers `graft_lcs_len(a, b)` and
-    * `graft_sw_score(a, b, match, mismatch, gap)`. */
+  private[graft] def chrfBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "graft_chrf takes (string, string)")
+    ChrfScore(exprs(0), exprs(1))
+  }
+
+  /** Registers `graft_lcs_len(a, b)`,
+    * `graft_sw_score(a, b, match, mismatch, gap)` and
+    * `graft_chrf(cand, ref)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lcs_len", lcsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sw_score", swBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chrf", chrfBuilder, "built-in")
   }
 }

@@ -383,6 +383,62 @@ object TextAnalysis {
       |JOIN p3 USING (source) JOIN p4 USING (source)""".stripMargin
   }
 
+  /** DuckDB replay of q_eval_chrf: same corruption, whitespace-stripped
+    * character n-grams of orders 1..6 counted RAW (the engine side is
+    * a per-row kernel, so there is no shuffle key to hash), per-(doc,
+    * order) matched/total counts, and the β=2 F-score in EXACT integer
+    * µ-units — F = 5m/(4·tr + tc) is a ratio of exact integers, so
+    * unlike BLEU's logs there is NO float anywhere in this metric. */
+  private def chrfOracle: String = {
+    s"""WITH d0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS rw
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(list_filter(list_transform(range(1, len(rw) + 1),
+      |      i -> CASE WHEN (doc_id + i) % 11 = 0 THEN NULL
+      |                WHEN (doc_id + i) % 7 = 0 THEN 'the'
+      |                ELSE rw[CAST(i AS INTEGER)] END),
+      |      x -> x IS NOT NULL), '') AS cs,
+      |    array_to_string(rw, '') AS rs
+      |  FROM d0),
+      |gr AS (
+      |  SELECT doc_id, source, n, g AS gid, side FROM (
+      |    SELECT doc_id, source, nn.n AS n,
+      |      unnest(list_transform(range(1, len(cs) - nn.n + 2),
+      |        i -> substring(cs, CAST(i AS INTEGER), nn.n))) AS g,
+      |      0 AS side
+      |    FROM base, (SELECT CAST(unnest(range(1, 7)) AS INTEGER) AS n) nn
+      |    WHERE len(cs) >= nn.n
+      |    UNION ALL
+      |    SELECT doc_id, source, nn.n AS n,
+      |      unnest(list_transform(range(1, len(rs) - nn.n + 2),
+      |        i -> substring(rs, CAST(i AS INTEGER), nn.n))) AS g,
+      |      1 AS side
+      |    FROM base, (SELECT CAST(unnest(range(1, 7)) AS INTEGER) AS n) nn
+      |    WHERE len(rs) >= nn.n)),
+      |cnts AS (
+      |  SELECT doc_id, source, n, gid,
+      |    count(CASE WHEN side = 0 THEN 1 END) AS c0,
+      |    count(CASE WHEN side = 1 THEN 1 END) AS c1
+      |  FROM gr GROUP BY 1, 2, 3, 4),
+      |pn AS (
+      |  SELECT doc_id, source, n,
+      |    CAST(sum(least(c0, c1)) AS BIGINT) AS m,
+      |    CAST(sum(c0) AS BIGINT) AS tc,
+      |    CAST(sum(c1) AS BIGINT) AS tr
+      |  FROM cnts GROUP BY 1, 2, 3),
+      |fd AS (
+      |  SELECT doc_id, source,
+      |    CAST(sum((5 * m * 1000000) // (4 * tr + tc)) AS BIGINT)
+      |      // count(*) AS chrf_u
+      |  FROM pn GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(floor(CAST(sum(chrf_u) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) + 0.5e0) AS BIGINT) AS mean_chrf_u
+      |FROM fd GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // WordPiece trainer — bpeTrain's loop with the likelihood argmax.
 
@@ -2020,6 +2076,55 @@ object TextAnalysis {
           sum(size(col("rw"))).cast("long").as("rlen"))
       perN.foldLeft(lens)((acc, d) => acc.join(d, "source"))
         .selectExpr(bleuOut: _*)
+    },
+
+    // ------------------------------------------------------------------
+    // chrF (Popović, WMT 2015) — the third member of the MT-eval triple
+    // beside q_eval_bleu (word n-gram precision) and q_eval_rougel
+    // (subsequence recall): character n-gram F-score, orders 1..6 over
+    // the whitespace-stripped strings, β = 2 weighting recall double.
+    // The metric is EXACT INTEGER arithmetic end to end: with m =
+    // matched, tc/tr = candidate/reference gram totals, the β=2
+    // F-score 5PR/(4P+R) algebraically collapses to 5m/(4·tr + tc) — a
+    // ratio of exact counts, so per-(doc, order) scores floor to
+    // µ-units with zero float involvement (where BLEU needed the
+    // ln-boundary discipline, chrF needs nothing). Orders where a doc
+    // has no grams on either side drop out (sacrebleu's effective
+    // order — the kernel's −1 sentinel maps to NULL so such docs leave
+    // the mean); per-doc score = integer mean over effective orders,
+    // per-source = integer mean over docs. Engine shape: chrF is a
+    // PER-DOCUMENT SCALAR, so it computes as ONE codegen kernel call
+    // per row ([[graft.functions.ChrfScore]] — per order a hash
+    // multiset of candidate grams + a decrementing reference probe) —
+    // scan, project, one small per-source aggregate, ZERO data
+    // shuffles. The first cut exploded every gram occurrence into a
+    // (doc, order, gram) shuffle: 17 s at sf0.1 and 11× on 10× data;
+    // the kernel form is 30× cheaper and linear — per-document scalars
+    // must never shuffle their internals. The candidate is the shared
+    // q_eval_bleu corruption, so all three metrics grade the same
+    // system output; the oracle replays the gram counting relationally
+    // in DuckDB, making the hash match a cross-SHAPE proof (relational
+    // staircase ≡ kernel).
+    QueryDef("q_eval_chrf", chrfOracle) { (s, dir) =>
+      graft.functions.Align.register(s)
+      val rw = split(col("text"), " ")
+      val cw = filter(
+        transform(sequence(lit(1), size(col("rw"))),
+          i => when((col("doc_id") + i) % 11 === 0, lit(null))
+            .when((col("doc_id") + i) % 7 === 0, lit("the"))
+            .otherwise(element_at(col("rw"), i))),
+        x => x.isNotNull)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), rw.as("rw"))
+        .withColumn("cw", cw)
+        .select(col("source"),
+          expr("nullif(graft_chrf(concat_ws('', cw), " +
+            "concat_ws('', rw)), -1)").as("chrf_u"))
+        .groupBy(col("source"))
+        .agg(count(col("chrf_u")).cast("long").as("n_docs"),
+          expr("CAST(floor(CAST(sum(chrf_u) AS DOUBLE) " +
+            "/ CAST(count(chrf_u) AS DOUBLE) + 0.5e0) AS BIGINT)")
+            .as("mean_chrf_u"))
     },
 
     // ------------------------------------------------------------------

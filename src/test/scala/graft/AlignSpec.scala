@@ -100,6 +100,39 @@ class AlignSpec extends SparkSpec {
     assert(Align.swScore(arr(aa), arr(bb), 2, -1, -1) == 10)
   }
 
+  test("chrF kernel equals a naive multiset reference across orders, " +
+    "edges and the effective-order sentinel") {
+    def naive(c: String, r: String): Long = {
+      val per = (1 to 6).flatMap { n =>
+        val cg = (0 to c.length - n).map(i => c.substring(i, i + n))
+        val rg = (0 to r.length - n).map(i => r.substring(i, i + n))
+        if (cg.isEmpty && rg.isEmpty) None
+        else {
+          val cc = cg.groupBy(identity).map { case (k, v) => k -> v.size }
+          val m = rg.groupBy(identity).map { case (k, v) =>
+            math.min(v.size, cc.getOrElse(k, 0))
+          }.sum.toLong
+          Some((5L * m * 1000000L) / (4L * rg.size + cg.size))
+        }
+      }
+      if (per.isEmpty) -1L else per.sum / per.size
+    }
+    def k(c: String, r: String): Long =
+      Align.chrfU(UTF8String.fromString(c), UTF8String.fromString(r))
+    val rnd2 = new scala.util.Random(77L)
+    for (lc <- Seq(0, 1, 3, 5, 7, 40, 120); lr <- Seq(0, 2, 6, 41);
+         alpha <- Seq(2, 4)) {
+      val c = (0 until lc).map(_ => ('a' + rnd2.nextInt(alpha)).toChar)
+        .mkString
+      val r = (0 until lr).map(_ => ('a' + rnd2.nextInt(alpha)).toChar)
+        .mkString
+      assert(k(c, r) == naive(c, r), s"lc=$lc lr=$lr alpha=$alpha")
+    }
+    assert(k("", "") == -1L, "no grams at any order must sentinel")
+    assert(k("abc", "abc") == 1000000L, "identical strings score 1.0")
+    assert(k("abc", "xyz") == 0L, "disjoint alphabets score 0")
+  }
+
   test("both expressions survive whole-stage codegen over a real scan " +
     "and null input arrays yield null") {
     graft.functions.Align.register(spark)
