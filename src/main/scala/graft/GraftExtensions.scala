@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in approx mode: count(DISTINCT x) → HLL estimate behind
     // graft.approxDistinct.enabled (default off — exact)
     ext.injectOptimizerRule(plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(plans.ApproxPercentileRewrite)
     // whole-operator extension tier: logical node + strategy + physical
     // merge operator (plans/AsOfJoin.scala)
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)

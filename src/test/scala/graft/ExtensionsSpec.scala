@@ -132,6 +132,49 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("approx-percentile rewrite: flag on swaps exact percentile for " +
+    "the sketch within the rank band; flag off and guarded shapes " +
+    "stay exact") {
+    withExtSession { ext =>
+      val li = ext.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("CAST(l_extendedprice AS DOUBLE) AS x",
+          "l_linestatus AS g")
+      li.createOrReplaceTempView("apr_li")
+      def medianDf = ext.sql("SELECT percentile(x, 0.5) AS p FROM apr_li")
+      val exact = medianDf.collect()(0).getDouble(0)
+      assert(!medianDf.queryExecution.optimizedPlan.toString
+        .contains("percentile_approx"), "rewrite fired while off")
+      try {
+        ext.conf.set("graft.approxPercentile.enabled", "true")
+        val df = medianDf
+        assert(df.queryExecution.optimizedPlan.toString
+          .contains("percentile_approx"), "rewrite did not fire")
+        val est = df.collect()(0).getDouble(0)
+        // accuracy 10000 bounds rank error to 0.01%·n — a 1% value
+        // band is a wide margin on this smooth distribution
+        assert(math.abs(est - exact) <= math.abs(exact) * 0.01,
+          s"estimate $est outside 1% of $exact")
+        // grouped shape rewrites too
+        val grouped = ext.sql(
+          "SELECT g, percentile(x, 0.9) AS p FROM apr_li GROUP BY g")
+        assert(grouped.queryExecution.optimizedPlan.toString
+          .contains("percentile_approx"))
+        assert(grouped.collect().forall(!_.isNullAt(1)))
+        // guarded shapes pass through untouched: array of fractions,
+        // FILTER clause, weighted percentile, non-double child
+        val guarded = Seq(
+          "SELECT percentile(x, array(0.25, 0.75)) FROM apr_li",
+          "SELECT percentile(x, 0.5) FILTER (WHERE g = 'F') FROM apr_li",
+          "SELECT percentile(x, 0.5, 2) FROM apr_li",
+          "SELECT percentile(CAST(x AS BIGINT), 0.5) FROM apr_li")
+        guarded.foreach { q =>
+          assert(!ext.sql(q).queryExecution.optimizedPlan.toString
+            .contains("percentile_approx"), s"guarded shape rewritten: $q")
+        }
+      } finally ext.conf.set("graft.approxPercentile.enabled", "false")
+    }
+  }
+
   test("cartesian guard check rule: opt-in rejection, default-off passage") {
     withExtSession { ext =>
       val a = ext.range(3).toDF("a")
