@@ -945,6 +945,69 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // INTERVAL OVERLAP JOIN (new r13) — the range-RANGE member of the
+    // temporal-join family: where q_join_range matches a POINT into a
+    // window, this matches two interval SETS on non-empty intersection
+    // ([cs,ce] ∩ [ps,pe] ≠ ∅ ⟺ cs ≤ pe AND ps ≤ ce) — the
+    // genomics/session-overlap staple (BEDTools intersect, temporal
+    // OVERLAPS) that Spark has no native operator for. Spark-first
+    // rewrite: BIN both interval sets at W = 10 min ≥ the longest
+    // interval, exploding each interval into its covered bins
+    // (⌈len/W⌉+1 ≤ 2 here) — overlapping intervals must share the bin
+    // of ANY point in their intersection, so candidates form a pure
+    // (user, bin)-keyed EQUI-join, provably lossless for any W (the
+    // q_geo_pip2 cell-cover argument on the time axis); a DISTINCT on
+    // the id pair collapses multi-bin duplicates before the exact
+    // predicate re-filters. Overlap durations are exact integer µs
+    // (min(ce,pe) − max(cs,ps) on unix_micros), so the per-user sums
+    // hash with zero float armor. The oracle runs the textbook
+    // non-equi join — the hash match proves the bin cover loses and
+    // invents nothing. At 100 TB the non-equi form degenerates to a
+    // per-user nested loop exactly like q_join_range's; the binned
+    // form shuffles each side once on (user, bin).
+    QueryDef(
+      "q_join_overlap",
+      """WITH c AS (
+        |  SELECT user_id, event_id AS cid, epoch_us(ts) AS cs,
+        |    epoch_us(ts) + 420000000 AS ce
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) - 180000000 AS ps,
+        |    epoch_us(ts) + 180000000 AS pe
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(least(ce, pe) - greatest(cs, ps)) AS BIGINT)
+        |    AS overlap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND cs <= pe AND ps <= ce
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val binUs = 600000000L // 10 min ≥ the longest interval (7 min)
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"),
+          unix_micros(col("ts")).as("cs"),
+          (unix_micros(col("ts")) + 420000000L).as("ce"))
+        .withColumn("bin",
+          explode(sequence(expr(s"cs DIV $binUs"), expr(s"ce DIV $binUs"))))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("pid"),
+          (unix_micros(col("ts")) - 180000000L).as("ps"),
+          (unix_micros(col("ts")) + 180000000L).as("pe"))
+        .withColumn("bin",
+          explode(sequence(expr(s"ps DIV $binUs"), expr(s"pe DIV $binUs"))))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") && clicks("bin") === purchases("bin"))
+        .select(col("user_id"), col("cid"), col("pid"),
+          col("cs"), col("ce"), col("ps"), col("pe"))
+        .distinct() // multi-bin pairs collapse before the predicate
+        .filter(col("cs") <= col("pe") && col("ps") <= col("ce"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("ce"), col("pe")) - greatest(col("cs"), col("ps")))
+            .cast("long").as("overlap_us"))
+    },
+
+    // ------------------------------------------------------------------
     // As-of join: for each purchase, the most recent prior click by the same
     // user within 1 day. Composed Spark-first: bounded range join + ranking
     // window (the bound keeps the candidate set finite at 100 TB; a custom
