@@ -105,5 +105,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[functions.SwScore].getName, "graft_sw_score"),
       functions.Align.swBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chrf"),
+      new ExpressionInfo(
+        classOf[functions.ChrfScore].getName, "graft_chrf"),
+      functions.Align.chrfBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bleu_counts"),
+      new ExpressionInfo(
+        classOf[functions.BleuCounts].getName, "graft_bleu_counts"),
+      functions.Align.bleuBuilder))
   }
 }

@@ -14,6 +14,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Content fingerprint of one or more input paths: MD5 over the
+    * sorted (path, mtime, length) triples of every file underneath.
+    * Derived artifacts (persisted indexes, rebuildable zone tables)
+    * key their on-disk location on this so a REGENERATED input at the
+    * same path invalidates the artifact, and two distinct inputs can
+    * never collide the way `String.hashCode` can — the staleness bug
+    * class a plain dir-hash key carries. Control-plane only: one FS
+    * listing per path, no data read. */
+  def contentFingerprint(spark: SparkSession, paths: String*): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = paths.sorted.flatMap { p =>
+      val fsPath = new org.apache.hadoop.fs.Path(p)
+      val fs = fsPath.getFileSystem(conf)
+      if (!fs.exists(fsPath)) Seq(s"$p:absent")
+      else {
+        val it = fs.listFiles(fsPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          buf += s"${st.getPath}:${st.getModificationTime}:${st.getLen}"
+        }
+        buf.sorted.toSeq
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as two physical encodings across driver

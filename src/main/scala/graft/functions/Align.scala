@@ -145,7 +145,176 @@ case class ChrfScore(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** BLEU's per-document clipped word-n-gram counts (orders 1..4) as ONE
+  * codegen scalar: `graft_bleu_counts(cand_words, ref_words)` →
+  * `array<bigint>[8] = [m1, t1, m2, t2, m3, t3, m4, t4]` where mₙ is
+  * the CLIPPED match count Σ_g min(count_cand(g), count_ref(g)) and tₙ
+  * the candidate gram total max(|cand| − n + 1, 0). Corpus BLEU sums
+  * these per source and only then takes ratios, so the per-document
+  * kernel emits exact integer counts — the aggregate stays a plain
+  * map-combinable SUM of 8 longs. The first shape exploded every gram
+  * occurrence into 8 (doc, gram)-keyed shuffles (4 orders × 2 sides,
+  * 35.3 MB shuffle write at sf0.1); a per-document scalar must never
+  * shuffle its internals — this is the ChrfScore pattern at word
+  * grain, and the unchanged DuckDB relational oracle is the
+  * cross-shape proof. Per order: one hash multiset of reference
+  * grams, one decrementing probe over candidate grams (≡ Σ min by
+  * construction). Words intern to dense ids once; grams pack 4×16-bit
+  * ids into a primitive long key while the per-pair vocabulary fits
+  * (any real document does), with an exact string-key fallback above
+  * that. A NULL element matches nothing, including another NULL (SQL
+  * equality semantics — the callers pre-filter candidate NULLs). */
+case class BleuCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_bleu_counts"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Align.bleuCounts(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Align.bleuCounts($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BleuCounts =
+    copy(left = newLeft, right = newRight)
+}
+
 object Align {
+
+  /** See [[BleuCounts]]. Interning dictionary is shared across sides
+    * so equal words get equal ids; side-distinct negative ids keep
+    * NULL from matching anything. */
+  def bleuCounts(cand: ArrayData, ref: ArrayData): ArrayData = {
+    val n = cand.numElements()
+    val m = ref.numElements()
+    val out = new Array[Long](8)
+    val dict = new java.util.HashMap[UTF8String, Integer](n + m)
+    def intern(arr: ArrayData, len: Int, nullId: Int): Array[Int] = {
+      val ids = new Array[Int](len)
+      var i = 0
+      while (i < len) {
+        ids(i) =
+          if (arr.isNullAt(i)) nullId
+          else {
+            val w = arr.getUTF8String(i)
+            var id = dict.get(w)
+            if (id == null) { id = dict.size(); dict.put(w, id) }
+            id.intValue()
+          }
+        i += 1
+      }
+      ids
+    }
+    val ci = intern(cand, n, -1)
+    val ri = intern(ref, m, -2)
+    // 4×16-bit packing needs ids < 0xFFFD (0xFFFE/0xFFFF reserved for
+    // the two null sentinels); per-pair vocabularies are always far
+    // below that, but the exact string fallback keeps the kernel total.
+    if (dict.size() < 0xFFFD) {
+      def pack(ids: Array[Int], at: Int, order: Int): Long = {
+        var key = 0L
+        var k = 0
+        while (k < order) {
+          val id = ids(at + k)
+          val u = if (id == -1) 0xFFFEL else if (id == -2) 0xFFFFL
+            else id.toLong
+          key = (key << 16) | u
+          k += 1
+        }
+        key
+      }
+      var ord = 1
+      while (ord <= 4) {
+        val tc = math.max(n - ord + 1, 0)
+        val tr = math.max(m - ord + 1, 0)
+        var matched = 0L
+        if (tc > 0 && tr > 0) {
+          val counts = new java.util.HashMap[java.lang.Long, Integer](tr * 2)
+          var j = 0
+          while (j < tr) {
+            // a gram containing a null sentinel can never match: ref
+            // sentinel 0xFFFF never equals cand sentinel 0xFFFE
+            val key = java.lang.Long.valueOf(pack(ri, j, ord))
+            val prev = counts.get(key)
+            counts.put(key, if (prev == null) 1 else prev + 1)
+            j += 1
+          }
+          var i = 0
+          while (i < tc) {
+            val key = java.lang.Long.valueOf(pack(ci, i, ord))
+            val cnt = counts.get(key)
+            if (cnt != null && cnt > 0) {
+              matched += 1
+              counts.put(key, cnt - 1)
+            }
+            i += 1
+          }
+        }
+        out((ord - 1) * 2) = matched
+        out((ord - 1) * 2 + 1) = tc.toLong
+        ord += 1
+      }
+    } else {
+      def gram(ids: Array[Int], at: Int, order: Int): String = {
+        val sb = new java.lang.StringBuilder(order * 8)
+        var k = 0
+        while (k < order) {
+          if (k > 0) sb.append(',')
+          sb.append(ids(at + k))
+          k += 1
+        }
+        sb.toString
+      }
+      var ord = 1
+      while (ord <= 4) {
+        val tc = math.max(n - ord + 1, 0)
+        val tr = math.max(m - ord + 1, 0)
+        var matched = 0L
+        if (tc > 0 && tr > 0) {
+          val counts = new java.util.HashMap[String, Integer](tr * 2)
+          var j = 0
+          while (j < tr) {
+            val g = gram(ri, j, ord)
+            val prev = counts.get(g)
+            counts.put(g, if (prev == null) 1 else prev + 1)
+            j += 1
+          }
+          var i = 0
+          while (i < tc) {
+            val g = gram(ci, i, ord)
+            val cnt = counts.get(g)
+            if (cnt != null && cnt > 0) {
+              matched += 1
+              counts.put(g, cnt - 1)
+            }
+            i += 1
+          }
+        }
+        out((ord - 1) * 2) = matched
+        out((ord - 1) * 2 + 1) = tc.toLong
+        ord += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** See [[ChrfScore]]. −1 = no grams at any order on either side. */
   def chrfU(cand: UTF8String, ref: UTF8String): Long = {
@@ -326,9 +495,15 @@ object Align {
     ChrfScore(exprs(0), exprs(1))
   }
 
+  private[graft] def bleuBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "graft_bleu_counts takes (array<string>, array<string>)")
+    BleuCounts(exprs(0), exprs(1))
+  }
+
   /** Registers `graft_lcs_len(a, b)`,
-    * `graft_sw_score(a, b, match, mismatch, gap)` and
-    * `graft_chrf(cand, ref)`. */
+    * `graft_sw_score(a, b, match, mismatch, gap)`,
+    * `graft_chrf(cand, ref)` and `graft_bleu_counts(cand, ref)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lcs_len", lcsBuilder, "built-in")
@@ -336,5 +511,7 @@ object Align {
       "graft_sw_score", swBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chrf", chrfBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bleu_counts", bleuBuilder, "built-in")
   }
 }

@@ -2030,16 +2030,27 @@ object TextAnalysis {
     // "system output" is a deterministic corruption of the reference
     // (every (doc_id+i)%11 position dropped, every %7 position
     // replaced) built from the SAME expression in both engines, so
-    // the metric exercises substitution AND length effects. Scale
-    // shape: n-gram tables come from in-array HOF windows (no
-    // positional self-joins), each order pays one explode per side +
-    // one doc-and-gram-keyed equi-join — the shingle cost class,
-    // linear in corpus; everything after is |sources|-sized. Output
-    // stays exact integers except the four ln's, which floor to
-    // µnats at the boundary (the lmscore discipline), so log-BLEU is
-    // integer arithmetic and hash-checks; zero-match orders take the
-    // −20 nat floor (sacrebleu's epsilon smoothing, made explicit).
+    // the metric exercises substitution AND length effects. Engine
+    // shape: clipped per-document counts are a PER-DOCUMENT SCALAR
+    // of one row's two word arrays, so they compute as ONE codegen
+    // kernel call per row ([[graft.functions.BleuCounts]] — per
+    // order a hash multiset of reference grams + a decrementing
+    // candidate probe over interned word ids) and the corpus rollup
+    // is a plain map-combinable SUM of 10 longs per source: scan,
+    // project, one |sources|-sized aggregate, ZERO data shuffles.
+    // The first shape exploded every gram occurrence into 8
+    // (doc, gram)-keyed groupBys (4 orders × 2 sides, 35.3 MB
+    // shuffle write at sf0.1, plus a localCheckpoint for the 9
+    // consumers) — the exact anti-shape the chrF/ROUGE-L kernels
+    // outlawed; the oracle below is UNCHANGED (the relational
+    // explode-join replay in DuckDB), so the hash match is the
+    // cross-SHAPE proof. Output stays exact integers except the
+    // four ln's, which floor to µnats at the boundary (the lmscore
+    // discipline), so log-BLEU is integer arithmetic and
+    // hash-checks; zero-match orders take the −20 nat floor
+    // (sacrebleu's epsilon smoothing, made explicit).
     QueryDef("q_eval_bleu", bleuOracle) { (s, dir) =>
+      graft.functions.Align.register(s)
       val rw = split(col("text"), " ")
       val cw = filter(
         transform(sequence(lit(1), size(col("rw"))),
@@ -2047,34 +2058,24 @@ object TextAnalysis {
             .when((col("doc_id") + i) % 7 === 0, lit("the"))
             .otherwise(element_at(col("rw"), i))),
         x => x.isNotNull)
-      val base = t(s, dir, "documents")
+      val counts = (1 to 4).flatMap { o =>
+        Seq(
+          sum(element_at(col("bc"), (o - 1) * 2 + 1))
+            .cast("long").as(s"m$o"),
+          sum(element_at(col("bc"), (o - 1) * 2 + 2))
+            .cast("long").as(s"t$o"))
+      }
+      val aggs =
+        Seq(sum(col("cl")).cast("long").as("clen"),
+          sum(col("rl")).cast("long").as("rlen")) ++ counts
+      t(s, dir, "documents")
         .select(col("doc_id"), col("source"), rw.as("rw"))
         .withColumn("cw", cw)
-        .localCheckpoint() // 9 consumers: 4 orders × 2 sides + lengths
-      def grams(c: Column, n: Int): Column =
-        when(size(c) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(c) - (n - 1)),
-            i => concat_ws(" ", slice(c, i, lit(n)))))
-      val perN = (1 to 4).map { n =>
-        val cc = base
-          .select(col("source"), col("doc_id"),
-            explode(grams(col("cw"), n)).as("g"))
-          .groupBy(col("source"), col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("cc"))
-        val rc = base
-          .select(col("doc_id"), explode(grams(col("rw"), n)).as("g"))
-          .groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as("rc"))
-        cc.join(rc, Seq("doc_id", "g"), "left")
-          .groupBy(col("source"))
-          .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
-            .cast("long").as(s"m$n"),
-            sum(col("cc")).cast("long").as(s"t$n"))
-      }
-      val lens = base.groupBy(col("source"))
-        .agg(sum(size(col("cw"))).cast("long").as("clen"),
-          sum(size(col("rw"))).cast("long").as("rlen"))
-      perN.foldLeft(lens)((acc, d) => acc.join(d, "source"))
+        .select(col("source"), size(col("cw")).as("cl"),
+          size(col("rw")).as("rl"),
+          expr("graft_bleu_counts(cw, rw)").as("bc"))
+        .groupBy(col("source"))
+        .agg(aggs.head, aggs.tail: _*)
         .selectExpr(bleuOut: _*)
     },
 

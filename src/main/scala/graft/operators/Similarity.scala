@@ -784,7 +784,12 @@ object Similarity {
     // and the hash match proves it.
     QueryDef("q_knn_ivf_served", ivfTrainedOracleSql) { (s, dir) =>
       CosineSimilarity.register(s)
-      val idx = s"/tmp/graft_ivf_${dir.hashCode.toHexString}"
+      // keyed by CONTENT fingerprint (file names + mtimes + lengths),
+      // not dir.hashCode: a regenerated corpus at the same path gets a
+      // fresh index, and two distinct dirs cannot collide an index the
+      // way 32-bit hashCode can.
+      val idx = "/tmp/graft_ivf_" +
+        graft.Tables.contentFingerprint(s, s"$dir/embeddings.parquet")
       val fsPath = new org.apache.hadoop.fs.Path(idx)
       val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
       val done = new org.apache.hadoop.fs.Path(s"$idx/centroids")

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,11 +24,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     untouched — approximating those silently would change more
   *     than the user opted into.
   *
-  * The output type changes from exact-percentile's DOUBLE
-  * (interpolated) to the sketch's value-typed result ONLY for
-  * non-double inputs, which would break resolved plans — so the
-  * rewrite fires only when the child is already DoubleType (the
-  * common metric shape) and the result type is preserved exactly.
+  * Exact percentile ALWAYS returns DOUBLE (it interpolates), while
+  * the sketch returns the child's own type — naively swapping one
+  * for the other on a BIGINT metric would change a resolved plan's
+  * output type. The rewrite therefore fires on DoubleType children
+  * as-is and on integral children THROUGH an explicit
+  * `Cast(child, double)` — the sketch then ranks the same total
+  * order (int→double is order-preserving and exact to 2^53) and the
+  * aggregate's result type stays DOUBLE either way. Fractional/
+  * decimal/interval children still pass through untouched.
+  *
+  * A descending percentile (`WITHIN GROUP (ORDER BY x DESC)` sets
+  * `Percentile.reverse`) is NOT rewritten: approx_percentile has no
+  * reverse mode, and rewriting to the ascending sketch at the same
+  * fraction would return the wrong tail (f instead of 1−f) — an
+  * error class far beyond the opted-in rank tolerance.
   */
 case class ApproxPercentileRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] {
@@ -42,19 +52,32 @@ case class ApproxPercentileRewrite(spark: SparkSession)
         a.transformExpressions {
           case ae @ AggregateExpression(
               p: Percentile, _, false, None, _)
-              if p.percentageExpression.foldable &&
+              if !p.reverse &&
+                p.percentageExpression.foldable &&
                 !p.percentageExpression.dataType
                   .isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-                p.child.dataType ==
-                  org.apache.spark.sql.types.DoubleType &&
+                rewritableChild(p) &&
                 isUnitFrequency(p) =>
+            val child =
+              if (p.child.dataType ==
+                org.apache.spark.sql.types.DoubleType) p.child
+              else Cast(p.child, org.apache.spark.sql.types.DoubleType)
             AggregateExpression(
-              new ApproximatePercentile(p.child,
+              new ApproximatePercentile(child,
                 p.percentageExpression,
                 Literal(10000)),
               ae.mode, isDistinct = false, filter = None,
               resultId = ae.resultId)
         }
+    }
+  }
+
+  private def rewritableChild(p: Percentile): Boolean = {
+    import org.apache.spark.sql.types._
+    p.child.dataType match {
+      case DoubleType | LongType | IntegerType | ShortType | ByteType =>
+        true
+      case _ => false
     }
   }
 

@@ -581,23 +581,26 @@ object Streaming {
     * inserted ascending — AQE partition coalescing cannot reorder it
     * because the sort runs after the exchange read), making the
     * overwrite byte-idempotent under replay no matter how the
-    * re-delivered batch arrives. */
+    * re-delivered batch arrives.
+    *
+    * The SortAggregate pin runs on a CLONED session (isolated
+    * SQLConf) rather than set/restore on the caller's session —
+    * mutating the shared conf would strip ObjectHashAggregate from
+    * concurrent queries on the same session, and two concurrent
+    * ingests could race the save/restore and leave the flag off. */
   def kllIngestBatch(
       batch: DataFrame, batchId: Long, tableDir: String,
       groupCol: String, valCol: String, k: Int): Unit = {
-    val sess = batch.sparkSession
-    graft.functions.KllSketch.register(sess)
-    val objHashConf = "spark.sql.execution.useObjectHashAggregateExec"
-    val prev = sess.conf.get(objHashConf, "true")
-    sess.conf.set(objHashConf, "false")
-    try {
-      batch
-        .repartition(col(groupCol))
-        .sortWithinPartitions(col(groupCol), col(valCol))
-        .groupBy(col(groupCol))
-        .agg(expr(s"graft_kll_bin($valCol, $k)").as("sk"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
-    } finally sess.conf.set(objHashConf, prev)
+    val iso = org.apache.spark.sql.graft.SessionShims
+      .cloneWithIsolatedConf(batch.sparkSession)
+    iso.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    graft.functions.KllSketch.register(iso)
+    org.apache.spark.sql.graft.SessionShims.ofRows(iso, batch)
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(valCol))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_kll_bin($valCol, $k)").as("sk"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/batch=$batchId")
   }
 
   /** Read-side fold of [[kllIngestBatch]] partials: one row per group

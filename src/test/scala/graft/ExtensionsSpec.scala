@@ -161,16 +161,47 @@ class ExtensionsSpec extends SparkSpec {
           .contains("percentile_approx"))
         assert(grouped.collect().forall(!_.isNullAt(1)))
         // guarded shapes pass through untouched: array of fractions,
-        // FILTER clause, weighted percentile, non-double child
+        // FILTER clause, weighted percentile, DESCENDING
+        // percentile_cont (Percentile.reverse — the ascending sketch
+        // at the same fraction would return the wrong tail),
+        // non-numeric child
         val guarded = Seq(
           "SELECT percentile(x, array(0.25, 0.75)) FROM apr_li",
           "SELECT percentile(x, 0.5) FILTER (WHERE g = 'F') FROM apr_li",
           "SELECT percentile(x, 0.5, 2) FROM apr_li",
-          "SELECT percentile(CAST(x AS BIGINT), 0.5) FROM apr_li")
+          "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x DESC)" +
+            " FROM apr_li",
+          "SELECT percentile(CAST(x AS DECIMAL(18,2)), 0.5) FROM apr_li")
         guarded.foreach { q =>
           assert(!ext.sql(q).queryExecution.optimizedPlan.toString
             .contains("percentile_approx"), s"guarded shape rewritten: $q")
         }
+        // the descending guard returns the exact upper quartile, not
+        // the sketch's lower one
+        val exactDesc = ext.sql(
+          "SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x DESC)" +
+            " AS p FROM apr_li").collect()(0).getDouble(0)
+        val exactAsc75 = ext.sql(
+          "SELECT percentile_cont(0.75) WITHIN GROUP (ORDER BY x ASC)" +
+            " AS p FROM apr_li").collect()(0).getDouble(0)
+        // same rank statistic; interpolation arithmetic runs on the
+        // reversed array so it is equal in value, not bitwise
+        assert(math.abs(exactDesc - exactAsc75) <=
+          math.abs(exactAsc75) * 1e-3,
+          s"desc p25 $exactDesc far from asc p75 $exactAsc75")
+        // integral children DO rewrite now, through an explicit
+        // double cast that keeps the aggregate's DOUBLE result type
+        val bigintDf = ext.sql(
+          "SELECT percentile(CAST(x AS BIGINT), 0.5) AS p FROM apr_li")
+        assert(bigintDf.queryExecution.optimizedPlan.toString
+          .contains("percentile_approx"),
+          "BIGINT percentile not rewritten")
+        assert(bigintDf.schema("p").dataType ==
+          org.apache.spark.sql.types.DoubleType,
+          "BIGINT rewrite changed the result type")
+        val bigintEst = bigintDf.collect()(0).getDouble(0)
+        assert(math.abs(bigintEst - exact) <= math.abs(exact) * 0.02,
+          s"BIGINT estimate $bigintEst outside 2% of $exact")
       } finally ext.conf.set("graft.approxPercentile.enabled", "false")
     }
   }

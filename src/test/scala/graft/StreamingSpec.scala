@@ -438,6 +438,13 @@ class StreamingSpec extends SparkSpec {
         (1L to 3000L).map(v => ("a", v)).toDF("grp", "v"), 0L,
         table, "grp", "v", 256)
       assert(state == s1)
+      // the SortAggregate pin runs on a CLONED session: the caller's
+      // conf never sees the flag flip (a set/restore would race
+      // concurrent ingests and strip ObjectHashAggregate from
+      // unrelated queries mid-write)
+      assert(spark.conf.get(
+        "spark.sql.execution.useObjectHashAggregateExec", "true")
+        == "true", "ingest leaked its conf pin into the caller session")
     } finally q.stop()
   }
 
