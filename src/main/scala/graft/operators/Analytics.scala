@@ -16,39 +16,16 @@ object Analytics {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** BUILD-ONCE GATE for derived /tmp zone tables (bench hygiene —
-    * the q_knn_ivf_served precedent): the table path is keyed on a
-    * CONTENT FINGERPRINT of its inputs (file names + mtimes +
-    * lengths via [[graft.Tables.contentFingerprint]] — a regenerated
-    * corpus at the same dir gets a fresh path, and 32-bit
-    * `dir.hashCode` collisions cannot cross-corrupt runs), and the
-    * deterministic `build` runs only while the completion MARKER is
-    * absent — written last, so a crash mid-build leaves no marker
-    * and the next run wipes and rebuilds (the centroids-last
-    * discipline). Repeat runs then measure the READ path — snapshot
-    * scans, change feeds, pruning decisions — not the rebuild,
-    * matching how a real table is maintained once and queried many
-    * times. Queries whose WRITE path is the measured feature
-    * (q_layout_write) deliberately do not use this. Returns the
-    * table path. */
+  /** Bench hygiene for derived /tmp zone tables — see
+    * [[graft.Tables.buildOnce]] (content-fingerprint key, marker
+    * written last, repeat runs measure the READ path). Queries whose
+    * WRITE path is the measured feature (q_layout_write) deliberately
+    * do not use this. */
   private def buildOnce(
       s: SparkSession, dir: String, kind: String,
       inputs: Seq[String] = Seq("lineitem"))(
-      build: String => Unit): String = {
-    val fp = graft.Tables.contentFingerprint(
-      s, inputs.map(n => s"$dir/$n.parquet"): _*)
-    val table = s"/tmp/graft_${kind}_$fp"
-    val conf = s.sessionState.newHadoopConf()
-    val tablePath = new org.apache.hadoop.fs.Path(table)
-    val marker = new org.apache.hadoop.fs.Path(s"$table.ok")
-    val fs = tablePath.getFileSystem(conf)
-    if (!fs.exists(marker)) {
-      if (fs.exists(tablePath)) fs.delete(tablePath, true)
-      build(table)
-      fs.create(marker, true).close()
-    }
-    table
-  }
+      build: String => Unit): String =
+    graft.Tables.buildOnce(s, dir, kind, inputs)(build)
 
   /** Global 0-based rank of every row within its `groupCol` group under
     * `(valueCol, tieCols…) ASC NULLS FIRST` — Spark's default window

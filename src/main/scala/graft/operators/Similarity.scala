@@ -260,33 +260,40 @@ object Similarity {
 
   /** The same Lloyd rounds as DuckDB CTEs (generated, not hand-unrolled):
     * `ed` (double vectors + norms), `c0` (seeds), and per round i the
-    * score/argmax/mean CTEs producing `c{i+1}`. */
-  private def lloydSql(iters: Int): String = {
+    * score/argmax/mean CTEs producing `c{i+1}`. `trainWhere`
+    * restricts the TRAINING corpus (seeds, scoring, means) to a
+    * predicate over `ed` — the maintained-index oracle trains on the
+    * base corpus while later CTEs still read all of `ed`. */
+  private def lloydSql(iters: Int, trainWhere: String = ""): String = {
     val d1 = Dim + 1
+    val (src, trainCte) =
+      if (trainWhere.isEmpty) ("ed", "")
+      else ("edt", s""",
+         |edt AS (SELECT * FROM ed WHERE $trainWhere)""".stripMargin)
     val head =
       s"""ed AS (
          |  SELECT vec_id, embedding,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          |    list_sum(list_transform(embedding,
          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
-         |  FROM embeddings),
+         |  FROM embeddings)$trainCte,
          |c0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cemb, n2 AS cn2
-         |  FROM ed WHERE vec_id < $IvfK)""".stripMargin
+         |  FROM $src WHERE vec_id < $IvfK)""".stripMargin
     val rounds = (0 until iters).map { i =>
       s"""s$i AS (
-         |  SELECT ed.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, $d1), k -> ed.v[k] * c.cemb[k]))
-         |      / sqrt(ed.n2 * c.cn2) AS cs
-         |  FROM ed, c$i c),
+         |  SELECT $src.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, $d1), k -> $src.v[k] * c.cemb[k]))
+         |      / sqrt($src.n2 * c.cn2) AS cs
+         |  FROM $src, c$i c),
          |a$i AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
          |    FROM s$i) WHERE r = 1),
          |m$i AS (
-         |  SELECT a.cell AS cid, p.pos, ${Num.sql("avg(ed.v[p.pos])", 9)} AS m
-         |  FROM a$i a JOIN ed USING (vec_id),
+         |  SELECT a.cell AS cid, p.pos, ${Num.sql(s"avg($src.v[p.pos])", 9)} AS m
+         |  FROM a$i a JOIN $src USING (vec_id),
          |    (SELECT unnest(range(1, $d1)) AS pos) p
          |  GROUP BY 1, 2),
          |c${i + 1} AS (
@@ -335,6 +342,166 @@ object Similarity {
       |  FROM s)
       |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
       |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** q_knn_ivf_maintained's replay: Lloyd trains on the BASE corpus
+    * only (`trainWhere`), assignment covers the LIVE set (base ∪
+    * appends − retractions) against those centroids — the exact
+    * semantics the incremental maintenance must preserve. */
+  private lazy val ivfMaintainedOracleSql: String = {
+    val baseW = "vec_id < 10 OR vec_id % 5 <> 4"
+    val liveW = "vec_id < 10 OR vec_id % 11 <> 3"
+    s"""WITH ${lloydSql(IvfIters, baseW)},
+      |edl AS (SELECT * FROM ed WHERE $liveW),
+      |sA AS (
+      |  SELECT edl.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, ${Dim + 1}), k -> edl.v[k] * c.cemb[k]))
+      |      / sqrt(edl.n2 * c.cn2) AS cs
+      |  FROM edl, c$IvfIters c),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |    FROM sA) WHERE r = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS r
+      |    FROM sA WHERE vec_id < 10) WHERE r <= $IvfProbes),
+      |s AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id, $cosSql AS cc
+      |  FROM probe p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      |  JOIN ed q ON q.vec_id = p.query_id
+      |  JOIN ed n ON n.vec_id = a.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cc,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cc DESC, neighbor_id ASC) AS rnk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, rnk, ${Num.sql("cc", 6)} AS cos
+      |FROM r WHERE rnk <= 3""".stripMargin
+  }
+
+  // ===================================================================
+  // Persisted-IVF index lifecycle: build / append / retract / serve.
+  // The index is a zone-map catalog table whose rows are
+  // (rid=vec_id, a=cell, b=vec_id) batched per CELL — every file's
+  // zone interval is the single-valued [cell, cell], so the cell id
+  // IS the pruning key — plus a `centroids/` parquet written LAST as
+  // the build's completion marker. A change feed's +1 rows route to
+  // [[ivfAppend]] and its −1 rows to [[ivfRetract]], so the index is
+  // maintainable from the table format's own CDF without retraining.
+  // ===================================================================
+
+  /** Assign (vec_id, embedding) rows to `cents` cells — highest
+    * cosine, ties to the lowest cid (the trained/served tie-break). */
+  private def ivfAssignWith(
+      vecs: DataFrame, cents: DataFrame): DataFrame =
+    toDoubleVectors(vecs).crossJoin(broadcast(cents))
+      .withColumn("cs", centCos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
+
+  /** One zone batch per NON-EMPTY cell of `assign` (an empty batch
+    * would write null zone stats; Lloyd can strand a cell), batch ids
+    * `firstId, firstId+1, …` in cell order. The collect is
+    * control-plane, ≤ [[IvfK]] rows. */
+  private def ivfWriteCells(
+      assign: DataFrame, firstId: Long, idx: String): Unit = {
+    val a = assign.localCheckpoint()
+    val liveCells = a.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    liveCells.zipWithIndex.foreach { case (c, k) =>
+      graft.streaming.Streaming.zoneIngestBatch(
+        a.filter(col("cell") === c)
+          .select(col("vec_id").as("rid"),
+            col("cell").cast("long").as("a"), col("vec_id").as("b")),
+        firstId + k, idx)
+    }
+  }
+
+  /** Train the quantizer on `vecs` (K = [[IvfK]], [[IvfIters]] Lloyd
+    * rounds) and persist the index at `idx`. One-time, O(corpus·K). */
+  def ivfBuild(s: SparkSession, idx: String, vecs: DataFrame): Unit = {
+    CosineSimilarity.register(s)
+    val e = vecs.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding")).cache()
+    val eD = toDoubleVectors(e).cache()
+    try {
+      val cents = kmeansCentroidsOnVectors(eD, IvfK, IvfIters)
+        .localCheckpoint()
+      ivfBuildWith(s, idx, e, cents)
+    } finally { e.unpersist(); eD.unpersist() }
+  }
+
+  /** Build the index at `idx` from `vecs` with an EXISTING quantizer
+    * `cents` (cid, cemb) — no training. This is also the from-scratch
+    * reference the maintenance spec compares against. */
+  def ivfBuildWith(s: SparkSession, idx: String,
+      vecs: DataFrame, cents: DataFrame): Unit = {
+    CosineSimilarity.register(s)
+    ivfWriteCells(ivfAssignWith(vecs, cents), 0L, idx)
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/centroids")
+  }
+
+  /** APPEND WAVE: assign new (vec_id, embedding) rows to the
+    * PERSISTED centroids — the quantizer is NOT retrained — and land
+    * them as fresh per-cell zone batches beyond the current high
+    * watermark. Cost is O(wave·K) scoring + O(affected cells)
+    * commits; existing files are never rewritten, so the serve path's
+    * cell pruning simply sees one more file per touched cell. */
+  def ivfAppend(s: SparkSession, idx: String, vecs: DataFrame): Unit = {
+    CosineSimilarity.register(s)
+    val pcents = s.read.parquet(s"$idx/centroids")
+    val next = graft.streaming.Streaming.zoneLatestBatch(s, idx) + 1L
+    ivfWriteCells(ivfAssignWith(vecs, pcents), next, idx)
+  }
+
+  /** RETRACTION WAVE: tombstone vec_ids via deletion vectors —
+    * O(new deletions) journal rows, no file rewrites, and the serve
+    * path applies them automatically. `ids` is one wave's retractions
+    * (bounded; it broadcasts inside the DV scan closure) — an
+    * unbounded deletion stream arrives as bounded waves, exactly like
+    * the change feed's −1 batches that feed this. */
+  def ivfRetract(s: SparkSession, idx: String, ids: Set[Long]): Unit =
+    graft.streaming.Streaming.dvDelete(s, idx, (rid, _, _) => ids(rid))
+
+  /** SERVE: score the query set (vec_id < 10 of `dir`'s embeddings)
+    * against the persisted centroids, probe [[IvfProbes]] cells per
+    * query through the zone scan's runtime cell filtering (only the
+    * probed cells' files are planned), re-score candidates exactly,
+    * return top-3 per query. No training, no corpus-wide pass. */
+  def ivfServe(s: SparkSession, dir: String, idx: String): DataFrame = {
+    CosineSimilarity.register(s)
+    val pcents = s.read.parquet(s"$idx/centroids")
+    val queries = toDoubleVectors(
+      t(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(pcents))
+      .withColumn("cs", centCos)
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= IvfProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cid").cast("long").as("cell"))
+    val served = s.read.format("graft.sources.ZoneMapSource").load(idx)
+      .select(col("rid").as("neighbor_id"), col("a").as("cell"))
+    val nEmb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    served.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(nEmb, Seq("neighbor_id"))
+      .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        Num.r(col("cos"), 6).as("cos"))
+  }
 
   private val PqM = 4          // product-quantization subspaces
   private val PqSub = Dim / PqM // dims per subspace
@@ -784,73 +951,48 @@ object Similarity {
     // and the hash match proves it.
     QueryDef("q_knn_ivf_served", ivfTrainedOracleSql) { (s, dir) =>
       CosineSimilarity.register(s)
-      // keyed by CONTENT fingerprint (file names + mtimes + lengths),
-      // not dir.hashCode: a regenerated corpus at the same path gets a
-      // fresh index, and two distinct dirs cannot collide an index the
-      // way 32-bit hashCode can.
-      val idx = "/tmp/graft_ivf_" +
-        graft.Tables.contentFingerprint(s, s"$dir/embeddings.parquet")
-      val fsPath = new org.apache.hadoop.fs.Path(idx)
-      val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
-      val done = new org.apache.hadoop.fs.Path(s"$idx/centroids")
-      if (!fs.exists(done)) {
-        if (fs.exists(fsPath)) fs.delete(fsPath, true)
-        val e = t(s, dir, "embeddings").repartition(col("vec_id"))
-          .select(col("vec_id"), col("embedding")).cache()
-        val eD = toDoubleVectors(e).cache()
-        val cents = kmeansCentroidsOnVectors(eD, IvfK, IvfIters)
-          .localCheckpoint()
-        val assign = eD.crossJoin(broadcast(cents))
-          .withColumn("cs", centCos)
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("cs"), -col("cid"))).as("cell"))
-          .localCheckpoint()
-        // one zone batch per NON-EMPTY cell (an empty batch would write
-        // null zone stats; Lloyd can strand a cell): the file interval
-        // [cell, cell] makes cell-id pruning exact at plan/runtime-
-        // filter time. The collect is control-plane, ≤ IvfK rows.
-        val liveCells = assign.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        liveCells.foreach { c =>
-          graft.streaming.Streaming.zoneIngestBatch(
-            assign.filter(col("cell") === c)
-              .select(col("vec_id").as("rid"),
-                col("cell").cast("long").as("a"), col("vec_id").as("b")),
-            c.toLong, idx)
-        }
-        cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$idx/centroids")
-        e.unpersist(); eD.unpersist()
+      // content-fingerprint-keyed build-once (marker written last): a
+      // regenerated corpus at the same path gets a fresh index, two
+      // distinct dirs cannot collide the way 32-bit hashCode can, and
+      // repeat runs measure the SERVE path only.
+      val idx = graft.Tables.buildOnce(s, dir, "ivf",
+        Seq("embeddings")) { tbl =>
+        ivfBuild(s, tbl, t(s, dir, "embeddings"))
       }
-      // ---- the served probe: persisted centroids + runtime-filtered
-      // zone scan; no training, no corpus-wide assignment
-      val pcents = s.read.parquet(s"$idx/centroids")
-      val queries = toDoubleVectors(
-        t(s, dir, "embeddings").filter(col("vec_id") < 10)
-          .select(col("vec_id"), col("embedding")))
-      val wProbe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cid"))
-      val probes = queries.crossJoin(broadcast(pcents))
-        .withColumn("cs", centCos)
-        .withColumn("r", row_number().over(wProbe))
-        .filter(col("r") <= IvfProbes)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("cid").cast("long").as("cell"))
-      val served = s.read.format("graft.sources.ZoneMapSource").load(idx)
-        .select(col("rid").as("neighbor_id"), col("a").as("cell"))
-      val nEmb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("n_emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      served.join(broadcast(probes), Seq("cell"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .join(nEmb, Seq("neighbor_id"))
-        .withColumn("cos", expr("graft_cosine(q_emb, n_emb)"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          Num.r(col("cos"), 6).as("cos"))
+      ivfServe(s, dir, idx)
+    },
+
+    // ------------------------------------------------------------------
+    // INCREMENTALLY MAINTAINED IVF INDEX (r13 VERDICT's #1 forward
+    // gap) — the step from "served" to "MAINTAINED": a growing corpus
+    // must not invalidate the inverted lists. The quantizer is
+    // trained ONCE on the base corpus; an append wave assigns its
+    // vectors to the PERSISTED centroids and lands as new per-cell
+    // zone batches (O(appends·K) scoring + O(affected cells) commits
+    // — the corpus-wide N×K assignment never reruns); a retraction
+    // wave tombstones vec_ids via deletion vectors (O(new deletions)
+    // journal rows, no file rewrites). The probe path is byte-for-
+    // byte q_knn_ivf_served's — cell pruning just sees more files per
+    // cell. The oracle replays Lloyd ON THE BASE CORPUS ONLY, then
+    // assigns the LIVE set (base ∪ appends − retractions) to those
+    // centroids — so the hash match proves the maintained index is
+    // exactly the index a from-scratch rebuild (same quantizer) would
+    // produce; SearchSpec pins the same equivalence engine-side via
+    // ivfBuildWith. At 100 TB this is the difference between an
+    // O(wave) nightly maintenance job and an O(corpus) retrain.
+    QueryDef("q_knn_ivf_maintained", ivfMaintainedOracleSql) { (s, dir) =>
+      CosineSimilarity.register(s)
+      val idx = graft.Tables.buildOnce(s, dir, "ivfm",
+        Seq("embeddings")) { tbl =>
+        val e = t(s, dir, "embeddings")
+        ivfBuild(s, tbl,
+          e.filter(col("vec_id") < 10 || col("vec_id") % 5 =!= 4))
+        ivfAppend(s, tbl,
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 5 === 4))
+        graft.streaming.Streaming.dvDelete(s, tbl,
+          (rid, _, _) => rid >= 10 && rid % 11 == 3)
+      }
+      ivfServe(s, dir, idx)
     },
 
     // ------------------------------------------------------------------

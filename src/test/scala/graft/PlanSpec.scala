@@ -624,6 +624,10 @@ class PlanSpec extends SparkSpec {
       // bounded (queries by the probe set, centroids by K), never
       // data×data; the corpus-sized path is the runtime-filtered scan
       "q_knn_ivf_served",
+      // same plan family as served: build/maintain crossJoins are
+      // wave × K-row persisted centroids (both bounded), probe is the
+      // 10-query × K crossJoin; the corpus path stays runtime-filtered
+      "q_knn_ivf_maintained",
       "q_join_theta", // a theta join IS a nested loop by definition
       "q_join_theta2", // its order-statistics twin: 1-row bounds
       // broadcast + the nation×range prefix spine (25·parts rows) —

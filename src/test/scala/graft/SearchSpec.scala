@@ -75,7 +75,8 @@ class SearchSpec extends SparkSpec {
     // probes over K=8), so pin the PRUNING itself with a bounded
     // 2-cell probe against the same persisted index: kept files must
     // be exactly the probed cells' batches, not the corpus
-    val idx = s"/tmp/graft_ivf_${sfDir.hashCode.toHexString}"
+    val idx = "/tmp/graft_ivf_" +
+      Tables.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
     val totalFiles = graft.sources.ZoneMapSource.zoneRows(idx).size
     assert(totalFiles >= 4, s"index unexpectedly small: $totalFiles")
     val twoCells = spark.range(0, 2).toDF("cell")
@@ -112,5 +113,61 @@ class SearchSpec extends SparkSpec {
     val direct = spark.read.format("graft.sources.ZoneMapSource")
       .load(idx).filter(col("a") < 2).count()
     assert(n2 == direct, s"pruned probe returned $n2, want $direct")
+  }
+
+  test("incremental IVF maintenance: appends assign to persisted " +
+    "centroids and retractions tombstone via deletion vectors, " +
+    "serving row-identically to a from-scratch rebuild with the " +
+    "same quantizer — no retraining") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sfDir, "embeddings")
+    val base = e.filter(col("vec_id") < 10 || col("vec_id") % 5 =!= 4)
+    val appends = e.filter(col("vec_id") >= 10 && col("vec_id") % 5 === 4)
+    val nAppend = appends.count()
+    assert(nAppend > 0, "fixture produced no append wave")
+    val retractIds = e
+      .filter(col("vec_id") >= 10 && col("vec_id") % 11 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(retractIds.nonEmpty, "fixture produced no retraction wave")
+
+    // maintained path: build on base, then maintain
+    val idxA = tmpDir("ivf_maint")
+    Similarity.ivfBuild(spark, idxA, base)
+    val centsBefore = spark.read.parquet(s"$idxA/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toList
+    val filesBefore = graft.sources.ZoneMapSource.zoneRows(idxA).size
+    Similarity.ivfAppend(spark, idxA, appends)
+    Similarity.ivfRetract(spark, idxA, retractIds)
+    // the quantizer was NOT retrained ...
+    val centsAfter = spark.read.parquet(s"$idxA/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toList
+    assert(centsAfter == centsBefore, "maintenance retrained centroids")
+    // ... and the append wave landed as NEW batches, no rewrites
+    val filesAfter = graft.sources.ZoneMapSource.zoneRows(idxA).size
+    assert(filesAfter > filesBefore,
+      s"append wave added no files ($filesBefore -> $filesAfter)")
+
+    // reference path: from-scratch rebuild of the LIVE set with the
+    // SAME persisted quantizer
+    val live = e.filter(col("vec_id") < 10 || col("vec_id") % 11 =!= 3)
+    val idxB = tmpDir("ivf_rebuild")
+    Similarity.ivfBuildWith(spark, idxB, live,
+      spark.read.parquet(s"$idxA/centroids"))
+
+    def serve(idx: String) =
+      Similarity.ivfServe(spark, sfDir, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3)))
+        .sortBy(t => (t._1, t._3)).toList
+    val maintained = serve(idxA)
+    val rebuilt = serve(idxB)
+    assert(maintained == rebuilt,
+      s"maintained index diverged from same-quantizer rebuild:\n" +
+        s"maintained=$maintained\nrebuilt=$rebuilt")
+    // retracted ids must be gone from the maintained serve results
+    assert(!maintained.exists(t => retractIds(t._2)),
+      "a retracted vector survived as a neighbor")
   }
 }
