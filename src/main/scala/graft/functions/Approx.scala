@@ -15,12 +15,91 @@ import org.apache.spark.sql.functions._
   */
 object Approx {
 
+  /** `(a · b) mod 2^64` over DuckDB integers without overflowing
+    * INT128: split a into 32-bit halves — a·b ≡ a₀·b + ((a₁·b mod
+    * 2^32) << 32). `a` is a HUGEINT-typed SQL expression in [0, 2^64);
+    * `b` a 64-bit constant. */
+  private def mulmodSql(a: String, b: BigInt): String = {
+    val b0 = b % (BigInt(1) << 32)
+    s"CAST(((($a) % 4294967296) * CAST($b AS HUGEINT) + " +
+      s"(((($a) >> 32) * $b0) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616 AS UBIGINT)"
+  }
+
+  /** CTE chain computing the engines' shared 64-bit hash — the golden-
+    * ratio add + splitmix64 finalizer [[HllSketch]] and
+    * [[ThetaSketch]] both apply to LONG keys — over `src(keyCol)`,
+    * emitting `<prefix>h(… carry…, h UBIGINT)`. Replayed bit-for-bit:
+    * UBIGINT xor/shift are exact, the two multiplies go through
+    * [[mulmodSql]]. */
+  private def splitmixCtes(
+      prefix: String, src: String, keyCol: String,
+      carry: String): String = {
+    val c = if (carry.isEmpty) "" else s"$carry, "
+    s"""${prefix}0 AS (
+      |  SELECT ${c}CAST((CAST($keyCol AS HUGEINT) + 11400714819323198485)
+      |    % 18446744073709551616 AS UBIGINT) AS z
+      |  FROM $src),
+      |${prefix}1 AS (
+      |  SELECT ${c}${mulmodSql(
+          "CAST(xor(z, z >> 30) AS HUGEINT)",
+          BigInt("bf58476d1ce4e5b9", 16))} AS z
+      |  FROM ${prefix}0),
+      |${prefix}2 AS (
+      |  SELECT ${c}${mulmodSql(
+          "CAST(xor(z, z >> 27) AS HUGEINT)",
+          BigInt("94d049bb133111eb", 16))} AS z
+      |  FROM ${prefix}1),
+      |${prefix}h AS (SELECT ${c}xor(z, z >> 31) AS h FROM ${prefix}2)"""
+      .stripMargin
+  }
+
+  /** The FFGM estimate over replayed registers — the IDENTICAL IEEE
+    * op sequence as [[HllSketch.estimate]]: exact HUGEINT register
+    * sum in 2^−64 units, ONE cast+division to invSum, α·M²/invSum,
+    * linear counting below 2.5·M. Input CTE must expose
+    * (grp, np, sp) = (group, #present registers, Σ 2^(64−reg)). */
+  private def hllEstSql(src: String): String =
+    s"""(SELECT grp,
+      |  CAST(floor(CASE
+      |    WHEN (0.7213e0 / (1.0e0 + 1.079e0 / 4096.0e0))
+      |         * 4096.0e0 * 4096.0e0
+      |         / (CAST(CAST(4096 - np AS HUGEINT) * 9223372036854775808
+      |                  * 2 + sp AS DOUBLE) / 18446744073709551616e0)
+      |         <= 10240.0e0 AND np < 4096
+      |    THEN 4096.0e0 * ln(4096.0e0 / CAST(4096 - np AS DOUBLE))
+      |    ELSE (0.7213e0 / (1.0e0 + 1.079e0 / 4096.0e0))
+      |         * 4096.0e0 * 4096.0e0
+      |         / (CAST(CAST(4096 - np AS HUGEINT) * 9223372036854775808
+      |                  * 2 + sp AS DOUBLE) / 18446744073709551616e0)
+      |    END + 0.5e0) AS BIGINT) AS hll_est
+      |FROM $src)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_agg_approx",
-      """SELECT l_returnflag,
+      s"""WITH ap AS (
+        |  SELECT DISTINCT l_returnflag AS grp, l_partkey AS pk
+        |  FROM lineitem),
+        |${splitmixCtes("aph", "ap", "pk", "grp")},
+        |apr AS (
+        |  SELECT grp, h >> 52 AS idx,
+        |    ((h % 4503599627370496) * 4096) | 1 AS y
+        |  FROM aphh),
+        |apregs AS (
+        |  SELECT grp, idx,
+        |    max(64 - (length(ltrim(bin(y), '0')) - 1)) AS reg
+        |  FROM apr GROUP BY 1, 2),
+        |apst AS (
+        |  SELECT grp, count(*) AS np,
+        |    CAST(sum(CAST(pow(2.0e0, 64 - reg) AS HUGEINT)) AS HUGEINT)
+        |      AS sp
+        |  FROM apregs GROUP BY 1),
+        |aphll AS ${hllEstSql("apst")}
+        |SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS nd_exact,
-        |  true AS hll_ok,
+        |  (SELECT hll_est FROM aphll WHERE grp = l_returnflag)
+        |    AS hll_est,
         |  true AS builtin_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       HllSketch.register(s)
@@ -38,11 +117,16 @@ object Approx {
         .agg(
           expr("graft_hll(l_partkey)").as("hll"),
           approx_count_distinct(col("l_partkey")).as("adc"))
+      // graft_hll is VALUE-EXACT against the oracle (converted r14):
+      // registers are an order-free pure function of the key set, the
+      // estimator collapses them with one exact HUGEINT sum + two IEEE
+      // ops, and DuckDB replays hash → registers → estimate
+      // bit-for-bit. Spark's built-in HLL++ hashes with engine-
+      // internal xxHash, so its column stays the accuracy verdict.
       exact.join(broadcast(sketches), "l_returnflag")
         .select(
           col("l_returnflag"), col("nd_exact"),
-          (abs(col("hll") - col("nd_exact")) <= col("nd_exact") * 0.05)
-            .as("hll_ok"),
+          col("hll").as("hll_est"),
           (abs(col("adc") - col("nd_exact")) <= col("nd_exact") * 0.10)
             .as("builtin_ok"))
     },
@@ -176,15 +260,56 @@ object Approx {
     // crossJoin is 1×1 control plane, like q_text_tfidf's corpus
     // count). At 100 TB the sketches come from the persisted sketch
     // table, so the overlap query reads K rows, not the fact table.
-    // Verdict oracle as with every sketch: exact intersection count +
-    // an accuracy boolean (exact-mode sketches ⇒ the estimate IS exact,
-    // but the contract stays the ±5% bound).
+    // VALUE-EXACT oracle (converted r14): a KMV sketch is an order-
+    // free pure function of the key SET — the k smallest splitmix
+    // hashes — so DuckDB replays hash → k-minimum sets → θ_C
+    // restriction → common-survivor count → density scale-back
+    // bit-for-bit, and the hash compare pins the whole set-algebra
+    // path instead of a ±5% verdict. Below k distinct the sketch is
+    // exact-mode (θ = 2^63−1, estimate ≡ truth — sf0.01); above k the
+    // genuine (common·maxθ/θ_C) estimator replays (sf0.1+).
     QueryDef(
       "q_agg_theta",
-      """SELECT count(*) AS n_both, true AS theta_ok FROM (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-        |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin) { (s, dir) =>
+      s"""WITH tk96 AS (
+        |  SELECT DISTINCT o_custkey AS pk FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |tk97 AS (
+        |  SELECT DISTINCT o_custkey AS pk FROM orders
+        |  WHERE year(o_orderdate) = 1997),
+        |${splitmixCtes("th96_", "tk96", "pk", "")},
+        |${splitmixCtes("th97_", "tk97", "pk", "")},
+        |r96 AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT CAST(h >> 1 AS BIGINT) AS h
+        |        FROM th96_h)),
+        |r97 AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT CAST(h >> 1 AS BIGINT) AS h
+        |        FROM th97_h)),
+        |t96 AS (
+        |  SELECT CASE WHEN max(rn) < 4096 THEN 9223372036854775807
+        |    ELSE max(CASE WHEN rn <= 4096 THEN h END) END AS theta
+        |  FROM r96),
+        |t97 AS (
+        |  SELECT CASE WHEN max(rn) < 4096 THEN 9223372036854775807
+        |    ELSE max(CASE WHEN rn <= 4096 THEN h END) END AS theta
+        |  FROM r97),
+        |tc AS (SELECT least(t96.theta, t97.theta) AS thetac
+        |       FROM t96, t97),
+        |common AS (
+        |  SELECT count(*) AS c FROM r96 a JOIN r97 b ON a.h = b.h, tc
+        |  WHERE a.rn <= 4096 AND b.rn <= 4096 AND a.h < tc.thetac),
+        |est AS (
+        |  SELECT CASE WHEN tc.thetac = 9223372036854775807 THEN c
+        |    ELSE CAST(floor(CAST(c AS DOUBLE)
+        |      * CAST(9223372036854775807 AS DOUBLE)
+        |      / CAST(tc.thetac AS DOUBLE) + 0.5e0) AS BIGINT) END AS est
+        |  FROM common, tc)
+        |SELECT (SELECT count(*) FROM
+        |    (SELECT pk FROM tk96 INTERSECT SELECT pk FROM tk97))
+        |  AS n_both,
+        |  est
+        |FROM est""".stripMargin) { (s, dir) =>
       ThetaSketch.register(s)
       val o = Tables(s, dir, "orders")
       def custs(yr: Int) =
@@ -196,9 +321,7 @@ object Approx {
       val exact = custs(1996).intersect(custs(1997))
         .agg(count(lit(1)).as("n_both"))
       exact.crossJoin(broadcast(est))
-        .select(col("n_both"),
-          (abs(col("est") - col("n_both")) <= col("n_both") * 0.05)
-            .as("theta_ok"))
+        .select(col("n_both"), col("est"))
     },
 
     // ------------------------------------------------------------------

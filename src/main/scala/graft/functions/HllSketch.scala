@@ -124,17 +124,37 @@ object HllSketch {
     buf
   }
 
-  /** The FFGM estimator with linear-counting small-range correction. */
+  /** The FFGM estimator with linear-counting small-range correction.
+    *
+    * The register sum Σ 2^−reg is computed EXACTLY in integer units of
+    * 2^−64 (terms are powers of two; a float fold over 4096 registers
+    * rounds at nearly every add and its value depends on fold order),
+    * then collapses to double in ONE division. That makes the estimate
+    * an order-free pure function of the register ARRAY — so a DuckDB
+    * oracle can replay it bit-for-bit (HUGEINT sum + the same two IEEE
+    * ops), turning the HLL accuracy verdict into a value-exact check
+    * (q_agg_approx). */
   private[graft] def estimate(buf: Array[Byte]): Long = {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
-    var invSum = 0.0
+    // per-register-value histogram: ranks are ≤ 64, so S = Σ cnt(r)·2^(64−r)
+    val cnt = new Array[Int](65)
     var zeros = 0
     var i = 0
     while (i < M) {
-      invSum += java.lang.Math.pow(2.0, -buf(i).toDouble)
-      if (buf(i) == 0) zeros += 1
+      val r = buf(i).toInt
+      cnt(r) += 1
+      if (r == 0) zeros += 1
       i += 1
     }
+    var s = java.math.BigInteger.ZERO
+    var r = 0
+    while (r <= 64) {
+      if (cnt(r) > 0)
+        s = s.add(java.math.BigInteger.valueOf(cnt(r).toLong)
+          .shiftLeft(64 - r))
+      r += 1
+    }
+    val invSum = s.doubleValue() / 1.8446744073709552E19 // = 2^64 exactly
     val raw = alpha * M.toDouble * M.toDouble / invSum
     val est =
       if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
