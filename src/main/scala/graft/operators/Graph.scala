@@ -426,24 +426,32 @@ object Graph {
           (col("l_partkey") * 2).as("dst")))
         .repartition(col("src"))
         .cache()
-      // MIN-PROPAGATION form (the pagerank shape, relaxed to min):
-      // dist_k(v) = min(dist_{k-1}(v), 1 + min over neighbors) — one
-      // shuffle_hash join + one map-combinable min per round, where the
-      // first cut's frontier/distinct/anti-join cascade ran THREE keyed
-      // shuffles per round and benched 5.7 s at sf0.1 (this form: under
-      // 2 s, identical labels — min() absorbs re-reached nodes exactly
-      // where the anti-join used to subtract them). Still one lazy
-      // plan, zero jobs at build.
+      // MIN-PROPAGATION over the FRONTIER (r14 delta discipline): a
+      // node at distance k has a neighbor at distance k−1, so round k
+      // only expands nodes REACHED LAST ROUND — the frontier is free
+      // to derive (dist = k−1 after the min-fold; BFS labels never
+      // improve once set), so this keeps the two-exchange round shape
+      // (one shuffle_hash join + one map-combinable min) while the
+      // join's probe side shrinks from all reached nodes to the new
+      // ones. The first cut's frontier/distinct/anti-join cascade ran
+      // THREE keyed shuffles per round and benched 5.7 s at sf0.1 —
+      // this form pays nothing for the frontier. min() still absorbs
+      // re-reached nodes. One lazy plan, zero jobs at build: lab feeds
+      // two consumers per round (the min-fold union + the frontier
+      // filter), so the plan tree is 2^k — at the fixed k = 3 that is
+      // the same bounded factor the previous join+union shape had.
       var lab = edges.filter(col("src") % 14 === 1)
         .select(col("src").as("node")).distinct()
         .select(col("node"), lit(0).as("dist"))
-      for (_ <- 1 to bfsRounds) {
+      var frontier = lab.select(col("node"))
+      for (k <- 1 to bfsRounds) {
         lab = edges
-          .join(lab.withColumnRenamed("node", "src").hint("shuffle_hash"),
-            "src")
-          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+          .join(frontier.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), "src")
+          .select(col("dst").as("node"), lit(k).as("dist"))
           .union(lab)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        frontier = lab.filter(col("dist") === k).select(col("node"))
       }
       lab
     },
@@ -1149,10 +1157,24 @@ object Graph {
     * symmetric co-purchase adjacency (same one-shuffle edge build as
     * q_graph_triangles — per-order sorted part set, half-matrix pair
     * explode, a < b) and the synchronous label table after
-    * [[lpaRounds]] deterministic rounds. Each round references the
-    * previous labels exactly ONCE (the neighbor join), so lineage
-    * grows linearly and the loop stays fully lazy — the pagerank/PC1
-    * regime, not the BPE/BTL doubling regime. */
+    * [[lpaRounds]] deterministic rounds.
+    *
+    * Each round references the previous labels exactly ONCE (the
+    * neighbor join), so lineage grows linearly and the loop stays
+    * fully lazy — the pagerank/PC1 regime, not the BPE/BTL doubling
+    * regime.
+    *
+    * DELIBERATELY NOT frontier-delta (r14, measured): maintaining the
+    * (src, lbl) count table incrementally from changed-label nodes —
+    * the k-core discipline — was built and benched at sf0.1:
+    * 17.2 → 60.3 MB shuffle write and ~2× wall, because 3 rounds from
+    * identity seeds change MOST labels every round and each
+    * delta-incident edge costs a (+1 new, −1 old) PAIR — 2·|E| moved
+    * where the full recompute moves |E| once. K-core's frontier won
+    * because removal is monotone and the removed set shrinks; LPA's
+    * churn does not. The full-round form is the right shape until
+    * label churn is sparse, which a 3-round fixed-depth query never
+    * reaches. */
   private def lpaLabels(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val li = Tables(s, dir, "lineitem")
