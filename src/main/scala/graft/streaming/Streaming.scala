@@ -1451,24 +1451,49 @@ object Streaming {
   def dvLogVacuum(
       spark: SparkSession, dir: String, retain: Int): (Long, Long) = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
-    val (fs, root) = tableFs(spark, s"$dir/dv_log")
-    if (!fs.exists(root)) return (0L, 0L)
     val visible = dvVisibleGen(spark, dir)
     val horizon = visible - retain // keep gens > horizon, <= visible
     var removed = 0L
     var kept = 0L
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      val drop =
-        if (n.startsWith("gen=")) {
-          val g = n.drop(4).toLong
-          g <= horizon || g > visible // aged out, or orphan
-        } else n.startsWith(".") // stale staging
-      if (drop) {
-        if (!fs.delete(st.getPath, true))
+    val (fs, root) = tableFs(spark, s"$dir/dv_log")
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val drop =
+          if (n.startsWith("gen=")) {
+            val g = n.drop(4).toLong
+            g <= horizon || g > visible // aged out, or orphan
+          } else n.startsWith(".") // stale staging
+        if (drop) {
+          if (!fs.delete(st.getPath, true))
+            throw new java.io.IOException(s"vacuum: ${st.getPath} stuck")
+          removed += 1
+        } else if (n.startsWith("gen=")) kept += 1
+      }
+    }
+    // superseded CUMULATIVE dv generations age out under the same
+    // horizon: readers only ever consult the newest generation (every
+    // read path goes through dvVisibleGen → max), so generations below
+    // it are dead weight the moment their journal window expires —
+    // but the VISIBLE generation survives any retain, including 0
+    // (deleting it would resurrect every tombstoned row). Snapshot
+    // reads are untouched by design: deletion vectors are retroactive
+    // through the visible generation at ANY asof horizon, so a
+    // post-vacuum time travel read returns byte-identical rows
+    // (spec-pinned), and horizons that predate OPTIMIZE retention
+    // keep their own loud "compacted away" error.
+    val (dfs, droot) = tableFs(spark, s"$dir/dv")
+    if (dfs.exists(droot)) {
+      dfs.listStatus(droot).foreach { st =>
+        val n = st.getPath.getName
+        val drop =
+          if (n.startsWith("gen=")) {
+            val g = n.drop(4).toLong
+            g <= horizon && g < visible
+          } else n.startsWith(".") // stale staging
+        if (drop && !dfs.delete(st.getPath, true))
           throw new java.io.IOException(s"vacuum: ${st.getPath} stuck")
-        removed += 1
-      } else if (n.startsWith("gen=")) kept += 1
+      }
     }
     (removed, kept)
   }

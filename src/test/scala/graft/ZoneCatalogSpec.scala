@@ -253,6 +253,10 @@ class ZoneCatalogSpec extends SparkSpec {
     val fsp = new org.apache.hadoop.fs.Path(s"$dir/dv_log/gen=99")
     val fs2 = fsp.getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs2.mkdirs(fsp))
+    // the live row set BEFORE the vacuum — must be byte-identical after
+    val preRows = spark.sql(
+      "SELECT rid, a, b FROM zmt.db.v ORDER BY rid")
+      .collect().toSeq
     val vac = spark.sql("CALL zmt.system.vacuum('db.v', 1)").collect()(0)
     assert(vac.getLong(0) == 3 && vac.getLong(1) == 1,
       s"expected 3 removed (gens 0,1 + orphan 99), 1 kept: $vac")
@@ -265,6 +269,26 @@ class ZoneCatalogSpec extends SparkSpec {
         .count()
     }
     assert(e.getMessage.contains("recompute"), e.getMessage)
+    // superseded CUMULATIVE dv generations aged out with the journal:
+    // only the visible gen 2 remains (readers never consult older
+    // ones), and the live row set is byte-identical post-vacuum —
+    // deletes stay retroactive through the surviving generation
+    val dvGens = fs2.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/dv")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(dvGens == Seq("gen=2"),
+      s"expected only the visible dv generation to survive: $dvGens")
+    assert(spark.sql("SELECT rid, a, b FROM zmt.db.v ORDER BY rid")
+      .collect().toSeq == preRows,
+      "vacuum changed the visible row set")
+    // snapshot reads stay dv-correct below any batch horizon: time
+    // travel applies the SURVIVING generation retroactively, so a
+    // vacuumed table never resurrects a tombstoned row at any asof
+    val snap0 = spark.read.format("graft.sources.ZoneMapSource")
+      .option("asof", 0L).load(dir)
+    assert(snap0.filter(
+      pmod(col("rid"), lit(13)).isin(1, 2, 3)).count() == 0,
+      "asof snapshot resurrected rows deleted by a vacuumed generation")
     spark.sql("DROP TABLE zmt.db.v")
   }
 
