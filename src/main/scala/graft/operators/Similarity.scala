@@ -405,18 +405,41 @@ object Similarity {
   /** One zone batch per NON-EMPTY cell of `assign` (an empty batch
     * would write null zone stats; Lloyd can strand a cell), batch ids
     * `firstId, firstId+1, …` in cell order. The collect is
-    * control-plane, ≤ [[IvfK]] rows. */
+    * control-plane, ≤ [[IvfK]] rows.
+    *
+    * `waved` makes the write REPLAY-IDEMPOTENT BY SKIP: a cell batch
+    * whose zone row (the commit point) already exists is NEVER
+    * rewritten — deletion vectors key tombstones by (parquet file
+    * NAME, ordinal), and any rewrite mints fresh task-UUID file names,
+    * silently orphaning every tombstone on the wave (a resurrection
+    * bug the maintenance spec caught live). A redelivered committed
+    * wave is thus a pure no-op even after retractions landed on its
+    * files; a wave that CRASHED mid-commit completes exactly its
+    * missing cells (assignment is deterministic, and a committed cell
+    * equals what the retry would write — each batch is written
+    * canonical: one file, rid-sorted). `waveId` identifies a wave's
+    * CONTENT — redelivery of the same data, never reuse for new data. */
   private def ivfWriteCells(
-      assign: DataFrame, firstId: Long, idx: String): Unit = {
+      assign: DataFrame, firstId: Long, idx: String,
+      waved: Boolean = false): Unit = {
     val a = assign.localCheckpoint()
     val liveCells = a.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
+    val conf = a.sparkSession.sessionState.newHadoopConf()
     liveCells.zipWithIndex.foreach { case (c, k) =>
-      graft.streaming.Streaming.zoneIngestBatch(
-        a.filter(col("cell") === c)
+      val id = firstId + k
+      val committed = new org.apache.hadoop.fs.Path(
+        s"$idx/zones/batch=$id")
+      if (!waved || !committed.getFileSystem(conf).exists(committed)) {
+        val cellRows = a.filter(col("cell") === c)
           .select(col("vec_id").as("rid"),
-            col("cell").cast("long").as("a"), col("vec_id").as("b")),
-        firstId + k, idx)
+            col("cell").cast("long").as("a"), col("vec_id").as("b"))
+        graft.streaming.Streaming.zoneIngestBatch(
+          if (waved)
+            cellRows.repartition(1).sortWithinPartitions(col("rid"))
+          else cellRows,
+          id, idx)
+      }
     }
   }
 
@@ -447,15 +470,45 @@ object Similarity {
 
   /** APPEND WAVE: assign new (vec_id, embedding) rows to the
     * PERSISTED centroids — the quantizer is NOT retrained — and land
-    * them as fresh per-cell zone batches beyond the current high
-    * watermark. Cost is O(wave·K) scoring + O(affected cells)
-    * commits; existing files are never rewritten, so the serve path's
-    * cell pruning simply sees one more file per touched cell. */
-  def ivfAppend(s: SparkSession, idx: String, vecs: DataFrame): Unit = {
+    * them as fresh per-cell zone batches. Cost is O(wave·K) scoring +
+    * O(affected cells) commits; existing files are never rewritten,
+    * so the serve path's cell pruning simply sees one more file per
+    * touched cell.
+    *
+    * `waveId` (0-based, caller-assigned — a micro-batch id, a
+    * change-feed watermark) makes the wave REPLAY-IDEMPOTENT: batch
+    * ids are the deterministic `K·(waveId+1) + cellIndex`, and a
+    * redelivered wave SKIPS every already-committed cell batch
+    * instead of double-appending under a fresh high-watermark id or
+    * rewriting files (a rewrite would orphan deletion-vector
+    * tombstones, which key by parquet file name + ordinal) — the
+    * at-least-once contract every ingest surface here keeps
+    * (SearchSpec pins replay no-op even after retractions landed). */
+  def ivfAppend(s: SparkSession, idx: String, vecs: DataFrame,
+      waveId: Long): Unit = {
+    require(waveId >= 0, s"waveId must be >= 0, got $waveId")
     CosineSimilarity.register(s)
     val pcents = s.read.parquet(s"$idx/centroids")
-    val next = graft.streaming.Streaming.zoneLatestBatch(s, idx) + 1L
-    ivfWriteCells(ivfAssignWith(vecs, pcents), next, idx)
+    val first = IvfK.toLong * (waveId + 1L)
+    ivfWriteCells(ivfAssignWith(vecs, pcents), first, idx,
+      waved = true)
+  }
+
+  /** COMPACTION for a maintained index: fold the retraction vectors
+    * into a fresh generation (dvMaterialize) and re-cluster every
+    * visible row into Z-tiles (zoneOptimize) — after many append
+    * waves a cell's inverted list is spread over one file per wave,
+    * and the probe pays one task per file. The index's zone axes are
+    * (a = cell, b = vec_id), so the 8×8 Z-tiling splits the cell
+    * axis at ≤ ⌈K/8⌉ cells per tile — with K = 8 compacted files
+    * stay exactly cell-pure, and for any K the probe's runtime cell
+    * filter stays CORRECT (pruning is conservative: a file survives
+    * iff its [la, ha] interval contains a probed cell, and the serve
+    * join re-derives each row's cell from the data itself).
+    * SearchSpec pins serve-identical results over fewer files. */
+  def ivfCompact(s: SparkSession, idx: String): Unit = {
+    graft.streaming.Streaming.dvMaterialize(s, idx)
+    graft.streaming.Streaming.zoneOptimize(s, idx)
   }
 
   /** RETRACTION WAVE: tombstone vec_ids via deletion vectors —
@@ -988,7 +1041,8 @@ object Similarity {
         ivfBuild(s, tbl,
           e.filter(col("vec_id") < 10 || col("vec_id") % 5 =!= 4))
         ivfAppend(s, tbl,
-          e.filter(col("vec_id") >= 10 && col("vec_id") % 5 === 4))
+          e.filter(col("vec_id") >= 10 && col("vec_id") % 5 === 4),
+          waveId = 0L)
         graft.streaming.Streaming.dvDelete(s, tbl,
           (rid, _, _) => rid >= 10 && rid % 11 == 3)
       }

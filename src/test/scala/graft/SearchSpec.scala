@@ -137,7 +137,7 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList))
       .sortBy(_._1).toList
     val filesBefore = graft.sources.ZoneMapSource.zoneRows(idxA).size
-    Similarity.ivfAppend(spark, idxA, appends)
+    Similarity.ivfAppend(spark, idxA, appends, waveId = 0L)
     Similarity.ivfRetract(spark, idxA, retractIds)
     // the quantizer was NOT retrained ...
     val centsAfter = spark.read.parquet(s"$idxA/centroids")
@@ -169,5 +169,29 @@ class SearchSpec extends SparkSpec {
     // retracted ids must be gone from the maintained serve results
     assert(!maintained.exists(t => retractIds(t._2)),
       "a retracted vector survived as a neighbor")
+
+    // REPLAY IDEMPOTENCE: a redelivered append wave (same waveId, same
+    // data — the at-least-once contract) overwrites its own batches
+    // instead of double-appending under a fresh id
+    def listing(idx: String): List[String] =
+      graft.sources.ZoneMapSource.zoneRows(idx)
+        .map(_.file).sorted.toList
+    val filesAfterWave = listing(idxA)
+    Similarity.ivfAppend(spark, idxA, appends, waveId = 0L)
+    assert(listing(idxA) == filesAfterWave,
+      "replayed wave changed the file set")
+    assert(serve(idxA) == maintained, "replayed wave changed the serve")
+
+    // COMPACTION: fold retractions + re-cluster — the serve is
+    // row-identical over FEWER files (one per wave per cell before,
+    // one Z-tile after), and with K = 8 cells each compacted file
+    // stays cell-pure so runtime pruning keeps its selectivity
+    val nBefore = listing(idxA).size
+    Similarity.ivfCompact(spark, idxA)
+    val nAfter = listing(idxA).size
+    assert(nAfter < nBefore,
+      s"compaction did not shrink the file set ($nBefore -> $nAfter)")
+    assert(serve(idxA) == maintained,
+      "compaction changed the serve results")
   }
 }
