@@ -1193,6 +1193,15 @@ object Graph {
         struct(col("b").as("src"), col("a").as("dst"))).as("both"))
       .select(explode(col("both")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // hash-partitioned by src ONCE and cached (r14): the |V|-row
+      // label side broadcasts into every round's neighbor join, which
+      // preserves the streamed side's partitioning — and hash(src)
+      // satisfies the clustering of every downstream groupBy keyed on
+      // src (the cnt groupBy(src, lbl), the argmax groupBy(src), the
+      // consumers' degree/volume rollups), so ONE build-time exchange
+      // replaces a per-round + per-consumer re-shuffle of the edge
+      // relation. The PageRank/BFS discipline applied to LPA's chassis.
+      .repartition(col("src"))
       .cache() // reused by all rounds (the PageRank discipline)
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
