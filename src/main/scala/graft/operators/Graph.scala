@@ -503,16 +503,36 @@ object Graph {
           (col("l_partkey") * 2).as("dst"), w.as("w")))
         .repartition(col("src"))
         .cache()
+      // DELTA RELAXATION (r14, the BFS frontier discipline under
+      // weights): round k only relaxes edges out of nodes whose label
+      // IMPROVED in round k−1 — an unimproved node already offered
+      // dist(u)+w to its neighbors at its own improvement round, so
+      // the candidate would be absorbed by an earlier min-fold
+      // (standard Bellman–Ford delta argument; the unrolled
+      // full-relaxation oracle hashes identically). Unlike BFS, a
+      // label can improve more than once, so the frontier needs an
+      // explicit previous-round compare — a |V|-sized join, traded
+      // against candidate volumes that are edge-incident (MB). The
+      // compare join triples lab's lineage fan-out per round; at the
+      // fixed k = 3 that is 3^3 lazy subtrees, the same bounded
+      // regime as BFS's 2^3.
       var lab = edges.filter(col("src") % 14 === 1)
         .select(col("src").as("node")).distinct()
         .select(col("node"), lit(0L).as("dist"))
+      var frontier = lab
       for (_ <- 1 to ssspRounds) {
-        lab = edges
-          .join(lab.withColumnRenamed("node", "src").hint("shuffle_hash"),
-            "src")
+        val cand = edges
+          .join(frontier.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), "src")
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-          .union(lab)
+        val prev = lab
+        lab = cand.union(lab)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        frontier = lab
+          .join(prev.select(col("node"), col("dist").as("pdist")),
+            Seq("node"), "left")
+          .filter(col("pdist").isNull || col("dist") < col("pdist"))
+          .select(col("node"), col("dist"))
       }
       lab
     },
