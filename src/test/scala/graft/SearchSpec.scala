@@ -194,4 +194,58 @@ class SearchSpec extends SparkSpec {
     assert(serve(idxA) == maintained,
       "compaction changed the serve results")
   }
+
+  test("the retraction-bearing change feed DRIVES the index: +1 rows " +
+    "become append waves, -1 rows become retractions, and the served " +
+    "top-k equals a same-quantizer rebuild of the live corpus") {
+    import graft.operators.Similarity
+    import graft.streaming.Streaming
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // the corpus MEMBERSHIP lives in a zone table (rid = vec_id); the
+    // vectors themselves are looked up by id — the CDF tells the index
+    // WHICH vectors exist, exactly what maintenance needs
+    val corpus = tmpDir("ivf_feed_corpus")
+    def members(p: Int) = e.filter(col("vec_id") % 3 === p)
+      .select(col("vec_id").as("rid"),
+        (col("vec_id") % 8).as("a"), col("vec_id").as("b"))
+    Streaming.zoneIngestBatch(members(0), 0L, corpus)
+    Streaming.zoneIngestBatch(members(1), 1L, corpus)
+    // index built on the base membership; the consumer's watermark is
+    // (batch <= 1, dv gen -1)
+    val baseIds = spark.read.format("graft.sources.ZoneMapSource")
+      .load(corpus).select(col("rid")).collect().map(_.getLong(0)).toSet
+    val idx = tmpDir("ivf_feed_idx")
+    Similarity.ivfBuild(spark, idx,
+      e.filter(col("vec_id").isin(baseIds.toSeq: _*)))
+    // corpus evolves: a third wave lands, then a delete
+    Streaming.zoneIngestBatch(members(2), 2L, corpus)
+    Streaming.dvDelete(spark, corpus, (rid, _, _) => rid % 13 == 2)
+    // maintenance consumes the FEED, not the table: +1 rows append
+    // (wave id = the feed window), -1 rows retract
+    val feed = Streaming.zoneChangesFeed(spark, corpus, 1L, -1L)
+      .select(col("rid"), col("op")).collect()
+    val appendIds = feed.filter(_.getInt(1) == 1).map(_.getLong(0)).toSet
+    val retractIds = feed.filter(_.getInt(1) == -1).map(_.getLong(0)).toSet
+    assert(appendIds.nonEmpty && retractIds.nonEmpty,
+      s"feed produced no work: +${appendIds.size} -${retractIds.size}")
+    Similarity.ivfAppend(spark, idx,
+      e.filter(col("vec_id").isin(appendIds.toSeq: _*)), waveId = 0L)
+    Similarity.ivfRetract(spark, idx, retractIds)
+    // the maintained index must serve exactly like a same-quantizer
+    // rebuild of the LIVE membership (dv-applied read of the corpus)
+    val liveIds = spark.read.format("graft.sources.ZoneMapSource")
+      .load(corpus).select(col("rid")).collect().map(_.getLong(0)).toSet
+    assert(liveIds == (baseIds ++ appendIds) -- retractIds,
+      "feed-derived membership diverged from the table read")
+    val idxRef = tmpDir("ivf_feed_ref")
+    Similarity.ivfBuildWith(spark, idxRef,
+      e.filter(col("vec_id").isin(liveIds.toSeq: _*)),
+      spark.read.parquet(s"$idx/centroids"))
+    def serveOf(i: String) = Similarity.ivfServe(spark, sfDir, i)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toList
+    assert(serveOf(idx) == serveOf(idxRef),
+      "feed-driven maintenance diverged from the live-corpus rebuild")
+  }
 }
