@@ -40,6 +40,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       HllSketch.builder))
     ext.injectFunction((
+      FunctionIdentifier("graft_hll_regs"),
+      new ExpressionInfo(
+        classOf[functions.HllRegisters].getName, "graft_hll_regs"),
+      HllSketch.regsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_union"),
+      new ExpressionInfo(
+        classOf[functions.HllUnion].getName, "graft_hll_union"),
+      HllSketch.unionBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_est"),
+      new ExpressionInfo(
+        classOf[functions.HllEstimate].getName, "graft_hll_est"),
+      HllSketch.estBuilder))
+    ext.injectFunction((
       FunctionIdentifier("graft_freq"),
       new ExpressionInfo(classOf[functions.FreqSketch].getName, "graft_freq"),
       functions.FreqSketch.builder))

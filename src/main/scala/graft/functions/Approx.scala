@@ -19,7 +19,7 @@ object Approx {
     * INT128: split a into 32-bit halves — a·b ≡ a₀·b + ((a₁·b mod
     * 2^32) << 32). `a` is a HUGEINT-typed SQL expression in [0, 2^64);
     * `b` a 64-bit constant. */
-  private def mulmodSql(a: String, b: BigInt): String = {
+  private[graft] def mulmodSql(a: String, b: BigInt): String = {
     val b0 = b % (BigInt(1) << 32)
     s"CAST(((($a) % 4294967296) * CAST($b AS HUGEINT) + " +
       s"(((($a) >> 32) * $b0) % 4294967296) * 4294967296) " +
@@ -32,7 +32,7 @@ object Approx {
     * emitting `<prefix>h(… carry…, h UBIGINT)`. Replayed bit-for-bit:
     * UBIGINT xor/shift are exact, the two multiplies go through
     * [[mulmodSql]]. */
-  private def splitmixCtes(
+  private[graft] def splitmixCtes(
       prefix: String, src: String, keyCol: String,
       carry: String): String = {
     val c = if (carry.isEmpty) "" else s"$carry, "

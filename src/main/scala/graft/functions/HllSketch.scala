@@ -2,10 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog distinct-count sketch as a TypedImperativeAggregate — the
@@ -101,11 +103,22 @@ object HllSketch {
     case other => hashBytes(other.toString.getBytes("UTF-8"))
   }
 
-  /** Insert one value into a register array (mutates `buf`). */
+  /** Register counts other than the 4096 default must be powers of two
+    * in this range — small enough to stay a byte-indexed array, large
+    * enough that the idx/rank split leaves ≥ 48 rank bits. */
+  private[graft] def validRegisterCount(m: Int): Boolean =
+    m >= 16 && m <= 65536 && java.lang.Integer.bitCount(m) == 1
+
+  /** Insert one value into a register array (mutates `buf`). The
+    * register count — and with it the idx/rank bit split — is carried
+    * by the ARRAY LENGTH, so the same code path serves the 4096-register
+    * statistics sketches and the small-m (e.g. 16-register) per-node
+    * counters HyperBall-style neighborhood functions ship around. */
   private[graft] def insert(buf: Array[Byte], v: Any): Unit = {
+    val p = java.lang.Integer.numberOfTrailingZeros(buf.length)
     val h = hashOf(v)
-    val idx = (h >>> (64 - P)).toInt
-    val rest = h << P
+    val idx = (h >>> (64 - p)).toInt
+    val rest = h << p
     val rank = (java.lang.Long.numberOfLeadingZeros(rest | 1L) + 1).toByte
     if (rank > buf(idx)) buf(idx) = rank
   }
@@ -115,9 +128,11 @@ object HllSketch {
     * sketches mergeable across any pruning subset. */
   private[graft] def registerMax(
       buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    require(other.length == M, s"not a graft_hll register array")
+    require(other.length == buf.length,
+      s"graft_hll register arrays of different sizes " +
+        s"(${buf.length} vs ${other.length}) cannot merge")
     var i = 0
-    while (i < M) {
+    while (i < buf.length) {
       if (other(i) > buf(i)) buf(i) = other(i)
       i += 1
     }
@@ -135,12 +150,13 @@ object HllSketch {
     * ops), turning the HLL accuracy verdict into a value-exact check
     * (q_agg_approx). */
   private[graft] def estimate(buf: Array[Byte]): Long = {
-    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val m = buf.length
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     // per-register-value histogram: ranks are ≤ 64, so S = Σ cnt(r)·2^(64−r)
     val cnt = new Array[Int](65)
     var zeros = 0
     var i = 0
-    while (i < M) {
+    while (i < m) {
       val r = buf(i).toInt
       cnt(r) += 1
       if (r == 0) zeros += 1
@@ -155,11 +171,20 @@ object HllSketch {
       r += 1
     }
     val invSum = s.doubleValue() / 1.8446744073709552E19 // = 2^64 exactly
-    val raw = alpha * M.toDouble * M.toDouble / invSum
+    val raw = alpha * m.toDouble * m.toDouble / invSum
     val est =
-      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
       else raw
     math.round(est)
+  }
+
+  /** Public entry point for codegen'd scalar calls
+    * ([[HllEstimate]]'s generated Java). */
+  def estimateBytes(buf: Array[Byte]): Long = {
+    require(validRegisterCount(buf.length),
+      s"graft_hll_est: ${buf.length} bytes is not a register array " +
+        "(need a power-of-two length in [16, 65536])")
+    estimate(buf)
   }
 
   /** Single function builder shared by [[register]] and GraftExtensions. */
@@ -169,18 +194,42 @@ object HllSketch {
   }
 
   private[graft] val regsBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 1, "graft_hll_regs takes exactly 1 argument")
-    HllRegisters(exprs.head)
+    require(exprs.length == 1 || exprs.length == 2,
+      "graft_hll_regs takes 1 or 2 arguments: (key[, registers])")
+    val m = if (exprs.length == 1) M else exprs(1) match {
+      case Literal(v: Int, IntegerType) if validRegisterCount(v) => v
+      case other => throw new IllegalArgumentException(
+        "graft_hll_regs: register count must be a power-of-two INT " +
+          s"literal in [16, 65536], got $other")
+    }
+    HllRegisters(exprs.head, m)
   }
 
-  /** Registers `graft_hll(col)` (the estimate) and `graft_hll_regs(col)`
-    * (the raw register blob, for sketch tables) in the session
-    * function registry. */
+  private[graft] val unionBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_hll_union takes exactly 1 argument")
+    HllUnion(exprs.head)
+  }
+
+  private[graft] val estBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_hll_est takes exactly 1 argument")
+    HllEstimate(exprs.head)
+  }
+
+  /** Registers the sketch surface in the session function registry:
+    * `graft_hll(col)` (the estimate), `graft_hll_regs(col[, m])` (the
+    * raw register blob — for sketch tables and, at small m, the
+    * per-node counters of [[HllUnion]]-driven neighborhood functions),
+    * `graft_hll_union(blob)` (register-max re-aggregation of stored
+    * blobs) and `graft_hll_est(blob)` (blob → estimate scalar). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll_regs", regsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_union", unionBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_est", estBuilder, "built-in")
   }
 }
 
@@ -191,13 +240,15 @@ object HllSketch {
   * per-column NDV statistics are built from these. */
 case class HllRegisters(
     child: Expression,
+    registers: Int = HllSketch.M,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  import HllSketch.{M, insert, registerMax}
+  import HllSketch.{insert, registerMax}
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](registers)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
@@ -223,5 +274,96 @@ case class HllRegisters(
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(
       newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
+/** Register-max RE-aggregation of stored register blobs —
+  * `graft_hll_union(blob)` — the other half of the sketch-table
+  * pattern: [[HllRegisters]] turns keys into blobs once, this merges
+  * persisted blobs under any later grouping (coarser rollups, file
+  * subsets, per-node neighborhood counters) without touching keys
+  * again. The register count rides in each blob's length; the buffer
+  * adopts the first input's size and mixed sizes fail loudly. Register
+  * max is commutative, associative and idempotent, so partial
+  * aggregation order and AQE coalescing cannot change the result. */
+case class HllUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HllSketch.{registerMax, validRegisterCount}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY register blob, got " +
+        child.dataType.sql)
+
+  // empty sentinel until the first blob fixes the register count
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def absorb(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    if (other.isEmpty) buf
+    else if (buf.isEmpty) {
+      require(validRegisterCount(other.length),
+        s"graft_hll_union: ${other.length} bytes is not a register " +
+          "array (need a power-of-two length in [16, 65536])")
+      other.clone()
+    } else registerMax(buf, other)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else absorb(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    absorb(buf, other)
+
+  override def eval(buf: Array[Byte]): Any = if (buf.isEmpty) null else buf
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hll_union"
+
+  override def withNewMutableAggBufferOffset(n: Int): HllUnion =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllUnion =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(
+      newChild: Expression): HllUnion =
+    copy(child = newChild)
+}
+
+/** `graft_hll_est(blob)` — the FFGM estimate of a stored register blob
+  * as a codegen'd SCALAR, so a persisted sketch column (or a per-node
+  * neighborhood counter) evaluates without an aggregate wrapper. Same
+  * estimator as [[HllSketch.estimate]], register count from the blob
+  * length. */
+case class HllEstimate(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY register blob, got " +
+        child.dataType.sql)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hll_est"
+
+  override protected def nullSafeEval(blob: Any): Any =
+    HllSketch.estimateBytes(blob.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"graft.functions.HllSketch$$.MODULE$$.estimateBytes($b)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HllEstimate =
     copy(child = newChild)
 }

@@ -1063,8 +1063,149 @@ object Graph {
           "cur AS node")
       }
       hops.reduce(_ unionAll _)
+    },
+
+    // ------------------------------------------------------------------
+    // Approximate neighborhood function (ANF: Palmer, Gibbons & Faloutsos,
+    // KDD 2002; the HLL-counter formulation is HyperANF/HyperBall — Boldi,
+    // Rosa & Vigna, WWW 2011) — N(t) = Σ_v |ball_t(v)|, the curve behind
+    // "effective diameter" and connectivity health of a link graph. The
+    // ONLY algorithm family that answers this at 100 TB: exact balls are
+    // all-pairs BFS, but a 16-register HLL counter per node makes
+    // ball_t(v) a 16-BYTE value with a commutative, idempotent union, so
+    //   ball_t(dst) = ⋃_{(src,dst)∈E∪self} ball_{t-1}(src)
+    // is one keyed join + one map-combinable aggregate per round — the
+    // pagerank iteration shape exactly, with register blobs riding where
+    // rank floats rode, per-round shuffle ∝ |E|·16 B regardless of how
+    // large the balls grow. Self-loops in the cached adjacency make the
+    // "∪ own previous counter" term part of the same aggregate instead
+    // of a second merge pass.
+    //
+    // VALUE-EXACT oracle (no accuracy verdict): registers are an
+    // order-free pure function of the ball SET and the estimator reads
+    // them with one exact integer sum (HllSketch.estimate), so DuckDB
+    // materializes each radius-t ball EXACTLY (t unrolled join CTEs —
+    // the all-pairs work the engine side exists to avoid), replays
+    // key → splitmix64 → 16-register assignment → estimate bit-for-bit,
+    // and the hash compare pins the entire counter pipeline. The m=16
+    // estimator reuses the engine's α(m) = 0.7213/(1+1.079/m) for every
+    // m (the classic small-m α constants are a lookup table the replay
+    // would have to duplicate; accuracy at m=16 is ±26% either way and
+    // the oracle checks the CONTRACT, not the tolerance). Radius 0 is a
+    // built-in exactness pin: a singleton sketch always linear-counts to
+    // 16·ln(16/15) → 1, so nf(0) = |V| exactly.
+    QueryDef("q_graph_anf", anfOracle) { (s, dir) =>
+      graft.functions.HllSketch.register(s)
+      val e0 = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val sym = e0
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))
+      // self-loop per node folds "keep your own previous ball" into the
+      // one per-round aggregate; hash-partitioned by src ONCE and cached
+      // (the pagerank adjacency discipline)
+      val adj = sym
+        .union(sym.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+        .repartition(col("src")).cache()
+      // ball_0(v) = sketch({v}): group the cached adjacency by src (no
+      // exchange — the partitioning is the grouping key) and insert the
+      // key itself
+      var ball = adj.groupBy(col("src"))
+        .agg(expr("graft_hll_regs(src, 16)").as("regs"))
+        .select(col("src").as("node"), col("regs"))
+        .cache()
+      def nfOf(b: DataFrame, t: Int): DataFrame =
+        b.agg(sum(expr("graft_hll_est(regs)")).as("nf"))
+          .select(lit(t).as("radius"), col("nf"))
+      val curve = scala.collection.mutable.Buffer[DataFrame](nfOf(ball, 0))
+      for (t <- 1 to anfRounds) {
+        // shuffle_hash: build the |V|-row counter side against the
+        // cached |E|-row adjacency, never re-sorting it (pagerank's
+        // reasoning verbatim); the groupBy merge is map-combinable
+        // register max, so the post-combine shuffle is ≤ |V| blobs per
+        // map partition
+        ball = adj
+          .join(ball.hint("shuffle_hash"), adj("src") === ball("node"))
+          .groupBy(col("dst"))
+          .agg(expr("graft_hll_union(regs)").as("regs"))
+          .select(col("dst").as("node"), col("regs"))
+          .cache()
+        curve += nfOf(ball, t)
+      }
+      curve.reduce(_ unionAll _)
     }
   )
+
+  private def anfRounds = 3
+
+  /** DuckDB replay of q_graph_anf: materialize each radius-t ball
+    * exactly (unrolled join CTEs over the self-looped adjacency), then
+    * replay the 16-register sketch — splitmix64 hash, idx = top 4 bits,
+    * rank = nlz of the remaining 60 (sentinel bit at the bottom), exact
+    * 2^−64-unit register sum, α(16)·16²/invSum with linear counting
+    * below 2.5·16 — per (node, radius), and sum the per-node estimates.
+    * Identical IEEE op sequence to [[graft.functions.HllSketch.estimate]]
+    * at m = 16 (the 4096 twin is q_agg_approx's oracle). */
+  private def anfOracle: String = {
+    import graft.functions.Approx.splitmixCtes
+    def ballSql(t: Int): String =
+      s"""b$t AS (
+        |  SELECT DISTINCT a.dst AS id, b.m FROM adj a
+        |  JOIN b${t - 1} b ON b.id = a.src)""".stripMargin
+    // the m=16 FFGM estimate over (grp, np, sp): see Approx.hllEstSql
+    // for the 4096-register original of this expression
+    def estSql(src: String): String =
+      s"""(SELECT grp,
+        |  CAST(floor(CASE
+        |    WHEN (0.7213e0 / (1.0e0 + 1.079e0 / 16.0e0))
+        |         * 16.0e0 * 16.0e0
+        |         / (CAST(CAST(16 - np AS HUGEINT) * 9223372036854775808
+        |                  * 2 + sp AS DOUBLE) / 18446744073709551616e0)
+        |         <= 40.0e0 AND np < 16
+        |    THEN 16.0e0 * ln(16.0e0 / CAST(16 - np AS DOUBLE))
+        |    ELSE (0.7213e0 / (1.0e0 + 1.079e0 / 16.0e0))
+        |         * 16.0e0 * 16.0e0
+        |         / (CAST(CAST(16 - np AS HUGEINT) * 9223372036854775808
+        |                  * 2 + sp AS DOUBLE) / 18446744073709551616e0)
+        |    END + 0.5e0) AS BIGINT) AS hll_est
+        |FROM $src)""".stripMargin
+    def replaySql(t: Int): String =
+      s"""${splitmixCtes(s"an${t}_", s"b$t", "m", "id")},
+        |an${t}r AS (
+        |  SELECT id, h >> 60 AS idx,
+        |    ((h % 1152921504606846976) * 16) | 1 AS y
+        |  FROM an${t}_h),
+        |an${t}g AS (
+        |  SELECT id AS grp, idx,
+        |    max(64 - (length(ltrim(bin(y), '0')) - 1)) AS reg
+        |  FROM an${t}r GROUP BY 1, 2),
+        |an${t}s AS (
+        |  SELECT grp, count(*) AS np,
+        |    CAST(sum(CAST(pow(2.0e0, 64 - reg) AS HUGEINT)) AS HUGEINT)
+        |      AS sp
+        |  FROM an${t}g GROUP BY 1),
+        |an${t}e AS ${estSql(s"an${t}s")},
+        |an${t}n AS (
+        |  SELECT $t AS radius, CAST(sum(hll_est) AS BIGINT) AS nf
+        |  FROM an${t}e)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |sym AS (
+      |  SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM e0
+      |  UNION ALL
+      |  SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM e0),
+      |adj AS (
+      |  SELECT src, dst FROM sym
+      |  UNION ALL
+      |  SELECT DISTINCT src, src FROM sym),
+      |b0 AS (SELECT DISTINCT src AS id, src AS m FROM sym),
+      |${(1 to anfRounds).map(ballSql).mkString(",\n")},
+      |${(0 to anfRounds).map(replaySql).mkString(",\n")}
+      |${(0 to anfRounds).map(t => s"SELECT radius, nf FROM an${t}n")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   private def walkLen = 4
 

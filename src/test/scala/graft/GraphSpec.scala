@@ -390,4 +390,43 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_graph_anf: the iterated counter union equals sketching each " +
+    "EXACT ball set (sequential set-expansion replay), radius 0 counts " +
+    "|V| exactly, and the curve is nondecreasing") {
+    val got = SparkEntry.queries("q_graph_anf")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0, 1, 2, 3), s"radii ${got.keySet}")
+    // independent graph rebuild + driver-side sequential replay: exact
+    // ball SETS per node per radius, each sketched directly — the
+    // HyperBall invariant is that the distributed iterate of register
+    // unions lands on the sketch OF the set, so the two nf curves must
+    // be equal, not merely close
+    val e0 = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = e0.flatMap { case (p, sN) => Seq(p -> sN, sN -> p) }
+    val inNbrs = edges.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(_._1).toSet
+    }
+    val nodes = edges.map(_._1).toSet
+    assert(got(0) == nodes.size.toLong,
+      s"radius 0 must count |V|=${nodes.size} exactly, got ${got(0)}")
+    var balls = nodes.map(v => v -> Set(v)).toMap
+    for (t <- 1 to 3) {
+      balls = nodes.map { v =>
+        v -> inNbrs.getOrElse(v, Set.empty)
+          .foldLeft(balls(v))((acc, u) => acc ++ balls(u))
+      }.toMap
+      val nf = nodes.toSeq.map { v =>
+        val buf = new Array[Byte](16)
+        balls(v).foreach(m => functions.HllSketch.insert(buf, m))
+        functions.HllSketch.estimate(buf)
+      }.sum
+      assert(got(t) == nf,
+        s"radius $t: engine ${got(t)} != exact-ball sketch replay $nf")
+      assert(got(t) >= got(t - 1),
+        s"nf must be nondecreasing: ${got(t - 1)} -> ${got(t)}")
+    }
+  }
 }
