@@ -1973,6 +1973,49 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // CROSS-correlation between event-type pairs at signed lags — the
+    // lead–lag diagnostic next to q_ts_acf's self-correlation: "does
+    // clicks' daily volume LEAD purchases' by k days?" is the question
+    // behind pipeline causality hunches and forecast-feature selection.
+    // Pearson corr(x_d, y_{d−k}) for k ∈ −3..3 over unordered type
+    // pairs (etx < ety — the (y, x, −k) mirror is the same number, so
+    // ordered pairs would double every row). Scale shape is acf's
+    // exactly: the corpus collapses to ONE map-combinable (type, day)
+    // rollup; everything after is calendar-bounded (days × types × 7
+    // lags, corpus-independent), the 7-row lag relation broadcasts, and
+    // pairs match on CALENDAR distance so gap days are skipped, never
+    // slid across. Same corr + Num 1e-6 contract as acf/q_agg_corr.
+    QueryDef(
+      "q_ts_xcorr",
+      s"""WITH daily AS (
+        |  SELECT event_type AS et,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INTEGER)
+        |         AS lag),
+        |pairs AS (
+        |  SELECT a.et AS etx, b.et AS ety, l.lag, a.y AS ya, b.y AS yb
+        |  FROM lags l CROSS JOIN daily a
+        |  JOIN daily b ON b.et > a.et AND b.d = a.d - l.lag)
+        |SELECT etx, ety, lag, count(*) AS n,
+        |  ${Num.sql("corr(ya, yb)", 6)} AS xcf
+        |FROM pairs GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("y"))
+      val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
+      val a = daily.select(col("et").as("etx"), col("d"), col("y").as("ya"))
+      val b = daily.select(col("et").as("ety"), col("d").as("db"),
+        col("y").as("yb"))
+      a.crossJoin(broadcast(lags))
+        .join(b, expr("ety > etx AND db = date_sub(d, lag)"))
+        .groupBy(col("etx"), col("ety"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          Num.r(corr(col("ya"), col("yb")), 6).as("xcf"))
+    },
+
+    // ------------------------------------------------------------------
     // HOLT'S LINEAR EXPONENTIAL SMOOTHING (level + trend, α = β = ¼) —
     // the forecasting member of the time-series family (acf =
     // diagnosis, decompose = attribution, cusum = changepoint, THIS =

@@ -680,6 +680,7 @@ class PlanSpec extends SparkSpec {
       "q_rfm", // 1-row anchor date + constant-group chunkedRank ×3
       "q_calibration", // constant-group chunkedRank (global decile rank)
       "q_ts_acf", // day-rollup × broadcast 3-row lag relation (bounded fan-out)
+      "q_ts_xcorr", // (type, day) rollup × broadcast 7-row signed-lag relation
       "q_dedup_lsh_sweep", // crossJoin(broadcast(1-row ground-truth count))
       "q_basket_rules", // crossJoin(broadcast(1-row basket count))
       "q_text_lm_bigram", // crossJoin(broadcast(1-row distinct-bigram total))
