@@ -1081,6 +1081,16 @@ object Graph {
     // "∪ own previous counter" term part of the same aggregate instead
     // of a second merge pass.
     //
+    // HyperBall's only-changed-counters refinement (propagate a node's
+    // counter only when last round's union grew it — register max is
+    // monotone, so "changed" is a cheap blob compare) is deliberately
+    // NOT applied at this fixture: 3 rounds from singleton seeds on a
+    // dense bipartite graph change essentially every counter every
+    // round, so the extra |V|-row previous-state join buys nothing
+    // (the measured LPA-delta lesson, r14 batch 4). It becomes the
+    // right shape at depth, where frontiers shrink — the same
+    // convergence argument as q_graph_sssp's delta relaxation.
+    //
     // VALUE-EXACT oracle (no accuracy verdict): registers are an
     // order-free pure function of the ball SET and the estimator reads
     // them with one exact integer sum (HllSketch.estimate), so DuckDB
