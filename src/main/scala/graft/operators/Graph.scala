@@ -1105,51 +1105,95 @@ object Graph {
     // built-in exactness pin: a singleton sketch always linear-counts to
     // 16·ln(16/15) → 1, so nf(0) = |V| exactly.
     QueryDef("q_graph_anf", anfOracle) { (s, dir) =>
-      graft.functions.HllSketch.register(s)
-      val e0 = Tables(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val sym = e0
-        .select((col("l_partkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
-          (col("l_partkey") * 2).as("dst")))
-      // self-loop per node folds "keep your own previous ball" into the
-      // one per-round aggregate; hash-partitioned by src ONCE and cached
-      // (the pagerank adjacency discipline)
-      val adj = sym
-        .union(sym.select(col("src")).distinct()
-          .select(col("src"), col("src").as("dst")))
-        .repartition(col("src")).cache()
-      // ball_0(v) = sketch({v}): group the cached adjacency by src (no
-      // exchange — the partitioning is the grouping key) and insert the
-      // key itself
-      var ball = adj.groupBy(col("src"))
-        .agg(expr("graft_hll_regs(src, 16)").as("regs"))
-        .select(col("src").as("node"), col("regs"))
-        .cache()
       def nfOf(b: DataFrame, t: Int): DataFrame =
         b.agg(sum(expr("graft_hll_est(regs)")).as("nf"))
           .select(lit(t).as("radius"), col("nf"))
-      val curve = scala.collection.mutable.Buffer[DataFrame](nfOf(ball, 0))
-      for (t <- 1 to anfRounds) {
-        // shuffle_hash: build the |V|-row counter side against the
-        // cached |E|-row adjacency, never re-sorting it (pagerank's
-        // reasoning verbatim); the groupBy merge is map-combinable
-        // register max, so the post-combine shuffle is ≤ |V| blobs per
-        // map partition
-        ball = adj
-          .join(ball.hint("shuffle_hash"), adj("src") === ball("node"))
-          .groupBy(col("dst"))
-          .agg(expr("graft_hll_union(regs)").as("regs"))
-          .select(col("dst").as("node"), col("regs"))
-          .cache()
-        curve += nfOf(ball, t)
+      anfBalls(s, dir).zipWithIndex
+        .map { case (b, t) => nfOf(b, t) }
+        .reduce(_ unionAll _)
+    },
+
+    // ------------------------------------------------------------------
+    // Harmonic centrality from the SAME HyperBall counters — the
+    // application the counter machinery was invented for (Boldi &
+    // Vigna, "In-core computation of geometric centralities with
+    // HyperBall", ICDMW 2013): H(v) = Σ_{u≠v} 1/d(u,v) truncated at the
+    // round horizon, computed per node as Σ_t (|ball_t(v)| −
+    // |ball_{t−1}(v)|)·(1/t) — each radius-t shell weighted by its
+    // reciprocal distance. The whole statistic stays EXACT INTEGER:
+    // ball sizes are the engine's integer estimates and the 1/t weights
+    // enter as literal µ-unit constants (10⁶ div t), so per-node scores
+    // are BIGINT sums both engines reproduce bit-for-bit (shell deltas
+    // can dip negative at the linear-counting→raw estimator boundary —
+    // HyperBall sums them as-is, and so do both engines here). Top-20
+    // via the map-combinable graft_topk aggregate (score DESC, id ASC —
+    // the knn tie contract), never an unpartitioned window; beyond the
+    // counter iterate the added cost is one co-partitioned |V|-row
+    // 4-way join and one top-k aggregate.
+    QueryDef("q_graph_harmonic", harmonicOracle) { (s, dir) =>
+      graft.functions.TopK.register(s)
+      val ests = anfBalls(s, dir).zipWithIndex.map { case (b, t) =>
+        b.select(col("node"), expr("graft_hll_est(regs)").as(s"e$t"))
       }
-      curve.reduce(_ unionAll _)
+      val joined = ests.reduce((a, b) => a.join(b, "node"))
+      val h = joined.select(col("node"),
+        (1 to anfRounds).map(t =>
+          (col(s"e$t") - col(s"e${t - 1}")) * lit(1000000L / t))
+          .reduce(_ + _).as("harmonic_u"))
+      h.agg(expr("graft_topk(CAST(harmonic_u AS DOUBLE), node, 20)")
+          .as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.id").as("node"),
+          col("e.score").cast("long").as("harmonic_u"))
     }
   )
 
   private def anfRounds = 3
+
+  /** Shared chassis of the HyperBall family (q_graph_anf,
+    * q_graph_harmonic): the self-looped src-partitioned cached
+    * adjacency and the cached 16-register counter table per radius
+    * 0..anfRounds. */
+  private def anfBalls(s: SparkSession, dir: String): Seq[DataFrame] = {
+    graft.functions.HllSketch.register(s)
+    val e0 = Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val sym = e0
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .union(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+    // self-loop per node folds "keep your own previous ball" into the
+    // one per-round aggregate; hash-partitioned by src ONCE and cached
+    // (the pagerank adjacency discipline)
+    val adj = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .repartition(col("src")).cache()
+    // ball_0(v) = sketch({v}): group the cached adjacency by src (no
+    // exchange — the partitioning is the grouping key) and insert the
+    // key itself
+    var ball = adj.groupBy(col("src"))
+      .agg(expr("graft_hll_regs(src, 16)").as("regs"))
+      .select(col("src").as("node"), col("regs"))
+      .cache()
+    val balls = scala.collection.mutable.Buffer[DataFrame](ball)
+    for (_ <- 1 to anfRounds) {
+      // shuffle_hash: build the |V|-row counter side against the
+      // cached |E|-row adjacency, never re-sorting it (pagerank's
+      // reasoning verbatim); the groupBy merge is map-combinable
+      // register max, so the post-combine shuffle is ≤ |V| blobs per
+      // map partition
+      ball = adj
+        .join(ball.hint("shuffle_hash"), adj("src") === ball("node"))
+        .groupBy(col("dst"))
+        .agg(expr("graft_hll_union(regs)").as("regs"))
+        .select(col("dst").as("node"), col("regs"))
+        .cache()
+      balls += ball
+    }
+    balls.toSeq
+  }
 
   /** DuckDB replay of q_graph_anf: materialize each radius-t ball
     * exactly (unrolled join CTEs over the self-looped adjacency), then
@@ -1159,7 +1203,40 @@ object Graph {
     * below 2.5·16 — per (node, radius), and sum the per-node estimates.
     * Identical IEEE op sequence to [[graft.functions.HllSketch.estimate]]
     * at m = 16 (the 4096 twin is q_agg_approx's oracle). */
-  private def anfOracle: String = {
+  private def anfOracle: String =
+    s"""$anfSharedCtes
+      |${(0 to anfRounds).map(t => s"SELECT radius, nf FROM an${t}n")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** DuckDB replay of q_graph_harmonic: the shared per-(node, radius)
+    * estimate CTEs, then the identical integer µ-unit shell weighting
+    * and the (score DESC, id ASC) top-20 — the graft_topk tie
+    * contract as a row_number window. */
+  private def harmonicOracle: String =
+    s"""$anfSharedCtes,
+      |hc AS (
+      |  SELECT a0.grp AS node,
+      |    ${(1 to anfRounds).map(t =>
+          s"(a$t.hll_est - a${t - 1}.hll_est) * ${1000000L / t}")
+          .mkString(" + ")} AS harmonic_u
+      |  FROM an0e a0
+      |  ${(1 to anfRounds).map(t =>
+          s"JOIN an${t}e a$t ON a$t.grp = a0.grp").mkString("\n  ")})
+      |SELECT node, harmonic_u FROM (
+      |  SELECT node, harmonic_u,
+      |    row_number() OVER (ORDER BY harmonic_u DESC, node) AS rn
+      |  FROM hc) r
+      |WHERE rn <= 20""".stripMargin
+
+  /** The WITH-clause body both HyperBall oracles share: exact ball
+    * materialization (unrolled join CTEs over the self-looped
+    * adjacency) + the per-(node, radius) m=16 register replay —
+    * splitmix64 hash, idx = top 4 bits, rank = nlz of the remaining 60
+    * (sentinel bit at the bottom), exact 2^−64-unit register sum,
+    * α(16)·16²/invSum with linear counting below 2.5·16. Identical
+    * IEEE op sequence to [[graft.functions.HllSketch.estimate]] at
+    * m = 16 (the 4096 twin is q_agg_approx's oracle). */
+  private def anfSharedCtes: String = {
     import graft.functions.Approx.splitmixCtes
     def ballSql(t: Int): String =
       s"""b$t AS (
@@ -1212,9 +1289,7 @@ object Graph {
       |  SELECT DISTINCT src, src FROM sym),
       |b0 AS (SELECT DISTINCT src AS id, src AS m FROM sym),
       |${(1 to anfRounds).map(ballSql).mkString(",\n")},
-      |${(0 to anfRounds).map(replaySql).mkString(",\n")}
-      |${(0 to anfRounds).map(t => s"SELECT radius, nf FROM an${t}n")
-        .mkString("\nUNION ALL\n")}""".stripMargin
+      |${(0 to anfRounds).map(replaySql).mkString(",\n")}""".stripMargin
   }
 
   private def walkLen = 4

@@ -429,4 +429,40 @@ class GraphSpec extends SparkSpec {
         s"nf must be nondecreasing: ${got(t - 1)} -> ${got(t)}")
     }
   }
+
+  test("q_graph_harmonic equals the sequential exact-ball replay: " +
+    "per-node shell-weighted scores and the (desc, id) top-20") {
+    val got = SparkEntry.queries("q_graph_harmonic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same sequential set-expansion as the ANF pin, kept per node
+    val e0 = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = e0.flatMap { case (p, sN) => Seq(p -> sN, sN -> p) }
+    val inNbrs = edges.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(_._1).toSet
+    }
+    val nodes = edges.map(_._1).toSet
+    def estOf(s: Set[Long]): Long = {
+      val buf = new Array[Byte](16)
+      s.foreach(m => functions.HllSketch.insert(buf, m))
+      functions.HllSketch.estimate(buf)
+    }
+    var balls = nodes.map(v => v -> Set(v)).toMap
+    var ests = Map(0 -> nodes.map(v => v -> estOf(balls(v))).toMap)
+    for (t <- 1 to 3) {
+      balls = nodes.map { v =>
+        v -> inNbrs.getOrElse(v, Set.empty)
+          .foldLeft(balls(v))((acc, u) => acc ++ balls(u))
+      }.toMap
+      ests += t -> nodes.map(v => v -> estOf(balls(v))).toMap
+    }
+    val scored = nodes.toSeq.map { v =>
+      v -> (1 to 3).map(t =>
+        (ests(t)(v) - ests(t - 1)(v)) * (1000000L / t)).sum
+    }
+    val top = scored.sortBy { case (v, h) => (-h, v) }.take(20)
+    assert(got.toSeq == top.toSeq,
+      s"engine top-20 ${got.toSeq.take(3)}... != replay ${top.take(3)}...")
+  }
 }
