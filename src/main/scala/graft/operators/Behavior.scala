@@ -2016,6 +2016,89 @@ object Behavior {
     },
 
     // ------------------------------------------------------------------
+    // ROBUST trend: the Mann–Kendall S statistic (Mann 1945; Kendall
+    // 1975) + Theil–Sen median slope (Theil 1950; Sen 1968) per
+    // event-type daily series — the nonparametric "is this feed
+    // growing, and how fast" pair that survives the outlier days that
+    // wreck a least-squares fit (which q_agg_regr covers). Everything
+    // is EXACT INTEGER: S = Σ sign(y_j − y_i) over day pairs;
+    // the variance rides ×18 as V18 = n(n−1)(2n+5) (the untied
+    // formula, identically on both engines, so the z-score is caller
+    // arithmetic); pairwise slopes enter as µ-units via BIGINT
+    // truncating division — Spark `div` ≡ DuckDB `//` toward zero —
+    // and the median is the LOWER order statistic (rank (c+1) div 2),
+    // never an average of two, so ties cost nothing. Scale shape: the
+    // corpus collapses to ONE map-combinable (type, day) rollup; the
+    // pair join, sign/slope arithmetic, the per-type rank window and
+    // the final joins are all calendar-bounded (≤ days²/2 rows per
+    // type, corpus-independent). The oracle is the identical
+    // relational form, so the hash match doubles as a window≡window
+    // order-statistic proof.
+    QueryDef(
+      "q_ts_trend",
+      """WITH daily AS (
+        |  SELECT event_type AS et,
+        |    CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.et, CAST(b.d - a.d AS BIGINT) AS dx,
+        |    b.y - a.y AS dy
+        |  FROM daily a JOIN daily b ON b.et = a.et AND b.d > a.d),
+        |sgn AS (
+        |  SELECT et,
+        |    CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END AS sg,
+        |    (dy * 1000000) // dx AS slope_u
+        |  FROM pairs),
+        |stats AS (
+        |  SELECT et, CAST(sum(sg) AS BIGINT) AS s_stat FROM sgn
+        |  GROUP BY 1),
+        |nd AS (SELECT et, count(*) AS n_days FROM daily GROUP BY 1),
+        |med AS (
+        |  SELECT et, slope_u AS slope_med_u FROM (
+        |    SELECT et, slope_u,
+        |      row_number() OVER (PARTITION BY et ORDER BY slope_u) AS rn,
+        |      count(*) OVER (PARTITION BY et) AS c
+        |    FROM sgn) r
+        |  WHERE rn = (c + 1) // 2)
+        |SELECT n.et, n.n_days, s.s_stat,
+        |  n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) AS v18,
+        |  m.slope_med_u
+        |FROM nd n
+        |JOIN stats s ON s.et = n.et
+        |JOIN med m ON m.et = n.et""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("y"))
+      val b = daily.select(col("et").as("etb"), col("d").as("db"),
+        col("y").as("yb"))
+      val pairs = daily
+        .join(b, col("etb") === col("et") && col("db") > col("d"))
+        .select(col("et"),
+          datediff(col("db"), col("d")).cast("long").as("dx"),
+          (col("yb") - col("y")).as("dy"))
+      val sgn = pairs.select(col("et"),
+        when(col("dy") > 0, 1L).when(col("dy") < 0, -1L).otherwise(0L)
+          .as("sg"),
+        expr("dy * 1000000 div dx").as("slope_u"))
+      val stats = sgn.groupBy(col("et")).agg(sum(col("sg")).as("s_stat"))
+      val ndays = daily.groupBy(col("et")).agg(count(lit(1)).as("n_days"))
+      val wo = Window.partitionBy(col("et")).orderBy(col("slope_u"))
+      val med = sgn
+        .select(col("et"), col("slope_u"),
+          row_number().over(wo).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("et"))).as("c"))
+        .filter(expr("rn = (c + 1) div 2"))
+        .select(col("et"), col("slope_u").as("slope_med_u"))
+      ndays.join(stats, "et").join(med, "et")
+        .select(col("et"), col("n_days"), col("s_stat"),
+          (col("n_days") * (col("n_days") - 1)
+            * (col("n_days") * 2 + 5)).as("v18"),
+          col("slope_med_u"))
+    },
+
+    // ------------------------------------------------------------------
     // HOLT'S LINEAR EXPONENTIAL SMOOTHING (level + trend, α = β = ¼) —
     // the forecasting member of the time-series family (acf =
     // diagnosis, decompose = attribution, cusum = changepoint, THIS =
