@@ -67,7 +67,55 @@ class ExtensionsSpec extends SparkSpec {
           expr("graft_theta_intersect(t, t)").as("i"))
         .collect()(0)
       assert(theta.getLong(0) == nd && theta.getLong(1) == nd, theta.toString)
+      // the HLL blob surface (r14): regs at an explicit register count,
+      // union re-aggregation of stored blobs, scalar estimate — the
+      // chained pipeline must agree with the one-shot graft_hll (both
+      // are pure functions of the key set)
+      val hllPipe = ext.read.parquet(s"$sfDir/orders.parquet")
+        .groupBy(expr("o_orderkey % 4").as("g"))
+        .agg(expr("graft_hll_regs(o_orderkey)").as("r"))
+        .agg(expr("graft_hll_est(graft_hll_union(r))").as("e"))
+        .collect()(0).getLong(0)
+      assert(hllPipe == hll,
+        s"blob pipeline $hllPipe != one-shot graft_hll $hll")
+      val small = ext.read.parquet(s"$sfDir/orders.parquet")
+        .agg(expr("graft_hll_est(graft_hll_regs(o_orderkey, 16))").as("e"))
+        .collect()(0).getLong(0)
+      assert(small > 0, "small-m regs/est not injected")
     }
+  }
+
+  test("HLL blob surface rejects malformed inputs loudly") {
+    def chain(e: Throwable): String = {
+      var t = e; val sb = new StringBuilder
+      while (t != null) { sb.append(t.getMessage).append(" | "); t = t.getCause }
+      sb.toString
+    }
+    functions.HllSketch.register(spark)
+    // register-count argument: non-power-of-two, out of range
+    for (bad <- Seq("graft_hll_regs(o_orderkey, 17)",
+        "graft_hll_regs(o_orderkey, 8)",
+        "graft_hll_regs(o_orderkey, 131072)")) {
+      val e = intercept[Exception] {
+        Tables(spark, sfDir, "orders").agg(expr(bad)).collect()
+      }
+      assert(chain(e).contains("register"), s"$bad: ${chain(e)}")
+    }
+    // union over blobs of MIXED register counts must fail, not corrupt
+    val o = Tables(spark, sfDir, "orders")
+    val mixed = intercept[Exception] {
+      o.agg(expr("graft_hll_regs(o_orderkey, 16)").as("r"))
+        .union(o.agg(expr("graft_hll_regs(o_orderkey, 32)").as("r")))
+        .coalesce(1)
+        .agg(expr("graft_hll_union(r)")).collect()
+    }
+    assert(chain(mixed).contains("different sizes"), chain(mixed))
+    // estimate of a non-register blob must fail its length check
+    val badEst = intercept[Exception] {
+      spark.range(1).selectExpr("graft_hll_est(CAST('abc' AS BINARY))")
+        .collect()
+    }
+    assert(chain(badEst).contains("register"), chain(badEst))
   }
 
   test("approx-distinct rewrite: flag on rewrites count(DISTINCT x) to " +
